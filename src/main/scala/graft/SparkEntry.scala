@@ -1,13 +1,117 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.Exact.{dsum, dsum9}
+import graft.operators.{IhcAttribution, Journeys, Reporting}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see SURVEY.md §2 for the operator inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- attribution pipeline wiring (SURVEY §2.A) ----
+
+  private def assigned(s: SparkSession, dir: String): DataFrame =
+    Journeys.assign(Tables.sessions(s, dir), Tables.conversions(s, dir))
+
+  private def flagged(s: SparkSession, dir: String): DataFrame =
+    Journeys.flagConversion(assigned(s, dir))
+
+  private def attributed(s: SparkSession, dir: String): DataFrame =
+    IhcAttribution.attribute(flagged(s, dir))
+
+  private def report(s: SparkSession, dir: String): DataFrame =
+    Reporting.channelReporting(
+      attributed(s, dir),
+      Tables.sessions(s, dir),
+      Tables.sessionCosts(s, dir),
+      Tables.conversions(s, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "conversions_extract" -> ((s, dir) =>
+      Tables.conversions(s, dir)
+        .filter(col("conv_date") >= lit("2024-01-05").cast("date"))
+        .orderBy("conv_id")),
+
+    "sessions_extract" -> ((s, dir) =>
+      Tables.sessions(s, dir)
+        .join(Tables.sessionCosts(s, dir), Seq("session_id"), "left")
+        .orderBy("session_id")),
+
+    "journey_build" -> ((s, dir) =>
+      assigned(s, dir)
+        .select("conv_id", "session_id", "user_id", "ts_us", "channel_name")
+        .orderBy("conv_id", "session_id")),
+
+    "journey_flag" -> ((s, dir) =>
+      flagged(s, dir)
+        .select("conv_id", "session_id", "conversion")
+        .orderBy("conv_id", "session_id")),
+
+    "ihc_attribution" -> ((s, dir) =>
+      attributed(s, dir)
+        .select("conv_id", "session_id", "channel_name", "ihc")
+        .orderBy("conv_id", "session_id")),
+
+    "attribution_sum_check" -> ((s, dir) =>
+      IhcAttribution.sumCheck(attributed(s, dir)).orderBy("conv_id")),
+
+    "journey_stats" -> ((s, dir) => Journeys.statistics(assigned(s, dir))),
+
+    "journey_validate" -> ((s, dir) =>
+      Journeys.validate(flagged(s, dir)).orderBy("conv_id")),
+
+    "channel_reporting" -> ((s, dir) =>
+      report(s, dir).orderBy("channel_name", "date")),
+
+    "channel_reporting_metrics" -> ((s, dir) =>
+      Reporting.withMetrics(report(s, dir)).orderBy("channel_name", "date")),
+
+    "channel_reporting_window" -> ((s, dir) => {
+      val sessions = Tables.sessions(s, dir)
+        .filter(col("event_date") >= lit("2024-01-05").cast("date") &&
+          col("event_date") <= lit("2024-01-20").cast("date"))
+      Reporting.channelReporting(
+        attributed(s, dir), sessions,
+        Tables.sessionCosts(s, dir), Tables.conversions(s, dir))
+        .orderBy("channel_name", "date")
+    }),
+
+    "q1_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          (dsum(col("l_quantity")) / count(lit(1)).cast("double")).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1)).cast("double")).as("avg_price"),
+          (dsum(col("l_discount")) / count(lit(1)).cast("double")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "conversions_extract"       -> Oracles.conversionsExtract,
+    "sessions_extract"          -> Oracles.sessionsExtract,
+    "journey_build"             -> Oracles.journeyBuild,
+    "journey_flag"              -> Oracles.journeyFlag,
+    "ihc_attribution"           -> Oracles.ihcAttribution,
+    "attribution_sum_check"     -> Oracles.attributionSumCheck,
+    "journey_stats"             -> Oracles.journeyStats,
+    "journey_validate"          -> Oracles.journeyValidate,
+    "channel_reporting"         -> Oracles.channelReporting,
+    "channel_reporting_metrics" -> Oracles.channelReportingMetrics,
+    "channel_reporting_window"  -> Oracles.channelReportingWindow,
+    "q1_pricing_summary"        -> Oracles.q1PricingSummary
+  )
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.functions.Exact.dsum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Channel reporting — reference `reporting.py:15-189`.
+  *
+  * `channel_reporting(channel_name, date, cost, ihc, ihc_revenue)` =
+  * `session_sources ⟕ session_costs ⨝ attribution ⨝ conversions`
+  * grouped by (channel, event_date), then CPO/ROAS metrics with
+  * divide-by-zero → NULL (the reference maps ±inf → NaN,
+  * `reporting.py:154-161`; NULL is the relational equivalent).
+  *
+  * Scale: the only wide side is the attribution table; conversions is
+  * conversions-sized (broadcastable at moderate SF), and the aggregate
+  * output is |channels| × |dates| — tiny. Partial (map-side) aggregation
+  * does the reduction before the final shuffle.
+  */
+object Reporting {
+
+  /** @param attributed output of [[IhcAttribution.attribute]] (only
+    *                   conv_id/session_id/ihc are used)
+    */
+  def channelReporting(
+      attributed: DataFrame,
+      sessions: DataFrame,
+      sessionCosts: DataFrame,
+      conversions: DataFrame): DataFrame =
+    sessions
+      .join(attributed.select("conv_id", "session_id", "ihc"), "session_id")
+      .join(sessionCosts, Seq("session_id"), "left")
+      .join(conversions.select("conv_id", "revenue"), "conv_id")
+      .groupBy(col("channel_name"), col("event_date"))
+      .agg(
+        dsum(coalesce(col("cost"), lit(0.0))).as("cost"),
+        dsum(col("ihc")).as("ihc"),
+        dsum(col("ihc") * col("revenue")).as("ihc_revenue"))
+      .withColumnRenamed("event_date", "date")
+
+  /** CPO = cost/ihc, ROAS = ihc_revenue/cost — `reporting.py:154-158`. */
+  def withMetrics(report: DataFrame): DataFrame =
+    report
+      .withColumn("CPO", when(col("ihc") > 0.0, col("cost") / col("ihc")))
+      .withColumn("ROAS", when(col("cost") > 0.0, col("ihc_revenue") / col("cost")))
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders plus the attribution-schema derivations.
+  *
+  * Mirrors the reference data model (`challenge_db_create.sql:1-27`) by
+  * deriving `conversions` / `session_sources` / `session_costs`
+  * deterministically from the `events` table — see SURVEY.md §3. The same
+  * derivations appear verbatim in the DuckDB oracle SQL
+  * ([[graft.Oracles]]), so both engines compute from identical inputs.
+  *
+  * Scale note: these are thin projections/filters over columnar scans —
+  * Catalyst pushes the `event_type` predicates and column pruning into the
+  * parquet reader, so each derivation reads only the columns it needs.
+  */
+object Tables {
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    * timestamp ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos instead and
+    * derive epoch-microsecond / date columns. DuckDB reads the same column
+    * as a µs-truncated TIMESTAMP, so `ts DIV 1000` (integer division,
+    * positive epochs) is bit-identical to DuckDB's `epoch_us(ts)`.
+    */
+  private def withNanosFlag(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    withNanosFlag(spark).read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Raw events with derived `ts_us` (epoch µs) and `event_date` (UTC). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("event_date", timestamp_micros(expr("ts DIV 1000")).cast("date"))
+
+  /** conversions(conv_id, user_id, conv_ts_us, conv_date, revenue) —
+    * reference `conversions` table (`challenge_db_create.sql:1-8`). */
+  def conversions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("conv_id"),
+        col("user_id"),
+        col("ts_us").as("conv_ts_us"),
+        col("event_date").as("conv_date"),
+        col("value").as("revenue"))
+
+  /** session_sources analog (`challenge_db_create.sql:17-27`): every
+    * non-purchase event is a session; its event_type is the marketing
+    * channel; engagement flags are deterministic functions of the type. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(
+        col("event_id").as("session_id"),
+        col("user_id"),
+        col("ts_us"),
+        col("event_date"),
+        col("event_type").as("channel_name"),
+        when(col("event_type").isin("click", "view"), 1).otherwise(0).as("holder_engagement"),
+        when(col("event_type").isin("click", "signup"), 1).otherwise(0).as("closer_engagement"),
+        when(col("event_type") === "view", 1).otherwise(0).as("impression_interaction"))
+
+  /** session_costs analog (`challenge_db_create.sql:11-15`): only paid
+    * channels (click/view) carry a cost row, so downstream LEFT JOINs see
+    * genuine misses (reference `db_utils.py:121-125`). */
+  def sessionCosts(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(
+        col("event_id").as("session_id"),
+        (col("value") / 20.0).as("cost"))
+}

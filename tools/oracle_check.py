@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Local pre-validation of SparkEntry oracles, mimicking the driver gate.
+
+Usage: python3 tools/oracle_check.py [sfDir] [outDir]
+
+Runs DuckDB on oracle_sql.json (dumped by graft.Verify) against the same
+parquet tables, and compares each Spark result parquet with the DuckDB
+result: column set, dtypes, row count, and exact values after sorting
+columns by name and rows by all columns.
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = []
+    for name, sql in sorted(oracles.items()):
+        spark_dir = f"{out_dir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            failures.append(name)
+            print(f"[MISS] {name}: no spark output at {spark_dir}")
+            continue
+        try:
+            got = pd.read_parquet(spark_dir)
+        except Exception as e:
+            failures.append(name)
+            print(f"[READ-FAIL] {name}: {e}")
+            continue
+        try:
+            want = con.execute(sql).fetchdf()
+        except Exception as e:
+            failures.append(name)
+            print(f"[ORACLE-FAIL] {name}: {e}")
+            continue
+
+        ok = True
+        if sorted(got.columns) != sorted(want.columns):
+            print(f"[COLS] {name}: spark={sorted(got.columns)} duckdb={sorted(want.columns)}")
+            ok = False
+        if ok and len(got) != len(want):
+            print(f"[ROWS] {name}: spark={len(got)} duckdb={len(want)}")
+            ok = False
+        if ok:
+            cols = sorted(got.columns)
+            g = got[cols].sort_values(cols).reset_index(drop=True)
+            w = want[cols].sort_values(cols).reset_index(drop=True)
+            for c in cols:
+                gc, wc = g[c], w[c]
+                if str(gc.dtype) != str(wc.dtype):
+                    print(f"[DTYPE] {name}.{c}: spark={gc.dtype} duckdb={wc.dtype}")
+                    # dtype mismatch is a schema-gate risk; still compare values
+                if not gc.equals(wc):
+                    neq = (gc != wc) & ~(gc.isna() & wc.isna())
+                    n = int(neq.sum())
+                    if n:
+                        i = neq.idxmax()
+                        print(f"[VAL] {name}.{c}: {n} diffs, first@{i}: spark={gc[i]!r} duckdb={wc[i]!r}")
+                        ok = False
+        print(("[OK]  " if ok else "[FAIL]") + f" {name}  rows={len(got)}")
+        if not ok:
+            failures.append(name)
+
+    print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
