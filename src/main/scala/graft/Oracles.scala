@@ -136,6 +136,87 @@ WHERE s.event_date >= DATE '2024-01-05' AND s.event_date <= DATE '2024-01-20'
 GROUP BY s.channel_name, s.event_date
 ORDER BY s.channel_name, date"""
 
+  val q3TopUnshipped: String = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10"""
+
+  val q5RegionRevenue: String = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name"""
+
+  val topCustomersWindow: String = """
+SELECT c_custkey, c_name, revenue, rk FROM (
+  SELECT c_custkey, c_name, revenue,
+         row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk
+  FROM (
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name) rev) ranked
+WHERE rk <= 25
+ORDER BY rk"""
+
+  val runningTotalWindow: String = """
+SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+ORDER BY o_custkey, o_orderkey"""
+
+  val eventsSessionize: String = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), marked AS (
+  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > 7200000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ev
+), sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us
+FROM sess
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx"""
+
+  val eventsJsonExtract: String = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+  val ordersEnrichDenorm: String = """
+SELECT o_orderkey, o_orderdate, o_totalprice, c_name, c_mktsegment, n_name, r_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+ORDER BY o_orderkey"""
+
   val q1PricingSummary: String = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Exact.{dsum, dsum9}
-import graft.operators.{IhcAttribution, Journeys, Reporting}
+import graft.operators.{Analytics, IhcAttribution, Journeys, Reporting}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -82,6 +82,32 @@ object SparkEntry {
         .orderBy("channel_name", "date")
     }),
 
+    "q3_top_unshipped" -> ((s, dir) =>
+      Analytics.q3TopUnshipped(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    "q5_region_revenue" -> ((s, dir) =>
+      Analytics.q5RegionRevenue(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    "top_customers_window" -> ((s, dir) =>
+      Analytics.topCustomers(Tables.customer(s, dir), Tables.orders(s, dir), 25)),
+
+    "running_total_window" -> ((s, dir) =>
+      Analytics.runningTotal(Tables.orders(s, dir))),
+
+    "events_sessionize" -> ((s, dir) =>
+      Analytics.sessionize(Tables.events(s, dir))),
+
+    "events_json_extract" -> ((s, dir) =>
+      Analytics.jsonExtractAgg(Tables.events(s, dir))),
+
+    "orders_enrich_denorm" -> ((s, dir) =>
+      Analytics.ordersEnrich(
+        Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+
     "q1_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -112,6 +138,13 @@ object SparkEntry {
     "channel_reporting"         -> Oracles.channelReporting,
     "channel_reporting_metrics" -> Oracles.channelReportingMetrics,
     "channel_reporting_window"  -> Oracles.channelReportingWindow,
-    "q1_pricing_summary"        -> Oracles.q1PricingSummary
+    "q1_pricing_summary"        -> Oracles.q1PricingSummary,
+    "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
+    "q5_region_revenue"         -> Oracles.q5RegionRevenue,
+    "top_customers_window"      -> Oracles.topCustomersWindow,
+    "running_total_window"      -> Oracles.runningTotalWindow,
+    "events_sessionize"         -> Oracles.eventsSessionize,
+    "events_json_extract"       -> Oracles.eventsJsonExtract,
+    "orders_enrich_denorm"      -> Oracles.ordersEnrichDenorm
   )
 }

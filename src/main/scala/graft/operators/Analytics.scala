@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.functions.Exact.dsum
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytics surface (SURVEY.md §2.B): TPC-H-shaped joins/aggs,
+  * windows, sessionization, JSON extraction.
+  *
+  * Scale notes: dimension sides (region/nation/customer/supplier at these
+  * shapes) are explicitly `broadcast()`; fact-fact joins stay sort-merge.
+  * Windowed queries partition by high-cardinality keys (user, customer) so
+  * no single partition concentrates the data; the only unpartitioned
+  * window (global top-k rank) runs over an already-aggregated, tiny frame.
+  */
+object Analytics {
+
+  /** B1-adjacent shipping-priority top-N (TPC-H Q3 shape). */
+  def q3TopUnshipped(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val cust = customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = orders
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Six-way star join, revenue by region/nation (TPC-H Q5 shape). */
+  def q5RegionRevenue(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("r_name", "n_name")
+
+  /** Top-k customers by lifetime spend, ranked (window over aggregate). */
+  def topCustomers(customer: DataFrame, orders: DataFrame, k: Int): DataFrame = {
+    val rev = orders
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+    // global rank over the tiny aggregated frame — fine unpartitioned
+    val rk = Window.orderBy(col("revenue").desc, col("c_custkey"))
+    rev.select(col("c_custkey"), col("c_name"), col("revenue"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .orderBy("rk")
+  }
+
+  /** Per-customer running spend over time (cumulative window; exact
+    * decimal so segment-tree vs sequential evaluation can't differ). */
+  def runningTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      sum(col("o_totalprice").cast(DecimalType(27, 6))).over(w)
+        .cast("double").as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Gap-based sessionization (2 h inactivity gap) — the batch twin of the
+    * streaming sessionizer in [[graft.streaming]]. lag → flag → cumulative
+    * sum → per-session aggregate; all integer arithmetic, fully exact. */
+  def sessionize(events: DataFrame, gapUs: Long = 7200000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select("event_id", "user_id", "ts_us")
+      .withColumn("is_new",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum("is_new").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** JSON property extraction + aggregation (codegen'd `get_json_object`,
+    * no UDF). */
+  def jsonExtractAgg(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_type"),
+        (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_bucket"),
+        col("value"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("event_type", "k_bucket")
+
+  /** Wide denormalizing enrichment join (classic ETL shape) — every
+    * dimension broadcast, zero shuffles on the fact side. */
+  def ordersEnrich(
+      orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("o_orderkey", "o_orderdate", "o_totalprice",
+        "c_name", "c_mktsegment", "n_name", "r_name")
+      .orderBy("o_orderkey")
+}
