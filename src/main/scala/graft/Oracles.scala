@@ -162,7 +162,7 @@ GROUP BY r_name, n_name
 ORDER BY r_name, n_name"""
 
   val topCustomersWindow: String = """
-SELECT c_custkey, c_name, revenue, rk FROM (
+SELECT c_custkey, c_name, revenue, CAST(rk AS INTEGER) AS rk FROM (
   SELECT c_custkey, c_name, revenue,
          row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rk
   FROM (
@@ -216,6 +216,216 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 ORDER BY o_orderkey"""
+
+  // ---- LLM-pipeline surface (SURVEY §2.C) ----
+
+  private val stopList = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'"
+
+  /** Distinct 3-gram shingles CTE over documents (mirrors Dedup.shingles). */
+  private val shingleBase: String = """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id, w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS shingle
+    FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)) t
+  WHERE shingle IS NOT NULL
+)
+"""
+
+  val dedupExact: String = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keep_doc_id"""
+
+  val dedupMinhashLsh: String = shingleBase + """
+, mh AS (
+  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) seeds
+  GROUP BY doc_id, j
+), bands AS (
+  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
+         md5(array_to_string(list_sort(list(mh)), '|')) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(j // 2 AS INTEGER)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+FROM cand c
+JOIN mh ma ON ma.doc_id = c.doc_a
+JOIN mh mb ON mb.doc_id = c.doc_b AND ma.j = mb.j
+GROUP BY c.doc_a, c.doc_b
+ORDER BY c.doc_a, c.doc_b"""
+
+  val dedupSimhash: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN substr(md5(w), CAST(b + 1 AS INTEGER), 1)
+                       IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+  GROUP BY doc_id, b
+), sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT doc_id, simhash, (simhash >> 16) AS bucket
+FROM sim
+ORDER BY doc_id"""
+
+  val dedupNgramJaccard: String = shingleBase + """
+, dc AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+FROM inter
+JOIN dc na ON na.doc_id = doc_a
+JOIN dc nb ON nb.doc_id = doc_b
+ORDER BY doc_a, doc_b"""
+
+  /** Sign-LSH bucket over the first 16 dims — generated to mirror
+    * VectorFunctions.signBucket term by term. */
+  private val bucketSql: String = (0 until 16)
+    .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** Exact-norm + bucket feature CTE over embeddings. */
+  private val featBase: String = s"""WITH nrm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
+  GROUP BY vec_id
+), feat AS (
+  SELECT e.vec_id, e.embedding, ($bucketSql) AS bucket, n.nrm
+  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+)
+"""
+
+  val dedupEmbedding: String = featBase + """
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb,
+         a.nrm AS nrm_a, b.nrm AS nrm_b
+  FROM feat a JOIN feat b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), dots AS (
+  SELECT vec_a, vec_b, nrm_a, nrm_b,
+         CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM pairs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY vec_a, vec_b, nrm_a, nrm_b
+)
+SELECT vec_a, vec_b, dot / (nrm_a * nrm_b) AS cosine
+FROM dots
+WHERE dot / (nrm_a * nrm_b) >= 0.3
+ORDER BY vec_a, vec_b"""
+
+  val annBruteforceTopK: String = featBase + """
+, q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS c_nrm FROM feat
+), dots AS (
+  SELECT query_id, neighbor_id, q_nrm, c_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM q JOIN c ON query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY query_id, neighbor_id, q_nrm, c_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
+  val annLshTopK: String = featBase + """
+, q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm, bucket FROM feat WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS c_nrm, bucket FROM feat
+), dots AS (
+  SELECT query_id, neighbor_id, q_nrm, c_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY query_id, neighbor_id, q_nrm, c_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
+  val textLangid: String = s"""
+SELECT doc_id, declared_lang, stop_hits,
+       CASE WHEN stop_hits >= 2 THEN 'en' ELSE 'unknown' END AS predicted_lang
+FROM (
+  SELECT doc_id, lang AS declared_lang,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS INTEGER) AS stop_hits
+  FROM documents) t
+ORDER BY doc_id"""
+
+  val textQuality: String = s"""
+SELECT doc_id, n_tokens, unique_ratio, stopword_ratio,
+       least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+         + (1.0 - stopword_ratio) * 0.3 AS quality_score
+FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+         CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+  FROM documents) t
+ORDER BY doc_id"""
+
+  val tokenCount: String = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS bpe_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_estimate
+FROM documents
+ORDER BY doc_id"""
+
+  val docFingerprint: String = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+       substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 8) AS fp_bucket
+FROM documents
+ORDER BY doc_id"""
+
+  val multimodalMeta: String = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS byte_len,
+       md5(text) AS payload_md5,
+       CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_chunks
+FROM documents
+ORDER BY doc_id"""
+
+  val streamWindowedCounts: String = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2"""
 
   val q1PricingSummary: String = """
 SELECT l_returnflag, l_linestatus,

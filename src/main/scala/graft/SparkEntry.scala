@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.Exact.{dsum, dsum9}
-import graft.operators.{Analytics, IhcAttribution, Journeys, Reporting}
+import graft.functions.TextFunctions
+import graft.operators.{Analytics, Dedup, IhcAttribution, Journeys, Multimodal, Reporting, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -108,6 +109,65 @@ object SparkEntry {
         Tables.orders(s, dir), Tables.customer(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
 
+    "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
+
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
+
+    "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir))),
+
+    "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
+
+    "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
+
+    "text_langid" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        col("lang").as("declared_lang"),
+        TextFunctions.stopwordHits(col("text")).as("stop_hits"),
+        TextFunctions.langId(col("text")).as("predicted_lang"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.uniqueRatio(col("text")).as("unique_ratio"),
+        TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextFunctions.qualityScore(col("text")).as("quality_score"))
+        .orderBy("doc_id")),
+
+    "token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
+        TextFunctions.subwordEstimate(col("text")).as("subword_estimate"))
+        .orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp_bucket"))
+        .orderBy("doc_id")),
+
+    "multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+
+    "stream_windowed_counts" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("event_ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")),
+
     "q1_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -145,6 +205,20 @@ object SparkEntry {
     "running_total_window"      -> Oracles.runningTotalWindow,
     "events_sessionize"         -> Oracles.eventsSessionize,
     "events_json_extract"       -> Oracles.eventsJsonExtract,
-    "orders_enrich_denorm"      -> Oracles.ordersEnrichDenorm
+    "orders_enrich_denorm"      -> Oracles.ordersEnrichDenorm,
+    "dedup_exact"               -> Oracles.dedupExact,
+    "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
+    "dedup_simhash"             -> Oracles.dedupSimhash,
+    "dedup_ngram_jaccard"       -> Oracles.dedupNgramJaccard,
+    "dedup_embedding"           -> Oracles.dedupEmbedding,
+    "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
+    "ann_lsh_topk"              -> Oracles.annLshTopK,
+    "text_langid"               -> Oracles.textLangid,
+    "text_quality"              -> Oracles.textQuality,
+    "token_count"               -> Oracles.tokenCount,
+    "doc_fingerprint"           -> Oracles.docFingerprint,
+    "multimodal_meta"           -> Oracles.multimodalMeta,
+    "stream_windowed_counts"    -> Oracles.streamWindowedCounts
+    // multimodal_features: stubbed decode, not SQL-expressible → rows-only
   )
 }

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Vector (Array[Float] embedding) column functions.
+  *
+  * All reductions over vector elements go through exact DECIMAL(38,12)
+  * accumulation (see [[Exact]]): element products are computed in IEEE
+  * double (identical trees in the DuckDB oracles), each term is cast to
+  * decimal, and decimal addition is exact — so dot products and norms are
+  * bit-equal across engines and across any evaluation order.
+  *
+  * These are higher-order-function expressions (`zip_with`/`aggregate`),
+  * fully codegen-friendly, no UDFs, no explode — a 64-dim dot product is
+  * one row-local loop inside WholeStageCodegen.
+  */
+object VectorFunctions {
+
+  // Precision 20, not 38: Spark's decimal Add widens precision by one per
+  // step and, once it would exceed 38, REDUCES SCALE (rounding every
+  // accumulation at 1e-11 — observed as ~1e-11 cosine drift vs DuckDB).
+  // At (20,12) the Add result is (21,12) — still exact, no overflow for
+  // |terms| < 1e8, and the final cast back to (20,12) is lossless.
+  private val dec = DecimalType(20, 12)
+
+  private def decSum(terms: Column): Column =
+    aggregate(terms, lit(0).cast(dec), (acc, v) => (acc + v).cast(dec)).cast("double")
+
+  /** Exact dot product of two float-array columns. */
+  def dotExact(a: Column, b: Column): Column =
+    decSum(zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(dec)))
+
+  /** Exact L2 norm of a float-array column. */
+  def normExact(a: Column): Column =
+    sqrt(decSum(transform(a, x => (x.cast("double") * x.cast("double")).cast(dec))))
+
+  /** Sign-LSH bucket from the first `nBits` dimensions: bit b set iff
+    * element b > 0. Deterministic, portable (plain CASE arithmetic in the
+    * oracle), and a genuine LSH for cosine distance on centered data. */
+  def signBucket(a: Column, nBits: Int = 16): Column =
+    (0 until nBits)
+      .map(b => when(a(b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Cosine via precomputed norms: dot / (na * nb) — caller supplies the
+    * same expression shape as the oracle. */
+  def cosine(dot: Column, na: Column, nb: Column): Column = dot / (na * nb)
+}
