@@ -1,0 +1,60 @@
+package graft
+
+import graft.operators.{IhcAttribution, Journeys, Reporting}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class AttributionSpec extends SparkSpec {
+
+  private lazy val sessions    = Tables.sessions(spark, sfDir)
+  private lazy val conversions = Tables.conversions(spark, sfDir)
+  private lazy val assigned    = Journeys.assign(sessions, conversions).cache()
+  private lazy val attributed  = IhcAttribution.attribute(Journeys.flagConversion(assigned)).cache()
+
+  test("each session is assigned to at most one conversion") {
+    val dup = assigned.groupBy("session_id").count().filter(col("count") > 1).count()
+    assert(dup === 0)
+  }
+
+  test("assigned conversion is the user's earliest conversion after the session") {
+    val viol = assigned.alias("a")
+      .join(conversions.alias("c"), col("a.user_id") === col("c.user_id"))
+      .filter(col("a.ts_us") < col("c.conv_ts_us") &&
+        col("c.conv_ts_us") < col("a.conv_ts_us"))
+      .count()
+    assert(viol === 0)
+  }
+
+  test("every journey has exactly one conversion-flagged session") {
+    val bad = Journeys.flagConversion(assigned)
+      .groupBy("conv_id").agg(sum("conversion").as("n"))
+      .filter(col("n") =!= 1).count()
+    assert(bad === 0)
+  }
+
+  test("ihc values are in [0,1] and sum to 1 per conversion") {
+    assert(attributed.filter(col("ihc") < 0 || col("ihc") > 1).count() === 0)
+    val offSum = IhcAttribution.sumCheck(attributed)
+      .filter(!col("within_tolerance")).count()
+    assert(offSum === 0)
+  }
+
+  test("channel reporting conserves total attributed revenue") {
+    val report = Reporting.channelReporting(
+      attributed, sessions, Tables.sessionCosts(spark, sfDir), conversions)
+    val reported = report.agg(sum("ihc")).head.getDouble(0)
+    val journeys = attributed.select("conv_id").distinct().count()
+    val sessions_n = attributed.count()
+    // Σ channel ihc == number of journeys (each journey contributes 1.0),
+    // up to the by-design 6-decimal rounding of each session's ihc term
+    assert(math.abs(reported - journeys) <= sessions_n * 5e-7)
+  }
+
+  test("CPO and ROAS are null only when the denominator is zero") {
+    val m = Reporting.withMetrics(
+      Reporting.channelReporting(
+        attributed, sessions, Tables.sessionCosts(spark, sfDir), conversions))
+    assert(m.filter(col("CPO").isNull && col("ihc") > 0).count() === 0)
+    assert(m.filter(col("ROAS").isNull && col("cost") > 0).count() === 0)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(d).collect()
+    assert(out.length === 2)
+    val dupRow = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupRow.getAs[Long]("keep_doc_id") === 1L)
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val out = Dedup.minhashLsh(docs(1L -> base, 2L -> nearDup, 3L -> other)).collect()
+    assert(out.exists(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L
+      && r.getAs[Double]("est_jaccard") > 0.5))
+    assert(!out.exists(r => r.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("simhash is identical for identical docs, differs for unrelated docs") {
+    val out = Dedup.simhash(docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(out(1L) === out(2L))
+    assert(out(1L) !== out(3L))
+  }
+
+  test("ngram jaccard is 1.0 for identical docs") {
+    val t = "a b c d e f g h"
+    val out = Dedup.ngramJaccard(docs(1L -> t, 2L -> t), minCommon = 1L).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("jaccard") === 1.0)
+  }
+
+  test("embedding near-dup finds identical vectors in the same bucket") {
+    val v = Array.tabulate(64)(i => (i + 1).toFloat / 64f)
+    val w = Array.tabulate(64)(i => -((i % 7) + 1).toFloat / 8f)
+    val emb = Seq((1L, v), (2L, v), (3L, w)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, threshold = 0.99).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("vec_a") === 1L)
+    assert(out.head.getAs[Long]("vec_b") === 2L)
+    assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+}

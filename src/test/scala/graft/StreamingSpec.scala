@@ -1,0 +1,86 @@
+package graft
+
+import graft.streaming.{Event, SessionOut, Streaming}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // one hour in µs
+
+  test("watermarked windowed counts match the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = (0 until 100).map(i =>
+      Event(i.toLong, i.toLong * 600000000L, i % 3, if (i % 2 == 0) "click" else "view", i * 1.0))
+    mem.addData(events)
+    val q = Streaming.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc")
+        .select("window_start", "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type").collect()
+      val want = events.toDF()
+        .withColumn("event_ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("event_ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type").collect()
+      assert(got.toSeq === want.toSeq)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // user 1: events at 0h, 1h (same session), then 10h (gap -> closes first)
+    mem.addData(Event(1, 0L, 1, "click", 1.0), Event(2, H, 1, "view", 1.0))
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // session still open
+      mem.addData(Event(3, 10 * H, 1, "click", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed.head === SessionOut(1, 0, 2, 0L, H))
+      // a second gap closes the next session with incremented index
+      mem.addData(Event(4, 30 * H, 1, "click", 1.0))
+      q.processAllAvailable()
+      val two = spark.table("sess").as[SessionOut].collect().sortBy(_.session_idx)
+      assert(two.length === 2)
+      assert(two(1) === SessionOut(1, 1, 1, 10 * H, 10 * H))
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer agrees with the batch sessionizer") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = (0 until 50).map { i =>
+      // user i%2; bursts of 3 events 10 min apart, bursts 5 h apart
+      val burst = i / 6
+      Event(i.toLong, burst * 5 * H + (i % 6) * 600000000L, i % 2, "click", 1.0)
+    }
+    val mem = MemoryStream[Event]
+    mem.addData(events)
+    // close everything with a far-future event per user, then drop those
+    mem.addData(Event(9998, 10000 * H, 0, "click", 0.0), Event(9999, 10000 * H, 1, "click", 0.0))
+    val q = Streaming.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess2").as[SessionOut].collect()
+        .map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+      val batch = graft.operators.Analytics
+        .sessionize(events.toDF().withColumnRenamed("ts_us", "ts_us"))
+        .collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+      // sentinels close every real session but stay open themselves, and the
+      // batch side never sees them — so the session sets agree exactly
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class TextMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
+
+  test("langId predicts en on stopword-rich text, unknown otherwise") {
+    val out = one("the cat sat on the mat in a hat")
+      .select(TextFunctions.langId(col("text"))).head.getString(0)
+    assert(out === "en")
+    val out2 = one("lorem ipsum dolor sit amet")
+      .select(TextFunctions.langId(col("text"))).head.getString(0)
+    assert(out2 === "unknown")
+  }
+
+  test("token counts: whitespace, bpe-ish, subword estimate") {
+    val df = one("hello world42 x!")
+    val r = df.select(
+      TextFunctions.tokenCount(col("text")),
+      TextFunctions.bpeTokenCount(col("text")),
+      TextFunctions.subwordEstimate(col("text"))).head
+    assert(r.getInt(0) === 3)          // hello | world42 | x!
+    assert(r.getInt(1) === 5)          // hello, world, 42, x, !
+    assert(r.getLong(2) === 4L)        // ceil(16/4)
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val a = one("Hello   World").select(TextFunctions.fingerprint(col("text"))).head.getString(0)
+    val b = one("  hello world ").select(TextFunctions.fingerprint(col("text"))).head.getString(0)
+    assert(a === b)
+  }
+
+  test("quality score stays in [0,1]") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val bad = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("multimodal metadata and stub features are deterministic and shaped") {
+    val docs = one("abcd" * 100) // 400 bytes
+    val meta = Multimodal.metadata(docs).head
+    assert(meta.getAs[Int]("byte_len") === 400)
+    assert(meta.getAs[Long]("n_chunks") === 2L)
+    val feats = Multimodal.features(spark, docs).collect()
+    assert(feats.length === 1)
+    assert(feats.head.features.length === 16)
+    assert(math.abs(feats.head.features.sum - 1.0) < 1e-5) // L1-normalized
+    val again = Multimodal.features(spark, docs).collect()
+    assert(feats.head.features.toSeq === again.head.features.toSeq)
+  }
+}
