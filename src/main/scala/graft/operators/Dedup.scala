@@ -42,36 +42,55 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash signatures: K portable hash functions h_j(s) = md5(j||':'||s),
-    * MIN per (doc, j). Linear in total shingles. */
-  def minhash(shingleDf: DataFrame, k: Int = 16): DataFrame =
-    shingleDf
-      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("shingle")))).as("mh"))
+  /** MinHash hash function family: h_j = (a_j·w + b_j) mod p over the
+    * shingle's 60-bit md5 prefix w, p = 2^31−1. ONE md5 per shingle plus
+    * K affine reseedings — 16× less hashing than per-seed md5. */
+  private def seedA(j: Int): Long = 1299721L + 104729L * j
+  private def seedB(j: Int): Long = 15485863L * j + 32452843L
+
+  /** Wide MinHash signature: (doc_id, mh0..mh{k-1}) in a SINGLE shuffle of
+    * the shingle set (16 min-aggregates side by side) — no explode, no
+    * k-fold row blowup. */
+  def minhashSignature(shingleDf: DataFrame, k: Int = 16): DataFrame = {
+    val withHw = shingleDf.withColumn("hw",
+      expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
+    val aggs = (0 until k).map { j =>
+      min((lit(seedA(j)) * col("hw") + lit(seedB(j))) % lit(2147483647L)).as(s"mh$j")
+    }
+    withHw.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
   /** MinHash + LSH banding: docs sharing any band hash become candidate
     * pairs; output pairs with the signature-estimated Jaccard. Bands of 2
-    * rows over K=16 hashes → sensitive to ~J≥0.5 near-dups. */
+    * rows over K=16 hashes → sensitive to ~J≥0.5 near-dups. Candidate
+    * generation is one bucket join; the Jaccard estimate is a 16-term
+    * column expression over the wide signatures — no per-hash rows
+    * anywhere. */
   def minhashLsh(documents: DataFrame): DataFrame = {
-    val mh = minhash(shingles(documents)).cache()
-    val bands = mh
-      .groupBy(col("doc_id"), expr("CAST(j DIV 2 AS INT)").as("band"))
-      .agg(md5(array_join(sort_array(collect_list(col("mh"))), "|")).as("band_hash"))
+    val sig = minhashSignature(shingles(documents)).cache()
+    val bandStructs = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|",
+          least(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("string"),
+          greatest(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("string")))
+          .as("band_hash"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     val cand = a.join(b, Seq("band", "band_hash"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val ma = mh.select(col("doc_id").as("doc_a"), col("j"), col("mh").as("mh_a"))
-    val mb = mh.select(col("doc_id").as("doc_b"), col("j"), col("mh").as("mh_b"))
-    cand
-      .join(ma, "doc_a")
-      .join(mb, Seq("doc_b", "j"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)).cast("double") / 16.0)
-        .as("est_jaccard"))
+    val sa = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c"): _*)
+    val sb = sig.toDF(sig.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c"): _*)
+    val matches = (0 until 16)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / 16.0).as("est_jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 

@@ -22,28 +22,58 @@ import org.apache.spark.sql.functions._
   */
 object Journeys {
 
-  /** Assign each session to its journey.
+  /** Assign each session to its journey — as-of style.
+    *
+    * Instead of `sessions ⨝ conversions ON user AND s.ts < c.ts` (whose
+    * intermediate size is Σ_user sessions×conversions — quadratic in
+    * per-user activity, deadly for heavy users at warehouse scale), union
+    * both event kinds into one frame sorted per user by
+    * (ts DESC, kind, conv_id DESC) and carry the nearest FOLLOWING
+    * conversion with a running `last(marker, ignoreNulls)` window. One
+    * shuffle + one sort, strictly O(n log n) per user, zero fan-out;
+    * result is identical to the join formulation (the oracle keeps the
+    * join form in SQL).
+    *
+    * Ordering guarantees the reference semantics
+    * (`journey_builder.py:45-105`): a session goes to the conversion with
+    * minimal (conv_ts, conv_id) among those strictly later — at equal
+    * timestamps the session precedes the conversion in the DESC traversal,
+    * so an equal-time conversion is NOT eligible (strict `<`).
     *
     * @param sessions    [[graft.sources.Tables.sessions]] shape
     * @param conversions [[graft.sources.Tables.conversions]] shape
     * @return sessions columns + (conv_id, conv_ts_us, revenue)
     */
   def assign(sessions: DataFrame, conversions: DataFrame): DataFrame = {
-    val conv = conversions.select(
-      col("conv_id"),
-      col("user_id").as("conv_user_id"),
-      col("conv_ts_us"),
-      col("revenue"))
-    val perSession =
-      Window.partitionBy("session_id").orderBy(col("conv_ts_us"), col("conv_id"))
-    sessions
-      .join(conv,
-        sessions("user_id") === conv("conv_user_id") &&
-          sessions("ts_us") < conv("conv_ts_us"))
-      .drop("conv_user_id")
-      .withColumn("rn", row_number().over(perSession))
-      .filter(col("rn") === 1)
-      .drop("rn")
+    val sessCols = sessions.columns
+    val mark = struct(col("conv_ts_us"), col("conv_id"), col("revenue"))
+    val convSide = conversions.select(
+      col("user_id"), col("conv_ts_us").as("ts_us"), lit(1).as("kind"),
+      mark.as("cmark"),
+      // session payload columns, null on the conversion side
+      lit(null).cast("long").as("session_id"),
+      lit(null).cast("date").as("event_date"),
+      lit(null).cast("string").as("channel_name"),
+      lit(null).cast("int").as("holder_engagement"),
+      lit(null).cast("int").as("closer_engagement"),
+      lit(null).cast("int").as("impression_interaction"))
+    val sessSide = sessions.select(
+      col("user_id"), col("ts_us"), lit(0).as("kind"),
+      lit(null).cast(convSide.schema("cmark").dataType).as("cmark"),
+      col("session_id"), col("event_date"), col("channel_name"),
+      col("holder_engagement"), col("closer_engagement"), col("impression_interaction"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("kind").asc,
+        coalesce(col("cmark.conv_id"), lit(-1L)).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessSide.unionByName(convSide)
+      .withColumn("m", last(col("cmark"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0 && col("m").isNotNull)
+      .select(
+        sessCols.map(col) :+
+          col("m.conv_id").as("conv_id") :+
+          col("m.conv_ts_us").as("conv_ts_us") :+
+          col("m.revenue").as("revenue"): _*)
   }
 
   /** Mark the conversion session: the journey's latest session (it is
