@@ -297,11 +297,16 @@ FROM sim
 ORDER BY doc_id"""
 
   val dedupNgramJaccard: String = shingleBase + """
-, dc AS (
-  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+, keep AS (
+  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle) d
+  WHERE df <= 1000
+), shf AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+), dc AS (
+  SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING COUNT(*) >= 3
 )

@@ -113,11 +113,18 @@ object Dedup {
         expr("shiftright(simhash, 16)").as("bucket"))
       .orderBy("doc_id")
 
-  /** True n-gram Jaccard for pairs sharing >= `minCommon` distinct
-    * shingles (the support threshold IS the blocking — pair cardinality
-    * stays near-linear on non-degenerate corpora). */
-  def ngramJaccard(documents: DataFrame, minCommon: Long = 3L): DataFrame = {
-    val sh = shingles(documents).cache()
+  /** True n-gram Jaccard over DISCRIMINATIVE shingles: shingles occurring
+    * in more than `maxDf` documents are stop-shingles — they carry no
+    * near-dup signal but dominate the pair join quadratically (one
+    * all-docs shingle alone is |docs|² join rows). Pairs must share >=
+    * `minCommon` surviving shingles; that support threshold plus the df
+    * cap keep pair cardinality near-linear. */
+  def ngramJaccard(documents: DataFrame, minCommon: Long = 3L, maxDf: Long = 1000L): DataFrame = {
+    val keep = shingles(documents)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("shingle")
+    val sh = shingles(documents).join(keep, "shingle").cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
