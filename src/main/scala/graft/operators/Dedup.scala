@@ -97,8 +97,27 @@ object Dedup {
   /** 32-bit frequency-weighted SimHash from token md5s. Bit b of a token's
     * hash = parity of hex digit b (odd digit → 1); simhash bit = sign of
     * the ±1 vote sum. Bucket = top 16 bits, the blocking key for near-dup
-    * candidate generation. Linear in tokens. */
-  def simhash(documents: DataFrame): DataFrame =
+    * candidate generation.
+    *
+    * Runs the native one-pass [[graft.functions.SimHash32]] Catalyst
+    * expression (registered as SQL function `graft_simhash`, also
+    * injectable via [[graft.plans.GraftExtensions]]) — a codegen-resident
+    * map with zero shuffles, vs the compositional form's ~32× token-row
+    * explode + two aggregations. Both forms are bit-identical (spec-tested;
+    * the oracle keeps the compositional SQL). */
+  def simhash(documents: DataFrame): DataFrame = {
+    documents.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => graft.functions.SimHash32(exprs.head), "scala_udf")
+    documents
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
+      .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 16)").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** Compositional SimHash (explode + window + aggregations) — the
+    * reference formulation the native expression is verified against. */
+  private[graft] def simhashCompositional(documents: DataFrame): DataFrame =
     tokens(documents)
       .withColumn("b", explode(sequence(lit(0), lit(31))))
       .withColumn("vote",

@@ -34,6 +34,13 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) !== out(3L))
   }
 
+  test("native SimHash32 expression equals the compositional formulation") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val native = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val comp = Dedup.simhashCompositional(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(native === comp)
+  }
+
   test("ngram jaccard is 1.0 for identical docs") {
     val t = "a b c d e f g h"
     val out = Dedup.ngramJaccard(docs(1L -> t, 2L -> t), minCommon = 1L).collect()
