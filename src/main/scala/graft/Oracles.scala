@@ -393,6 +393,99 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
+  val annIvfTopK: String = featBase + """
+, cdots AS (
+  SELECT f.vec_id, f.nrm, c.cid, c.cent_nrm,
+         CAST(SUM(CAST(CAST(f.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat f
+  CROSS JOIN (SELECT vec_id AS cid, embedding, nrm AS cent_nrm FROM feat WHERE vec_id < 16) c
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY f.vec_id, f.nrm, c.cid, c.cent_nrm
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cent_nrm) DESC, cid) AS crn
+    FROM cdots) t
+  WHERE crn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cent_nrm) DESC, cid) AS qrn
+    FROM cdots WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+), dots AS (
+  SELECT cd.query_id, cd.neighbor_id, qf.nrm AS q_nrm, nf.nrm AS c_nrm,
+         CAST(SUM(CAST(CAST(qf.embedding[i] AS DOUBLE) * CAST(nf.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN feat qf ON qf.vec_id = cd.query_id
+  JOIN feat nf ON nf.vec_id = cd.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.neighbor_id, qf.nrm, nf.nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
+  val topNgrams: String = shingleBase + """
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+FROM sh
+GROUP BY shingle
+ORDER BY df DESC, shingle
+LIMIT 20"""
+
+  val eventsFunnel: String = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), per_user AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts_us END) AS s0
+  FROM ev GROUP BY user_id
+), c0 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS c0
+  FROM per_user p JOIN ev e ON e.user_id = p.user_id
+  WHERE e.event_type = 'click' AND e.ts_us > p.s0
+  GROUP BY e.user_id
+), p0 AS (
+  SELECT e.user_id, MIN(e.ts_us) AS p0
+  FROM c0 c JOIN ev e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts_us > c.c0
+  GROUP BY e.user_id
+)
+SELECT CAST(COUNT(p.s0) AS BIGINT) AS n_signup,
+       CAST(COUNT(c.c0) AS BIGINT) AS n_click_after_signup,
+       CAST(COUNT(p2.p0) AS BIGINT) AS n_purchase_after_click
+FROM per_user p
+LEFT JOIN c0 c ON c.user_id = p.user_id
+LEFT JOIN p0 p2 ON p2.user_id = p.user_id"""
+
+  val cohortRetention: String = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), first_seen AS (
+  SELECT user_id, MIN(ts_us) AS f FROM ev GROUP BY user_id
+)
+SELECT CAST(f // 604800000000 AS BIGINT) AS cohort_week,
+       CAST((ts_us - f) // 604800000000 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS active_users
+FROM ev JOIN first_seen USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+  val orderValuePercentiles: String = """
+SELECT quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+FROM orders"""
+
   val textLangid: String = s"""
 SELECT doc_id, declared_lang, stop_hits,
        CASE WHEN stop_hits >= 2 THEN 'en' ELSE 'unknown' END AS predicted_lang

@@ -123,6 +123,17 @@ object SparkEntry {
 
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
 
+    "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
+
+    "top_ngrams" -> ((s, dir) => Dedup.topShingles(Tables.documents(s, dir))),
+
+    "events_funnel" -> ((s, dir) => Analytics.funnel(Tables.events(s, dir))),
+
+    "cohort_retention" -> ((s, dir) => Analytics.cohortRetention(Tables.events(s, dir))),
+
+    "order_value_percentiles" -> ((s, dir) =>
+      Analytics.orderValuePercentiles(Tables.orders(s, dir))),
+
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -213,6 +224,11 @@ object SparkEntry {
     "dedup_embedding"           -> Oracles.dedupEmbedding,
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
+    "ann_ivf_topk"              -> Oracles.annIvfTopK,
+    "top_ngrams"                -> Oracles.topNgrams,
+    "events_funnel"             -> Oracles.eventsFunnel,
+    "cohort_retention"          -> Oracles.cohortRetention,
+    "order_value_percentiles"   -> Oracles.orderValuePercentiles,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

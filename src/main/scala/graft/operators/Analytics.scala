@@ -113,6 +113,55 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy("event_type", "k_bucket")
 
+  /** Conversion funnel (signup → first later click → first later
+    * purchase): per-user stage timestamps via conditional min-aggregates +
+    * two join/min passes; one output row of stage counts. */
+  def funnel(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("s0"))
+    val c0 = perUser
+      .join(events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("cts")), Seq("user_id"))
+      .filter(col("cts") > col("s0"))
+      .groupBy("user_id").agg(min("cts").as("c0"))
+    val p0 = c0
+      .join(events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("pts")), Seq("user_id"))
+      .filter(col("pts") > col("c0"))
+      .groupBy("user_id").agg(min("pts").as("p0"))
+    perUser
+      .join(c0, Seq("user_id"), "left")
+      .join(p0, Seq("user_id"), "left")
+      .agg(
+        count(col("s0")).as("n_signup"),
+        count(col("c0")).as("n_click_after_signup"),
+        count(col("p0")).as("n_purchase_after_click"))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-activity week,
+    * distinct actives per (cohort_week, week_offset). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val first = events.groupBy("user_id").agg(min("ts_us").as("f"))
+    events.select("user_id", "ts_us")
+      .join(first, "user_id")
+      .select(
+        expr("CAST(f DIV 604800000000 AS BIGINT)").as("cohort_week"),
+        expr("CAST((ts_us - f) DIV 604800000000 AS BIGINT)").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("active_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Exact interpolated percentiles (sort-based `percentile`, bit-equal to
+    * DuckDB `quantile_cont`) + exact total. */
+  def orderValuePercentiles(orders: DataFrame): DataFrame =
+    orders.agg(
+      expr("percentile(o_totalprice, 0.25)").as("p25"),
+      expr("percentile(o_totalprice, 0.5)").as("p50"),
+      expr("percentile(o_totalprice, 0.75)").as("p75"),
+      dsum(col("o_totalprice")).as("total"))
+
   /** Wide denormalizing enrichment join (classic ETL shape) — every
     * dimension broadcast, zero shuffles on the fact side. */
   def ordersEnrich(

@@ -160,6 +160,15 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Corpus-level top-k shingles by document frequency (vocabulary /
+    * boilerplate analysis; also the df profile behind the stop-shingle
+    * cap). */
+  def topShingles(documents: DataFrame, k: Int = 20): DataFrame =
+    shingles(documents)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+
   /** Embedding near-dup pairs: sign-LSH bucket blocking, then exact
     * decimal cosine within buckets; emit pairs with cosine >= threshold. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
