@@ -136,6 +136,12 @@ WHERE s.event_date >= DATE '2024-01-05' AND s.event_date <= DATE '2024-01-20'
 GROUP BY s.channel_name, s.event_date
 ORDER BY s.channel_name, date"""
 
+  val attributionIncremental: String = attrBase + """
+SELECT conv_id, session_id
+FROM assigned
+WHERE conv_id % 3 <> 0
+ORDER BY conv_id, session_id"""
+
   val q3TopUnshipped: String = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue

@@ -83,6 +83,18 @@ object SparkEntry {
         .orderBy("channel_name", "date")
     }),
 
+    "attribution_incremental" -> ((s, dir) => {
+      // Simulated prior state: conversions with conv_id % 3 == 0 already
+      // attributed (mirrors db_utils.py:260-302's incremental skip).
+      val conv = Tables.conversions(s, dir)
+      val existing = conv.filter(col("conv_id") % 3 === 0).select("conv_id")
+      val missing = Reporting.missingConversions(conv, existing)
+      assigned(s, dir)
+        .join(missing.select("conv_id"), Seq("conv_id"), "left_semi")
+        .select("conv_id", "session_id")
+        .orderBy("conv_id", "session_id")
+    }),
+
     "q3_top_unshipped" -> ((s, dir) =>
       Analytics.q3TopUnshipped(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -209,6 +221,7 @@ object SparkEntry {
     "channel_reporting"         -> Oracles.channelReporting,
     "channel_reporting_metrics" -> Oracles.channelReportingMetrics,
     "channel_reporting_window"  -> Oracles.channelReportingWindow,
+    "attribution_incremental"   -> Oracles.attributionIncremental,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
     "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
     "q5_region_revenue"         -> Oracles.q5RegionRevenue,

@@ -43,4 +43,21 @@ object Reporting {
     report
       .withColumn("CPO", when(col("ihc") > 0.0, col("cost") / col("ihc")))
       .withColumn("ROAS", when(col("cost") > 0.0, col("ihc_revenue") / col("cost")))
+
+  /** Incremental re-run support — reference `db_utils.py:260-302` /
+    * `main.py:332-353`: only conversions NOT already attributed are
+    * (re)processed. A left-anti join replaces the driver-side
+    * set-difference; at scale this is the difference between an
+    * append-only daily run and recomputing history. */
+  def missingConversions(conversions: DataFrame, existingAttribution: DataFrame): DataFrame =
+    conversions.join(
+      existingAttribution.select("conv_id").distinct(),
+      Seq("conv_id"), "left_anti")
+
+  /** Export the reporting table as a single CSV with header — reference
+    * `reporting.py:105-168` (`channel_reporting.csv`). Coalesced to one
+    * file to match the reference's single-artifact contract; the parquet
+    * path is the scale-appropriate sink. */
+  def exportCsv(report: DataFrame, path: String): Unit =
+    report.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }
