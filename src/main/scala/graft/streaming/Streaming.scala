@@ -28,6 +28,16 @@ final case class SessionOut(
     session_start_us: Long,
     session_end_us: Long)
 
+/** A pending (not yet attributed) session in per-user state. */
+final case class PendingSession(
+    session_id: Long,
+    ts_us: Long,
+    holder: Int,
+    closer: Int)
+
+/** One attributed (conversion, session) credit row. */
+final case class IhcRow(conv_id: Long, session_id: Long, ihc: Double)
+
 /** Structured Streaming surface (SURVEY §2.D).
   *
   * The same logical operators as the batch twins (`stream_windowed_counts`,
@@ -49,6 +59,65 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Streaming-native IHC attribution: the reference's greedy journey
+    * assignment (`journey_builder.py:45-105`) is intrinsically a streaming
+    * computation — each conversion claims the user's pending earlier
+    * sessions, exactly once. Per-user state holds unassigned sessions; a
+    * purchase event closes the journey and emits one [[IhcRow]] per
+    * session with the SURVEY §4 IHC spec, bit-identical to the batch
+    * `ihc_attribution` query (spec-tested).
+    *
+    * At scale this is the append-only production path: state is sharded
+    * by user across the cluster's state store, output is incremental, and
+    * no history is recomputed (vs the batch re-run).
+    */
+  def attributeIhc(events: Dataset[Event]): Dataset[IhcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Vector[PendingSession], IhcRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[Vector[PendingSession]]) =>
+          // Process in event-time order; at equal timestamps purchases come
+          // first (strict `<` journey semantics), earlier event_id first.
+          val evs = it.toVector.sortBy(e =>
+            (e.ts_us, if (e.event_type == "purchase") 0 else 1, e.event_id))
+          var pending = state.getOption.getOrElse(Vector.empty)
+          val out = Vector.newBuilder[IhcRow]
+          evs.foreach { e =>
+            if (e.event_type == "purchase") {
+              val journey = pending.filter(_.ts_us < e.ts_us)
+              if (journey.nonEmpty) {
+                val ordered = journey.sortBy(s => (s.ts_us, s.session_id))
+                val n = ordered.size
+                val holderSum = ordered.map(_.holder.toLong).sum
+                val closerSum = ordered.map(_.closer.toLong).sum
+                // conversion-flagged session: latest ts, tie -> min session_id
+                val flagged = ordered.minBy(s => (-s.ts_us, s.session_id))
+                ordered.zipWithIndex.foreach { case (s, i) =>
+                  val ini = if (i == 0) 1.0 else 0.0
+                  val hold =
+                    if (holderSum > 0) s.holder.toDouble / holderSum.toDouble
+                    else 1.0 / n.toDouble
+                  val close =
+                    if (closerSum > 0) s.closer.toDouble / closerSum.toDouble
+                    else (if (s.session_id == flagged.session_id) 1.0 else 0.0)
+                  out += IhcRow(e.event_id, s.session_id, (ini + hold + close) / 3.0)
+                }
+                pending = pending.filterNot(_.ts_us < e.ts_us)
+              }
+            } else {
+              pending = pending :+ PendingSession(
+                e.event_id, e.ts_us,
+                if (e.event_type == "click" || e.event_type == "view") 1 else 0,
+                if (e.event_type == "click" || e.event_type == "signup") 1 else 0)
+            }
+          }
+          state.update(pending)
+          out.result().iterator
+      }
+  }
 
   /** Stateful gap sessionization (2 h default): emits a session when the
     * user's inactivity gap exceeds `gapUs`. The open session stays in

@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.{Event, SessionOut, Streaming}
+import graft.streaming.{Event, IhcRow, SessionOut, Streaming}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,30 @@ class StreamingSpec extends SparkSpec {
       val two = spark.table("sess").as[SessionOut].collect().sortBy(_.session_idx)
       assert(two.length === 2)
       assert(two(1) === SessionOut(1, 1, 1, 10 * H, 10 * H))
+    } finally q.stop()
+  }
+
+  test("streaming IHC attribution matches the batch pipeline bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val mem = MemoryStream[Event]
+    val q = Streaming.attributeIhc(mem.toDS())
+      .writeStream.format("memory").queryName("ihc_stream").outputMode("append").start()
+    try {
+      mem.addData(first.toSeq)
+      q.processAllAvailable()
+      mem.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ihc_stream").as[IhcRow].collect()
+        .map(r => (r.conv_id, r.session_id, r.ihc)).toSet
+      val batch = SparkEntry.queries("ihc_attribution")(spark, sfDir)
+        .select("conv_id", "session_id", "ihc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
     } finally q.stop()
   }
 
