@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see SURVEY.md §2 for the operator inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's end artifact — channel reporting with
+    * CPO/ROAS over the full journey→IHC pipeline (sf0.001); driver
+    * smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("channel_reporting_metrics")(spark, "/root/testdata/sf0.001")
 
   // ---- attribution pipeline wiring (SURVEY §2.A) ----
 

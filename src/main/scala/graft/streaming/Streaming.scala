@@ -119,6 +119,31 @@ object Streaming {
       }
   }
 
+  /** End-to-end streaming channel reporting: the attributed credit stream
+    * ([[attributeIhc]]) joined stream-static against the session/cost/
+    * conversion dimensions and aggregated to (channel, date) with the same
+    * decimal-exact sums as the batch [[graft.operators.Reporting]] — so in
+    * Complete mode the result table converges to the batch report
+    * bit-for-bit (spec-tested). */
+  def channelReporting(
+      events: Dataset[Event],
+      sessions: DataFrame,
+      sessionCosts: DataFrame,
+      conversions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val credits = attributeIhc(events).toDF()
+    credits
+      .join(sessions.select("session_id", "channel_name", "event_date"), "session_id")
+      .join(sessionCosts, Seq("session_id"), "left")
+      .join(conversions.select("conv_id", "revenue"), "conv_id")
+      .groupBy(col("channel_name"), col("event_date"))
+      .agg(
+        sum(coalesce(col("cost"), lit(0.0)).cast(DecimalType(27, 6))).cast("double").as("cost"),
+        sum(col("ihc").cast(DecimalType(27, 6))).cast("double").as("ihc"),
+        sum((col("ihc") * col("revenue")).cast(DecimalType(27, 6))).cast("double").as("ihc_revenue"))
+      .withColumnRenamed("event_date", "date")
+  }
+
   /** Stateful gap sessionization (2 h default): emits a session when the
     * user's inactivity gap exceeds `gapUs`. The open session stays in
     * state until a later event closes it. */

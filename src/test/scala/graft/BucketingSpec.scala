@@ -1,0 +1,33 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Evidence for SURVEY §5: bucketed tables make the journey join
+  * shuffle-free — the 100 TB deployment path for the sessions ⨝
+  * conversions co-location. */
+class BucketingSpec extends SparkSpec {
+
+  test("join of tables bucketed on the key plans without a shuffle exchange") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts_us", "event_type")
+      ev.write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$warehouse/ev_a").saveAsTable("ev_a")
+      ev.write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$warehouse/ev_b").saveAsTable("ev_b")
+      val joined = spark.table("ev_a").join(spark.table("ev_b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ev_a")
+      spark.sql("DROP TABLE IF EXISTS ev_b")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+}

@@ -80,6 +80,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming channel reporting converges to the batch report bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    val mem = MemoryStream[Event]
+    val q = Streaming.channelReporting(
+      mem.toDS(),
+      Tables.sessions(spark, sfDir),
+      Tables.sessionCosts(spark, sfDir),
+      Tables.conversions(spark, sfDir))
+      .writeStream.format("memory").queryName("cr_stream").outputMode("complete").start()
+    try {
+      mem.addData(evs.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("cr_stream").collect()
+        .map(r => (r.getAs[String]("channel_name"), r.getAs[java.sql.Date]("date").toString,
+          r.getAs[Double]("cost"), r.getAs[Double]("ihc"), r.getAs[Double]("ihc_revenue"))).toSet
+      val batch = SparkEntry.queries("channel_reporting")(spark, sfDir).collect()
+        .map(r => (r.getAs[String]("channel_name"), r.getAs[java.sql.Date]("date").toString,
+          r.getAs[Double]("cost"), r.getAs[Double]("ihc"), r.getAs[Double]("ihc_revenue"))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees with the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map { i =>
