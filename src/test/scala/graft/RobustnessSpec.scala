@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.{IhcAttribution, Journeys, Reporting, Skew}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join") {
+    val sessions = Tables.sessions(spark, sfDir).select("session_id", "user_id")
+    val conv = Tables.conversions(spark, sfDir).select("conv_id", "user_id")
+    val plain = sessions.join(conv, "user_id")
+      .select("session_id", "conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val salted = Skew.saltedJoin(sessions, conv, "user_id", "session_id", 8)
+      .select("session_id", "conv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(salted === plain)
+  }
+
+  test("empty conversions: the whole pipeline yields empty results, not errors") {
+    val sessions = Tables.sessions(spark, sfDir)
+    val noConv = Tables.conversions(spark, sfDir).filter(lit(false))
+    val assigned = Journeys.assign(sessions, noConv)
+    assert(assigned.count() === 0)
+    val attributed = IhcAttribution.attribute(Journeys.flagConversion(assigned))
+    assert(IhcAttribution.sumCheck(attributed).count() === 0)
+    val report = Reporting.withMetrics(Reporting.channelReporting(
+      attributed, sessions, Tables.sessionCosts(spark, sfDir), noConv))
+    assert(report.count() === 0)
+  }
+
+  test("csv/json/orc round-trips preserve the events row set") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts_us", "event_type", "value")
+    val want = ev.collect().map(_.toSeq).toSet
+    ev.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    ev.write.mode("overwrite").json(s"$dir/json")
+    ev.write.mode("overwrite").orc(s"$dir/orc")
+    val back = Seq(
+      spark.read.option("header", "true").schema(ev.schema).csv(s"$dir/csv"),
+      spark.read.schema(ev.schema).json(s"$dir/json"),
+      spark.read.orc(s"$dir/orc"))
+    back.foreach(b => assert(b.collect().map(_.toSeq).toSet === want))
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5%") {
+    val ev = Tables.events(spark, sfDir)
+    val r = ev.agg(
+      countDistinct("user_id").as("exact"),
+      approx_count_distinct("user_id").as("approx")).head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact <= 0.05)
+  }
+}
