@@ -49,8 +49,8 @@ object Tables {
 
   /** conversions(conv_id, user_id, conv_ts_us, conv_date, revenue) —
     * reference `conversions` table (`challenge_db_create.sql:1-8`). */
-  def conversions(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def deriveConversions(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") === "purchase")
       .select(
         col("event_id").as("conv_id"),
@@ -59,11 +59,14 @@ object Tables {
         col("event_date").as("conv_date"),
         col("value").as("revenue"))
 
+  def conversions(spark: SparkSession, dir: String): DataFrame =
+    deriveConversions(events(spark, dir))
+
   /** session_sources analog (`challenge_db_create.sql:17-27`): every
     * non-purchase event is a session; its event_type is the marketing
     * channel; engagement flags are deterministic functions of the type. */
-  def sessions(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def deriveSessions(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type") =!= "purchase")
       .select(
         col("event_id").as("session_id"),
@@ -75,13 +78,19 @@ object Tables {
         when(col("event_type").isin("click", "signup"), 1).otherwise(0).as("closer_engagement"),
         when(col("event_type") === "view", 1).otherwise(0).as("impression_interaction"))
 
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    deriveSessions(events(spark, dir))
+
   /** session_costs analog (`challenge_db_create.sql:11-15`): only paid
     * channels (click/view) carry a cost row, so downstream LEFT JOINs see
     * genuine misses (reference `db_utils.py:121-125`). */
-  def sessionCosts(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir)
+  def deriveSessionCosts(events: DataFrame): DataFrame =
+    events
       .filter(col("event_type").isin("click", "view"))
       .select(
         col("event_id").as("session_id"),
         (col("value") / 20.0).as("cost"))
+
+  def sessionCosts(spark: SparkSession, dir: String): DataFrame =
+    deriveSessionCosts(events(spark, dir))
 }
