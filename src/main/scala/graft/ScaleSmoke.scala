@@ -46,6 +46,30 @@ object ScaleSmoke {
     time("ihc_attribution")(println(s"[scale] credit rows = ${attributed.count()}"))
     val report = Reporting.channelReporting(attributed, sessions, costs, conversions)
     time("channel_reporting")(println(s"[scale] report rows = ${report.count()}"))
+
+    // Dedup stage: nDocs synthetic ~60-word docs, 1% planted near-dups
+    // (doc 100k+1 repeats doc 100k's words plus one extra token).
+    val nDocs = if (args.length > 1) args(1).toLong else 200000L
+    val docs = spark.range(nDocs).selectExpr(
+      "id AS doc_id",
+      """array_join(transform(sequence(1, 60),
+           i -> concat('w', pmod(hash((CASE WHEN pmod(id, 100) = 1 THEN id - 1 ELSE id END) * 61 + i), 1000))),
+         ' ') AS text""")
+      .selectExpr("doc_id",
+        "CASE WHEN pmod(doc_id, 100) = 1 THEN concat(text, ' extra') ELSE text END AS text")
+    time(s"minhash_lsh nDocs=$nDocs")(
+      println(s"[scale] near-dup candidates = " +
+        graft.operators.Dedup.minhashLsh(docs).filter(col("est_jaccard") >= 0.5).count()))
+
+    // ANN stage: brute-force top-10 cosine for 8 queries over nVecs vectors.
+    val nVecs = if (args.length > 2) args(2).toLong else 500000L
+    val vecs = spark.range(nVecs).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 63),
+           i -> CAST(CAST(pmod(hash(id * 67 + i), 1999) - 999 AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+    time(s"ann_bruteforce nVecs=$nVecs")(
+      println(s"[scale] ann rows = " +
+        graft.operators.Similarity.bruteForceTopK(vecs, nQueries = 8, k = 10).count()))
     spark.stop()
   }
 }
