@@ -142,6 +142,28 @@ FROM assigned
 WHERE conv_id % 3 <> 0
 ORDER BY conv_id, session_id"""
 
+  val journeyPaths: String = attrBase + """
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_journeys,
+       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT conv_id,
+         string_agg(channel_name, '>' ORDER BY ts_us, session_id) AS path,
+         MIN(revenue) AS revenue
+  FROM assigned GROUP BY conv_id) j
+GROUP BY path
+ORDER BY n_journeys DESC, path"""
+
+  val channelTransitions: String = attrBase + """
+SELECT channel_name AS from_channel, next_channel AS to_channel,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT conv_id, channel_name,
+         LEAD(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id) AS next_channel
+  FROM assigned) t
+WHERE next_channel IS NOT NULL
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
   val q3TopUnshipped: String = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue

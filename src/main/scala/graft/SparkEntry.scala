@@ -85,6 +85,10 @@ object SparkEntry {
         .orderBy("channel_name", "date")
     }),
 
+    "journey_paths" -> ((s, dir) => Journeys.paths(assigned(s, dir))),
+
+    "channel_transitions" -> ((s, dir) => Journeys.channelTransitions(assigned(s, dir))),
+
     "attribution_incremental" -> ((s, dir) => {
       // Simulated prior state: conversions with conv_id % 3 == 0 already
       // attributed (mirrors db_utils.py:260-302's incremental skip).
@@ -224,6 +228,8 @@ object SparkEntry {
     "channel_reporting_metrics" -> Oracles.channelReportingMetrics,
     "channel_reporting_window"  -> Oracles.channelReportingWindow,
     "attribution_incremental"   -> Oracles.attributionIncremental,
+    "journey_paths"             -> Oracles.journeyPaths,
+    "channel_transitions"       -> Oracles.channelTransitions,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
     "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
     "q5_region_revenue"         -> Oracles.q5RegionRevenue,

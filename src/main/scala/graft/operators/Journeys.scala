@@ -87,6 +87,39 @@ object Journeys {
       when(row_number().over(latest) === 1, 1).otherwise(0))
   }
 
+  /** Journey path analysis: the ordered channel sequence per journey,
+    * counted and revenue-weighted — "which touch sequences convert".
+    * Path string via sorted collect_list (≡ ordered string_agg in the
+    * oracle). */
+  def paths(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("conv_id")
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts_us"), col("session_id"), col("channel_name")))),
+            s => s.getField("channel_name")),
+          ">").as("path"),
+        min(col("revenue")).as("revenue")) // constant per journey; min = deterministic pick
+      .groupBy("path")
+      .agg(
+        count(lit(1)).as("n_journeys"),
+        graft.functions.Exact.dsum(col("revenue")).as("revenue"))
+      .orderBy(col("n_journeys").desc, col("path"))
+
+  /** First-order channel transition counts within journeys (the input to
+    * Markov-chain attribution): consecutive (from → to) channel pairs by
+    * journey order. */
+  def channelTransitions(assigned: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
+    assigned
+      .withColumn("next_channel", lead("channel_name", 1).over(w))
+      .filter(col("next_channel").isNotNull)
+      .groupBy(col("channel_name").as("from_channel"), col("next_channel").as("to_channel"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_channel", "to_channel")
+  }
+
   /** Journey statistics — reference `journey_builder.py:298-337`. */
   def statistics(assigned: DataFrame): DataFrame = {
     val per = assigned.groupBy("conv_id").agg(count(lit(1)).as("n"))
