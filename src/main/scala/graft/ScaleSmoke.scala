@@ -40,12 +40,15 @@ object ScaleSmoke {
     val conversions = Tables.deriveConversions(events)
     val costs = Tables.deriveSessionCosts(events)
 
-    val assigned = Journeys.assign(sessions, conversions)
+    // Each stage is cached before timing the next, so a stage's printed
+    // time covers only its own work, not recomputation of upstream stages.
+    val assigned = Journeys.assign(sessions, conversions).cache()
     time(s"journey_assign n=$n")(println(s"[scale] assigned rows = ${assigned.count()}"))
-    val attributed = IhcAttribution.attribute(Journeys.flagConversion(assigned))
+    val attributed = IhcAttribution.attribute(Journeys.flagConversion(assigned)).cache()
     time("ihc_attribution")(println(s"[scale] credit rows = ${attributed.count()}"))
     val report = Reporting.channelReporting(attributed, sessions, costs, conversions)
     time("channel_reporting")(println(s"[scale] report rows = ${report.count()}"))
+    assigned.unpersist(); attributed.unpersist()
 
     // Dedup stage: nDocs synthetic ~60-word docs, 1% planted near-dups
     // (doc 100k+1 repeats doc 100k's words plus one extra token).

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.Exact.{dsum, dsum9}
+import graft.functions.Exact.dsum
 import graft.functions.TextFunctions
 import graft.operators.{Analytics, Dedup, IhcAttribution, Journeys, Multimodal, Reporting, Similarity}
 import graft.sources.Tables

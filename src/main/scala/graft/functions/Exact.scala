@@ -24,8 +24,4 @@ object Exact {
   /** Exact sum at 9-decimal term precision (attribution fractions). */
   def dsum9(c: Column): Column =
     sum(c.cast(DecimalType(27, 9))).cast("double")
-
-  /** Exact sum at 12-decimal term precision (vector dot products). */
-  def dsum12(c: Column): Column =
-    sum(c.cast(DecimalType(38, 12))).cast("double")
 }

@@ -60,6 +60,15 @@ object SimHashImpl {
 case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
+  // reject non-string inputs at analysis time, not with an executor-side
+  // ClassCastException from inside codegen
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash requires STRING input, got ${child.dataType.catalogString}")
+
   override protected def nullSafeEval(input: Any): Any =
     SimHashImpl.simhash32(input.asInstanceOf[UTF8String])
 

@@ -139,11 +139,12 @@ object Dedup {
     * `minCommon` surviving shingles; that support threshold plus the df
     * cap keep pair cardinality near-linear. */
   def ngramJaccard(documents: DataFrame, minCommon: Long = 3L, maxDf: Long = 1000L): DataFrame = {
-    val keep = shingles(documents)
+    val shAll = shingles(documents).cache() // one tokenize/window pass feeds both uses
+    val keep = shAll
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("shingle")
-    val sh = shingles(documents).join(keep, "shingle").cache()
+    val sh = shAll.join(keep, "shingle").cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")

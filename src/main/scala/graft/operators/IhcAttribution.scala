@@ -1,9 +1,9 @@
 package graft.operators
 
+import graft.functions.Exact.dsum9
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Native IHC (Initializer / Holder / Closer) attribution.
   *
@@ -53,6 +53,6 @@ object IhcAttribution {
   def sumCheck(attributed: DataFrame): DataFrame =
     attributed
       .groupBy("conv_id")
-      .agg(sum(col("ihc").cast(DecimalType(27, 9))).cast("double").as("total_ihc"))
+      .agg(dsum9(col("ihc")).as("total_ihc"))
       .withColumn("within_tolerance", abs(col("total_ihc") - 1.0) <= 0.001)
 }

@@ -71,7 +71,14 @@ object Streaming {
     * At scale this is the append-only production path: state is sharded
     * by user across the cluster's state store, output is incremental, and
     * no history is recomputed (vs the batch re-run).
-    */
+    *
+    * Assumptions, stated: (1) per-user event-time order across
+    * micro-batches — sources that can deliver late data need a
+    * watermark-driven reorder buffer in front (within a micro-batch,
+    * order is handled here); (2) state is bounded by pending-session
+    * volume per user — a production deployment should add an idle-state
+    * timeout to drop abandoned journeys (kept NoTimeout here so the spec
+    * comparison against the batch result stays deterministic). */
   def attributeIhc(events: Dataset[Event]): Dataset[IhcRow] = {
     import events.sparkSession.implicits._
     events
@@ -130,7 +137,7 @@ object Streaming {
       sessions: DataFrame,
       sessionCosts: DataFrame,
       conversions: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Exact.dsum
     val credits = attributeIhc(events).toDF()
     credits
       .join(sessions.select("session_id", "channel_name", "event_date"), "session_id")
@@ -138,9 +145,9 @@ object Streaming {
       .join(conversions.select("conv_id", "revenue"), "conv_id")
       .groupBy(col("channel_name"), col("event_date"))
       .agg(
-        sum(coalesce(col("cost"), lit(0.0)).cast(DecimalType(27, 6))).cast("double").as("cost"),
-        sum(col("ihc").cast(DecimalType(27, 6))).cast("double").as("ihc"),
-        sum((col("ihc") * col("revenue")).cast(DecimalType(27, 6))).cast("double").as("ihc_revenue"))
+        dsum(coalesce(col("cost"), lit(0.0))).as("cost"),
+        dsum(col("ihc")).as("ihc"),
+        dsum(col("ihc") * col("revenue")).as("ihc_revenue"))
       .withColumnRenamed("event_date", "date")
   }
 
