@@ -507,6 +507,25 @@ FROM ev JOIN first_seen USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  val eventsRollup: String = """
+SELECT event_type, CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+ORDER BY event_type NULLS FIRST, event_date NULLS FIRST"""
+
+  val eventsPivot: String = """
+SELECT CAST(ts AS DATE) AS event_date,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS click,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS view,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS purchase
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date"""
+
   val orderValuePercentiles: String = """
 SELECT quantile_cont(o_totalprice, 0.25) AS p25,
        quantile_cont(o_totalprice, 0.5) AS p50,

@@ -152,6 +152,10 @@ object SparkEntry {
     "order_value_percentiles" -> ((s, dir) =>
       Analytics.orderValuePercentiles(Tables.orders(s, dir))),
 
+    "events_rollup" -> ((s, dir) => Analytics.eventsRollup(Tables.events(s, dir))),
+
+    "events_pivot" -> ((s, dir) => Analytics.eventsPivot(Tables.events(s, dir))),
+
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -250,6 +254,8 @@ object SparkEntry {
     "events_funnel"             -> Oracles.eventsFunnel,
     "cohort_retention"          -> Oracles.cohortRetention,
     "order_value_percentiles"   -> Oracles.orderValuePercentiles,
+    "events_rollup"             -> Oracles.eventsRollup,
+    "events_pivot"              -> Oracles.eventsPivot,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

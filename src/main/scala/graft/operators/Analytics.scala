@@ -153,6 +153,23 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** ROLLUP aggregation: per (event_type, date) subtotals, per event_type
+    * totals, and a grand total in one pass (GROUPING SETS). */
+  def eventsRollup(events: DataFrame): DataFrame =
+    events
+      .rollup(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
+
+  /** PIVOT: one row per date, one value column per channel (fixed,
+    * deterministic column set — never inferred at plan time at scale). */
+  def eventsPivot(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_date"))
+      .pivot("event_type", Seq("click", "view", "signup", "error", "purchase"))
+      .agg(dsum(col("value")))
+      .orderBy("event_date")
+
   /** Exact interpolated percentiles (sort-based `percentile`, bit-equal to
     * DuckDB `quantile_cont`) + exact total. */
   def orderValuePercentiles(orders: DataFrame): DataFrame =

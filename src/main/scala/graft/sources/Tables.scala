@@ -29,7 +29,7 @@ object Tables {
   }
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    withNanosFlag(spark).read.parquet(s"$dir/$name.parquet")
+    spark.read.parquet(s"$dir/$name.parquet")
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
@@ -41,9 +41,11 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Raw events with derived `ts_us` (epoch µs) and `event_date` (UTC). */
+  /** Raw events with derived `ts_us` (epoch µs) and `event_date` (UTC).
+    * Only this table carries TIMESTAMP(NANOS), so the legacy flag is
+    * scoped here rather than mutating session state on every load. */
   def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
+    withNanosFlag(spark).read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("event_date", timestamp_micros(expr("ts DIV 1000")).cast("date"))
 
