@@ -507,6 +507,22 @@ FROM ev JOIN first_seen USING (user_id)
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  val clickersNoPurchase: String = """
+SELECT user_id FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t
+ORDER BY user_id"""
+
+  val userChannelProfile: String = """
+SELECT user_id,
+       CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_channels,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS channels
+FROM events
+WHERE event_type <> 'purchase'
+GROUP BY user_id
+ORDER BY user_id"""
+
   val eventsRollup: String = """
 SELECT event_type, CAST(ts AS DATE) AS event_date,
        CAST(COUNT(*) AS BIGINT) AS n,

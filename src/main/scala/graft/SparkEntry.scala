@@ -152,6 +152,12 @@ object SparkEntry {
     "order_value_percentiles" -> ((s, dir) =>
       Analytics.orderValuePercentiles(Tables.orders(s, dir))),
 
+    "clickers_no_purchase" -> ((s, dir) =>
+      Analytics.clickersWhoNeverPurchased(Tables.events(s, dir))),
+
+    "user_channel_profile" -> ((s, dir) =>
+      Analytics.userChannelProfile(Tables.events(s, dir))),
+
     "events_rollup" -> ((s, dir) => Analytics.eventsRollup(Tables.events(s, dir))),
 
     "events_pivot" -> ((s, dir) => Analytics.eventsPivot(Tables.events(s, dir))),
@@ -254,6 +260,8 @@ object SparkEntry {
     "events_funnel"             -> Oracles.eventsFunnel,
     "cohort_retention"          -> Oracles.cohortRetention,
     "order_value_percentiles"   -> Oracles.orderValuePercentiles,
+    "clickers_no_purchase"      -> Oracles.clickersNoPurchase,
+    "user_channel_profile"      -> Oracles.userChannelProfile,
     "events_rollup"             -> Oracles.eventsRollup,
     "events_pivot"              -> Oracles.eventsPivot,
     "text_langid"               -> Oracles.textLangid,

@@ -153,6 +153,25 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Set operation: users who clicked but never purchased (EXCEPT ≡
+    * left-anti on distinct keys). */
+  def clickersWhoNeverPurchased(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click").select("user_id").distinct()
+      .except(events.filter(col("event_type") === "purchase").select("user_id").distinct())
+      .orderBy("user_id")
+
+  /** Per-user channel profile: breadth + a deterministic string rendering
+    * of the distinct channel set (strings, not arrays, so every engine
+    * renders it identically). */
+  def userChannelProfile(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") =!= "purchase")
+      .groupBy("user_id")
+      .agg(
+        countDistinct("event_type").cast("int").as("n_channels"),
+        array_join(sort_array(collect_set(col("event_type"))), ",").as("channels"))
+      .orderBy("user_id")
+
   /** ROLLUP aggregation: per (event_type, date) subtotals, per event_type
     * totals, and a grand total in one pass (GROUPING SETS). */
   def eventsRollup(events: DataFrame): DataFrame =
