@@ -164,6 +164,15 @@ WHERE next_channel IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  val q6ForecastRevenue: String = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24.0"""
+
   val q3TopUnshipped: String = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS revenue
@@ -269,7 +278,8 @@ FROM documents
 GROUP BY md5(text)
 ORDER BY keep_doc_id"""
 
-  val dedupMinhashLsh: String = {
+  /** Shared minhash chain through the LSH candidate pairs. */
+  private val minhashCandBase: String = {
     def a(j: Int): Long = 1299721L + 104729L * j
     def b(j: Int): Long = 15485863L * j + 32452843L
     val minCols = (0 until 16)
@@ -280,9 +290,6 @@ ORDER BY keep_doc_id"""
         s"CAST(least(mh${2 * bb}, mh${2 * bb + 1}) AS VARCHAR), " +
         s"CAST(greatest(mh${2 * bb}, mh${2 * bb + 1}) AS VARCHAR))) AS band_hash FROM sig")
       .mkString("\n  UNION ALL ")
-    val matchTerms = (0 until 16)
-      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
-      .mkString(" + ")
     shingleBase + s"""
 , sig AS (
   SELECT doc_id,
@@ -298,6 +305,14 @@ ORDER BY keep_doc_id"""
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
   WHERE a.doc_id < b.doc_id
 )
+"""
+  }
+
+  val dedupMinhashLsh: String = {
+    val matchTerms = (0 until 16)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    minhashCandBase + s"""
 SELECT c.doc_a, c.doc_b,
        CAST(($matchTerms) AS DOUBLE) / 16.0 AS est_jaccard
 FROM cand c
@@ -305,6 +320,24 @@ JOIN sig a ON a.doc_id = c.doc_a
 JOIN sig b ON b.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
   }
+
+  /** Connected components over the LSH candidate pairs via recursive CTE:
+    * label = min doc_id reachable (mirrors Dedup.clusters' fixpoint). */
+  val dedupClusters: String =
+    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + """
+, sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand
+), r AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+  UNION
+  SELECT s.a AS node, r.label AS label FROM sym s JOIN r ON r.node = s.b
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM r
+GROUP BY node
+ORDER BY doc_id"""
 
   val dedupSimhash: String = """
 WITH tok AS (

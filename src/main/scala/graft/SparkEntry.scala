@@ -131,6 +131,19 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, dir)).select("doc_a", "doc_b"))),
+
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24.0)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))),
+
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
 
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
@@ -250,6 +263,8 @@ object SparkEntry {
     "orders_enrich_denorm"      -> Oracles.ordersEnrichDenorm,
     "dedup_exact"               -> Oracles.dedupExact,
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
+    "dedup_clusters"            -> Oracles.dedupClusters,
+    "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_ngram_jaccard"       -> Oracles.dedupNgramJaccard,
     "dedup_embedding"           -> Oracles.dedupEmbedding,

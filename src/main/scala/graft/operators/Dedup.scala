@@ -161,6 +161,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over near-dup candidate pairs → dedup clusters:
+    * each document labeled with the smallest doc_id reachable through the
+    * pair graph (the cluster representative to keep). Iterative min-label
+    * propagation — the fixpoint (min id per component) is unique, so the
+    * result is deterministic regardless of iteration schedule; at
+    * warehouse scale this is the standard alternating large/small-star
+    * pattern, here plain propagation with checkpointed lineage. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("cluster_id", col("node")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neighborLabels = sym
+        .join(labels.select(col("node").as("b"), col("cluster_id").as("nl")), "b")
+        .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
+      val next = labels.join(neighborLabels, Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
+        .filter(col("cluster_id") < col("old")).count()
+      labels.unpersist()
+      labels = next.cache()
+      iter += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("node", "doc_id").orderBy("doc_id")
+  }
+
   /** Corpus-level top-k shingles by document frequency (vocabulary /
     * boilerplate analysis; also the df profile behind the stop-shingle
     * cap). */

@@ -34,6 +34,13 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) !== out(3L))
   }
 
+  test("clusters: chained pairs merge into one component labeled by the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.clusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("native SimHash32 expression equals the compositional formulation") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val native = Dedup.simhash(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
