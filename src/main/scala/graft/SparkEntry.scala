@@ -209,8 +209,16 @@ object SparkEntry {
 
     "multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
 
-    "multimodal_features" -> ((s, dir) =>
-      Multimodal.features(s, Tables.documents(s, dir)).toDF().orderBy("doc_id")),
+    "multimodal_features" -> ((s, dir) => {
+      // Scalar-only projection (f0..f15 instead of the array column): the
+      // driver's compare harness sorts/hashes every column, and array
+      // cells are unhashable there.
+      val feat = Multimodal.features(s, Tables.documents(s, dir)).toDF()
+      val featCols = (0 until 16).map(i => col("features")(i).as(s"f$i"))
+      feat.select(
+        Seq(col("doc_id"), col("byte_len"), col("width"), col("height")) ++ featCols: _*)
+        .orderBy("doc_id")
+    }),
 
     "stream_windowed_counts" -> ((s, dir) =>
       Tables.events(s, dir)

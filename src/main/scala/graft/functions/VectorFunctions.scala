@@ -28,12 +28,21 @@ object VectorFunctions {
   private def decSum(terms: Column): Column =
     aggregate(terms, lit(0).cast(dec), (acc, v) => (acc + v).cast(dec)).cast("double")
 
-  /** Exact dot product of two float-array columns. */
-  def dotExact(a: Column, b: Column): Column =
+  /** Exact dot product of two float-array columns — the native
+    * codegen'd [[DotDecimal]] expression (resolves via the `graft_dot`
+    * registration in [[GraftFunctions]], done by every table loader). */
+  def dotExact(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Exact L2 norm of a float-array column (graft_dot(a,a) under sqrt). */
+  def normExact(a: Column): Column = sqrt(call_function("graft_dot", a, a))
+
+  /** The higher-order-function formulation [[DotDecimal]] replaces —
+    * CodegenFallback (interpreted, a Decimal allocation per element), kept
+    * as the spec-tested semantic reference and the oracle's SQL shape. */
+  private[graft] def dotExactCompositional(a: Column, b: Column): Column =
     decSum(zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(dec)))
 
-  /** Exact L2 norm of a float-array column. */
-  def normExact(a: Column): Column =
+  private[graft] def normExactCompositional(a: Column): Column =
     sqrt(decSum(transform(a, x => (x.cast("double") * x.cast("double")).cast(dec))))
 
   /** Sign-LSH bucket from the first `nBits` dimensions: bit b set iff

@@ -29,35 +29,54 @@ object Dedup {
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .toDF("doc_id", "pos", "w")
 
-  /** Distinct 3-gram word shingles per document. lead() over the token
-    * position window; concat null-propagates at the tail exactly like the
-    * oracle's `||`. */
-  def shingles(documents: DataFrame): DataFrame = {
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    tokens(documents)
-      .withColumn("shingle",
-        concat(col("w"), lit(" "), lead("w", 1).over(win), lit(" "), lead("w", 2).over(win)))
-      .filter(col("shingle").isNotNull)
-      .select("doc_id", "shingle")
-      .distinct()
+  /** Distinct 3-gram word shingles per document, as one array column —
+    * the native one-pass [[graft.functions.ShingleSet]] expression
+    * (`graft_shingles`): entirely row-local, codegen-resident, no
+    * posexplode, no window sort, no distinct shuffle. Same shingle set as
+    * the oracle's lead()-window formulation. */
+  def shingleArrays(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(
+      col("doc_id"), call_function("graft_shingles", col("text")).as("shingles"))
   }
 
-  /** MinHash hash function family: h_j = (a_j·w + b_j) mod p over the
-    * shingle's 60-bit md5 prefix w, p = 2^31−1. ONE md5 per shingle plus
-    * K affine reseedings — 16× less hashing than per-seed md5. */
-  private def seedA(j: Int): Long = 1299721L + 104729L * j
-  private def seedB(j: Int): Long = 15485863L * j + 32452843L
+  /** Exploded (doc_id, shingle) rows — feeds the shuffle-based consumers
+    * (document frequency, pair joins). Already distinct per document. */
+  def shingles(documents: DataFrame): DataFrame =
+    shingleArrays(documents)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
-  /** Wide MinHash signature: (doc_id, mh0..mh{k-1}) in a SINGLE shuffle of
-    * the shingle set (16 min-aggregates side by side) — no explode, no
-    * k-fold row blowup. */
-  def minhashSignature(shingleDf: DataFrame, k: Int = 16): DataFrame = {
-    val withHw = shingleDf.withColumn("hw",
-      expr("CAST(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
-    val aggs = (0 until k).map { j =>
-      min((lit(seedA(j)) * col("hw") + lit(seedB(j))) % lit(2147483647L)).as(s"mh$j")
-    }
-    withHw.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** The compositional shingle formulation [[ShingleSet]] replaces —
+    * interpreted CodegenFallback HOFs; kept as the spec-tested semantic
+    * reference (the oracle's SQL is the lead()-window form). */
+  private[graft] def shingleArraysCompositional(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        when(size(col("toks")) >= 3,
+          array_distinct(transform(
+            sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", col("toks")(i), col("toks")(i + 1), col("toks")(i + 2)))))
+          .otherwise(array().cast("array<string>"))
+          .as("shingles"))
+
+  /** Wide MinHash signature: (doc_id, mh0..mh{k-1}) with ZERO shuffles and
+    * zero intermediate rows — the native [[graft.functions.MinHashSig]]
+    * expression computes all 16 running minima in one codegen-resident
+    * pass (one md5 + 16 affine reseedings per distinct shingle, hash
+    * family h_j = (a_j·w + b_j) mod p over the shingle's 60-bit md5 prefix
+    * w, p = 2^31−1). At 100 TB this is a pure map stage feeding the band
+    * explode directly. Documents with no shingle (< 3 tokens) are dropped,
+    * matching the exploded form where they simply have no rows. */
+  def minhashSignature(documents: DataFrame, k: Int = 16): DataFrame = {
+    require(k <= graft.functions.ShingleImpl.K, s"k=$k exceeds the native lane count")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), call_function("graft_minhash", col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until k).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
   }
 
   /** MinHash + LSH banding: docs sharing any band hash become candidate
@@ -67,7 +86,7 @@ object Dedup {
     * column expression over the wide signatures — no per-hash rows
     * anywhere. */
   def minhashLsh(documents: DataFrame): DataFrame = {
-    val sig = minhashSignature(shingles(documents)).cache()
+    val sig = minhashSignature(documents).cache()
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
@@ -106,9 +125,7 @@ object Dedup {
     * explode + two aggregations. Both forms are bit-identical (spec-tested;
     * the oracle keeps the compositional SQL). */
   def simhash(documents: DataFrame): DataFrame = {
-    documents.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash",
-      exprs => graft.functions.SimHash32(exprs.head), "scala_udf")
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
       .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 16)").as("bucket"))
@@ -205,6 +222,7 @@ object Dedup {
   /** Embedding near-dup pairs: sign-LSH bucket blocking, then exact
     * decimal cosine within buckets; emit pairs with cosine >= threshold. */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.signBucket(col("embedding")).as("bucket"),

@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withFeat(embeddings: DataFrame): DataFrame =
+  private def withFeat(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.signBucket(col("embedding")).as("bucket"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
+  }
 
   /** Exact top-k cosine neighbors for queries `vec_id < nQueries`. */
   def bruteForceTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
@@ -49,6 +51,7 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame,
       nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))

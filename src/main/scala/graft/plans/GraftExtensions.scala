@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.SimHash32
+import graft.functions.{DotDecimal, MinHashSig, ShingleSet, SimHash32}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,5 +18,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotDecimal].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotDecimal(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => ShingleSet(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
   }
 }

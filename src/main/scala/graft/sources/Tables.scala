@@ -28,8 +28,10 @@ object Tables {
     spark
   }
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "nation")
@@ -44,8 +46,10 @@ object Tables {
   /** Raw events with derived `ts_us` (epoch µs) and `event_date` (UTC).
     * Only this table carries TIMESTAMP(NANOS), so the legacy flag is
     * scoped here rather than mutating session state on every load. */
-  def events(spark: SparkSession, dir: String): DataFrame =
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     withNanosFlag(spark).read.parquet(s"$dir/events.parquet")
+  }
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("event_date", timestamp_micros(expr("ts DIV 1000")).cast("date"))
 
