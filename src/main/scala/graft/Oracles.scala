@@ -636,6 +636,101 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  /** Backward as-of join (most recent session strictly before each
+    * conversion) — SQL keeps the join + row_number form; the Spark plan is
+    * the union + running-last window (Temporal.asofLastSession). */
+  val asofLastSession: String = attrBase + """
+SELECT conv_id, user_id, conv_ts_us, last_session_id, last_channel, gap_us FROM (
+  SELECT c.conv_id, c.user_id, c.conv_ts_us,
+         s.session_id AS last_session_id, s.channel_name AS last_channel,
+         c.conv_ts_us - s.ts_us AS gap_us,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY s.ts_us DESC NULLS LAST, s.session_id DESC NULLS LAST) AS rn
+  FROM conversions c LEFT JOIN sessions s
+    ON s.user_id = c.user_id AND s.ts_us < c.conv_ts_us) t
+WHERE rn = 1
+ORDER BY conv_id"""
+
+  /** Bounded range join: sessions within [conv_ts − 6 h, conv_ts). */
+  val rangeSessionCount: String = attrBase + """
+SELECT c.conv_id,
+       CAST(COUNT(s.session_id) AS BIGINT) AS n_recent,
+       CAST(COALESCE(SUM(s.holder_engagement), 0) AS BIGINT) AS n_holder
+FROM conversions c LEFT JOIN sessions s
+  ON s.user_id = c.user_id
+ AND s.ts_us < c.conv_ts_us
+ AND s.ts_us >= c.conv_ts_us - 21600000000
+GROUP BY c.conv_id
+ORDER BY c.conv_id"""
+
+  /** Winnowing fingerprints: positioned 3-gram shingle hashes, sliding
+    * 4-window minima, DISTINCT per doc (mirrors ShingleImpl.winnow; docs
+    * with < 4 shingles contribute their global min via the idx=0 partial
+    * window). */
+  val winnowFingerprints: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), shp AS (
+  SELECT doc_id, pos,
+         w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS shingle
+  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY shingle IS NOT NULL
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS hv,
+         COUNT(*) OVER (PARTITION BY doc_id) AS cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx,
+         pos
+  FROM shp
+), wmin AS (
+  SELECT doc_id,
+         MIN(hv) OVER (PARTITION BY doc_id ORDER BY idx
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+         idx, cnt
+  FROM h
+)
+SELECT DISTINCT doc_id, fingerprint FROM wmin
+WHERE idx <= cnt - 4 OR (cnt < 4 AND idx = 0)
+ORDER BY doc_id, fingerprint"""
+
+  /** Deterministic stratified hash sample (10% en / 30% other). */
+  val sampleStratified: String = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM documents) t
+WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
+ORDER BY doc_id"""
+
+  /** The salted two-phase aggregate must equal the direct aggregate. */
+  val saltedChannelAgg: String = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+  val q4OrderPriority: String = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+  val q13CustDist: String = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
   val q1PricingSummary: String = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty,

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Exact.dsum
 import graft.functions.TextFunctions
-import graft.operators.{Analytics, Dedup, IhcAttribution, Journeys, Multimodal, Reporting, Similarity}
+import graft.operators.{Analytics, Corpus, Dedup, IhcAttribution, Journeys, Multimodal, Reporting, Similarity, Temporal}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -100,6 +100,27 @@ object SparkEntry {
         .select("conv_id", "session_id")
         .orderBy("conv_id", "session_id")
     }),
+
+    "asof_last_session" -> ((s, dir) =>
+      Temporal.asofLastSession(Tables.sessions(s, dir), Tables.conversions(s, dir))),
+
+    "range_session_count" -> ((s, dir) =>
+      Temporal.sessionCountWindow(Tables.sessions(s, dir), Tables.conversions(s, dir))),
+
+    "winnow_fingerprints" -> ((s, dir) =>
+      Corpus.winnowFingerprints(Tables.documents(s, dir))),
+
+    "sample_stratified" -> ((s, dir) =>
+      Corpus.stratifiedSample(Tables.documents(s, dir))),
+
+    "salted_channel_agg" -> ((s, dir) =>
+      Analytics.saltedChannelAgg(Tables.events(s, dir))),
+
+    "q4_order_priority" -> ((s, dir) =>
+      Analytics.q4OrderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    "q13_custdist" -> ((s, dir) =>
+      Analytics.q13CustDist(Tables.customer(s, dir), Tables.orders(s, dir))),
 
     "q3_top_unshipped" -> ((s, dir) =>
       Analytics.q3TopUnshipped(
@@ -262,6 +283,13 @@ object SparkEntry {
     "journey_paths"             -> Oracles.journeyPaths,
     "channel_transitions"       -> Oracles.channelTransitions,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
+    "asof_last_session"         -> Oracles.asofLastSession,
+    "range_session_count"       -> Oracles.rangeSessionCount,
+    "winnow_fingerprints"       -> Oracles.winnowFingerprints,
+    "sample_stratified"         -> Oracles.sampleStratified,
+    "salted_channel_agg"        -> Oracles.saltedChannelAgg,
+    "q4_order_priority"         -> Oracles.q4OrderPriority,
+    "q13_custdist"              -> Oracles.q13CustDist,
     "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
     "q5_region_revenue"         -> Oracles.q5RegionRevenue,
     "top_customers_window"      -> Oracles.topCustomersWindow,

@@ -28,5 +28,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_minhash", exprs => MinHashSig(exprs.head), "scala_udf")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_winnow"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_winnow", exprs => Winnow(exprs.head), "scala_udf")
+    }
   }
 }

@@ -29,17 +29,27 @@ object ShingleImpl {
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))
 
-  private def distinctShingles(text: UTF8String): java.util.LinkedHashSet[String] = {
+  /** Positioned (non-distinct) 3-gram shingles, document order. */
+  private def rawShingles(text: UTF8String): Array[String] = {
     val toks = text.toString.split(" ", -1)
-    val out = new java.util.LinkedHashSet[String]()
+    val n = math.max(0, toks.length - 2)
+    val out = new Array[String](n)
     var i = 0
     val sb = new java.lang.StringBuilder()
-    while (i <= toks.length - 3) {
+    while (i < n) {
       sb.setLength(0)
       sb.append(toks(i)).append(' ').append(toks(i + 1)).append(' ').append(toks(i + 2))
-      out.add(sb.toString)
+      out(i) = sb.toString
       i += 1
     }
+    out
+  }
+
+  private def distinctShingles(text: UTF8String): java.util.LinkedHashSet[String] = {
+    val out = new java.util.LinkedHashSet[String]()
+    val raw = rawShingles(text)
+    var i = 0
+    while (i < raw.length) { out.add(raw(i)); i += 1 }
     out
   }
 
@@ -84,6 +94,45 @@ object ShingleImpl {
       }
     }
     new GenericArrayData(mins)
+  }
+
+  /** Winnowing (MOSS-style) fingerprint set: positioned 3-gram shingle
+    * hashes `w = (60-bit md5 prefix) mod p`, sliding windows of
+    * `WinnowW` consecutive positions, fingerprint = min hash per window,
+    * result = the DISTINCT mins, ascending. Documents with fewer shingles
+    * than one window contribute their global min; documents with no
+    * shingle return null. Window-position ties collapse in the set, so the
+    * rightmost-tie refinement of the original scheme is irrelevant here. */
+  final val WinnowW = 4
+  def winnow(text: UTF8String): ArrayData = {
+    val raw = rawShingles(text)
+    val n = raw.length
+    if (n == 0) return null
+    val md = digest.get()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = hashW(md, raw(i)); i += 1 }
+    val set = new java.util.TreeSet[java.lang.Long]()
+    if (n <= WinnowW) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+      set.add(m)
+    } else {
+      var p = 0
+      while (p <= n - WinnowW) {
+        var m = Long.MaxValue
+        var j = p
+        while (j < p + WinnowW) { if (hs(j) < m) m = hs(j); j += 1 }
+        set.add(m)
+        p += 1
+      }
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
   }
 }
 
@@ -142,5 +191,39 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Native whole-document winnowing fingerprints (→ `ARRAY<BIGINT>`
+  * ascending-distinct, null when the document has no 3-gram shingle).
+  *
+  * The SQL equivalent needs positioned shingle rows, a per-document
+  * window sort, a frame min, and a DISTINCT — four shuffled stages; this
+  * is one codegen-resident map over each document. See
+  * [[ShingleImpl.winnow]] for the exact hash/window spec (the DuckDB
+  * oracle implements the same spec relationally). */
+case class Winnow(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_winnow requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.winnow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("fps")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $r =
+         |  graft.functions.ShingleImpl.winnow($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
 }

@@ -198,6 +198,54 @@ object Analytics {
       expr("percentile(o_totalprice, 0.75)").as("p75"),
       dsum(col("o_totalprice")).as("total"))
 
+  /** Order-priority counts over orders with a late shipment — EXISTS
+    * subquery as a left-semi join (TPC-H Q4 shape, adapted to this
+    * schema's columns: "late" = any lineitem shipped after the order
+    * date). The semi join never materializes matched lineitem columns. */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .join(lineitem.select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT JOIN with a
+    * join-side predicate (not a WHERE — customers with zero matching
+    * orders must survive with c_count = 0), then the distribution of
+    * per-customer counts. Two aggregations, each one shuffle. */
+  def q13CustDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select("c_custkey")
+      .join(orders.filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Two-phase salted aggregation — the skew-mitigation pattern as a
+    * first-class operator: phase 1 aggregates (key, salt) so a hot key's
+    * rows spread over `nSalts` reducers; phase 2 merges the tiny partials.
+    * Decimal partials make the merge exact, so the result is bit-equal to
+    * the direct single-phase aggregate (which is what the oracle runs). */
+  def saltedChannelAgg(events: DataFrame, nSalts: Int = 16): DataFrame =
+    events
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(nSalts)))
+      .groupBy("event_type", "__salt")
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(27, 6))).as("pv"))
+      .groupBy("event_type")
+      .agg(
+        sum("pn").as("n"),
+        sum("pv").cast("double").as("total_value"))
+      .orderBy("event_type")
+
   /** Wide denormalizing enrichment join (classic ETL shape) — every
     * dimension broadcast, zero shuffles on the fact side. */
   def ordersEnrich(

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: winnowing
+  * fingerprints (MOSS-style robust near-dup/overlap detection) and
+  * deterministic stratified sampling.
+  *
+  * Both are pure map stages — no shuffle before the output ordering — so
+  * at 100 TB they run at scan speed across however many executors hold
+  * the corpus. */
+object Corpus {
+
+  /** Winnowing fingerprint rows (doc_id, fingerprint): the distinct
+    * sliding-window minima of positioned 3-gram shingle hashes (window
+    * [[graft.functions.ShingleImpl.WinnowW]]). Guarantees of the scheme:
+    * any shingle run of ≥ w+k−1 tokens shared by two documents yields at
+    * least one common fingerprint. Runs the native
+    * [[graft.functions.Winnow]] expression — one codegen-resident pass per
+    * document vs the SQL form's four shuffled stages (positioned explode,
+    * window sort, frame min, DISTINCT). */
+  def winnowFingerprints(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        explode(call_function("graft_winnow", col("text"))).as("fingerprint"))
+      .orderBy("doc_id", "fingerprint")
+  }
+
+  /** Deterministic stratified hash sampling: keep a document iff its
+    * 60-bit md5 text-hash mod 1000 falls under the stratum's rate —
+    * 10% for English, 30% for every other language (down-sample the
+    * dominant stratum, keep the tail). Reproducible across runs/engines
+    * (no RNG), filter-only (no shuffle), and consistent: a document's
+    * fate never depends on partitioning. */
+  def stratifiedSample(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000)
+      .filter(col("bucket") < when(col("lang") === "en", 100).otherwise(300))
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+}

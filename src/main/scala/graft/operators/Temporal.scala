@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators — as-of join and bounded range join — as
+  * first-class library operations (the journey builder in [[Journeys]] is
+  * a composed special case of the same machinery).
+  *
+  * Scale doctrine: an as-of join is NOT a fan-out join. The union +
+  * running-`last(ignoreNulls)` window form does one shuffle + one sort per
+  * side, O(n log n) per user — never the Σ sessions×conversions
+  * intermediate a naive `ON user AND s.ts < c.ts` join materializes. The
+  * bounded range join keeps the fan-out explicitly windowed (a 6-hour
+  * interval), so its intermediate is linear in events per interval; both
+  * become shuffle-free when the tables are bucketed by `user_id`.
+  */
+object Temporal {
+
+  /** Backward as-of join: for each conversion, the user's most recent
+    * session STRICTLY before the conversion timestamp (ties in session
+    * timestamp → largest session_id); conversions with no prior session
+    * keep null columns (left semantics).
+    *
+    * Union both sides sorted per user by (ts, kind, session_id) —
+    * conversions sort BEFORE equal-timestamp sessions, enforcing the
+    * strict `<` — and carry the latest session with a running
+    * `last(marker, ignoreNulls)` window. */
+  def asofLastSession(sessions: DataFrame, conversions: DataFrame): DataFrame = {
+    val smark = struct(col("ts_us"), col("session_id"), col("channel_name"))
+    val sessSide = sessions.select(
+      col("user_id"), col("ts_us"), lit(1).as("kind"), smark.as("smark"),
+      lit(null).cast("long").as("conv_id"),
+      lit(null).cast("long").as("conv_ts_us"))
+    val convSide = conversions.select(
+      col("user_id"), col("conv_ts_us").as("ts_us"), lit(0).as("kind"),
+      lit(null).cast(sessSide.schema("smark").dataType).as("smark"),
+      col("conv_id"), col("conv_ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("kind").asc,
+        coalesce(col("smark.session_id"), lit(-1L)).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessSide.unionByName(convSide)
+      .withColumn("m", last(col("smark"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(
+        col("conv_id"), col("user_id"), col("conv_ts_us"),
+        col("m.session_id").as("last_session_id"),
+        col("m.channel_name").as("last_channel"),
+        (col("conv_ts_us") - col("m.ts_us")).as("gap_us"))
+      .orderBy("conv_id")
+  }
+
+  /** Bounded range join: per conversion, count (and holder-engagement-sum)
+    * of the user's sessions inside `[conv_ts − windowUs, conv_ts)`.
+    * Equi-join on user_id (sort-merge) with the range predicate applied in
+    * the join condition — the fan-out is bounded by per-user activity
+    * inside the window, not total activity. */
+  def sessionCountWindow(
+      sessions: DataFrame, conversions: DataFrame,
+      windowUs: Long = 21600000000L): DataFrame = {
+    val s = sessions.select(
+      col("user_id").as("s_user_id"), col("ts_us"),
+      col("session_id"), col("holder_engagement"))
+    conversions
+      .join(s,
+        col("s_user_id") === col("user_id") &&
+          col("ts_us") < col("conv_ts_us") &&
+          col("ts_us") >= col("conv_ts_us") - lit(windowUs),
+        "left")
+      .groupBy("conv_id")
+      .agg(
+        count(col("session_id")).as("n_recent"),
+        coalesce(sum("holder_engagement"), lit(0)).cast("long").as("n_holder"))
+      .orderBy("conv_id")
+  }
+}

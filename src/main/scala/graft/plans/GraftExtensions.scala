@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotDecimal, MinHashSig, ShingleSet, SimHash32}
+import graft.functions.{DotDecimal, MinHashSig, ShingleSet, SimHash32, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => Winnow(exprs.head)))
   }
 }

@@ -49,9 +49,9 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     withNanosFlag(spark).read.parquet(s"$dir/events.parquet")
-  }
       .withColumn("ts_us", expr("ts DIV 1000"))
       .withColumn("event_date", timestamp_micros(expr("ts DIV 1000")).cast("date"))
+  }
 
   /** conversions(conv_id, user_id, conv_ts_us, conv_date, revenue) —
     * reference `conversions` table (`challenge_db_create.sql:1-8`). */

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.{Analytics, Corpus, Temporal}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class TemporalCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sess(rows: (Long, Long, Long, String)*) =
+    rows.toDF("session_id", "user_id", "ts_us", "channel_name")
+      .withColumn("event_date", lit("2024-01-01").cast("date"))
+      .withColumn("holder_engagement", lit(1))
+      .withColumn("closer_engagement", lit(0))
+      .withColumn("impression_interaction", lit(0))
+
+  private def conv(rows: (Long, Long, Long)*) =
+    rows.toDF("conv_id", "user_id", "conv_ts_us")
+      .withColumn("conv_date", lit("2024-01-01").cast("date"))
+      .withColumn("revenue", lit(10.0))
+
+  test("as-of join is strict: an equal-timestamp session is not eligible") {
+    val s = sess((1L, 7L, 100L, "click"), (2L, 7L, 200L, "view"))
+    val c = conv((50L, 7L, 200L)) // conversion exactly at session 2's ts
+    val out = Temporal.asofLastSession(s, c).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("last_session_id") === 1L)
+    assert(out.head.getAs[Long]("gap_us") === 100L)
+  }
+
+  test("as-of join keeps conversions with no prior session (left semantics)") {
+    val s = sess((1L, 7L, 500L, "click"))
+    val c = conv((50L, 7L, 100L), (51L, 8L, 100L))
+    val out = Temporal.asofLastSession(s, c).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("last_session_id"))))
+  }
+
+  test("as-of ties in session ts resolve to the largest session_id") {
+    val s = sess((3L, 7L, 100L, "a"), (9L, 7L, 100L, "b"), (5L, 7L, 100L, "c"))
+    val c = conv((50L, 7L, 101L))
+    val out = Temporal.asofLastSession(s, c).collect()
+    assert(out.head.getAs[Long]("last_session_id") === 9L)
+  }
+
+  test("one output row per conversion on real data; gaps strictly positive") {
+    val out = Temporal.asofLastSession(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    val nConv = Tables.conversions(spark, sfDir).count()
+    assert(out.count() === nConv)
+    assert(out.filter(col("gap_us") <= 0).count() === 0)
+  }
+
+  test("range join counts only sessions inside [conv_ts − 6h, conv_ts)") {
+    val w = 21600000000L
+    val s = sess(
+      (1L, 7L, 100L, "in"), (2L, 7L, 50L, "in"),
+      (3L, 7L, 1000L, "at-conv-ts"), // == conv ts → excluded
+      (4L, 7L, 1000L - w - 1, "too-old"))
+    val c = conv((50L, 7L, 1000L))
+    val out = Temporal.sessionCountWindow(s, c).collect()
+    assert(out.head.getAs[Long]("n_recent") === 2L)
+    assert(out.head.getAs[Long]("n_holder") === 2L)
+  }
+
+  test("winnowing: a shared token run yields at least one common fingerprint") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unique one two three $shared tail tokens here"),
+      (2L, s"$shared completely different suffix material now"),
+      (3L, "nothing in common with the others at all ok")).toDF("doc_id", "text")
+    val fp = Corpus.winnowFingerprints(docs)
+    val f1 = fp.filter(col("doc_id") === 1).select("fingerprint").as[Long].collect().toSet
+    val f2 = fp.filter(col("doc_id") === 2).select("fingerprint").as[Long].collect().toSet
+    val f3 = fp.filter(col("doc_id") === 3).select("fingerprint").as[Long].collect().toSet
+    assert(f1.intersect(f2).nonEmpty)
+    assert(f1.intersect(f3).isEmpty)
+  }
+
+  test("winnowing: identical docs have identical fingerprint sets; short docs get one") {
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z"), // 1 shingle < window → global min
+      (4L, "xy")) // no shingle → no rows
+    .toDF("doc_id", "text")
+    val fp = Corpus.winnowFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.map(_.getAs[Long]("fingerprint")).toSet).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(3L).size === 1)
+    assert(!fp.contains(4L))
+  }
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Corpus.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).toSeq
+    val s2 = Corpus.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(s1 === s2)
+    val byLang = Corpus.stratifiedSample(docs).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // en sampled at 10%, others at 30% — allow generous hash-noise margins
+    byLang.get("en").foreach(n => assert(n < totals("en") * 0.25))
+    assert(s1.nonEmpty)
+  }
+
+  test("salted two-phase aggregate equals the direct aggregate exactly") {
+    val ev = Tables.events(spark, sfDir)
+    val salted = Analytics.saltedChannelAgg(ev)
+    val direct = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+
+  test("q13 keeps customers with zero orders (c_count = 0 bucket present)") {
+    val cust = Seq((1L, "a"), (2L, "b")).toDF("c_custkey", "c_name")
+    val ords = Seq((10L, 1L, "3-MEDIUM")).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Analytics.q13CustDist(cust, ords).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(out === Map(1L -> 1L, 0L -> 1L))
+  }
+}
