@@ -46,8 +46,16 @@ object Similarity {
     * its `nProbe` nearest cells and ranks only those candidates. Centroids
     * here are the first `nCentroids` vectors (deterministic stand-in for
     * offline k-means — the index structure and probe path are the real
-    * thing). Scale: assignment is |corpus|×K broadcast work, probing is
-    * |Q|·(nProbe/K) of the corpus — the standard recall/cost dial. */
+    * thing).
+    *
+    * The coarse quantizer IS index metadata: collected to the driver once
+    * (K centroid vectors + norms — bytes, not data) and inlined as
+    * literals, so cell assignment and probe selection are PURE MAP stages
+    * — a greatest/least argmax over K codegen'd dot products per row, no
+    * crossJoin, no window shuffle. The only shuffles left are the
+    * candidate join (probe side is |Q|·nProbe rows — broadcast) and the
+    * final per-query top-k rank. Tie rules match the relational oracle:
+    * max cosine, then min centroid id. */
   def ivfTopK(
       embeddings: DataFrame,
       nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame = {
@@ -55,28 +63,46 @@ object Similarity {
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
-    val centX = feat.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cent"), col("nrm").as("cent_nrm"))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid"))
-    val assigned = feat.crossJoin(broadcast(centX))
-      .withColumn("ccos",
-        VectorFunctions.dotExact(col("embedding"), col("cent")) / (col("nrm") * col("cent_nrm")))
-      .withColumn("crn", row_number().over(byVec))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid").as("cell"))
+
+    // the quantizer: (cid, vector, decimal-exact norm) — same arithmetic
+    // as normExact, evaluated driver-side on the same float values
+    val cents: Array[(Long, Array[Float], Double)] = embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        val cid = r.getLong(0)
+        val vec = r.getSeq[Float](1).toArray
+        val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          vec.map(java.lang.Float.valueOf))
+        (cid, vec, math.sqrt(graft.functions.DotDecimalImpl.dot(ad, ad).doubleValue()))
+      }
+      .sortBy(_._1)
+
+    /** Cells ranked by (cosine DESC, cid ASC) as one sorted struct array —
+      * struct ascending order on (−cosine, cid) is exactly that rule, and
+      * every centroid dot product appears ONCE in the expression tree
+      * (a greatest/least argmax cascade duplicates subtrees
+      * combinatorially — ~100k dot nodes at K=16, nProbe=2). */
+    def cellRank(emb: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
+      sort_array(array(cents.toSeq.map { case (cid, vec, cnrm) =>
+        struct(
+          (-(VectorFunctions.dotExact(emb, typedlit(vec)) / (nrm * lit(cnrm)))).as("negcos"),
+          lit(cid).as("cid"))
+      }: _*))
+
+    val assigned = feat
+      .withColumn("cell",
+        element_at(cellRank(col("embedding"), col("nrm")), 1).getField("cid"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nrm").as("c_nrm"), col("cell"))
     val probes = feat.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"))
-      .crossJoin(broadcast(centX))
-      .withColumn("qcos",
-        VectorFunctions.dotExact(col("qe"), col("cent")) / (col("q_nrm") * col("cent_nrm")))
-      .withColumn("qrn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("qcos").desc, col("cid"))))
-      .filter(col("qrn") <= nProbe)
-      .select(col("query_id"), col("qe"), col("q_nrm"), col("cid").as("cell"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
+        explode(transform(
+          slice(cellRank(col("embedding"), col("nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    probes
-      .join(assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-        col("nrm").as("c_nrm"), col("cell")), "cell")
+    broadcast(probes)
+      .join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine",
         VectorFunctions.dotExact(col("qe"), col("ce")) / (col("q_nrm") * col("c_nrm")))

@@ -63,6 +63,28 @@ class DotDecimalSpec extends SparkSpec {
     out.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1), s"expected nulls: $r") }
   }
 
+  test("fuzz: native dot == HOF dot on 2000 random vectors across magnitudes") {
+    val rnd = new scala.util.Random(0xD07D07)
+    val rows = (0 until 2000).map { _ =>
+      val scale = math.pow(10, rnd.between(-6, 4)).toFloat
+      val d = rnd.between(1, 8)
+      (Array.fill(d)((rnd.nextFloat() - 0.5f) * scale),
+        Array.fill(d)((rnd.nextFloat() - 0.5f) * scale))
+    }
+    compareBoth(rows.toDF("a", "b"))
+  }
+
+  test("fuzz: values engineered near the half-up rounding boundary") {
+    // products whose scaled value sits near x.5e-12 exercise the
+    // ambiguous-band BigDecimal fallback
+    val rnd = new scala.util.Random(0xB0B0)
+    val rows = (0 until 500).map { _ =>
+      val base = (rnd.nextInt(1000000) + 0.5) / 1e6
+      (Array(base.toFloat, 1e-6f, -base.toFloat), Array(1e-6f, base.toFloat, 1e-6f))
+    }
+    compareBoth(rows.toDF("a", "b"))
+  }
+
   test("decimal(20,12) overflow region: both forms agree (null) under non-ANSI") {
     // 64 × (1e4)² = 6.4e9 > 1e8 ⇒ per-step overflow. Under ANSI the HOF
     // cast throws; DotDecimal keeps the non-ANSI null-on-overflow
