@@ -186,19 +186,34 @@ object Dedup {
     * warehouse scale this is the standard alternating large/small-star
     * pattern, here plain propagation with checkpointed lineage. */
   def clusters(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // cache the pair list BEFORE the symmetric union — the union reads its
+    // input twice, and re-evaluating the candidate-generation DAG (the
+    // expensive part) twice doubles the whole operator's cost
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("cluster_id", col("node")).cache()
+    // init fuses the first propagation: label(v) = min(v, min neighbor) —
+    // one groupBy instead of a distinct plus a full join round; for the
+    // clique-ish components LSH produces this alone is often the fixpoint
+    var labels = sym.groupBy(col("a").as("node")).agg(min("b").as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("cluster_id"))
+      .cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
       val neighborLabels = sym
         .join(labels.select(col("node").as("b"), col("cluster_id").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
-      val next = labels.join(neighborLabels, Seq("node"), "left")
+      val cand = labels.join(neighborLabels, Seq("node"), "left")
         .select(col("node"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cand"))
+      // path halving: follow the candidate label one more hop
+      // (label-of-label) — rounds drop from O(diameter) to O(log diameter),
+      // which is what matters when a 100 TB corpus chains long near-dup
+      // ladders; labels only ever decrease, so the fixpoint is unchanged
+      val next = cand.join(
+        labels.select(col("node").as("cand"), col("cluster_id").as("ll")), Seq("cand"), "left")
+        .select(col("node"),
+          least(col("cand"), coalesce(col("ll"), col("cand"))).as("cluster_id"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
         .filter(col("cluster_id") < col("old")).count()
@@ -207,6 +222,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    edges.unpersist()
     labels.withColumnRenamed("node", "doc_id").orderBy("doc_id")
   }
 
