@@ -48,6 +48,8 @@ object ScaleSmoke {
     time("ihc_attribution")(println(s"[scale] credit rows = ${attributed.count()}"))
     val report = Reporting.channelReporting(attributed, sessions, costs, conversions)
     time("channel_reporting")(println(s"[scale] report rows = ${report.count()}"))
+    time("asof_last_session")(println(s"[scale] asof rows = " +
+      graft.operators.Temporal.asofLastSession(sessions, conversions).count()))
     assigned.unpersist(); attributed.unpersist()
 
     // Dedup stage: nDocs synthetic ~60-word docs, 1% planted near-dups
@@ -63,6 +65,9 @@ object ScaleSmoke {
     time(s"minhash_lsh nDocs=$nDocs")(
       println(s"[scale] near-dup candidates = " +
         graft.operators.Dedup.minhashLsh(docs).filter(col("est_jaccard") >= 0.5).count()))
+    time(s"winnow nDocs=$nDocs")(
+      println(s"[scale] winnow fingerprints = " +
+        graft.operators.Corpus.winnowFingerprints(docs).count()))
 
     // ANN stage: brute-force top-10 cosine for 8 queries over nVecs vectors.
     val nVecs = if (args.length > 2) args(2).toLong else 500000L
