@@ -339,6 +339,50 @@ FROM r
 GROUP BY node
 ORDER BY doc_id"""
 
+  /** Hybrid clustering: MinHash candidate pairs ∪ embedding-cosine pairs
+    * (≥ 0.3, the dedup_embedding threshold) → recursive-CTE connected
+    * components (mirrors Dedup.hybridClusters). */
+  val dedupHybridClusters: String = {
+    val bucketSqlLocal = (0 until 16)
+      .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString(" + ")
+    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + s"""
+, enrm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
+  GROUP BY vec_id
+), efeat AS (
+  SELECT e.vec_id, e.embedding, ($bucketSqlLocal) AS bucket, n.nrm
+  FROM embeddings e JOIN enrm n ON e.vec_id = n.vec_id
+), epairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb,
+         a.nrm AS nrm_a, b.nrm AS nrm_b
+  FROM efeat a JOIN efeat b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), edots AS (
+  SELECT vec_a, vec_b, nrm_a, nrm_b,
+         CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM epairs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY vec_a, vec_b, nrm_a, nrm_b
+), allpairs AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT vec_a AS a, vec_b AS b FROM edots WHERE dot / (nrm_a * nrm_b) >= 0.3
+), sym AS (
+  SELECT a, b FROM allpairs
+  UNION ALL
+  SELECT b AS a, a AS b FROM allpairs
+), r AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+  UNION
+  SELECT s.a AS node, r.label AS label FROM sym s JOIN r ON r.node = s.b
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+FROM r
+GROUP BY node
+ORDER BY doc_id"""
+  }
+
   val dedupSimhash: String = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents

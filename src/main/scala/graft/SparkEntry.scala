@@ -155,6 +155,9 @@ object SparkEntry {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, dir)).select("doc_a", "doc_b"))),
 
+    "dedup_hybrid_clusters" -> ((s, dir) =>
+      Dedup.hybridClusters(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -300,6 +303,7 @@ object SparkEntry {
     "dedup_exact"               -> Oracles.dedupExact,
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
     "dedup_clusters"            -> Oracles.dedupClusters,
+    "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_ngram_jaccard"       -> Oracles.dedupNgramJaccard,

@@ -226,6 +226,20 @@ object Dedup {
     labels.withColumnRenamed("node", "doc_id").orderBy("doc_id")
   }
 
+  /** Hybrid (syntactic ∪ semantic) dedup clustering: near-dup candidate
+    * pairs from MinHash+LSH over text UNIONed with embedding-cosine pairs
+    * (vec_id ≡ the document's embedding row), then one connected-components
+    * pass labels every document with its cluster representative. This is
+    * the realistic curation pipeline — surface-form dups and paraphrase
+    * dups collapse into the same cluster graph, and the CC cost is paid
+    * once over the union instead of reconciling two dedup passes. */
+  def hybridClusters(documents: DataFrame, embeddings: DataFrame): DataFrame = {
+    val textPairs = minhashLsh(documents).select(col("doc_a"), col("doc_b"))
+    val embPairs = embeddingNearDup(embeddings)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    clusters(textPairs.unionByName(embPairs))
+  }
+
   /** Corpus-level top-k shingles by document frequency (vocabulary /
     * boilerplate analysis; also the df profile behind the stop-shingle
     * cap). */

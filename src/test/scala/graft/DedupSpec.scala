@@ -34,6 +34,22 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) !== out(3L))
   }
 
+  test("hybrid clusters: an embedding pair bridges two text-dup clusters") {
+    import spark.implicits._
+    // docs 1≈2 and 3≈4 are text near-dups; embedding pair (2,3) bridges them
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base + " x"),
+      (3L, base.replace("tok1", "zzz")), (4L, base.replace("tok1", "zzz") + " y"))
+      .toDF("doc_id", "text")
+    val vec = Array.tabulate(64)(i => (i + 1).toFloat)
+    val emb = Seq((2L, vec), (3L, vec)).toDF("vec_id", "embedding")
+    val out = operators.Dedup.hybridClusters(docs, emb).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.values.toSet === Set(1L), s"expected one cluster rooted at 1, got $out")
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
   test("clusters: chained pairs merge into one component labeled by the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val out = Dedup.clusters(pairs).collect()
