@@ -739,6 +739,26 @@ SELECT DISTINCT doc_id, fingerprint FROM wmin
 WHERE idx <= cnt - 4 OR (cnt < 4 AND idx = 0)
 ORDER BY doc_id, fingerprint"""
 
+  /** Curation capstone: exact-dedup representatives above the quality
+    * threshold (mirrors Corpus.curation). */
+  val corpusCuration: String = s"""
+WITH reps AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), q AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+           + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality_score
+  FROM documents
+)
+SELECT q.doc_id, q.lang, q.n_tokens, q.quality_score
+FROM q JOIN reps ON q.doc_id = reps.doc_id
+WHERE q.quality_score >= 0.64
+ORDER BY q.doc_id"""
+
   /** Deterministic stratified hash sample (10% en / 30% other). */
   val sampleStratified: String = """
 SELECT doc_id, lang, source FROM (

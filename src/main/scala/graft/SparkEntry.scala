@@ -113,6 +113,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir))),
 
+    "corpus_curation" -> ((s, dir) =>
+      Corpus.curation(Tables.documents(s, dir))),
+
     "salted_channel_agg" -> ((s, dir) =>
       Analytics.saltedChannelAgg(Tables.events(s, dir))),
 
@@ -290,6 +293,7 @@ object SparkEntry {
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,
     "sample_stratified"         -> Oracles.sampleStratified,
+    "corpus_curation"           -> Oracles.corpusCuration,
     "salted_channel_agg"        -> Oracles.saltedChannelAgg,
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,

@@ -28,6 +28,24 @@ object Corpus {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** End-to-end curation filter — the query a training-data pipeline runs
+    * last: keep a document iff it is its exact-dedup cluster's
+    * representative (min doc_id per text md5) AND its composite quality
+    * score clears the threshold. One semi-join against the tiny
+    * representative set + a map-side quality expression; every heavy
+    * component (dedup groupBy) aggregates before joining. */
+  def curation(documents: DataFrame, minQuality: Double = 0.64): DataFrame = {
+    val reps = Dedup.exact(documents).select(col("keep_doc_id").as("doc_id"))
+    documents
+      .join(reps, Seq("doc_id"), "left_semi")
+      .select(
+        col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality_score"))
+      .filter(col("quality_score") >= minQuality)
+      .orderBy("doc_id")
+  }
+
   /** Deterministic stratified hash sampling: keep a document iff its
     * 60-bit md5 text-hash mod 1000 falls under the stratum's rate —
     * 10% for English, 30% for every other language (down-sample the
