@@ -776,6 +776,23 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type"""
 
+  val eventsCube: String = """
+SELECT event_type, CAST(ts AS DATE) AS event_date,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+ORDER BY event_type NULLS FIRST, event_date NULLS FIRST"""
+
+  val ordersMovingAvg: String = """
+SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER w AS DOUBLE)
+         / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
+ORDER BY o_custkey, o_orderkey"""
+
   val q4OrderPriority: String = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o

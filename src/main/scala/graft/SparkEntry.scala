@@ -202,6 +202,10 @@ object SparkEntry {
 
     "events_pivot" -> ((s, dir) => Analytics.eventsPivot(Tables.events(s, dir))),
 
+    "events_cube" -> ((s, dir) => Analytics.eventsCube(Tables.events(s, dir))),
+
+    "orders_moving_avg" -> ((s, dir) => Analytics.ordersMovingAvg(Tables.orders(s, dir))),
+
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -323,6 +327,8 @@ object SparkEntry {
     "user_channel_profile"      -> Oracles.userChannelProfile,
     "events_rollup"             -> Oracles.eventsRollup,
     "events_pivot"              -> Oracles.eventsPivot,
+    "events_cube"               -> Oracles.eventsCube,
+    "orders_moving_avg"         -> Oracles.ordersMovingAvg,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

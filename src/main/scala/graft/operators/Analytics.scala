@@ -180,6 +180,34 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
 
+  /** CUBE aggregation: all four grouping sets over (event_type,
+    * event_date) in one pass — the full-lattice sibling of
+    * [[eventsRollup]]. */
+  def eventsCube(events: DataFrame): DataFrame =
+    events
+      .cube(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
+
+  /** Trailing 30-day moving average of order value per customer — a
+    * RANGE-frame window (event-time interval, not row count), ordered on
+    * epoch-µs so the frame bound is plain integer arithmetic in every
+    * engine. Decimal-exact sum ÷ count keeps the average bit-stable under
+    * any evaluation order. */
+  def ordersMovingAvg(orders: DataFrame, windowUs: Long = 2592000000000L): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      // parquet stores TIMESTAMP_NTZ; the UTC session makes the cast's
+      // wall-clock reading identical to DuckDB's epoch_us
+      .orderBy(unix_micros(col("o_orderdate").cast("timestamp")))
+      .rangeBetween(-windowUs, 0)
+    orders.select(
+      col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      (sum(col("o_totalprice").cast(DecimalType(27, 6))).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double")).as("avg_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** PIVOT: one row per date, one value column per channel (fixed,
     * deterministic column set — never inferred at plan time at scale). */
   def eventsPivot(events: DataFrame): DataFrame =
