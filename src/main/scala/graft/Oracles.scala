@@ -793,6 +793,24 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_orderkey"""
 
+  val q17SmallQuantityRevenue: String = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem l JOIN (
+  SELECT l_partkey AS pk,
+         (CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE)) * 0.2 AS lim
+  FROM lineitem GROUP BY l_partkey) t
+ ON l.l_partkey = t.pk AND l.l_quantity < t.lim"""
+
+  val eventsLatestPerUser: String = """
+SELECT user_id, event_id, ts_us, event_type, value FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1
+ORDER BY user_id"""
+
   val q4OrderPriority: String = """
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
 FROM orders o

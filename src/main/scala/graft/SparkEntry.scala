@@ -125,6 +125,12 @@ object SparkEntry {
     "q13_custdist" -> ((s, dir) =>
       Analytics.q13CustDist(Tables.customer(s, dir), Tables.orders(s, dir))),
 
+    "q17_small_quantity_revenue" -> ((s, dir) =>
+      Analytics.q17SmallQuantityRevenue(Tables.lineitem(s, dir))),
+
+    "events_latest_per_user" -> ((s, dir) =>
+      Analytics.latestEventPerUser(Tables.events(s, dir))),
+
     "q3_top_unshipped" -> ((s, dir) =>
       Analytics.q3TopUnshipped(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -301,6 +307,8 @@ object SparkEntry {
     "salted_channel_agg"        -> Oracles.saltedChannelAgg,
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,
+    "q17_small_quantity_revenue" -> Oracles.q17SmallQuantityRevenue,
+    "events_latest_per_user"    -> Oracles.eventsLatestPerUser,
     "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
     "q5_region_revenue"         -> Oracles.q5RegionRevenue,
     "top_customers_window"      -> Oracles.topCustomersWindow,

@@ -180,6 +180,32 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
 
+  /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+    * their part's average quantity. The correlation decorrelates into a
+    * per-part aggregate joined back to the fact — one extra shuffle on
+    * l_partkey instead of a per-row subquery. */
+  def q17SmallQuantityRevenue(lineitem: DataFrame): DataFrame = {
+    val lim = lineitem
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(((dsum(col("l_quantity")) / count(lit(1)).cast("double")) * 0.2).as("lim"))
+    lineitem
+      .join(lim, col("l_partkey") === col("pk") && col("l_quantity") < col("lim"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+  }
+
+  /** Dedup-by-key (keep the latest event per user) — the ETL staple.
+    * rn = 1 over (ts desc, id desc); Spark's WindowGroupLimit prunes to
+    * one row per key per partition BEFORE the shuffle, so this is
+    * max-struct-cheap at any scale. */
+  def latestEventPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts_us", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   /** CUBE aggregation: all four grouping sets over (event_type,
     * event_date) in one pass — the full-lattice sibling of
     * [[eventsRollup]]. */
