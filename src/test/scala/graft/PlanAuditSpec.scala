@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.{Analytics, Corpus, Dedup, Temporal}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** SURVEY §5's scale claims, asserted against the actual physical plans —
+  * not just documented. Counts use the pre-AQE `sparkPlan` so exchanges
+  * are visible deterministically. */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Distinct shuffle-Exchange nodes in the final (post-EnsureRequirements)
+    * plan — `sparkPlan` predates exchange insertion, so parse the
+    * formatted explain, where every node appears as "(id) Exchange". */
+  private def shuffles(df: DataFrame): Int = {
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    "\\(\\d+\\) Exchange\\b".r.findAllIn(s).toSet.size
+  }
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+
+  test("q6: every predicate reaches the parquet scan; schema pruned to 4 columns") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sfDir)
+    val scan = scans(df).head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount") &&
+      pushed.contains("l_quantity"), s"missing pushdown: $pushed")
+    assert(scan.schema.fieldNames.toSet ===
+      Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+  }
+
+  test("minhash signature is a pure map stage — zero shuffles") {
+    assert(shuffles(Dedup.minhashSignature(Tables.documents(spark, sfDir))) === 0)
+  }
+
+  test("winnowing / stratified sampling shuffle only for the output ordering") {
+    assert(shuffles(Corpus.winnowFingerprints(Tables.documents(spark, sfDir))) === 1)
+    assert(shuffles(Corpus.stratifiedSample(Tables.documents(spark, sfDir))) === 1)
+  }
+
+  test("as-of join: one per-user shuffle plus the output ordering") {
+    val df = Temporal.asofLastSession(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    assert(shuffles(df) === 2)
+  }
+
+  test("denormalizing enrichment joins only via broadcast — one shuffle (ordering)") {
+    val df = Analytics.ordersEnrich(
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir))
+    assert(shuffles(df) === 1)
+  }
+
+  test("date-partitioned sink: reads prune partitions, rows round-trip") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = Tables.events(spark, sfDir)
+    events.write.partitionBy("event_date").mode("overwrite").parquet(out)
+    val day = lit("2024-01-05").cast("date")
+    val back = spark.read.parquet(out).filter(col("event_date") === day)
+    assert(back.count() === events.filter(col("event_date") === day).count())
+    assert(back.count() > 0)
+    val scan = back.queryExecution.executedPlan
+      .collectFirst { case s: FileSourceScanExec => s }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("event_date")),
+      s"no partition filter: ${scan.partitionFilters}")
+    // only the matching partition's files are read
+    assert(scan.relation.location.inputFiles.length > 1)
+    assert(scan.metadata("Location").contains(out))
+  }
+}
