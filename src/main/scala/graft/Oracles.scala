@@ -776,6 +776,15 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type"""
 
+  val eventsDowHourHeatmap: String = """
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
   val eventsCube: String = """
 SELECT event_type, CAST(ts AS DATE) AS event_date,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -210,6 +210,9 @@ object SparkEntry {
 
     "events_cube" -> ((s, dir) => Analytics.eventsCube(Tables.events(s, dir))),
 
+    "events_dow_hour_heatmap" -> ((s, dir) =>
+      Analytics.eventsDowHourHeatmap(Tables.events(s, dir))),
+
     "orders_moving_avg" -> ((s, dir) => Analytics.ordersMovingAvg(Tables.orders(s, dir))),
 
     "text_langid" -> ((s, dir) =>
@@ -336,6 +339,7 @@ object SparkEntry {
     "events_rollup"             -> Oracles.eventsRollup,
     "events_pivot"              -> Oracles.eventsPivot,
     "events_cube"               -> Oracles.eventsCube,
+    "events_dow_hour_heatmap"   -> Oracles.eventsDowHourHeatmap,
     "orders_moving_avg"         -> Oracles.ordersMovingAvg,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,

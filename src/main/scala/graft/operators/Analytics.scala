@@ -206,6 +206,20 @@ object Analytics {
       .orderBy("user_id")
   }
 
+  /** Activity heatmap by (day-of-week, hour-of-day) — datetime bucketing
+    * done in epoch arithmetic (`1970-01-01` was a Thursday, hence the +4
+    * rotation to Sunday=0), which is bit-identical in every engine; SQL
+    * `dayofweek`-style functions number days differently across engines. */
+  def eventsDowHourHeatmap(events: DataFrame): DataFrame =
+    events
+      .select(
+        expr("(ts_us DIV 86400000000 + 4) % 7").as("dow"),
+        expr("(ts_us % 86400000000) DIV 3600000000").as("hour"),
+        col("value"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy("dow", "hour")
+
   /** CUBE aggregation: all four grouping sets over (event_type,
     * event_date) in one pass — the full-lattice sibling of
     * [[eventsRollup]]. */
