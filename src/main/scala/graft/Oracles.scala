@@ -672,6 +672,15 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id"""
 
+  val multimodalFrameSample: String = """
+SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(k*128 + 1 AS BIGINT), 64)) AS frame_md5,
+       CAST(least(length(text) - k*128, 64) AS BIGINT) AS frame_len
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, 4)) AS k) f
+WHERE k*128 < length(text)
+ORDER BY doc_id, frame_idx"""
+
   val streamWindowedCounts: String = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,

@@ -249,6 +249,9 @@ object SparkEntry {
 
     "multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
 
+    "multimodal_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(Tables.documents(s, dir))),
+
     "multimodal_features" -> ((s, dir) => {
       // Scalar-only projection (f0..f15 instead of the array column): the
       // driver's compare harness sorts/hashes every column, and array
@@ -346,6 +349,7 @@ object SparkEntry {
     "token_count"               -> Oracles.tokenCount,
     "doc_fingerprint"           -> Oracles.docFingerprint,
     "multimodal_meta"           -> Oracles.multimodalMeta,
+    "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "stream_windowed_counts"    -> Oracles.streamWindowedCounts
     // multimodal_features: stubbed decode, not SQL-expressible → rows-only
   )

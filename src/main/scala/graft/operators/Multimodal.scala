@@ -28,6 +28,28 @@ object Multimodal {
         ceil(length(col("payload")) / 256.0).cast("long").as("n_chunks"))
       .orderBy("doc_id")
 
+  /** Strided frame sampling over a media payload — the video analog of
+    * "decode every Nth frame": frames of `frameLen` units at `stride`
+    * offsets, up to `maxFrames`, each fingerprinted. Pure expressions
+    * (sequence + explode + substring + md5), so sampling runs at scan
+    * speed and never materializes the unsampled payload regions
+    * downstream. Frames index the character stream here (the oracle
+    * engine lacks byte substrings); the real codec path would swap in
+    * [[features]]' binary `mapPartitions` plumbing. */
+  def frameSample(
+      documents: DataFrame,
+      stride: Int = 128, frameLen: Int = 64, maxFrames: Int = 4): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(maxFrames - 1))).as("frame_idx"), col("text"))
+      .filter(col("frame_idx") * stride < length(col("text")))
+      .select(
+        col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        md5(expr(s"substring(text, frame_idx * $stride + 1, $frameLen)")).as("frame_md5"),
+        least(length(col("text")) - col("frame_idx") * stride, lit(frameLen))
+          .cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
   final case class MediaFeature(
       doc_id: Long,
       byte_len: Int,
