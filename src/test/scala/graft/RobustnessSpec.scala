@@ -46,6 +46,28 @@ class RobustnessSpec extends SparkSpec {
     back.foreach(b => assert(b.collect().map(_.toSeq).toSet === want))
   }
 
+  test("corrupt JSON records: PERMISSIVE quarantines, DROPMALFORMED filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_corrupt").toString
+    val lines = Seq(
+      """{"event_id": 1, "value": 1.5}""",
+      """{"event_id": 2, "value": }""", // malformed
+      """not json at all""",
+      """{"event_id": 4, "value": 4.5}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.json"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = "event_id BIGINT, value DOUBLE, _corrupt_record STRING"
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .cache() // Spark refuses _corrupt_record predicates on raw file scans
+    assert(permissive.count() === 4)
+    assert(permissive.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() === 2)
+    val dropped = spark.read.schema("event_id BIGINT, value DOUBLE")
+      .option("mode", "DROPMALFORMED").json(dir)
+    assert(dropped.count() === 2)
+    assert(dropped.agg(org.apache.spark.sql.functions.sum("event_id")).head.getLong(0) === 5L)
+  }
+
   test("approx_count_distinct tracks exact distinct within 5%") {
     val ev = Tables.events(spark, sfDir)
     val r = ev.agg(

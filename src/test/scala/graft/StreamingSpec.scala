@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark are dropped (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.windowedCounts(mem.toDF())
+      .writeStream.format("memory").queryName("late_wc").outputMode("append").start()
+    try {
+      // batch 1: one event per hour 0..5 → watermark advances to 3h
+      mem.addData((0 to 5).map(h => Event(h.toLong, h * H, 1L, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: an event 2.5h behind the watermark (dropped) + a fresh one
+      mem.addData(Seq(Event(100L, H / 2, 1L, "click", 1.0), Event(101L, 6 * H, 1L, "click", 1.0)))
+      q.processAllAvailable()
+      val w0 = spark.table("late_wc")
+        .filter(col("window_start") === timestamp_micros(lit(0L))).collect()
+      assert(w0.length === 1, s"window [0,1h) should have been finalized once: ${w0.toSeq}")
+      assert(w0.head.getAs[Long]("n") === 1L,
+        "the late event must not reach the finalized window")
+    } finally q.stop()
+  }
+
   test("stateful sessionizer closes sessions on the inactivity gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
