@@ -151,6 +151,16 @@ object Streaming {
       .withColumnRenamed("event_date", "date")
   }
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the event
+    * id — duplicates arriving across micro-batches (at-least-once sources,
+    * replayed offsets) are suppressed while the watermark bounds the
+    * dedup state instead of letting it grow with the stream. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Stateful gap sessionization (2 h default): emits a session when the
     * user's inactivity gap exceeds `gapUs`. The open session stays in
     * state until a later event closes it. */

@@ -32,6 +32,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses replayed events across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.dedupEvents(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_ev").outputMode("append").start()
+    try {
+      mem.addData(Seq(Event(1L, H, 1L, "click", 1.0), Event(2L, H + 1, 1L, "view", 2.0)))
+      q.processAllAvailable()
+      // a replay of event 1 (same id) plus one new event
+      mem.addData(Seq(Event(1L, H, 1L, "click", 1.0), Event(3L, H + 2, 2L, "click", 3.0)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_ev").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("late events beyond the watermark are dropped (append mode)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
