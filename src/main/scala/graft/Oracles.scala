@@ -164,6 +164,23 @@ WHERE next_channel IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  /** Training-data export (extracted_training_data.py, determinized). */
+  val trainingDataExport: String = attrBase + """
+, sample AS (
+  SELECT conv_id, user_id AS c_user_id, conv_ts_us
+  FROM conversions ORDER BY conv_id LIMIT 20
+)
+SELECT conv_id AS conversion_id, session_id, ts_us,
+       channel_name AS channel_label,
+       holder_engagement, closer_engagement,
+       CASE WHEN row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY ts_us DESC, session_id DESC) = 1
+            THEN 1 ELSE 0 END AS conversion,
+       impression_interaction
+FROM sessions s JOIN sample c
+  ON s.user_id = c.c_user_id AND s.ts_us < c.conv_ts_us
+ORDER BY conversion_id, session_id"""
+
   val q6ForecastRevenue: String = """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items

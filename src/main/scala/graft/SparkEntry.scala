@@ -101,6 +101,9 @@ object SparkEntry {
         .orderBy("conv_id", "session_id")
     }),
 
+    "training_data_export" -> ((s, dir) =>
+      Journeys.trainingExport(Tables.sessions(s, dir), Tables.conversions(s, dir))),
+
     "asof_last_session" -> ((s, dir) =>
       Temporal.asofLastSession(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -305,6 +308,7 @@ object SparkEntry {
     "journey_paths"             -> Oracles.journeyPaths,
     "channel_transitions"       -> Oracles.channelTransitions,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
+    "training_data_export"      -> Oracles.trainingDataExport,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

@@ -120,6 +120,34 @@ object Journeys {
       .orderBy("from_channel", "to_channel")
   }
 
+  /** IHC training-data export — reference `extracted_training_data.py`:
+    * a sample of conversions, each with ALL of the user's strictly-prior
+    * sessions (no greedy claiming here, unlike [[assign]]), the latest
+    * session flagged as the conversion touch, emitted flat with the IHC
+    * API's field names. Determinized where the reference leans on SQLite
+    * row order: the sample is the `nSample` smallest conv_ids
+    * (`LIMIT 20` without ORDER BY there), and the `iloc[-1]` flag tie
+    * resolves by (ts, session_id) max. The sampled conversions broadcast;
+    * the session side streams. */
+  def trainingExport(
+      sessions: DataFrame, conversions: DataFrame, nSample: Int = 20): DataFrame = {
+    val sample = conversions.orderBy("conv_id").limit(nSample)
+      .select(col("conv_id"), col("user_id").as("c_user_id"), col("conv_ts_us"))
+    val latest = Window.partitionBy("conv_id")
+      .orderBy(col("ts_us").desc, col("session_id").desc)
+    sessions
+      .join(broadcast(sample),
+        col("user_id") === col("c_user_id") && col("ts_us") < col("conv_ts_us"))
+      .withColumn("conversion",
+        when(row_number().over(latest) === 1, 1).otherwise(0))
+      .select(
+        col("conv_id").as("conversion_id"), col("session_id"), col("ts_us"),
+        col("channel_name").as("channel_label"),
+        col("holder_engagement"), col("closer_engagement"),
+        col("conversion"), col("impression_interaction"))
+      .orderBy("conversion_id", "session_id")
+  }
+
   /** Journey statistics — reference `journey_builder.py:298-337`. */
   def statistics(assigned: DataFrame): DataFrame = {
     val per = assigned.groupBy("conv_id").agg(count(lit(1)).as("n"))
