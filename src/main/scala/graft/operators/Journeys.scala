@@ -45,7 +45,23 @@ object Journeys {
     * @return sessions columns + (conv_id, conv_ts_us, revenue)
     */
   def assign(sessions: DataFrame, conversions: DataFrame): DataFrame = {
-    val sessCols = sessions.columns
+    val (sessSide, convSide) = unionSides(sessions, conversions)
+    assignOver(sessSide.unionByName(convSide), sessions.columns)
+  }
+
+  /** The shuffle-free deployment path: `sessions` and `conversions` read
+    * from tables bucketed identically on `user_id`, unioned with the
+    * custom bucket-aligned [[graft.plans.BucketUnion]] operator — which,
+    * unlike built-in UNION, preserves the bucketed hash partitioning — so
+    * the per-user window needs only a sort. Zero exchanges end-to-end
+    * (asserted in BucketingSpec). */
+  def assignBucketed(sessions: DataFrame, conversions: DataFrame): DataFrame = {
+    val (sessSide, convSide) = unionSides(sessions, conversions)
+    assignOver(graft.plans.BucketUnionApi.union(sessSide, convSide), sessions.columns)
+  }
+
+  private def unionSides(
+      sessions: DataFrame, conversions: DataFrame): (DataFrame, DataFrame) = {
     val mark = struct(col("conv_ts_us"), col("conv_id"), col("revenue"))
     val convSide = conversions.select(
       col("user_id"), col("conv_ts_us").as("ts_us"), lit(1).as("kind"),
@@ -62,11 +78,15 @@ object Journeys {
       lit(null).cast(convSide.schema("cmark").dataType).as("cmark"),
       col("session_id"), col("event_date"), col("channel_name"),
       col("holder_engagement"), col("closer_engagement"), col("impression_interaction"))
+    (sessSide, convSide)
+  }
+
+  private def assignOver(unioned: DataFrame, sessCols: Seq[String]): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us").desc, col("kind").asc,
         coalesce(col("cmark.conv_id"), lit(-1L)).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessSide.unionByName(convSide)
+    unioned
       .withColumn("m", last(col("cmark"), ignoreNulls = true).over(w))
       .filter(col("kind") === 0 && col("m").isNotNull)
       .select(

@@ -34,5 +34,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (exprs: Seq[Expression]) => Winnow(exprs.head)))
+    e.injectPlannerStrategy(_ => BucketUnionStrategy)
   }
 }

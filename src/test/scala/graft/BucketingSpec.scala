@@ -8,6 +8,31 @@ import org.apache.spark.sql.functions._
   * conversions co-location. */
 class BucketingSpec extends SparkSpec {
 
+  test("bucket-aligned union: journey assignment over bucketed tables has zero exchanges") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_wh2").toString
+    try {
+      Tables.sessions(spark, sfDir).write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$warehouse/sess_b").saveAsTable("sess_b")
+      Tables.conversions(spark, sfDir).write.mode("overwrite")
+        .bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$warehouse/conv_b").saveAsTable("conv_b")
+      val out = operators.Journeys.assignBucketed(
+        spark.table("sess_b"), spark.table("conv_b"))
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned as-of join should be exchange-free:\n$plan")
+      // bit-for-bit parity with the standard (shuffling) path
+      val want = operators.Journeys.assign(
+        Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+      assert(out.exceptAll(want).isEmpty && want.exceptAll(out).isEmpty)
+      assert(out.count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sess_b")
+      spark.sql("DROP TABLE IF EXISTS conv_b")
+    }
+  }
+
   test("join of tables bucketed on the key plans without a shuffle exchange") {
     val warehouse = java.nio.file.Files.createTempDirectory("graft_wh").toString
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
