@@ -52,6 +52,21 @@ object ScaleSmoke {
       graft.operators.Temporal.asofLastSession(sessions, conversions).count()))
     assigned.unpersist(); attributed.unpersist()
 
+    // Bucketed deployment path: write both sides bucketed by user_id once,
+    // then the BucketUnion-based assignment runs with zero exchanges.
+    val wh = java.nio.file.Files.createTempDirectory("graft_scale_wh").toString
+    time("bucketed write (one-time)") {
+      sessions.write.mode("overwrite").bucketBy(32, "user_id").sortBy("user_id")
+        .option("path", s"$wh/sess_b").saveAsTable("scale_sess_b")
+      conversions.write.mode("overwrite").bucketBy(32, "user_id").sortBy("user_id")
+        .option("path", s"$wh/conv_b").saveAsTable("scale_conv_b")
+    }
+    time("journey_assign bucketed (zero-exchange)")(println(s"[scale] bucketed rows = " +
+      Journeys.assignBucketed(
+        spark.table("scale_sess_b"), spark.table("scale_conv_b")).count()))
+    spark.sql("DROP TABLE IF EXISTS scale_sess_b")
+    spark.sql("DROP TABLE IF EXISTS scale_conv_b")
+
     // Dedup stage: nDocs synthetic ~60-word docs, 1% planted near-dups
     // (doc 100k+1 repeats doc 100k's words plus one extra token).
     val nDocs = if (args.length > 1) args(1).toLong else 200000L
