@@ -828,6 +828,17 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_orderkey"""
 
+  val q14PromoRevenue: String = """
+SELECT 100.0 *
+       CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'
+                          THEN l_extendedprice * (1.0 - l_discount)
+                          ELSE 0.0 END AS DECIMAL(27,6))) AS DOUBLE) /
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'"""
+
   val q17SmallQuantityRevenue: String = """
 SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0 AS avg_yearly
 FROM lineitem l JOIN (

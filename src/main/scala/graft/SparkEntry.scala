@@ -131,6 +131,9 @@ object SparkEntry {
     "q17_small_quantity_revenue" -> ((s, dir) =>
       Analytics.q17SmallQuantityRevenue(Tables.lineitem(s, dir))),
 
+    "q14_promo_revenue" -> ((s, dir) =>
+      Analytics.q14PromoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
     "events_latest_per_user" -> ((s, dir) =>
       Analytics.latestEventPerUser(Tables.events(s, dir))),
 
@@ -318,6 +321,7 @@ object SparkEntry {
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,
     "q17_small_quantity_revenue" -> Oracles.q17SmallQuantityRevenue,
+    "q14_promo_revenue"         -> Oracles.q14PromoRevenue,
     "events_latest_per_user"    -> Oracles.eventsLatestPerUser,
     "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
     "q5_region_revenue"         -> Oracles.q5RegionRevenue,

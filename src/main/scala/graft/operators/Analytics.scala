@@ -180,6 +180,23 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
 
+  /** Promotion revenue share (TPC-H Q14 shape): conditional aggregation
+    * over a broadcast dimension join — the share of discounted revenue
+    * from ECONOMY-type parts in one month. Both the conditional and the
+    * total sum come out of a single pass. */
+  def q14PromoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          dsum(when(col("p_type") === "ECONOMY", rev).otherwise(lit(0.0))) /
+          dsum(rev)).as("promo_revenue"))
+  }
+
   /** Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
     * their part's average quantity. The correlation decorrelates into a
     * per-part aggregate joined back to the fact — one extra shuffle on
