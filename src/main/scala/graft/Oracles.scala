@@ -828,6 +828,26 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
              RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW)
 ORDER BY o_custkey, o_orderkey"""
 
+  val eventsDailyDense: String = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+), spine AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS event_date
+  FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+)
+SELECT t.event_type, s.event_date,
+       COALESCE(d.n, 0) AS n, COALESCE(d.total_value, 0.0) AS total_value
+FROM spine s CROSS JOIN types t
+LEFT JOIN daily d ON d.event_type = t.event_type AND d.event_date = s.event_date
+ORDER BY t.event_type, s.event_date"""
+
   val q14PromoRevenue: String = """
 SELECT 100.0 *
        CAST(SUM(CAST(CASE WHEN p_type = 'ECONOMY'

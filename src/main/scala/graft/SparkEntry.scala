@@ -219,6 +219,9 @@ object SparkEntry {
     "events_dow_hour_heatmap" -> ((s, dir) =>
       Analytics.eventsDowHourHeatmap(Tables.events(s, dir))),
 
+    "events_daily_dense" -> ((s, dir) =>
+      Analytics.eventsDailyDense(Tables.events(s, dir))),
+
     "orders_moving_avg" -> ((s, dir) => Analytics.ordersMovingAvg(Tables.orders(s, dir))),
 
     "text_langid" -> ((s, dir) =>
@@ -351,6 +354,7 @@ object SparkEntry {
     "events_pivot"              -> Oracles.eventsPivot,
     "events_cube"               -> Oracles.eventsCube,
     "events_dow_hour_heatmap"   -> Oracles.eventsDowHourHeatmap,
+    "events_daily_dense"        -> Oracles.eventsDailyDense,
     "orders_moving_avg"         -> Oracles.ordersMovingAvg,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,

@@ -180,6 +180,30 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
 
+  /** Dense daily series per event type — the date-spine gap-fill ETL
+    * shape: a generated complete day spine (corpus min..max date) cross
+    * joined with the type dimension, left-joined to the actual daily
+    * aggregate, gaps zero-filled. The spine is `sequence()`-generated
+    * (rows are born distributed, no driver loop) and the aggregate is
+    * computed BEFORE the join, so the outer join touches |types|×|days|
+    * rows, not raw events. */
+  def eventsDailyDense(events: DataFrame): DataFrame = {
+    val daily = events.groupBy("event_type", "event_date")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+    val bounds = events.agg(
+      min("event_date").as("d0"), max("event_date").as("d1"))
+    val spine = bounds.select(
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("event_date"))
+    val types = events.select("event_type").distinct()
+    spine.crossJoin(types)
+      .join(daily, Seq("event_type", "event_date"), "left")
+      .select(
+        col("event_type"), col("event_date"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("event_type", "event_date")
+  }
+
   /** Promotion revenue share (TPC-H Q14 shape): conditional aggregation
     * over a broadcast dimension join — the share of discounted revenue
     * from ECONOMY-type parts in one month. Both the conditional and the
