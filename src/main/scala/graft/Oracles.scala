@@ -181,6 +181,25 @@ FROM sessions s JOIN sample c
   ON s.user_id = c.c_user_id AND s.ts_us < c.conv_ts_us
 ORDER BY conversion_id, session_id"""
 
+  val firstTouchAttribution: String = attrBase + """
+SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id
+                               ORDER BY ts_us ASC, session_id ASC) AS rn
+  FROM assigned) t
+WHERE rn = 1
+GROUP BY channel_name
+ORDER BY channel_name"""
+
+  val lastTouchAttribution: String = attrBase + """
+SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM flagged
+WHERE conversion = 1
+GROUP BY channel_name
+ORDER BY channel_name"""
+
   val q6ForecastRevenue: String = """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items

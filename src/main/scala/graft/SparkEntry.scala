@@ -101,6 +101,10 @@ object SparkEntry {
         .orderBy("conv_id", "session_id")
     }),
 
+    "first_touch_attribution" -> ((s, dir) => Reporting.firstTouch(assigned(s, dir))),
+
+    "last_touch_attribution" -> ((s, dir) => Reporting.lastTouch(flagged(s, dir))),
+
     "training_data_export" -> ((s, dir) =>
       Journeys.trainingExport(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -315,6 +319,8 @@ object SparkEntry {
     "channel_transitions"       -> Oracles.channelTransitions,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
     "training_data_export"      -> Oracles.trainingDataExport,
+    "first_touch_attribution"   -> Oracles.firstTouchAttribution,
+    "last_touch_attribution"    -> Oracles.lastTouchAttribution,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

@@ -54,6 +54,29 @@ object Reporting {
       existingAttribution.select("conv_id").distinct(),
       Seq("conv_id"), "left_anti")
 
+  /** First-touch attribution: full credit to the journey's opening
+    * session — the classic baseline the IHC model refines. One window
+    * pick per journey, then a channel rollup. */
+  def firstTouch(assigned: DataFrame): DataFrame = {
+    val first = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("ts_us").asc, col("session_id").asc)
+    assigned
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") === 1)
+      .groupBy("channel_name")
+      .agg(count(lit(1)).as("n_conversions"), dsum(col("revenue")).as("revenue"))
+      .orderBy("channel_name")
+  }
+
+  /** Last-touch attribution: full credit to the conversion-flagged
+    * session (A4's flag IS the last touch). */
+  def lastTouch(flagged: DataFrame): DataFrame =
+    flagged
+      .filter(col("conversion") === 1)
+      .groupBy("channel_name")
+      .agg(count(lit(1)).as("n_conversions"), dsum(col("revenue")).as("revenue"))
+      .orderBy("channel_name")
+
   /** Export the reporting table as a single CSV with header — reference
     * `reporting.py:105-168` (`channel_reporting.csv`). Coalesced to one
     * file to match the reference's single-artifact contract; the parquet
