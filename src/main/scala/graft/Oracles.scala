@@ -379,9 +379,6 @@ ORDER BY doc_id"""
     * (≥ 0.3, the dedup_embedding threshold) → recursive-CTE connected
     * components (mirrors Dedup.hybridClusters). */
   val dedupHybridClusters: String = {
-    val bucketSqlLocal = (0 until 16)
-      .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
-      .mkString(" + ")
     minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + s"""
 , enrm AS (
   SELECT vec_id,
@@ -389,12 +386,25 @@ ORDER BY doc_id"""
   FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
   GROUP BY vec_id
 ), efeat AS (
-  SELECT e.vec_id, e.embedding, ($bucketSqlLocal) AS bucket, n.nrm
+  SELECT e.vec_id, e.embedding,
+         (${bandSql(0)}) AS b0, (${bandSql(1)}) AS b1,
+         (${bandSql(2)}) AS b2, (${bandSql(3)}) AS b3, n.nrm
   FROM embeddings e JOIN enrm n ON e.vec_id = n.vec_id
+), ebanded AS (
+  SELECT vec_id, 0 AS band, b0 AS bval FROM efeat
+  UNION ALL SELECT vec_id, 1, b1 FROM efeat
+  UNION ALL SELECT vec_id, 2, b2 FROM efeat
+  UNION ALL SELECT vec_id, 3, b3 FROM efeat
+), ecand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ebanded a JOIN ebanded b ON a.band = b.band AND a.bval = b.bval
+  WHERE a.vec_id < b.vec_id
 ), epairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb,
-         a.nrm AS nrm_a, b.nrm AS nrm_b
-  FROM efeat a JOIN efeat b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  SELECT c.vec_a, c.vec_b, fa.embedding AS ea, fb.embedding AS eb,
+         fa.nrm AS nrm_a, fb.nrm AS nrm_b
+  FROM ecand c
+  JOIN efeat fa ON fa.vec_id = c.vec_a
+  JOIN efeat fb ON fb.vec_id = c.vec_b
 ), edots AS (
   SELECT vec_a, vec_b, nrm_a, nrm_b,
          CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -458,29 +468,43 @@ JOIN dc na ON na.doc_id = doc_a
 JOIN dc nb ON nb.doc_id = doc_b
 ORDER BY doc_a, doc_b"""
 
-  /** Sign-LSH bucket over the first 16 dims — generated to mirror
-    * VectorFunctions.signBucket term by term. */
-  private val bucketSql: String = (0 until 16)
-    .map(b => s"(CASE WHEN embedding[${b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
+  /** One 8-bit sign band over dims [band·8, band·8+8) — generated to
+    * mirror VectorFunctions.signBand term by term. */
+  private def bandSql(band: Int): String = (0 until 8)
+    .map(b => s"(CASE WHEN embedding[${band * 8 + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
     .mkString(" + ")
 
-  /** Exact-norm + bucket feature CTE over embeddings. */
+  /** Exact-norm + sign-band feature CTE over embeddings: `bucket` is the
+    * 8-bit LSH bucket (= band 0), b0..b3 the banded blocking keys. */
   private val featBase: String = s"""WITH nrm AS (
   SELECT vec_id,
          sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
   FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
   GROUP BY vec_id
 ), feat AS (
-  SELECT e.vec_id, e.embedding, ($bucketSql) AS bucket, n.nrm
+  SELECT e.vec_id, e.embedding, (${bandSql(0)}) AS bucket,
+         (${bandSql(0)}) AS b0, (${bandSql(1)}) AS b1,
+         (${bandSql(2)}) AS b2, (${bandSql(3)}) AS b3, n.nrm
   FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
 )
 """
 
   val dedupEmbedding: String = featBase + """
-, pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb,
-         a.nrm AS nrm_a, b.nrm AS nrm_b
-  FROM feat a JOIN feat b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+, banded AS (
+  SELECT vec_id, 0 AS band, b0 AS bval FROM feat
+  UNION ALL SELECT vec_id, 1, b1 FROM feat
+  UNION ALL SELECT vec_id, 2, b2 FROM feat
+  UNION ALL SELECT vec_id, 3, b3 FROM feat
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+  WHERE a.vec_id < b.vec_id
+), pairs AS (
+  SELECT c.vec_a, c.vec_b, fa.embedding AS ea, fb.embedding AS eb,
+         fa.nrm AS nrm_a, fb.nrm AS nrm_b
+  FROM cand c
+  JOIN feat fa ON fa.vec_id = c.vec_a
+  JOIN feat fb ON fb.vec_id = c.vec_b
 ), dots AS (
   SELECT vec_a, vec_b, nrm_a, nrm_b,
          CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -514,8 +538,11 @@ FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
   val annLshTopK: String = featBase + """
-, q AS (
-  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm, bucket FROM feat WHERE vec_id < 8
+, masks AS (
+  SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm, xor(bucket, m) AS bucket
+  FROM feat CROSS JOIN masks WHERE vec_id < 8
 ), c AS (
   SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS c_nrm, bucket FROM feat
 ), dots AS (
@@ -707,6 +734,41 @@ SELECT doc_id,
        CAST(ceil(octet_length(CAST(text AS BLOB)) / 256.0) AS BIGINT) AS n_chunks
 FROM documents
 ORDER BY doc_id"""
+
+  /** Byte-frequency features — the stub decoder (Multimodal.decodeStub) is
+    * a 16-bin byte histogram, L1-normalized, so it IS SQL-expressible:
+    * bin(byte) = byte % 16 = the byte's low hex nibble, read straight out
+    * of hex(payload) (char 2·i of byte i, 1-indexed). Normalization mirrors
+    * the stub's float arithmetic: counts are float-exact, and
+    * CAST(double_quotient AS REAL) equals the stub's float division
+    * because cnt/len can never land on a float rounding tie (a tie needs
+    * exactly 25 significant bits; cnt/len is either non-dyadic or dyadic
+    * with ≤ 24 bits). */
+  val multimodalFeatures: String = {
+    val fCols = (0 until 16).map(b =>
+      s"       CAST(CAST(COALESCE(SUM(CASE WHEN h.bin = $b THEN h.cnt END), 0) AS DOUBLE)" +
+        s" / GREATEST(m.byte_len, 1) AS REAL) AS f$b").mkString(",\n")
+    s"""
+WITH meta AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         hex(encode(text)) AS hx
+  FROM documents
+), hist AS (
+  SELECT doc_id, bin, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               strpos('0123456789ABCDEF',
+                      substr(hx, CAST(2 * i AS INTEGER), 1)) - 1 AS bin
+        FROM (SELECT doc_id, hx, unnest(range(1, byte_len + 1)) AS i FROM meta) t) u
+  GROUP BY doc_id, bin
+)
+SELECT m.doc_id, m.byte_len,
+       CAST(m.byte_len % 640 AS INTEGER) AS width,
+       CAST(m.byte_len % 480 AS INTEGER) AS height,
+$fCols
+FROM meta m LEFT JOIN hist h ON h.doc_id = m.doc_id
+GROUP BY m.doc_id, m.byte_len
+ORDER BY m.doc_id"""
+  }
 
   val multimodalFrameSample: String = """
 SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,

@@ -368,7 +368,7 @@ object SparkEntry {
     "doc_fingerprint"           -> Oracles.docFingerprint,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
+    "multimodal_features"       -> Oracles.multimodalFeatures,
     "stream_windowed_counts"    -> Oracles.streamWindowedCounts
-    // multimodal_features: stubbed decode, not SQL-expressible → rows-only
   )
 }

@@ -48,9 +48,16 @@ object VectorFunctions {
   /** Sign-LSH bucket from the first `nBits` dimensions: bit b set iff
     * element b > 0. Deterministic, portable (plain CASE arithmetic in the
     * oracle), and a genuine LSH for cosine distance on centered data. */
-  def signBucket(a: Column, nBits: Int = 16): Column =
+  def signBucket(a: Column, nBits: Int = 16): Column = signBand(a, 0, nBits)
+
+  /** Sign bucket over dimensions [offset·nBits, (offset+1)·nBits) — one
+    * band of a banded sign-LSH scheme. Banding trades precision for
+    * recall: two vectors are candidates if ANY band matches, so the miss
+    * probability multiplies across bands instead of the hit probability
+    * across bits. */
+  def signBand(a: Column, band: Int, nBits: Int = 8): Column =
     (0 until nBits)
-      .map(b => when(a(b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .map(b => when(a(band * nBits + b) > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   /** Cosine via precomputed norms: dot / (na * nb) — caller supplies the

@@ -249,20 +249,40 @@ object Dedup {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
 
-  /** Embedding near-dup pairs: sign-LSH bucket blocking, then exact
-    * decimal cosine within buckets; emit pairs with cosine >= threshold. */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame = {
+  /** Embedding near-dup pairs: BANDED sign-LSH blocking (nBands bands of
+    * nBits sign bits each over distinct dimension ranges — vectors pair if
+    * ANY band matches), then exact decimal cosine on candidates; emit pairs
+    * with cosine >= threshold. Banding is the same recall lever as MinHash
+    * banding: a single wide bucket misses a near-dup on any one sign flip,
+    * while the banded miss probability multiplies across bands.
+    *
+    * Scale shape: one explode(nBands) map stage, one (band, value)
+    * hash-join for candidates (never all-pairs, never an OR-join), distinct
+    * on the id pair, then features re-joined for the exact cosine — the
+    * candidate join never carries the 64-float payload. */
+  def embeddingNearDup(
+      embeddings: DataFrame, threshold: Double = 0.3,
+      nBands: Int = 4, nBits: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
-      VectorFunctions.signBucket(col("embedding")).as("bucket"),
-      VectorFunctions.normExact(col("embedding")).as("nrm"))
-    val a = feat.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-      col("bucket"), col("nrm").as("nrm_a"))
-    val b = feat.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-      col("bucket"), col("nrm").as("nrm_b"))
-    a.join(b, "bucket")
+      VectorFunctions.normExact(col("embedding")).as("nrm")).cache()
+    val banded = feat.select(
+      col("vec_id"),
+      posexplode(array((0 until nBands).map(k =>
+        VectorFunctions.signBand(col("embedding"), k, nBits)): _*)))
+      .toDF("vec_id", "band", "bval")
+    val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
+      .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bval")),
+        Seq("band", "bval"))
       .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .distinct()
+    cand
+      .join(feat.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(feat.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nrm_b")), "vec_b")
       .withColumn("dot", VectorFunctions.dotExact(col("ea"), col("eb")))
       .withColumn("cosine", col("dot") / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)

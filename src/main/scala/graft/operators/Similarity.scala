@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def withFeat(embeddings: DataFrame): DataFrame = {
+  private def withFeat(embeddings: DataFrame, nBits: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(
       col("vec_id"), col("embedding"),
-      VectorFunctions.signBucket(col("embedding")).as("bucket"),
+      VectorFunctions.signBucket(col("embedding"), nBits).as("bucket"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
   }
 
@@ -112,17 +112,30 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** LSH-bucketed approximate top-k: candidates restricted to the query's
-    * sign bucket. Recall trades against bucket width (nBits). */
-  def lshTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
-    val feat = withFeat(embeddings)
+  /** Multi-probe LSH top-k: candidates come from the query's sign bucket
+    * PLUS every Hamming-distance-1 bucket (nBits single-bit flips) — the
+    * standard multi-probe trick, recovering most of the recall lost to an
+    * unlucky sign flip at ~(nBits+1)× the candidate volume of exact-bucket
+    * probing, still a vanishing fraction of the corpus.
+    *
+    * Scale shape: the probe side is |Q|·(nBits+1) rows (tiny, broadcast);
+    * the corpus is hashed ONCE on its bucket — one map stage + one bucket
+    * join, never all-pairs. Probe buckets of one query are pairwise
+    * distinct (XOR with distinct masks), so a (query, neighbor) pair can
+    * match at most one probe and needs no distinct. */
+  def lshTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
+    val feat = withFeat(embeddings, nBits)
+    val masks = if (multiProbe) 0L +: (0 until nBits).map(1L << _).toSeq else Seq(0L)
     val q = feat.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("nrm").as("q_nrm"), col("bucket"))
+        col("nrm").as("q_nrm"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val c = feat.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
       col("nrm").as("c_nrm"), col("bucket"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    q.join(c, Seq("bucket"))
+    broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("dot", VectorFunctions.dotExact(col("qe"), col("ce")))
       .withColumn("cosine", col("dot") / (col("q_nrm") * col("c_nrm")))

@@ -81,4 +81,28 @@ class DedupSpec extends SparkSpec {
     assert(out.head.getAs[Long]("vec_b") === 2L)
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
+
+  test("banded blocking pairs vectors that agree in only ONE band") {
+    // a and b agree in sign only on dims 16..23 (band 2); bands 0, 1, 3
+    // all differ, so a single 32-bit (or 16-bit) bucket would miss the
+    // pair. Dims 32..63 (outside every band) carry the cosine mass.
+    val a = Array.tabulate(64) {
+      case i if i < 16  => 0.01f
+      case i if i < 24  => 0.01f
+      case i if i < 32  => 0.01f
+      case _            => 1f
+    }
+    val b = Array.tabulate(64) {
+      case i if i < 16  => -0.01f  // bands 0,1 differ
+      case i if i < 24  => 0.01f   // band 2 matches
+      case i if i < 32  => -0.01f  // band 3 differs
+      case _            => 1f
+    }
+    val far = Array.fill(64)(-1f)
+    val emb = Seq((1L, a), (2L, b), (3L, far)).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, threshold = 0.3).collect()
+    assert(out.length === 1)
+    assert((out.head.getAs[Long]("vec_a"), out.head.getAs[Long]("vec_b")) === (1L, 2L))
+    assert(out.head.getAs[Double]("cosine") > 0.9)
+  }
 }

@@ -41,6 +41,33 @@ class SimilaritySpec extends SparkSpec {
       && math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-9))
   }
 
+  test("multi-probe recovers a neighbor one sign flip away; single-probe misses it") {
+    // q = all +1; near = q with dim 0 nudged negative → Hamming-1 bucket;
+    // same = q doubled → exact bucket. Cosines: same 1.0 > near ≈ 0.984.
+    val q = Array.fill(64)(1f)
+    val near = Array.tabulate(64)(d => if (d == 0) -0.05f else 1f)
+    val same = Array.fill(64)(2f)
+    val emb = Seq((0L, q), (5L, same), (9L, near)).toDF("vec_id", "embedding")
+    val single = Similarity.lshTopK(emb, nQueries = 1, k = 10, multiProbe = false).collect()
+    assert(single.map(_.getAs[Long]("neighbor_id")).toSet === Set(5L))
+    val multi = Similarity.lshTopK(emb, nQueries = 1, k = 10).collect()
+    assert(multi.map(_.getAs[Long]("neighbor_id")).toSet === Set(5L, 9L))
+    // ranking preserved: exact-bucket match (cosine 1) above the recovered one
+    assert(multi.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      === Seq(5L, 9L))
+  }
+
+  test("multi-probe recall vs brute force is a superset of single-probe recall") {
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 4, k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recalled(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+        .intersect(bf)
+    val single = recalled(Similarity.lshTopK(emb, nQueries = 4, k = 10, multiProbe = false).collect())
+    val multi = recalled(Similarity.lshTopK(emb, nQueries = 4, k = 10).collect())
+    assert(single.subsetOf(multi))
+  }
+
   test("LSH results are a subset of brute-force candidates' scores") {
     val bf = Similarity.bruteForceTopK(emb, nQueries = 1, k = 29).collect()
       .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Double]("cosine")).toMap
