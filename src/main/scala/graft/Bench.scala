@@ -18,17 +18,24 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => keep(k) }
       } else SparkEntry.queries
     warmup(spark)
+    // Best-of-N per query (default 2): a shared box's load spikes inflate
+    // single-shot timings up to ~10×; the minimum over two runs is a far
+    // better estimate of the plan's actual cost and costs only one repeat.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-        finally spark.catalog.clearCache() // per-query caches must not skew later queries
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+          finally spark.catalog.clearCache() // per-query caches must not skew later queries
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -37,7 +44,12 @@ object Bench {
     // to this — recorded so readings can be interpreted
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
+    println(json)
+    // also persisted to a file — the driver's stdout tail truncated 9 of 67
+    // per-query timings in round 2
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 

@@ -172,7 +172,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.minhashLsh(Tables.documents(s, dir)).select("doc_a", "doc_b"))),
+      Dedup.clustersStar(Dedup.minhashLsh(Tables.documents(s, dir)).select("doc_a", "doc_b"))),
 
     "dedup_hybrid_clusters" -> ((s, dir) =>
       Dedup.hybridClusters(Tables.documents(s, dir), Tables.embeddings(s, dir))),

@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize an iterative frame AND cut its statistics lineage.
+    *
+    * `localCheckpoint()` alone is not enough for iterative algorithms: the
+    * checkpointed `LogicalRDD` inherits the optimizer's COMPUTED stats, and
+    * the default join-stats visitor multiplies child `sizeInBytes` — so a
+    * loop whose rounds each contain joins compounds the estimate
+    * double-exponentially. The estimates are BigInts, and by round ~12 the
+    * driver spends minutes inside `BigInteger.multiplyToomCook3` on
+    * million-digit numbers (observed as a wall-clock hang). Rebuilding the
+    * frame from the checkpointed RDD resets stats to the flat default, so
+    * every round starts from constants. The Row round-trip costs one
+    * conversion per row — negligible on candidate-pair-sized frames. */
+  private def materialize(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    df.sparkSession.createDataFrame(ck.rdd, df.schema)
+  }
+
   /** Exact dedup: md5 groupBy, keep the smallest doc_id. One shuffle. */
   def exact(documents: DataFrame): DataFrame =
     documents
@@ -186,10 +203,12 @@ object Dedup {
     * warehouse scale this is the standard alternating large/small-star
     * pattern, here plain propagation with checkpointed lineage. */
   def clusters(pairs: DataFrame): DataFrame = {
-    // cache the pair list BEFORE the symmetric union — the union reads its
-    // input twice, and re-evaluating the candidate-generation DAG (the
-    // expensive part) twice doubles the whole operator's cost
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).cache()
+    // materialize the pair list BEFORE the symmetric union: the union and
+    // the first round's multi-stage job reference the edge frame several
+    // times, and a lazily-cached frame would re-evaluate the expensive
+    // candidate-generation DAG once per concurrent reference (observed 3-5×
+    // on the hybrid pipeline) before the cache fills
+    val edges = materialize(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
     // init fuses the first propagation: label(v) = min(v, min neighbor) —
     // one groupBy instead of a distinct plus a full join round; for the
@@ -197,33 +216,130 @@ object Dedup {
     var labels = sym.groupBy(col("a").as("node")).agg(min("b").as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("cluster_id"))
       .cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
+    // One propagation + path-halving step: label(v) ← min over v's label,
+    // its neighbors' labels, and the label-of-the-candidate-label (the
+    // halving hop) — rounds drop from O(diameter) to O(log diameter),
+    // which is what matters when a 100 TB corpus chains long near-dup
+    // ladders; labels only ever decrease, so the fixpoint is unchanged.
+    def step(cur: DataFrame): DataFrame = {
       val neighborLabels = sym
-        .join(labels.select(col("node").as("b"), col("cluster_id").as("nl")), "b")
+        .join(cur.select(col("node").as("b"), col("cluster_id").as("nl")), "b")
         .groupBy(col("a").as("node")).agg(min("nl").as("nmin"))
-      val cand = labels.join(neighborLabels, Seq("node"), "left")
+      val cand = cur.join(neighborLabels, Seq("node"), "left")
         .select(col("node"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cand"))
-      // path halving: follow the candidate label one more hop
-      // (label-of-label) — rounds drop from O(diameter) to O(log diameter),
-      // which is what matters when a 100 TB corpus chains long near-dup
-      // ladders; labels only ever decrease, so the fixpoint is unchanged
-      val next = cand.join(
-        labels.select(col("node").as("cand"), col("cluster_id").as("ll")), Seq("cand"), "left")
+      cand.join(
+        cur.select(col("node").as("cand"), col("cluster_id").as("ll")), Seq("cand"), "left")
         .select(col("node"),
           least(col("cand"), coalesce(col("ll"), col("cand"))).as("cluster_id"))
-        .localCheckpoint()
+    }
+    var changed = 1L
+    var iter = 0
+    // The cap is a runaway guard, not a convergence budget: LSH candidate
+    // graphs converge in 2-4 rounds, but a high-diameter chain can need
+    // ~O(diameter / hops-per-step) rounds. Returning unconverged labels
+    // would silently violate the operator contract, so hitting the cap
+    // throws — [[clustersStar]] is the production path for graphs whose
+    // diameter propagation can't absorb.
+    while (changed > 0 && iter < 100) {
+      // TWO steps per convergence check, each step materialized: the step
+      // expression references its input three times, so an unmaterialized
+      // inner step would be recomputed 3× by the outer one; and on the tiny
+      // iterative frames the driver count dominates the join work, so
+      // paying it every other step halves wall-clock. Monotone labels make
+      // the stop condition (no change across the whole block) exactly as
+      // safe as checking every round.
+      val next = materialize(step(materialize(step(labels))))
       changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
         .filter(col("cluster_id") < col("old")).count()
       labels.unpersist()
       labels = next.cache()
       iter += 1
     }
+    require(changed == 0,
+      "label propagation did not converge within the round cap — " +
+        "use clustersStar for high-diameter pair graphs")
     sym.unpersist()
     edges.unpersist()
     labels.withColumnRenamed("node", "doc_id").orderBy("doc_id")
+  }
+
+  /** Connected components via alternating large-star / small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" — the standard warehouse-scale CC): each round rewires edges
+    * toward each neighborhood's minimum, so components collapse into
+    * min-centered stars in O(log²) rounds REGARDLESS of graph diameter —
+    * where label propagation (even with path halving) pays a round count
+    * proportional to the diameter, which is exactly what a 100 TB corpus's
+    * long near-dup chains blow up. Same output contract as [[clusters]]
+    * (doc_id → min reachable doc_id, spec-tested equivalent): the fixpoint
+    * of both star operations is a union of min-centered stars, and every
+    * emitted edge stays within its component, so the result is the unique
+    * deterministic min-labeling whatever the iteration schedule.
+    *
+    * Per round: two groupBy+join stages over the current edge set — no
+    * per-node state table, no driver-side anything; edge frames are
+    * materialized per operation (they are small relative to the corpus —
+    * only near-dup candidates appear at all). */
+  def clustersStar(pairs: DataFrame): DataFrame = {
+    val first = pairs.columns(0)
+    val second = pairs.columns(1)
+    // canonical (a < b) distinct edges; materialized once (see clusters)
+    val edges0 = materialize(pairs
+      .select(least(col(first), col(second)).as("a"), greatest(col(first), col(second)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val nodes = materialize(edges0.select(col("a").as("node"))
+      .union(edges0.select(col("b").as("node"))).distinct())
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+
+    // large-star(u): connect every neighbor v > u to m = min(Γ(u) ∪ {u});
+    // m ≤ u < v, so (m, v) is canonical and never a self-loop
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      s.filter(col("v") > col("u")).join(m, "u")
+        .select(col("m").as("a"), col("v").as("b"))
+        .distinct()
+    }
+
+    // small-star(u): connect every neighbor v < u (and u itself) to
+    // m = min of u's smaller neighbors; m < v and m < u by construction
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val smaller = s.filter(col("v") < col("u"))
+      val m = smaller.groupBy("u").agg(min("v").as("m"))
+      smaller.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .union(m.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+    }
+
+    var e = edges0
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val next = materialize(smallStar(materialize(largeStar(e))))
+      // distinct canonical pairs: equal counts + empty difference ⇔ equal sets
+      changed =
+        if (next.count() != e.count()) 1L else next.except(e).count()
+      e.unpersist()
+      e = next
+      iter += 1
+    }
+    // fixpoint = min-centered stars: every spoke b has exactly one hub a
+    // (its component minimum); hubs label themselves
+    val labels = nodes
+      .join(e.select(col("b").as("node"), col("a").as("cluster_id")), Seq("node"), "left")
+      .select(col("node").as("doc_id"),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+    e.unpersist()
+    labels.orderBy("doc_id")
   }
 
   /** Hybrid (syntactic ∪ semantic) dedup clustering: near-dup candidate
@@ -237,7 +353,9 @@ object Dedup {
     val textPairs = minhashLsh(documents).select(col("doc_a"), col("doc_b"))
     val embPairs = embeddingNearDup(embeddings)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    clusters(textPairs.unionByName(embPairs))
+    // star CC: the embedding pair graph is chain-y (long near-dup ladders),
+    // where the diameter-proportional propagation loop pays ~2× more rounds
+    clustersStar(textPairs.unionByName(embPairs))
   }
 
   /** Corpus-level top-k shingles by document frequency (vocabulary /

@@ -35,6 +35,13 @@ final case class PendingSession(
     holder: Int,
     closer: Int)
 
+/** Per-user state for the hardened streaming IHC ([[Streaming.attributeIhcOrdered]]):
+  * events buffered until the watermark finalizes their order, plus the
+  * unassigned sessions of the open journey. */
+final case class IhcBufState(
+    buffered: Vector[Event],
+    pending: Vector[PendingSession])
+
 /** One attributed (conversion, session) credit row. */
 final case class IhcRow(conv_id: Long, session_id: Long, ihc: Double)
 
@@ -90,39 +97,126 @@ object Streaming {
           // first (strict `<` journey semantics), earlier event_id first.
           val evs = it.toVector.sortBy(e =>
             (e.ts_us, if (e.event_type == "purchase") 0 else 1, e.event_id))
-          var pending = state.getOption.getOrElse(Vector.empty)
-          val out = Vector.newBuilder[IhcRow]
-          evs.foreach { e =>
-            if (e.event_type == "purchase") {
-              val journey = pending.filter(_.ts_us < e.ts_us)
-              if (journey.nonEmpty) {
-                val ordered = journey.sortBy(s => (s.ts_us, s.session_id))
-                val n = ordered.size
-                val holderSum = ordered.map(_.holder.toLong).sum
-                val closerSum = ordered.map(_.closer.toLong).sum
-                // conversion-flagged session: latest ts, tie -> min session_id
-                val flagged = ordered.minBy(s => (-s.ts_us, s.session_id))
-                ordered.zipWithIndex.foreach { case (s, i) =>
-                  val ini = if (i == 0) 1.0 else 0.0
-                  val hold =
-                    if (holderSum > 0) s.holder.toDouble / holderSum.toDouble
-                    else 1.0 / n.toDouble
-                  val close =
-                    if (closerSum > 0) s.closer.toDouble / closerSum.toDouble
-                    else (if (s.session_id == flagged.session_id) 1.0 else 0.0)
-                  out += IhcRow(e.event_id, s.session_id, (ini + hold + close) / 3.0)
-                }
-                pending = pending.filterNot(_.ts_us < e.ts_us)
-              }
-            } else {
-              pending = pending :+ PendingSession(
-                e.event_id, e.ts_us,
-                if (e.event_type == "click" || e.event_type == "view") 1 else 0,
-                if (e.event_type == "click" || e.event_type == "signup") 1 else 0)
-            }
-          }
+          val (out, pending) =
+            processJourneys(evs, state.getOption.getOrElse(Vector.empty), Long.MaxValue)
           state.update(pending)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** The shared greedy-journey core: fold events (already in event-time
+    * order) over the user's pending sessions; each purchase claims the
+    * pending sessions strictly before it — restricted to those within
+    * `ttlUs` of the purchase — and emits one [[IhcRow]] per claimed session
+    * per the SURVEY §4 IHC spec. Returns the emitted rows and the remaining
+    * pending sessions. */
+  private def processJourneys(
+      evs: Seq[Event],
+      pending0: Vector[PendingSession],
+      ttlUs: Long): (Vector[IhcRow], Vector[PendingSession]) = {
+    var pending = pending0
+    val out = Vector.newBuilder[IhcRow]
+    evs.foreach { e =>
+      if (e.event_type == "purchase") {
+        val claim = (s: PendingSession) =>
+          s.ts_us < e.ts_us && e.ts_us - s.ts_us <= ttlUs
+        val journey = pending.filter(claim)
+        if (journey.nonEmpty) {
+          val ordered = journey.sortBy(s => (s.ts_us, s.session_id))
+          val n = ordered.size
+          val holderSum = ordered.map(_.holder.toLong).sum
+          val closerSum = ordered.map(_.closer.toLong).sum
+          // conversion-flagged session: latest ts, tie -> min session_id
+          val flagged = ordered.minBy(s => (-s.ts_us, s.session_id))
+          ordered.zipWithIndex.foreach { case (s, i) =>
+            val ini = if (i == 0) 1.0 else 0.0
+            val hold =
+              if (holderSum > 0) s.holder.toDouble / holderSum.toDouble
+              else 1.0 / n.toDouble
+            val close =
+              if (closerSum > 0) s.closer.toDouble / closerSum.toDouble
+              else (if (s.session_id == flagged.session_id) 1.0 else 0.0)
+            out += IhcRow(e.event_id, s.session_id, (ini + hold + close) / 3.0)
+          }
+          pending = pending.filterNot(claim)
+        }
+      } else {
+        pending = pending :+ PendingSession(
+          e.event_id, e.ts_us,
+          if (e.event_type == "click" || e.event_type == "view") 1 else 0,
+          if (e.event_type == "click" || e.event_type == "signup") 1 else 0)
+      }
+    }
+    (out.result(), pending)
+  }
+
+  /** Production streaming IHC: [[attributeIhc]] hardened with a
+    * watermark-driven reorder buffer and a journey TTL.
+    *
+    * Reordering: incoming events are BUFFERED in state and only processed
+    * once the watermark passes their event time — at that point no earlier
+    * event can still arrive (late rows beyond `delay` are dropped, the
+    * standard watermark contract), so events are folded into journeys in
+    * exact event-time order regardless of how micro-batches interleave.
+    * The result is bit-identical to the batch pipeline under ANY
+    * cross-batch arrival order (spec-tested with shuffled batches).
+    *
+    * State TTL: a purchase only claims sessions within `pendingTtlUs` of
+    * its event time — an EVENT-TIME rule, so results stay independent of
+    * batch boundaries — and the physical state sweep drops pending
+    * sessions once the watermark guarantees no future purchase could claim
+    * them (`ts < watermark − ttl` implies age > ttl for every future
+    * purchase). Abandoned journeys therefore leave state instead of
+    * accumulating forever; groups with nothing buffered and nothing
+    * pending are removed entirely.
+    *
+    * Wake-up: an event-time timeout is registered at the earliest buffered
+    * event (to flush it when the watermark arrives) or the next TTL expiry
+    * (to evict), so a user whose traffic stops still gets flushed/cleaned
+    * by watermark progress alone. */
+  def attributeIhcOrdered(
+      events: Dataset[Event],
+      delay: String = "2 hours",
+      pendingTtlUs: Long = 30L * 24 * 3600 * 1000000L): Dataset[IhcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IhcBufState, IhcRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[IhcBufState]) =>
+          val st = state.getOption.getOrElse(IhcBufState(Vector.empty, Vector.empty))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // arrivals already behind the watermark are late data — dropped
+          // (defensively; the operator's input filter does this when the
+          // watermark is defined)
+          val buf = st.buffered ++ it.filter(_.ts_us >= wmUs)
+          // only events strictly before the watermark have a final order;
+          // everything else waits for the next watermark advance
+          val (ready, keep) = buf.partition(_.ts_us < wmUs)
+          val ordered = ready.sortBy(e =>
+            (e.ts_us, if (e.event_type == "purchase") 0 else 1, e.event_id))
+          val (out, pending1) = processJourneys(ordered, st.pending, pendingTtlUs)
+          // unclaimable by any future purchase once ts < watermark − ttl
+          // (saturating: a TTL larger than the clock range never evicts)
+          val horizon = if (pendingTtlUs > wmUs) Long.MinValue else wmUs - pendingTtlUs
+          val pending = pending1.filter(_.ts_us >= horizon)
+          if (keep.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(IhcBufState(keep, pending))
+            val nextUs =
+              if (keep.nonEmpty) keep.map(_.ts_us).min
+              else {
+                val oldest = pending.map(_.ts_us).min
+                if (Long.MaxValue - pendingTtlUs < oldest) Long.MaxValue
+                else oldest + pendingTtlUs
+              }
+            state.setTimeoutTimestamp(
+              math.max(nextUs / 1000L + 1L, state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
       }
   }
 

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("clickers-no-purchase EXCEPT emits exactly the non-purchasing clickers") {
+    // At sf0.01 every clicker also purchases, so the driver gate only ever
+    // sees this query produce 0 rows — this golden input proves the EXCEPT
+    // path actually emits: users 1 and 3 click without purchasing, user 2
+    // clicks and purchases, user 4 only purchases.
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click"), (1L, "view"),
+      (2L, "click"), (2L, "purchase"),
+      (3L, "click"), (3L, "click"),
+      (4L, "purchase"))
+      .toDF("user_id", "event_type")
+    val out = Analytics.clickersWhoNeverPurchased(ev).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 3L))
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val r = Analytics.funnel(Tables.events(spark, sfDir)).head
     val (s, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

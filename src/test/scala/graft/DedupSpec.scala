@@ -82,6 +82,39 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("star CC equals propagation CC on a planted 1000-deep chain") {
+    // chain n -> n+1 descending by id so min-label has to travel the whole
+    // diameter — the worst case for propagation, the design case for
+    // large/small-star; ids shuffled (×7919 mod) so the chain order is not
+    // the id order
+    val ids = (0 until 1000).map(i => (i.toLong * 7919L) % 1000003L)
+    val chain = ids.zip(ids.tail).map { case (x, y) =>
+      (math.min(x, y), math.max(x, y))
+    }.toDF("doc_a", "doc_b")
+    val star = operators.Dedup.clustersStar(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val prop = operators.Dedup.clusters(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(star.toSeq === prop.toSeq)
+    // one component labeled with the global min id
+    assert(star.map(_._2).distinct.toSeq === Seq(ids.min))
+  }
+
+  test("star CC equals propagation CC on a deterministic random multigraph") {
+    // hash-derived edges over 300 nodes: multiple components, duplicate
+    // and reversed pairs, self-pair noise filtered by the operators
+    val edges = (0 until 600).map { i =>
+      val a = (i * 131 + 17) % 300
+      val b = (i * 31 + a * 7 + 5) % 300
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }.toDF("doc_a", "doc_b")
+    val star = operators.Dedup.clustersStar(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val prop = operators.Dedup.clusters(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(star.toSeq === prop.toSeq)
+  }
+
   test("banded blocking pairs vectors that agree in only ONE band") {
     // a and b agree in sign only on dims 16..23 (band 2); bands 0, 1, 3
     // all differ, so a single 32-bit (or 16-bit) bucket would miss the

@@ -117,6 +117,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hardened streaming IHC: shuffled out-of-order micro-batches match batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // deterministic shuffle: order by a multiplicative hash of event_id, so
+    // arrival order across micro-batches bears no relation to event time
+    val shuffled = evs.sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val parts = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    val day = 24L * 3600 * 1000000L
+    val mem = MemoryStream[Event]
+    val q = Streaming.attributeIhcOrdered(
+        mem.toDS(), delay = "30 days", pendingTtlUs = 365L * day)
+      .writeStream.format("memory").queryName("ihc_ord").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val maxTs = evs.map(_.ts_us).max
+      // two sentinel batches: the first advances the watermark past every
+      // real event (+40 d − 30 d delay), the second runs a batch AT that
+      // watermark so event-time timeouts fire and every buffer flushes
+      mem.addData(Seq(Event(900001L, maxTs + 40 * day, 999999L, "click", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(900002L, maxTs + 41 * day, 999999L, "click", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("ihc_ord").as[IhcRow].collect()
+        .map(r => (r.conv_id, r.session_id, r.ihc)).toSet
+      val batch = SparkEntry.queries("ihc_attribution")(spark, sfDir)
+        .select("conv_id", "session_id", "ihc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("journey TTL: sessions beyond the TTL are not claimed and leave state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Streaming.attributeIhcOrdered(mem.toDS(), delay = "1 hour", pendingTtlUs = H)
+      .writeStream.format("memory").queryName("ihc_ttl").outputMode("append").start()
+    try {
+      // user 1: session at 0 h (abandoned), session at 9.5 h, purchase at 10 h
+      mem.addData(Seq(
+        Event(1L, 0L, 1L, "click", 1.0),
+        Event(2L, 9 * H + H / 2, 1L, "view", 1.0),
+        Event(3L, 10 * H, 1L, "purchase", 50.0)))
+      q.processAllAvailable()
+      // sentinels (other user) advance the watermark past the purchase
+      mem.addData(Seq(Event(100L, 20 * H, 9L, "click", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(101L, 21 * H, 9L, "click", 0.0)))
+      q.processAllAvailable()
+      val rows = spark.table("ihc_ttl").as[IhcRow].collect()
+      // the 0 h session aged out (evicted by the watermark sweep before the
+      // purchase was even processed); the in-TTL session takes full credit
+      assert(rows.map(r => (r.conv_id, r.session_id, r.ihc)).toSeq === Seq((3L, 2L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming channel reporting converges to the batch report bit-for-bit") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Tables
