@@ -603,6 +603,91 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
+  /** Trained-IVF oracle: the same unrolled Lloyd iterations as
+    * [[graft.operators.Similarity.trainCentroids]], in pure SQL over the
+    * unnested centroid representation (cid, i, v). Every arithmetic step
+    * mirrors the Spark side exactly — decimal-exact dot products for the
+    * assignment argmax, decimal-exact per-dimension sums divided by the
+    * cell count and rounded to REAL for the update, COALESCE keeping empty
+    * cells' previous centroids — so the trained index hash-matches. */
+  private def ivfIteration(t: Int): String = s"""
+, cnrm$t AS (
+  SELECT cid, sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS cnrm
+  FROM cent$t GROUP BY cid
+), cdot$t AS (
+  SELECT f.vec_id, f.nrm, c.cid, n.cnrm,
+         CAST(SUM(CAST(CAST(f.embedding[c.i] AS DOUBLE) * CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat f CROSS JOIN cent$t c JOIN cnrm$t n ON n.cid = c.cid
+  GROUP BY f.vec_id, f.nrm, c.cid, n.cnrm
+), asg$t AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdot$t) x WHERE rn = 1
+), cmean${t + 1} AS (
+  SELECT a.cell AS cid, ix.i,
+         CAST(CAST(SUM(CAST(CAST(e.embedding[ix.i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS REAL) AS v
+  FROM asg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  GROUP BY a.cell, ix.i
+), cent${t + 1} AS (
+  SELECT p.cid, p.i, COALESCE(c.v, p.v) AS v
+  FROM cent$t p LEFT JOIN cmean${t + 1} c ON c.cid = p.cid AND c.i = p.i
+)"""
+
+  val annIvfTrainedTopK: String = {
+    val iters = 2
+    featBase + """
+, cent0 AS (
+  SELECT vec_id AS cid, ix.i, embedding[ix.i] AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  WHERE vec_id < 16
+)""" +
+      (0 until iters).map(ivfIteration).mkString +
+      s"""
+, cnrmF AS (
+  SELECT cid, sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS cnrm
+  FROM cent$iters GROUP BY cid
+), cdotF AS (
+  SELECT f.vec_id, f.nrm, c.cid, n.cnrm,
+         CAST(SUM(CAST(CAST(f.embedding[c.i] AS DOUBLE) * CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat f CROSS JOIN cent$iters c JOIN cnrmF n ON n.cid = c.cid
+  GROUP BY f.vec_id, f.nrm, c.cid, n.cnrm
+), assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
+    FROM cdotF WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+), dots AS (
+  SELECT cd.query_id, cd.neighbor_id, qf.nrm AS q_nrm, nf.nrm AS c_nrm,
+         CAST(SUM(CAST(CAST(qf.embedding[i] AS DOUBLE) * CAST(nf.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN feat qf ON qf.vec_id = cd.query_id
+  JOIN feat nf ON nf.vec_id = cd.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.neighbor_id, qf.nrm, nf.nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
   val topNgrams: String = shingleBase + """
 SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
 FROM sh

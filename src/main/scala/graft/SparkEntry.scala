@@ -199,6 +199,8 @@ object SparkEntry {
 
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
 
+    "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTopKTrained(Tables.embeddings(s, dir))),
+
     "top_ngrams" -> ((s, dir) => Dedup.topShingles(Tables.documents(s, dir))),
 
     "events_funnel" -> ((s, dir) => Analytics.funnel(Tables.events(s, dir))),
@@ -350,6 +352,7 @@ object SparkEntry {
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
     "ann_ivf_topk"              -> Oracles.annIvfTopK,
+    "ann_ivf_trained_topk"      -> Oracles.annIvfTrainedTopK,
     "top_ngrams"                -> Oracles.topNgrams,
     "events_funnel"             -> Oracles.eventsFunnel,
     "cohort_retention"          -> Oracles.cohortRetention,

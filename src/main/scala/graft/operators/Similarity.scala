@@ -58,47 +58,118 @@ object Similarity {
     * max cosine, then min centroid id. */
   def ivfTopK(
       embeddings: DataFrame,
-      nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame = {
+      nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame =
+    probeTopK(embeddings, initialCentroids(embeddings, nCentroids), nQueries, nProbe, k)
+
+  /** IVF with a TRAINED coarse quantizer: [[trainCentroids]]' deterministic
+    * Lloyd iterations replace the first-K stand-in, same probe machinery.
+    * Every training step is decimal-exact and mirrored in the DuckDB oracle
+    * (`ann_ivf_trained_topk`), so the trained index is hash-checked
+    * end-to-end, not just spec-sampled. */
+  def ivfTopKTrained(
+      embeddings: DataFrame,
+      nCentroids: Int = 16, iters: Int = 2,
+      nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame =
+    probeTopK(embeddings, trainCentroids(embeddings, nCentroids, iters), nQueries, nProbe, k)
+
+  /** The untrained quantizer: the first `nCentroids` vectors, with
+    * decimal-exact norms evaluated driver-side on the same float values
+    * (same arithmetic as normExact). */
+  private[graft] def initialCentroids(
+      embeddings: DataFrame, nCentroids: Int): Array[(Long, Array[Float], Double)] =
+    embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select("vec_id", "embedding").collect()
+      .map { r => withNorm(r.getLong(0), r.getSeq[Float](1).toArray) }
+      .sortBy(_._1)
+
+  private def withNorm(cid: Long, vec: Array[Float]): (Long, Array[Float], Double) = {
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      vec.map(java.lang.Float.valueOf))
+    (cid, vec, math.sqrt(graft.functions.DotDecimalImpl.dot(ad, ad).doubleValue()))
+  }
+
+  /** Cells ranked by (cosine DESC, cid ASC) as one sorted struct array —
+    * struct ascending order on (−cosine, cid) is exactly that rule, and
+    * every centroid dot product appears ONCE in the expression tree
+    * (a greatest/least argmax cascade duplicates subtrees
+    * combinatorially — ~100k dot nodes at K=16, nProbe=2). */
+  private def cellRank(
+      cents: Array[(Long, Array[Float], Double)],
+      emb: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
+    sort_array(array(cents.toSeq.map { case (cid, vec, cnrm) =>
+      struct(
+        (-(VectorFunctions.dotExact(emb, typedlit(vec)) / (nrm * lit(cnrm)))).as("negcos"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** Deterministically TRAINED coarse quantizer: `iters` Lloyd iterations
+    * from the fixed first-K init. Assignment is the same decimal-exact
+    * cosine argmax as the probe path; the update is the per-dimension mean
+    * — an exact decimal sum over the cell divided by the cell count,
+    * rounded back to float — and empty cells keep their previous centroid.
+    * Every step is therefore reproducible in ANSI SQL over the same
+    * parquet, which is what keeps the trained index oracle-checkable.
+    *
+    * Scale shape: per iteration one codegen'd map stage (assignment: K dot
+    * products per row against literal centroids) and one (cell, dim)
+    * aggregation whose output is K×dims rows — the only thing collected.
+    * No driver-side data beyond the K centroid vectors themselves. */
+  private[graft] def trainCentroids(
+      embeddings: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2): Array[(Long, Array[Float], Double)] = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
-
-    // the quantizer: (cid, vector, decimal-exact norm) — same arithmetic
-    // as normExact, evaluated driver-side on the same float values
-    val cents: Array[(Long, Array[Float], Double)] = embeddings
-      .filter(col("vec_id") < nCentroids)
-      .select("vec_id", "embedding").collect()
-      .map { r =>
-        val cid = r.getLong(0)
-        val vec = r.getSeq[Float](1).toArray
-        val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-          vec.map(java.lang.Float.valueOf))
-        (cid, vec, math.sqrt(graft.functions.DotDecimalImpl.dot(ad, ad).doubleValue()))
+    var cents = initialCentroids(embeddings, nCentroids)
+    (1 to iters).foreach { _ =>
+      val assigned = feat.withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1)).cast("double")).cast("float").as("v"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toArray
+        }
+      cents = cents.map { case (cid, prev, _) =>
+        withNorm(cid, means.getOrElse(cid, prev))
       }
-      .sortBy(_._1)
+    }
+    cents
+  }
 
-    /** Cells ranked by (cosine DESC, cid ASC) as one sorted struct array —
-      * struct ascending order on (−cosine, cid) is exactly that rule, and
-      * every centroid dot product appears ONCE in the expression tree
-      * (a greatest/least argmax cascade duplicates subtrees
-      * combinatorially — ~100k dot nodes at K=16, nProbe=2). */
-    def cellRank(emb: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
-      sort_array(array(cents.toSeq.map { case (cid, vec, cnrm) =>
-        struct(
-          (-(VectorFunctions.dotExact(emb, typedlit(vec)) / (nrm * lit(cnrm)))).as("negcos"),
-          lit(cid).as("cid"))
-      }: _*))
-
+  /** The shared IVF probe path: corpus rows are assigned to their nearest
+    * cell; a query probes its `nProbe` nearest cells and ranks only those
+    * candidates.
+    *
+    * The coarse quantizer IS index metadata: K centroid vectors + norms —
+    * bytes, not data — inlined as literals, so cell assignment and probe
+    * selection are PURE MAP stages, no crossJoin, no window shuffle. The
+    * only shuffles left are the candidate join (probe side is |Q|·nProbe
+    * rows — broadcast) and the final per-query top-k rank. Tie rules match
+    * the relational oracle: max cosine, then min centroid id. */
+  private def probeTopK(
+      embeddings: DataFrame,
+      cents: Array[(Long, Array[Float], Double)],
+      nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
     val assigned = feat
       .withColumn("cell",
-        element_at(cellRank(col("embedding"), col("nrm")), 1).getField("cid"))
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("nrm").as("c_nrm"), col("cell"))
     val probes = feat.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
         explode(transform(
-          slice(cellRank(col("embedding"), col("nrm")), 1, nProbe),
+          slice(cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
           s => s.getField("cid"))).as("cell"))
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(probes)
