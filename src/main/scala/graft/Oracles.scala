@@ -200,6 +200,52 @@ WHERE conversion = 1
 GROUP BY channel_name
 ORDER BY channel_name"""
 
+  val linearAttribution: String = attrBase + """
+, lin AS (
+  SELECT channel_name, revenue,
+         CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE) AS credit
+  FROM assigned
+)
+SELECT channel_name,
+       CAST(SUM(CAST(credit AS DECIMAL(27,9))) AS DOUBLE) AS conversions,
+       CAST(round(SUM(CAST(credit AS DECIMAL(10,9)) * CAST(revenue AS DECIMAL(12,6))), 9) AS DOUBLE) AS revenue
+FROM lin GROUP BY channel_name ORDER BY channel_name"""
+
+  val timeDecayAttribution: String = attrBase + """
+, td AS (
+  SELECT channel_name, revenue, conv_id,
+         CAST(1.0 AS DOUBLE)
+           / (CAST(1.0 AS DOUBLE) + CAST((conv_ts_us - ts_us) // 86400000000 AS DOUBLE)) AS w
+  FROM assigned
+), tdn AS (
+  SELECT channel_name, revenue,
+         w / CAST(SUM(CAST(w AS DECIMAL(27,9))) OVER (PARTITION BY conv_id) AS DOUBLE) AS credit
+  FROM td
+)
+SELECT channel_name,
+       CAST(SUM(CAST(credit AS DECIMAL(27,9))) AS DOUBLE) AS conversions,
+       CAST(round(SUM(CAST(credit AS DECIMAL(10,9)) * CAST(revenue AS DECIMAL(12,6))), 9) AS DOUBLE) AS revenue
+FROM tdn GROUP BY channel_name ORDER BY channel_name"""
+
+  val positionAttribution: String = attrBase + """
+, pos AS (
+  SELECT channel_name, revenue,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts_us ASC, session_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM assigned
+), pcredit AS (
+  SELECT channel_name, revenue,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS credit
+  FROM pos
+)
+SELECT channel_name,
+       CAST(SUM(CAST(credit AS DECIMAL(27,9))) AS DOUBLE) AS conversions,
+       CAST(round(SUM(CAST(credit AS DECIMAL(10,9)) * CAST(revenue AS DECIMAL(12,6))), 9) AS DOUBLE) AS revenue
+FROM pcredit GROUP BY channel_name ORDER BY channel_name"""
+
   val q6ForecastRevenue: String = """
 SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items

@@ -105,6 +105,12 @@ object SparkEntry {
 
     "last_touch_attribution" -> ((s, dir) => Reporting.lastTouch(flagged(s, dir))),
 
+    "linear_attribution" -> ((s, dir) => Reporting.linearAttribution(assigned(s, dir))),
+
+    "time_decay_attribution" -> ((s, dir) => Reporting.timeDecayAttribution(assigned(s, dir))),
+
+    "position_attribution" -> ((s, dir) => Reporting.positionBasedAttribution(assigned(s, dir))),
+
     "training_data_export" -> ((s, dir) =>
       Journeys.trainingExport(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -323,6 +329,9 @@ object SparkEntry {
     "training_data_export"      -> Oracles.trainingDataExport,
     "first_touch_attribution"   -> Oracles.firstTouchAttribution,
     "last_touch_attribution"    -> Oracles.lastTouchAttribution,
+    "linear_attribution"        -> Oracles.linearAttribution,
+    "time_decay_attribution"    -> Oracles.timeDecayAttribution,
+    "position_attribution"      -> Oracles.positionAttribution,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

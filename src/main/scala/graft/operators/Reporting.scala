@@ -77,6 +77,89 @@ object Reporting {
       .agg(count(lit(1)).as("n_conversions"), dsum(col("revenue")).as("revenue"))
       .orderBy("channel_name")
 
+  /** Revenue share for the fractional-credit models, summed EXACTLY:
+    * each factor is rounded to decimal separately — credit at scale 9
+    * (within [0,1]; only a 10-decimal-exact dyadic credit could sit on a
+    * rounding boundary), revenue at scale 6 (the money data carries ≤2
+    * decimals, so this cast is lossless) — then multiplied and summed in
+    * decimal, which is exact, with ONE final cast to double.
+    *
+    * Rounding the double PRODUCT instead (the plain dsum pattern) is
+    * subtly non-portable here: a dyadic credit (e.g. 7/16) times a
+    * 3-decimal revenue lands exactly on the product-cast half-boundary
+    * while not being binary-representable, and Spark (shortest-decimal
+    * HALF_UP) and other engines (binary-value rounding) legitimately
+    * disagree on which side it falls — observed as 1e-6 mismatches at
+    * sf0.1 before this factoring. */
+  private def modelRevenue: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.DecimalType
+    // the sum is rescaled 15 → 9 BEFORE the double cast: a scale-15 total
+    // has an unscaled value past 2^53, where decimal→double conversion is
+    // engine-specific in the last ulp (one engine double-rounds through
+    // int128/10^15); at scale 9 the conversion is a single exact division
+    sum(col("credit").cast(DecimalType(10, 9)) * col("revenue").cast(DecimalType(12, 6)))
+      .cast(DecimalType(38, 9)).cast("double").as("revenue")
+  }
+
+  /** Linear attribution: uniform credit 1/n across the journey's sessions —
+    * fractional conversions and revenue shares per channel. Completes the
+    * classic model ladder next to first/last-touch and IHC. */
+  def linearAttribution(assigned: DataFrame): DataFrame = {
+    val byConv = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    assigned
+      .withColumn("credit", lit(1.0) / count(lit(1)).over(byConv).cast("double"))
+      .groupBy("channel_name")
+      .agg(
+        graft.functions.Exact.dsum9(col("credit")).as("conversions"),
+        modelRevenue)
+      .orderBy("channel_name")
+  }
+
+  /** Time-decay attribution with RECIPROCAL-day decay w = 1/(1+age_days),
+    * normalized per journey. Reciprocal decay (not exponential) is a
+    * deliberate choice: credit must be bit-reproducible across engines, and
+    * `exp()` is not correctly rounded in either JVM intrinsics or libm —
+    * 1/(1+k) over an integer day age uses only correctly-rounded IEEE ops,
+    * so Spark and the SQL oracle agree exactly while keeping the
+    * recency-weighting shape. */
+  def timeDecayAttribution(assigned: DataFrame): DataFrame = {
+    val byConv = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    assigned
+      .withColumn("age_days", expr("(conv_ts_us - ts_us) DIV 86400000000"))
+      .withColumn("w", lit(1.0) / (lit(1.0) + col("age_days").cast("double")))
+      .withColumn("wsum",
+        sum(col("w").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+          .over(byConv).cast("double"))
+      .withColumn("credit", col("w") / col("wsum"))
+      .groupBy("channel_name")
+      .agg(
+        graft.functions.Exact.dsum9(col("credit")).as("conversions"),
+        modelRevenue)
+      .orderBy("channel_name")
+  }
+
+  /** Position-based (U-shaped) attribution: 40% to the opening touch, 40%
+    * to the closing touch, the middle 20% split evenly; degenerate
+    * journeys get 1.0 (single touch) or 0.5/0.5 (two touches). */
+  def positionBasedAttribution(assigned: DataFrame): DataFrame = {
+    val byConv = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    val asc = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("ts_us").asc, col("session_id").asc)
+    assigned
+      .withColumn("rn", row_number().over(asc))
+      .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("credit",
+        when(col("n") === 1, 1.0)
+          .when(col("n") === 2, 0.5)
+          .when(col("rn") === 1 || col("rn") === col("n"), 0.4)
+          .otherwise(lit(0.2) / (col("n") - 2).cast("double")))
+      .groupBy("channel_name")
+      .agg(
+        graft.functions.Exact.dsum9(col("credit")).as("conversions"),
+        modelRevenue)
+      .orderBy("channel_name")
+  }
+
   /** Export the reporting table as a single CSV with header — reference
     * `reporting.py:105-168` (`channel_reporting.csv`). Coalesced to one
     * file to match the reference's single-artifact contract; the parquet

@@ -11,6 +11,21 @@ class AttributionSpec extends SparkSpec {
   private lazy val assigned    = Journeys.assign(sessions, conversions).cache()
   private lazy val attributed  = IhcAttribution.attribute(Journeys.flagConversion(assigned)).cache()
 
+  test("linear / time-decay / position models conserve total credit") {
+    // each model distributes exactly 1.0 fractional conversion per journey,
+    // so the channel rollup must sum back to the journey count
+    import graft.operators.Reporting
+    val journeys = assigned.select("conv_id").distinct().count().toDouble
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      Reporting.linearAttribution,
+      Reporting.timeDecayAttribution,
+      Reporting.positionBasedAttribution
+    ).foreach { model =>
+      val s = model(assigned).agg(sum("conversions")).head().getDouble(0)
+      assert(math.abs(s - journeys) < 1e-6, s"credit sum $s != journeys $journeys")
+    }
+  }
+
   test("each session is assigned to at most one conversion") {
     val dup = assigned.groupBy("session_id").count().filter(col("count") > 1).count()
     assert(dup === 0)
