@@ -734,6 +734,40 @@ FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
 
+  val textRepetition: String = shingleBase + """
+, n AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id
+), tw AS (
+  SELECT doc_id, MAX(c) AS top_word_n FROM (
+    SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w) t
+  GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, bg FROM (
+    SELECT doc_id, w || ' ' || LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+    FROM tok) t
+  WHERE bg IS NOT NULL
+), nbi AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams FROM bi GROUP BY doc_id
+), tbi AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n FROM (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg) t
+  GROUP BY doc_id
+), tri AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri_distinct FROM sh GROUP BY doc_id
+)
+SELECT n.doc_id, n.n_tokens,
+       CAST(tw.top_word_n AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS top_word_frac,
+       CAST(tbi.top_bigram_n AS DOUBLE) / CAST(nbi.n_bigrams AS DOUBLE) AS top_bigram_frac,
+       CASE WHEN n.n_tokens > 2
+            THEN CAST(1.0 AS DOUBLE) - CAST(tri.n_tri_distinct AS DOUBLE)
+                 / CAST(n.n_tokens - 2 AS DOUBLE) END AS dup_trigram_frac
+FROM n
+JOIN tw  ON tw.doc_id = n.doc_id
+JOIN nbi ON nbi.doc_id = n.doc_id
+JOIN tbi ON tbi.doc_id = n.doc_id
+JOIN tri ON tri.doc_id = n.doc_id
+ORDER BY n.doc_id"""
+
   val topNgrams: String = shingleBase + """
 SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
 FROM sh

@@ -268,6 +268,8 @@ object SparkEntry {
         substring(TextFunctions.fingerprint(col("text")), 1, 8).as("fp_bucket"))
         .orderBy("doc_id")),
 
+    "text_repetition" -> ((s, dir) => Corpus.repetitionMetrics(Tables.documents(s, dir))),
+
     "multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
 
     "multimodal_frame_sample" -> ((s, dir) =>
@@ -378,6 +380,7 @@ object SparkEntry {
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,
     "doc_fingerprint"           -> Oracles.docFingerprint,
+    "text_repetition"           -> Oracles.textRepetition,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "multimodal_features"       -> Oracles.multimodalFeatures,

@@ -28,6 +28,50 @@ object Corpus {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Per-document repetition metrics — the Gopher-style quality signals
+    * (Rae et al. 2021 §A1.1: repetitious documents are low-quality
+    * training data and slip past stopword/length filters):
+    *
+    *  - `top_word_frac`: share of the most frequent token
+    *  - `top_bigram_frac`: share of the most frequent bigram
+    *  - `dup_trigram_frac`: fraction of trigram occurrences that are
+    *    repeats (1 − distinct/total)
+    *
+    * All-relational: token counts and argmax-by-count are partial-agg
+    * groupBys keyed by (doc_id[, gram]), the bigram forms with one lead()
+    * window inside the doc partition, and the distinct-trigram count
+    * reuses the native one-pass [[Dedup.shingleArrays]] expression — no
+    * per-row HOFs, no UDFs, scan-speed at corpus scale. */
+  def repetitionMetrics(documents: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(documents)
+    val n = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val topWord = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("bg"))
+    val nBi = bi.groupBy("doc_id").agg(count(lit(1)).as("n_bigrams"))
+    val topBi = bi.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    val triDistinct = Dedup.shingleArrays(documents)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_tri_distinct"))
+    n.join(topWord, "doc_id").join(nBi, "doc_id").join(topBi, "doc_id")
+      .join(triDistinct, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        (col("top_word_n").cast("double") / col("n_tokens").cast("double"))
+          .as("top_word_frac"),
+        (col("top_bigram_n").cast("double") / col("n_bigrams").cast("double"))
+          .as("top_bigram_frac"),
+        when(col("n_tokens") > 2,
+          lit(1.0) - col("n_tri_distinct").cast("double") /
+            (col("n_tokens") - 2).cast("double"))
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation filter — the query a training-data pipeline runs
     * last: keep a document iff it is its exact-dedup cluster's
     * representative (min doc_id per text md5) AND its composite quality

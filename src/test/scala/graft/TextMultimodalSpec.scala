@@ -9,6 +9,23 @@ class TextMultimodalSpec extends SparkSpec {
 
   private def one(text: String) = Seq((1L, text)).toDF("doc_id", "text")
 
+  test("repetition metrics on a degenerate all-repeats document") {
+    // "a a a a a": every token identical -> top word/bigram share 1.0;
+    // 3 trigram occurrences, 1 distinct -> dup fraction 2/3
+    val r = graft.operators.Corpus.repetitionMetrics(one("a a a a a")).head()
+    assert(r.getAs[Long]("n_tokens") === 5L)
+    assert(r.getAs[Double]("top_word_frac") === 1.0)
+    assert(r.getAs[Double]("top_bigram_frac") === 1.0)
+    assert(math.abs(r.getAs[Double]("dup_trigram_frac") - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("repetition metrics on an all-distinct document are minimal") {
+    val r = graft.operators.Corpus.repetitionMetrics(one("v w x y z")).head()
+    assert(r.getAs[Double]("top_word_frac") === 0.2)
+    assert(math.abs(r.getAs[Double]("top_bigram_frac") - 0.25) < 1e-12)
+    assert(r.getAs[Double]("dup_trigram_frac") === 0.0)
+  }
+
   test("langId predicts en on stopword-rich text, unknown otherwise") {
     val out = one("the cat sat on the mat in a hat")
       .select(TextFunctions.langId(col("text"))).head.getString(0)
