@@ -200,6 +200,91 @@ WHERE conversion = 1
 GROUP BY channel_name
 ORDER BY channel_name"""
 
+  /** One Jacobi step of the Markov absorption solve — mirrors
+    * [[graft.operators.Markov.absorption]]: both product factors rounded
+    * to decimal scale 9, exact decimal product + sum, accumulator rounded
+    * back to scale 9 (half-up) before returning to double. */
+  private def markovIter(t: Int): String = s"""
+, p$t AS MATERIALIZED (
+  SELECT st.r, st.s,
+         COALESCE(cv.cp, CAST(0.0 AS DOUBLE)) + COALESCE(x.acc, CAST(0.0 AS DOUBLE)) AS p
+  FROM states st
+  LEFT JOIN convp cv ON cv.r = st.r AND cv.s = st.s
+  LEFT JOIN (
+    SELECT m.r, m.f AS s,
+           CAST(round(SUM(CAST(m.prob AS DECIMAL(14,9)) * CAST(pp.p AS DECIMAL(14,9))), 9) AS DOUBLE) AS acc
+    FROM chant m JOIN p${t - 1} pp ON pp.r = m.r AND pp.s = m.t
+    GROUP BY m.r, m.f) x ON x.r = st.r AND x.s = st.s
+)"""
+
+  val markovAttribution: String = {
+    val iters = 16
+    attrBase + """
+, jseq AS (
+  SELECT conv_id, channel_name,
+         LEAD(channel_name, 1) OVER win AS nxt,
+         row_number() OVER win AS rn
+  FROM assigned WINDOW win AS (PARTITION BY conv_id ORDER BY ts_us, session_id)
+), rsd AS (
+  SELECT user_id, ts_us, session_id, channel_name FROM sessions s
+  WHERE NOT EXISTS (SELECT 1 FROM assigned a WHERE a.session_id = s.session_id)
+), rseq AS (
+  SELECT user_id, channel_name,
+         LEAD(channel_name, 1) OVER win AS nxt,
+         row_number() OVER win AS rn
+  FROM rsd WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, session_id)
+), edges AS (
+  SELECT channel_name AS f, nxt AS t FROM jseq WHERE nxt IS NOT NULL
+  UNION ALL SELECT 'START', channel_name FROM jseq WHERE rn = 1
+  UNION ALL SELECT channel_name, 'CONV' FROM jseq WHERE nxt IS NULL
+  UNION ALL SELECT channel_name, nxt FROM rseq WHERE nxt IS NOT NULL
+  UNION ALL SELECT 'START', channel_name FROM rseq WHERE rn = 1
+  UNION ALL SELECT channel_name, 'NULL' FROM rseq WHERE nxt IS NULL
+), trans AS MATERIALIZED (
+  SELECT f AS from_state, t AS to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM edges GROUP BY f, t
+), rlist AS (
+  SELECT DISTINCT from_state AS r FROM trans WHERE from_state <> 'START'
+  UNION ALL SELECT '<none>'
+), tots AS (
+  SELECT from_state AS f, CAST(SUM(n) AS BIGINT) AS ntot FROM trans GROUP BY from_state
+), probs AS MATERIALIZED (
+  SELECT rl.r, tr.from_state AS f,
+         CASE WHEN tr.to_state = rl.r THEN 'NULL' ELSE tr.to_state END AS t,
+         CAST(tr.n AS DOUBLE) / CAST(tt.ntot AS DOUBLE) AS prob
+  FROM trans tr
+  JOIN tots tt ON tt.f = tr.from_state
+  CROSS JOIN rlist rl
+  WHERE tr.from_state <> rl.r
+), convp AS MATERIALIZED (
+  SELECT r, f AS s, prob AS cp FROM probs WHERE t = 'CONV'
+), chant AS MATERIALIZED (
+  SELECT r, f, t, prob FROM probs WHERE t NOT IN ('CONV', 'NULL')
+), states AS MATERIALIZED (
+  SELECT DISTINCT r, f AS s FROM probs
+), p0 AS MATERIALIZED (
+  SELECT r, s, CAST(0.0 AS DOUBLE) AS p FROM states
+)""" +
+      (1 to iters).map(markovIter).mkString +
+      s"""
+, re AS (
+  SELECT rm.r AS channel_name,
+         GREATEST(CAST(1.0 AS DOUBLE) - rm.p / fl.p, CAST(0.0 AS DOUBLE)) AS removal_effect
+  FROM (SELECT r, p FROM p$iters WHERE s = 'START' AND r <> '<none>') rm
+  CROSS JOIN (SELECT p FROM p$iters WHERE s = 'START' AND r = '<none>') fl
+), ws AS (
+  SELECT CAST(SUM(CAST(removal_effect AS DECIMAL(14,9))) AS DOUBLE) AS w FROM re
+), tot_rev AS (
+  SELECT CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total
+  FROM (SELECT DISTINCT conv_id, revenue FROM assigned) t
+)
+SELECT channel_name, removal_effect,
+       removal_effect / ws.w AS weight,
+       removal_effect / ws.w * tot_rev.total AS revenue
+FROM re CROSS JOIN ws CROSS JOIN tot_rev
+ORDER BY channel_name"""
+  }
+
   val linearAttribution: String = attrBase + """
 , lin AS (
   SELECT channel_name, revenue,

@@ -111,6 +111,9 @@ object SparkEntry {
 
     "position_attribution" -> ((s, dir) => Reporting.positionBasedAttribution(assigned(s, dir))),
 
+    "markov_attribution" -> ((s, dir) =>
+      graft.operators.Markov.attribution(s, Tables.sessions(s, dir), assigned(s, dir))),
+
     "training_data_export" -> ((s, dir) =>
       Journeys.trainingExport(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -334,6 +337,7 @@ object SparkEntry {
     "linear_attribution"        -> Oracles.linearAttribution,
     "time_decay_attribution"    -> Oracles.timeDecayAttribution,
     "position_attribution"      -> Oracles.positionAttribution,
+    "markov_attribution"        -> Oracles.markovAttribution,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

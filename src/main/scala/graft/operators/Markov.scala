@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Markov-chain (removal-effect) attribution — the data-driven model the
+  * first-order transition matrix (SURVEY §2.A15) feeds.
+  *
+  * Model: user paths are walks on a chain with states
+  * {START, channels…, CONV, NULL}. Converting journeys contribute
+  * START→c₁→…→cₖ→CONV; each user's unassigned residual sessions
+  * contribute a non-converting START→c₁→…→cₖ→NULL path. The removal
+  * effect of channel c is the relative drop in START→CONV absorption
+  * probability when every transition into c is redirected to NULL;
+  * channel credit is the normalized removal effect, and revenue is split
+  * by that weight.
+  *
+  * Scale split: transition COUNTING is the data-sized part and runs as
+  * windowed lead() passes + one groupBy — fully distributed. The chain
+  * itself is |channels|² ≈ bytes of INDEX METADATA, so the absorption
+  * solve (fixed 16 Jacobi iterations per removal) runs driver-side on the
+  * collected matrix, exactly like collecting K centroid vectors for IVF.
+  *
+  * Exactness: each iteration step mirrors the DuckDB oracle bit-for-bit —
+  * both factors of every product are rounded to DECIMAL scale 9 (the
+  * driver uses the exact binary-value constructor + HALF_UP, which is the
+  * same rounding the oracle engine applies in its double→decimal cast),
+  * products and sums are exact decimal arithmetic, and each per-state
+  * accumulator is rounded back to scale 9 before returning to double —
+  * so 16 iterations later the two engines still agree on every bit.
+  */
+object Markov {
+
+  val Start = "START"
+  val Conv = "CONV"
+  val Absorb = "NULL"
+  /** Marker for the unmodified chain in the removal dimension. */
+  val NoRemoval = "<none>"
+
+  /** Distributed transition counts over converting journeys + residual
+    * non-converting paths: (from_state, to_state, n). */
+  def transitionCounts(sessions: DataFrame, assigned: DataFrame): DataFrame = {
+    val wj = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
+    val j = assigned
+      .select(col("conv_id"), col("ts_us"), col("session_id"), col("channel_name"))
+      .withColumn("nxt", lead("channel_name", 1).over(wj))
+      .withColumn("rn", row_number().over(wj))
+    val resid = sessions.join(assigned.select("session_id"), Seq("session_id"), "left_anti")
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_us"), col("session_id"))
+    val r = resid
+      .select(col("user_id"), col("ts_us"), col("session_id"), col("channel_name"))
+      .withColumn("nxt", lead("channel_name", 1).over(wu))
+      .withColumn("rn", row_number().over(wu))
+    def f(c: org.apache.spark.sql.Column) = c.as("f")
+    def t(c: org.apache.spark.sql.Column) = c.as("t")
+    j.filter(col("nxt").isNotNull).select(f(col("channel_name")), t(col("nxt")))
+      .union(j.filter(col("rn") === 1).select(f(lit(Start)), t(col("channel_name"))))
+      .union(j.filter(col("nxt").isNull).select(f(col("channel_name")), t(lit(Conv))))
+      .union(r.filter(col("nxt").isNotNull).select(f(col("channel_name")), t(col("nxt"))))
+      .union(r.filter(col("rn") === 1).select(f(lit(Start)), t(col("channel_name"))))
+      .union(r.filter(col("nxt").isNull).select(f(col("channel_name")), t(lit(Absorb))))
+      .groupBy(col("f").as("from_state"), col("t").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Exact binary-value decimal rounding at scale 9 — the oracle engine's
+    * double→DECIMAL(14,9) cast semantics. */
+  private def dec9(d: Double): JBD = new JBD(d).setScale(9, RoundingMode.HALF_UP)
+
+  /** START→CONV absorption probability after `iters` Jacobi steps, with
+    * transitions into `removed` redirected to NULL and `removed`'s own
+    * outgoing rows dropped (probabilities keep the ORIGINAL denominators —
+    * the walk follows the original chain and is lost on entering the
+    * removed channel). */
+  private[graft] def absorption(
+      trans: Seq[(String, String, Long)],
+      removed: Option[String],
+      iters: Int = 16): Double = {
+    val totals = trans.groupBy(_._1).map { case (fr, xs) => fr -> xs.map(_._3).sum }
+    val probs = trans
+      .filterNot { case (fr, _, _) => removed.contains(fr) }
+      .map { case (fr, to0, n) =>
+        val to = if (removed.contains(to0)) Absorb else to0
+        (fr, to, n.toDouble / totals(fr).toDouble)
+      }
+    val states = trans.map(_._1).distinct.filterNot(removed.contains)
+    val cp = probs.filter(_._2 == Conv).map { case (fr, _, p) => fr -> p }.toMap
+    val chan = probs.filter { case (_, to, _) => to != Conv && to != Absorb }
+    var p: Map[String, Double] = states.map(_ -> 0.0).toMap
+    (1 to iters).foreach { _ =>
+      p = states.map { s =>
+        val terms = chan.collect { case (`s`, to, pr) => dec9(pr).multiply(dec9(p(to))) }
+        val acc =
+          if (terms.isEmpty) 0.0
+          else terms.reduce(_.add(_)).setScale(9, RoundingMode.HALF_UP).doubleValue()
+        s -> (cp.getOrElse(s, 0.0) + acc)
+      }.toMap
+    }
+    p.getOrElse(Start, 0.0)
+  }
+
+  /** Full removal-effect attribution:
+    * (channel_name, removal_effect, weight, revenue). */
+  def attribution(
+      spark: SparkSession, sessions: DataFrame, assigned: DataFrame): DataFrame = {
+    val trans = transitionCounts(sessions, assigned)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val channels = trans.map(_._1).distinct.filter(_ != Start).sorted
+    val pFull = absorption(trans, None)
+    val effects = channels.map { c =>
+      c -> math.max(1.0 - absorption(trans, Some(c)) / pFull, 0.0)
+    }
+    // Σ removal effects, decimal-exact like every other cross-engine sum
+    val wsum = effects.map { case (_, e) => dec9(e) }
+      .reduce(_.add(_)).doubleValue()
+    // total journey revenue — distributed decimal-exact sum
+    val total = assigned.select(col("conv_id"), col("revenue")).distinct()
+      .agg(graft.functions.Exact.dsum(col("revenue"))).head().getDouble(0)
+    val rows = effects.map { case (c, e) =>
+      Row(c, e, e / wsum, e / wsum * total)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "channel_name STRING, removal_effect DOUBLE, weight DOUBLE, revenue DOUBLE"))
+      .orderBy("channel_name")
+  }
+}

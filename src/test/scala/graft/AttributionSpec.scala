@@ -11,6 +11,33 @@ class AttributionSpec extends SparkSpec {
   private lazy val assigned    = Journeys.assign(sessions, conversions).cache()
   private lazy val attributed  = IhcAttribution.attribute(Journeys.flagConversion(assigned)).cache()
 
+  test("markov removal effect: a channel on every converting path gets full credit") {
+    import spark.implicits._
+    // user 1 converts through channel a; user 2 touches only channel b and
+    // never converts — removing a kills every conversion (effect 1.0),
+    // removing b changes nothing (effect 0.0)
+    val sess = Seq(
+      (100L, 1L, 1000L, "a"),
+      (200L, 2L, 1000L, "b"))
+      .toDF("session_id", "user_id", "ts_us", "channel_name")
+    val asg = Seq((100L, 1L, 1000L, "a", 10L, 2000L, 50.0))
+      .toDF("session_id", "user_id", "ts_us", "channel_name", "conv_id", "conv_ts_us", "revenue")
+    val out = graft.operators.Markov.attribution(spark, sess, asg).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("a", 1.0, 1.0, 50.0), ("b", 0.0, 0.0, 0.0)))
+  }
+
+  test("markov weights sum to 1 and revenue to the journey total on real data") {
+    import graft.operators.Markov
+    val m = Markov.attribution(spark, sessions, assigned)
+    val w = m.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(w - 1.0) < 1e-9)
+    val rev = m.agg(sum("revenue")).head().getDouble(0)
+    val total = assigned.select("conv_id", "revenue").distinct()
+      .agg(sum("revenue")).head().getDouble(0)
+    assert(math.abs(rev - total) < 1e-3)
+  }
+
   test("linear / time-decay / position models conserve total credit") {
     // each model distributes exactly 1.0 fractional conversion per journey,
     // so the channel rollup must sum back to the journey count
