@@ -28,6 +28,43 @@ object Corpus {
       .orderBy("doc_id", "fingerprint")
   }
 
+  /** Incremental corpus ingestion with a persisted dedup state — the
+    * LLM-pipeline twin of [[graft.Pipeline]]'s idempotent attribution
+    * write-back: each batch admits only documents whose normalized text
+    * fingerprint has never been seen (exact dedup ACROSS runs, not just
+    * within one), appends the admitted docs and their fingerprints, and
+    * re-running the same batch is a no-op. One left-anti join against the
+    * fingerprint store (hash-joinable at any scale; at 100 TB the store
+    * would be bucketed by fingerprint so the anti-join co-locates), plus
+    * the usual within-batch min-doc_id representative pick.
+    *
+    * @return number of newly admitted documents */
+  def ingestIncremental(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, stateDir: String): Long = {
+    val fpDir = s"$stateDir/fingerprints"
+    val docDir = s"$stateDir/documents"
+    val fpPath = new org.apache.hadoop.fs.Path(fpDir)
+    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val seen =
+      if (fs.exists(fpPath)) spark.read.parquet(fpDir)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("fingerprint STRING"))
+    // within-batch representative (min doc_id per fingerprint), then
+    // cross-run novelty via one anti-join against the persisted store
+    val withFp = batch.withColumn(
+      "fingerprint", graft.functions.TextFunctions.fingerprint(col("text")))
+    val reps = withFp
+      .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+      .join(withFp.drop("fingerprint"), "doc_id")
+    val admitted = reps
+      .join(seen, Seq("fingerprint"), "left_anti")
+      .localCheckpoint() // both writes + the count read one materialization
+    admitted.drop("fingerprint").write.mode("append").parquet(docDir)
+    admitted.select("fingerprint").write.mode("append").parquet(fpDir)
+    admitted.count()
+  }
+
   /** Per-document repetition metrics — the Gopher-style quality signals
     * (Rae et al. 2021 §A1.1: repetitious documents are low-quality
     * training data and slip past stopword/length filters):
