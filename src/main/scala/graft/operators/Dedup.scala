@@ -323,8 +323,16 @@ object Dedup {
     var e = edges0
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) {
-      val next = materialize(smallStar(materialize(largeStar(e))))
+    def round(g: DataFrame): DataFrame = materialize(smallStar(materialize(largeStar(g))))
+    while (changed > 0 && iter < 15) {
+      // First check after ONE round (clique-ish LSH graphs converge
+      // immediately — don't pay a wasted extra round), then TWO rounds per
+      // check: on chain-y graphs the driver-side actions (materialize jobs
+      // + the count/except check) dominate the tiny joins, star rounds are
+      // idempotent at the fixpoint, and the label extraction below needs a
+      // fixpoint, not a round count — so sparser checks are semantically
+      // free.
+      val next = if (iter == 0) round(e) else round(round(e))
       // distinct canonical pairs: equal counts + empty difference ⇔ equal sets
       changed =
         if (next.count() != e.count()) 1L else next.except(e).count()
