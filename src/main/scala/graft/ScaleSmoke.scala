@@ -84,6 +84,29 @@ object ScaleSmoke {
       println(s"[scale] winnow fingerprints = " +
         graft.operators.Corpus.winnowFingerprints(docs).count()))
 
+    // Markov removal-effect attribution end-to-end at n events: the
+    // distributed transition count is the data-sized part; the absorption
+    // solve touches only the K×K collected matrix.
+    time(s"markov_attribution n=$n")(println(s"[scale] markov channels = " +
+      graft.operators.Markov.attribution(
+        spark, sessions, Journeys.assign(sessions, conversions)).count()))
+
+    // Repetition metrics over the synthetic docs (groupBys + one window).
+    time(s"text_repetition nDocs=$nDocs")(println(s"[scale] repetition rows = " +
+      graft.operators.Corpus.repetitionMetrics(docs).count()))
+
+    // Star CC on a planted chain FOREST — 1000 chains of 1000 nodes with
+    // permuted ids: maximum-diameter worst case at 1M nodes, where
+    // diameter-proportional propagation would need ~500 rounds and the
+    // alternating-star rounds stay logarithmic.
+    val nCC = 1000000L
+    val chainEdges = spark.range(nCC - 1)
+      .filter(expr("pmod(id + 1, 1000) != 0"))
+      .selectExpr("id * 2654435761 AS doc_a", "(id + 1) * 2654435761 AS doc_b")
+    time(s"star_cc chain-forest nodes=$nCC")(println(s"[scale] components = " +
+      graft.operators.Dedup.clustersStar(chainEdges)
+        .select("cluster_id").distinct().count()))
+
     // ANN stage: brute-force top-10 cosine for 8 queries over nVecs vectors.
     val nVecs = if (args.length > 2) args(2).toLong else 500000L
     val vecs = spark.range(nVecs).selectExpr(

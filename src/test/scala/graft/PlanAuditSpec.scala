@@ -55,6 +55,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(df) === 1)
   }
 
+  test("attribution models: scans prune to the journey columns, no cartesian products") {
+    val assigned = graft.operators.Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    Seq(
+      graft.operators.Reporting.linearAttribution(assigned),
+      graft.operators.Reporting.timeDecayAttribution(assigned),
+      graft.operators.Reporting.positionBasedAttribution(assigned)
+    ).foreach { df =>
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+      // the event scan must not read the JSON props payload
+      scans(df).foreach(s =>
+        assert(!s.schema.fieldNames.contains("props"), s.schema.fieldNames.mkString(",")))
+    }
+  }
+
+  test("markov transition counting: windowed passes only, no cartesian, props pruned") {
+    val df = graft.operators.Markov.transitionCounts(
+      Tables.sessions(spark, sfDir),
+      graft.operators.Journeys.assign(
+        Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir)))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"))
+    scans(df).foreach(s => assert(!s.schema.fieldNames.contains("props")))
+  }
+
+  test("text repetition: document scan pruned to (doc_id, text)") {
+    val df = Corpus.repetitionMetrics(Tables.documents(spark, sfDir))
+    scans(df).foreach { s =>
+      assert(s.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text")),
+        s.schema.fieldNames.mkString(","))
+    }
+  }
+
   test("date-partitioned sink: reads prune partitions, rows round-trip") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, sfDir)
