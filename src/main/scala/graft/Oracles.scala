@@ -819,6 +819,30 @@ FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
 
+  /** Built-in session_window semantics: new session at gap >= 30 min,
+    * session end = last event + gap. */
+  val eventsSessionWindow: String = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), lagd AS (
+  SELECT user_id, ts_us,
+         LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+  FROM ev
+), marked AS (
+  SELECT user_id, ts_us,
+         SUM(CASE WHEN prev IS NULL OR ts_us - prev >= 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts_us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM lagd
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM marked
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us"""
+
   val textRepetition: String = shingleBase + """
 , n AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id

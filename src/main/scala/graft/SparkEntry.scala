@@ -289,6 +289,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "events_session_window" -> ((s, dir) =>
+      Analytics.sessionWindow(Tables.events(s, dir))),
+
     "stream_windowed_counts" -> ((s, dir) =>
       Tables.events(s, dir)
         .withColumn("event_ts", timestamp_micros(col("ts_us")))
@@ -388,6 +391,7 @@ object SparkEntry {
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "multimodal_features"       -> Oracles.multimodalFeatures,
+    "events_session_window"     -> Oracles.eventsSessionWindow,
     "stream_windowed_counts"    -> Oracles.streamWindowedCounts
   )
 }

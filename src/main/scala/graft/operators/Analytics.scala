@@ -101,6 +101,22 @@ object Analytics {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Built-in `session_window` sessionization — the idiomatic Spark form
+    * of [[sessionize]]: a new session starts when the inter-event gap is
+    * >= the timeout and the session end extends to last event + gap.
+    * Plans as a single SessionWindow aggregate (one user_id shuffle), and
+    * the same expression drives the streaming variant unchanged. */
+  def sessionWindow(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .groupBy(session_window(col("event_ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        unix_micros(col("w.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
   /** JSON property extraction + aggregation (codegen'd `get_json_object`,
     * no UDF). */
   def jsonExtractAgg(events: DataFrame): DataFrame =

@@ -36,6 +36,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("session_window agrees with the relational gap sessionizer") {
+    // Built-in session_window starts a new session at gap >= timeout and
+    // ends at last event + timeout; sessionize(gap) starts at gap > g.
+    // Over integer microseconds, `> g-1` ≡ `>= g`, so the two forms must
+    // produce identical sessions modulo the +gap end offset.
+    val rnd = new scala.util.Random(11)
+    val gapUs = 1800000000L // 30 min, matching sessionWindow's default
+    val evs = (0 until 300).map { i =>
+      (i.toLong, rnd.nextLong(5L), rnd.nextLong(20L) * 600000000L)
+    }
+    val df = evs.toDF("event_id", "user_id", "ts_us")
+    val viaBuiltin = graft.operators.Analytics.sessionWindow(df)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val viaRelational = graft.operators.Analytics.sessionize(df, gapUs - 1)
+      .select(col("user_id"), col("session_start_us"),
+        (col("session_end_us") + gapUs).as("session_end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    assert(viaBuiltin.nonEmpty)
+    assert(viaBuiltin === viaRelational)
+  }
+
   test("simhash is permutation-invariant (bag-of-words)") {
     val rnd = new scala.util.Random(13)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
