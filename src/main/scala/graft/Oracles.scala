@@ -843,6 +843,136 @@ FROM marked
 GROUP BY user_id, sid
 ORDER BY user_id, session_start_us"""
 
+  /** TF-IDF top terms, rational idf: score = tf·N/df — one exact integer
+    * product and ONE double division, mirrored op-for-op in Search. */
+  val tfidfTopTerms: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.w, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+  FROM tf JOIN df USING (w) CROSS JOIN n
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, w AS term, tf, df, score, CAST(rnk AS INTEGER) AS rnk
+FROM r WHERE rnk <= 5
+ORDER BY doc_id, rnk"""
+
+  /** BM25 (k1=1.2, b=0.75), rational idf — the double expression chain is
+    * replicated VERBATIM from Search.bm25Search (every op correctly
+    * rounded, same order ⇒ same bits); the per-doc sum is decimal-exact. */
+  val bm25Search: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE w IN ('spark', 'table', 'window') GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+), ts AS (
+  SELECT tf.doc_id,
+         (CAST(t.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS idf,
+         CAST(dl.dl * t.n_docs AS DOUBLE) / CAST(t.sum_dl AS DOUBLE) AS dl_norm,
+         tf.tf
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN totals t
+), scored AS (
+  SELECT doc_id,
+         idf * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl_norm)) AS score_t
+  FROM ts
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+       CAST(SUM(CAST(score_t AS DECIMAL(27,6))) AS DOUBLE) AS score
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT 20"""
+
+  /** Bigram LM: p(w2|w1) over the corpus; successor-counted denominator so
+    * per-w1 probabilities sum to exactly 1. */
+  val bigramLm: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bi AS (
+  SELECT w1, w2 FROM (
+    SELECT w AS w1, LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) t
+  WHERE w2 IS NOT NULL
+), cbi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram FROM bi GROUP BY w1, w2
+), cw1 AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c_w1 FROM bi GROUP BY w1
+)
+SELECT w1, w2, c_bigram, c_w1,
+       CAST(c_bigram AS DOUBLE) / CAST(c_w1 AS DOUBLE) AS p
+FROM cbi JOIN cw1 USING (w1)
+ORDER BY c_bigram DESC, w1, w2
+LIMIT 30"""
+
+  val textNormalize: String = s"""
+SELECT doc_id,
+       array_to_string(list_filter(string_split(lower(text), ' '),
+                                   w -> w NOT IN ($stopList)), ' ') AS clean_text,
+       CAST(len(string_split(lower(text), ' '))
+            - len(list_filter(string_split(lower(text), ' '),
+                              w -> w NOT IN ($stopList))) AS BIGINT) AS n_stopwords_removed,
+       CAST(len(list_filter(string_split(lower(text), ' '),
+                            w -> w NOT IN ($stopList))) AS BIGINT) AS n_tokens_kept
+FROM documents
+ORDER BY doc_id"""
+
+  val annRangeSearch: String = featBase + """
+, q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS c_nrm FROM feat
+), dots AS (
+  SELECT query_id, neighbor_id, q_nrm, c_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM q JOIN c ON query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY query_id, neighbor_id, q_nrm, c_nrm
+)
+SELECT query_id, neighbor_id, dot / (q_nrm * c_nrm) AS cosine
+FROM dots
+WHERE dot / (q_nrm * c_nrm) >= CAST(0.3 AS DOUBLE)
+ORDER BY query_id, neighbor_id"""
+
+  /** Per-label centroids: decimal-exact per-dimension sums ÷ exact counts
+    * in ONE double division; posexplode is 0-based, subscripts 1-based.
+    * float→decimal via the shortest-repr string cast (≤9 sig digits ⇒
+    * exact at scale 12) — see Similarity.labelCentroids. */
+  val labelCentroids: String = """
+WITH ux AS (
+  SELECT label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+SELECT label, CAST(pos - 1 AS BIGINT) AS pos,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS centroid
+FROM ux
+GROUP BY label, pos
+ORDER BY label, pos"""
+
   val textRepetition: String = shingleBase + """
 , n AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id

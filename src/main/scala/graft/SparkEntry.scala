@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.Exact.dsum
 import graft.functions.TextFunctions
-import graft.operators.{Analytics, Corpus, Dedup, IhcAttribution, Journeys, Multimodal, Reporting, Similarity, Temporal}
+import graft.operators.{Analytics, Corpus, Dedup, IhcAttribution, Journeys, Multimodal, Reporting, Search, Similarity, Temporal}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -210,6 +210,18 @@ object SparkEntry {
 
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTopKTrained(Tables.embeddings(s, dir))),
 
+    "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
+
+    "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
+
+    "tfidf_top_terms" -> ((s, dir) => Search.tfidfTopTerms(Tables.documents(s, dir))),
+
+    "bm25_search" -> ((s, dir) => Search.bm25Search(Tables.documents(s, dir))),
+
+    "bigram_lm" -> ((s, dir) => Search.bigramLm(Tables.documents(s, dir))),
+
+    "text_normalize" -> ((s, dir) => Search.normalize(Tables.documents(s, dir))),
+
     "top_ngrams" -> ((s, dir) => Dedup.topShingles(Tables.documents(s, dir))),
 
     "events_funnel" -> ((s, dir) => Analytics.funnel(Tables.events(s, dir))),
@@ -388,6 +400,12 @@ object SparkEntry {
     "token_count"               -> Oracles.tokenCount,
     "doc_fingerprint"           -> Oracles.docFingerprint,
     "text_repetition"           -> Oracles.textRepetition,
+    "tfidf_top_terms"           -> Oracles.tfidfTopTerms,
+    "bm25_search"               -> Oracles.bm25Search,
+    "bigram_lm"                 -> Oracles.bigramLm,
+    "text_normalize"            -> Oracles.textNormalize,
+    "ann_range_search"          -> Oracles.annRangeSearch,
+    "label_centroids"           -> Oracles.labelCentroids,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "multimodal_features"       -> Oracles.multimodalFeatures,

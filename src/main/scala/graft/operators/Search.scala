@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus search / term-weighting operators for training-data pipelines:
+  * TF-IDF term profiles, BM25 keyword retrieval, and bigram language-model
+  * estimation (SURVEY §2.C21-C23).
+  *
+  * Scale shape: everything reduces to partial-agg groupBys keyed by
+  * (doc, term) or (term) — map-side combine does the heavy lifting, the
+  * global scalars (N, Σdl) are one-row aggregates broadcast into the
+  * scoring stage, and per-doc ranking shuffles only the already-aggregated
+  * (doc, term) frame. No all-pairs anything; linear in corpus size.
+  *
+  * Cross-engine determinism: scores avoid transcendental functions
+  * (log-idf is NOT correctly rounded across libms) in favor of rational
+  * forms — every double step is a single IEEE-correctly-rounded op on
+  * exactly-representable integers (or a chain replicated verbatim in the
+  * oracle), and per-doc score sums go through the DECIMAL(27,6) exact-sum
+  * pattern (SURVEY §3).
+  */
+object Search {
+
+  /** Per-document top-k terms by TF-IDF, rational idf form:
+    * score = tf · N / df (one exact-integer product, one correctly-rounded
+    * double division — strictly rank-equivalent to tf·(N/df) and
+    * bit-reproducible in any IEEE engine, unlike log idf).
+    * Ties: term asc. */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val toks = Dedup.tokens(documents)
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val rk = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("w"))
+    tf.join(df, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(rk))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        col("score"), col("rnk").cast("int").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** The fixed demo query for [[bm25Search]] — three mid-frequency corpus
+    * terms so scores exercise both the idf and the tf-saturation parts. */
+  val Bm25Query: Seq[String] = Seq("spark", "table", "window")
+
+  /** BM25 keyword retrieval (k1=1.2, b=0.75): top-k documents for a bag of
+    * query terms. Rational idf (N−df+0.5)/(df+0.5) — the Robertson-
+    * Sparck-Jones numerator without the log wrapper, rank-preserving and
+    * bit-reproducible (see class doc). Length norm uses dl·N/Σdl (two
+    * exact integers in, one division). Per-doc term-score sum is
+    * DECIMAL(27,6)-exact so shuffle order can't flip a hash compare.
+    *
+    * Plan: tf of query terms only (filter before the first groupBy, so the
+    * aggregated frame is |query|·|docs| at worst), df/N/Σdl are tiny
+    * aggregates broadcast in, one final top-k sort over scored docs. */
+  def bm25Search(
+      documents: DataFrame,
+      query: Seq[String] = Bm25Query,
+      topK: Int = 20): DataFrame = {
+    val toks = Dedup.tokens(documents)
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks.filter(col("w").isin(query: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val termScore = tf
+      .join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("idf",
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)))
+      .withColumn("dl_norm",
+        (col("dl") * col("n_docs")).cast("double") / col("sum_dl").cast("double"))
+      .withColumn("score_t",
+        col("idf") * (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") +
+            lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl_norm"))))
+    termScore
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_terms_hit"),
+        sum(col("score_t").cast(DecimalType(27, 6))).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Corpus bigram language model: top-k conditional probabilities
+    * p(w2|w1) = c(w1 w2) / c(w1·) where c(w1·) counts w1 occurrences WITH
+    * a successor (so probabilities per w1 sum to exactly 1). Counts are
+    * exact integers; p is one correctly-rounded division. Ranked by raw
+    * bigram count (the stable statistic), ties by (w1, w2). */
+  def bigramLm(documents: DataFrame, topK: Int = 30): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = Dedup.tokens(documents)
+      .withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val cW1 = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    cBi.join(cW1, "w1")
+      .withColumn("p", col("c_bigram").cast("double") / col("c_w1").cast("double"))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c_bigram", "c_w1", "p")
+  }
+
+  /** Text cleaning / normalization — the pre-tokenization scrub stage of a
+    * training pipeline: lowercase, strip stopword tokens, collapse the
+    * remainder back to single-space form; emits how many tokens were
+    * dropped so the filter's effect is observable per row. Pure map stage
+    * (scan speed at any scale). */
+  def normalize(documents: DataFrame): DataFrame = {
+    val toksAll = split(lower(col("text")), " ")
+    val kept = filter(toksAll,
+      w => !w.isin(graft.functions.TextFunctions.stopwords: _*))
+    documents.select(
+      col("doc_id"),
+      array_join(kept, " ").as("clean_text"),
+      (size(toksAll) - size(kept)).cast("long").as("n_stopwords_removed"),
+      size(kept).cast("long").as("n_tokens_kept"))
+      .orderBy("doc_id")
+  }
+}

@@ -215,4 +215,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Range search (the ANN dual of top-k): every corpus vector whose
+    * cosine to a query clears the threshold. Same broadcast-query /
+    * streaming-corpus shape as [[bruteForceTopK]] but with NO window
+    * stage at all — threshold filtering is map-side, so the only shuffle
+    * is the final output sort. At 100 TB this is the cheapest exact-ANN
+    * form: one codegen'd pass over the corpus. */
+  def rangeSearch(
+      embeddings: DataFrame, nQueries: Int = 8, minCosine: Double = 0.3): DataFrame = {
+    val feat = withFeat(embeddings)
+    val q = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"))
+    val c = feat.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+      col("nrm").as("c_nrm"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dotExact(col("qe"), col("ce")) / (col("q_nrm") * col("c_nrm")))
+      .filter(col("cosine") >= minCosine)
+      .select("query_id", "neighbor_id", "cosine")
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Per-label centroids — the class-prototype aggregation behind
+    * centroid classifiers, cluster summaries, and IVF training itself:
+    * element-wise mean of every label's vectors plus the member count.
+    * One posexplode + one (label, pos) partial-agg groupBy — output is
+    * |labels|·dims rows regardless of corpus size. The mean divides the
+    * DECIMAL(38,12)-exact sum by the exact count in ONE double division,
+    * so it is bit-reproducible under any shuffle order.
+    *
+    * float→decimal goes through the float's SHORTEST decimal repr (the
+    * string cast) in both engines: ≤9 significant digits, so the
+    * decimal(38,12) term is exact and no engine-specific rounding of the
+    * full binary expansion (HALF_UP-on-string vs round-on-exact-value)
+    * can leak into the sum. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        (sum(col("x").cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("centroid"))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        col("n_vectors"), col("centroid"))
+      .orderBy("label", "pos")
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.{Search, Similarity}
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "rare apple apple common common common", "en", "s", 6L),
+    (1L, "common common common common banana common", "en", "s", 6L),
+    (2L, "common plum common plum orange orange", "en", "s", 6L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("tf-idf golden ranking: score = tf·N/df, ties by term") {
+    // hand-computed with N=3: doc0 apple 2·3/1=6 > {common 3·3/3, rare 1·3/1}=3
+    // (tie → term asc); doc1 common 5·3/3=5 > banana 3; doc2 orange=plum=6
+    // (tie → orange first) > common 2
+    val got = Search.tfidfTopTerms(docs, k = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Double]("score"), r.getAs[Int]("rnk")))
+    val want = Seq(
+      (0L, "apple", 6.0, 1), (0L, "common", 3.0, 2), (0L, "rare", 3.0, 3),
+      (1L, "common", 5.0, 1), (1L, "banana", 3.0, 2),
+      (2L, "orange", 6.0, 1), (2L, "plum", 6.0, 2), (2L, "common", 2.0, 3))
+    assert(got.toSeq === want)
+  }
+
+  test("bm25 ranks the doc matching a rarer query term first, scores positive") {
+    val out = Search.bm25Search(docs, query = Seq("apple", "common"), topK = 10).collect()
+    assert(out.nonEmpty)
+    // doc 0 matches both terms incl. the rare 'apple' → top rank
+    assert(out.head.getAs[Long]("doc_id") === 0L)
+    assert(out.head.getAs[Long]("n_terms_hit") === 2L)
+    out.foreach(r => assert(r.getAs[Double]("score") > 0.0))
+  }
+
+  test("bigram LM conditional probabilities sum to 1 per left word") {
+    val lm = Search.bigramLm(docs, topK = 1000)
+    val sums = lm.groupBy("w1")
+      .agg(sum(col("c_bigram").cast("double") / col("c_w1").cast("double")).as("s"))
+      .collect().map(_.getAs[Double]("s"))
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
+  }
+
+  test("normalize strips exactly the stopword tokens and keeps order") {
+    val in = Seq((7L, "The quick the fox of a it jumps", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Search.normalize(in).head()
+    assert(r.getAs[String]("clean_text") === "quick fox jumps")
+    assert(r.getAs[Long]("n_stopwords_removed") === 5L)
+    assert(r.getAs[Long]("n_tokens_kept") === 3L)
+  }
+
+  test("range search returns exactly the brute-force pairs clearing the threshold") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val tau = 0.3
+    val range = Similarity.rangeSearch(emb, minCosine = tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceTopK(emb, k = Int.MaxValue).collect()
+      .filter(_.getAs[Double]("cosine") >= tau)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(range.nonEmpty)
+    assert(range === brute)
+  }
+
+  test("label centroids are the exact per-dimension means") {
+    val emb = Seq(
+      (0L, Array(1.0f, 2.0f), 1),
+      (1L, Array(3.0f, 6.0f), 1),
+      (2L, Array(5.0f, 5.0f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((1, 0L)) === ((2L, 2.0)))
+    assert(out((1, 1L)) === ((2L, 4.0)))
+    assert(out((2, 0L)) === ((1L, 5.0)))
+    assert(out((2, 1L)) === ((1L, 5.0)))
+  }
+}
