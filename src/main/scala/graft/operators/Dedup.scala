@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deduplication suite (SURVEY §2.C1-C5).
   *
@@ -31,6 +32,45 @@ object Dedup {
   private def materialize(df: DataFrame): DataFrame = {
     val ck = df.localCheckpoint()
     df.sparkSession.createDataFrame(ck.rdd, df.schema)
+  }
+
+  /** [[materialize]] + row count in the same checkpoint pass: counting the
+    * already-checkpointed RDD is a metadata-cheap job, vs a separate
+    * `df.count()` that re-plans the frame. Iterative loops use the count
+    * for their convergence bookkeeping. */
+  private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val ck = df.localCheckpoint()
+    (df.sparkSession.createDataFrame(ck.rdd, df.schema), ck.rdd.count())
+  }
+
+  /** Run an iterative-CC loop with planning config sized to the MEASURED
+    * edge count. Candidate-pair graphs are tiny relative to the corpus
+    * (only near-dups appear at all), and a small-frame loop's wall-clock is
+    * driver overhead, not compute: AQE turns every micro-shuffle into its
+    * own separately-planned query stage (one driver round-trip each), and
+    * 32-way shuffles schedule 32 tasks for a few thousand rows. Below the
+    * threshold, plan the loop non-adaptively with edge-proportional
+    * partitions; above it (a 100 TB corpus's pair graph), keep the
+    * session's AQE + partition settings — skew handling matters more than
+    * round latency there. Config is restored on exit; loops run actions
+    * eagerly inside, so no lazy plan escapes with the temporary config. */
+  private def withLoopConf[A](spark: org.apache.spark.sql.SparkSession, edgeCount: Long)(
+      body: => A): A = {
+    if (edgeCount >= 1000000L) body
+    else {
+      val conf = spark.conf
+      val aqe = conf.getOption("spark.sql.adaptive.enabled")
+      val sp = conf.getOption("spark.sql.shuffle.partitions")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, edgeCount / 100000L).toString)
+      try body finally {
+        aqe.fold(conf.unset("spark.sql.adaptive.enabled"))(
+          v => conf.set("spark.sql.adaptive.enabled", v))
+        sp.fold(conf.unset("spark.sql.shuffle.partitions"))(
+          v => conf.set("spark.sql.shuffle.partitions", v))
+      }
+    }
   }
 
   /** Exact dedup: md5 groupBy, keep the smallest doc_id. One shuffle. */
@@ -208,14 +248,17 @@ object Dedup {
     // times, and a lazily-cached frame would re-evaluate the expensive
     // candidate-generation DAG once per concurrent reference (observed 3-5×
     // on the hybrid pipeline) before the cache fills
-    val edges = materialize(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b"))).cache()
+    val (edges, nEdges) =
+      materializeCounted(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+    withLoopConf(pairs.sparkSession, nEdges) {
+    val sym = materialize(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
     // init fuses the first propagation: label(v) = min(v, min neighbor) —
     // one groupBy instead of a distinct plus a full join round; for the
     // clique-ish components LSH produces this alone is often the fixpoint
-    var labels = sym.groupBy(col("a").as("node")).agg(min("b").as("nmin"))
-      .select(col("node"), least(col("node"), col("nmin")).as("cluster_id"))
-      .cache()
+    var labels = materialize(
+      sym.groupBy(col("a").as("node")).agg(min("b").as("nmin"))
+        .select(col("node"), least(col("node"), col("nmin")).as("cluster_id")))
     // One propagation + path-halving step: label(v) ← min over v's label,
     // its neighbors' labels, and the label-of-the-candidate-label (the
     // halving hop) — rounds drop from O(diameter) to O(log diameter),
@@ -233,7 +276,14 @@ object Dedup {
         .select(col("node"),
           least(col("cand"), coalesce(col("ll"), col("cand"))).as("cluster_id"))
     }
-    var changed = 1L
+    // Convergence check, EXACT and one tiny agg job: labels only ever
+    // decrease, so the label sum strictly decreases iff ANY label changed
+    // — Σcluster_id unchanged ⇔ fixpoint, no per-node compare join needed.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var lSum = labelSum(labels)
+    var changed = true
     var iter = 0
     // The cap is a runaway guard, not a convergence budget: LSH candidate
     // graphs converge in 2-4 rounds, but a high-diameter chain can need
@@ -241,27 +291,26 @@ object Dedup {
     // would silently violate the operator contract, so hitting the cap
     // throws — [[clustersStar]] is the production path for graphs whose
     // diameter propagation can't absorb.
-    while (changed > 0 && iter < 100) {
+    while (changed && iter < 100) {
       // TWO steps per convergence check, each step materialized: the step
       // expression references its input three times, so an unmaterialized
-      // inner step would be recomputed 3× by the outer one; and on the tiny
-      // iterative frames the driver count dominates the join work, so
-      // paying it every other step halves wall-clock. Monotone labels make
-      // the stop condition (no change across the whole block) exactly as
-      // safe as checking every round.
+      // inner step would be recomputed by the outer one (the three uses
+      // are differently-shaped subplans, so ReuseExchange does not dedupe
+      // them — measured slower without the intermediate checkpoint).
+      // Monotone labels make the stop condition (no change across the
+      // whole block) exactly as safe as checking every round.
       val next = materialize(step(materialize(step(labels))))
-      changed = next.join(labels.withColumnRenamed("cluster_id", "old"), "node")
-        .filter(col("cluster_id") < col("old")).count()
-      labels.unpersist()
-      labels = next.cache()
+      val nSum = labelSum(next)
+      changed = nSum.compareTo(lSum) != 0
+      labels = next
+      lSum = nSum
       iter += 1
     }
-    require(changed == 0,
+    require(!changed,
       "label propagation did not converge within the round cap — " +
         "use clustersStar for high-diameter pair graphs")
-    sym.unpersist()
-    edges.unpersist()
     labels.withColumnRenamed("node", "doc_id").orderBy("doc_id")
+    } // withLoopConf
   }
 
   /** Connected components via alternating large-star / small-star edge
@@ -285,10 +334,11 @@ object Dedup {
     val first = pairs.columns(0)
     val second = pairs.columns(1)
     // canonical (a < b) distinct edges; materialized once (see clusters)
-    val edges0 = materialize(pairs
+    val (edges0, nEdges) = materializeCounted(pairs
       .select(least(col(first), col(second)).as("a"), greatest(col(first), col(second)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
+    withLoopConf(pairs.sparkSession, nEdges) {
     val nodes = materialize(edges0.select(col("a").as("node"))
       .union(edges0.select(col("b").as("node"))).distinct())
 
@@ -320,24 +370,42 @@ object Dedup {
         .distinct()
     }
 
+    // Convergence check, EXACT and one tiny agg job: both star operations
+    // only ever replace an edge (u,v) by a coordinate-wise dominated image
+    // (m,x), m ≤ min endpoint, and a round's output is the distinct image
+    // set — so with EQUAL counts the image map is a bijection and
+    // Σ(a+b) is unchanged iff every image equals its source, i.e. the set
+    // is unchanged. (Count drop ⇒ changed; equal count + equal sum ⇒
+    // provably the fixpoint — no EXCEPT join needed.) DECIMAL(38,0) sum:
+    // exact at any id range × edge count.
+    def edgeStats(g: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = g.agg(count(lit(1)),
+        sum(col("a").cast(DecimalType(38, 0)) + col("b").cast(DecimalType(38, 0)))).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
     var e = edges0
-    var changed = 1L
+    var eStats = edgeStats(edges0)
+    var changed = true
     var iter = 0
-    def round(g: DataFrame): DataFrame = materialize(smallStar(materialize(largeStar(g))))
-    while (changed > 0 && iter < 15) {
+    // ONE checkpoint per round (not one per star) — measured faster: the
+    // small-star recompute of the large-star subtree is cheaper than the
+    // extra driver-side checkpoint job it saves on these loop-sized
+    // frames.
+    def round(g: DataFrame): DataFrame = materialize(smallStar(largeStar(g)))
+    while (changed && iter < 15) {
       // First check after ONE round (clique-ish LSH graphs converge
       // immediately — don't pay a wasted extra round), then TWO rounds per
-      // check: on chain-y graphs the driver-side actions (materialize jobs
-      // + the count/except check) dominate the tiny joins, star rounds are
-      // idempotent at the fixpoint, and the label extraction below needs a
-      // fixpoint, not a round count — so sparser checks are semantically
-      // free.
+      // check: on chain-y graphs the driver-side actions dominate the tiny
+      // joins, star rounds are idempotent at the fixpoint, and the label
+      // extraction below needs a fixpoint, not a round count — so sparser
+      // checks are semantically free.
       val next = if (iter == 0) round(e) else round(round(e))
-      // distinct canonical pairs: equal counts + empty difference ⇔ equal sets
-      changed =
-        if (next.count() != e.count()) 1L else next.except(e).count()
-      e.unpersist()
+      val nextStats = edgeStats(next)
+      changed = nextStats != eStats
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[star] iter=$iter edges=${nextStats._1} changed=$changed")
       e = next
+      eStats = nextStats
       iter += 1
     }
     // fixpoint = min-centered stars: every spoke b has exactly one hub a
@@ -346,8 +414,8 @@ object Dedup {
       .join(e.select(col("b").as("node"), col("a").as("cluster_id")), Seq("node"), "left")
       .select(col("node").as("doc_id"),
         coalesce(col("cluster_id"), col("node")).as("cluster_id"))
-    e.unpersist()
     labels.orderBy("doc_id")
+    } // withLoopConf
   }
 
   /** Hybrid (syntactic ∪ semantic) dedup clustering: near-dup candidate
