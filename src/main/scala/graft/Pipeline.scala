@@ -1,18 +1,21 @@
 package graft
 
 import graft.operators.{IhcAttribution, Journeys, Reporting}
-import graft.sources.Tables
+import graft.sources.{Manifest, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** End-to-end pipeline runner with persisted, idempotent write-back — the
-  * Spark analog of the reference's orchestration (`main.py:299-378`) and
-  * incremental re-run contract (`db_utils.py:260-302`): each run attributes
-  * ONLY conversions not yet present in the persisted attribution table,
-  * appends the delta, and rebuilds the channel report from everything on
-  * disk. A re-run with no new data is a no-op; a run after new days of
-  * events attributes exactly the delta, bit-identical to a from-scratch
-  * run (spec-tested in PipelineSpec).
+/** End-to-end pipeline runner with persisted, idempotent, CRASH-CONSISTENT
+  * write-back — the Spark analog of the reference's orchestration
+  * (`main.py:299-378`), incremental re-run contract (`db_utils.py:260-302`)
+  * and transactional storage (`db_utils.py:185-225`: SQLite runs the
+  * multi-row insert under one transaction; a crashed run publishes
+  * nothing). Each run attributes ONLY conversions not yet present in the
+  * persisted attribution state, stages the delta, and publishes
+  * atomically; a re-run with no new data is a no-op, and a run after new
+  * days of events attributes exactly the delta, bit-identical to a
+  * from-scratch run (spec-tested in PipelineSpec, including an
+  * aborted-between-writes crash run).
   *
   * Why the delta is consistent with from-scratch: journey assignment is
   * computed over the FULL conversion set each run and restricted to the
@@ -22,19 +25,25 @@ import org.apache.spark.sql.functions._
   * commutes with assignment. (The reference gets the same property from
   * its chronological processing order, `journey_builder.py:45-105`.)
   *
-  * State layout under `stateDir`:
-  *   - `attribution/` — parquet (conv_id, session_id, channel_name, ihc),
-  *     appended per run; the analog of the reference's
+  * Crash consistency (write–audit–publish): run N stages FRESH directories
+  *   - `attribution/rN/` — the delta rows (conv_id, session_id,
+  *     channel_name, ihc); the analog of the reference's
   *     `attribution_customer_journey` table (`challenge_db_create.sql`).
-  *   - `report/` — parquet channel report with CPO/ROAS, rewritten per run.
-  *   - `channel_reporting_csv/` — single-file CSV artifact, the
-  *     reference's `channel_reporting.csv` (`reporting.py:105-168`).
+  *   - `processed_conversions/rN/` — the manifest of conv_ids this run
+  *     attributed (tracked for ALL conversions incl. journeyless ones).
+  *   - `report/rN/` + `channel_reporting_csv/rN/` — the rebuilt channel
+  *     report artifacts (`reporting.py:105-168`).
+  * and then publishes all four in ONE atomic [[graft.sources.Manifest]]
+  * version (attribution/processed accumulate across runs; report/csv
+  * entries replace the previous run's). Readers resolve the live set from
+  * the manifest, so a crash at ANY point before the publish leaves the
+  * observable state bit-identical to "run never happened"; the next run
+  * deletes the orphan staged dirs and recomputes the same delta. This is
+  * the same run-level atomicity SQLite gives the reference, on top of
+  * plain parquet directories.
   *
-  * Scale notes: the append is conversion-atomic only at the level of the
-  * left-anti re-run check (a crashed half-append of one run would need a
-  * transactional table format in production — the conv_id-level
-  * idempotence here mirrors the reference's DB contract, not a commit
-  * protocol). The report rebuild reads only the persisted attribution
+  * Scale notes: the manifest is driver-side metadata (bytes per run, never
+  * row data). The report rebuild reads only the persisted attribution
   * columns it needs; everything else is the same shuffle-minimal plans as
   * the query surface.
   */
@@ -46,24 +55,33 @@ object Pipeline {
       newRows: Long,
       totalRows: Long)
 
-  def attributionDir(stateDir: String): String = s"$stateDir/attribution"
-  def processedDir(stateDir: String): String = s"$stateDir/processed_conversions"
-  def reportDir(stateDir: String): String = s"$stateDir/report"
-  def reportCsvDir(stateDir: String): String = s"$stateDir/channel_reporting_csv"
+  private val StateTables =
+    Seq("attribution", "processed_conversions", "report", "channel_reporting_csv")
 
-  private def readOrEmpty(spark: SparkSession, dir: String, ddl: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(path.toString)
+  /** Test-only failpoints: throw at a specific point inside [[run]] to
+    * simulate a crash between state writes (PipelineSpec proves reads see
+    * only complete runs and the re-run converges). */
+  private[graft] final case class InjectedCrash(point: String)
+    extends RuntimeException(s"injected crash at $point")
+
+  private def liveDirs(spark: SparkSession, stateDir: String, table: String): Seq[String] =
+    Manifest.live(spark, stateDir)
+      .filter(_.startsWith(table + "/"))
+      .map(rel => s"$stateDir/$rel")
+
+  private def readLiveOrEmpty(
+      spark: SparkSession, stateDir: String, table: String, ddl: String): DataFrame = {
+    val dirs = liveDirs(spark, stateDir, table)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }
 
-  /** The persisted attribution table, or an empty frame with the right
-    * schema on the very first run. */
+  /** The persisted attribution table (union of all committed run deltas),
+    * or an empty frame with the right schema before the first publish. */
   def persistedAttribution(spark: SparkSession, stateDir: String): DataFrame =
-    readOrEmpty(spark, attributionDir(stateDir),
+    readLiveOrEmpty(spark, stateDir, "attribution",
       "conv_id BIGINT, session_id BIGINT, channel_name STRING, ihc DOUBLE")
 
   /** The processed-conversions manifest. The reference re-derives "already
@@ -73,21 +91,113 @@ object Pipeline {
     * including those that produced zero journey rows, or the daily delta
     * never shrinks to zero. */
   def processedConversions(spark: SparkSession, stateDir: String): DataFrame =
-    readOrEmpty(spark, processedDir(stateDir), "conv_id BIGINT")
+    readLiveOrEmpty(spark, stateDir, "processed_conversions", "conv_id BIGINT")
+
+  /** The committed channel report (CPO/ROAS) of the latest successful run. */
+  def report(spark: SparkSession, stateDir: String): DataFrame =
+    readLiveOrEmpty(spark, stateDir, "report",
+      "channel_name STRING, date DATE, cost DOUBLE, ihc DOUBLE, " +
+        "ihc_revenue DOUBLE, CPO DOUBLE, ROAS DOUBLE")
+
+  /** Directory of the committed single-file CSV artifact (the reference's
+    * `channel_reporting.csv`), if a run has published one. */
+  def reportCsvDir(spark: SparkSession, stateDir: String): Option[String] =
+    liveDirs(spark, stateDir, "channel_reporting_csv").headOption
+
+  // ---- bucketed extract: the 100 TB deployment layout ----
+  // Journey assignment is the pipeline's one big shuffle (every session +
+  // every conversion re-hashed by user_id per run). Persisting both
+  // extracts bucketed by user_id once makes that shuffle disappear from
+  // EVERY subsequent run: the bucket-aligned union (BucketUnion) preserves
+  // the scan partitioning so the per-user window needs only a sort — the
+  // production runner plans the assign subtree with zero exchanges
+  // (asserted in PipelineSpec). Bucket metadata needs a catalog entry, so
+  // the tables get session-scoped names derived from the state dir.
+
+  private def bucketedName(stateDir: String, table: String): String =
+    s"graft_pipe_${table}_${java.lang.Integer.toHexString(stateDir.hashCode)}"
+
+  /** Persist the sessions/conversions extracts as user_id-bucketed tables
+    * under `stateDir/bucketed/` (one-time layout cost; re-run to refresh
+    * after new raw data lands). */
+  def prepareBucketed(
+      spark: SparkSession, sfDir: String, stateDir: String, nBuckets: Int = 8): Unit = {
+    Tables.sessions(spark, sfDir).write.mode("overwrite")
+      .bucketBy(nBuckets, "user_id").sortBy("user_id")
+      .option("path", s"$stateDir/bucketed/sessions")
+      .saveAsTable(bucketedName(stateDir, "sessions"))
+    Tables.conversions(spark, sfDir).write.mode("overwrite")
+      .bucketBy(nBuckets, "user_id").sortBy("user_id")
+      .option("path", s"$stateDir/bucketed/conversions")
+      .saveAsTable(bucketedName(stateDir, "conversions"))
+  }
+
+  private def hasBucketed(spark: SparkSession, stateDir: String): Boolean =
+    spark.catalog.tableExists(bucketedName(stateDir, "sessions")) &&
+      spark.catalog.tableExists(bucketedName(stateDir, "conversions"))
+
+  /** The flagged journey assignment exactly as [[run]] computes it —
+    * bucketed (exchange-free assign) when [[prepareBucketed]] has run,
+    * standard otherwise. Exposed so callers/specs can audit the plan. */
+  def assignedJourneys(
+      spark: SparkSession, sfDir: String, stateDir: String,
+      endDate: Option[String]): DataFrame = {
+    val bucketed = hasBucketed(spark, stateDir)
+    val allConversions =
+      if (bucketed) spark.table(bucketedName(stateDir, "conversions"))
+      else Tables.conversions(spark, sfDir)
+    val conversions = endDate // Filter preserves the scan's bucketing
+      .map(d => allConversions.filter(col("conv_date") <= lit(d).cast("date")))
+      .getOrElse(allConversions)
+    val sessions =
+      if (bucketed) spark.table(bucketedName(stateDir, "sessions"))
+      else Tables.sessions(spark, sfDir)
+    val assigned =
+      if (bucketed) Journeys.assignBucketed(sessions, conversions)
+      else Journeys.assign(sessions, conversions)
+    Journeys.flagConversion(assigned)
+  }
 
   /** One incremental run: extract (optionally bounded by `endDate`, the
-    * reference's date-range re-run), attribute the not-yet-persisted
-    * conversions, append, rebuild the report artifacts. */
+    * reference's date-range re-run; from the bucketed layout when
+    * [[prepareBucketed]] has built it), attribute the not-yet-persisted
+    * conversions, stage, publish atomically, and report. */
   def run(
       spark: SparkSession,
       sfDir: String,
       stateDir: String,
-      endDate: Option[String] = None): RunSummary = {
-    val allConversions = Tables.conversions(spark, sfDir)
+      endDate: Option[String] = None): RunSummary =
+    run(spark, sfDir, stateDir, endDate, crashPoint = None)
+
+  private[graft] def run(
+      spark: SparkSession,
+      sfDir: String,
+      stateDir: String,
+      endDate: Option[String],
+      crashPoint: Option[String]): RunSummary = {
+    def failpoint(p: String): Unit =
+      if (crashPoint.contains(p)) throw InjectedCrash(p)
+
+    // the SAME extract feeds candidate selection, assignment, and the
+    // report — if the bucketed layout exists, all three use it (mixing a
+    // stale bucketed extract with a fresh raw one could mark conversions
+    // processed without attributing them)
+    val bucketed = hasBucketed(spark, stateDir)
+    val allConversions =
+      if (bucketed) spark.table(bucketedName(stateDir, "conversions"))
+      else Tables.conversions(spark, sfDir)
     val conversions = endDate
       .map(d => allConversions.filter(col("conv_date") <= lit(d).cast("date")))
       .getOrElse(allConversions)
-    val sessions = Tables.sessions(spark, sfDir)
+    val sessions =
+      if (bucketed) spark.table(bucketedName(stateDir, "sessions"))
+      else Tables.sessions(spark, sfDir)
+
+    // crash recovery: staged dirs no manifest references are leftovers of
+    // an aborted run — readers never saw them; delete and re-stage.
+    Manifest.cleanStale(spark, stateDir, StateTables)
+    val live = Manifest.live(spark, stateDir)
+    val runId = Manifest.version(spark, stateDir) + 1
 
     val previousTotal = persistedAttribution(spark, stateDir).count()
     val missing = Reporting
@@ -95,24 +205,41 @@ object Pipeline {
       .select("conv_id")
 
     val delta = IhcAttribution
-      .attribute(Journeys.flagConversion(Journeys.assign(sessions, conversions)))
+      .attribute(assignedJourneys(spark, sfDir, stateDir, endDate))
       .join(missing, Seq("conv_id"), "left_semi")
       .select("conv_id", "session_id", "channel_name", "ihc")
 
-    delta.write.mode("append").parquet(attributionDir(stateDir))
-    missing.write.mode("append").parquet(processedDir(stateDir))
+    // ---- stage (fresh dirs; nothing live is touched) ----
+    delta.write.parquet(s"$stateDir/attribution/r$runId")
+    failpoint("after_attribution_stage")
+    missing.write.parquet(s"$stateDir/processed_conversions/r$runId")
 
-    // counts from what actually landed — no double evaluation of the delta DAG
-    val persisted = spark.read.parquet(attributionDir(stateDir))
+    // counts + report from what was actually staged — no double evaluation
+    // of the delta DAG
+    val persisted = spark.read.parquet(
+      (liveDirs(spark, stateDir, "attribution") :+ s"$stateDir/attribution/r$runId"): _*)
     val totalRows = persisted.count()
     val newConversions = missing.count()
 
-    val report = Reporting.withMetrics(
+    val rep = Reporting.withMetrics(
       Reporting.channelReporting(
         persisted, sessions, Tables.sessionCosts(spark, sfDir), allConversions))
       .orderBy("channel_name", "date")
-    report.write.mode("overwrite").parquet(reportDir(stateDir))
-    Reporting.exportCsv(report, reportCsvDir(stateDir))
+    rep.write.parquet(s"$stateDir/report/r$runId")
+    Reporting.exportCsv(rep, s"$stateDir/channel_reporting_csv/r$runId")
+    failpoint("before_publish")
+
+    // ---- publish: one atomic manifest write makes all four dirs live ----
+    val accumulated = live.filter(e =>
+      e.startsWith("attribution/") || e.startsWith("processed_conversions/"))
+    Manifest.publish(spark, stateDir,
+      accumulated ++ Seq(
+        s"attribution/r$runId", s"processed_conversions/r$runId",
+        s"report/r$runId", s"channel_reporting_csv/r$runId"))
+    // post-publish vacuum: the previous run's report/csv dirs just became
+    // unreferenced (their manifest entries were replaced) — delete them now
+    // rather than leaving garbage for the next run's recovery sweep.
+    Manifest.cleanStale(spark, stateDir, StateTables)
 
     RunSummary(conversions.count(), newConversions, totalRows - previousTotal, totalRows)
   }

@@ -28,6 +28,33 @@ object Corpus {
       .orderBy("doc_id", "fingerprint")
   }
 
+  private val IngestTables = Seq("documents", "fingerprints")
+
+  private def emptyFp(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL("fingerprint STRING"))
+
+  private def liveDirs(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, table: String): Seq[String] =
+    graft.sources.Manifest.live(spark, stateDir)
+      .filter(_.startsWith(table + "/")).map(rel => s"$stateDir/$rel")
+
+  /** The committed corpus: union of all published document batches.
+    * (Directories staged by a crashed ingest are invisible — they are not
+    * in the manifest.) */
+  def documents(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val dirs = liveDirs(spark, stateDir, "documents")
+    require(dirs.nonEmpty, s"no committed corpus batches under $stateDir")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** The committed fingerprint store (exact-dedup state across runs). */
+  def fingerprints(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val dirs = liveDirs(spark, stateDir, "fingerprints")
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*) else emptyFp(spark)
+  }
+
   /** Incremental corpus ingestion with a persisted dedup state — the
     * LLM-pipeline twin of [[graft.Pipeline]]'s idempotent attribution
     * write-back: each batch admits only documents whose normalized text
@@ -38,18 +65,30 @@ object Corpus {
     * would be bucketed by fingerprint so the anti-join co-locates), plus
     * the usual within-batch min-doc_id representative pick.
     *
+    * Crash consistency: the batch's document and fingerprint directories
+    * are STAGED first, then published together in one atomic
+    * [[graft.sources.Manifest]] version. A crash between the two parquet
+    * writes (or before the publish) leaves orphan staged dirs that no
+    * reader sees and the next ingest deletes — so the "re-running the same
+    * batch is a no-op" contract and the docs↔fingerprints invariant hold
+    * across failures, matching run-level SQLite atomicity. (The earlier
+    * append-in-place design could strand admitted docs without their
+    * fingerprints and re-admit duplicates after a crash.)
+    *
+    * Maintenance: ingestion composes with [[graft.sources.Layout]] — once
+    * the live batch count exceeds `maxLiveBatches`, the whole corpus is
+    * compacted into one clustered batch ([[compactCorpus]]), bounding the
+    * small-file count regardless of how many increments arrive.
+    *
     * @return number of newly admitted documents */
   def ingestIncremental(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, stateDir: String): Long = {
-    val fpDir = s"$stateDir/fingerprints"
-    val docDir = s"$stateDir/documents"
-    val fpPath = new org.apache.hadoop.fs.Path(fpDir)
-    val fs = fpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val seen =
-      if (fs.exists(fpPath)) spark.read.parquet(fpDir)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("fingerprint STRING"))
+      batch: DataFrame, stateDir: String, maxLiveBatches: Int = 64): Long = {
+    import graft.sources.Manifest
+    // crash recovery: delete staged dirs no manifest version references
+    Manifest.cleanStale(spark, stateDir, IngestTables)
+    val live = Manifest.live(spark, stateDir)
+    val batchId = Manifest.version(spark, stateDir) + 1
+    val seen = fingerprints(spark, stateDir)
     // within-batch representative (min doc_id per fingerprint), then
     // cross-run novelty via one anti-join against the persisted store
     val withFp = batch.withColumn(
@@ -60,9 +99,36 @@ object Corpus {
     val admitted = reps
       .join(seen, Seq("fingerprint"), "left_anti")
       .localCheckpoint() // both writes + the count read one materialization
-    admitted.drop("fingerprint").write.mode("append").parquet(docDir)
-    admitted.select("fingerprint").write.mode("append").parquet(fpDir)
-    admitted.count()
+    admitted.drop("fingerprint").write.parquet(s"$stateDir/documents/b$batchId")
+    admitted.select("fingerprint").write.parquet(s"$stateDir/fingerprints/b$batchId")
+    // publish: one atomic manifest write makes both dirs live together
+    Manifest.publish(spark, stateDir,
+      live ++ Seq(s"documents/b$batchId", s"fingerprints/b$batchId"))
+    val n = admitted.count()
+    if (live.count(_.startsWith("documents/")) + 1 > maxLiveBatches)
+      compactCorpus(spark, stateDir)
+    n
+  }
+
+  /** Compact the committed corpus into ONE clustered batch (docs
+    * range-clustered by doc_id via [[graft.sources.Layout.writeClustered]],
+    * fingerprints likewise by fingerprint — the bucketing that co-locates
+    * the ingest anti-join at scale), published as a single manifest
+    * version that replaces every prior batch. Old batch dirs become
+    * unreferenced and are vacuumed by the next ingest's stale-cleanup; a
+    * crash mid-compaction leaves the previous manifest version live and
+    * loses nothing. */
+  def compactCorpus(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, nFiles: Int = 4): Unit = {
+    import graft.sources.{Layout, Manifest}
+    val docDirs = liveDirs(spark, stateDir, "documents")
+    if (docDirs.isEmpty) return
+    val v = Manifest.version(spark, stateDir) + 1
+    Layout.writeClustered(
+      spark.read.parquet(docDirs: _*), s"$stateDir/documents/c$v", Seq("doc_id"), nFiles)
+    Layout.writeClustered(
+      fingerprints(spark, stateDir), s"$stateDir/fingerprints/c$v", Seq("fingerprint"), nFiles)
+    Manifest.publish(spark, stateDir, Seq(s"documents/c$v", s"fingerprints/c$v"))
   }
 
   /** Per-document repetition metrics — the Gopher-style quality signals

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -37,19 +38,56 @@ object Layout {
       .parquet(path)
 
   /** Compact an existing table in place (read → clustered rewrite via a
-    * temp dir → atomic-ish swap). Returns (filesBefore, filesAfter). */
+    * temp dir → crash-recoverable swap). Returns (filesBefore, filesAfter).
+    *
+    * Swap protocol — at every intermediate state the full data set exists
+    * under exactly one of `path`, `path._compact_old`, `path._compact_tmp`,
+    * so a crash at any step is recoverable (and [[compact]] self-recovers
+    * from a predecessor's crash before starting):
+    * {{{
+    *   1. write rewrite  → tmp      (live untouched)
+    *   2. rename live    → ._old    (brief reader gap begins)
+    *   3. rename tmp     → live     (gap ends; both renames are atomic)
+    *   4. delete ._old              (cleanup only)
+    * }}}
+    * This removes the delete-before-rename window the naive swap has (a
+    * crash there left NO live table). Readers can still observe the gap
+    * between steps 2 and 3 — fully gap-free swaps need a manifest
+    * indirection, which the pipeline state uses ([[Manifest]]); for a
+    * standalone table compaction, crash-recoverability is the contract.
+    */
   def compact(
       spark: SparkSession, path: String, keys: Seq[String],
       nFiles: Int, maxRecordsPerFile: Long = 5000000L): (Long, Long) = {
-    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hPath = new Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
-      fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet")).toLong
-    val before = dataFiles(hPath)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val tmp = new Path(path + "._compact_tmp")
+    val old = new Path(path + "._compact_old")
+
+    // recover from a predecessor's crash, in protocol order:
+    // live missing → complete its swap from tmp (post-step-2 crash) or
+    // roll back from ._old; leftovers with live present are orphans.
+    if (!fs.exists(hPath) && fs.exists(tmp)) fs.rename(tmp, hPath)
+    else if (!fs.exists(hPath) && fs.exists(old)) fs.rename(old, hPath)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+
+    val before = dataFiles(spark, path)
     writeClustered(spark.read.parquet(path), tmp.toString, keys, nFiles, maxRecordsPerFile)
-    fs.delete(hPath, true)
+    fs.rename(hPath, old)
     fs.rename(tmp, hPath)
-    (before, dataFiles(hPath))
+    fs.delete(old, true)
+    (before, dataFiles(spark, path))
+  }
+
+  /** Number of parquet data files under `path`, recursively (partitioned
+    * layouts keep data in subdirectories). */
+  def dataFiles(spark: SparkSession, path: String): Long = {
+    val hPath = new Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    var n = 0L
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
   }
 }

@@ -51,7 +51,7 @@ class LayoutSpec extends SparkSpec {
     // re-running the identical batch admits nothing
     val n2 = Corpus.ingestIncremental(spark, docs, state)
     assert(n2 === 0)
-    assert(spark.read.parquet(s"$state/documents").count() === distinctTexts)
+    assert(Corpus.documents(spark, state).count() === distinctTexts)
     // a genuinely new document is admitted; a rephrased duplicate is not
     import spark.implicits._
     val batch2 = Seq(
@@ -60,5 +60,52 @@ class LayoutSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val n3 = Corpus.ingestIncremental(spark, batch2, state)
     assert(n3 === 1)
+  }
+
+  test("ingest: staged-but-unpublished dirs are invisible and vacuumed") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-ingest-crash").toString
+    val b1 = Seq((1L, "first committed doc", "en", "t", 19L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark, b1, state)
+    // simulate a crash between staging and publish: a doc dir with NO
+    // manifest entry (exactly the on-disk state an aborted ingest leaves)
+    Seq((99L, "orphaned uncommitted doc", "en", "t", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$state/documents/b999")
+    assert(Corpus.documents(spark, state).count() === 1) // reader: committed only
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints")).nonEmpty)
+    // next ingest vacuums the orphan and admission semantics are unchanged
+    val n = Corpus.ingestIncremental(spark, b1, state)
+    assert(n === 0)
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints")).isEmpty)
+    assert(Corpus.documents(spark, state).count() === 1)
+  }
+
+  test("compaction-aware ingest bounds live batches without changing admission") {
+    import graft.operators.Corpus
+    import graft.sources.{Layout, Manifest}
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-ingest-compact").toString
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, s"distinct document number $i", "en", "t", 20L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 6 batches with a 2-batch bound: compaction keeps live dirs ≤ 2
+    val admitted = (0 until 6).map { k =>
+      val n = Corpus.ingestIncremental(spark, batch(k * 10 until k * 10 + 10), state,
+        maxLiveBatches = 2)
+      val liveDocDirs = Manifest.live(spark, state).count(_.startsWith("documents/"))
+      assert(liveDocDirs <= 2, s"live batch dirs not bounded: $liveDocDirs")
+      n
+    }.sum
+    assert(admitted === 60)
+    assert(Corpus.documents(spark, state).count() === 60)
+    assert(Layout.dataFiles(spark, s"$state/documents") >= 1)
+    // admission is exactly-once across compactions: old batches still dedup
+    assert(Corpus.ingestIncremental(spark, batch(0 until 60), state, maxLiveBatches = 2) === 0)
+    // and a genuinely new doc after many compactions is still admitted
+    assert(Corpus.ingestIncremental(spark, batch(100 until 101), state, maxLiveBatches = 2) === 1)
   }
 }
