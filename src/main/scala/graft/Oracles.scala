@@ -285,6 +285,85 @@ FROM re CROSS JOIN ws CROSS JOIN tot_rev
 ORDER BY channel_name"""
   }
 
+  /** Second-order Markov — identical solve/iteration discipline to
+    * [[markovAttribution]], over `prev>cur` composite states; channel
+    * removal matches the CURRENT component (`split_part(state,'>',2)`). */
+  val markov2Attribution: String = {
+    val iters = 16
+    attrBase + """
+, jc AS (
+  SELECT conv_id, ts_us, session_id,
+         concat(coalesce(LAG(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id), 'START'),
+                '>', channel_name) AS st
+  FROM assigned
+), jseq AS (
+  SELECT st, LEAD(st, 1) OVER win AS nxt, row_number() OVER win AS rn
+  FROM jc WINDOW win AS (PARTITION BY conv_id ORDER BY ts_us, session_id)
+), rsd AS (
+  SELECT user_id, ts_us, session_id, channel_name FROM sessions s
+  WHERE NOT EXISTS (SELECT 1 FROM assigned a WHERE a.session_id = s.session_id)
+), rc AS (
+  SELECT user_id, ts_us, session_id,
+         concat(coalesce(LAG(channel_name) OVER (PARTITION BY user_id ORDER BY ts_us, session_id), 'START'),
+                '>', channel_name) AS st
+  FROM rsd
+), rseq AS (
+  SELECT st, LEAD(st, 1) OVER win AS nxt, row_number() OVER win AS rn
+  FROM rc WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, session_id)
+), edges AS (
+  SELECT st AS f, nxt AS t FROM jseq WHERE nxt IS NOT NULL
+  UNION ALL SELECT 'START', st FROM jseq WHERE rn = 1
+  UNION ALL SELECT st, 'CONV' FROM jseq WHERE nxt IS NULL
+  UNION ALL SELECT st, nxt FROM rseq WHERE nxt IS NOT NULL
+  UNION ALL SELECT 'START', st FROM rseq WHERE rn = 1
+  UNION ALL SELECT st, 'NULL' FROM rseq WHERE nxt IS NULL
+), trans AS MATERIALIZED (
+  SELECT f AS from_state, t AS to_state, CAST(COUNT(*) AS BIGINT) AS n
+  FROM edges GROUP BY f, t
+), rlist AS (
+  SELECT DISTINCT split_part(from_state, '>', 2) AS r FROM trans WHERE from_state <> 'START'
+  UNION ALL SELECT '<none>'
+), tots AS (
+  SELECT from_state AS f, CAST(SUM(n) AS BIGINT) AS ntot FROM trans GROUP BY from_state
+), probs AS MATERIALIZED (
+  SELECT rl.r, tr.from_state AS f,
+         CASE WHEN tr.to_state NOT IN ('CONV', 'NULL')
+                   AND split_part(tr.to_state, '>', 2) = rl.r
+              THEN 'NULL' ELSE tr.to_state END AS t,
+         CAST(tr.n AS DOUBLE) / CAST(tt.ntot AS DOUBLE) AS prob
+  FROM trans tr
+  JOIN tots tt ON tt.f = tr.from_state
+  CROSS JOIN rlist rl
+  WHERE split_part(tr.from_state, '>', 2) <> rl.r
+), convp AS MATERIALIZED (
+  SELECT r, f AS s, prob AS cp FROM probs WHERE t = 'CONV'
+), chant AS MATERIALIZED (
+  SELECT r, f, t, prob FROM probs WHERE t NOT IN ('CONV', 'NULL')
+), states AS MATERIALIZED (
+  SELECT DISTINCT r, f AS s FROM probs
+), p0 AS MATERIALIZED (
+  SELECT r, s, CAST(0.0 AS DOUBLE) AS p FROM states
+)""" +
+      (1 to iters).map(markovIter).mkString +
+      s"""
+, re AS (
+  SELECT rm.r AS channel_name,
+         GREATEST(CAST(1.0 AS DOUBLE) - rm.p / fl.p, CAST(0.0 AS DOUBLE)) AS removal_effect
+  FROM (SELECT r, p FROM p$iters WHERE s = 'START' AND r <> '<none>') rm
+  CROSS JOIN (SELECT p FROM p$iters WHERE s = 'START' AND r = '<none>') fl
+), ws AS (
+  SELECT CAST(SUM(CAST(removal_effect AS DECIMAL(14,9))) AS DOUBLE) AS w FROM re
+), tot_rev AS (
+  SELECT CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total
+  FROM (SELECT DISTINCT conv_id, revenue FROM assigned) t
+)
+SELECT channel_name, removal_effect,
+       removal_effect / ws.w AS weight,
+       removal_effect / ws.w * tot_rev.total AS revenue
+FROM re CROSS JOIN ws CROSS JOIN tot_rev
+ORDER BY channel_name"""
+  }
+
   val linearAttribution: String = attrBase + """
 , lin AS (
   SELECT channel_name, revenue,

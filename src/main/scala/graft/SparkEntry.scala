@@ -114,6 +114,9 @@ object SparkEntry {
     "markov_attribution" -> ((s, dir) =>
       graft.operators.Markov.attribution(s, Tables.sessions(s, dir), assigned(s, dir))),
 
+    "markov2_attribution" -> ((s, dir) =>
+      graft.operators.Markov.attribution2(s, Tables.sessions(s, dir), assigned(s, dir))),
+
     "training_data_export" -> ((s, dir) =>
       Journeys.trainingExport(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -353,6 +356,7 @@ object SparkEntry {
     "time_decay_attribution"    -> Oracles.timeDecayAttribution,
     "position_attribution"      -> Oracles.positionAttribution,
     "markov_attribution"        -> Oracles.markovAttribution,
+    "markov2_attribution"       -> Oracles.markov2Attribution,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

@@ -78,15 +78,24 @@ object Markov {
   private[graft] def absorption(
       trans: Seq[(String, String, Long)],
       removed: Option[String],
+      iters: Int = 16): Double =
+    absorptionBy(trans, st => removed.contains(st), iters)
+
+  /** [[absorption]] generalized to a removal PREDICATE over state labels —
+    * higher-order chains remove every composite state whose current
+    * channel matches, not a single label. */
+  private[graft] def absorptionBy(
+      trans: Seq[(String, String, Long)],
+      isRemoved: String => Boolean,
       iters: Int = 16): Double = {
     val totals = trans.groupBy(_._1).map { case (fr, xs) => fr -> xs.map(_._3).sum }
     val probs = trans
-      .filterNot { case (fr, _, _) => removed.contains(fr) }
+      .filterNot { case (fr, _, _) => isRemoved(fr) }
       .map { case (fr, to0, n) =>
-        val to = if (removed.contains(to0)) Absorb else to0
+        val to = if (isRemoved(to0)) Absorb else to0
         (fr, to, n.toDouble / totals(fr).toDouble)
       }
-    val states = trans.map(_._1).distinct.filterNot(removed.contains)
+    val states = trans.map(_._1).distinct.filterNot(isRemoved)
     val cp = probs.filter(_._2 == Conv).map { case (fr, _, p) => fr -> p }.toMap
     val chan = probs.filter { case (_, to, _) => to != Conv && to != Absorb }
     var p: Map[String, Double] = states.map(_ -> 0.0).toMap
@@ -109,23 +118,92 @@ object Markov {
     val trans = transitionCounts(sessions, assigned)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val channels = trans.map(_._1).distinct.filter(_ != Start).sorted
-    val pFull = absorption(trans, None)
+    effectsFrame(spark, assigned, trans, channels, c => st => st == c)
+  }
+
+  /** SECOND-ORDER transition counts: states are (previous, current)
+    * channel pairs encoded `prev>cur` (`START>c₁` opens each path), so the
+    * chain conditions on the last TWO touches — paths where the same
+    * channel behaves differently depending on what preceded it (retargeting
+    * after display vs after search) get distinct dynamics that a
+    * first-order chain averages away. Same distributed shape as
+    * [[transitionCounts]]: one window pass computing lag-composite +
+    * lead + row_number per partition key, one groupBy. */
+  def transitionCounts2(sessions: DataFrame, assigned: DataFrame): DataFrame = {
+    val wj = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
+    val j = assigned
+      .select(col("conv_id"), col("ts_us"), col("session_id"), col("channel_name"))
+      .withColumn("st", concat_ws(">",
+        coalesce(lag("channel_name", 1).over(wj), lit(Start)), col("channel_name")))
+      .withColumn("nxt", lead("st", 1).over(wj))
+      .withColumn("rn", row_number().over(wj))
+    val resid = sessions.join(assigned.select("session_id"), Seq("session_id"), "left_anti")
+    val wu = Window.partitionBy("user_id").orderBy(col("ts_us"), col("session_id"))
+    val r = resid
+      .select(col("user_id"), col("ts_us"), col("session_id"), col("channel_name"))
+      .withColumn("st", concat_ws(">",
+        coalesce(lag("channel_name", 1).over(wu), lit(Start)), col("channel_name")))
+      .withColumn("nxt", lead("st", 1).over(wu))
+      .withColumn("rn", row_number().over(wu))
+    def f(c: org.apache.spark.sql.Column) = c.as("f")
+    def t(c: org.apache.spark.sql.Column) = c.as("t")
+    j.filter(col("nxt").isNotNull).select(f(col("st")), t(col("nxt")))
+      .union(j.filter(col("rn") === 1).select(f(lit(Start)), t(col("st"))))
+      .union(j.filter(col("nxt").isNull).select(f(col("st")), t(lit(Conv))))
+      .union(r.filter(col("nxt").isNotNull).select(f(col("st")), t(col("nxt"))))
+      .union(r.filter(col("rn") === 1).select(f(lit(Start)), t(col("st"))))
+      .union(r.filter(col("nxt").isNull).select(f(col("st")), t(lit(Absorb))))
+      .groupBy(col("f").as("from_state"), col("t").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Second-order Markov removal-effect attribution — the higher-order
+    * extension of [[attribution]]: same absorbing-chain solve over the
+    * `prev>cur` composite states, with channel c's removal redirecting
+    * every transition into ANY state currently at c (label suffix `>c`)
+    * to NULL. Credit is still per CHANNEL. Chain size is ≤ |channels|²+2
+    * states — still index metadata for the driver-side solve; counting
+    * stays fully distributed. */
+  def attribution2(
+      spark: SparkSession, sessions: DataFrame, assigned: DataFrame): DataFrame = {
+    val trans = transitionCounts2(sessions, assigned)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val channels = trans.map(_._1)
+      .filter(_ != Start).map(st => st.substring(st.indexOf('>') + 1))
+      .distinct.sorted
+    effectsFrame(spark, assigned, trans, channels, c => st => st.endsWith(">" + c))
+  }
+
+  /** Shared removal-effect → (weight, revenue) post-processing with the
+    * degenerate-chain guards: no converting journeys (pFull = 0) or
+    * all-zero removal effects (wsum = 0) return an EMPTY frame instead of
+    * silently emitting NaN rows. */
+  private def effectsFrame(
+      spark: SparkSession,
+      assigned: DataFrame,
+      trans: Seq[(String, String, Long)],
+      channels: Seq[String],
+      removes: String => String => Boolean): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "channel_name STRING, removal_effect DOUBLE, weight DOUBLE, revenue DOUBLE")
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pFull = absorptionBy(trans, _ => false)
+    if (pFull == 0.0 || channels.isEmpty) return empty
     val effects = channels.map { c =>
-      c -> math.max(1.0 - absorption(trans, Some(c)) / pFull, 0.0)
+      c -> math.max(1.0 - absorptionBy(trans, removes(c)) / pFull, 0.0)
     }
     // Σ removal effects, decimal-exact like every other cross-engine sum
     val wsum = effects.map { case (_, e) => dec9(e) }
       .reduce(_.add(_)).doubleValue()
+    if (wsum == 0.0) return empty
     // total journey revenue — distributed decimal-exact sum
     val total = assigned.select(col("conv_id"), col("revenue")).distinct()
       .agg(graft.functions.Exact.dsum(col("revenue"))).head().getDouble(0)
     val rows = effects.map { case (c, e) =>
       Row(c, e, e / wsum, e / wsum * total)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows),
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "channel_name STRING, removal_effect DOUBLE, weight DOUBLE, revenue DOUBLE"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
       .orderBy("channel_name")
   }
 }

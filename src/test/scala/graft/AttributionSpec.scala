@@ -38,6 +38,42 @@ class AttributionSpec extends SparkSpec {
     assert(math.abs(rev - total) < 1e-3)
   }
 
+  test("second-order markov: context-dependent channels separate; weights conserve") {
+    import spark.implicits._
+    // b converts ONLY when reached via a (a>b→CONV); via c it never
+    // converts (c>b→NULL). A first-order chain averages b's two contexts;
+    // the second-order chain keeps them apart: removing a is as fatal as
+    // removing b (both 1.0), removing c changes nothing.
+    val sess = Seq(
+      (100L, 1L, 1000L, "a"), (101L, 1L, 2000L, "b"),
+      (200L, 2L, 1000L, "c"), (201L, 2L, 2000L, "b"))
+      .toDF("session_id", "user_id", "ts_us", "channel_name")
+    val asg = Seq(
+      (100L, 1L, 1000L, "a", 10L, 3000L, 80.0),
+      (101L, 1L, 2000L, "b", 10L, 3000L, 80.0))
+      .toDF("session_id", "user_id", "ts_us", "channel_name", "conv_id", "conv_ts_us", "revenue")
+    val out = graft.operators.Markov.attribution2(spark, sess, asg).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(out("a") === 1.0)
+    assert(out("b") === 1.0)
+    assert(out("c") === 0.0)
+    // and on real data: weights sum to 1, revenue to the journey total
+    val m = graft.operators.Markov.attribution2(spark, sessions, assigned)
+    assert(math.abs(m.agg(sum("weight")).head().getDouble(0) - 1.0) < 1e-9)
+  }
+
+  test("markov degenerate inputs return empty, not NaN rows") {
+    import spark.implicits._
+    // no converting journeys at all: pFull = 0 → empty result (the
+    // unguarded division would emit NaN removal effects)
+    val sess = Seq((100L, 1L, 1000L, "a"), (101L, 1L, 2000L, "b"))
+      .toDF("session_id", "user_id", "ts_us", "channel_name")
+    val emptyAsg = Seq.empty[(Long, Long, Long, String, Long, Long, Double)]
+      .toDF("session_id", "user_id", "ts_us", "channel_name", "conv_id", "conv_ts_us", "revenue")
+    assert(graft.operators.Markov.attribution(spark, sess, emptyAsg).count() === 0)
+    assert(graft.operators.Markov.attribution2(spark, sess, emptyAsg).count() === 0)
+  }
+
   test("linear / time-decay / position models conserve total credit") {
     // each model distributes exactly 1.0 fractional conversion per journey,
     // so the channel rollup must sum back to the journey count
