@@ -827,7 +827,7 @@ ORDER BY query_id, rnk"""
 ), cdot$t AS (
   SELECT f.vec_id, f.nrm, c.cid, n.cnrm,
          CAST(SUM(CAST(CAST(f.embedding[c.i] AS DOUBLE) * CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-  FROM feat f CROSS JOIN cent$t c JOIN cnrm$t n ON n.cid = c.cid
+  FROM train f CROSS JOIN cent$t c JOIN cnrm$t n ON n.cid = c.cid
   GROUP BY f.vec_id, f.nrm, c.cid, n.cnrm
 ), asg$t AS (
   SELECT vec_id, cid AS cell FROM (
@@ -836,7 +836,7 @@ ORDER BY query_id, rnk"""
     FROM cdot$t) x WHERE rn = 1
 ), cmean${t + 1} AS (
   SELECT a.cell AS cid, ix.i,
-         CAST(CAST(SUM(CAST(CAST(e.embedding[ix.i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(CAST(e.embedding[ix.i] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE) AS REAL) AS v
   FROM asg$t a JOIN embeddings e ON e.vec_id = a.vec_id
   CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
@@ -853,6 +853,14 @@ ORDER BY query_id, rnk"""
   SELECT vec_id AS cid, ix.i, embedding[ix.i] AS v
   FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
   WHERE vec_id < 16
+), nvec AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), train AS MATERIALIZED (
+  -- deterministic md5-bucket training sample, lockstep with
+  -- Similarity.trainCentroids: bucket < ceil(10000*4096/N), clamped
+  SELECT f.* FROM feat f, nvec
+  WHERE CAST(concat('0x', substring(md5(CAST(f.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
 )""" +
       (0 until iters).map(ivfIteration).mkString +
       s"""

@@ -116,6 +116,35 @@ object ScaleSmoke {
     time(s"ann_bruteforce nVecs=$nVecs")(
       println(s"[scale] ann rows = " +
         graft.operators.Similarity.bruteForceTopK(vecs, nQueries = 8, k = 10).count()))
+
+    // IVF training cost is FLAT in corpus size: the md5-bucket sample
+    // keeps the Lloyd set ≈4096 vectors at 50k and at 500k (10× corpus,
+    // ~same training time — the full-corpus scans are gone).
+    Seq(nVecs / 10, nVecs).foreach { nv =>
+      val v = vecs.filter(col("vec_id") < nv)
+      time(s"ivf_train nVecs=$nv")(println(s"[scale] trained centroids = " +
+        graft.operators.Similarity.trainCentroids(v, nCentroids = 16, iters = 2).length))
+    }
+
+    // Skewed-user journey worst case: one user owns ~10% of all events
+    // (≈1M sessions at the 10M default) while the rest spread over 100k
+    // users. The as-of assignment must stay near the uniform case — the
+    // union+window form sorts within the heavy partition instead of
+    // fanning out sessions×conversions (which would be ~10^10 rows for
+    // this user), and AQE handles the skewed shuffle partition.
+    val skewEvents = spark.range(n).selectExpr(
+      "id AS event_id",
+      """CAST(CASE WHEN pmod(id, 10) = 0 THEN 42424242
+              ELSE pmod(hash(id + 3), 100000) END AS BIGINT) AS user_id""",
+      "CAST(pmod(hash(id), 2592000) AS BIGINT) * 1000000 AS ts_us",
+      """CASE pmod(hash(id + 7), 5) WHEN 0 THEN 'purchase' WHEN 1 THEN 'click'
+         WHEN 2 THEN 'view' WHEN 3 THEN 'signup' ELSE 'error' END AS event_type""",
+      "CAST(pmod(hash(id + 13), 10000) AS DOUBLE) / 100.0 AS value")
+      .withColumn("event_date", expr("CAST(timestamp_micros(ts_us) AS DATE)"))
+    time(s"journey_assign SKEWED n=$n (one user holds ~10%)")(
+      println(s"[scale] skewed assigned rows = " +
+        Journeys.assign(
+          Tables.deriveSessions(skewEvents), Tables.deriveConversions(skewEvents)).count()))
     spark.stop()
   }
 }

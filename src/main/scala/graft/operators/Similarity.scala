@@ -104,32 +104,48 @@ object Similarity {
     }: _*))
 
   /** Deterministically TRAINED coarse quantizer: `iters` Lloyd iterations
-    * from the fixed first-K init. Assignment is the same decimal-exact
-    * cosine argmax as the probe path; the update is the per-dimension mean
-    * — an exact decimal sum over the cell divided by the cell count,
-    * rounded back to float — and empty cells keep their previous centroid.
-    * Every step is therefore reproducible in ANSI SQL over the same
-    * parquet, which is what keeps the trained index oracle-checkable.
+    * from the fixed first-K init, over a deterministic md5-bucket SAMPLE
+    * of the corpus. Assignment is the same decimal-exact cosine argmax as
+    * the probe path; the update is the per-dimension mean — an exact
+    * decimal sum over the cell divided by the cell count, rounded back to
+    * float — and empty cells keep their previous centroid. Every step is
+    * therefore reproducible in ANSI SQL over the same parquet, which is
+    * what keeps the trained index oracle-checkable.
     *
-    * Scale shape: per iteration one codegen'd map stage (assignment: K dot
-    * products per row against literal centroids) and one (cell, dim)
-    * aggregation whose output is K×dims rows — the only thing collected.
-    * No driver-side data beyond the K centroid vectors themselves. */
+    * Sampling ([[graft.operators.Corpus.stratifiedSample]]'s hash-bucket
+    * pattern, no RNG): a vector trains iff
+    * `md5bucket(vec_id) < ceil(10000·sampleTarget/N)` — the training set
+    * stays ≈`sampleTarget` rows however large the corpus grows, so Lloyd
+    * cost is FLAT in corpus size (a coarse quantizer only needs a sketch
+    * of the distribution; the full-corpus work — cell assignment — lives
+    * in the probe path, once, not per training iteration). Corpora at or
+    * under the target train on everything (threshold clamps to 10000).
+    *
+    * Scale shape: per iteration one codegen'd map stage over the sample
+    * and one (cell, dim) aggregation whose output is K×dims rows — the
+    * only thing collected. float→decimal sums go through the float's
+    * shortest decimal repr (string cast), the one float→decimal bridge
+    * both engines round identically (see [[labelCentroids]]). */
   private[graft] def trainCentroids(
       embeddings: DataFrame, nCentroids: Int = 16,
-      iters: Int = 2): Array[(Long, Array[Float], Double)] = {
+      iters: Int = 2, sampleTarget: Long = 4096): Array[(Long, Array[Float], Double)] = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val n = embeddings.count()
+    val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
+    val train = feat.filter(
+      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+        % 10000 < threshold)
     var cents = initialCentroids(embeddings, nCentroids)
     (1 to iters).foreach { _ =>
-      val assigned = feat.withColumn("cell",
+      val assigned = train.withColumn("cell",
         element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
       val means = assigned
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg((sum(col("x").cast("double").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .agg((sum(col("x").cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
           .cast("double") / count(lit(1)).cast("double")).cast("float").as("v"))
         .collect()
         .groupBy(_.getLong(0))
