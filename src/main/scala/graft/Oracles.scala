@@ -1239,11 +1239,43 @@ ORDER BY doc_id"""
     val fCols = (0 until 16).map(b =>
       s"       CAST(CAST(COALESCE(SUM(CASE WHEN h.bin = $b THEN h.cnt END), 0) AS DOUBLE)" +
         s" / GREATEST(m.byte_len, 1) AS REAL) AS f$b").mkString(",\n")
+    // one payload byte from the hex dump (0-based offset), as BIGINT
+    def byteAt(i: Int) = s"CAST(concat('0x', substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    // little-endian signed int32 at 0-based offset `off` — mirrors
+    // Multimodal.decode's le32 (Int arithmetic wraps to signed there)
+    def le32(off: Int) =
+      s"""(CASE WHEN ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
+               + 16777216 * ${byteAt(off + 3)} >= 2147483648
+           THEN ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
+               + 16777216 * ${byteAt(off + 3)} - 4294967296
+           ELSE ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
+               + 16777216 * ${byteAt(off + 3)} END)"""
+    // plain (non-interpolated) strings so \t/\r reach RE2 as backslash
+    // sequences, exactly as Java regex sees them on the Spark side
+    val ppmMatch =
+      """regexp_matches(text, '^P6[ \t-\r]+[0-9]{1,9}[ \t-\r]+[0-9]{1,9}[ \t-\r]')"""
+    val ppmDims =
+      """regexp_extract(text, '^P6[ \t-\r]+([0-9]{1,9})[ \t-\r]+([0-9]{1,9})[ \t-\r]', %d)"""
     s"""
 WITH meta AS (
-  SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
          hex(encode(text)) AS hx
   FROM documents
+), typed AS (
+  SELECT doc_id, text, byte_len, hx,
+         CASE WHEN byte_len >= 26 AND substr(hx, 1, 4) = '424D' THEN 'bmp'
+              WHEN $ppmMatch THEN 'ppm'
+              ELSE 'raw' END AS format
+  FROM meta
+), dims AS (
+  SELECT doc_id, byte_len, format,
+         CAST(CASE WHEN format = 'bmp' THEN ${le32(18)}
+                   WHEN format = 'ppm' THEN TRY_CAST(${ppmDims.format(1)} AS BIGINT)
+                   ELSE byte_len % 640 END AS INTEGER) AS width,
+         CAST(CASE WHEN format = 'bmp' THEN ${le32(22)}
+                   WHEN format = 'ppm' THEN TRY_CAST(${ppmDims.format(2)} AS BIGINT)
+                   ELSE byte_len % 480 END AS INTEGER) AS height
+  FROM typed
 ), hist AS (
   SELECT doc_id, bin, COUNT(*) AS cnt
   FROM (SELECT doc_id,
@@ -1252,12 +1284,10 @@ WITH meta AS (
         FROM (SELECT doc_id, hx, unnest(range(1, byte_len + 1)) AS i FROM meta) t) u
   GROUP BY doc_id, bin
 )
-SELECT m.doc_id, m.byte_len,
-       CAST(m.byte_len % 640 AS INTEGER) AS width,
-       CAST(m.byte_len % 480 AS INTEGER) AS height,
+SELECT m.doc_id, m.byte_len, m.format, m.width, m.height,
 $fCols
-FROM meta m LEFT JOIN hist h ON h.doc_id = m.doc_id
-GROUP BY m.doc_id, m.byte_len
+FROM dims m LEFT JOIN hist h ON h.doc_id = m.doc_id
+GROUP BY m.doc_id, m.byte_len, m.format, m.width, m.height
 ORDER BY m.doc_id"""
   }
 

@@ -300,7 +300,8 @@ object SparkEntry {
       val feat = Multimodal.features(s, Tables.documents(s, dir)).toDF()
       val featCols = (0 until 16).map(i => col("features")(i).as(s"f$i"))
       feat.select(
-        Seq(col("doc_id"), col("byte_len"), col("width"), col("height")) ++ featCols: _*)
+        Seq(col("doc_id"), col("byte_len"), col("format"),
+          col("width"), col("height")) ++ featCols: _*)
         .orderBy("doc_id")
     }),
 

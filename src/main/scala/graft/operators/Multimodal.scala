@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY §2.C12-C13).
   *
-  * Media payloads are opaque `binary` columns with typed metadata. This
-  * container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub — but the Spark-side plumbing
-  * (binary schema, per-partition batch shape, typed output schema,
-  * partition-preserving execution) is real and is what matters at 100 TB:
-  * decode happens inside `mapPartitions` so a 1000-executor cluster
-  * decodes 1000 partitions concurrently with zero shuffles.
+  * Media payloads are opaque `binary` columns with typed metadata. The
+  * decode step parses REAL pure-JVM byte formats — BMP and PPM headers
+  * give actual width/height (see [[decode]]) — with a clearly-marked
+  * deterministic stub as the fallback for formats this container has no
+  * codec for. The Spark-side plumbing (binary schema, per-partition batch
+  * shape, typed output schema, partition-preserving execution) is what
+  * matters at 100 TB: decode happens inside `mapPartitions` so a
+  * 1000-executor cluster decodes 1000 partitions concurrently with zero
+  * shuffles.
   */
 object Multimodal {
 
@@ -53,16 +55,38 @@ object Multimodal {
   final case class MediaFeature(
       doc_id: Long,
       byte_len: Int,
+      format: String,
       width: Int,
       height: Int,
       features: Array[Float])
 
-  /** STUB DECODER — stands in for an image/audio codec (none available in
-    * this container). Deterministic: byte-value histogram over 16 bins,
-    * L1-normalized, plus fake width/height from the payload length. The
-    * real thing would swap `decodeStub` for an actual codec call; the
-    * distributed shape (mapPartitions over binary batches) is unchanged. */
-  private def decodeStub(docId: Long, payload: Array[Byte]): MediaFeature = {
+  /** PPM (P6) header: magic, whitespace, width, whitespace, height,
+    * whitespace. Digit runs capped at 9 so parsed dims always fit an Int;
+    * whitespace is the explicit 0x09–0x0D + space class (`[ \t-\r]`) —
+    * spelled out because Java's `\s`/`\v` and RE2's differ at the edges,
+    * and the DuckDB oracle runs the same pattern through RE2. */
+  private val PpmHeader =
+    """^P6[ \t-\r]+([0-9]{1,9})[ \t-\r]+([0-9]{1,9})[ \t-\r]""".r
+
+  /** REAL byte-format decode with a stub fallback. Recognized pure-JVM
+    * formats (no codec libraries needed — plain header parsing):
+    *
+    *  - **BMP**: leading `BM`, ≥ 26 bytes → width/height are the
+    *    little-endian int32s at offsets 18/22 (BITMAPINFOHEADER), taken
+    *    signed exactly as the format stores them (negative height = a
+    *    top-down bitmap).
+    *  - **PPM (P6)**: ASCII header → width/height from the two decimal
+    *    fields.
+    *  - anything else → `raw`: the original deterministic stub dims
+    *    (length-derived) — the honest fallback for payloads this
+    *    container cannot decode.
+    *
+    * All formats get the 16-bin L1-normalized byte histogram as the
+    * feature vector — a real content signal, codec or not. Every branch
+    * is deterministic and mirrored byte-for-byte in the DuckDB oracle
+    * (hex-slice arithmetic for the BMP header, the same regex for PPM),
+    * so the operator stays hash-checked end-to-end. */
+  private[graft] def decode(docId: Long, payload: Array[Byte]): MediaFeature = {
     val hist = new Array[Float](16)
     var i = 0
     while (i < payload.length) {
@@ -72,15 +96,40 @@ object Multimodal {
     val n = math.max(1, payload.length).toFloat
     var b = 0
     while (b < 16) { hist(b) /= n; b += 1 }
-    MediaFeature(docId, payload.length, payload.length % 640, payload.length % 480, hist)
+
+    def le32(off: Int): Int =
+      (payload(off) & 0xff) | (payload(off + 1) & 0xff) << 8 |
+        (payload(off + 2) & 0xff) << 16 | (payload(off + 3) & 0xff) << 24
+
+    if (payload.length >= 26 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      MediaFeature(docId, payload.length, "bmp", le32(18), le32(22), hist)
+    else {
+      // header region is ASCII; UTF-8 decode is identity there, so the
+      // regex sees the same prefix the oracle's text column carries
+      val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      PpmHeader.findFirstMatchIn(s) match {
+        case Some(m) =>
+          MediaFeature(docId, payload.length, "ppm", m.group(1).toInt, m.group(2).toInt, hist)
+        case None =>
+          MediaFeature(docId, payload.length, "raw",
+            payload.length % 640, payload.length % 480, hist)
+      }
+    }
   }
 
-  /** Per-partition feature extraction over the payload column. */
-  def features(spark: SparkSession, documents: DataFrame): Dataset[MediaFeature] = {
+  /** Per-partition feature extraction over a (doc_id, payload binary)
+    * frame — decode runs inside `mapPartitions`, so 1000 executors decode
+    * 1000 partitions concurrently with zero shuffles. */
+  def featuresBinary(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
-    documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloads
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, payload) => decodeStub(id, payload) })
+      .mapPartitions(_.map { case (id, payload) => decode(id, payload) })
   }
+
+  /** [[featuresBinary]] over the documents table's text payloads. */
+  def features(spark: SparkSession, documents: DataFrame): Dataset[MediaFeature] =
+    featuresBinary(spark,
+      documents.select(col("doc_id"), col("text").cast("binary").as("payload")))
 }

@@ -71,4 +71,34 @@ class TextMultimodalSpec extends SparkSpec {
     val again = Multimodal.features(spark, docs).collect()
     assert(feats.head.features.toSeq === again.head.features.toSeq)
   }
+
+  test("decode parses real BMP and PPM headers; unknown payloads fall back to raw") {
+    import spark.implicits._
+    // crafted BMP: 'BM' magic, width=2 / height=3 as little-endian int32s
+    // at offsets 18/22 (BITMAPINFOHEADER), plus a 0xFF pixel byte
+    val bmp = new Array[Byte](27)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    bmp(18) = 2; bmp(22) = 3
+    bmp(26) = 0xff.toByte
+    // crafted top-down BMP: height stored negative (two's complement)
+    val bmpNeg = bmp.clone()
+    bmpNeg(22) = 0xfd.toByte; bmpNeg(23) = 0xff.toByte
+    bmpNeg(24) = 0xff.toByte; bmpNeg(25) = 0xff.toByte
+    // crafted PPM: ASCII P6 header, 640x480
+    val ppm = "P6\n640 480\n255\n".getBytes("UTF-8") ++ Array[Byte](1, 2, 3)
+    val raw = "just some text payload".getBytes("UTF-8")
+    val out = Multimodal.featuresBinary(spark,
+      Seq((1L, bmp), (2L, ppm), (3L, raw), (4L, bmpNeg)).toDF("doc_id", "payload"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format === "bmp")
+    assert((out(1L).width, out(1L).height) === (2, 3))
+    assert(out(2L).format === "ppm")
+    assert((out(2L).width, out(2L).height) === (640, 480))
+    assert(out(3L).format === "raw")
+    assert((out(3L).width, out(3L).height) === (raw.length % 640, raw.length % 480))
+    assert(out(4L).height === -3) // signed little-endian, as BMP stores top-down
+    // histogram is over the real bytes: bin 15 counts the single 0xFF
+    assert(out(1L).features(15) === 1f / 27f)
+    assert(math.abs(out(2L).features.sum - 1.0) < 1e-5)
+  }
 }
