@@ -287,14 +287,15 @@ ORDER BY channel_name"""
 
   /** Second-order Markov — identical solve/iteration discipline to
     * [[markovAttribution]], over `prev>cur` composite states; channel
-    * removal matches the CURRENT component (`split_part(state,'>',2)`). */
+    * removal matches the CURRENT component (`split_part(state, chr(31), 2)` —
+    * the chr(31) state separator matches [[graft.operators.Markov.StateSep]]). */
   val markov2Attribution: String = {
     val iters = 16
     attrBase + """
 , jc AS (
   SELECT conv_id, ts_us, session_id,
          concat(coalesce(LAG(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id), 'START'),
-                '>', channel_name) AS st
+                chr(31), channel_name) AS st
   FROM assigned
 ), jseq AS (
   SELECT st, LEAD(st, 1) OVER win AS nxt, row_number() OVER win AS rn
@@ -305,7 +306,7 @@ ORDER BY channel_name"""
 ), rc AS (
   SELECT user_id, ts_us, session_id,
          concat(coalesce(LAG(channel_name) OVER (PARTITION BY user_id ORDER BY ts_us, session_id), 'START'),
-                '>', channel_name) AS st
+                chr(31), channel_name) AS st
   FROM rsd
 ), rseq AS (
   SELECT st, LEAD(st, 1) OVER win AS nxt, row_number() OVER win AS rn
@@ -321,20 +322,20 @@ ORDER BY channel_name"""
   SELECT f AS from_state, t AS to_state, CAST(COUNT(*) AS BIGINT) AS n
   FROM edges GROUP BY f, t
 ), rlist AS (
-  SELECT DISTINCT split_part(from_state, '>', 2) AS r FROM trans WHERE from_state <> 'START'
+  SELECT DISTINCT split_part(from_state, chr(31), 2) AS r FROM trans WHERE from_state <> 'START'
   UNION ALL SELECT '<none>'
 ), tots AS (
   SELECT from_state AS f, CAST(SUM(n) AS BIGINT) AS ntot FROM trans GROUP BY from_state
 ), probs AS MATERIALIZED (
   SELECT rl.r, tr.from_state AS f,
          CASE WHEN tr.to_state NOT IN ('CONV', 'NULL')
-                   AND split_part(tr.to_state, '>', 2) = rl.r
+                   AND split_part(tr.to_state, chr(31), 2) = rl.r
               THEN 'NULL' ELSE tr.to_state END AS t,
          CAST(tr.n AS DOUBLE) / CAST(tt.ntot AS DOUBLE) AS prob
   FROM trans tr
   JOIN tots tt ON tt.f = tr.from_state
   CROSS JOIN rlist rl
-  WHERE split_part(tr.from_state, '>', 2) <> rl.r
+  WHERE split_part(tr.from_state, chr(31), 2) <> rl.r
 ), convp AS MATERIALIZED (
   SELECT r, f AS s, prob AS cp FROM probs WHERE t = 'CONV'
 ), chant AS MATERIALIZED (

@@ -114,8 +114,15 @@ object Pipeline {
   // (asserted in PipelineSpec). Bucket metadata needs a catalog entry, so
   // the tables get session-scoped names derived from the state dir.
 
-  private def bucketedName(stateDir: String, table: String): String =
-    s"graft_pipe_${table}_${java.lang.Integer.toHexString(stateDir.hashCode)}"
+  // full-width md5 of the path, not String.hashCode: a 32-bit collision
+  // between two state dirs would silently serve the other pipeline's
+  // extracts from the catalog
+  private[graft] def bucketedName(stateDir: String, table: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(stateDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"graft_pipe_${table}_$digest"
+  }
 
   /** Persist the sessions/conversions extracts as user_id-bucketed tables
     * under `stateDir/bucketed/` (one-time layout cost; re-run to refresh

@@ -40,6 +40,14 @@ object Markov {
   /** Marker for the unmodified chain in the removal dimension. */
   val NoRemoval = "<none>"
 
+  /** Separator inside second-order composite states: the ASCII unit
+    * separator (0x1F), a control character no real channel label carries —
+    * a printable separator like '>' would make a channel named `a>b`
+    * ambiguous with the composite `a`→`b`, and removal matching via the
+    * state suffix would then misattribute. The DuckDB oracle builds and
+    * splits states with the same `chr(31)`. */
+  val StateSep = "\u001f"
+
   /** Distributed transition counts over converting journeys + residual
     * non-converting paths: (from_state, to_state, n). */
   def transitionCounts(sessions: DataFrame, assigned: DataFrame): DataFrame = {
@@ -122,7 +130,8 @@ object Markov {
   }
 
   /** SECOND-ORDER transition counts: states are (previous, current)
-    * channel pairs encoded `prev>cur` (`START>c₁` opens each path), so the
+    * channel pairs encoded `prev․cur` with the [[StateSep]] control-char
+    * separator (`START․c₁` opens each path), so the
     * chain conditions on the last TWO touches — paths where the same
     * channel behaves differently depending on what preceded it (retargeting
     * after display vs after search) get distinct dynamics that a
@@ -133,7 +142,7 @@ object Markov {
     val wj = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
     val j = assigned
       .select(col("conv_id"), col("ts_us"), col("session_id"), col("channel_name"))
-      .withColumn("st", concat_ws(">",
+      .withColumn("st", concat_ws(StateSep,
         coalesce(lag("channel_name", 1).over(wj), lit(Start)), col("channel_name")))
       .withColumn("nxt", lead("st", 1).over(wj))
       .withColumn("rn", row_number().over(wj))
@@ -141,7 +150,7 @@ object Markov {
     val wu = Window.partitionBy("user_id").orderBy(col("ts_us"), col("session_id"))
     val r = resid
       .select(col("user_id"), col("ts_us"), col("session_id"), col("channel_name"))
-      .withColumn("st", concat_ws(">",
+      .withColumn("st", concat_ws(StateSep,
         coalesce(lag("channel_name", 1).over(wu), lit(Start)), col("channel_name")))
       .withColumn("nxt", lead("st", 1).over(wu))
       .withColumn("rn", row_number().over(wu))
@@ -169,9 +178,9 @@ object Markov {
     val trans = transitionCounts2(sessions, assigned)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val channels = trans.map(_._1)
-      .filter(_ != Start).map(st => st.substring(st.indexOf('>') + 1))
+      .filter(_ != Start).map(st => st.substring(st.indexOf(StateSep) + StateSep.length))
       .distinct.sorted
-    effectsFrame(spark, assigned, trans, channels, c => st => st.endsWith(">" + c))
+    effectsFrame(spark, assigned, trans, channels, c => st => st.endsWith(StateSep + c))
   }
 
   /** Shared removal-effect → (weight, revenue) post-processing with the

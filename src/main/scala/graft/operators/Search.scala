@@ -26,9 +26,12 @@ object Search {
 
   /** Per-document top-k terms by TF-IDF, rational idf form:
     * score = tf · N / df (one exact-integer product, one correctly-rounded
-    * double division — strictly rank-equivalent to tf·(N/df) and
-    * bit-reproducible in any IEEE engine, unlike log idf).
-    * Ties: term asc. */
+    * double division — bit-reproducible in any IEEE engine, unlike log
+    * idf). This is a DELIBERATE deterministic scoring variant, not a
+    * drop-in for log-idf TF-IDF: N/df grows linearly where log(N/df) grows
+    * logarithmically, so the within-document ordering of terms with
+    * DIFFERENT df can come out differently than under tf·log(N/df) (only
+    * same-df comparisons are order-identical). Ties: term asc. */
   def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
     val toks = Dedup.tokens(documents)
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
@@ -53,8 +56,13 @@ object Search {
 
   /** BM25 keyword retrieval (k1=1.2, b=0.75): top-k documents for a bag of
     * query terms. Rational idf (N−df+0.5)/(df+0.5) — the Robertson-
-    * Sparck-Jones numerator without the log wrapper, rank-preserving and
-    * bit-reproducible (see class doc). Length norm uses dl·N/Σdl (two
+    * Sparck-Jones ratio without the log wrapper, chosen for
+    * bit-reproducibility (see class doc). A DELIBERATE scoring variant,
+    * not rank-equivalent to standard BM25: within a single term the
+    * ratio is monotone in df so that term's doc ordering is preserved,
+    * but MULTI-term document scores weight rare terms linearly rather
+    * than logarithmically, so full-query rankings can differ from
+    * log-idf BM25. Length norm uses dl·N/Σdl (two
     * exact integers in, one division). Per-doc term-score sum is
     * DECIMAL(27,6)-exact so shuffle order can't flip a hash compare.
     *

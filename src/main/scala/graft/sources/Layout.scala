@@ -74,8 +74,17 @@ object Layout {
 
     val before = dataFiles(spark, path)
     writeClustered(spark.read.parquet(path), tmp.toString, keys, nFiles, maxRecordsPerFile)
-    fs.rename(hPath, old)
-    fs.rename(tmp, hPath)
+    // Both renames are CHECKED (rename reports failure via its boolean, not
+    // an exception): proceeding past a failed step-3 rename would make the
+    // final delete destroy the only remaining copy under `._old`. On a
+    // failed step 3 the live slot is empty, so roll `._old` straight back
+    // before surfacing the error — the table is never left gone.
+    if (!fs.rename(hPath, old))
+      throw new java.io.IOException(s"compact: rename $hPath -> $old failed")
+    if (!fs.rename(tmp, hPath)) {
+      fs.rename(old, hPath)
+      throw new java.io.IOException(s"compact: rename $tmp -> $hPath failed (rolled back)")
+    }
     fs.delete(old, true)
     (before, dataFiles(spark, path))
   }

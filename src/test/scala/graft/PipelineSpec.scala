@@ -103,7 +103,8 @@ class PipelineSpec extends SparkSpec {
 
   test("pipeline over the bucketed layout: exchange-free assign, bit-identical output") {
     val stateDir = Files.createTempDirectory("graft-pipeline-bucketed").toString
-    val suffix = Integer.toHexString(stateDir.hashCode)
+    val sessionsTable = Pipeline.bucketedName(stateDir, "sessions")
+    val conversionsTable = Pipeline.bucketedName(stateDir, "conversions")
     try {
       Pipeline.prepareBucketed(spark, sfDir, stateDir, nBuckets = 8)
 
@@ -111,8 +112,8 @@ class PipelineSpec extends SparkSpec {
       // (the flag window re-keys by conv_id downstream — the claim is about
       // the big per-user union+window, so audit the assign stage itself)
       val assignStage = operators.Journeys.assignBucketed(
-        spark.table(s"graft_pipe_sessions_$suffix"),
-        spark.table(s"graft_pipe_conversions_$suffix"))
+        spark.table(sessionsTable),
+        spark.table(conversionsTable))
       val plan = assignStage.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed pipeline assign should be exchange-free:\n$plan")
@@ -131,8 +132,8 @@ class PipelineSpec extends SparkSpec {
       assert(s2.newConversions > 0)
       assert(rows(Pipeline.persistedAttribution(spark, stateDir)) === rows(fromScratch))
     } finally {
-      spark.sql(s"DROP TABLE IF EXISTS graft_pipe_sessions_$suffix")
-      spark.sql(s"DROP TABLE IF EXISTS graft_pipe_conversions_$suffix")
+      spark.sql(s"DROP TABLE IF EXISTS $sessionsTable")
+      spark.sql(s"DROP TABLE IF EXISTS $conversionsTable")
     }
   }
 }
