@@ -17,35 +17,56 @@ import org.apache.spark.sql.functions._
   * from-scratch run (spec-tested in PipelineSpec, including an
   * aborted-between-writes crash run).
   *
-  * Why the delta is consistent with from-scratch: journey assignment is
-  * computed over the FULL conversion set each run and restricted to the
-  * missing conversions afterwards. Greedy assignment gives each session to
-  * the EARLIEST later conversion, so conversions arriving later can never
-  * steal sessions from already-attributed journeys — the restriction
-  * commutes with assignment. (The reference gets the same property from
-  * its chronological processing order, `journey_builder.py:45-105`.)
+  * Why the delta is consistent with from-scratch: a user's journeys
+  * depend on nothing outside the user, and greedy assignment gives each
+  * session to the EARLIEST later conversion, so conversions arriving
+  * later can never steal sessions from already-attributed journeys — the
+  * restriction to missing conversions commutes with assignment. (The
+  * reference gets the same property from its chronological processing
+  * order, `journey_builder.py:45-105`.)
   *
-  * Crash consistency (write–audit–publish): run N stages FRESH directories
-  *   - `attribution/rN/` — the delta rows (conv_id, session_id,
+  * EVERY per-run cost is O(extract + delta), never O(history):
+  *   - assignment input is semi-joined down to the users owning a missing
+  *     conversion BEFORE the journey window runs (exact, by per-user
+  *     independence) — a daily run attributes the day's users, not every
+  *     user ever seen;
+  *   - the channel report is maintained incrementally: the run aggregates
+  *     only its delta and outer-merges the exact-decimal partial sums into
+  *     the committed `report_base` state by (channel, date) — bit-identical
+  *     to re-aggregating all history, at O(|channels|·|dates|) merge cost;
+  *   - the committed row total rides in manifest METADATA, so no run ever
+  *     re-scans prior attribution dirs (spec-proven: PipelineSpec hides
+  *     run 1's attribution data and run 2 still succeeds).
+  *
+  * Crash consistency (write–audit–publish): run N stages FRESH uniquely
+  * tagged directories
+  *   - `attribution/<tag>/` — the delta rows (conv_id, session_id,
   *     channel_name, ihc); the analog of the reference's
   *     `attribution_customer_journey` table (`challenge_db_create.sql`).
-  *   - `processed_conversions/rN/` — the manifest of conv_ids this run
+  *   - `processed_conversions/<tag>/` — the manifest of conv_ids this run
   *     attributed (tracked for ALL conversions incl. journeyless ones).
-  *   - `report/rN/` + `channel_reporting_csv/rN/` — the rebuilt channel
-  *     report artifacts (`reporting.py:105-168`).
-  * and then publishes all four in ONE atomic [[graft.sources.Manifest]]
-  * version (attribution/processed accumulate across runs; report/csv
+  *   - `report_base/<tag>/` — the merged exact-decimal report state.
+  *   - `report/<tag>/` + `channel_reporting_csv/<tag>/` — the published
+  *     channel report artifacts (`reporting.py:105-168`).
+  * and then publishes all five in ONE atomic [[graft.sources.Manifest]]
+  * version (attribution/processed accumulate across runs; the report
   * entries replace the previous run's). Readers resolve the live set from
   * the manifest, so a crash at ANY point before the publish leaves the
   * observable state bit-identical to "run never happened"; the next run
   * deletes the orphan staged dirs and recomputes the same delta. This is
   * the same run-level atomicity SQLite gives the reference, on top of
-  * plain parquet directories.
+  * plain parquet directories. A run with NOTHING to attribute publishes
+  * nothing at all, so idempotent re-runs do not grow the live-dir list.
+  *
+  * Concurrency: the publish is a manifest CAS — two racing runs cannot
+  * corrupt state; the loser fails cleanly with its competitor's commit
+  * intact (re-running attributes whatever remains). The recovery vacuum
+  * assumes the single-writer cadence; see
+  * [[graft.sources.Manifest.cleanStale]] on grace periods.
   *
   * Scale notes: the manifest is driver-side metadata (bytes per run, never
-  * row data). The report rebuild reads only the persisted attribution
-  * columns it needs; everything else is the same shuffle-minimal plans as
-  * the query surface.
+  * row data). Everything else is the same shuffle-minimal plans as the
+  * query surface.
   */
 object Pipeline {
 
@@ -56,7 +77,13 @@ object Pipeline {
       totalRows: Long)
 
   private val StateTables =
-    Seq("attribution", "processed_conversions", "report", "channel_reporting_csv")
+    Seq("attribution", "processed_conversions", "report_base", "report",
+      "channel_reporting_csv")
+
+  /** Manifest metadata key: committed attribution row count. Carried in
+    * the manifest so re-runs learn the persisted total without scanning
+    * any attribution data. */
+  private val RowsKey = "attribution_rows"
 
   /** Test-only failpoints: throw at a specific point inside [[run]] to
     * simulate a crash between state writes (PipelineSpec proves reads see
@@ -65,18 +92,25 @@ object Pipeline {
     extends RuntimeException(s"injected crash at $point")
 
   private def liveDirs(spark: SparkSession, stateDir: String, table: String): Seq[String] =
-    Manifest.live(spark, stateDir)
-      .filter(_.startsWith(table + "/"))
-      .map(rel => s"$stateDir/$rel")
+    dirsOf(Manifest.live(spark, stateDir), stateDir, table)
 
-  private def readLiveOrEmpty(
-      spark: SparkSession, stateDir: String, table: String, ddl: String): DataFrame = {
-    val dirs = liveDirs(spark, stateDir, table)
+  private def dirsOf(live: Seq[String], stateDir: String, table: String): Seq[String] =
+    live.filter(_.startsWith(table + "/")).map(rel => s"$stateDir/$rel")
+
+  private def readDirsOrEmpty(
+      spark: SparkSession, dirs: Seq[String], ddl: String): DataFrame =
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
-  }
+
+  private def readLiveOrEmpty(
+      spark: SparkSession, stateDir: String, table: String, ddl: String): DataFrame =
+    readDirsOrEmpty(spark, liveDirs(spark, stateDir, table), ddl)
+
+  private val ReportBaseDdl =
+    "channel_name STRING, date DATE, cost DECIMAL(38,6), ihc DECIMAL(38,6), " +
+      "ihc_revenue DECIMAL(38,6)"
 
   /** The persisted attribution table (union of all committed run deltas),
     * or an empty frame with the right schema before the first publish. */
@@ -203,52 +237,89 @@ object Pipeline {
     // crash recovery: staged dirs no manifest references are leftovers of
     // an aborted run — readers never saw them; delete and re-stage.
     Manifest.cleanStale(spark, stateDir, StateTables)
-    val live = Manifest.live(spark, stateDir)
-    val runId = Manifest.version(spark, stateDir) + 1
+    val snap = Manifest.snapshot(spark, stateDir)
+    // committed total from manifest METADATA — not a scan of history
+    val previousTotal = snap.meta.get(RowsKey).map(_.toLong).getOrElse(0L)
 
-    val previousTotal = persistedAttribution(spark, stateDir).count()
+    val candidateConversions = conversions.count()
     val missing = Reporting
-      .missingConversions(conversions, processedConversions(spark, stateDir))
-      .select("conv_id")
+      .missingConversions(conversions,
+        readDirsOrEmpty(spark,
+          dirsOf(snap.live, stateDir, "processed_conversions"), "conv_id BIGINT"))
+      .select("conv_id", "user_id")
+      .localCheckpoint() // one evaluation feeds the count, the semi-joins,
+                         // and the staged write
+    val newConversions = missing.count()
+    if (newConversions == 0L)
+      // idempotent no-op: publish NOTHING — re-runs must not grow the
+      // live-dir list (and the committed report already covers this state)
+      return RunSummary(candidateConversions, 0L, 0L, previousTotal)
 
+    // ---- O(delta) assignment ----
+    // Only users owning a missing conversion can contribute delta rows, and
+    // a user's assignment depends on nothing outside the user — so restrict
+    // BOTH inputs to those users (keeping ALL their conversions: earlier,
+    // already-attributed ones must still claim their sessions) and compute
+    // journeys for delta users only. The broadcast semi-join preserves the
+    // bucketed layout's shuffle-free plan (asserted in PipelineSpec).
+    val missingUsers = missing.select("user_id").distinct()
+    val assignedDelta = Journeys.flagConversion(
+      if (bucketed) Journeys.assignBucketed(sessions, conversions, Some(missingUsers))
+      else Journeys.assign(sessions, conversions, Some(missingUsers)))
+
+    val runTag = s"r${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     val delta = IhcAttribution
-      .attribute(assignedJourneys(spark, sfDir, stateDir, endDate))
-      .join(missing, Seq("conv_id"), "left_semi")
+      .attribute(assignedDelta)
+      .join(missing.select("conv_id"), Seq("conv_id"), "left_semi")
       .select("conv_id", "session_id", "channel_name", "ihc")
 
     // ---- stage (fresh dirs; nothing live is touched) ----
-    delta.write.parquet(s"$stateDir/attribution/r$runId")
+    delta.write.parquet(s"$stateDir/attribution/$runTag")
     failpoint("after_attribution_stage")
-    missing.write.parquet(s"$stateDir/processed_conversions/r$runId")
+    missing.select("conv_id").write.parquet(s"$stateDir/processed_conversions/$runTag")
 
     // counts + report from what was actually staged — no double evaluation
-    // of the delta DAG
-    val persisted = spark.read.parquet(
-      (liveDirs(spark, stateDir, "attribution") :+ s"$stateDir/attribution/r$runId"): _*)
-    val totalRows = persisted.count()
-    val newConversions = missing.count()
+    // of the delta DAG, and NO read of any prior run's attribution data
+    val stagedDelta = spark.read.parquet(s"$stateDir/attribution/$runTag")
+    val newRows = stagedDelta.count()
+    val totalRows = previousTotal + newRows
 
+    // ---- O(delta) report ----
+    // aggregate ONLY the delta, then fold it into the committed decimal
+    // report state by (channel, date): an O(|channels|·|dates|) merge,
+    // bit-identical to re-aggregating all history (exact decimal sums).
+    val deltaBase = Reporting.channelReportingBase(
+      stagedDelta, sessions, Tables.sessionCosts(spark, sfDir), allConversions)
+    val committedBase = readDirsOrEmpty(
+      spark, dirsOf(snap.live, stateDir, "report_base"), ReportBaseDdl)
+    Reporting.mergeReportBase(committedBase, deltaBase)
+      .write.parquet(s"$stateDir/report_base/$runTag")
     val rep = Reporting.withMetrics(
-      Reporting.channelReporting(
-        persisted, sessions, Tables.sessionCosts(spark, sfDir), allConversions))
+      Reporting.fromReportBase(
+        spark.read.parquet(s"$stateDir/report_base/$runTag")))
       .orderBy("channel_name", "date")
-    rep.write.parquet(s"$stateDir/report/r$runId")
-    Reporting.exportCsv(rep, s"$stateDir/channel_reporting_csv/r$runId")
+    rep.write.parquet(s"$stateDir/report/$runTag")
+    Reporting.exportCsv(rep, s"$stateDir/channel_reporting_csv/$runTag")
     failpoint("before_publish")
 
-    // ---- publish: one atomic manifest write makes all four dirs live ----
-    val accumulated = live.filter(e =>
+    // ---- publish: one atomic manifest CAS makes all five dirs live ----
+    // (attribution/processed accumulate; report_base/report/csv replace)
+    val accumulated = snap.live.filter(e =>
       e.startsWith("attribution/") || e.startsWith("processed_conversions/"))
-    Manifest.publish(spark, stateDir,
+    Manifest.tryPublish(spark, stateDir, snap,
       accumulated ++ Seq(
-        s"attribution/r$runId", s"processed_conversions/r$runId",
-        s"report/r$runId", s"channel_reporting_csv/r$runId"))
+        s"attribution/$runTag", s"processed_conversions/$runTag",
+        s"report_base/$runTag", s"report/$runTag", s"channel_reporting_csv/$runTag"),
+      snap.meta + (RowsKey -> totalRows.toString))
+      .getOrElse(throw new java.io.IOException(
+        s"pipeline run lost the publish race at $stateDir — a concurrent run " +
+          "committed first; its state is intact, re-run to attribute the remainder"))
     // post-publish vacuum: the previous run's report/csv dirs just became
     // unreferenced (their manifest entries were replaced) — delete them now
     // rather than leaving garbage for the next run's recovery sweep.
     Manifest.cleanStale(spark, stateDir, StateTables)
 
-    RunSummary(conversions.count(), newConversions, totalRows - previousTotal, totalRows)
+    RunSummary(candidateConversions, newConversions, newRows, totalRows)
   }
 
   /** CLI: `Pipeline <sfDir> <stateDir> [endDate]`. */

@@ -75,20 +75,41 @@ object Corpus {
     * append-in-place design could strand admitted docs without their
     * fingerprints and re-admit duplicates after a crash.)
     *
+    * Concurrent writers SERIALIZE (the contract SQLite's writer lock gives
+    * the reference, here as optimistic concurrency): staged dirs carry a
+    * unique run tag so racing ingests never collide on a path, the publish
+    * is a manifest CAS, and a writer that loses the race re-checks its
+    * admitted set against the fingerprints the winner just committed —
+    * re-staging only if a duplicate crept in — before retrying on top of
+    * the winner's live set. Both commits land; a document admitted by one
+    * writer is never re-admitted by the other, even when their batches
+    * overlap (spec-tested with an injected competing ingest). Racing
+    * deployments must also pass `staleGraceMs` > max staging time so one
+    * writer's recovery sweep cannot vacuum another's in-flight staging
+    * (the default 0 assumes the single-writer cadence and vacuums
+    * crash leftovers immediately).
+    *
     * Maintenance: ingestion composes with [[graft.sources.Layout]] — once
     * the live batch count exceeds `maxLiveBatches`, the whole corpus is
     * compacted into one clustered batch ([[compactCorpus]]), bounding the
     * small-file count regardless of how many increments arrive.
     *
+    * @param beforePublish test seam, called between staging and the first
+    *                      publish attempt (specs inject a competing
+    *                      committed ingest here)
     * @return number of newly admitted documents */
   def ingestIncremental(spark: org.apache.spark.sql.SparkSession,
-      batch: DataFrame, stateDir: String, maxLiveBatches: Int = 64): Long = {
+      batch: DataFrame, stateDir: String, maxLiveBatches: Int = 64,
+      staleGraceMs: Long = 0L,
+      beforePublish: () => Unit = () => ()): Long = {
     import graft.sources.Manifest
     // crash recovery: delete staged dirs no manifest version references
-    Manifest.cleanStale(spark, stateDir, IngestTables)
-    val live = Manifest.live(spark, stateDir)
-    val batchId = Manifest.version(spark, stateDir) + 1
-    val seen = fingerprints(spark, stateDir)
+    Manifest.cleanStale(spark, stateDir, IngestTables, staleGraceMs)
+    var snap = Manifest.snapshot(spark, stateDir)
+    val seenDirs = snap.live.filter(_.startsWith("fingerprints/"))
+    val seen =
+      if (seenDirs.nonEmpty) spark.read.parquet(seenDirs.map(d => s"$stateDir/$d"): _*)
+      else emptyFp(spark)
     // within-batch representative (min doc_id per fingerprint), then
     // cross-run novelty via one anti-join against the persisted store
     val withFp = batch.withColumn(
@@ -96,16 +117,50 @@ object Corpus {
     val reps = withFp
       .groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
       .join(withFp.drop("fingerprint"), "doc_id")
-    val admitted = reps
+    var admitted = reps
       .join(seen, Seq("fingerprint"), "left_anti")
       .localCheckpoint() // both writes + the count read one materialization
-    admitted.drop("fingerprint").write.parquet(s"$stateDir/documents/b$batchId")
-    admitted.select("fingerprint").write.parquet(s"$stateDir/fingerprints/b$batchId")
-    // publish: one atomic manifest write makes both dirs live together
-    Manifest.publish(spark, stateDir,
-      live ++ Seq(s"documents/b$batchId", s"fingerprints/b$batchId"))
+    def uniqueTag(v: Long): String =
+      s"b${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    def stage(tag: String): Unit = {
+      admitted.drop("fingerprint").write.parquet(s"$stateDir/documents/$tag")
+      admitted.select("fingerprint").write.parquet(s"$stateDir/fingerprints/$tag")
+    }
+    var tag = uniqueTag(snap.alloc + 1)
+    stage(tag)
+    beforePublish()
+    // publish: one atomic manifest CAS makes both dirs live together;
+    // on a lost race, refresh the snapshot, re-filter against the winner's
+    // newly committed fingerprints, and retry on top of its live set
+    var attempts = 0
+    var published = false
+    while (!published) {
+      Manifest.tryPublish(spark, stateDir, snap,
+        snap.live ++ Seq(s"documents/$tag", s"fingerprints/$tag"), snap.meta) match {
+        case Some(_) => published = true
+        case None =>
+          attempts += 1
+          if (attempts >= 16)
+            throw new java.io.IOException(
+              s"ingest lost $attempts consecutive publish races at $stateDir")
+          val next = Manifest.snapshot(spark, stateDir)
+          val prior = snap.live.toSet
+          val newFpDirs = next.live.filter(e => e.startsWith("fingerprints/") && !prior(e))
+          if (newFpDirs.nonEmpty) {
+            val winners = spark.read.parquet(newFpDirs.map(d => s"$stateDir/$d"): _*)
+            val refiltered =
+              admitted.join(winners, Seq("fingerprint"), "left_anti").localCheckpoint()
+            if (refiltered.count() != admitted.count()) {
+              admitted = refiltered
+              tag = uniqueTag(next.alloc + 1) // old staged dirs become orphans
+              stage(tag)
+            }
+          }
+          snap = next
+      }
+    }
     val n = admitted.count()
-    if (live.count(_.startsWith("documents/")) + 1 > maxLiveBatches)
+    if (Manifest.live(spark, stateDir).count(_.startsWith("documents/")) > maxLiveBatches)
       compactCorpus(spark, stateDir)
     n
   }
@@ -113,22 +168,34 @@ object Corpus {
   /** Compact the committed corpus into ONE clustered batch (docs
     * range-clustered by doc_id via [[graft.sources.Layout.writeClustered]],
     * fingerprints likewise by fingerprint — the bucketing that co-locates
-    * the ingest anti-join at scale), published as a single manifest
-    * version that replaces every prior batch. Old batch dirs become
-    * unreferenced and are vacuumed by the next ingest's stale-cleanup; a
-    * crash mid-compaction leaves the previous manifest version live and
-    * loses nothing. */
+    * the ingest anti-join at scale), published as a manifest version that
+    * replaces every batch it READ — a concurrent ingest's freshly
+    * committed batch survives, because the publish re-merges against the
+    * latest live set and only drops the compaction's own inputs. Old batch
+    * dirs become unreferenced and are vacuumed by the next ingest's
+    * stale-cleanup; a crash mid-compaction leaves the previous manifest
+    * version live and loses nothing. */
   def compactCorpus(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, nFiles: Int = 4): Unit = {
     import graft.sources.{Layout, Manifest}
-    val docDirs = liveDirs(spark, stateDir, "documents")
+    val snap = Manifest.snapshot(spark, stateDir)
+    val docDirs = snap.live.filter(_.startsWith("documents/"))
     if (docDirs.isEmpty) return
-    val v = Manifest.version(spark, stateDir) + 1
+    val fpDirs = snap.live.filter(_.startsWith("fingerprints/"))
+    val tag = s"c${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     Layout.writeClustered(
-      spark.read.parquet(docDirs: _*), s"$stateDir/documents/c$v", Seq("doc_id"), nFiles)
+      spark.read.parquet(docDirs.map(d => s"$stateDir/$d"): _*),
+      s"$stateDir/documents/$tag", Seq("doc_id"), nFiles)
+    val fpData = // the SAME snapshot as the docs read, not a re-resolved one
+      if (fpDirs.nonEmpty) spark.read.parquet(fpDirs.map(d => s"$stateDir/$d"): _*)
+      else emptyFp(spark)
     Layout.writeClustered(
-      fingerprints(spark, stateDir), s"$stateDir/fingerprints/c$v", Seq("fingerprint"), nFiles)
-    Manifest.publish(spark, stateDir, Seq(s"documents/c$v", s"fingerprints/c$v"))
+      fpData, s"$stateDir/fingerprints/$tag", Seq("fingerprint"), nFiles)
+    val inputs = (docDirs ++ fpDirs).toSet
+    Manifest.publishMerge(spark, stateDir) { cur =>
+      (cur.live.filterNot(inputs) ++ Seq(s"documents/$tag", s"fingerprints/$tag"),
+        cur.meta)
+    }
   }
 
   /** Per-document repetition metrics — the Gopher-style quality signals

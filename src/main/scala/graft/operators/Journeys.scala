@@ -42,22 +42,39 @@ object Journeys {
     *
     * @param sessions    [[graft.sources.Tables.sessions]] shape
     * @param conversions [[graft.sources.Tables.conversions]] shape
+    * @param onlyUsers   optional (user_id) frame: restrict assignment to
+    *                    these users' events. Per-user independence makes
+    *                    the restriction EXACT — a user's journeys depend
+    *                    on nothing outside the user — and it is the O(Δ)
+    *                    lever for incremental runs: the delta's users are
+    *                    delta-sized, so the restricted input is too. The
+    *                    user set broadcasts (a semi-join shuffle would
+    *                    forfeit the bucketed exchange-free plan); a run
+    *                    whose delta spans most users should assign
+    *                    unrestricted instead.
     * @return sessions columns + (conv_id, conv_ts_us, revenue)
     */
-  def assign(sessions: DataFrame, conversions: DataFrame): DataFrame = {
+  def assign(
+      sessions: DataFrame, conversions: DataFrame,
+      onlyUsers: Option[DataFrame] = None): DataFrame = {
     val (sessSide, convSide) = unionSides(sessions, conversions)
-    assignOver(sessSide.unionByName(convSide), sessions.columns)
+    assignOver(sessSide.unionByName(convSide), sessions.columns, onlyUsers)
   }
 
   /** The shuffle-free deployment path: `sessions` and `conversions` read
     * from tables bucketed identically on `user_id`, unioned with the
     * custom bucket-aligned [[graft.plans.BucketUnion]] operator — which,
     * unlike built-in UNION, preserves the bucketed hash partitioning — so
-    * the per-user window needs only a sort. Zero exchanges end-to-end
-    * (asserted in BucketingSpec). */
-  def assignBucketed(sessions: DataFrame, conversions: DataFrame): DataFrame = {
+    * the per-user window needs only a sort. Zero shuffles end-to-end
+    * (asserted in BucketingSpec); an `onlyUsers` restriction joins as a
+    * broadcast semi-join, which keeps the streamed side's bucketed
+    * partitioning intact. */
+  def assignBucketed(
+      sessions: DataFrame, conversions: DataFrame,
+      onlyUsers: Option[DataFrame] = None): DataFrame = {
     val (sessSide, convSide) = unionSides(sessions, conversions)
-    assignOver(graft.plans.BucketUnionApi.union(sessSide, convSide), sessions.columns)
+    assignOver(
+      graft.plans.BucketUnionApi.union(sessSide, convSide), sessions.columns, onlyUsers)
   }
 
   private def unionSides(
@@ -81,12 +98,16 @@ object Journeys {
     (sessSide, convSide)
   }
 
-  private def assignOver(unioned: DataFrame, sessCols: Seq[String]): DataFrame = {
+  private def assignOver(
+      unioned: DataFrame, sessCols: Seq[String],
+      onlyUsers: Option[DataFrame] = None): DataFrame = {
+    val scoped = onlyUsers.fold(unioned)(u =>
+      unioned.join(broadcast(u.select("user_id")), Seq("user_id"), "left_semi"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts_us").desc, col("kind").asc,
         coalesce(col("cmark.conv_id"), lit(-1L)).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    scoped
       .withColumn("m", last(col("cmark"), ignoreNulls = true).over(w))
       .filter(col("kind") === 0 && col("m").isNotNull)
       .select(

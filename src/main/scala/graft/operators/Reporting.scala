@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Reporting {
 
+  /** Fixed decimal type of the MERGEABLE report state: wide enough that
+    * partial-sum addition never changes type or rounds, so incremental
+    * merges are exact and a merged base is bit-identical to a
+    * from-scratch one. */
+  private val BaseDec = org.apache.spark.sql.types.DecimalType(38, 6)
+
   /** @param attributed output of [[IhcAttribution.attribute]] (only
     *                   conv_id/session_id/ihc are used)
     */
@@ -27,16 +33,68 @@ object Reporting {
       sessions: DataFrame,
       sessionCosts: DataFrame,
       conversions: DataFrame): DataFrame =
+    fromReportBase(channelReportingBase(attributed, sessions, sessionCosts, conversions))
+
+  /** [[channelReporting]] with the sums kept in EXACT decimal — the
+    * internal, merge-able form [[graft.Pipeline]] persists so each
+    * incremental run aggregates only its delta and folds it into the
+    * committed state with [[mergeReportBase]] (decimal addition is
+    * associative, so partial sums merge without drift; one double cast
+    * happens at the very end, in [[fromReportBase]]). */
+  def channelReportingBase(
+      attributed: DataFrame,
+      sessions: DataFrame,
+      sessionCosts: DataFrame,
+      conversions: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsumBase(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(27, 6))).cast(BaseDec)
     sessions
       .join(attributed.select("conv_id", "session_id", "ihc"), "session_id")
       .join(sessionCosts, Seq("session_id"), "left")
       .join(conversions.select("conv_id", "revenue"), "conv_id")
       .groupBy(col("channel_name"), col("event_date"))
       .agg(
-        dsum(coalesce(col("cost"), lit(0.0))).as("cost"),
-        dsum(col("ihc")).as("ihc"),
-        dsum(col("ihc") * col("revenue")).as("ihc_revenue"))
+        dsumBase(coalesce(col("cost"), lit(0.0))).as("cost"),
+        dsumBase(col("ihc")).as("ihc"),
+        dsumBase(col("ihc") * col("revenue")).as("ihc_revenue"))
       .withColumnRenamed("event_date", "date")
+  }
+
+  /** The public (double) report from a decimal [[channelReportingBase]]
+    * state — the same values [[graft.functions.Exact.dsum]] produces,
+    * since widening the exact decimal before the one double cast changes
+    * nothing. */
+  def fromReportBase(base: DataFrame): DataFrame =
+    base.select(
+      col("channel_name"), col("date"),
+      col("cost").cast("double").as("cost"),
+      col("ihc").cast("double").as("ihc"),
+      col("ihc_revenue").cast("double").as("ihc_revenue"))
+
+  /** Outer-merge two report-base states by (channel, date), adding the
+    * decimal sums — exact, so `merge(base(A), base(B)) == base(A ∪ B)`
+    * bit-for-bit when A and B partition the attribution rows. The
+    * incremental-report primitive: an O(|channels|·|dates|) merge instead
+    * of re-aggregating all history. */
+  def mergeReportBase(committed: DataFrame, delta: DataFrame): DataFrame = {
+    val zero = lit(0).cast(BaseDec)
+    def side(df: DataFrame, p: String) =
+      df.select(
+        col("channel_name"), col("date"),
+        col("cost").as(s"${p}_cost"), col("ihc").as(s"${p}_ihc"),
+        col("ihc_revenue").as(s"${p}_rev"))
+    side(committed, "c")
+      .join(side(delta, "d"), Seq("channel_name", "date"), "full_outer")
+      .select(
+        col("channel_name"), col("date"),
+        (coalesce(col("c_cost"), zero) + coalesce(col("d_cost"), zero))
+          .cast(BaseDec).as("cost"),
+        (coalesce(col("c_ihc"), zero) + coalesce(col("d_ihc"), zero))
+          .cast(BaseDec).as("ihc"),
+        (coalesce(col("c_rev"), zero) + coalesce(col("d_rev"), zero))
+          .cast(BaseDec).as("ihc_revenue"))
+  }
 
   /** CPO = cost/ihc, ROAS = ihc_revenue/cost — `reporting.py:154-158`. */
   def withMetrics(report: DataFrame): DataFrame =

@@ -13,19 +13,25 @@ import java.nio.charset.StandardCharsets
   *
   * Layout under a state dir:
   * {{{
-  *   <base>/_manifest/v1.txt   one live data-dir path (relative) per line
-  *   <base>/_manifest/v2.txt   each version fully lists the live set
-  *   ...
+  *   <base>/_manifest/v1.txt   #k=v metadata lines, one live data-dir path
+  *   <base>/_manifest/v2.txt   (relative) per line, then the `#end` trailer;
+  *   ...                       each version fully lists the live set
   * }}}
   *
   * Writers stage data into fresh directories (never touching live ones),
-  * then [[publish]] the next manifest version: the file is written to a
-  * temp name and `rename`d into place — rename is atomic on HDFS and
-  * effectively so on local/object-store-with-consistent-rename, so readers
-  * either see the old version list or the new one, never a torn state.
-  * A crash at ANY earlier point leaves orphan staged directories that no
-  * manifest references; [[stale]] finds them for cleanup and readers never
-  * see them. Readers resolve [[live]] = the highest version's list.
+  * then [[publish]] the next manifest version. Publication is an EXCLUSIVE
+  * CREATE of `v<N+1>.txt` (`FileSystem.create(overwrite = false)`, atomic
+  * on HDFS and create-if-absent on local/object stores): of two racing
+  * writers exactly one wins the version slot, the loser gets a clean
+  * failure instead of silently overwriting — the compare-and-swap that
+  * lets [[publishMerge]] serialize concurrent writers the way SQLite's
+  * file lock serializes the reference's (`db_utils.py:8-66`). A file is
+  * only COMMITTED once its `#end` trailer is on disk: readers walk
+  * versions downward past any trailer-less file, so a writer that crashed
+  * mid-write (or a read racing the create) resolves to the previous
+  * version — never a torn list. A crash at any earlier point leaves
+  * orphan staged directories that no manifest references; [[stale]] finds
+  * them for cleanup and readers never see them.
   *
   * Scale notes: the manifest is O(#live dirs) bytes of driver-side metadata
   * — never row data — and one `listStatus` per read; at warehouse scale
@@ -36,81 +42,184 @@ import java.nio.charset.StandardCharsets
 object Manifest {
 
   private val DirName = "_manifest"
-  private val Version = raw"v(\d+)\.txt".r
+  private val VersionRe = raw"v(\d+)\.txt".r
+  private val End = "#end"
+
+  /** One consistent read of the manifest: `alloc` is the highest version
+    * file PRESENT (committed or torn — the next publish goes to
+    * `alloc + 1`); `live`/`meta` come from the highest COMMITTED
+    * (trailer-terminated) version at or below it. */
+  final case class Snapshot(alloc: Long, live: Seq[String], meta: Map[String, String])
 
   private def fs(spark: SparkSession, base: String): FileSystem =
     new Path(base).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir(base: String): Path = new Path(base, DirName)
 
-  /** Highest published manifest version at `base`, 0 if none. */
-  def version(spark: SparkSession, base: String): Long = {
-    val f = fs(spark, base)
-    val dir = manifestDir(base)
-    if (!f.exists(dir)) 0L
-    else
-      f.listStatus(dir)
-        .iterator
-        .map(_.getPath.getName)
-        .collect { case Version(n) => n.toLong }
-        .foldLeft(0L)(math.max)
+  private def readFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      Iterator
+        .continually(in.read(buf))
+        .takeWhile(_ > 0)
+        .foreach(n => bytes.write(buf, 0, n))
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
-  /** The live data-dir list (paths relative to `base`) of the highest
-    * published version; empty before the first publish. */
-  def live(spark: SparkSession, base: String): Seq[String] = {
-    val v = version(spark, base)
-    if (v == 0L) Seq.empty
+  /** Parse one version file; None if it lacks the `#end` trailer (torn —
+    * its writer crashed mid-write or is still writing). */
+  private def parse(text: String): Option[(Seq[String], Map[String, String])] = {
+    val lines = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    if (!lines.lastOption.contains(End)) None
     else {
-      val f = fs(spark, base)
-      val in = f.open(new Path(manifestDir(base), s"v$v.txt"))
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        Iterator
-          .continually(in.read(buf))
-          .takeWhile(_ > 0)
-          .foreach(n => bytes.write(buf, 0, n))
-        new String(bytes.toByteArray, StandardCharsets.UTF_8).linesIterator
-          .map(_.trim)
-          .filter(_.nonEmpty)
-          .toSeq
-      } finally in.close()
+      val body = lines.dropRight(1)
+      val (metaLines, dirLines) = body.partition(_.startsWith("#"))
+      val meta = metaLines.map(_.drop(1)).collect {
+        case kv if kv.contains('=') =>
+          val i = kv.indexOf('=')
+          kv.substring(0, i) -> kv.substring(i + 1)
+      }.toMap
+      Some((dirLines, meta))
     }
+  }
+
+  /** Read a consistent [[Snapshot]] of the manifest at `base`. */
+  def snapshot(spark: SparkSession, base: String): Snapshot = {
+    val f = fs(spark, base)
+    val dir = manifestDir(base)
+    if (!f.exists(dir)) return Snapshot(0L, Seq.empty, Map.empty)
+    val versions = f.listStatus(dir)
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toLong }
+      .toSeq
+      .sorted(Ordering[Long].reverse)
+    val alloc = versions.headOption.getOrElse(0L)
+    versions.iterator
+      .flatMap(v =>
+        try parse(readFile(f, new Path(dir, s"v$v.txt")))
+        catch { case _: java.io.FileNotFoundException => None })
+      .nextOption() match {
+      case Some((dirs, meta)) => Snapshot(alloc, dirs, meta)
+      case None               => Snapshot(alloc, Seq.empty, Map.empty)
+    }
+  }
+
+  /** Highest version file present at `base` (committed or torn), 0 if
+    * none — the slot allocator; [[live]] reflects committed versions
+    * only. */
+  def version(spark: SparkSession, base: String): Long = snapshot(spark, base).alloc
+
+  /** The live data-dir list (paths relative to `base`) of the highest
+    * committed version; empty before the first publish. */
+  def live(spark: SparkSession, base: String): Seq[String] = snapshot(spark, base).live
+
+  /** The metadata map of the highest committed version. */
+  def meta(spark: SparkSession, base: String): Map[String, String] =
+    snapshot(spark, base).meta
+
+  /** Compare-and-swap publish: write `liveDirs` (+ `meta`) as version
+    * `snap.alloc + 1` via exclusive create. Returns the new version, or
+    * None if another writer took the slot first (the caller should
+    * re-snapshot, re-merge, and retry — see [[publishMerge]]). */
+  def tryPublish(
+      spark: SparkSession,
+      base: String,
+      snap: Snapshot,
+      liveDirs: Seq[String],
+      meta: Map[String, String] = Map.empty): Option[Long] = {
+    require(
+      liveDirs.forall(d => !d.contains('\n') && !d.startsWith("#")) &&
+        meta.forall { case (k, v) =>
+          !(k + v).exists(c => c == '\n' || c == '\r') && !k.contains('=')
+        },
+      "manifest entries must be newline-free; meta keys must not contain '='")
+    val f = fs(spark, base)
+    val dir = manifestDir(base)
+    if (!f.exists(dir)) f.mkdirs(dir)
+    val next = snap.alloc + 1
+    val target = new Path(dir, s"v$next.txt")
+    val content =
+      (meta.toSeq.sorted.map { case (k, v) => s"#$k=$v" } ++ liveDirs :+ End)
+        .mkString("", "\n", "\n")
+    val out =
+      try f.create(target, false) // exclusive: fails if the slot is taken
+      catch {
+        case e: java.io.IOException =>
+          if (f.exists(target)) return None // lost the slot race
+          else throw e
+      }
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    Some(next)
   }
 
   /** Atomically publish `liveDirs` as the next manifest version; returns
     * the new version number. This is the ONLY visibility point: everything
     * written before this call is invisible to [[live]]-based readers until
-    * the rename lands, and a crash before it leaves state unchanged. */
-  def publish(spark: SparkSession, base: String, liveDirs: Seq[String]): Long = {
-    val f = fs(spark, base)
-    val dir = manifestDir(base)
-    if (!f.exists(dir)) f.mkdirs(dir)
-    val next = version(spark, base) + 1
-    val tmp = new Path(dir, s".v$next.txt.tmp")
-    val out = f.create(tmp, true)
-    try out.write(liveDirs.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (!f.rename(tmp, new Path(dir, s"v$next.txt")))
+    * the trailer-terminated version file lands, and a crash before (or
+    * during) the write leaves committed state unchanged. Throws if a
+    * concurrent writer takes the version slot — single-writer callers
+    * treat that as corruption; concurrent writers use [[publishMerge]]. */
+  def publish(
+      spark: SparkSession,
+      base: String,
+      liveDirs: Seq[String],
+      meta: Map[String, String] = Map.empty): Long =
+    tryPublish(spark, base, snapshot(spark, base), liveDirs, meta).getOrElse(
       throw new java.io.IOException(
-        s"manifest publish lost the rename race at $base v$next")
-    next
+        s"manifest publish lost the version race at $base — " +
+          "concurrent writers must publish via publishMerge"))
+
+  /** Optimistic-concurrency publish: re-reads the manifest, applies
+    * `merge` to the current snapshot, and CAS-publishes — retrying the
+    * whole read-merge-write cycle when another writer wins the slot, so N
+    * concurrent writers serialize (each commit lands exactly once, built
+    * on its predecessor's live set) instead of failing or overwriting.
+    * `merge` must be pure (it re-runs on every attempt). */
+  def publishMerge(spark: SparkSession, base: String, maxAttempts: Int = 16)(
+      merge: Snapshot => (Seq[String], Map[String, String])): Long = {
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, base)
+      val (dirs, meta) = merge(snap)
+      tryPublish(spark, base, snap, dirs, meta) match {
+        case Some(v) => return v
+        case None =>
+          attempt += 1
+          if (attempt >= maxAttempts)
+            throw new java.io.IOException(
+              s"manifest publishMerge lost $maxAttempts consecutive races at $base")
+      }
+    }
+    0L // unreachable
   }
 
   /** Staged-but-unpublished (orphan) directories: subdirectories of
     * `base/<table>` for the given tables that no live manifest entry
-    * references — crash leftovers, safe to delete before re-staging. */
-  def stale(spark: SparkSession, base: String, tables: Seq[String]): Seq[String] = {
+    * references — crash leftovers, safe to delete before re-staging.
+    * `graceMs` > 0 keeps recently-modified orphans (a CONCURRENT writer's
+    * in-flight staged dirs look identical to crash leftovers until its
+    * publish lands — deployments with racing writers must vacuum only
+    * past the longest plausible staging time). */
+  def stale(
+      spark: SparkSession,
+      base: String,
+      tables: Seq[String],
+      graceMs: Long = 0L): Seq[String] = {
     val f = fs(spark, base)
     val liveSet = live(spark, base).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     tables.flatMap { t =>
       val tDir = new Path(base, t)
       if (!f.exists(tDir)) Seq.empty
       else
         f.listStatus(tDir)
           .iterator
-          .filter(_.isDirectory)
+          .filter(s => s.isDirectory && (graceMs <= 0L || s.getModificationTime < cutoff))
           .map(s => s"$t/${s.getPath.getName}")
           .filterNot(liveSet.contains)
           .toSeq
@@ -119,8 +228,12 @@ object Manifest {
 
   /** Delete all [[stale]] staged directories (crash recovery at the start
     * of a writer run). */
-  def cleanStale(spark: SparkSession, base: String, tables: Seq[String]): Unit = {
+  def cleanStale(
+      spark: SparkSession,
+      base: String,
+      tables: Seq[String],
+      graceMs: Long = 0L): Unit = {
     val f = fs(spark, base)
-    stale(spark, base, tables).foreach(rel => f.delete(new Path(base, rel), true))
+    stale(spark, base, tables, graceMs).foreach(rel => f.delete(new Path(base, rel), true))
   }
 }

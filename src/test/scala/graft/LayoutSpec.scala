@@ -84,6 +84,59 @@ class LayoutSpec extends SparkSpec {
     assert(Corpus.documents(spark, state).count() === 1)
   }
 
+  test("racing ingest writers serialize: both commit, overlap admitted exactly once") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-ingest-race").toString
+    val shared = "the same duplicated document text carried by both writers"
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batchA = mk((0L until 10L).map(i => i -> s"writer A document $i") :+ (90L -> shared))
+    val batchB = mk((20L until 30L).map(i => i -> s"writer B document $i") :+ (91L -> shared))
+    // grace > staging time so neither writer's recovery sweep vacuums the
+    // other's in-flight staged dirs (the racing-deployment contract)
+    val grace = 3600000L
+    var nB = -1L
+    val nA = Corpus.ingestIncremental(spark, batchA, state, staleGraceMs = grace,
+      beforePublish = () => {
+        // a competing writer lands a FULL committed ingest between A's
+        // staging and A's first publish attempt — A must lose the CAS,
+        // re-check novelty against B's fingerprints, and retry on top
+        nB = Corpus.ingestIncremental(spark, batchB, state, staleGraceMs = grace)
+      })
+    assert(nB === 11) // B commits first: its 10 docs + the shared one
+    assert(nA === 10) // A serializes after B and re-filters the shared doc
+    val docs = Corpus.documents(spark, state)
+    assert(docs.count() === 21)
+    assert(docs.filter(col("text") === shared).count() === 1) // exactly-once
+    assert(Corpus.fingerprints(spark, state).distinct().count() === 21)
+    // both writers' batches are idempotent on re-run (and the default
+    // grace-0 sweep vacuums A's superseded first staging)
+    assert(Corpus.ingestIncremental(spark, batchA, state) === 0)
+    assert(Corpus.ingestIncremental(spark, batchB, state) === 0)
+    assert(graft.sources.Manifest.stale(
+      spark, state, Seq("documents", "fingerprints")).isEmpty)
+  }
+
+  test("manifest: torn version files are invisible to readers and skipped by allocation") {
+    import graft.sources.Manifest
+    val state = Files.createTempDirectory("graft-manifest-torn").toString
+    Manifest.publish(spark, state, Seq("documents/b1"), Map("k" -> "1"))
+    // a writer crashed mid-write: v2 exists but carries no #end trailer
+    Files.createDirectories(java.nio.file.Paths.get(s"$state/_manifest"))
+    Files.writeString(
+      java.nio.file.Paths.get(s"$state/_manifest/v2.txt"), "documents/torn\n")
+    // readers resolve the last COMMITTED version…
+    assert(Manifest.live(spark, state) === Seq("documents/b1"))
+    assert(Manifest.meta(spark, state) === Map("k" -> "1"))
+    // …while allocation moves PAST the torn slot instead of deadlocking
+    assert(Manifest.version(spark, state) === 2)
+    val v = Manifest.publish(spark, state, Seq("documents/b2"))
+    assert(v === 3)
+    assert(Manifest.live(spark, state) === Seq("documents/b2"))
+  }
+
   test("compaction-aware ingest bounds live batches without changing admission") {
     import graft.operators.Corpus
     import graft.sources.{Layout, Manifest}

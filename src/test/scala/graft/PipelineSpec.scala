@@ -61,6 +61,42 @@ class PipelineSpec extends SparkSpec {
     assert(csv.count() === report.count())
   }
 
+  test("pipeline O(delta): a delta run never reads prior runs' attribution data") {
+    val stateDir = Files.createTempDirectory("graft-pipeline-odelta").toString
+    val s1 = Pipeline.run(spark, sfDir, stateDir, endDate = Some("2024-01-15"))
+    assert(s1.newRows > 0)
+
+    // Black-box proof of the O(delta) contract: physically remove run 1's
+    // attribution data. If the next run read ANY prior attribution dir —
+    // for the assignment, the counts, or the report — it would fail with
+    // path-not-found; succeeding proves the run touched only its own delta
+    // (plus the tiny merged report state).
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val attrDirs = sources.Manifest.live(spark, stateDir).filter(_.startsWith("attribution/"))
+    assert(attrDirs.size === 1)
+    val livePath = new org.apache.hadoop.fs.Path(s"$stateDir/${attrDirs.head}")
+    val hidden = new org.apache.hadoop.fs.Path(s"$stateDir/hidden_r1_backup")
+    assert(fs.rename(livePath, hidden))
+
+    val s2 = Pipeline.run(spark, sfDir, stateDir, endDate = None)
+    assert(s2.newConversions > 0)
+    // the committed total came from manifest metadata, not a history scan
+    assert(s2.totalRows === s1.totalRows + s2.newRows)
+
+    // restore run 1's data: the accumulated state AND the incrementally
+    // merged report must be bit-identical to a from-scratch computation
+    assert(fs.rename(hidden, livePath))
+    assert(rows(Pipeline.persistedAttribution(spark, stateDir)) === rows(fromScratch))
+    val scratchReport = operators.Reporting.withMetrics(
+      operators.Reporting.channelReporting(
+        fromScratch, Tables.sessions(spark, sfDir),
+        Tables.sessionCosts(spark, sfDir), Tables.conversions(spark, sfDir)))
+      .orderBy("channel_name", "date")
+    val merged = Pipeline.report(spark, stateDir).orderBy("channel_name", "date")
+    assert(merged.collect().map(_.toSeq).toSeq ===
+      scratchReport.collect().map(_.toSeq).toSeq)
+  }
+
   test("pipeline: a crash between state writes publishes nothing; the re-run converges") {
     val stateDir = Files.createTempDirectory("graft-pipeline-crash").toString
 
@@ -117,6 +153,23 @@ class PipelineSpec extends SparkSpec {
       val plan = assignStage.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed pipeline assign should be exchange-free:\n$plan")
+
+      // …and the incremental runner's onlyUsers restriction must not cost
+      // the property: the user set joins as a BROADCAST semi-join, which
+      // preserves the bucketed partitioning — zero shuffle exchanges
+      // (broadcast exchanges of the tiny user set are fine)
+      // (a materialized user set, as the runner holds after its checkpoint —
+      // built shuffle-free so the audit sees only the assign's own plan)
+      val users = spark.range(5).select(
+        org.apache.spark.sql.functions.col("id").as("user_id"))
+      val restricted = operators.Journeys.assignBucketed(
+        spark.table(sessionsTable), spark.table(conversionsTable), Some(users))
+      val shuffles = restricted.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.isEmpty,
+        s"restricted bucketed assign should have no shuffles:\n" +
+          restricted.queryExecution.executedPlan)
 
       // …and assignedJourneys routes through exactly that path when the
       // bucketed layout exists
