@@ -45,6 +45,20 @@ final case class IhcBufState(
 /** One attributed (conversion, session) credit row. */
 final case class IhcRow(conv_id: Long, session_id: Long, ihc: Double)
 
+/** A channel touch in the streaming transition-count input (the session
+  * extract's shape, minus the engagement flags). */
+final case class SessionTouch(
+    user_id: Long,
+    session_id: Long,
+    ts_us: Long,
+    channel_name: String)
+
+/** Per-user state for [[Streaming.transitionCounts]]: the last touch seen. */
+final case class LastTouch(ts_us: Long, session_id: Long, channel_name: String)
+
+/** One transition-count increment emitted by [[Streaming.transitionCounts]]. */
+final case class TransitionInc(from_channel: String, to_channel: String, n: Long)
+
 /** Structured Streaming surface (SURVEY §2.D).
   *
   * The same logical operators as the batch twins (`stream_windowed_counts`,
@@ -243,6 +257,47 @@ object Streaming {
         dsum(col("ihc")).as("ihc"),
         dsum(col("ihc") * col("revenue")).as("ihc_revenue"))
       .withColumnRenamed("event_date", "date")
+  }
+
+  /** Streaming Markov transition counts — the incremental twin of the
+    * per-user lead-window pass inside
+    * [[graft.operators.Markov.transitionCounts]]: per-user state holds the
+    * LAST touch seen; each arriving touch emits one (prev → current)
+    * increment, with `START → current` opening every user's path. Summing
+    * the emitted increments at any point equals the batch lead-window
+    * counts over the touches processed so far, REGARDLESS of micro-batch
+    * boundaries (spec-checked against the batch window across splits) —
+    * so the Markov chain's transition matrix can be maintained as a
+    * running aggregate instead of recounted from history. Downstream, a
+    * `groupBy(from, to).sum(n)` (complete mode, or a watermarked window)
+    * turns increments into the matrix the driver-side absorption solve
+    * collects; the CONV/NULL terminal edges remain a journey-close
+    * concern ([[attributeIhc]]'s purchase events mark those boundaries).
+    *
+    * Same arrival assumption as [[attributeIhc]], stated: per-user
+    * event-time order ACROSS micro-batches (within a batch, order is
+    * handled here); reorder-buffer hardening composes exactly as in
+    * [[attributeIhcOrdered]]. State is one [[LastTouch]] per user — O(1)
+    * per key, sharded across the cluster's state store. */
+  def transitionCounts(touches: Dataset[SessionTouch]): Dataset[TransitionInc] = {
+    import touches.sparkSession.implicits._
+    touches
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch, TransitionInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[SessionTouch], state: GroupState[LastTouch]) =>
+          val ordered = it.toVector.sortBy(t => (t.ts_us, t.session_id))
+          var last = state.getOption
+          val out = Vector.newBuilder[TransitionInc]
+          ordered.foreach { t =>
+            out += TransitionInc(
+              last.map(_.channel_name).getOrElse(graft.operators.Markov.Start),
+              t.channel_name, 1L)
+            last = Some(LastTouch(t.ts_us, t.session_id, t.channel_name))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
   }
 
   /** Streaming exact dedup: `dropDuplicatesWithinWatermark` on the event
