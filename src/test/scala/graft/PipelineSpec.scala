@@ -177,6 +177,23 @@ class PipelineSpec extends SparkSpec {
       assert(full.queryExecution.optimizedPlan.toString.contains("BucketUnion"),
         "assignedJourneys should plan via BucketUnion once prepareBucketed has run")
 
+      // the date-partitioned layout prunes FILES, not just row groups: a
+      // 1-day window must read exactly that day's files
+      val day = Tables.sessions(spark, sfDir)
+        .groupBy("event_date").count().orderBy("event_date").head().getDate(0)
+      val oneDay = spark.table(sessionsTable)
+        .filter(org.apache.spark.sql.functions.col("event_date") === day)
+      oneDay.collect() // metrics populate on execution
+      val scan = oneDay.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      val filesRead = scan.metrics("numFiles").value
+      val allFiles = sources.Layout.dataFiles(spark, s"$stateDir/bucketed/sessions")
+      val dayFiles = sources.Layout.dataFiles(
+        spark, s"$stateDir/bucketed/sessions/event_date=$day")
+      assert(dayFiles > 0 && filesRead === dayFiles && filesRead < allFiles,
+        s"1-day window read $filesRead files; day has $dayFiles of $allFiles total")
+
       // incremental runs through the bucketed path converge to the same
       // persisted state as the standard path, bit for bit
       val s1 = Pipeline.run(spark, sfDir, stateDir, endDate = Some("2024-01-15"))
