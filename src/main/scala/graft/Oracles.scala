@@ -1251,12 +1251,19 @@ ORDER BY doc_id"""
                + 16777216 * ${byteAt(off + 3)} - 4294967296
            ELSE ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
                + 16777216 * ${byteAt(off + 3)} END)"""
+    // little-endian unsigned int16 at 0-based offset `off` — mirrors
+    // Multimodal.decode's le16
+    def le16(off: Int) = s"(${byteAt(off)} + 256 * ${byteAt(off + 1)})"
     // plain (non-interpolated) strings so \t/\r reach RE2 as backslash
     // sequences, exactly as Java regex sees them on the Spark side
     val ppmMatch =
       """regexp_matches(text, '^P6[ \t-\r]+[0-9]{1,9}[ \t-\r]+[0-9]{1,9}[ \t-\r]')"""
     val ppmDims =
       """regexp_extract(text, '^P6[ \t-\r]+([0-9]{1,9})[ \t-\r]+([0-9]{1,9})[ \t-\r]', %d)"""
+    // canonical-WAV magic: RIFF @0, WAVE @8, 'fmt ' @12, data @36 as hex
+    val wavMatch = "byte_len >= 44 AND substr(hx, 1, 8) = '52494646'" +
+      " AND substr(hx, 17, 8) = '57415645' AND substr(hx, 25, 8) = '666D7420'" +
+      " AND substr(hx, 73, 8) = '64617461'"
     s"""
 WITH meta AS (
   SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
@@ -1264,19 +1271,40 @@ WITH meta AS (
   FROM documents
 ), typed AS (
   SELECT doc_id, text, byte_len, hx,
-         CASE WHEN byte_len >= 26 AND substr(hx, 1, 4) = '424D' THEN 'bmp'
+         CASE WHEN $wavMatch THEN 'wav'
+              WHEN byte_len >= 26 AND substr(hx, 1, 4) = '424D' THEN 'bmp'
               WHEN $ppmMatch THEN 'ppm'
               ELSE 'raw' END AS format
   FROM meta
 ), dims AS (
-  SELECT doc_id, byte_len, format,
+  SELECT doc_id, byte_len, hx, format,
          CAST(CASE WHEN format = 'bmp' THEN ${le32(18)}
                    WHEN format = 'ppm' THEN TRY_CAST(${ppmDims.format(1)} AS BIGINT)
+                   WHEN format = 'wav' THEN 0
                    ELSE byte_len % 640 END AS INTEGER) AS width,
          CAST(CASE WHEN format = 'bmp' THEN ${le32(22)}
                    WHEN format = 'ppm' THEN TRY_CAST(${ppmDims.format(2)} AS BIGINT)
-                   ELSE byte_len % 480 END AS INTEGER) AS height
+                   WHEN format = 'wav' THEN 0
+                   ELSE byte_len % 480 END AS INTEGER) AS height,
+         CAST(CASE WHEN format = 'wav' THEN ${le32(24)} ELSE 0 END AS INTEGER)
+           AS sample_rate,
+         CAST(CASE WHEN format = 'wav' THEN ${le16(22)} ELSE 0 END AS INTEGER)
+           AS n_channels,
+         CAST(CASE WHEN format = 'wav' THEN ${le16(34)} ELSE 0 END AS INTEGER)
+           AS bit_depth
   FROM typed
+), wavpeak AS (
+  SELECT doc_id,
+         CAST(MAX(CASE WHEN s >= 32768 THEN 65536 - s ELSE s END) AS INTEGER) AS peak
+  FROM (
+    SELECT d.doc_id,
+           CAST(concat('0x', substr(d.hx, CAST(89 + 4 * ix.i AS INTEGER), 2)) AS BIGINT)
+             + 256 * CAST(concat('0x', substr(d.hx, CAST(91 + 4 * ix.i AS INTEGER), 2)) AS BIGINT)
+             AS s
+    FROM dims d
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS i) ix
+    WHERE d.format = 'wav' AND d.bit_depth = 16 AND ix.i < (d.byte_len - 44) // 2
+  ) q GROUP BY doc_id
 ), hist AS (
   SELECT doc_id, bin, COUNT(*) AS cnt
   FROM (SELECT doc_id,
@@ -1286,9 +1314,14 @@ WITH meta AS (
   GROUP BY doc_id, bin
 )
 SELECT m.doc_id, m.byte_len, m.format, m.width, m.height,
+       m.sample_rate, m.n_channels, m.bit_depth,
+       CAST(COALESCE(ANY_VALUE(w.peak), 0) AS INTEGER) AS pcm_peak,
 $fCols
-FROM dims m LEFT JOIN hist h ON h.doc_id = m.doc_id
-GROUP BY m.doc_id, m.byte_len, m.format, m.width, m.height
+FROM dims m
+LEFT JOIN wavpeak w ON w.doc_id = m.doc_id
+LEFT JOIN hist h ON h.doc_id = m.doc_id
+GROUP BY m.doc_id, m.byte_len, m.format, m.width, m.height,
+         m.sample_rate, m.n_channels, m.bit_depth
 ORDER BY m.doc_id"""
   }
 

@@ -301,7 +301,8 @@ object SparkEntry {
       val featCols = (0 until 16).map(i => col("features")(i).as(s"f$i"))
       feat.select(
         Seq(col("doc_id"), col("byte_len"), col("format"),
-          col("width"), col("height")) ++ featCols: _*)
+          col("width"), col("height"), col("sample_rate"), col("n_channels"),
+          col("bit_depth"), col("pcm_peak")) ++ featCols: _*)
         .orderBy("doc_id")
     }),
 

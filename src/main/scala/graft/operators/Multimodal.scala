@@ -58,6 +58,10 @@ object Multimodal {
       format: String,
       width: Int,
       height: Int,
+      sample_rate: Int,
+      n_channels: Int,
+      bit_depth: Int,
+      pcm_peak: Int,
       features: Array[Float])
 
   /** PPM (P6) header: magic, whitespace, width, whitespace, height,
@@ -71,6 +75,12 @@ object Multimodal {
   /** REAL byte-format decode with a stub fallback. Recognized pure-JVM
     * formats (no codec libraries needed — plain header parsing):
     *
+    *  - **WAV (canonical PCM)**: `RIFF…WAVE` magic with the `fmt ` chunk
+    *    at offset 12 and `data` at 36 (the canonical 44-byte layout —
+    *    files with extra chunks fall through to `raw` rather than
+    *    mis-parse) → channel count / sample rate / bit depth from the fmt
+    *    chunk, plus `pcm_peak`, the peak absolute amplitude of the first
+    *    64 16-bit little-endian PCM samples — a real signal-level stat.
     *  - **BMP**: leading `BM`, ≥ 26 bytes → width/height are the
     *    little-endian int32s at offsets 18/22 (BITMAPINFOHEADER), taken
     *    signed exactly as the format stores them (negative height = a
@@ -84,8 +94,8 @@ object Multimodal {
     * All formats get the 16-bin L1-normalized byte histogram as the
     * feature vector — a real content signal, codec or not. Every branch
     * is deterministic and mirrored byte-for-byte in the DuckDB oracle
-    * (hex-slice arithmetic for the BMP header, the same regex for PPM),
-    * so the operator stays hash-checked end-to-end. */
+    * (hex-slice arithmetic for the BMP and WAV headers, the same regex
+    * for PPM), so the operator stays hash-checked end-to-end. */
   private[graft] def decode(docId: Long, payload: Array[Byte]): MediaFeature = {
     val hist = new Array[Float](16)
     var i = 0
@@ -97,22 +107,42 @@ object Multimodal {
     var b = 0
     while (b < 16) { hist(b) /= n; b += 1 }
 
+    def le16(off: Int): Int =
+      (payload(off) & 0xff) | (payload(off + 1) & 0xff) << 8
     def le32(off: Int): Int =
       (payload(off) & 0xff) | (payload(off + 1) & 0xff) << 8 |
         (payload(off + 2) & 0xff) << 16 | (payload(off + 3) & 0xff) << 24
+    def tag(off: Int, s: String): Boolean =
+      s.indices.forall(k => payload(off + k) == s.charAt(k).toByte)
 
-    if (payload.length >= 26 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
-      MediaFeature(docId, payload.length, "bmp", le32(18), le32(22), hist)
+    if (payload.length >= 44 && tag(0, "RIFF") && tag(8, "WAVE") &&
+        tag(12, "fmt ") && tag(36, "data")) {
+      val bits = le16(34)
+      var peak = 0
+      if (bits == 16) {
+        val nSamples = math.min(64, (payload.length - 44) / 2)
+        var s = 0
+        while (s < nSamples) {
+          val u = le16(44 + 2 * s)
+          peak = math.max(peak, if (u >= 32768) 65536 - u else u)
+          s += 1
+        }
+      }
+      MediaFeature(docId, payload.length, "wav", 0, 0,
+        le32(24), le16(22), bits, peak, hist)
+    } else if (payload.length >= 26 && payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+      MediaFeature(docId, payload.length, "bmp", le32(18), le32(22), 0, 0, 0, 0, hist)
     else {
       // header region is ASCII; UTF-8 decode is identity there, so the
       // regex sees the same prefix the oracle's text column carries
       val s = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
       PpmHeader.findFirstMatchIn(s) match {
         case Some(m) =>
-          MediaFeature(docId, payload.length, "ppm", m.group(1).toInt, m.group(2).toInt, hist)
+          MediaFeature(docId, payload.length, "ppm",
+            m.group(1).toInt, m.group(2).toInt, 0, 0, 0, 0, hist)
         case None =>
           MediaFeature(docId, payload.length, "raw",
-            payload.length % 640, payload.length % 480, hist)
+            payload.length % 640, payload.length % 480, 0, 0, 0, 0, hist)
       }
     }
   }

@@ -101,4 +101,42 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L).features(15) === 1f / 27f)
     assert(math.abs(out(2L).features.sum - 1.0) < 1e-5)
   }
+
+  test("decode parses canonical WAV headers and PCM peak; non-canonical stays raw") {
+    import spark.implicits._
+    def wav(rate: Int, channels: Int, bits: Int, samples: Seq[Int]): Array[Byte] = {
+      val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      b.putShort(1).putShort(channels.toShort).putInt(rate)
+      b.putInt(rate * channels * bits / 8).putShort((channels * bits / 8).toShort)
+      b.putShort(bits.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(data.length)
+      data.foreach(b.put)
+      b.array()
+    }
+    val stereo = wav(44100, 2, 16, Seq(100, -32768, 5, 7))
+    val silent = wav(8000, 1, 16, Seq.empty) // header only: peak must be 0
+    val deep = wav(48000, 1, 24, Seq(1, 2)) // non-16-bit: no peak computed
+    // RIFF magic but a non-canonical chunk layout must NOT mis-parse
+    val nonCanonical = "RIFFxxxxWAVEJUNKdata".getBytes("US-ASCII") ++ new Array[Byte](24)
+    val out = Multimodal.featuresBinary(spark,
+      Seq((1L, stereo), (2L, silent), (3L, deep), (4L, nonCanonical))
+        .toDF("doc_id", "payload"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).format === "wav")
+    assert((out(1L).sample_rate, out(1L).n_channels, out(1L).bit_depth) === ((44100, 2, 16)))
+    assert(out(1L).pcm_peak === 32768) // |−32768| dominates the window
+    assert((out(1L).width, out(1L).height) === ((0, 0)))
+    assert(out(2L).format === "wav" && out(2L).pcm_peak === 0)
+    assert(out(3L).format === "wav" && out(3L).bit_depth === 24 && out(3L).pcm_peak === 0)
+    assert(out(4L).format === "raw")
+    // image branches carry zeroed audio fields
+    val bmp = new Array[Byte](27); bmp(0) = 'B'; bmp(1) = 'M'
+    val img = Multimodal.featuresBinary(spark, Seq((9L, bmp)).toDF("doc_id", "payload")).head()
+    assert((img.sample_rate, img.n_channels, img.bit_depth, img.pcm_peak) === ((0, 0, 0, 0)))
+  }
 }
