@@ -19,11 +19,20 @@ object Bench {
       } else SparkEntry.queries
     warmup(spark)
     // Best-of-N per query (default 2): a shared box's load spikes inflate
-    // single-shot timings up to ~10×; the minimum over two runs is a far
-    // better estimate of the plan's actual cost and costs only one repeat.
+    // single-shot timings up to ~10×; the minimum over the runs is a far
+    // better estimate of the plan's actual cost. SUB-SECOND queries get
+    // extra reps (4 total): their absolute timings are small enough that
+    // host noise produces ≥1.6× round-over-round swings at 2 reps, which
+    // would eventually mask a real regression — min AND median over more
+    // samples are both recorded so a reader can separate plan cost (min)
+    // from the noise floor (median − min).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val subSecondReps = math.max(4, reps)
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    final case class Timing(min: Double, median: Double, n: Int, load: Double)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -35,17 +44,31 @@ object Bench {
           finally spark.catalog.clearCache() // per-query caches must not skew later queries
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      var times = (1 to reps).map(_ => once()).toVector
+      while (!times.contains(-1.0) && times.min < 1.0 && times.size < subSecondReps)
+        times :+= once()
+      val timing =
+        if (times.contains(-1.0)) Timing(-1.0, -1.0, times.size, loadAvg)
+        else {
+          val s = times.sorted
+          val med =
+            if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+          Timing(s.head, med, s.size, loadAvg)
+        }
+      name -> timing
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val detail = results.map { case (k, v) =>
+      s"\"" + k + s"""":{"min":${v.min},"median":${v.median},"reps":${v.n},"load_avg":${v.load}}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
     // system load average: timings on a shared box carry noise proportional
-    // to this — recorded so readings can be interpreted
-    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-      .getSystemLoadAverage
+    // to this — recorded overall AND per query group (in `detail`)
+    val load = loadAvg
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
     println(json)
     // also persisted to a file — the driver's stdout tail truncated 9 of 67
     // per-query timings in round 2
