@@ -214,20 +214,29 @@ object Pipeline {
   /** One incremental run: extract (optionally bounded by `endDate`, the
     * reference's date-range re-run; from the bucketed layout when
     * [[prepareBucketed]] has built it), attribute the not-yet-persisted
-    * conversions, stage, publish atomically, and report. */
+    * conversions, stage, publish atomically, and report.
+    *
+    * @param staleGraceMs racing deployments must pass a grace > the
+    *                     longest plausible staging time so one run's
+    *                     recovery sweep cannot vacuum another's in-flight
+    *                     staging; the default 0 assumes the single-writer
+    *                     cadence and vacuums crash leftovers immediately */
   def run(
       spark: SparkSession,
       sfDir: String,
       stateDir: String,
-      endDate: Option[String] = None): RunSummary =
-    run(spark, sfDir, stateDir, endDate, crashPoint = None)
+      endDate: Option[String] = None,
+      staleGraceMs: Long = 0L): RunSummary =
+    runImpl(spark, sfDir, stateDir, endDate, crashPoint = None, staleGraceMs = staleGraceMs)
 
-  private[graft] def run(
+  private[graft] def runImpl(
       spark: SparkSession,
       sfDir: String,
       stateDir: String,
       endDate: Option[String],
-      crashPoint: Option[String]): RunSummary = {
+      crashPoint: Option[String],
+      staleGraceMs: Long = 0L,
+      beforePublish: () => Unit = () => ()): RunSummary = {
     def failpoint(p: String): Unit =
       if (crashPoint.contains(p)) throw InjectedCrash(p)
 
@@ -248,7 +257,7 @@ object Pipeline {
 
     // crash recovery: staged dirs no manifest references are leftovers of
     // an aborted run — readers never saw them; delete and re-stage.
-    Manifest.cleanStale(spark, stateDir, StateTables)
+    Manifest.cleanStale(spark, stateDir, StateTables, staleGraceMs)
     val snap = Manifest.snapshot(spark, stateDir)
     // committed total from manifest METADATA — not a scan of history
     val previousTotal = snap.meta.get(RowsKey).map(_.toLong).getOrElse(0L)
@@ -279,59 +288,114 @@ object Pipeline {
       if (bucketed) Journeys.assignBucketed(sessions, conversions, Some(missingUsers))
       else Journeys.assign(sessions, conversions, Some(missingUsers)))
 
-    val runTag = s"r${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    def freshTag(v: Long) = s"r${v}_${java.util.UUID.randomUUID().toString.take(8)}"
+    var tag = freshTag(snap.alloc + 1)
     val delta = IhcAttribution
       .attribute(assignedDelta)
       .join(missing.select("conv_id"), Seq("conv_id"), "left_semi")
       .select("conv_id", "session_id", "channel_name", "ihc")
 
-    // ---- stage (fresh dirs; nothing live is touched) ----
-    delta.write.parquet(s"$stateDir/attribution/$runTag")
+    // ---- stage (fresh uniquely-tagged dirs; nothing live is touched) ----
+    delta.write.parquet(s"$stateDir/attribution/$tag")
     failpoint("after_attribution_stage")
-    missing.select("conv_id").write.parquet(s"$stateDir/processed_conversions/$runTag")
+    missing.select("conv_id").write.parquet(s"$stateDir/processed_conversions/$tag")
 
     // counts + report from what was actually staged — no double evaluation
     // of the delta DAG, and NO read of any prior run's attribution data
-    val stagedDelta = spark.read.parquet(s"$stateDir/attribution/$runTag")
-    val newRows = stagedDelta.count()
-    val totalRows = previousTotal + newRows
+    var stagedDelta = spark.read.parquet(s"$stateDir/attribution/$tag")
+    var stagedMissing = spark.read.parquet(s"$stateDir/processed_conversions/$tag")
+    var newRows = stagedDelta.count()
+    var attributedConvs = newConversions
 
     // ---- O(delta) report ----
     // aggregate ONLY the delta, then fold it into the committed decimal
     // report state by (channel, date): an O(|channels|·|dates|) merge,
     // bit-identical to re-aggregating all history (exact decimal sums).
-    val deltaBase = Reporting.channelReportingBase(
-      stagedDelta, sessions, Tables.sessionCosts(spark, sfDir), allConversions)
-    val committedBase = readDirsOrEmpty(
-      spark, dirsOf(snap.live, stateDir, "report_base"), ReportBaseDdl)
-    Reporting.mergeReportBase(committedBase, deltaBase)
-      .write.parquet(s"$stateDir/report_base/$runTag")
-    val rep = Reporting.withMetrics(
-      Reporting.fromReportBase(
-        spark.read.parquet(s"$stateDir/report_base/$runTag")))
-      .orderBy("channel_name", "date")
-    rep.write.parquet(s"$stateDir/report/$runTag")
-    Reporting.exportCsv(rep, s"$stateDir/channel_reporting_csv/$runTag")
+    // The report artifacts get their own tag so an OCC retry can re-merge
+    // against a race winner's base without re-staging the delta.
+    val costs = Tables.sessionCosts(spark, sfDir)
+    var reportTag: String = null
+    def stageReport(v: Long, committedBase: DataFrame): Unit = {
+      reportTag = freshTag(v)
+      val deltaBase =
+        Reporting.channelReportingBase(stagedDelta, sessions, costs, allConversions)
+      Reporting.mergeReportBase(committedBase, deltaBase)
+        .write.parquet(s"$stateDir/report_base/$reportTag")
+      val rep = Reporting.withMetrics(
+        Reporting.fromReportBase(
+          spark.read.parquet(s"$stateDir/report_base/$reportTag")))
+        .orderBy("channel_name", "date")
+      rep.write.parquet(s"$stateDir/report/$reportTag")
+      Reporting.exportCsv(rep, s"$stateDir/channel_reporting_csv/$reportTag")
+    }
+    stageReport(snap.alloc + 1,
+      readDirsOrEmpty(spark, dirsOf(snap.live, stateDir, "report_base"), ReportBaseDdl))
     failpoint("before_publish")
+    beforePublish()
 
     // ---- publish: one atomic manifest CAS makes all five dirs live ----
-    // (attribution/processed accumulate; report_base/report/csv replace)
-    val accumulated = snap.live.filter(e =>
-      e.startsWith("attribution/") || e.startsWith("processed_conversions/"))
-    Manifest.tryPublish(spark, stateDir, snap,
-      accumulated ++ Seq(
-        s"attribution/$runTag", s"processed_conversions/$runTag",
-        s"report_base/$runTag", s"report/$runTag", s"channel_reporting_csv/$runTag"),
-      snap.meta + (RowsKey -> totalRows.toString))
-      .getOrElse(throw new java.io.IOException(
-        s"pipeline run lost the publish race at $stateDir — a concurrent run " +
-          "committed first; its state is intact, re-run to attribute the remainder"))
-    // post-publish vacuum: the previous run's report/csv dirs just became
-    // unreferenced (their manifest entries were replaced) — delete them now
+    // (attribution/processed accumulate; report_base/report/csv replace).
+    // Racing runs SERIALIZE: the loser re-reads the winner's snapshot,
+    // drops any conversions the winner already attributed from its staged
+    // delta, re-merges the report on the winner's base, and retries — so
+    // both commits land and no conversion is attributed twice, matching
+    // SQLite's serialized-writers contract in the reference.
+    var snapNow = snap
+    var attempts = 0
+    var committedTotal = -1L
+    while (committedTotal < 0) {
+      val total = snapNow.meta.get(RowsKey).map(_.toLong).getOrElse(0L) + newRows
+      val accumulated = snapNow.live.filter(e =>
+        e.startsWith("attribution/") || e.startsWith("processed_conversions/"))
+      Manifest.tryPublish(spark, stateDir, snapNow,
+        accumulated ++ Seq(
+          s"attribution/$tag", s"processed_conversions/$tag",
+          s"report_base/$reportTag", s"report/$reportTag",
+          s"channel_reporting_csv/$reportTag"),
+        snapNow.meta + (RowsKey -> total.toString)) match {
+        case Some(_) => committedTotal = total
+        case None =>
+          attempts += 1
+          if (attempts >= 8)
+            throw new java.io.IOException(
+              s"pipeline run lost $attempts consecutive publish races at $stateDir")
+          val next = Manifest.snapshot(spark, stateDir)
+          val winnersProcessed = dirsOf(next.live, stateDir, "processed_conversions")
+            .diff(dirsOf(snapNow.live, stateDir, "processed_conversions"))
+          if (winnersProcessed.nonEmpty) {
+            val winners = spark.read.parquet(winnersProcessed: _*)
+            val still = stagedMissing
+              .join(winners, Seq("conv_id"), "left_anti").localCheckpoint()
+            val stillN = still.count()
+            if (stillN == 0L)
+              // the winner attributed our whole delta: this run is a no-op
+              return RunSummary(candidateConversions, 0L, 0L,
+                next.meta.get(RowsKey).map(_.toLong).getOrElse(0L))
+            if (stillN != attributedConvs) {
+              // drop the overlap; the remaining rows are exact (assignment
+              // was computed per-user over the full conversion set)
+              tag = freshTag(next.alloc + 1)
+              stagedDelta.join(still, Seq("conv_id"), "left_semi")
+                .write.parquet(s"$stateDir/attribution/$tag")
+              still.write.parquet(s"$stateDir/processed_conversions/$tag")
+              stagedDelta = spark.read.parquet(s"$stateDir/attribution/$tag")
+              stagedMissing = spark.read.parquet(s"$stateDir/processed_conversions/$tag")
+              newRows = stagedDelta.count()
+              attributedConvs = stillN
+            }
+          }
+          // the winner replaced report_base: re-merge our delta onto it
+          stageReport(next.alloc + 1,
+            readDirsOrEmpty(spark, dirsOf(next.live, stateDir, "report_base"), ReportBaseDdl))
+          snapNow = next
+      }
+    }
+    // post-publish vacuum: the previous run's report/csv dirs (and any
+    // superseded retry staging) just became unreferenced — delete them now
     // rather than leaving garbage for the next run's recovery sweep.
-    Manifest.cleanStale(spark, stateDir, StateTables)
+    Manifest.cleanStale(spark, stateDir, StateTables, staleGraceMs)
 
-    RunSummary(candidateConversions, newConversions, newRows, totalRows)
+    RunSummary(candidateConversions, attributedConvs, newRows, committedTotal)
   }
 
   /** CLI: `Pipeline <sfDir> <stateDir> [endDate]`. */

@@ -145,6 +145,37 @@ object ScaleSmoke {
       println(s"[scale] skewed assigned rows = " +
         Journeys.assign(
           Tables.deriveSessions(skewEvents), Tables.deriveConversions(skewEvents)).count()))
+
+    // Incremental pipeline O(delta) at scale: a CHURNING population (each
+    // user active in a ~3-day window, the realistic 100 TB shape — daily
+    // actives are a small fraction of all-time users). Run 1 processes
+    // days ≤ 24; run 2 attributes only the remaining tail. The r4 design
+    // re-assigned EVERY user per run; the missing-user semi-join restricts
+    // run 2 to the ~15% of users with a new conversion, so its cost tracks
+    // the delta, not the history.
+    val churn = spark.range(n).selectExpr(
+      "id AS event_id",
+      "CAST(pmod(hash(id + 3), 100000) AS BIGINT) AS user_id",
+      """CAST((pmod(hash(pmod(hash(id + 3), 100000)), 27) * 86400
+            + pmod(hash(id), 259200)) AS BIGINT) * 1000000 AS ts""",
+      """CASE pmod(hash(id + 7), 5) WHEN 0 THEN 'purchase' WHEN 1 THEN 'click'
+         WHEN 2 THEN 'view' WHEN 3 THEN 'signup' ELSE 'error' END AS event_type""",
+      "CAST(pmod(hash(id + 13), 10000) AS DOUBLE) / 100.0 AS value")
+    val pipeRoot = java.nio.file.Files.createTempDirectory("graft_scale_pipe").toString
+    // ts is written as BIGINT ns — Tables.events reads the nanos column
+    // numerically (the same path the TIMESTAMP(NANOS) testdata takes)
+    churn.selectExpr("event_id", "ts * 1000 AS ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$pipeRoot/sf/events.parquet")
+    val pipeState = s"$pipeRoot/state"
+    time(s"pipeline INITIAL run n=$n (days <= 24)") {
+      val s = Pipeline.run(spark, s"$pipeRoot/sf", pipeState, endDate = Some("1970-01-25"))
+      println(s"[scale] initial: conv=${s.newConversions} rows=${s.newRows}")
+    }
+    time(s"pipeline DELTA run n=$n (remaining tail)") {
+      val s = Pipeline.run(spark, s"$pipeRoot/sf", pipeState, endDate = None)
+      println(s"[scale] delta: conv=${s.newConversions} rows=${s.newRows} " +
+        s"total=${s.totalRows}")
+    }
     spark.stop()
   }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.DataFrame
 class PipelineSpec extends SparkSpec {
 
   private val stateTables =
-    Seq("attribution", "processed_conversions", "report", "channel_reporting_csv")
+    Seq("attribution", "processed_conversions", "report_base", "report",
+      "channel_reporting_csv")
 
   private def rows(df: DataFrame): Seq[(Long, Long, String, Double)] =
     df.select("conv_id", "session_id", "channel_name", "ihc")
@@ -109,11 +110,11 @@ class PipelineSpec extends SparkSpec {
 
     // crash 1: between the attribution and processed-conversions writes
     intercept[Pipeline.InjectedCrash] {
-      Pipeline.run(spark, sfDir, stateDir, None, Some("after_attribution_stage"))
+      Pipeline.runImpl(spark, sfDir, stateDir, None, Some("after_attribution_stage"))
     }
     // crash 2: after all four dirs are staged, before the manifest publish
     intercept[Pipeline.InjectedCrash] {
-      Pipeline.run(spark, sfDir, stateDir, None, Some("before_publish"))
+      Pipeline.runImpl(spark, sfDir, stateDir, None, Some("before_publish"))
     }
 
     // (a) reads see ONLY the complete run — both aborted runs are invisible
@@ -135,6 +136,45 @@ class PipelineSpec extends SparkSpec {
     val s2 = Pipeline.run(spark, sfDir, stateDir, endDate = None)
     assert(s2.newConversions === 0)
     assert(rows(Pipeline.persistedAttribution(spark, stateDir)) === rows(fromScratch))
+  }
+
+  test("racing pipeline runs serialize: both commit, overlap attributed exactly once") {
+    val stateDir = Files.createTempDirectory("graft-pipeline-race").toString
+    // grace > staging time so neither run's recovery sweep vacuums the
+    // other's in-flight staged dirs (the racing-deployment contract)
+    val grace = 3600000L
+    var inner: Pipeline.RunSummary = null
+    // the outer run (full window) stages everything, then a competing run
+    // over the PARTIAL window commits before the outer publish — the outer
+    // run must lose the CAS, drop the winner's conversions from its staged
+    // delta, re-merge the report on the winner's base, and retry
+    val outer = Pipeline.runImpl(spark, sfDir, stateDir, None, None, grace,
+      beforePublish = () => {
+        inner = Pipeline.run(spark, sfDir, stateDir,
+          endDate = Some("2024-01-15"), staleGraceMs = grace)
+      })
+    assert(inner.newConversions > 0)
+    assert(outer.newConversions > 0)
+    assert(outer.totalRows === inner.totalRows + outer.newRows)
+
+    // no conversion attributed twice; state bit-identical to from-scratch
+    val persisted = Pipeline.persistedAttribution(spark, stateDir)
+    assert(persisted.select("conv_id", "session_id").distinct().count() === persisted.count())
+    assert(rows(persisted) === rows(fromScratch))
+
+    // the serialized report covers BOTH commits, bit-equal to from-scratch
+    val scratchReport = operators.Reporting.withMetrics(
+      operators.Reporting.channelReporting(
+        fromScratch, Tables.sessions(spark, sfDir),
+        Tables.sessionCosts(spark, sfDir), Tables.conversions(spark, sfDir)))
+      .orderBy("channel_name", "date")
+    assert(Pipeline.report(spark, stateDir).orderBy("channel_name", "date")
+      .collect().map(_.toSeq).toSeq === scratchReport.collect().map(_.toSeq).toSeq)
+
+    // a follow-up run is the idempotent no-op and vacuums superseded staging
+    val s3 = Pipeline.run(spark, sfDir, stateDir)
+    assert(s3.newConversions === 0)
+    assert(Manifest.stale(spark, stateDir, stateTables).isEmpty)
   }
 
   test("pipeline over the bucketed layout: exchange-free assign, bit-identical output") {
