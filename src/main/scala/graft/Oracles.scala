@@ -748,6 +748,115 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
+  /** One joint-subspace PQ Lloyd iteration: assignment of every SAMPLE
+    * subvector to its nearest codebook entry under the ENCODE metric
+    * (`−2·x_j·c + |c|²`, ties → min code), then the string-cast-decimal
+    * exact mean per (subspace, code, dim) rounded to REAL, empty cells
+    * keeping their previous entry — lockstep with
+    * `Similarity.trainPqCodebooks`. */
+  private def pqIteration(t: Int): String = s"""
+, psq$t AS (
+  SELECT j, code,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+  FROM pcb$t GROUP BY j, code
+), pdot$t AS (
+  SELECT f.vec_id, c.j, c.code,
+         -2 * CAST(SUM(CAST(CAST(f.embedding[c.j*8 + c.i] AS DOUBLE) * CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           + s.sumsq AS d
+  FROM ptrain f CROSS JOIN pcb$t c JOIN psq$t s ON s.j = c.j AND s.code = c.code
+  GROUP BY f.vec_id, c.j, c.code, s.sumsq
+), pasg$t AS (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM pdot$t) x WHERE rn = 1
+), pmean${t + 1} AS (
+  SELECT a.j, a.code, ix.i,
+         CAST(CAST(SUM(CAST(CAST(e.embedding[a.j*8 + ix.i] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) AS REAL) AS v
+  FROM pasg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  GROUP BY a.j, a.code, ix.i
+), pcb${t + 1} AS MATERIALIZED (
+  SELECT p.j, p.code, p.i, COALESCE(c.v, p.v) AS v
+  FROM pcb$t p LEFT JOIN pmean${t + 1} c ON c.j = p.j AND c.code = p.code AND c.i = p.i
+)"""
+
+  /** PQ-ADC top-k — mirrors [[graft.operators.Similarity.pqTopK]] step by
+    * step: per-subspace codebooks initialized from the first 16 vectors'
+    * slices, TRAINED by two joint-subspace Lloyd iterations over the
+    * md5-bucket sample ([[pqIteration]]), argmin encoding on
+    * `−2·x_j·c + |c|²` (ties → min code), reconstruction by ordered
+    * concat of the chosen entries, then the standard decimal-exact cosine
+    * against the reconstruction. */
+  val annPqTopK: String = {
+    val iters = 2
+    featBase + """
+, js AS (SELECT unnest(range(0, 8)) AS j)
+, pcb0 AS MATERIALIZED (
+  SELECT j, vec_id AS code, ix.i, embedding[j*8 + ix.i] AS v
+  FROM embeddings CROSS JOIN js CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  WHERE vec_id < 16
+), nvec AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), ptrain AS MATERIALIZED (
+  -- deterministic md5-bucket training sample, lockstep with
+  -- Similarity.trainPqCodebooks: bucket < ceil(10000*4096/N), clamped
+  SELECT e.vec_id, e.embedding FROM embeddings e, nvec
+  WHERE CAST(concat('0x', substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
+)""" +
+      (0 until iters).map(pqIteration).mkString +
+      s"""
+, cbs AS MATERIALIZED (
+  SELECT j, code, list(v ORDER BY i) AS sub
+  FROM pcb$iters GROUP BY j, code
+), cbq AS MATERIALIZED (
+  SELECT j, code, sub,
+         CAST(SUM(CAST(CAST(sub[i] AS DOUBLE) * CAST(sub[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+  FROM cbs CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  GROUP BY j, code, sub
+), dist AS (
+  SELECT e.vec_id, c.j, c.code,
+         -2 * CAST(SUM(CAST(CAST(e.embedding[c.j*8 + i] AS DOUBLE) * CAST(c.sub[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           + c.sumsq AS d
+  FROM embeddings e CROSS JOIN cbq c
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  GROUP BY e.vec_id, c.j, c.code, c.sumsq
+), enc AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dist) t
+  WHERE rn = 1
+), rec AS MATERIALIZED (
+  SELECT en.vec_id AS neighbor_id, flatten(list(c.sub ORDER BY en.j)) AS recon
+  FROM enc en JOIN cbs c ON c.j = en.j AND c.code = en.code
+  GROUP BY en.vec_id
+), recn AS MATERIALIZED (
+  SELECT neighbor_id, recon,
+         sqrt(CAST(SUM(CAST(CAST(recon[i] AS DOUBLE) * CAST(recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS recon_nrm
+  FROM rec CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  GROUP BY neighbor_id, recon
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), dots AS (
+  SELECT query_id, neighbor_id, q_nrm, recon_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM q JOIN recn ON query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY query_id, neighbor_id, q_nrm, recon_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * recon_nrm) AS adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * recon_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, adc_cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
   val annLshTopK: String = featBase + """
 , masks AS (
   SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m

@@ -215,6 +215,8 @@ object SparkEntry {
 
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
 
+    "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir))),
+
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
 
     "tfidf_top_terms" -> ((s, dir) => Search.tfidfTopTerms(Tables.documents(s, dir))),
@@ -411,6 +413,7 @@ object SparkEntry {
     "bigram_lm"                 -> Oracles.bigramLm,
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,
+    "ann_pq_topk"               -> Oracles.annPqTopK,
     "label_centroids"           -> Oracles.labelCentroids,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,

@@ -199,6 +199,133 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  private def sumsqOf(v: Array[Float]): Double = {
+    val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      v.map(java.lang.Float.valueOf))
+    graft.functions.DotDecimalImpl.dot(ad, ad).doubleValue()
+  }
+
+  /** Per-subspace code pick: argmin reconstruction distance over the
+    * codebook via one sorted struct array (each 8-dim dot appears once;
+    * `|x_j|²` is constant per (row, subspace) so the comparison is
+    * `−2·x_j·c + |c|²`, ties → min code). */
+  private def pqCode(
+      j: Int, sub: Int,
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]) = {
+    val subv = slice(col("embedding"), j * sub + 1, sub)
+    element_at(sort_array(array(cb(j).indices.map { c =>
+      struct(
+        (lit(-2.0) * VectorFunctions.dotExact(subv, typedlit(cb(j)(c)))
+          + lit(cbSumsq(j)(c))).as("dist"),
+        lit(c).as("code"))
+    }: _*)), 1).getField("code")
+  }
+
+  /** Deterministically TRAINED product-quantizer codebooks: `iters` Lloyd
+    * iterations per subspace — run JOINTLY (one assignment map + one
+    * (subspace, code, dim) aggregation per iteration covers all
+    * subspaces) — over the same deterministic md5-bucket sample as
+    * [[trainCentroids]], from the same first-K slices init. Assignment
+    * uses the ENCODE metric (reconstruction distance), updates are
+    * string-cast-decimal-exact means rounded to float, empty cells keep
+    * their previous entry — every step reproducible in ANSI SQL, so the
+    * trained PQ index is oracle-checkable end-to-end like the trained
+    * IVF one. Returns (codebooks, decimal-exact |entry|² per entry). */
+  private[graft] def trainPqCodebooks(
+      embeddings: DataFrame, nSub: Int, codebookSize: Int,
+      iters: Int, sampleTarget: Long = 4096)
+      : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cbVecs = embeddings.filter(col("vec_id") < codebookSize)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val dims = cbVecs.head._2.length
+    require(dims % nSub == 0, s"dims=$dims not divisible by nSub=$nSub")
+    val sub = dims / nSub
+    var cb: Array[Array[Array[Float]]] =
+      Array.tabulate(nSub)(j => cbVecs.map(_._2.slice(j * sub, (j + 1) * sub)))
+    var cbSumsq: Array[Array[Double]] = cb.map(_.map(sumsqOf))
+    if (iters > 0) {
+      val n = embeddings.count()
+      val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
+      val train = embeddings.filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+          % 10000 < threshold)
+      (1 to iters).foreach { _ =>
+        val enc = array((0 until nSub).map { j =>
+          struct(
+            lit(j).as("j"), pqCode(j, sub, cb, cbSumsq).as("code"),
+            slice(col("embedding"), j * sub + 1, sub).as("sub"))
+        }: _*)
+        val means = train.select(explode(enc).as("e"))
+          .select(col("e.j").as("j"), col("e.code").as("code"),
+            posexplode(col("e.sub")).as(Seq("pos", "x")))
+          .groupBy("j", "code", "pos")
+          .agg((sum(col("x").cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .cast("double") / count(lit(1)).cast("double")).cast("float").as("v"))
+          .collect()
+          .groupBy(r => (r.getInt(0), r.getInt(1)))
+          .map { case (k2, rows) => k2 -> rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toArray }
+        cb = Array.tabulate(nSub)(j => Array.tabulate(codebookSize)(c =>
+          means.getOrElse((j, c), cb(j)(c))))
+        cbSumsq = cb.map(_.map(sumsqOf))
+      }
+    }
+    (cb, cbSumsq)
+  }
+
+  /** Product-quantization (PQ) approximate top-k — the MEMORY-scale ANN
+    * path: each corpus vector is encoded as `nSub` small codes (64 floats
+    * → 8 bytes at these defaults, a 32× compression), and queries score
+    * against the RECONSTRUCTION — the classic asymmetric-distance
+    * computation (ADC), here expressed as one exact cosine against the
+    * code-rebuilt vector so the scoring reuses the same decimal-exact dot
+    * machinery as every other ANN operator (and stays hash-checkable).
+    *
+    * Codebooks are index metadata, TRAINED by default
+    * ([[trainPqCodebooks]]: sampled per-subspace Lloyd — flat cost in
+    * corpus size, like the IVF quantizer; `iters = 0` falls back to the
+    * first-K-slices stand-in). Encoding is a PURE MAP stage ([[pqCode]]).
+    * At 100 TB the encoded corpus (codes only) is what a scoring pass
+    * reads — the raw vectors are touched once at index build.
+    *
+    * @return (query_id, neighbor_id, adc_cosine, rank) */
+  def pqTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10,
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub, codebookSize, iters)
+    val dims = cb.length * cb.head.head.length
+    val sub = dims / nSub
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val codeCols = (0 until nSub).map(j =>
+      pqCode(j, sub, cb, cbSumsq).as(s"code_$j"))
+    val encoded = feat
+      .select(col("vec_id").as("neighbor_id") +: codeCols: _*)
+      // ADC via reconstruction: concat the chosen codebook entries back
+      // into a 64-dim vector (array lookups into literal codebooks — still
+      // a map stage; the raw embedding is NOT carried past encoding)
+      .withColumn("recon", concat((0 until nSub).map { j =>
+        element_at(typedlit(cb(j)), col(s"code_$j") + 1)
+      }: _*))
+      .withColumn("recon_nrm",
+        sqrt(VectorFunctions.dotExact(col("recon"), col("recon"))))
+    val q = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    broadcast(q).join(encoded, col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cosine",
+        VectorFunctions.dotExact(col("qe"), col("recon")) / (col("q_nrm") * col("recon_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-probe LSH top-k: candidates come from the query's sign bucket
     * PLUS every Hamming-distance-1 bucket (nBits single-bit flips) — the
     * standard multi-probe trick, recovering most of the recall lost to an

@@ -35,6 +35,44 @@ class SimilaritySpec extends SparkSpec {
     assert(rT >= 0.99)
   }
 
+  test("PQ-ADC recall@10: perfect on clustered data; training lifts the random floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Structured corpus (the case PQ exists for): 400 vectors around 20
+    // prototypes + small deterministic noise — 8 codes/vector (32x
+    // compression) recover the TRUE top-10 exactly.
+    val structured = (0 until 400).map { i =>
+      val proto = i % 20
+      (i.toLong, Array.tabulate(64)(d =>
+        ((proto * 37 + d * 13) % 21 - 10).toFloat + ((i * 7 + d) % 5 - 2) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val truthS = pairs(Similarity.bruteForceTopK(structured))
+    val pqS = pairs(Similarity.pqTopK(structured))
+    assert((truthS & pqS).size === truthS.size, "clustered-data recall should be 1.0")
+    // Hash-random sf0.01 embeddings are PQ's WORST case (no cluster
+    // structure to quantize) — recall is honestly modest there; pin that
+    // training still lifts it and it stays above a floor (measured
+    // 2026-08: 0.325 untrained -> 0.375 trained).
+    val embTable = graft.sources.Tables.embeddings(spark, sfDir)
+    val truth = pairs(Similarity.bruteForceTopK(embTable))
+    val rU = (truth & pairs(Similarity.pqTopK(embTable, iters = 0))).size.toDouble / truth.size
+    val rT = (truth & pairs(Similarity.pqTopK(embTable))).size.toDouble / truth.size
+    assert(rT > rU, s"training should lift random-data recall ($rU -> $rT)")
+    assert(rT >= 0.3, s"PQ recall@10 $rT below the random-data floor")
+  }
+
+  test("PQ encodes the codebook vectors to themselves (self-reconstruction)") {
+    // a vector that IS codebook entry c must pick code c in every
+    // subspace: its reconstruction is itself, so its ADC cosine vs the
+    // identical query is exactly 1
+    val out = Similarity.pqTopK(emb, nQueries = 1, k = 5).collect()
+    val top = out.minBy(_.getAs[Int]("rank"))
+    // vec 20 is identical to query vec 0; vec 0's codes reconstruct vec 0
+    // exactly (it is a codebook vector), so the duplicate pair stays rank 1
+    assert(top.getAs[Long]("neighbor_id") === 20L)
+  }
+
   test("brute-force top-k ranks the identical vector first with cosine 1") {
     val out = Similarity.bruteForceTopK(emb, nQueries = 1, k = 5).collect()
     assert(out.length === 5)
