@@ -1482,7 +1482,10 @@ ORDER BY c.conv_id"""
     * 4-window minima, DISTINCT per doc (mirrors ShingleImpl.winnow; docs
     * with < 4 shingles contribute their global min via the idx=0 partial
     * window). */
-  val winnowFingerprints: String = """
+  /** Shared winnowing-fingerprint CTE chain ending in
+    * `wfp(doc_id, fingerprint)` — used by both the C14 query and the
+    * contamination check. */
+  private val winnowCte: String = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
          generate_subscripts(string_split(text, ' '), 1) AS pos
@@ -1505,10 +1508,47 @@ WITH tok AS (
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
          idx, cnt
   FROM h
-)
-SELECT DISTINCT doc_id, fingerprint FROM wmin
-WHERE idx <= cnt - 4 OR (cnt < 4 AND idx = 0)
+), wfp AS MATERIALIZED (
+  SELECT DISTINCT doc_id, fingerprint FROM wmin
+  WHERE idx <= cnt - 4 OR (cnt < 4 AND idx = 0)
+)"""
+
+  val winnowFingerprints: String = winnowCte + """
+SELECT doc_id, fingerprint FROM wfp
 ORDER BY doc_id, fingerprint"""
+
+  /** Decontamination: training docs sharing any winnowing fingerprint
+    * with the holdout stratum (mirrors Corpus.contaminationCheck). */
+  val contaminationCheck: String = winnowCte + """
+, bench AS (
+  SELECT fingerprint, doc_id AS bench_doc FROM wfp WHERE doc_id % 97 = 0
+)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT t.fingerprint) AS BIGINT) AS n_shared_fingerprints,
+       CAST(COUNT(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+FROM wfp t JOIN bench b ON b.fingerprint = t.fingerprint
+WHERE t.doc_id % 97 <> 0
+GROUP BY t.doc_id
+ORDER BY t.doc_id"""
+
+  /** PII scrub (mirrors Corpus.piiScrub — the same three patterns, counts
+    * over the original text, ordered global redaction, md5 of the
+    * result). */
+  val textPiiScrub: String = {
+    import graft.operators.Corpus.Pii
+    s"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '${Pii.Email}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '${Pii.Ipv4}')) AS INTEGER) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '${Pii.DigitRun}')) AS INTEGER) AS n_digit_runs,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '${Pii.Email}', '<EMAIL>', 'g'),
+               '${Pii.Ipv4}', '<IP>', 'g'),
+             '${Pii.DigitRun}', '<NUM>', 'g')) AS scrubbed_md5
+FROM documents
+ORDER BY doc_id"""
+  }
 
   /** Curation capstone: exact-dedup representatives above the quality
     * threshold (mirrors Corpus.curation). */

@@ -129,6 +129,11 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) =>
       Corpus.winnowFingerprints(Tables.documents(s, dir))),
 
+    "contamination_check" -> ((s, dir) =>
+      Corpus.contaminationCheck(Tables.documents(s, dir))),
+
+    "text_pii_scrub" -> ((s, dir) => Corpus.piiScrub(Tables.documents(s, dir))),
+
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir))),
 
@@ -364,6 +369,8 @@ object SparkEntry {
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,
+    "contamination_check"       -> Oracles.contaminationCheck,
+    "text_pii_scrub"            -> Oracles.textPiiScrub,
     "sample_stratified"         -> Oracles.sampleStratified,
     "corpus_curation"           -> Oracles.corpusCuration,
     "salted_channel_agg"        -> Oracles.saltedChannelAgg,

@@ -20,12 +20,74 @@ object Corpus {
     * [[graft.functions.Winnow]] expression — one codegen-resident pass per
     * document vs the SQL form's four shuffled stages (positioned explode,
     * window sort, frame min, DISTINCT). */
-  def winnowFingerprints(documents: DataFrame): DataFrame = {
+  def winnowFingerprints(documents: DataFrame): DataFrame =
+    winnowFp(documents).orderBy("doc_id", "fingerprint")
+
+  /** [[winnowFingerprints]] without the output ordering — the join-input
+    * form ([[contaminationCheck]] keys on it; an inner sort would just be
+    * wasted work under the join). */
+  private def winnowFp(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     documents
       .select(col("doc_id"),
         explode(call_function("graft_winnow", col("text"))).as("fingerprint"))
-      .orderBy("doc_id", "fingerprint")
+  }
+
+  /** Benchmark-contamination check — the decontamination pass a
+    * training-data pipeline runs before export: a training document is
+    * flagged if it shares ANY winnowing fingerprint with the held-out
+    * benchmark stratum (here the deterministic `doc_id % holdoutMod == 0`
+    * slice, standing in for an external benchmark table). Winnowing
+    * guarantees any shared token run of ≥ w+k−1 tokens yields at least
+    * one shared fingerprint, so detection is position-robust — not just
+    * exact n-grams at fixed offsets.
+    *
+    * Scale shape: fingerprints come from the native one-pass expression;
+    * both sides hash-partition on the fingerprint for the join, so work
+    * is proportional to actual collisions — never |train|·|benchmark| —
+    * and the per-doc rollup is a partial-agg groupBy. */
+  def contaminationCheck(documents: DataFrame, holdoutMod: Long = 97): DataFrame = {
+    val fp = winnowFp(documents)
+    val bench = fp.filter(col("doc_id") % holdoutMod === 0)
+      .select(col("fingerprint"), col("doc_id").as("bench_doc"))
+    fp.filter(col("doc_id") % holdoutMod =!= 0)
+      .join(bench, "fingerprint")
+      .groupBy("doc_id")
+      .agg(
+        countDistinct("fingerprint").as("n_shared_fingerprints"),
+        countDistinct("bench_doc").as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing pass — the privacy filter before export: count and
+    * redact emails, IPv4s, and long digit runs (phone-shaped), and
+    * fingerprint the scrubbed text. Counts are over the ORIGINAL text;
+    * redaction applies email → ip → digit-run in a fixed order. Patterns
+    * deliberately stay in the RE2 ∩ Java-regex common subset (character
+    * classes and bounded quantifiers only — no backreferences, no
+    * lookaround, no word boundaries) so both engines match byte-for-byte
+    * with leftmost-non-overlapping semantics. Pure map stage: runs at
+    * scan speed, shuffles nothing. */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    import Pii._
+    documents.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(Email)).as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4)).as("n_ipv4"),
+      regexp_count(col("text"), lit(DigitRun)).as("n_digit_runs"),
+      md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), Email, "<EMAIL>"),
+          Ipv4, "<IP>"),
+        DigitRun, "<NUM>")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The PII patterns, shared verbatim with the DuckDB oracle. */
+  private[graft] object Pii {
+    val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val Ipv4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val DigitRun = "\\+?[0-9]{7,15}"
   }
 
   private val IngestTables = Seq("documents", "fingerprints")

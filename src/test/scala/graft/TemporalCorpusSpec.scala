@@ -90,6 +90,50 @@ class TemporalCorpusSpec extends SparkSpec {
     assert(!fp.contains(4L))
   }
 
+  test("contamination check flags exactly the docs overlapping the holdout") {
+    val benchText = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (97L, benchText), // holdout stratum (doc_id % 97 == 0)
+      (1L, s"leading filler words then $benchText plus trailing content here"), // contaminated
+      (2L, "entirely fresh material sharing no token runs with anything else"),
+      (3L, benchText)) // verbatim copy — contaminated
+      .toDF("doc_id", "text")
+    val out = Corpus.contaminationCheck(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set(1L, 3L)) // doc 2 clean; doc 97 is the holdout itself
+    assert(out(1L)._1 >= 1 && out(1L)._2 === 1)
+    // the verbatim copy shares doc 97's whole fingerprint set
+    val benchFps = Corpus.winnowFingerprints(docs.filter(col("doc_id") === 97))
+      .count()
+    assert(out(3L)._1 === benchFps)
+  }
+
+  test("PII scrub counts and redacts emails, IPv4s and digit runs") {
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob@test.org at 10.0.0.1 tel 12345678 now"),
+      (2L, "no personal data in this sentence at all"),
+      (3L, "+4915112345678 and 192.168.1.100 and carol@mail.co")) // plus-prefixed run
+      .toDF("doc_id", "text")
+    val out = Corpus.piiScrub(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) === ((2, 1, 1)))
+    assert(out(2L) === ((0, 0, 0)))
+    assert(out(3L) === ((1, 1, 1)))
+    // redaction removes every matched span: scrubbing the scrubbed text
+    // is a fixpoint (same md5)
+    val scrubbedOnce = Corpus.piiScrub(docs).select("doc_id", "scrubbed_md5")
+    val redacted = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(col("text"),
+            Corpus.Pii.Email, "<EMAIL>"),
+          Corpus.Pii.Ipv4, "<IP>"),
+        Corpus.Pii.DigitRun, "<NUM>").as("text"))
+    val twice = Corpus.piiScrub(redacted).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(twice.forall(t => t._2 == 0 && t._3 == 0 && t._4 == 0))
+  }
+
   test("stratified sample is deterministic and respects per-stratum rates") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = Corpus.stratifiedSample(docs).collect().map(_.getAs[Long]("doc_id")).toSeq
