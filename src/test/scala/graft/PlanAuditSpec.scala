@@ -91,6 +91,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("PII scrub is a pure map stage — shuffles only for the output ordering") {
+    assert(shuffles(Corpus.piiScrub(Tables.documents(spark, sfDir))) === 1)
+  }
+
+  test("contamination check: fingerprint-keyed join, no cartesian, text pruned late") {
+    val df = Corpus.contaminationCheck(Tables.documents(spark, sfDir))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    scans(df).foreach(s =>
+      assert(s.schema.fieldNames.toSet.subsetOf(Set("doc_id", "text"))))
+  }
+
+  test("PQ encoding carries codes, not raw vectors, into the scoring join") {
+    // the encoded side's join output columns are codes/recon — the raw
+    // 64-float embedding column must not survive past the encode project
+    val df = graft.operators.Similarity.pqTopK(
+      Tables.embeddings(spark, sfDir), iters = 0)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct")) // broadcast-join shape
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    // the query<->corpus pairing is a broadcast nested-loop on the tiny
+    // query side (8 rows) — its STREAMED side must project codes only
+    assert(joins.nonEmpty)
+    // the query side projects `qe`, the corpus side codes/recon — neither
+    // may carry the raw `embedding` column into the join
+    val joinInputCols = joins.head.children.flatMap(_.output.map(_.name)).toSet
+    assert(!joinInputCols.contains("embedding"),
+      s"raw embeddings leaked past encoding: $joinInputCols")
+  }
+
   test("date-partitioned sink: reads prune partitions, rows round-trip") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     val events = Tables.events(spark, sfDir)
