@@ -167,6 +167,35 @@ object SparkEntry {
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.supplier(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
+    "q7_volume_shipping" -> ((s, dir) =>
+      Analytics.q7VolumeShipping(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))),
+
+    "q8_market_share" -> ((s, dir) =>
+      Analytics.q8MarketShare(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+
+    "q10_returned_items" -> ((s, dir) =>
+      Analytics.q10ReturnedItems(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))),
+
+    "q15_top_supplier" -> ((s, dir) =>
+      Analytics.q15TopSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+
+    "q18_large_volume" -> ((s, dir) =>
+      Analytics.q18LargeVolume(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    "q19_discounted_revenue" -> ((s, dir) =>
+      Analytics.q19DiscountedRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+
+    "q22_global_sales" -> ((s, dir) =>
+      Analytics.q22GlobalSales(Tables.customer(s, dir), Tables.orders(s, dir))),
+
     "top_customers_window" -> ((s, dir) =>
       Analytics.topCustomers(Tables.customer(s, dir), Tables.orders(s, dir), 25)),
 
@@ -381,6 +410,13 @@ object SparkEntry {
     "events_latest_per_user"    -> Oracles.eventsLatestPerUser,
     "q3_top_unshipped"          -> Oracles.q3TopUnshipped,
     "q5_region_revenue"         -> Oracles.q5RegionRevenue,
+    "q7_volume_shipping"        -> Oracles.q7VolumeShipping,
+    "q8_market_share"           -> Oracles.q8MarketShare,
+    "q10_returned_items"        -> Oracles.q10ReturnedItems,
+    "q15_top_supplier"          -> Oracles.q15TopSupplier,
+    "q18_large_volume"          -> Oracles.q18LargeVolume,
+    "q19_discounted_revenue"    -> Oracles.q19DiscountedRevenue,
+    "q22_global_sales"          -> Oracles.q22GlobalSales,
     "top_customers_window"      -> Oracles.topCustomersWindow,
     "running_total_window"      -> Oracles.runningTotalWindow,
     "events_sessionize"         -> Oracles.eventsSessionize,

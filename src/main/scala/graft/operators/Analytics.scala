@@ -384,4 +384,182 @@ object Analytics {
       .select("o_orderkey", "o_orderdate", "o_totalprice",
         "c_name", "c_mktsegment", "n_name", "r_name")
       .orderBy("o_orderkey")
+
+  /** Bilateral nation-pair trade volume by ship year (TPC-H Q7 shape).
+    * The disjunctive nation-pair predicate is applied AFTER the two
+    * broadcast nation lookups, so the fact side still sees only hash
+    * joins against broadcast dims and the pair filter is a cheap map-side
+    * predicate — no join-condition OR that would force a nested loop. */
+  def q7VolumeShipping(
+      supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+      customer: DataFrame, nation: DataFrame,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n1 = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** National market share inside one region's PROMO-part trade by order
+    * year (TPC-H Q8 shape). Share = Σ(target-nation volume)/Σ(volume),
+    * both sums decimal-exact so the double division is bit-deterministic
+    * regardless of shuffle order. */
+  def q8MarketShare(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, customer: DataFrame, nation: DataFrame,
+      region: DataFrame, targetNation: String = "NATION_3",
+      marketRegion: String = "EUROPE", partType: String = "PROMO"): DataFrame = {
+    val custNations = nation
+      .join(broadcast(region.filter(col("r_name") === marketRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNations = nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(part.filter(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNations), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNations), col("s_nationkey") === col("s_nk"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"),
+        col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg(
+        (dsum(when(col("supp_nation") === targetNation, col("volume")).otherwise(lit(0.0))) /
+          dsum(col("volume"))).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** Top returned-revenue customers in a quarter (TPC-H Q10 shape). The
+    * returnflag filter lands on the lineitem scan (PushedFilters), the
+    * orderdate window on the orders scan; customer+nation broadcast. */
+  def q10ReturnedItems(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      nation: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Supplier(s) achieving the maximum quarterly revenue (TPC-H Q15
+    * shape). The revenue aggregate shuffles once on l_suppkey; the
+    * "= max" scalar subquery becomes a window max over the already-tiny
+    * aggregated frame — no second scan of lineitem, no driver round trip. */
+  def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+    val withMax = rev.withColumn("__mx", max(col("total_revenue")).over(Window.partitionBy()))
+    withMax
+      .filter(col("total_revenue") === col("__mx"))
+      .join(broadcast(supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** Large-volume orders: customers whose single order exceeds a quantity
+    * threshold (TPC-H Q18 shape). The HAVING subquery is one partial-agg
+    * groupBy on the fact table; qualifying orderkeys are a tiny frame
+    * joined back broadcast — lineitem is scanned twice but shuffled on
+    * l_orderkey only once (the second pass joins broadcast). */
+  def q18LargeVolume(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Double = 250.0): DataFrame = {
+    val bigOrders = lineitem
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    orders
+      .join(broadcast(bigOrders), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** Disjunctive brand/size/quantity revenue (TPC-H Q19 shape). The
+    * OR-of-ANDs predicate references both sides, but each disjunct's
+    * part-only conjuncts (brand, size) are pushed into the broadcast dim
+    * scan by Catalyst's predicate-through-join rewrite; quantity bounds
+    * prune the fact scan via the derived l_quantity range. */
+  def q19DiscountedRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val joined = lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+    joined.filter(
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1.0, 11.0)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 20) &&
+        col("l_quantity").between(10.0, 20.0)) ||
+      (col("p_brand") === "Brand#24" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(20.0, 30.0)))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Well-funded customers with no RECENT order, by market segment (TPC-H
+    * Q22 shape; the date window plays the role of Q22's "7-year dormancy").
+    * The scalar avg threshold is a one-row broadcast cross join (not a
+    * collect); "no recent order" is a left-anti against the distinct
+    * custkeys of windowed orders — an aggregate-then-anti that shuffles
+    * orders once on o_custkey and keeps the anti-join key-local. The avg
+    * is decimal-sum/count so the threshold is shuffle-order-independent. */
+  def q22GlobalSales(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val threshold = customer
+      .filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1)).cast("double")).as("__avg_bal"))
+    customer
+      .crossJoin(broadcast(threshold))
+      .filter(col("c_acctbal") > col("__avg_bal"))
+      .join(orders
+        .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey").distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("numcust"),
+        dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
 }

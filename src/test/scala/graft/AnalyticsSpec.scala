@@ -75,6 +75,99 @@ class AnalyticsSpec extends SparkSpec {
     assert(t.length === 10)
   }
 
+  test("q7 bilateral trade: only the requested nation pair appears, both directions summed") {
+    val df = Analytics.q7VolumeShipping(
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), nationA = "NATION_12", nationB = "NATION_10")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_12", "NATION_10"), ("NATION_10", "NATION_12"))))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0.0))
+    assert(rows.forall { r => val y = r.getAs[Int]("l_year"); y == 1996 || y == 1997 })
+  }
+
+  test("q8 market share is a proper fraction per year") {
+    val rows = Analytics.q8MarketShare(
+      Tables.part(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = r.getAs[Double]("mkt_share")
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("q10 returned-items top list is revenue-descending and capped at 20") {
+    val rows = Analytics.q10ReturnedItems(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir), Tables.nation(spark, sfDir)).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs === revs.sorted.reverse)
+  }
+
+  test("q15 returns exactly the argmax supplier(s) of quarterly revenue") {
+    val rows = Analytics.q15TopSupplier(
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length === 1) // all tied at the max
+  }
+
+  test("q18 large-volume orders all exceed the quantity threshold") {
+    val rows = Analytics.q18LargeVolume(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("total_qty") > 250.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices === prices.sorted.reverse)
+  }
+
+  test("q19 disjunctive revenue equals the sum of its three disjunct revenues") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val pt = Tables.part(spark, sfDir)
+    val total = Analytics.q19DiscountedRevenue(li, pt).head.getAs[Double]("revenue")
+    // disjuncts are mutually exclusive on (brand), so revenues must add up
+    def branch(brand: String, maxSize: Int, qLo: Double, qHi: Double): Double = {
+      val r = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === brand && col("p_size").between(1, maxSize) &&
+          col("l_quantity").between(qLo, qHi))
+        .agg(graft.functions.Exact.dsum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+        .head
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    val parts = branch("Brand#12", 15, 1.0, 11.0) +
+      branch("Brand#23", 20, 10.0, 20.0) + branch("Brand#24", 25, 20.0, 30.0)
+    assert(math.abs(total - parts) < 1e-6)
+  }
+
+  test("q22 golden: anti-join keeps only above-average customers without recent orders") {
+    import spark.implicits._
+    val cust = Seq(
+      (1L, "A", 100.0), // above avg, no recent order -> kept
+      (2L, "A", 100.0), // above avg, HAS recent order -> dropped
+      (3L, "B", 10.0),  // below avg -> dropped
+      (4L, "B", -5.0))  // negative, excluded from avg and below it -> dropped
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val ord = Seq(
+      (2L, java.sql.Timestamp.valueOf("2001-06-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("1999-06-01 00:00:00"))) // too old, ignored
+      .toDF("o_custkey", "o_orderdate")
+    // avg positive bal = (100+100+10)/3 = 70 -> custkeys 1 and 2 qualify
+    val rows = Analytics.q22GlobalSales(cust, ord).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("c_mktsegment") === "A")
+    assert(rows.head.getAs[Long]("numcust") === 1L)
+    assert(rows.head.getAs[Double]("totacctbal") === 100.0)
+  }
+
   test("CSV export writes a single header'd file matching the report") {
     val report = Reporting.channelReporting(
       graft.operators.IhcAttribution.attribute(
