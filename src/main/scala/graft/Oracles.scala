@@ -1674,6 +1674,97 @@ WHERE q.quality_score >= 0.64
 ORDER BY q.doc_id"""
 
   /** Deterministic stratified hash sample (10% en / 30% other). */
+  val docChunking: String = """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, lang, words, n,
+         unnest(generate_series(0, ((n - 1) // 48) * 48, 48)) AS start
+  FROM w
+  WHERE n >= 1)
+SELECT doc_id, CAST(start // 48 AS INTEGER) AS chunk_id, lang,
+       CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+       array_to_string(words[start + 1:start + 64], ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_id"""
+
+  val sequencePacking: String = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t)
+SELECT doc_id, lang, shard, n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS bin_offset
+FROM c
+ORDER BY doc_id"""
+
+  val dataMixtureSample: String = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+         CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.15 AS DOUBLE) END AS w
+  FROM documents GROUP BY lang),
+feas AS (SELECT MIN(n / w) AS t FROM counts),
+rates AS (SELECT lang, w * t / n AS rate FROM counts, feas)
+SELECT doc_id, lang, source
+FROM documents JOIN rates USING (lang)
+WHERE CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+      AS DOUBLE) < rate * 1000000.0
+ORDER BY doc_id"""
+
+  val qualityCurriculum: String = s"""
+WITH base AS (
+  SELECT doc_id, lang,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+           + (1.0 - stopword_ratio) * 0.3 AS q
+  FROM (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+    FROM documents) t),
+ranked AS (
+  SELECT lang, CAST(ntile(4) OVER (PARTITION BY lang ORDER BY q, doc_id) AS INTEGER) AS stage, q
+  FROM base)
+SELECT lang, stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(q) AS min_quality, MAX(q) AS max_quality,
+       CAST(SUM(CAST(q AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+FROM ranked
+GROUP BY lang, stage
+ORDER BY lang, stage"""
+
+  val lmDocScore: String = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bi AS MATERIALIZED (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1, LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) t
+  WHERE w2 IS NOT NULL
+), cbi AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+), cw1 AS (
+  SELECT w1, COUNT(*) AS cw FROM bi GROUP BY w1
+), probs AS MATERIALIZED (
+  SELECT w1, w2, CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE) AS p
+  FROM cbi JOIN cw1 USING (w1))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(p AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lik
+FROM bi JOIN probs USING (w1, w2)
+GROUP BY doc_id
+ORDER BY doc_id"""
+
   val sampleStratified: String = """
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,

@@ -134,6 +134,21 @@ object SparkEntry {
 
     "text_pii_scrub" -> ((s, dir) => Corpus.piiScrub(Tables.documents(s, dir))),
 
+    "doc_chunking" -> ((s, dir) =>
+      Corpus.chunkDocuments(Tables.documents(s, dir))),
+
+    "sequence_packing" -> ((s, dir) =>
+      Corpus.sequencePacking(Tables.documents(s, dir))),
+
+    "data_mixture_sample" -> ((s, dir) =>
+      Corpus.mixtureSample(Tables.documents(s, dir))),
+
+    "quality_curriculum" -> ((s, dir) =>
+      Corpus.qualityCurriculum(Tables.documents(s, dir))),
+
+    "lm_doc_score" -> ((s, dir) =>
+      Search.lmScore(Tables.documents(s, dir))),
+
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir))),
 
@@ -401,6 +416,11 @@ object SparkEntry {
     "contamination_check"       -> Oracles.contaminationCheck,
     "text_pii_scrub"            -> Oracles.textPiiScrub,
     "sample_stratified"         -> Oracles.sampleStratified,
+    "doc_chunking"              -> Oracles.docChunking,
+    "sequence_packing"          -> Oracles.sequencePacking,
+    "data_mixture_sample"       -> Oracles.dataMixtureSample,
+    "quality_curriculum"        -> Oracles.qualityCurriculum,
+    "lm_doc_score"              -> Oracles.lmDocScore,
     "corpus_curation"           -> Oracles.corpusCuration,
     "salted_channel_agg"        -> Oracles.saltedChannelAgg,
     "q4_order_priority"         -> Oracles.q4OrderPriority,

@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators for training-data pipelines: winnowing
   * fingerprints (MOSS-style robust near-dup/overlap detection) and
@@ -335,4 +337,108 @@ object Corpus {
       .filter(col("bucket") < when(col("lang") === "en", 100).otherwise(300))
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
+
+  /** RAG-style document chunking: overlapping `chunkSize`-token windows
+    * advancing by `chunkSize − overlap` tokens. Pure map stage — the
+    * split/sequence/posexplode pipeline never shuffles (each document's
+    * chunks are produced where the document lives), so chunking 100 TB is
+    * a scan, and downstream embedding jobs inherit the corpus
+    * partitioning. Chunk starts come from `sequence(0, lastStart, step)`
+    * so a document always yields ≥1 chunk (even shorter than one window). */
+  def chunkDocuments(documents: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap < chunkSize, s"overlap $overlap must be < chunkSize $chunkSize")
+    val step = chunkSize - overlap
+    documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("__words"))
+      .withColumn("__n", size(col("__words")))
+      .filter(col("__n") >= 1)
+      .select(col("doc_id"), col("lang"), col("__words"), col("__n"),
+        posexplode(sequence(lit(0), expr(s"((__n - 1) div $step) * $step"), lit(step)))
+          .as(Seq("chunk_id", "__start")))
+      .select(
+        col("doc_id"), col("chunk_id"), col("lang"),
+        least(lit(chunkSize), col("__n") - col("__start")).as("n_tokens"),
+        array_join(slice(col("__words"), col("__start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Training-sequence packing: assign documents (in deterministic doc_id
+    * order) to fixed token-budget bins, documents allowed to straddle bin
+    * boundaries (offset packing, the GPT-style "concat then cut" layout).
+    * A doc's bin is `floor(tokens-before-it / budget)`.
+    *
+    * Packing is sequential by construction, so the scale unit is the
+    * (lang, shard) group: doc_id is md5-sharded into `nShards` streams
+    * per language and each stream packs independently — at 100 TB that is
+    * `langs × nShards` parallel cumulative windows instead of one global
+    * sort, and bins are keyed (lang, shard, bin) so no cross-shard
+    * coordination exists at read time either. */
+  def sequencePacking(documents: DataFrame, budget: Int = 2048, nShards: Int = 8): DataFrame = {
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("shard", shard)
+      .withColumn("__cum", sum("n_tokens").over(w))
+      .select(
+        col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        expr(s"(__cum - n_tokens) div $budget").as("bin"),
+        expr(s"(__cum - n_tokens) % $budget").as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic data-mixture sampling: admit documents so the surviving
+    * corpus approaches target language proportions (en-heavy here), at the
+    * largest total size the corpus can support. The feasible total is
+    * `T = min_l(n_l / w_l)`; each language then admits at rate
+    * `w_l · T / n_l` (the binding language keeps everything) via the
+    * md5-bucket coin — rate-based, so admission is a pure map over the
+    * corpus guided by a broadcast 5-row rate table: no per-group top-k, no
+    * global sort, nothing that concentrates data at 100 TB. */
+  def mixtureSample(documents: DataFrame): DataFrame = {
+    val weights = when(col("lang") === "en", 0.4).otherwise(0.15)
+    val counts = documents.groupBy("lang")
+      .agg(count(lit(1)).cast("double").as("__n"))
+      .withColumn("__w", weights)
+      .withColumn("__cap", col("__n") / col("__w"))
+    val feasible = counts.agg(min("__cap").as("__t"))
+    val rates = counts.crossJoin(broadcast(feasible))
+      .select(col("lang"), (col("__w") * col("__t") / col("__n")).as("__rate"))
+    documents
+      .join(broadcast(rates), "lang")
+      .withColumn("__bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 1000000)
+      .filter(col("__bucket").cast("double") < col("__rate") * 1000000.0)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum staging: split each language's documents into `stages`
+    * quality quartiles (ntile over the composite quality score, doc_id
+    * tie-break so the cut is deterministic) and report each stage's
+    * boundaries and exact mean quality. The window partitions by language;
+    * at higher scale the same cut comes from quantile thresholds (one
+    * pass + a broadcast threshold table) rather than a full per-lang sort,
+    * which is why the stage boundaries are part of the output contract. */
+  def qualityCurriculum(documents: DataFrame, stages: Int = 4): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("__q"))
+    val w = Window.partitionBy("lang").orderBy(col("__q"), col("doc_id"))
+    scored
+      .withColumn("stage", ntile(stages).over(w))
+      .groupBy("lang", "stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("__q").as("min_quality"),
+        max("__q").as("max_quality"),
+        (sum(col("__q").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"))
+      .orderBy("lang", "stage")
+  }
 }

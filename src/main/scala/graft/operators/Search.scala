@@ -138,4 +138,38 @@ object Search {
       size(kept).cast("long").as("n_tokens_kept"))
       .orderBy("doc_id")
   }
+
+  /** Per-document likelihood under the corpus's own bigram LM — the
+    * perplexity-style quality filter of a training pipeline, in the
+    * rational (transcendental-free) form: avg_lik = mean of
+    * p(w2|w1) = c(w1,w2)/c(w1·) over the document's bigrams. Every doc
+    * bigram exists in the corpus counts (the corpus scores itself), so no
+    * smoothing term is needed; the mean is a 9-decimal-exact sum over a
+    * count, bit-stable under shuffle order.
+    *
+    * Plan: tokens explode map-side; counts are two partial-agg groupBys;
+    * the probability lookup is a shuffle join keyed on the bigram (both
+    * sides partial-aggregated first, so the join moves one row per
+    * DISTINCT bigram, not per occurrence) and the per-doc mean is one
+    * more partial agg. Four shuffles total, all on keys that scale with
+    * corpus content, never through the driver. */
+  def lmScore(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = Dedup.tokens(documents)
+      .withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+    val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val cW1 = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
+    val probs = cBi.join(cW1, "w1")
+      .withColumn("p", col("c_bigram").cast("double") / col("c_w1").cast("double"))
+      .select("w1", "w2", "p")
+    bi.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(col("p").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_lik"))
+      .orderBy("doc_id")
+  }
 }

@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Corpus, Search}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-5 curation operators: RAG chunking, sequence
+  * packing, mixture sampling, curriculum staging, LM doc scoring. */
+class CurationSpec extends SparkSpec {
+
+  test("chunking covers every token exactly once modulo the declared overlap") {
+    import spark.implicits._
+    val doc = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc, "en")).toDF("doc_id", "text", "lang")
+    val chunks = Corpus.chunkDocuments(df, chunkSize = 64, overlap = 16).collect()
+    // 150 tokens, step 48 -> starts 0,48,96,144 -> 4 chunks
+    assert(chunks.length === 4)
+    val texts = chunks.sortBy(_.getAs[Int]("chunk_id")).map(_.getAs[String]("chunk_text"))
+    // chunk i's trailing 16 tokens == chunk i+1's leading 16 tokens (full chunks)
+    val t0 = texts(0).split(" ")
+    val t1 = texts(1).split(" ")
+    assert(t0.length === 64 && t1.length === 64)
+    assert(t0.takeRight(16).toSeq === t1.take(16).toSeq)
+    // last chunk is the tail: starts at 144, holds tokens 145..150
+    assert(texts(3) === (145 to 150).map(i => s"w$i").mkString(" "))
+    assert(chunks.map(_.getAs[Long]("n_tokens")).sum === 64 + 64 + 54 + 6)
+    // a doc shorter than one window still yields exactly one chunk
+    val tiny = Corpus.chunkDocuments(
+      Seq((2L, "a b c", "en")).toDF("doc_id", "text", "lang")).collect()
+    assert(tiny.length === 1 && tiny.head.getAs[String]("chunk_text") === "a b c")
+  }
+
+  test("sequence packing: offsets stay under budget and cumsum reconstructs bins") {
+    val out = Corpus.sequencePacking(Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Long]("bin_offset") >= 0 &&
+      r.getAs[Long]("bin_offset") < 2048))
+    // within each (lang, shard), replay the packing sequentially
+    out.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+          assert(r.getAs[Long]("bin") === cum / 2048)
+          assert(r.getAs[Long]("bin_offset") === cum % 2048)
+          cum += r.getAs[Long]("n_tokens")
+        }
+    }
+  }
+
+  test("mixture sampling keeps every doc of the binding language, rates <= 1") {
+    import spark.implicits._
+    // en is 8x the others but targets only 0.4 of the mix -> some non-en
+    // language binds (n/w smallest) and must be kept in full
+    val docs = (1L to 80L).map(i => (i, s"t $i", "en", "s")) ++
+      Seq((81L, "x a", "de", "s"), (82L, "x b", "de", "s"),
+        (83L, "x c", "fr", "s"))
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.mixtureSample(df).collect()
+    // fr: n=1, w=0.15 -> cap 6.67 (binding); fr admits at rate 1.0
+    assert(out.count(_.getAs[String]("lang") === "fr") === 1)
+    // en rate = 0.4*6.67/80 = 0.033 -> en admits far fewer than 80
+    assert(out.count(_.getAs[String]("lang") === "en") < 20)
+    // deterministic: same input, same admitted set
+    val again = Corpus.mixtureSample(df).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet ===
+      again.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("curriculum stages are balanced, ordered, and internally consistent") {
+    val rows = Corpus.qualityCurriculum(Tables.documents(spark, sfDir)).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, stages) =>
+      val byStage = stages.sortBy(_.getAs[Int]("stage"))
+      assert(byStage.map(_.getAs[Int]("stage")).toSeq === (1 to byStage.length))
+      // ntile balance: group sizes differ by at most 1
+      val sizes = byStage.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1)
+      // quality ranges are ordered within and across stages
+      byStage.foreach { r =>
+        assert(r.getAs[Double]("min_quality") <= r.getAs[Double]("avg_quality") + 1e-9)
+        assert(r.getAs[Double]("avg_quality") <= r.getAs[Double]("max_quality") + 1e-9)
+      }
+      byStage.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getAs[Double]("max_quality") <= hi.getAs[Double]("min_quality") + 1e-12)
+        case _ =>
+      }
+    }
+  }
+
+  test("LM doc score golden: hand-computed bigram likelihoods") {
+    import spark.implicits._
+    // corpus: doc1 = "a b a b", doc2 = "b a"
+    // bigrams: d1: (a,b),(b,a),(a,b); d2: (b,a)
+    // c(a,b)=2, c(b,a)=2, c(a.)=2, c(b.)=2 -> p(b|a)=1.0, p(a|b)=1.0
+    val df = Seq((1L, "a b a b", "en"), (2L, "b a", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Search.lmScore(df).collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("n_bigrams") === 3)
+    assert(out(0).getAs[Double]("avg_lik") === 1.0)
+    assert(out(1).getAs[Long]("n_bigrams") === 1)
+    assert(out(1).getAs[Double]("avg_lik") === 1.0)
+    // asymmetric corpus: "a b", "a c" -> p(b|a)=p(c|a)=0.5
+    val out2 = Search.lmScore(
+      Seq((1L, "a b", "en"), (2L, "a c", "en")).toDF("doc_id", "text", "lang"))
+      .collect().sortBy(_.getAs[Long]("doc_id"))
+    assert(out2.forall(_.getAs[Double]("avg_lik") === 0.5))
+    // single-token docs produce no bigrams and are absent
+    val out3 = Search.lmScore(
+      Seq((1L, "only", "en"), (2L, "a b", "en")).toDF("doc_id", "text", "lang"))
+      .collect()
+    assert(out3.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
+  }
+}
