@@ -960,6 +960,43 @@ FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
 
+  val annSqTopK: String = featBase + """
+, dmm AS MATERIALIZED (
+  SELECT pos AS dim, MIN(CAST(x AS DOUBLE)) AS mn, MAX(CAST(x AS DOUBLE)) AS mx
+  FROM (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+        FROM embeddings) t
+  GROUP BY pos
+), deqt AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id,
+         list(CAST(CASE WHEN mx > mn
+              THEN mn + floor((CAST(embedding[dim] AS DOUBLE) - mn)
+                              / ((mx - mn) / 255.0) + 0.5) * ((mx - mn) / 255.0)
+              ELSE mn + 0.0 * ((mx - mn) / 255.0) END AS REAL) ORDER BY dim) AS deq
+  FROM embeddings CROSS JOIN dmm
+  GROUP BY vec_id
+), deqn AS MATERIALIZED (
+  SELECT neighbor_id, deq,
+         sqrt(CAST(SUM(CAST(CAST(deq[i] AS DOUBLE) * CAST(deq[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS deq_nrm
+  FROM deqt CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  GROUP BY neighbor_id, deq
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), dots AS (
+  SELECT query_id, neighbor_id, q_nrm, deq_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(deq[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM q JOIN deqn ON query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY query_id, neighbor_id, q_nrm, deq_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * deq_nrm) AS sq_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * deq_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, sq_cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
   val annLshTopK: String = featBase + """
 , masks AS (
   SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m

@@ -266,6 +266,8 @@ object SparkEntry {
 
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir))),
 
+    "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(Tables.embeddings(s, dir))),
+
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
 
     "tfidf_top_terms" -> ((s, dir) => Search.tfidfTopTerms(Tables.documents(s, dir))),
@@ -477,6 +479,7 @@ object SparkEntry {
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,
     "ann_pq_topk"               -> Oracles.annPqTopK,
+    "ann_sq_topk"               -> Oracles.annSqTopK,
     "label_centroids"           -> Oracles.labelCentroids,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,

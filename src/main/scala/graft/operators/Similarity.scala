@@ -404,4 +404,58 @@ object Similarity {
       .select(col("label"), col("pos").cast("long").as("pos"),
         col("n_vectors"), col("centroid"))
       .orderBy("label", "pos")
+
+  /** Scalar-quantized (int8-per-dimension) ADC top-k — the memory-lean
+    * sibling of [[pqTopK]]: each dimension is affinely mapped to a 0..255
+    * code against corpus-wide per-dimension min/max, queries stay float,
+    * and candidates are scored against the DEQUANTIZED vector
+    * (asymmetric distance computation). 64 dims × 1 byte = 16× smaller
+    * than float32 vectors with near-lossless cosine.
+    *
+    * Scale shape: training is ONE 64-row min/max aggregate (collected as
+    * index metadata — bytes, like the PQ codebooks and IVF centroids);
+    * quantize+dequantize is a pure map over the corpus against two
+    * 64-element literal arrays; scoring is the same broadcast-query
+    * streaming-corpus pass as [[bruteForceTopK]]. Nothing here grows
+    * with corpus size except the one scan.
+    *
+    * Determinism: code = floor((x−lo)/((hi−lo)/255) + 0.5) clamps to
+    * [0,255] by construction (min/max bound every x); all arithmetic is
+    * the identical IEEE tree in the DuckDB oracle, and dots/norms go
+    * through the exact-decimal [[graft.functions.DotDecimal]]. */
+  def sqTopK(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val mm = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .orderBy("dim")
+      .collect()
+    val mnLit = typedlit(mm.map(_.getAs[Double]("mn")).toSeq)
+    val mxLit = typedlit(mm.map(_.getAs[Double]("mx")).toSeq)
+    val deq = transform(col("embedding"), (x, i) => {
+      val lo = element_at(mnLit, i + 1)
+      val hi = element_at(mxLit, i + 1)
+      val scale = (hi - lo) / 255.0
+      val code = when(hi > lo,
+        floor((x.cast("double") - lo) / scale + 0.5)).otherwise(lit(0.0))
+      // float reconstruction — the storage type a real SQ index serves,
+      // and the element type the native graft_dot expression takes
+      (lo + code * scale).cast("float")
+    })
+    val cand = embeddings
+      .select(col("vec_id").as("neighbor_id"), deq.as("deq"))
+      .withColumn("deq_nrm", VectorFunctions.normExact(col("deq")))
+    val q = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorFunctions.normExact(col("embedding")).as("q_nrm"))
+    val rk = Window.partitionBy("query_id").orderBy(col("sq_cosine").desc, col("neighbor_id"))
+    broadcast(q).join(cand, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq_cosine",
+        VectorFunctions.dotExact(col("qe"), col("deq")) / (col("q_nrm") * col("deq_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "sq_cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
 }

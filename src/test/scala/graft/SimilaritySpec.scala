@@ -134,4 +134,29 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(bf(nid) - r.getAs[Double]("cosine")) < 1e-12)
     }
   }
+
+  test("SQ quantization: near-lossless cosines and high recall vs brute force") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 4, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    val bfScores = bf.values.flatten
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    val sq = Similarity.sqTopK(emb, nQueries = 4, k = 10).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(sq.keySet === bf.keySet)
+    // 8-bit-per-dim reconstruction keeps cosine within ~1e-2 of exact
+    sq.values.flatten.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bfScores.get(key).foreach { exact =>
+        assert(math.abs(exact - r.getAs[Double]("sq_cosine")) < 1e-2)
+      }
+    }
+    // recall@10 >= 0.8 per query against the exact top-10
+    sq.foreach { case (qid, rows) =>
+      val got = rows.map(_.getAs[Long]("neighbor_id")).toSet
+      val want = bf(qid).map(_.getAs[Long]("neighbor_id")).toSet
+      assert(got.intersect(want).size >= 8, s"query $qid recall too low")
+    }
+  }
 }
