@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.{IhcAttribution, Journeys, Reporting}
-import graft.sources.{Manifest, Tables}
+import graft.sources.{Layout, Manifest, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -395,7 +395,48 @@ object Pipeline {
     // rather than leaving garbage for the next run's recovery sweep.
     Manifest.cleanStale(spark, stateDir, StateTables, staleGraceMs)
 
+    // self-compaction: attribution/processed dirs accumulate one per run;
+    // past the bound, fold them into one clustered batch each so the read
+    // fan-out (and manifest size) stays flat across unlimited daily runs
+    if (Manifest.live(spark, stateDir).count(_.startsWith("attribution/")) > MaxLiveRuns)
+      compactState(spark, stateDir)
+
     RunSummary(candidateConversions, attributedConvs, newRows, committedTotal)
+  }
+
+  /** Live accumulated-dir bound before [[runImpl]] self-compacts. */
+  private val MaxLiveRuns = 16
+
+  /** Compact the accumulated per-run `attribution/` and
+    * `processed_conversions/` dirs into ONE clustered batch each —
+    * the pipeline twin of [[graft.operators.Corpus.compactCorpus]].
+    * Readers only ever see manifest-committed state: the compacted dirs
+    * are staged first, then one OCC merge swaps them for the inputs, so
+    * a racing run's concurrently published delta survives (the merge
+    * keeps any live entry that was not a compaction input). Clustering by
+    * conv_id keeps the processed-conversion anti-join and incremental
+    * reads key-local after compaction. */
+  def compactState(spark: SparkSession, stateDir: String, nFiles: Int = 4): Unit = {
+    val snap = Manifest.snapshot(spark, stateDir)
+    val attDirs = snap.live.filter(_.startsWith("attribution/"))
+    val prcDirs = snap.live.filter(_.startsWith("processed_conversions/"))
+    if (attDirs.length <= 1 && prcDirs.length <= 1) return
+    val tag = s"c${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    if (attDirs.nonEmpty)
+      Layout.writeClustered(
+        spark.read.parquet(attDirs.map(d => s"$stateDir/$d"): _*),
+        s"$stateDir/attribution/$tag", Seq("conv_id"), nFiles)
+    if (prcDirs.nonEmpty)
+      Layout.writeClustered(
+        spark.read.parquet(prcDirs.map(d => s"$stateDir/$d"): _*),
+        s"$stateDir/processed_conversions/$tag", Seq("conv_id"), nFiles)
+    val inputs = (attDirs ++ prcDirs).toSet
+    Manifest.publishMerge(spark, stateDir) { cur =>
+      (cur.live.filterNot(inputs) ++
+        (if (attDirs.nonEmpty) Seq(s"attribution/$tag") else Nil) ++
+        (if (prcDirs.nonEmpty) Seq(s"processed_conversions/$tag") else Nil),
+        cur.meta)
+    }
   }
 
   /** CLI: `Pipeline <sfDir> <stateDir> [endDate]`. */

@@ -246,4 +246,35 @@ class PipelineSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $conversionsTable")
     }
   }
+
+  test("state compaction folds accumulated run dirs without changing content") {
+    val stateDir = Files.createTempDirectory("graft-pipeline").toString
+    Pipeline.run(spark, sfDir, stateDir, endDate = Some("2024-01-10"))
+    Pipeline.run(spark, sfDir, stateDir, endDate = Some("2024-01-15"))
+    Pipeline.run(spark, sfDir, stateDir, endDate = Some("2024-01-20"))
+    val liveBefore = graft.sources.Manifest.live(spark, stateDir)
+    assert(liveBefore.count(_.startsWith("attribution/")) === 3)
+    val attBefore = rows(Pipeline.persistedAttribution(spark, stateDir))
+    val prcBefore = Pipeline.processedConversions(spark, stateDir)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    Pipeline.compactState(spark, stateDir)
+
+    val liveAfter = graft.sources.Manifest.live(spark, stateDir)
+    assert(liveAfter.count(_.startsWith("attribution/")) === 1)
+    assert(liveAfter.count(_.startsWith("processed_conversions/")) === 1)
+    assert(rows(Pipeline.persistedAttribution(spark, stateDir)) === attBefore)
+    assert(Pipeline.processedConversions(spark, stateDir)
+      .collect().map(_.getLong(0)).sorted.toSeq === prcBefore)
+    // the report artifacts are untouched by compaction
+    assert(Pipeline.report(spark, stateDir).count() > 0)
+
+    // a post-compaction delta run still attributes exactly the remainder
+    val s = Pipeline.run(spark, sfDir, stateDir, endDate = None)
+    assert(s.newConversions > 0)
+    assert(rows(Pipeline.persistedAttribution(spark, stateDir)) === rows(fromScratch))
+    // idempotence on the compacted state
+    val s2 = Pipeline.run(spark, sfDir, stateDir, endDate = None)
+    assert(s2.newConversions === 0L)
+  }
 }
