@@ -147,21 +147,21 @@ object Search {
     * smoothing term is needed; the mean is a 9-decimal-exact sum over a
     * count, bit-stable under shuffle order.
     *
-    * Plan: tokens explode map-side; counts are two partial-agg groupBys;
-    * the probability lookup is a shuffle join keyed on the bigram (both
-    * sides partial-aggregated first, so the join moves one row per
-    * DISTINCT bigram, not per occurrence) and the per-doc mean is one
-    * more partial agg. Four shuffles total, all on keys that scale with
-    * corpus content, never through the driver. */
+    * Plan: tokens explode map-side; bigram counts are ONE partial-agg
+    * groupBy, and the conditioning total c(w1·) is a window sum over that
+    * already-distinct frame (c(w1·) ≡ Σ_w2 c(w1,w2) — no second pass over
+    * occurrences, no count-count join); the probability lookup joins one
+    * row per DISTINCT bigram back to the occurrences and the per-doc mean
+    * is one more partial agg. Every shuffle is keyed on corpus content
+    * (bigram, doc), never through the driver. */
   def lmScore(documents: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bi = Dedup.tokens(documents)
       .withColumn("w2", lead("w", 1).over(w))
       .filter(col("w2").isNotNull)
       .select(col("doc_id"), col("w").as("w1"), col("w2"))
-    val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
-    val cW1 = bi.groupBy("w1").agg(count(lit(1)).as("c_w1"))
-    val probs = cBi.join(cW1, "w1")
+    val probs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_w1", sum("c_bigram").over(Window.partitionBy("w1")))
       .withColumn("p", col("c_bigram").cast("double") / col("c_w1").cast("double"))
       .select("w1", "w2", "p")
     bi.join(probs, Seq("w1", "w2"))

@@ -142,4 +142,65 @@ class PlanAuditSpec extends SparkSpec {
     assert(scan.relation.location.inputFiles.length > 1)
     assert(scan.metadata("Location").contains(out))
   }
+
+  private def broadcastJoins(df: DataFrame): Int = {
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    "\\(\\d+\\) BroadcastHashJoin\\b".r.findAllIn(s).toSet.size
+  }
+
+  private def noCartesian(df: DataFrame): Unit = {
+    val s = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!s.contains("CartesianProduct") || s.contains("1 rows"),
+      "unexpected cartesian product")
+  }
+
+  test("round-5 TPC-H queries: dims broadcast, no cartesians, bounded shuffles") {
+    // (minBroadcastJoins, maxShuffles): every dimension table must come in
+    // via broadcast; shuffles are only the fact join(s) + agg + ordering.
+    // minimums, not exact counts — at the test SF the optimizer may also
+    // broadcast a small fact side, which is fine and SF-dependent.
+    val expect = Map(
+      "q7_volume_shipping"     -> (4, 4), // supplier, customer, nation x2
+      "q8_market_share"        -> (6, 4), // part, cust, supp, nation x2, region
+      "q10_returned_items"     -> (2, 3), // customer, nation
+      "q15_top_supplier"       -> (1, 3), // supplier
+      "q18_large_volume"       -> (2, 3), // customer + the tiny HAVING frame
+      "q19_discounted_revenue" -> (1, 2), // part
+      "q22_global_sales"       -> (1, 4)) // one-row threshold
+    expect.foreach { case (q, (minBhj, maxSh)) =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      noCartesian(df)
+      assert(broadcastJoins(df) >= minBhj, s"$q: too few broadcast joins")
+      assert(shuffles(df) <= maxSh, s"$q: ${shuffles(df)} shuffles > $maxSh")
+    }
+  }
+
+  test("curation operators: chunking is map-only; packing/curriculum shuffle once per window") {
+    val docs = Tables.documents(spark, sfDir)
+    // chunking: the ONLY exchange is the output ordering
+    assert(shuffles(Corpus.chunkDocuments(docs)) === 1)
+    // packing: the (lang, shard) cumulative window + the output ordering
+    assert(shuffles(Corpus.sequencePacking(docs)) === 2)
+    // curriculum: per-lang ntile window + stage agg (+ ordering folded in)
+    assert(shuffles(Corpus.qualityCurriculum(docs)) <= 3)
+    // mixture: two tiny rate aggregates + broadcast admission + ordering —
+    // the corpus side itself is never hash-repartitioned
+    val mix = Corpus.mixtureSample(docs)
+    assert(broadcastJoins(mix) >= 1)
+    assert(shuffles(mix) <= 4)
+  }
+
+  test("SQ ANN scores as a broadcast-nested-loop over the corpus — window + ordering only") {
+    val df = graft.operators.Similarity.sqTopK(Tables.embeddings(spark, sfDir))
+    noCartesian(df)
+    assert(shuffles(df) === 2)
+  }
+
+  test("lm doc scoring: all shuffles keyed on content, one groupBy for counts") {
+    val df = graft.operators.Search.lmScore(Tables.documents(spark, sfDir))
+    noCartesian(df)
+    assert(shuffles(df) <= 5)
+  }
 }
