@@ -164,6 +164,83 @@ WHERE next_channel IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  /** One damped PageRank power iteration, arithmetic tree in lockstep
+    * with [[graft.operators.Markov.channelPagerank]]. */
+  private def prIteration(t: Int): String = s"""
+, pr$t AS MATERIALIZED (
+  SELECT nd.channel,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n1.nn
+         + CAST(0.85 AS DOUBLE) * (COALESCE(inf.inflow, CAST(0 AS DOUBLE)) + dang.d / n1.nn) AS pr
+  FROM nodes nd
+  CROSS JOIN n1
+  CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(38,12))) AS DOUBLE), CAST(0 AS DOUBLE)) AS d
+              FROM pr${t - 1} WHERE channel NOT IN (SELECT from_channel FROM outs)) dang
+  LEFT JOIN (SELECT to_channel AS channel,
+                    CAST(SUM(CAST(pr * p AS DECIMAL(38,12))) AS DOUBLE) AS inflow
+             FROM edges JOIN pr${t - 1} pv ON edges.from_channel = pv.channel
+             GROUP BY to_channel) inf
+    ON nd.channel = inf.channel)"""
+
+  val channelPagerank: String = attrBase + """
+, trans AS MATERIALIZED (
+  SELECT channel_name AS from_channel, next_channel AS to_channel,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT conv_id, channel_name,
+           LEAD(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id) AS next_channel
+    FROM assigned) t
+  WHERE next_channel IS NOT NULL
+  GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT channel FROM (
+    SELECT from_channel AS channel FROM trans
+    UNION ALL SELECT to_channel FROM trans) u
+), n1 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+outs AS MATERIALIZED (
+  SELECT from_channel, CAST(SUM(n) AS BIGINT) AS out_n FROM trans GROUP BY 1
+), edges AS MATERIALIZED (
+  SELECT t.from_channel, t.to_channel, CAST(n AS DOUBLE) / CAST(out_n AS DOUBLE) AS p
+  FROM trans t JOIN outs o ON t.from_channel = o.from_channel
+), pr0 AS MATERIALIZED (
+  SELECT channel, CAST(1.0 AS DOUBLE) / n1.nn AS pr FROM nodes CROSS JOIN n1
+)""" +
+    (1 to 8).map(prIteration).mkString +
+    """
+SELECT channel, pr FROM pr8
+ORDER BY pr DESC, channel"""
+
+  val eventsAnomaly: String = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS event_date, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT *,
+         COUNT(n) OVER w AS w_n,
+         CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
+         CAST(SUM(n * n) OVER w AS BIGINT) AS w_sumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY event_date
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+m AS (
+  SELECT event_type, event_date, n, w_n, w_sumsq,
+         CAST(w_sum AS DOUBLE) / CAST(w_n AS DOUBLE) AS mean7
+  FROM win WHERE w_n >= 3),
+sd AS (
+  SELECT event_type, event_date, n, mean7,
+         sqrt(greatest(CAST(w_sumsq AS DOUBLE) / CAST(w_n AS DOUBLE) - mean7 * mean7,
+                       CAST(0 AS DOUBLE))) AS std7
+  FROM m),
+z AS (
+  SELECT event_type, event_date, n, mean7, std7,
+         CASE WHEN std7 > CAST(0 AS DOUBLE)
+              THEN (CAST(n AS DOUBLE) - mean7) / std7
+              ELSE CAST(0 AS DOUBLE) END AS zscore
+  FROM sd)
+SELECT event_type, event_date, n, mean7, std7, zscore,
+       abs(zscore) > CAST(2.0 AS DOUBLE) AS is_anomaly
+FROM z
+ORDER BY event_type, event_date"""
+
   /** Training-data export (extracted_training_data.py, determinized). */
   val trainingDataExport: String = attrBase + """
 , sample AS (

@@ -114,6 +114,12 @@ object SparkEntry {
     "markov_attribution" -> ((s, dir) =>
       graft.operators.Markov.attribution(s, Tables.sessions(s, dir), assigned(s, dir))),
 
+    "channel_pagerank" -> ((s, dir) =>
+      graft.operators.Markov.channelPagerank(assigned(s, dir))),
+
+    "events_anomaly" -> ((s, dir) =>
+      Analytics.eventsAnomaly(Tables.events(s, dir))),
+
     "markov2_attribution" -> ((s, dir) =>
       graft.operators.Markov.attribution2(s, Tables.sessions(s, dir), assigned(s, dir))),
 
@@ -412,6 +418,8 @@ object SparkEntry {
     "position_attribution"      -> Oracles.positionAttribution,
     "markov_attribution"        -> Oracles.markovAttribution,
     "markov2_attribution"       -> Oracles.markov2Attribution,
+    "channel_pagerank"          -> Oracles.channelPagerank,
+    "events_anomaly"            -> Oracles.eventsAnomaly,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

@@ -385,6 +385,45 @@ object Analytics {
         "c_name", "c_mktsegment", "n_name", "r_name")
       .orderBy("o_orderkey")
 
+  /** Trailing z-score anomaly detection on daily event volumes — the
+    * monitoring staple over a metrics stream: each (event_type, day)'s
+    * count against the mean/std of its own trailing 7 closed days.
+    * Integer count sums make mean and variance inputs exact (the frame
+    * sums longs, not doubles); the variance/σ/z computation is then one
+    * identical IEEE tree on both engines, so even `is_anomaly` at the
+    * |z|>2 boundary cannot flip. Warmup rows (<3 trailing days) are
+    * dropped rather than scored against noise.
+    *
+    * Scale shape: one partial-agg daily rollup, then ONE window keyed by
+    * event_type over |types|×|days| rows — already-aggregated data,
+    * never raw events, so the window input is millions of rows at most
+    * even when the event stream is 100 TB. */
+  def eventsAnomaly(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("event_date"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("event_date")
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("w_n", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sumsq", sum(col("n") * col("n")).over(w))
+      .filter(col("w_n") >= 3)
+      .withColumn("mean7", col("w_sum").cast("double") / col("w_n").cast("double"))
+      .withColumn("var7",
+        col("w_sumsq").cast("double") / col("w_n").cast("double") -
+          col("mean7") * col("mean7"))
+      .withColumn("std7", sqrt(greatest(col("var7"), lit(0.0))))
+      .withColumn("zscore",
+        when(col("std7") > 0.0,
+          (col("n").cast("double") - col("mean7")) / col("std7"))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("event_date"), col("n"),
+        col("mean7"), col("std7"), col("zscore"),
+        (abs(col("zscore")) > 2.0).as("is_anomaly"))
+      .orderBy("event_type", "event_date")
+  }
+
   /** Bilateral nation-pair trade volume by ship year (TPC-H Q7 shape).
     * The disjunctive nation-pair predicate is applied AFTER the two
     * broadcast nation lookups, so the fact side still sees only hash

@@ -215,4 +215,58 @@ object Markov {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
       .orderBy("channel_name")
   }
+
+  /** PageRank over the channel-transition graph — channel influence as a
+    * stationary-visit measure rather than removal effect (the graph twin
+    * of [[attribute]]). Fixed `iters` damped power iterations with
+    * dangling-mass redistribution, every arithmetic node the identical
+    * IEEE/decimal tree as the unrolled-CTE oracle.
+    *
+    * Scale shape: this is the standard distributed PageRank plan — edges
+    * shuffle-join ranks on the source key, inflow is one partial-agg
+    * groupBy per iteration, and the dangling mass is a ONE-ROW broadcast
+    * cross join (never a driver collect). Node count is the only driver
+    * scalar (graph-cardinality metadata, like the Markov state space).
+    * On channel graphs everything is tiny; on a billion-node graph the
+    * same plan holds with ranks/edges hash-partitioned — each iteration
+    * is localCheckpointed so the lineage (and Catalyst's re-analysis
+    * cost) stays flat in the iteration count. */
+  def channelPagerank(
+      assigned: DataFrame, damping: Double = 0.85, iters: Int = 8): DataFrame = {
+    val trans = Journeys.channelTransitions(assigned)
+    val nodes = trans.select(col("from_channel").as("channel"))
+      .union(trans.select(col("to_channel")))
+      .distinct()
+      .localCheckpoint()
+    val nD = nodes.count().toDouble // |V| — graph metadata, not row data
+    val outSum = trans.groupBy("from_channel").agg(sum("n").as("out_n"))
+    val edges = trans.join(outSum, "from_channel")
+      .select(col("from_channel"), col("to_channel"),
+        (col("n").cast("double") / col("out_n").cast("double")).as("p"))
+      .localCheckpoint()
+    // scale 12, NOT deeper: Spark's double→decimal cast rounds the
+    // SHORTEST-STRING representation while DuckDB rounds the exact binary
+    // expansion — they agree only within double's ~17 significant digits,
+    // so accumulation scale must stay comfortably inside that budget
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    var ranks = nodes.select(col("channel"), (lit(1.0) / lit(nD)).as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = edges
+        .join(ranks.withColumnRenamed("channel", "from_channel"), "from_channel")
+        .groupBy(col("to_channel").as("channel"))
+        .agg(sum((col("pr") * col("p")).cast(dec)).cast("double").as("inflow"))
+      val dangling = ranks
+        .join(outSum.select(col("from_channel").as("channel")), Seq("channel"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("d"))
+      ranks = nodes
+        .join(inflow, Seq("channel"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("channel"),
+          ((lit(1.0) - lit(damping)) / lit(nD) +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("d") / lit(nD)))
+            .as("pr"))
+        .localCheckpoint()
+    }
+    ranks.orderBy(col("pr").desc, col("channel"))
+  }
 }

@@ -168,6 +168,63 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("totacctbal") === 100.0)
   }
 
+  test("events anomaly: planted 10x spike is flagged, steady days are not") {
+    import spark.implicits._
+    // 11 quiet days of 5 events, then a 50-event spike on day 12
+    val rows = (1 to 11).flatMap(d =>
+      (1 to 5).map(i => ("click", java.sql.Date.valueOf(f"2024-01-$d%02d")))) ++
+      (1 to 50).map(i => ("click", java.sql.Date.valueOf("2024-01-12")))
+    val ev = rows.toDF("event_type", "event_date")
+    val out = Analytics.eventsAnomaly(ev).collect()
+    val byDate = out.map(r => r.getAs[java.sql.Date]("event_date").toString -> r).toMap
+    // warmup days (<3 trailing) are absent: days 1-3 missing, day 4 scored
+    assert(!byDate.contains("2024-01-01") && !byDate.contains("2024-01-03"))
+    assert(byDate.contains("2024-01-04"))
+    // steady days: zero variance -> z = 0, not anomalous
+    assert(byDate("2024-01-10").getAs[Double]("zscore") === 0.0)
+    assert(!byDate("2024-01-10").getAs[Boolean]("is_anomaly"))
+    // the spike scores against a trailing window of constant 5s: sigma=0
+    // there too, so plant variance: rerun with a wobble
+    val rows2 = (1 to 11).flatMap(d =>
+      (1 to (if (d % 2 == 0) 6 else 5)).map(i =>
+        ("click", java.sql.Date.valueOf(f"2024-01-$d%02d")))) ++
+      (1 to 50).map(i => ("click", java.sql.Date.valueOf("2024-01-12")))
+    val out2 = Analytics.eventsAnomaly(rows2.toDF("event_type", "event_date")).collect()
+    val spike = out2.find(_.getAs[java.sql.Date]("event_date").toString == "2024-01-12").get
+    assert(spike.getAs[Boolean]("is_anomaly"))
+    assert(spike.getAs[Double]("zscore") > 2.0)
+  }
+
+  test("channel pagerank golden: symmetric cycle is uniform; sink gains rank") {
+    import spark.implicits._
+    // assigned-journey shape: conv_id, session_id, ts_us, channel_name
+    def journeys(chains: Seq[Seq[String]]): org.apache.spark.sql.DataFrame =
+      chains.zipWithIndex.flatMap { case (chain, ci) =>
+        chain.zipWithIndex.map { case (ch, si) =>
+          (ci.toLong, (ci * 100 + si).toLong, (si * 1000).toLong, ch)
+        }
+      }.toDF("conv_id", "session_id", "ts_us", "channel_name")
+    // two-channel cycle a->b, b->a (one conv each): uniform 0.5/0.5
+    val cyc = graft.operators.Markov.channelPagerank(
+      journeys(Seq(Seq("a", "b"), Seq("b", "a")))).collect()
+    assert(cyc.length === 2)
+    cyc.foreach(r => assert(math.abs(r.getAs[Double]("pr") - 0.5) < 1e-12))
+    // a->b with b dangling: b ends above a, ranks sum to 1
+    val sink = graft.operators.Markov.channelPagerank(
+      journeys(Seq(Seq("a", "b")))).collect()
+    val prs = sink.map(r => r.getAs[String]("channel") -> r.getAs[Double]("pr")).toMap
+    assert(prs("b") > prs("a"))
+    assert(math.abs(prs.values.sum - 1.0) < 1e-9)
+    // real data: a proper distribution over all channels
+    val real = graft.operators.Markov.channelPagerank(
+      graft.operators.Journeys.assign(
+        Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))).collect()
+    assert(real.length >= 3)
+    assert(math.abs(real.map(_.getAs[Double]("pr")).sum - 1.0) < 1e-6)
+    val sorted = real.map(_.getAs[Double]("pr")).toSeq
+    assert(sorted === sorted.sorted.reverse)
+  }
+
   test("CSV export writes a single header'd file matching the report") {
     val report = Reporting.channelReporting(
       graft.operators.IhcAttribution.attribute(
