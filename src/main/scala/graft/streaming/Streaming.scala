@@ -59,6 +59,18 @@ final case class LastTouch(ts_us: Long, session_id: Long, channel_name: String)
 /** One transition-count increment emitted by [[Streaming.transitionCounts]]. */
 final case class TransitionInc(from_channel: String, to_channel: String, n: Long)
 
+/** A document in the streaming ingest surface (the documents table's
+  * shape plus the ingest event time that drives the dedup watermark). */
+final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
+
+/** One state-store operator's health snapshot from a streaming query's
+  * last progress — the observability surface for stateful streams. */
+final case class StateMetrics(
+    operator: String,
+    num_rows_total: Long,
+    num_rows_updated: Long,
+    memory_used_bytes: Long)
+
 /** Structured Streaming surface (SURVEY §2.D).
   *
   * The same logical operators as the batch twins (`stream_windowed_counts`,
@@ -309,6 +321,45 @@ object Streaming {
       .withColumn("event_ts", timestamp_micros(col("ts_us")))
       .withWatermark("event_ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming corpus admission — the quality-gate stage of a streaming
+    * training-data ingest: score each arriving document with the SAME
+    * codegen'd batch expressions ([[graft.functions.TextFunctions]] —
+    * quality composite, language ID, token count, normalized
+    * fingerprint), drop below-threshold docs map-side, then suppress
+    * re-deliveries and content duplicates within the watermark via
+    * `dropDuplicatesWithinWatermark` on the content fingerprint.
+    *
+    * Stateless except the bounded dedup state: at cluster scale the
+    * score+filter runs at source parallelism with zero shuffles, and the
+    * fingerprint dedup shards its state store by fingerprint hash while
+    * the watermark keeps it from growing with the stream. The batch twin
+    * is `curation`/`dedup_exact` — StreamingSpec proves the admitted set
+    * matches the batch filter exactly on the same rows. */
+  def admitDocuments(docs: DataFrame, minQuality: Double = 0.64): DataFrame = {
+    import graft.functions.TextFunctions
+    docs
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withColumn("quality_score", TextFunctions.qualityScore(col("text")))
+      .withColumn("pred_lang", TextFunctions.langId(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")).cast("long"))
+      .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
+      .filter(col("quality_score") >= minQuality)
+      .withWatermark("event_ts", "2 hours")
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("doc_id", "lang", "source", "quality_score", "pred_lang",
+        "n_tokens", "fingerprint")
+  }
+
+  /** The state-store health of a running stateful query: one row per
+    * stateful operator from the LAST completed micro-batch's progress —
+    * rows held, rows updated, and store memory. The monitoring hook a
+    * production ingest wires to its metrics sink; returns empty before
+    * the first progress. */
+  def stateMetrics(query: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateMetrics] =
+    Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq).map { op =>
+      StateMetrics(op.operatorName, op.numRowsTotal, op.numRowsUpdated, op.memoryUsedBytes)
+    }
 
   /** Stateful gap sessionization (2 h default): emits a session when the
     * user's inactivity gap exceeds `gapUs`. The open session stays in

@@ -267,4 +267,41 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("streaming corpus admission: quality gate + content dedup match the batch filter") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.Doc]
+    val good = "the quick brown fox jumps over a lazy dog while many other " +
+      "curious animals watch from the forest edge with great interest " +
+      ((1 to 80).map(i => s"tok$i").mkString(" "))
+    val bad = "a a a a a a a a" // repetitious + stopword-heavy -> low quality
+    val q = Streaming.admitDocuments(mem.toDF())
+      .writeStream.format("memory").queryName("admit").outputMode("append").start()
+    try {
+      mem.addData(Seq(
+        graft.streaming.Doc(1L, good, "en", "s1", H),
+        graft.streaming.Doc(2L, bad, "en", "s1", H + 1)))
+      q.processAllAvailable()
+      // batch 2: same content as doc 1 (different id) + a genuinely new doc
+      mem.addData(Seq(
+        graft.streaming.Doc(3L, good, "en", "s2", H + 2),
+        graft.streaming.Doc(4L, good + " extra distinct tail", "en", "s2", H + 3)))
+      q.processAllAvailable()
+      val admitted = spark.table("admit").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      // 2 fails the gate; 3 is a content duplicate of 1; 1 and 4 admitted
+      assert(admitted === Seq(1L, 4L))
+      // scores match the batch expressions on the same rows
+      val sc = spark.table("admit").filter(col("doc_id") === 1L).head
+      val batch = Seq((1L, good)).toDF("doc_id", "text")
+        .select(graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+          graft.functions.TextFunctions.fingerprint(col("text")).as("fp")).head
+      assert(sc.getAs[Double]("quality_score") === batch.getAs[Double]("q"))
+      assert(sc.getAs[String]("fingerprint") === batch.getAs[String]("fp"))
+      // the dedup state store reports through the metrics surface
+      val metrics = Streaming.stateMetrics(q)
+      assert(metrics.nonEmpty)
+      assert(metrics.exists(m => m.operator.nonEmpty && m.num_rows_total >= 2))
+    } finally q.stop()
+  }
 }
