@@ -216,6 +216,89 @@ object Markov {
       .orderBy("channel_name")
   }
 
+  /** Fully distributed removal-effect attribution — the high-cardinality
+    * path [[attribution]]'s driver-side solve does not scale to. The
+    * driver solve collects the K×K transition matrix (bytes at channel
+    * cardinality, the audited design); when states number millions
+    * (page-level or product-level chains), BOTH the matrix and the
+    * (K+1)-fold removal sweep must stay distributed. Here every removal
+    * variant solves simultaneously in ONE frame keyed (removal, state):
+    * the edge grid is |edges|×(K+1) rows, each Jacobi iteration is one
+    * join + one partial-agg groupBy on that key, and the removal effects,
+    * weights, and revenue split come out of one-row broadcast aggregates —
+    * no driver-side math at any cardinality. 16 iterations ≡ the driver
+    * solve's fixed point (spec: agrees with [[attribution]] to 1e-9 per
+    * channel; the decimal-lockstep driver variant remains the
+    * oracle-checked path at channel cardinality).
+    *
+    * First-order only: second-order removal predicates match state
+    * SUFFIXES, which would make the redirect a per-row string test here —
+    * composite states can adopt the same grid with a precomputed
+    * `removed_channel` column when needed. */
+  def attributionDistributed(
+      spark: SparkSession, sessions: DataFrame, assigned: DataFrame,
+      iters: Int = 16): DataFrame = {
+    val trans = transitionCounts(sessions, assigned).localCheckpoint()
+    val totals = trans.groupBy("from_state").agg(sum("n").as("tot"))
+    val removals = trans.select(col("from_state").as("removal"))
+      .union(trans.select(col("to_state")))
+      .distinct()
+      .filter(!col("removal").isin(Start, Conv, Absorb))
+      .union(spark.range(1).select(lit(NoRemoval).as("removal")))
+      .localCheckpoint()
+    // edge grid: original denominators; rows out of the removed state
+    // drop, edges INTO it redirect to NULL (merging with any existing
+    // →NULL edge), matching the driver solve's walk semantics
+    val edges = trans.join(totals, "from_state")
+      .crossJoin(broadcast(removals))
+      .filter(col("from_state") =!= col("removal"))
+      .select(col("removal"), col("from_state"),
+        when(col("to_state") === col("removal"), lit(Absorb))
+          .otherwise(col("to_state")).as("to_state"),
+        (col("n").cast("double") / col("tot").cast("double")).as("pr"))
+      .groupBy("removal", "from_state", "to_state")
+      .agg(sum("pr").as("pr"))
+      .localCheckpoint()
+    val cp = edges.filter(col("to_state") === Conv)
+      .select(col("removal"), col("from_state"), col("pr").as("cp"))
+    val chan = edges
+      .filter(col("to_state") =!= Conv && col("to_state") =!= Absorb)
+      .localCheckpoint()
+    val states = edges.select("removal", "from_state").distinct().localCheckpoint()
+    var p = states.select(col("removal"), col("from_state").as("state"), lit(0.0).as("p"))
+    for (_ <- 1 to iters) {
+      val inflow = chan
+        .join(p.withColumnRenamed("state", "to_state"), Seq("removal", "to_state"))
+        .groupBy("removal", "from_state")
+        .agg(sum(col("pr") * col("p")).as("acc"))
+      p = states
+        .join(inflow, Seq("removal", "from_state"), "left")
+        .join(cp, Seq("removal", "from_state"), "left")
+        .select(col("removal"), col("from_state").as("state"),
+          (coalesce(col("cp"), lit(0.0)) + coalesce(col("acc"), lit(0.0))).as("p"))
+        .localCheckpoint()
+    }
+    val atStart = p.filter(col("state") === Start)
+    val base = atStart.filter(col("removal") === NoRemoval)
+      .select(col("p").as("p_base"))
+    val eff = atStart.filter(col("removal") =!= NoRemoval)
+      .crossJoin(broadcast(base))
+      .filter(col("p_base") > 0.0)
+      .select(col("removal").as("channel_name"),
+        greatest(lit(1.0) - col("p") / col("p_base"), lit(0.0)).as("removal_effect"))
+    val wsum = eff.agg(sum(
+      col("removal_effect").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
+      .cast("double").as("wsum"))
+    val total = assigned.select(col("conv_id"), col("revenue")).distinct()
+      .agg(graft.functions.Exact.dsum(col("revenue")).as("total"))
+    eff.crossJoin(broadcast(wsum)).crossJoin(broadcast(total))
+      .filter(col("wsum") > 0.0)
+      .select(col("channel_name"), col("removal_effect"),
+        (col("removal_effect") / col("wsum")).as("weight"),
+        (col("removal_effect") / col("wsum") * col("total")).as("revenue"))
+      .orderBy("channel_name")
+  }
+
   /** PageRank over the channel-transition graph — channel influence as a
     * stationary-visit measure rather than removal effect (the graph twin
     * of [[attribute]]). Fixed `iters` damped power iterations with

@@ -135,4 +135,27 @@ class AttributionSpec extends SparkSpec {
     assert(m.filter(col("CPO").isNull && col("ihc") > 0).count() === 0)
     assert(m.filter(col("ROAS").isNull && col("cost") > 0).count() === 0)
   }
+
+  test("distributed Markov removal-effect solve agrees with the driver-side solve") {
+    val assigned = Journeys.assign(sessions, conversions)
+    val driver = graft.operators.Markov.attribution(spark, sessions, assigned)
+      .collect()
+      .map(r => r.getAs[String]("channel_name") ->
+        (r.getAs[Double]("removal_effect"), r.getAs[Double]("weight"), r.getAs[Double]("revenue")))
+      .toMap
+    val dist = graft.operators.Markov.attributionDistributed(spark, sessions, assigned)
+      .collect()
+      .map(r => r.getAs[String]("channel_name") ->
+        (r.getAs[Double]("removal_effect"), r.getAs[Double]("weight"), r.getAs[Double]("revenue")))
+      .toMap
+    assert(dist.keySet === driver.keySet)
+    // the distributed solve runs in plain IEEE double (no per-step decimal
+    // rounding), so agreement is to solver tolerance, not bit-equality
+    driver.foreach { case (c, (e, w, rev)) =>
+      val (de, dw, drev) = dist(c)
+      assert(math.abs(de - e) < 1e-8, s"$c effect: $de vs $e")
+      assert(math.abs(dw - w) < 1e-8, s"$c weight: $dw vs $w")
+      assert(math.abs(drev - rev) < 1e-3 * math.max(1.0, math.abs(rev)), s"$c revenue")
+    }
+  }
 }
