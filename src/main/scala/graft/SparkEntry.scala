@@ -280,6 +280,14 @@ object SparkEntry {
 
     "bm25_search" -> ((s, dir) => Search.bm25Search(Tables.documents(s, dir))),
 
+    "bm25_search_indexed" -> ((s, dir) => {
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Search.buildIndex(Tables.documents(s, dir), idx)
+      Search.searchIndexed(s, idx)
+    }),
+
     "bigram_lm" -> ((s, dir) => Search.bigramLm(Tables.documents(s, dir))),
 
     "text_normalize" -> ((s, dir) => Search.normalize(Tables.documents(s, dir))),
@@ -483,6 +491,7 @@ object SparkEntry {
     "text_repetition"           -> Oracles.textRepetition,
     "tfidf_top_terms"           -> Oracles.tfidfTopTerms,
     "bm25_search"               -> Oracles.bm25Search,
+    "bm25_search_indexed"       -> Oracles.bm25Search,
     "bigram_lm"                 -> Oracles.bigramLm,
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,

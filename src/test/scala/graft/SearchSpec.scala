@@ -77,4 +77,30 @@ class SearchSpec extends SparkSpec {
     assert(out((2, 0L)) === ((1L, 5.0)))
     assert(out((2, 1L)) === ((1L, 5.0)))
   }
+
+  test("indexed BM25 is bit-identical to the direct scan, with term pushdown") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Search.buildIndex(docs, idx)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_terms_hit"), r.getAs[Double]("score")))
+      .toSeq
+    // default query: identical ranked rows, scores bit-equal
+    val direct = rows(Search.bm25Search(docs))
+    val indexed = rows(Search.searchIndexed(spark, idx))
+    assert(indexed === direct)
+    // a different query against the SAME index (no rebuild) also agrees
+    val q2 = Seq("data", "user", "event")
+    assert(rows(Search.searchIndexed(spark, idx, q2)) ===
+      rows(Search.bm25Search(docs, q2)))
+    // the term predicate reaches the clustered postings scan
+    val plan = Search.searchIndexed(spark, idx).queryExecution.sparkPlan
+    val postingsScan = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata("Location").contains("postings") => s
+    }
+    assert(postingsScan.nonEmpty)
+    assert(postingsScan.head.metadata("PushedFilters").contains("In(term"),
+      postingsScan.head.metadata("PushedFilters"))
+  }
 }
