@@ -94,7 +94,7 @@ object Similarity {
     * every centroid dot product appears ONCE in the expression tree
     * (a greatest/least argmax cascade duplicates subtrees
     * combinatorially — ~100k dot nodes at K=16, nProbe=2). */
-  private def cellRank(
+  private[graft] def cellRank(
       cents: Array[(Long, Array[Float], Double)],
       emb: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column) =
     sort_array(array(cents.toSeq.map { case (cid, vec, cnrm) =>

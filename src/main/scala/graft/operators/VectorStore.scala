@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.sources.{Layout, Manifest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF vector store with incremental ingest — the vector-search
+  * ingestion path of a training-data platform, on the same Manifest/Layout
+  * transactional storage the corpus store and pipeline state use.
+  *
+  * Layout under `stateDir`:
+  *  - `centroids/<tag>/` — the trained coarse quantizer (K rows:
+  *    cell, embedding, nrm), FROZEN at [[init]] so every batch —
+  *    whenever ingested — assigns against the same quantizer and a
+  *    vector's cell never depends on ingest order.
+  *  - `vectors/<tag>/` — one dir per committed ingest batch
+  *    (cell, vec_id, embedding, nrm), cell-clustered so a probe reads
+  *    contiguous ranges.
+  *
+  * Scale shape: ingest is a map-side cell assignment against K broadcast
+  * centroid literals + one anti-join on vec_id for exactly-once
+  * admission; probes read only the probed cells' ranges; compaction folds
+  * committed batches cell-clustered so read fan-out stays bounded across
+  * unlimited ingests. All state transitions go through the Manifest CAS,
+  * so racing ingests serialize (the loser re-filters against the winner's
+  * committed ids and retries) and readers only ever see whole batches —
+  * the same protocol spec-proven for [[Corpus.ingestIncremental]].
+  */
+object VectorStore {
+
+  private val Tables = Seq("centroids", "vectors")
+
+  /** Train the coarse quantizer on `corpus` (sample-based, flat cost in
+    * corpus size) and commit it as the store's frozen index metadata. */
+  def init(
+      spark: SparkSession, stateDir: String, corpus: DataFrame,
+      nCells: Int = 16, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val cents = Similarity.trainCentroids(corpus, nCells, iters)
+    val tag = s"c0_${java.util.UUID.randomUUID().toString.take(8)}"
+    cents.toSeq.map { case (cid, vec, nrm) => (cid, vec.toSeq, nrm) }
+      .toDF("cell", "embedding", "nrm")
+      .coalesce(1)
+      .write.parquet(s"$stateDir/centroids/$tag")
+    val snap = Manifest.snapshot(spark, stateDir)
+    require(!snap.live.exists(_.startsWith("centroids/")),
+      s"vector store at $stateDir is already initialized")
+    Manifest.tryPublish(spark, stateDir, snap,
+      snap.live :+ s"centroids/$tag", snap.meta).getOrElse(
+      throw new java.io.IOException(s"lost init race at $stateDir"))
+  }
+
+  private def centroids(
+      spark: SparkSession, stateDir: String): Array[(Long, Array[Float], Double)] = {
+    val dirs = Manifest.live(spark, stateDir).filter(_.startsWith("centroids/"))
+    require(dirs.nonEmpty, s"vector store at $stateDir is not initialized")
+    spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
+      .orderBy("cell").collect()
+      .map(r => (r.getAs[Long]("cell"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Double]("nrm")))
+  }
+
+  private def liveVectorDirs(spark: SparkSession, stateDir: String): Seq[String] =
+    Manifest.live(spark, stateDir).filter(_.startsWith("vectors/"))
+
+  /** The committed vector set (cell, vec_id, embedding, nrm). */
+  def vectors(spark: SparkSession, stateDir: String): DataFrame = {
+    val dirs = liveVectorDirs(spark, stateDir)
+    if (dirs.nonEmpty) spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "cell BIGINT, vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE"))
+  }
+
+  /** Ingest a batch (vec_id, embedding): assign cells against the frozen
+    * quantizer, admit ids not yet committed exactly once, publish via the
+    * CAS (re-filtering against a race winner's commits on a lost race).
+    * Returns the number of vectors admitted. */
+  def ingest(spark: SparkSession, stateDir: String, batch: DataFrame): Long = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = centroids(spark, stateDir)
+    var snap = Manifest.snapshot(spark, stateDir)
+    def committedIds(live: Seq[String]): DataFrame = {
+      val dirs = live.filter(_.startsWith("vectors/")).map(d => s"$stateDir/$d")
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*).select("vec_id")
+      else spark.range(0).select(col("id").as("vec_id"))
+    }
+    val feat = batch
+      .dropDuplicates("vec_id") // in-batch replays collapse before admission
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.normExact(col("embedding")).as("nrm"))
+      .withColumn("cell",
+        element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+          .getField("cid"))
+      .select("cell", "vec_id", "embedding", "nrm")
+    var admitted = feat
+      .join(committedIds(snap.live), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    def stage(tag: String): Unit =
+      Layout.writeClustered(admitted, s"$stateDir/vectors/$tag", Seq("cell"), 4)
+    var tag = s"b${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    if (admitted.isEmpty) return 0L
+    stage(tag)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      Manifest.tryPublish(spark, stateDir, snap,
+        snap.live :+ s"vectors/$tag", snap.meta) match {
+        case Some(_) => done = true
+        case None =>
+          attempts += 1
+          if (attempts >= 16)
+            throw new java.io.IOException(
+              s"vector ingest lost $attempts consecutive publish races at $stateDir")
+          val next = Manifest.snapshot(spark, stateDir)
+          val refiltered = admitted
+            .join(committedIds(next.live), Seq("vec_id"), "left_anti")
+            .localCheckpoint()
+          if (refiltered.count() != admitted.count()) {
+            admitted = refiltered
+            if (admitted.isEmpty) return 0L
+            tag = s"b${next.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+            stage(tag)
+          }
+          snap = next
+      }
+    }
+    admitted.count()
+  }
+
+  /** Probe top-k against the committed store: nearest `nProbe` cells per
+    * query, exact decimal-cosine rerank inside the probed ranges. */
+  def query(
+      spark: SparkSession, stateDir: String, queries: DataFrame,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = centroids(spark, stateDir)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorFunctions.normExact(col("embedding")).as("q_nrm"))
+      .select(col("query_id"), col("qe"), col("q_nrm"),
+        explode(transform(
+          slice(Similarity.cellRank(cents, col("qe"), col("q_nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
+    val cand = vectors(spark, stateDir)
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("ce"), col("nrm").as("c_nrm"))
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(cand, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dotExact(col("qe"), col("ce")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Fold all committed vector batches into ONE cell-clustered batch via
+    * an OCC merge (a racing ingest's concurrent commit survives). */
+  def compact(spark: SparkSession, stateDir: String, nFiles: Int = 4): Unit = {
+    val snap = Manifest.snapshot(spark, stateDir)
+    val dirs = snap.live.filter(_.startsWith("vectors/"))
+    if (dirs.length <= 1) return
+    val tag = s"c${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    Layout.writeClustered(
+      spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*),
+      s"$stateDir/vectors/$tag", Seq("cell"), nFiles)
+    val inputs = dirs.toSet
+    Manifest.publishMerge(spark, stateDir) { cur =>
+      (cur.live.filterNot(inputs) :+ s"vectors/$tag", cur.meta)
+    }
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Similarity, VectorStore}
+import graft.sources.Tables
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF vector store: frozen quantizer, exactly-once incremental
+  * ingest, probe queries, bounded compaction. */
+class VectorStoreSpec extends SparkSpec {
+
+  test("incremental ingest is exactly-once and order-independent; compaction is lossless") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore").toString
+
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    val half = n / 2
+    val a1 = VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < half))
+    val a2 = VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= half))
+    assert(a1 + a2 === n)
+    // replayed batch: nothing admitted twice
+    assert(VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < half)) === 0L)
+    val stored = VectorStore.vectors(spark, stateDir)
+    assert(stored.count() === n)
+    assert(stored.select("vec_id").distinct().count() === n)
+
+    // a second store ingesting everything in ONE batch holds the same
+    // assignments (the frozen quantizer makes cells ingest-order-free)
+    val oneShot = Files.createTempDirectory("graft-vstore1").toString
+    VectorStore.init(spark, oneShot, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, oneShot, emb)
+    def cells(dir: String) = VectorStore.vectors(spark, dir)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toSet
+    assert(cells(stateDir) === cells(oneShot))
+
+    // queries over both stores agree, and rerank cosines are exact
+    val queries = emb.filter(col("vec_id") < 4)
+    def res(dir: String) = VectorStore.query(spark, dir, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val r1 = res(stateDir)
+    assert(r1.nonEmpty)
+    assert(r1 === res(oneShot))
+    val bf = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), nQueries = 4, k = 50)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine"))
+      .toMap
+    r1.foreach { case ((qid, _), (nid, cos)) =>
+      bf.get((qid, nid)).foreach(exact => assert(math.abs(exact - cos) < 1e-12))
+    }
+
+    // compaction folds the three batches into one dir, content unchanged
+    val before = cells(stateDir)
+    VectorStore.compact(spark, stateDir)
+    assert(graft.sources.Manifest.live(spark, stateDir)
+      .count(_.startsWith("vectors/")) === 1)
+    assert(cells(stateDir) === before)
+    assert(res(stateDir) === r1)
+    // double-init refuses rather than silently replacing the quantizer
+    intercept[IllegalArgumentException] {
+      VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    }
+  }
+}
