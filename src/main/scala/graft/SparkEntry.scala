@@ -281,9 +281,11 @@ object SparkEntry {
     "bm25_search" -> ((s, dir) => Search.bm25Search(Tables.documents(s, dir))),
 
     "bm25_search_indexed" -> ((s, dir) => {
+      // key by data dir AND index-format version: a layout change must
+      // never silently serve an index built by older code
       val idx = s"${System.getProperty("java.io.tmpdir")}/graft_bm25_idx_" +
         java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .digest(s"$dir#v1".getBytes("UTF-8")).map("%02x".format(_)).mkString
       // build-if-absent: testdata is immutable, so an existing index for
       // this dir is current — repeat invocations measure the QUERY path
       if (!new java.io.File(s"$idx/stats").exists())
