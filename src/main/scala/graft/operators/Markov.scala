@@ -315,7 +315,8 @@ object Markov {
     * is localCheckpointed so the lineage (and Catalyst's re-analysis
     * cost) stays flat in the iteration count. */
   def channelPagerank(
-      assigned: DataFrame, damping: Double = 0.85, iters: Int = 8): DataFrame = {
+      assigned: DataFrame, damping: Double = 0.85, iters: Int = 8,
+      checkpointEvery: Int = 2): DataFrame = {
     val trans = Journeys.channelTransitions(assigned)
     val nodes = trans.select(col("from_channel").as("channel"))
       .union(trans.select(col("to_channel")))
@@ -333,7 +334,7 @@ object Markov {
     // so accumulation scale must stay comfortably inside that budget
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
     var ranks = nodes.select(col("channel"), (lit(1.0) / lit(nD)).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = edges
         .join(ranks.withColumnRenamed("channel", "from_channel"), "from_channel")
         .groupBy(col("to_channel").as("channel"))
@@ -348,7 +349,11 @@ object Markov {
           ((lit(1.0) - lit(damping)) / lit(nD) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("d") / lit(nD)))
             .as("pr"))
-        .localCheckpoint()
+      // checkpoint PERIODICALLY, not per-iteration: lineage (and Catalyst
+      // re-analysis) must stay bounded, but each materialization is a full
+      // job — on small graphs per-iteration checkpointing is pure job
+      // overhead, and on big ones a 4-deep join lineage is still cheap
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.orderBy(col("pr").desc, col("channel"))
   }
