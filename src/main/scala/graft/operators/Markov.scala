@@ -237,13 +237,39 @@ object Markov {
     * `removed_channel` column when needed. */
   def attributionDistributed(
       spark: SparkSession, sessions: DataFrame, assigned: DataFrame,
-      iters: Int = 16): DataFrame = {
-    val trans = transitionCounts(sessions, assigned).localCheckpoint()
+      iters: Int = 16): DataFrame =
+    attributionDistributedImpl(
+      spark, transitionCounts(sessions, assigned), assigned,
+      secondOrder = false, iters)
+
+  /** The SECOND-ORDER twin of [[attributionDistributed]] — removal of
+    * channel c removes every composite state whose CURRENT channel is c
+    * (label suffix `<sep>c`), exactly [[attribution2]]'s predicate, as a
+    * row-parallel suffix test in the grid instead of a driver closure.
+    * Spec-pinned to the driver solve like the first-order form. */
+  def attributionDistributed2(
+      spark: SparkSession, sessions: DataFrame, assigned: DataFrame,
+      iters: Int = 16): DataFrame =
+    attributionDistributedImpl(
+      spark, transitionCounts2(sessions, assigned), assigned,
+      secondOrder = true, iters)
+
+  private def attributionDistributedImpl(
+      spark: SparkSession, trans0: DataFrame, assigned: DataFrame,
+      secondOrder: Boolean, iters: Int): DataFrame = {
+    val trans = trans0.localCheckpoint()
+    // channel of a state label; second-order composite states carry the
+    // current channel after the control-char separator (exactly one per
+    // composite state — labels cannot contain 0x1F)
+    def channelOf(st: org.apache.spark.sql.Column) =
+      if (secondOrder) substring_index(st, StateSep, -1) else st
+    def isRemoved(st: org.apache.spark.sql.Column, rm: org.apache.spark.sql.Column) =
+      if (secondOrder) st.endsWith(concat(lit(StateSep), rm)) else st === rm
     val totals = trans.groupBy("from_state").agg(sum("n").as("tot"))
-    val removals = trans.select(col("from_state").as("removal"))
-      .union(trans.select(col("to_state")))
+    val removals = trans
+      .filter(col("from_state") =!= Start)
+      .select(channelOf(col("from_state")).as("removal"))
       .distinct()
-      .filter(!col("removal").isin(Start, Conv, Absorb))
       .union(spark.range(1).select(lit(NoRemoval).as("removal")))
       .localCheckpoint()
     // edge grid: original denominators; rows out of the removed state
@@ -251,9 +277,9 @@ object Markov {
     // →NULL edge), matching the driver solve's walk semantics
     val edges = trans.join(totals, "from_state")
       .crossJoin(broadcast(removals))
-      .filter(col("from_state") =!= col("removal"))
+      .filter(!isRemoved(col("from_state"), col("removal")))
       .select(col("removal"), col("from_state"),
-        when(col("to_state") === col("removal"), lit(Absorb))
+        when(isRemoved(col("to_state"), col("removal")), lit(Absorb))
           .otherwise(col("to_state")).as("to_state"),
         (col("n").cast("double") / col("tot").cast("double")).as("pr"))
       .groupBy("removal", "from_state", "to_state")

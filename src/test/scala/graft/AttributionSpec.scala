@@ -158,4 +158,20 @@ class AttributionSpec extends SparkSpec {
       assert(math.abs(drev - rev) < 1e-3 * math.max(1.0, math.abs(rev)), s"$c revenue")
     }
   }
+
+  test("second-order distributed solve agrees with the second-order driver solve") {
+    val assigned = Journeys.assign(sessions, conversions)
+    val driver = graft.operators.Markov.attribution2(spark, sessions, assigned)
+      .collect()
+      .map(r => r.getAs[String]("channel_name") -> r.getAs[Double]("removal_effect"))
+      .toMap
+    val dist = graft.operators.Markov.attributionDistributed2(spark, sessions, assigned)
+      .collect()
+      .map(r => r.getAs[String]("channel_name") -> r.getAs[Double]("removal_effect"))
+      .toMap
+    assert(dist.keySet === driver.keySet)
+    driver.foreach { case (c, e) =>
+      assert(math.abs(dist(c) - e) < 1e-8, s"$c: ${dist(c)} vs $e")
+    }
+  }
 }
