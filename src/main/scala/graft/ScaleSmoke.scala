@@ -176,6 +176,33 @@ object ScaleSmoke {
       println(s"[scale] delta: conv=${s.newConversions} rows=${s.newRows} " +
         s"total=${s.totalRows}")
     }
+
+    // Round-5 curation stages over the synthetic docs: chunking and
+    // packing are map-bound (chunking has ZERO pre-order shuffles, packing
+    // one cumulative window per (lang, shard)), so both should track the
+    // doc count, not blow up on it. The docs get a synthetic lang so the
+    // packing shards spread.
+    val cDocs = docs.selectExpr("doc_id", "text",
+      "CASE pmod(doc_id, 5) WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'es' WHEN 3 THEN 'fr' ELSE 'zh' END AS lang")
+    time(s"doc_chunking nDocs=$nDocs")(println(s"[scale] chunks = " +
+      graft.operators.Corpus.chunkDocuments(cDocs).count()))
+    time(s"sequence_packing nDocs=$nDocs")(println(s"[scale] packed bins = " +
+      graft.operators.Corpus.sequencePacking(cDocs)
+        .select("lang", "shard", "bin").distinct().count()))
+
+    // Anomaly detection over the full event stream: the window input is
+    // the PRE-AGGREGATED |types|x|days| frame, so this is one rollup over
+    // n events + a window over a few hundred rows.
+    time(s"events_anomaly n=$n")(println(s"[scale] anomalies = " +
+      graft.operators.Analytics.eventsAnomaly(events)
+        .filter(col("is_anomaly")).count()))
+
+    // Distributed Markov solve: all removal variants in one (removal,
+    // state) grid — transition counting is the n-sized part; the 16
+    // Jacobi joins run on the K^2 x (K+1) grid.
+    time(s"markov_distributed_solve n=$n")(println(s"[scale] channels = " +
+      graft.operators.Markov.attributionDistributed(
+        spark, sessions, Journeys.assign(sessions, conversions)).count()))
     spark.stop()
   }
 }
