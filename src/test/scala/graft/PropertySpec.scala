@@ -70,4 +70,58 @@ class PropertySpec extends SparkSpec {
       assert(out(1L) === out(2L))
     }
   }
+
+  test("chunking reconstructs every document for random lengths (incl. boundary multiples)") {
+    val rnd = new scala.util.Random(11)
+    // random lengths + the step/window boundary cases 47,48,49,63,64,65,96
+    val lengths = List.fill(10)(1 + rnd.nextInt(200)) ++
+      List(1, 47, 48, 49, 63, 64, 65, 96, 112, 113)
+    val docs = lengths.zipWithIndex.map { case (len, i) =>
+      (i.toLong, (1 to len).map(t => s"d${i}t$t").mkString(" "), "en")
+    }.toDF("doc_id", "text", "lang")
+    val chunks = graft.operators.Corpus.chunkDocuments(docs, chunkSize = 64, overlap = 16)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    lengths.zipWithIndex.foreach { case (len, i) =>
+      val cs = chunks(i.toLong).sortBy(_.getAs[Int]("chunk_id"))
+      // expected chunk count: starts at 0, 48, ... strictly below len
+      val expected = 1 + (len - 1) / 48
+      assert(cs.length === expected, s"doc $i len $len")
+      // de-overlapped reconstruction: chunk 0 whole, then tails past overlap
+      val rebuilt = cs.zipWithIndex.flatMap { case (r, ci) =>
+        val toks = r.getAs[String]("chunk_text").split(" ")
+        if (ci == 0) toks else toks.drop(16)
+      }
+      val expectTokens = (1 to len).map(t => s"d${i}t$t")
+      // trailing chunks shorter than overlap contribute nothing new; the
+      // de-overlapped concat must be a prefix-complete cover
+      assert(rebuilt.distinct.toSeq === expectTokens,
+        s"doc $i len $len reconstruction")
+      cs.foreach(r => assert(r.getAs[Long]("n_tokens") ===
+        r.getAs[String]("chunk_text").split(" ").length.toLong))
+    }
+  }
+
+  test("packing: bins fill to budget except each (lang, shard)'s last") {
+    val rnd = new scala.util.Random(13)
+    val docs = (0 until 400).map { i =>
+      (i.toLong, (1 to (1 + rnd.nextInt(120))).map(t => s"w$t").mkString(" "),
+        Seq("en", "de", "zh")(rnd.nextInt(3)))
+    }.toDF("doc_id", "text", "lang")
+    val out = graft.operators.Corpus.sequencePacking(docs, budget = 256).collect()
+    out.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+        // offsets replay exactly: next offset = (offset + tokens) mod-carried
+        var cum = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("bin") === cum / 256)
+          assert(r.getAs[Long]("bin_offset") === cum % 256)
+          cum += r.getAs[Long]("n_tokens")
+        }
+        // every bin index up to the last is present (no empty bins)
+        val bins = sorted.map(_.getAs[Long]("bin")).distinct.sorted
+        assert(bins === (0L to bins.max).toSeq)
+    }
+  }
 }
