@@ -209,6 +209,18 @@ outs AS MATERIALIZED (
 SELECT channel, pr FROM pr8
 ORDER BY pr DESC, channel"""
 
+  val dataProfile: String = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_custkey) AS BIGINT) AS custkey_nonnull,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders"""
+
   val eventsAnomaly: String = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS event_date, CAST(COUNT(*) AS BIGINT) AS n

@@ -120,6 +120,9 @@ object SparkEntry {
     "events_anomaly" -> ((s, dir) =>
       Analytics.eventsAnomaly(Tables.events(s, dir))),
 
+    "data_profile" -> ((s, dir) =>
+      Analytics.dataProfile(Tables.orders(s, dir))),
+
     "markov2_attribution" -> ((s, dir) =>
       graft.operators.Markov.attribution2(s, Tables.sessions(s, dir), assigned(s, dir))),
 
@@ -433,6 +436,7 @@ object SparkEntry {
     "markov2_attribution"       -> Oracles.markov2Attribution,
     "channel_pagerank"          -> Oracles.channelPagerank,
     "events_anomaly"            -> Oracles.eventsAnomaly,
+    "data_profile"              -> Oracles.dataProfile,
     "asof_last_session"         -> Oracles.asofLastSession,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,

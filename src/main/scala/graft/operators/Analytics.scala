@@ -385,6 +385,23 @@ object Analytics {
         "c_name", "c_mktsegment", "n_name", "r_name")
       .orderBy("o_orderkey")
 
+  /** One-pass table profile — the data-quality gate of an ETL landing
+    * zone: row/null/distinct counts, value ranges, and an exact checksum
+    * column in a single aggregate over the table. Distinct counts expand
+    * map-side and partial-aggregate like any groupBy; nothing is driver
+    * bound, so profiling a 100 TB table is one scan. */
+  def dataProfile(orders: DataFrame): DataFrame =
+    orders.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_custkey")).as("custkey_nonnull"),
+      countDistinct(col("o_custkey")).as("n_customers"),
+      countDistinct(col("o_orderstatus")).as("n_statuses"),
+      min(col("o_totalprice")).as("min_price"),
+      max(col("o_totalprice")).as("max_price"),
+      dsum(col("o_totalprice")).as("sum_price"),
+      min(col("o_orderdate")).as("first_order"),
+      max(col("o_orderdate")).as("last_order"))
+
   /** Trailing z-score anomaly detection on daily event volumes — the
     * monitoring staple over a metrics stream: each (event_type, day)'s
     * count against the mean/std of its own trailing 7 closed days.
