@@ -79,8 +79,14 @@ object VectorStore {
   /** Ingest a batch (vec_id, embedding): assign cells against the frozen
     * quantizer, admit ids not yet committed exactly once, publish via the
     * CAS (re-filtering against a race winner's commits on a lost race).
-    * Returns the number of vectors admitted. */
-  def ingest(spark: SparkSession, stateDir: String, batch: DataFrame): Long = {
+    * Returns the number of vectors admitted.
+    *
+    * @param beforePublish test seam, called between staging and the first
+    *                      publish attempt (injects a competing committed
+    *                      ingest in the race spec) */
+  def ingest(
+      spark: SparkSession, stateDir: String, batch: DataFrame,
+      beforePublish: () => Unit = () => ()): Long = {
     graft.functions.GraftFunctions.register(spark)
     val cents = centroids(spark, stateDir)
     var snap = Manifest.snapshot(spark, stateDir)
@@ -105,6 +111,7 @@ object VectorStore {
     var tag = s"b${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     if (admitted.isEmpty) return 0L
     stage(tag)
+    beforePublish()
     var attempts = 0
     var done = false
     while (!done) {

@@ -63,4 +63,28 @@ class VectorStoreSpec extends SparkSpec {
       VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
     }
   }
+
+  test("racing ingests serialize: the shared vector is admitted exactly once") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val stateDir = Files.createTempDirectory("graft-vstore-race").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    // A: ids 0..9 plus shared id 42; B: ids 20..29 plus the same 42
+    val batchA = emb.filter(col("vec_id") < 10 || col("vec_id") === 42)
+    val batchB = emb.filter(
+      (col("vec_id") >= 20 && col("vec_id") < 30) || col("vec_id") === 42)
+    var nB = -1L
+    val nA = VectorStore.ingest(spark, stateDir, batchA, beforePublish = () => {
+      // a full competing ingest commits between A's staging and publish:
+      // A must lose the CAS, drop the overlap, and retry on top
+      nB = VectorStore.ingest(spark, stateDir, batchB)
+    })
+    assert(nB === 11L)
+    assert(nA === 10L)
+    val stored = VectorStore.vectors(spark, stateDir)
+    assert(stored.count() === 21L)
+    assert(stored.filter(col("vec_id") === 42).count() === 1L)
+    // both batches idempotent after the race
+    assert(VectorStore.ingest(spark, stateDir, batchA) === 0L)
+    assert(VectorStore.ingest(spark, stateDir, batchB) === 0L)
+  }
 }
