@@ -253,6 +253,18 @@ SELECT event_type, event_date, n, mean7, std7, zscore,
 FROM z
 ORDER BY event_type, event_date"""
 
+  val journeyHashedFeatures: String = attrBase + s"""
+, fb AS (
+  SELECT conv_id, revenue,
+         CAST(concat('0x', substring(md5(channel_name), 1, 15)) AS BIGINT) % 16 AS b
+  FROM assigned)
+SELECT conv_id, MAX(revenue) AS revenue, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ${(0 until 16).map(i =>
+          s"CAST(SUM(CASE WHEN b = $i THEN 1 ELSE 0 END) AS BIGINT) AS f$i").mkString(", ")}
+FROM fb
+GROUP BY conv_id
+ORDER BY conv_id"""
+
   /** Training-data export (extracted_training_data.py, determinized). */
   val trainingDataExport: String = attrBase + """
 , sample AS (

@@ -126,6 +126,9 @@ object SparkEntry {
     "markov2_attribution" -> ((s, dir) =>
       graft.operators.Markov.attribution2(s, Tables.sessions(s, dir), assigned(s, dir))),
 
+    "journey_hashed_features" -> ((s, dir) =>
+      Journeys.hashedFeatures(assigned(s, dir))),
+
     "training_data_export" -> ((s, dir) =>
       Journeys.trainingExport(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -427,6 +430,7 @@ object SparkEntry {
     "channel_transitions"       -> Oracles.channelTransitions,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
     "training_data_export"      -> Oracles.trainingDataExport,
+    "journey_hashed_features"   -> Oracles.journeyHashedFeatures,
     "first_touch_attribution"   -> Oracles.firstTouchAttribution,
     "last_touch_attribution"    -> Oracles.lastTouchAttribution,
     "linear_attribution"        -> Oracles.linearAttribution,

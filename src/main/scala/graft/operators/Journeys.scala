@@ -151,6 +151,30 @@ object Journeys {
   /** First-order channel transition counts within journeys (the input to
     * Markov-chain attribution): consecutive (from → to) channel pairs by
     * journey order. */
+  /** Hashed-bag journey features — the ML-training-data form of a
+    * journey: per conversion, a fixed-`dims` feature-hashed channel-count
+    * vector (md5-bucketed, the portable hash used everywhere else), the
+    * touch count, and the revenue label. The row an attribution-model
+    * trainer consumes directly.
+    *
+    * One partial-agg groupBy per conversion; the vector assembles as
+    * `dims` conditional sums inside the aggregate (no pivot, no second
+    * shuffle), so the plan is a single exchange at any journey volume.
+    * Emitted as flat `f0..f{dims-1}` columns — the layout a feature
+    * table feeds a trainer, and the shape the driver gate hashes. */
+  def hashedFeatures(assigned: DataFrame, dims: Int = 16): DataFrame = {
+    val bucket = conv(substring(md5(col("channel_name")), 1, 15), 16, 10)
+      .cast("long") % dims
+    assigned
+      .select(col("conv_id"), col("revenue"), bucket.as("__b"))
+      .groupBy("conv_id")
+      .agg(
+        max("revenue").as("revenue"),
+        count(lit(1)).as("n_touches") +: (0 until dims).map(i =>
+          sum(when(col("__b") === i, 1L).otherwise(0L)).as(s"f$i")): _*)
+      .orderBy("conv_id")
+  }
+
   def channelTransitions(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
     assigned
