@@ -119,6 +119,21 @@ object Corpus {
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*) else emptyFp(spark)
   }
 
+  /** TIME TRAVEL: the corpus exactly as committed at manifest `version`
+    * ([[graft.sources.Manifest.history]] lists committed versions) —
+    * reproduce any historical training set as long as its batches have
+    * not been folded by a compaction. Throws if the version is unknown
+    * or torn. */
+  def documentsAt(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, version: Long): DataFrame = {
+    val snap = graft.sources.Manifest.snapshotAt(spark, stateDir, version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed manifest version $version under $stateDir"))
+    val dirs = snap.live.filter(_.startsWith("documents/")).map(rel => s"$stateDir/$rel")
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else documents(spark, stateDir).limit(0)
+  }
+
   /** Incremental corpus ingestion with a persisted dedup state — the
     * LLM-pipeline twin of [[graft.Pipeline]]'s idempotent attribution
     * write-back: each batch admits only documents whose normalized text

@@ -113,6 +113,37 @@ object Manifest {
     * only. */
   def version(spark: SparkSession, base: String): Long = snapshot(spark, base).alloc
 
+  /** TIME TRAVEL: the snapshot as of a specific committed version.
+    * None if that version's file is absent or torn. Version files are
+    * never deleted, so the manifest history is complete; the DATA dirs a
+    * historical snapshot references remain readable until a compaction
+    * or stale-vacuum supersedes them — the standard time-travel vs
+    * VACUUM retention tradeoff, and append-only stores (corpus ingest)
+    * keep every version readable until their first compaction. */
+  def snapshotAt(spark: SparkSession, base: String, version: Long): Option[Snapshot] = {
+    val f = fs(spark, base)
+    val p = new Path(manifestDir(base), s"v$version.txt")
+    if (!f.exists(p)) None
+    else
+      try parse(readFile(f, p)).map { case (dirs, meta) => Snapshot(version, dirs, meta) }
+      catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** All COMMITTED version numbers at `base`, ascending (torn slots
+    * excluded) — the time-travel index. */
+  def history(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    val dir = manifestDir(base)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir)
+      .iterator
+      .map(_.getPath.getName)
+      .collect { case VersionRe(n) => n.toLong }
+      .toSeq
+      .sorted
+      .filter(v => snapshotAt(spark, base, v).isDefined)
+  }
+
   /** The live data-dir list (paths relative to `base`) of the highest
     * committed version; empty before the first publish. */
   def live(spark: SparkSession, base: String): Seq[String] = snapshot(spark, base).live

@@ -161,4 +161,32 @@ class LayoutSpec extends SparkSpec {
     // and a genuinely new doc after many compactions is still admitted
     assert(Corpus.ingestIncremental(spark, batch(100 until 101), state, maxLiveBatches = 2) === 1)
   }
+
+  test("time travel: every committed version reproduces its exact corpus") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-timetravel").toString
+    def batch(r: Range) = r.map(i =>
+      (i.toLong, s"time travel document number $i with unique text", "en", "t", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark, batch(0 until 10), state)
+    Corpus.ingestIncremental(spark, batch(10 until 25), state)
+    Corpus.ingestIncremental(spark, batch(25 until 30), state)
+    val hist = Manifest.history(spark, state)
+    assert(hist.length === 3)
+    // each historical version is the exact prefix corpus it committed
+    val expect = Seq(10L, 25L, 30L)
+    hist.zip(expect).foreach { case (v, n) =>
+      val docs = Corpus.documentsAt(spark, state, v)
+      assert(docs.count() === n, s"version $v")
+      assert(docs.select(max("doc_id")).head.getLong(0) === n - 1)
+    }
+    // latest == head accessor; unknown version refuses
+    assert(Corpus.documentsAt(spark, state, hist.last).count() ===
+      Corpus.documents(spark, state).count())
+    intercept[IllegalArgumentException] {
+      Corpus.documentsAt(spark, state, 999L)
+    }
+  }
 }
