@@ -2027,4 +2027,96 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
+
+  /** Shared 60-bit md5-prefix hash of the (user, day) pair — lockstep
+    * with [[graft.operators.Sketches]]' h60. */
+  private val sketchHashed: String = """
+WITH hashed AS (
+  SELECT event_type AS channel,
+         CAST(concat('0x', substring(md5(concat(CAST(user_id AS VARCHAR), '|',
+              CAST(CAST(ts AS DATE) AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+  FROM events
+)"""
+
+  /** KMV sketch oracle: same distinct-hash ranking and the same
+    * two-op IEEE estimate tree (division first, k−1 scaling second) as
+    * `Sketches.kmvDistinct`. */
+  val sketchKmvDistinct: String = sketchHashed + """
+, dh AS (
+  SELECT DISTINCT channel, h FROM hashed
+), ranked AS (
+  SELECT channel, h, row_number() OVER (PARTITION BY channel ORDER BY h) AS rn
+  FROM dh
+), kept AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+  FROM ranked WHERE rn <= 64 GROUP BY channel
+), ex AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_exact FROM dh GROUP BY channel
+)
+SELECT k.channel, e.n_exact, k.n_kept,
+       CASE WHEN k.n_kept < 64 THEN CAST(k.n_kept AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE)
+                 * (CAST(1152921504606846976 AS DOUBLE) / CAST(k.h_k AS DOUBLE)) END
+         AS est_distinct
+FROM kept k JOIN ex e ON e.channel = k.channel
+ORDER BY 1"""
+
+  /** Count-min sketch oracle: d=4 rows × w=64 buckets, probe users < 10,
+    * estimate = min over rows — same "r:user" hash input as
+    * `Sketches.cmsFrequency`. */
+  val sketchCmsFrequency: String = """
+WITH rws AS (
+  SELECT event_type AS channel, user_id FROM events
+), cells AS (
+  SELECT channel, user_id, d.r,
+         CAST(concat('0x', substring(md5(concat(CAST(d.r AS VARCHAR), ':',
+              CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM rws CROSS JOIN (SELECT unnest(range(0, 4)) AS r) d
+), sketch AS (
+  SELECT channel, r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY channel, r, bucket
+), exact AS (
+  SELECT channel, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM rws WHERE user_id < 10 GROUP BY channel, user_id
+), probe AS (
+  SELECT e.channel, e.user_id, e.n_exact, d.r,
+         CAST(concat('0x', substring(md5(concat(CAST(d.r AS VARCHAR), ':',
+              CAST(e.user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 64 AS bucket
+  FROM exact e CROSS JOIN (SELECT unnest(range(0, 4)) AS r) d
+)
+SELECT p.channel, p.user_id, p.n_exact, MIN(s.cnt) AS n_cms
+FROM probe p
+JOIN sketch s ON s.channel = p.channel AND s.r = p.r AND s.bucket = p.bucket
+GROUP BY p.channel, p.user_id, p.n_exact
+ORDER BY 1, 2"""
+
+  /** HyperLogLog oracle: m=64 registers, rank from bin() bit length,
+    * integer-scaled register sum (exact BIGINTs), and the identical
+    * left-to-right double product for the raw estimate. */
+  val sketchHllDistinct: String = sketchHashed + """
+, regs AS (
+  SELECT channel, h % 64 AS idx,
+         MAX(CASE WHEN (h >> 6) > 0 THEN 55 - length(bin(h >> 6)) ELSE 55 END) AS rnk
+  FROM hashed GROUP BY channel, h % 64
+), spine AS (
+  SELECT c.channel, ix.idx
+  FROM (SELECT DISTINCT channel FROM hashed) c
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS idx) ix
+), filled AS (
+  SELECT s.channel, COALESCE(r.rnk, 0) AS rnk
+  FROM spine s LEFT JOIN regs r ON r.channel = s.channel AND r.idx = s.idx
+), agg AS (
+  SELECT channel,
+         CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rnk AS INTEGER)) AS BIGINT) AS s_scaled,
+         CAST(SUM(CASE WHEN rnk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_registers_hit
+  FROM filled GROUP BY channel
+), ex AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM (SELECT DISTINCT channel, h FROM hashed) GROUP BY channel
+)
+SELECT a.channel, e.n_exact, a.n_registers_hit,
+       CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+         / CAST(a.s_scaled AS DOUBLE) AS est_hll
+FROM agg a JOIN ex e ON e.channel = a.channel
+ORDER BY 1"""
 }

@@ -170,6 +170,15 @@ object SparkEntry {
     "salted_channel_agg" -> ((s, dir) =>
       Analytics.saltedChannelAgg(Tables.events(s, dir))),
 
+    "sketch_kmv_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.kmvDistinct(Tables.events(s, dir))),
+
+    "sketch_cms_frequency" -> ((s, dir) =>
+      graft.operators.Sketches.cmsFrequency(Tables.events(s, dir))),
+
+    "sketch_hll_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinct(Tables.events(s, dir))),
+
     "q4_order_priority" -> ((s, dir) =>
       Analytics.q4OrderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
@@ -454,6 +463,9 @@ object SparkEntry {
     "lm_doc_score"              -> Oracles.lmDocScore,
     "corpus_curation"           -> Oracles.corpusCuration,
     "salted_channel_agg"        -> Oracles.saltedChannelAgg,
+    "sketch_kmv_distinct"       -> Oracles.sketchKmvDistinct,
+    "sketch_cms_frequency"      -> Oracles.sketchCmsFrequency,
+    "sketch_hll_distinct"       -> Oracles.sketchHllDistinct,
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,
     "q17_small_quantity_revenue" -> Oracles.q17SmallQuantityRevenue,

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cardinality / frequency sketches (SURVEY §2.B37-B39) — the estimation
+  * primitives a 100 TB pipeline reaches for when exact distinct counts or
+  * per-key frequencies stop fitting anywhere: KMV (K-minimum-values)
+  * distinct estimation, a count-min frequency sketch, and HyperLogLog
+  * registers. All three are built from the same deterministic md5 hash the
+  * rest of the repo uses for sampling/bucketing (no RNG, no
+  * `approx_count_distinct` — Spark's HLL++ binary state has no DuckDB
+  * analog), so every estimate is bit-reproducible and hash-checked against
+  * the oracle, and the ESTIMATE-vs-EXACT gap is part of the checked
+  * output, not a hidden property.
+  *
+  * Scale shape, per sketch:
+  *   - KMV: one distinct-hash partial agg, then a per-group k-smallest
+  *     rank filter that Spark rewrites to WindowGroupLimit — each map
+  *     partition forwards only its k smallest hashes, so the shuffle
+  *     carries O(partitions·k) rows, not the distinct set.
+  *   - CMS: the sketch IS a groupBy of d·w cells per channel — constant
+  *     size however large the input; one partial-agg pass builds it.
+  *   - HLL: registers are a (channel, idx) max-agg — m rows per channel;
+  *     the estimate is one arithmetic pass over the m-row spine.
+  */
+object Sketches {
+
+  /** 60-bit deterministic hash: the md5-prefix integer used across the
+    * repo (same form as the sampling buckets in
+    * [[graft.operators.Similarity.trainCentroids]]). Uniform on
+    * [0, 2^60). */
+  private def h60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  private val HashSpace: Double = 1152921504606846976.0 // 2^60, exact
+
+  /** KMV (K-minimum-values / bottom-k) distinct-count estimate of
+    * (user_id, day) pairs per channel, alongside the exact count so the
+    * result quantifies its own error: keep the k smallest distinct
+    * hashes; if fewer than k exist the sketch is exact, else
+    * `(k-1) · 2^60 / h_k` (Bar-Yossef et al.'s unbiased form).
+    *
+    * The division happens FIRST (`2^60 / h_k`, one rounding) and the
+    * `k-1` scaling second — the same two-op IEEE tree as the oracle, so
+    * the estimate is bit-identical cross-engine. */
+  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    val hashed = events.select(
+      col("event_type").as("channel"),
+      h60(concat(col("user_id").cast("string"), lit("|"),
+        col("event_date").cast("string"))).as("h"))
+    val distinctHashes = hashed.distinct()
+    val rk = Window.partitionBy("channel").orderBy("h")
+    distinctHashes
+      .withColumn("rn", row_number().over(rk))
+      .filter(col("rn") <= k)
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
+      .join(distinctHashes.groupBy("channel").agg(count(lit(1)).as("n_exact")), Seq("channel"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * (lit(HashSpace) / col("h_k").cast("double"))))
+      .select("channel", "n_exact", "n_kept", "est_distinct")
+      .orderBy("channel")
+  }
+
+  /** Count-min sketch over per-(channel, user) event frequencies: d
+    * independent hash rows of w buckets each; a key's estimate is the MIN
+    * of its d bucket counters — never below the true count (every
+    * overcount comes from collisions adding in). The output pairs the
+    * estimate with the exact count for the probed users, so the
+    * collision inflation is visible and checked.
+    *
+    * The sketch build explodes each event into its d (row, bucket) cells
+    * map-side and partial-aggregates — the sketch is |channels|·d·w
+    * counters regardless of input size. Probe keys are a broadcast-scale
+    * frame. */
+  def cmsFrequency(
+      events: DataFrame, d: Int = 4, w: Int = 64, nProbeUsers: Int = 10): DataFrame = {
+    val rows = events.select(col("event_type").as("channel"), col("user_id"))
+    val cells = array((0 until d).map { r =>
+      struct(
+        lit(r).as("r"),
+        (h60(concat(lit(s"$r:"), col("user_id").cast("string"))) % w).as("bucket"))
+    }: _*)
+    val sketch = rows
+      .select(col("channel"), explode(cells).as("c"))
+      .groupBy(col("channel").as("s_channel"), col("c.r").as("s_r"),
+        col("c.bucket").as("s_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = rows
+      .filter(col("user_id") < nProbeUsers)
+      .groupBy("channel", "user_id")
+      .agg(count(lit(1)).as("n_exact"))
+    val probes = exact.select(col("channel"), col("user_id"), col("n_exact"),
+      explode(cells).as("c"))
+    probes
+      .join(sketch,
+        col("channel") === col("s_channel") &&
+          col("c.r") === col("s_r") && col("c.bucket") === col("s_bucket"))
+      .groupBy(col("channel"), col("user_id"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .select(col("channel"), col("user_id"), col("n_exact"), col("n_cms"))
+      .orderBy("channel", "user_id")
+  }
+
+  /** HyperLogLog distinct-count estimate of (user_id, day) pairs per
+    * channel, m = 64 registers (p = 6): register index is the hash's low
+    * 6 bits, the register holds the max "rank" (leading-zero count + 1)
+    * of the remaining 54-bit field. The raw HLL estimate
+    * `α·m²/Σ2^(−M_j)` is computed over INTEGER-scaled register terms
+    * (`2^(55−M_j)` — exact BIGINTs, order-independent sum) so the only
+    * floating-point steps are the final literal products and one
+    * division, identical trees in both engines.
+    *
+    * Deliberately the RAW estimator: the small-range linear-counting
+    * correction needs ln(), which is not correctly rounded across
+    * engines — the raw form is the bit-reproducible one, and the checked
+    * output carries the exact count next to it. */
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val m = 64
+    val hashed = events.select(
+      col("event_type").as("channel"),
+      h60(concat(col("user_id").cast("string"), lit("|"),
+        col("event_date").cast("string"))).as("h"))
+    val regs = hashed
+      .select(col("channel"), (col("h") % m).as("idx"), shiftright(col("h"), 6).as("w"))
+      .groupBy("channel", "idx")
+      .agg(max(when(col("w") > 0, lit(55) - length(bin(col("w")))).otherwise(lit(55)))
+        .as("rank"))
+    val spine = hashed.select("channel").distinct()
+      .select(col("channel"), explode(sequence(lit(0), lit(m - 1))).as("idx"))
+    val filled = spine.join(regs, Seq("channel", "idx"), "left")
+      .select(col("channel"), coalesce(col("rank"), lit(0)).as("rank"))
+    val exact = hashed.distinct().groupBy("channel").agg(count(lit(1)).as("n_exact"))
+    filled
+      .groupBy("channel")
+      .agg(
+        sum(expr("shiftleft(cast(1 as bigint), cast(55 - rank as int))")).as("s_scaled"),
+        sum(when(col("rank") > 0, 1L).otherwise(0L)).as("n_registers_hit"))
+      .join(exact, Seq("channel"))
+      // α_64 · m² · 2^55 / Σ2^(55−M_j), left-to-right IEEE products
+      .withColumn("est_hll",
+        lit(0.709) * lit(4096.0) * lit(36028797018963968.0) / col("s_scaled").cast("double"))
+      .select("channel", "n_exact", "n_registers_hit", "est_hll")
+      .orderBy("channel")
+  }
+}
