@@ -1197,9 +1197,12 @@ ORDER BY query_id, rnk"""
   FROM cent$t p LEFT JOIN cmean${t + 1} c ON c.cid = p.cid AND c.i = p.i
 )"""
 
-  val annIvfTrainedTopK: String = {
-    val iters = 2
-    featBase + """
+  /** The full trained-quantizer chain — featBase, first-16 init, sampled
+    * training set, `iters` unrolled Lloyd iterations, final centroid
+    * norms and all-corpus centroid dot products (`cdotF`) — shared by
+    * the trained-IVF and SemDeDup oracles so both stay in lockstep with
+    * [[graft.operators.Similarity.trainCentroids]]. */
+  private def trainedQuantBase(iters: Int): String = featBase + """
 , cent0 AS (
   SELECT vec_id AS cid, ix.i, embedding[ix.i] AS v
   FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
@@ -1213,8 +1216,8 @@ ORDER BY query_id, rnk"""
   WHERE CAST(concat('0x', substring(md5(CAST(f.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
         < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
 )""" +
-      (0 until iters).map(ivfIteration).mkString +
-      s"""
+    (0 until iters).map(ivfIteration).mkString +
+    s"""
 , cnrmF AS (
   SELECT cid, sqrt(CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS cnrm
   FROM cent$iters GROUP BY cid
@@ -1223,7 +1226,11 @@ ORDER BY query_id, rnk"""
          CAST(SUM(CAST(CAST(f.embedding[c.i] AS DOUBLE) * CAST(c.v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
   FROM feat f CROSS JOIN cent$iters c JOIN cnrmF n ON n.cid = c.cid
   GROUP BY f.vec_id, f.nrm, c.cid, n.cnrm
-), assigned AS (
+)"""
+
+  val annIvfTrainedTopK: String = {
+    trainedQuantBase(2) + s"""
+, assigned AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT vec_id, cid,
            row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
@@ -1256,6 +1263,51 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
+
+  /** SemDeDup oracle: the shared trained-quantizer chain assigns every
+    * vector to its cell (keeping the cosine to its own centroid),
+    * within-cell pairs with decimal-exact cosine ≥ 0.3 feed a
+    * recursive-CTE connected-components pass, and each duplicate group
+    * keeps its (cos_centroid, vec_id)-minimal member — lockstep with
+    * `Dedup.semanticDedup`. */
+  val dedupSemantic: String =
+    trainedQuantBase(2).replaceFirst("^WITH ", "WITH RECURSIVE ") + """
+, asgF AS (
+  SELECT vec_id, cid AS cell, cosc AS cos_centroid FROM (
+    SELECT vec_id, cid, dot / (nrm * cnrm) AS cosc,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), scand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM asgF a JOIN asgF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), sdots AS (
+  SELECT c.vec_a, c.vec_b,
+         CAST(SUM(CAST(CAST(fa.embedding[i] AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           / (fa.nrm * fb.nrm) AS cosine
+  FROM scand c
+  JOIN feat fa ON fa.vec_id = c.vec_a
+  JOIN feat fb ON fb.vec_id = c.vec_b
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY c.vec_a, c.vec_b, fa.nrm, fb.nrm
+), spairs AS (
+  SELECT vec_a, vec_b FROM sdots WHERE cosine >= 0.3
+), sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM spairs
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM spairs
+), r AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+  UNION
+  SELECT s.a AS node, r.label AS label FROM sym s JOIN r ON r.node = s.b
+), comp AS (
+  SELECT node AS vec_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+  FROM r GROUP BY node
+)
+SELECT c.vec_id, g.cell, c.cluster_id, g.cos_centroid,
+       (row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY g.cos_centroid, c.vec_id) = 1) AS kept
+FROM comp c JOIN asgF g ON g.vec_id = c.vec_id
+ORDER BY c.vec_id"""
 
   /** Built-in session_window semantics: new session at gap >= 30 min,
     * session end = last event + gap. */

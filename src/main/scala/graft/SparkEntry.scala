@@ -259,6 +259,9 @@ object SparkEntry {
     "dedup_hybrid_clusters" -> ((s, dir) =>
       Dedup.hybridClusters(Tables.documents(s, dir), Tables.embeddings(s, dir))),
 
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir))),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -489,6 +492,7 @@ object SparkEntry {
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
     "dedup_clusters"            -> Oracles.dedupClusters,
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
+    "dedup_semantic"            -> Oracles.dedupSemantic,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_ngram_jaccard"       -> Oracles.dedupNgramJaccard,

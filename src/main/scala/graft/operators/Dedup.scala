@@ -434,6 +434,63 @@ object Dedup {
     clustersStar(textPairs.unionByName(embPairs))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering embeddings with a trained coarse
+    * quantizer, then pruning within-cluster pairs above a cosine
+    * threshold — paraphrase-level dups that no surface-form (MinHash /
+    * SimHash) pass can see. Per duplicate group the member with the
+    * LOWEST cosine to its cluster centroid is kept (the paper's
+    * diversity-preserving rule; vec_id breaks ties), every other member
+    * is flagged dropped.
+    *
+    * Composition of proven pieces: the quantizer is
+    * [[Similarity.trainCentroids]] (sampled deterministic Lloyd — flat
+    * training cost in corpus size), cell assignment is the same
+    * inlined-literal argmax map stage as the IVF probe path, candidate
+    * generation is the payload-free id self-join ON THE CELL (never
+    * all-pairs — the cluster count scales with the corpus so cells stay
+    * bounded-size; the paper runs 50k clusters over LAION), and
+    * duplicate groups are [[clustersStar]] connected components.
+    *
+    * @return one row per member of a duplicate group:
+    *         (vec_id, cell, cluster_id, cos_centroid, kept) */
+  def semanticDedup(
+      embeddings: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2, threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = Similarity.trainCentroids(embeddings, nCentroids, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val best = element_at(
+      Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+    val assigned = feat.select(
+      col("vec_id"), col("embedding"), col("nrm"),
+      best.getField("cid").as("cell"),
+      (-best.getField("negcos")).as("cos_centroid")).cache()
+    val ids = assigned.select(col("cell"), col("vec_id"))
+    val cand = ids.select(col("cell"), col("vec_id").as("vec_a"))
+      .join(ids.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val pairs = cand
+      .join(assigned.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("nrm_a")), "vec_a")
+      .join(assigned.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nrm_b")), "vec_b")
+      .withColumn("cosine",
+        VectorFunctions.dotExact(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+    val groups = clustersStar(pairs.select("vec_a", "vec_b"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("cos_centroid"), col("vec_id"))
+    groups.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .join(assigned.select("vec_id", "cell", "cos_centroid"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("cos_centroid"),
+        (col("rn") === 1).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Corpus-level top-k shingles by document frequency (vocabulary /
     * boilerplate analysis; also the df profile behind the stop-shingle
     * cap). */

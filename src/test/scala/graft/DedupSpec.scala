@@ -82,6 +82,39 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getAs[Double]("cosine") - 1.0) < 1e-9)
   }
 
+  test("semantic dedup: planted duplicate one-hots group together, exactly one kept") {
+    // 40 one-hot vectors on distinct dims (pairwise cosine 0) with vec 30
+    // duplicated as vec 31 — the only qualifying pair anywhere
+    val rows = (0L until 40L).map { id =>
+      val dim = if (id == 31L) 30 else id.toInt
+      (id, Array.tabulate(64)(i => if (i == dim) 1f else 0f))
+    }
+    val out = Dedup.semanticDedup(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).sorted.toSeq === Seq(30L, 31L))
+    assert(out.map(_.getAs[Long]("cluster_id")).distinct.length === 1)
+    assert(out.count(_.getAs[Boolean]("kept")) === 1)
+    // identical vectors → identical centroid cosine → min vec_id wins
+    assert(out.find(_.getAs[Boolean]("kept")).get.getAs[Long]("vec_id") === 30L)
+  }
+
+  test("semantic dedup invariants on real embeddings: per-cluster keep rule, cells agree") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = Dedup.semanticDedup(emb).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.length >= 2, s"singleton duplicate group $cid")
+      assert(members.count(_.getAs[Boolean]("kept")) === 1, s"kept != 1 in group $cid")
+      // every edge is within one cell and each vector has one cell, so a
+      // connected component can never span cells
+      assert(members.map(_.getAs[Long]("cell")).distinct.length === 1)
+      val expectKeep = members.map(r =>
+        (r.getAs[Double]("cos_centroid"), r.getAs[Long]("vec_id"))).min._2
+      assert(members.find(_.getAs[Boolean]("kept")).get.getAs[Long]("vec_id")
+        === expectKeep, s"keep rule violated in group $cid")
+    }
+  }
+
   test("star CC equals propagation CC on a planted 1000-deep chain") {
     // chain n -> n+1 descending by id so min-label has to travel the whole
     // diameter — the worst case for propagation, the design case for
