@@ -993,16 +993,17 @@ ORDER BY query_id, rnk"""
     * `−2·x_j·c + |c|²` (ties → min code), reconstruction by ordered
     * concat of the chosen entries, then the standard decimal-exact cosine
     * against the reconstruction. */
-  val annPqTopK: String = {
-    val iters = 2
-    featBase + """
+  /** The PQ encode chain — codebook init/training and the corpus
+    * encode + reconstruction (`recn`: neighbor_id, recon, recon_nrm) —
+    * shared by the standalone PQ and the composed IVF+PQ oracles,
+    * lockstep with [[graft.operators.Similarity.trainPqCodebooks]] /
+    * `pqCode`. Assumes `feat` and `nvec` are already defined. */
+  private def pqEncodeChain(iters: Int): String = """
 , js AS (SELECT unnest(range(0, 8)) AS j)
 , pcb0 AS MATERIALIZED (
   SELECT j, vec_id AS code, ix.i, embedding[j*8 + ix.i] AS v
   FROM embeddings CROSS JOIN js CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
   WHERE vec_id < 16
-), nvec AS (
-  SELECT COUNT(*) AS n FROM embeddings
 ), ptrain AS MATERIALIZED (
   -- deterministic md5-bucket training sample, lockstep with
   -- Similarity.trainPqCodebooks: bucket < ceil(10000*4096/N), clamped
@@ -1010,8 +1011,8 @@ ORDER BY query_id, rnk"""
   WHERE CAST(concat('0x', substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
         < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
 )""" +
-      (0 until iters).map(pqIteration).mkString +
-      s"""
+    (0 until iters).map(pqIteration).mkString +
+    s"""
 , cbs AS MATERIALIZED (
   SELECT j, code, list(v ORDER BY i) AS sub
   FROM pcb$iters GROUP BY j, code
@@ -1042,7 +1043,14 @@ ORDER BY query_id, rnk"""
          sqrt(CAST(SUM(CAST(CAST(recon[i] AS DOUBLE) * CAST(recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS recon_nrm
   FROM rec CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
   GROUP BY neighbor_id, recon
-), q AS (
+)"""
+
+  val annPqTopK: String = {
+    featBase + """
+, nvec AS (
+  SELECT COUNT(*) AS n FROM embeddings
+)""" + pqEncodeChain(2) + """
+, q AS (
   SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
 ), dots AS (
   SELECT query_id, neighbor_id, q_nrm, recon_nrm,
@@ -1050,6 +1058,49 @@ ORDER BY query_id, rnk"""
   FROM q JOIN recn ON query_id <> neighbor_id
   CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
   GROUP BY query_id, neighbor_id, q_nrm, recon_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * recon_nrm) AS adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * recon_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, adc_cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
+  /** Composed IVF+PQ oracle: the shared trained-quantizer chain routes
+    * corpus vectors to cells and queries to their 2 nearest cells, the
+    * shared PQ encode chain supplies each candidate's reconstruction,
+    * and probed candidates are scored by the same decimal-exact ADC
+    * cosine — lockstep with `Similarity.ivfPqTopK`. */
+  val annIvfPqTopK: String = {
+    trainedQuantBase(2) + pqEncodeChain(2) + """
+, asgC AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
+    FROM cdotF WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgC a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), dots AS (
+  SELECT cd.query_id, cd.neighbor_id, q.q_nrm, r.recon_nrm,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(r.recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN recn r ON r.neighbor_id = cd.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.neighbor_id, q.q_nrm, r.recon_nrm
 ), scored AS (
   SELECT query_id, neighbor_id, dot / (q_nrm * recon_nrm) AS adc_cosine,
          row_number() OVER (PARTITION BY query_id

@@ -290,6 +290,8 @@ object SparkEntry {
 
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir))),
 
+    "ann_ivfpq_topk" -> ((s, dir) => Similarity.ivfPqTopK(Tables.embeddings(s, dir))),
+
     "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(Tables.embeddings(s, dir))),
 
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -525,6 +527,7 @@ object SparkEntry {
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,
     "ann_pq_topk"               -> Oracles.annPqTopK,
+    "ann_ivfpq_topk"            -> Oracles.annIvfPqTopK,
     "ann_sq_topk"               -> Oracles.annSqTopK,
     "label_centroids"           -> Oracles.labelCentroids,
     "multimodal_meta"           -> Oracles.multimodalMeta,

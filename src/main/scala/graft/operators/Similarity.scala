@@ -326,6 +326,62 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF+PQ approximate top-k — the two trained index structures
+    * COMPOSED the way a production vector index ships them (FAISS
+    * IVFPQ, here the `by_residual=false` variant): the trained coarse
+    * quantizer ([[trainCentroids]]) routes vectors to cells and queries
+    * to their `nProbe` nearest cells, and candidates in probed cells are
+    * scored by PQ asymmetric distance against the code reconstruction
+    * ([[trainPqCodebooks]]) instead of the raw vector. The scan a query
+    * pays touches nProbe/K of the corpus AND reads only codes (8 bytes
+    * a vector at these defaults) — the two savings multiply, which is
+    * exactly why the composition is the at-scale default.
+    *
+    * Both trainings are the sampled deterministic Lloyd paths already
+    * proven by their standalone oracles; encoding and cell assignment
+    * are pure map stages over inlined literal metadata; the only
+    * shuffles are the broadcast probe join and the final top-k rank.
+    *
+    * @return (query_id, neighbor_id, adc_cosine, rank) */
+  def ivfPqTopK(
+      embeddings: DataFrame,
+      nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10,
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = trainCentroids(embeddings, nCentroids, iters)
+    val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub, codebookSize, iters)
+    val dims = cb.length * cb.head.head.length
+    val sub = dims / nSub
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val codeCols = (0 until nSub).map(j => pqCode(j, sub, cb, cbSumsq).as(s"code_$j"))
+    val encoded = feat
+      .withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++ codeCols: _*)
+      .withColumn("recon", concat((0 until nSub).map { j =>
+        element_at(typedlit(cb(j)), col(s"code_$j") + 1)
+      }: _*))
+      .withColumn("recon_nrm",
+        sqrt(VectorFunctions.dotExact(col("recon"), col("recon"))))
+    val probes = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
+        explode(transform(
+          slice(cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(encoded, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cosine",
+        VectorFunctions.dotExact(col("qe"), col("recon")) / (col("q_nrm") * col("recon_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Multi-probe LSH top-k: candidates come from the query's sign bucket
     * PLUS every Hamming-distance-1 bucket (nBits single-bit flips) — the
     * standard multi-probe trick, recovering most of the recall lost to an

@@ -62,6 +62,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rT >= 0.3, s"PQ recall@10 $rT below the random-data floor")
   }
 
+  test("IVF+PQ composition: perfect recall on clustered data; candidates respect the probe set") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the same structured corpus as the PQ spec: composition must not
+    // lose what each index finds alone when cells are well-separated
+    val structured = (0 until 400).map { i =>
+      val proto = i % 20
+      (i.toLong, Array.tabulate(64)(d =>
+        ((proto * 37 + d * 13) % 21 - 10).toFloat + ((i * 7 + d) % 5 - 2) * 0.05f))
+    }.toDF("vec_id", "embedding")
+    val truth = pairs(Similarity.bruteForceTopK(structured))
+    val ivfpq = pairs(Similarity.ivfPqTopK(structured))
+    assert((truth & ivfpq).size.toDouble / truth.size >= 0.9,
+      "IVF+PQ recall collapsed on clustered data")
+    // every IVF+PQ result must also be an IVF candidate at the same
+    // probe budget: PQ only re-scores, it can never widen the cell scan
+    val ivfCand = pairs(Similarity.ivfTopKTrained(structured, k = 400))
+    assert(ivfpq.subsetOf(ivfCand), "IVF+PQ surfaced a neighbor outside the probed cells")
+  }
+
   test("PQ encodes the codebook vectors to themselves (self-reconstruction)") {
     // a vector that IS codebook entry c must pick code c in every
     // subspace: its reconstruction is itself, so its ADC cosine vs the
