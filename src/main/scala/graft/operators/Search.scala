@@ -218,16 +218,8 @@ object Search {
     * is one more partial agg. Every shuffle is keyed on corpus content
     * (bigram, doc), never through the driver. */
   def lmScore(documents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bi = Dedup.tokens(documents)
-      .withColumn("w2", lead("w", 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w").as("w1"), col("w2"))
-    val probs = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
-      .withColumn("c_w1", sum("c_bigram").over(Window.partitionBy("w1")))
-      .withColumn("p", col("c_bigram").cast("double") / col("c_w1").cast("double"))
-      .select("w1", "w2", "p")
-    bi.join(probs, Seq("w1", "w2"))
+    val bi = docBigrams(documents)
+    bi.join(lmModelFrom(bi), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
@@ -235,4 +227,46 @@ object Search {
           count(lit(1)).cast("double")).as("avg_lik"))
       .orderBy("doc_id")
   }
+
+  /** Per-document (doc_id, w1, w2) bigram occurrences — one token explode
+    * plus one in-doc lead() window. */
+  private def docBigrams(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    Dedup.tokens(documents)
+      .withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w").as("w1"), col("w2"))
+  }
+
+  private def lmModelFrom(bi: DataFrame): DataFrame =
+    bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+      .withColumn("c_w1", sum("c_bigram").over(Window.partitionBy("w1")))
+      .withColumn("p", col("c_bigram").cast("double") / col("c_w1").cast("double"))
+      .select("w1", "w2", "p")
+
+  /** The frozen bigram LM (w1, w2, p) trained from a committed corpus —
+    * the offline-training half of the streaming quality filter
+    * ([[graft.streaming.Streaming.lmFilteredIngest]]): same probability
+    * table [[lmScore]] builds internally, exposed as an artifact a
+    * serving stage can persist, broadcast, and apply. */
+  def lmModel(documents: DataFrame): DataFrame =
+    lmModelFrom(docBigrams(documents))
+
+  /** Score documents against a FROZEN bigram LM (the model-apply half:
+    * the scored docs need not be the training corpus). Unlike
+    * [[lmScore]] — where the corpus scores itself so every bigram is in
+    * the model — an incoming doc can contain unseen bigrams; they
+    * contribute likelihood 0 (the left join's null), and the mean
+    * divides by ALL of the doc's bigrams, so out-of-distribution text
+    * scores strictly lower. The model side is broadcast: scoring is a
+    * map-side join at source parallelism plus one per-doc partial agg. */
+  def lmScoreAgainst(documents: DataFrame, model: DataFrame): DataFrame =
+    docBigrams(documents)
+      .join(broadcast(model), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(coalesce(col("p"), lit(0.0)).cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_lik"))
+      .orderBy("doc_id")
 }

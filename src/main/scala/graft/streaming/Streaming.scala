@@ -351,6 +351,41 @@ object Streaming {
         "n_tokens", "fingerprint")
   }
 
+  /** Streaming LM-quality filter — the model-apply stage of a streaming
+    * training-data ingest (SURVEY §2.D10): documents arriving on the
+    * stream are scored under a FROZEN bigram LM trained offline from the
+    * committed corpus ([[graft.operators.Search.lmModel]]), and docs
+    * clearing the likelihood floor are appended to the sink.
+    *
+    * `foreachBatch` is the right harness here — deliberately, not as a
+    * fallback: the scorer is a corpus-level MODEL apply (per-doc mean
+    * over a broadcast probability table, [[graft.operators.Search
+    * .lmScoreAgainst]]), which is a batch join+agg per micro-batch, not
+    * a per-row expression or a running stateful aggregate. This is
+    * exactly how a production ingest applies an offline-trained filter
+    * model: train on the committed corpus, broadcast the frozen
+    * artifact, score each arriving batch at source parallelism, keep
+    * what clears the bar. Scores are bit-identical to the batch path on
+    * the same rows (spec-proven) because they ARE the batch path.
+    *
+    * @param docs   streaming frame with (doc_id, text, ...)
+    * @param model  frozen (w1, w2, p) table from [[Search.lmModel]]
+    * @param minAvgLik admission floor on the mean bigram likelihood
+    * @param outDir parquet sink for admitted (doc_id, n_bigrams, avg_lik)
+    * @param checkpointDir streaming checkpoint location */
+  def lmFilteredIngest(
+      docs: DataFrame, model: DataFrame, minAvgLik: Double,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Search.lmScoreAgainst(batch, model)
+          .filter(col("avg_lik") >= minAvgLik)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** The state-store health of a running stateful query: one row per
     * stateful operator from the LAST completed micro-batch's progress —
     * rows held, rows updated, and store memory. The monitoring hook a

@@ -304,4 +304,40 @@ class StreamingSpec extends SparkSpec {
       assert(metrics.exists(m => m.operator.nonEmpty && m.num_rows_total >= 2))
     } finally q.stop()
   }
+
+  test("streaming LM filter: foreachBatch scores equal the batch model apply exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model trained on the committed sf0.001 corpus
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val model = graft.operators.Search.lmModel(corpus).cache()
+    // stream: two in-distribution docs (drawn from the corpus itself),
+    // one out-of-distribution doc whose bigrams the model never saw
+    val inDist = corpus.orderBy("doc_id").limit(2)
+      .select("doc_id", "text").collect()
+      .map(r => graft.streaming.Doc(r.getLong(0), r.getString(1), "en", "s1", H))
+    val ood = graft.streaming.Doc(900001L,
+      "zzq qxv wvk zzq qxv totally unseen bigram soup", "xx", "s1", H + 1)
+    val mem = MemoryStream[graft.streaming.Doc]
+    val out = java.nio.file.Files.createTempDirectory("graft_lm_ingest").toString
+    val q = Streaming.lmFilteredIngest(
+      mem.toDF(), model, minAvgLik = 0.05, s"$out/data", s"$out/ckpt")
+    try {
+      mem.addData(Seq(inDist(0), ood))
+      q.processAllAvailable()
+      mem.addData(Seq(inDist(1)))
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(s"$out/data")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("avg_lik"))).toMap
+      // batch twin over the SAME three docs against the SAME frozen model
+      val allDocs = (inDist :+ ood).toSeq
+        .map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+      val batch = graft.operators.Search.lmScoreAgainst(allDocs, model)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("avg_lik"))).toMap
+      val admitted = batch.filter(_._2 >= 0.05)
+      assert(streamed.keySet === admitted.keySet)
+      streamed.foreach { case (id, lik) => assert(lik === admitted(id)) }
+      // the OOD doc scores strictly lower than either in-distribution doc
+      assert(batch(900001L) < batch.removed(900001L).values.min)
+    } finally q.stop()
+  }
 }
