@@ -95,7 +95,7 @@ object Sketches {
       .agg(count(lit(1)).as("n_exact"))
     val probes = exact.select(col("channel"), col("user_id"), col("n_exact"),
       explode(cells).as("c"))
-    probes
+    broadcast(probes)
       .join(sketch,
         col("channel") === col("s_channel") &&
           col("c.r") === col("s_r") && col("c.bucket") === col("s_bucket"))

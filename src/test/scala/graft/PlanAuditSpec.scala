@@ -203,4 +203,48 @@ class PlanAuditSpec extends SparkSpec {
     noCartesian(df)
     assert(shuffles(df) <= 5)
   }
+
+  test("IVF+PQ: broadcast probe join, encoded side is a pure map — rank + ordering shuffles only") {
+    val df = graft.operators.Similarity.ivfPqTopK(Tables.embeddings(spark, sfDir))
+    noCartesian(df)
+    // probes broadcast into the cell join; the encoded corpus reaches it
+    // straight from the scan (encode/reconstruct are projections), so the
+    // only exchanges are the per-query rank and the output ordering
+    assert(shuffles(df) === 2)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"), "probe join must be broadcast")
+  }
+
+  test("semantic dedup: candidate cell join carries ids only, no cartesian anywhere") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val df = graft.operators.Dedup.semanticDedup(emb)
+    noCartesian(df)
+    // the within-cell id self-join must not carry the 64-float payload —
+    // embeddings re-join AFTER candidate generation
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    val cellJoins = joins.filter(_.children.forall(
+      !_.output.map(_.name).contains("embedding")))
+    assert(cellJoins.nonEmpty, "no payload-free candidate join found")
+  }
+
+  test("sketches: CMS/HLL are one partial-agg pass each; KMV adds only the bounded rank") {
+    val events = Tables.events(spark, sfDir)
+    val cms = graft.operators.Sketches.cmsFrequency(events)
+    noCartesian(cms)
+    val hll = graft.operators.Sketches.hllDistinct(events)
+    noCartesian(hll)
+    // sketch build: explode + groupBy (1 shuffle), probe/spine joins are
+    // small-side broadcasts or reuse the agg partitioning; ordering last
+    assert(shuffles(cms) <= 4)
+    assert(shuffles(hll) <= 5)
+    // the n_exact companion branch re-aggregates the same distinct frame
+    // (identical canonical subplans — merged by ReuseExchange at runtime);
+    // statically that is 5 exchanges: distinct, bounded rank, distinct
+    // again, per-channel count, output ordering
+    assert(shuffles(graft.operators.Sketches.kmvDistinct(events)) <= 5)
+  }
 }
