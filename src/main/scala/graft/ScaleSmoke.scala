@@ -203,6 +203,25 @@ object ScaleSmoke {
     time(s"markov_distributed_solve n=$n")(println(s"[scale] channels = " +
       graft.operators.Markov.attributionDistributed(
         spark, sessions, Journeys.assign(sessions, conversions)).count()))
+
+    // Sketch suite over the full event stream: each sketch is one scan
+    // plus a constant-size aggregate (d·w counters, m registers, k kept
+    // hashes per channel) — cost tracks n, output stays bytes.
+    time(s"sketch_kmv n=$n")(println(s"[scale] kmv rows = " +
+      graft.operators.Sketches.kmvDistinct(events).count()))
+    time(s"sketch_hll n=$n")(println(s"[scale] hll rows = " +
+      graft.operators.Sketches.hllDistinct(events).count()))
+    time(s"sketch_cms n=$n")(println(s"[scale] cms probes = " +
+      graft.operators.Sketches.cmsFrequency(events).count()))
+
+    // SemDeDup at bounded cell size: the operator's scale contract is
+    // that CLUSTER COUNT grows with the corpus so cells stay
+    // bounded-size — 32 cells over 20k vectors keeps the within-cell
+    // pair stage at ~6M exact-decimal dot products.
+    val nSem = 20000L
+    time(s"dedup_semantic nVecs=$nSem K=32")(println(s"[scale] dup-group members = " +
+      graft.operators.Dedup.semanticDedup(
+        vecs.filter(col("vec_id") < nSem), nCentroids = 32).count()))
     spark.stop()
   }
 }
