@@ -2193,6 +2193,52 @@ JOIN sketch s ON s.channel = p.channel AND s.r = p.r AND s.bucket = p.bucket
 GROUP BY p.channel, p.user_id, p.n_exact
 ORDER BY 1, 2"""
 
+  /** Oracle for the MERGED KMV sketch: deliberately the FULL-data
+    * computation — merging bottom-k states must be lossless
+    * (`bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B)`), so matching
+    * this hash IS the merge-correctness proof. */
+  val sketchKmvMerged: String = sketchHashed + """
+, dh AS (
+  SELECT DISTINCT channel, h FROM hashed
+), ranked AS (
+  SELECT channel, h, row_number() OVER (PARTITION BY channel ORDER BY h) AS rn
+  FROM dh
+), kept AS (
+  SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS h_k
+  FROM ranked WHERE rn <= 64 GROUP BY channel
+)
+SELECT channel, n_kept,
+       CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+            ELSE CAST(63 AS DOUBLE)
+                 * (CAST(1152921504606846976 AS DOUBLE) / CAST(h_k AS DOUBLE)) END
+         AS est_distinct
+FROM kept
+ORDER BY 1"""
+
+  /** Oracle for the MERGED HLL registers: the FULL-data computation —
+    * register-wise max over slice states must reproduce the full-data
+    * registers exactly. */
+  val sketchHllMerged: String = sketchHashed + """
+, regs AS (
+  SELECT channel, h % 64 AS idx,
+         MAX(CASE WHEN (h >> 6) > 0 THEN 55 - length(bin(h >> 6)) ELSE 55 END) AS rnk
+  FROM hashed GROUP BY channel, h % 64
+), spine AS (
+  SELECT c.channel, ix.idx
+  FROM (SELECT DISTINCT channel FROM hashed) c
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS idx) ix
+), filled AS (
+  SELECT s.channel, COALESCE(r.rnk, 0) AS rnk
+  FROM spine s LEFT JOIN regs r ON r.channel = s.channel AND r.idx = s.idx
+)
+SELECT channel,
+       CAST(SUM(CASE WHEN rnk > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_registers_hit,
+       CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
+         / CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rnk AS INTEGER)) AS BIGINT) AS DOUBLE) AS est_hll
+FROM filled
+GROUP BY channel
+ORDER BY 1"""
+
   /** HyperLogLog oracle: m=64 registers, rank from bin() bit length,
     * integer-scaled register sum (exact BIGINTs), and the identical
     * left-to-right double product for the raw estimate. */

@@ -179,6 +179,12 @@ object SparkEntry {
     "sketch_hll_distinct" -> ((s, dir) =>
       graft.operators.Sketches.hllDistinct(Tables.events(s, dir))),
 
+    "sketch_kmv_merged" -> ((s, dir) =>
+      graft.operators.Sketches.kmvMerged(Tables.events(s, dir))),
+
+    "sketch_hll_merged" -> ((s, dir) =>
+      graft.operators.Sketches.hllMerged(Tables.events(s, dir))),
+
     "q4_order_priority" -> ((s, dir) =>
       Analytics.q4OrderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
@@ -471,6 +477,8 @@ object SparkEntry {
     "sketch_kmv_distinct"       -> Oracles.sketchKmvDistinct,
     "sketch_cms_frequency"      -> Oracles.sketchCmsFrequency,
     "sketch_hll_distinct"       -> Oracles.sketchHllDistinct,
+    "sketch_kmv_merged"         -> Oracles.sketchKmvMerged,
+    "sketch_hll_merged"         -> Oracles.sketchHllMerged,
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,
     "q17_small_quantity_revenue" -> Oracles.q17SmallQuantityRevenue,

@@ -36,32 +36,66 @@ object Sketches {
 
   private val HashSpace: Double = 1152921504606846976.0 // 2^60, exact
 
-  /** KMV (K-minimum-values / bottom-k) distinct-count estimate of
-    * (user_id, day) pairs per channel, alongside the exact count so the
-    * result quantifies its own error: keep the k smallest distinct
-    * hashes; if fewer than k exist the sketch is exact, else
-    * `(k-1) · 2^60 / h_k` (Bar-Yossef et al.'s unbiased form).
-    *
-    * The division happens FIRST (`2^60 / h_k`, one rounding) and the
-    * `k-1` scaling second — the same two-op IEEE tree as the oracle, so
-    * the estimate is bit-identical cross-engine. */
-  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
-    val hashed = events.select(
+  /** (channel, h) 60-bit hashes of each event's (user_id, day) pair. */
+  private def hashedUserDay(events: DataFrame): DataFrame =
+    events.select(
       col("event_type").as("channel"),
       h60(concat(col("user_id").cast("string"), lit("|"),
         col("event_date").cast("string"))).as("h"))
-    val distinctHashes = hashed.distinct()
+
+  /** Bottom-k distinct hashes per channel — the KMV sketch STATE. The
+    * rank filter plans as WindowGroupLimit, so map partitions forward
+    * only k rows each. */
+  private def kmvState(hashed: DataFrame, k: Int): DataFrame = {
     val rk = Window.partitionBy("channel").orderBy("h")
-    distinctHashes
+    hashed.distinct()
       .withColumn("rn", row_number().over(rk))
       .filter(col("rn") <= k)
+      .select("channel", "h")
+  }
+
+  /** (channel, n_kept, est_distinct) from a bottom-k state: exact below
+    * k, else `(k-1) · 2^60 / h_k` (Bar-Yossef et al.'s unbiased form).
+    * The division happens FIRST (`2^60 / h_k`, one rounding) and the
+    * `k-1` scaling second — the same two-op IEEE tree as the oracle, so
+    * the estimate is bit-identical cross-engine. */
+  private def kmvEstimate(state: DataFrame, k: Int): DataFrame =
+    state
       .groupBy("channel")
       .agg(count(lit(1)).as("n_kept"), max(col("h")).as("h_k"))
-      .join(distinctHashes.groupBy("channel").agg(count(lit(1)).as("n_exact")), Seq("channel"))
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble) * (lit(HashSpace) / col("h_k").cast("double"))))
+
+  /** KMV (K-minimum-values / bottom-k) distinct-count estimate of
+    * (user_id, day) pairs per channel, alongside the exact count so the
+    * result quantifies its own error. */
+  def kmvDistinct(events: DataFrame, k: Int = 64): DataFrame = {
+    val hashed = hashedUserDay(events)
+    kmvEstimate(kmvState(hashed, k), k)
+      .join(hashed.distinct().groupBy("channel").agg(count(lit(1)).as("n_exact")),
+        Seq("channel"))
       .select("channel", "n_exact", "n_kept", "est_distinct")
+      .orderBy("channel")
+  }
+
+  /** KMV MERGE — the property sketches exist for at warehouse scale:
+    * bottom-k states built independently on slices of the data (here the
+    * two halves of the date range; in production, per partition / per
+    * day / per cluster) combine by re-taking the bottom k of the union,
+    * and `bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B)` makes the
+    * merged sketch EXACTLY the full-data sketch — no accuracy is lost to
+    * distribution. The oracle for this query IS the full-data KMV
+    * computation, so the hash match is the merge-correctness proof. */
+  def kmvMerged(
+      events: DataFrame, k: Int = 64, splitDay: String = "2024-01-16"): DataFrame = {
+    val d = lit(splitDay).cast("date")
+    val s1 = kmvState(hashedUserDay(events.filter(col("event_date") < d)), k)
+    val s2 = kmvState(hashedUserDay(events.filter(col("event_date") >= d)), k)
+    // distinct before re-ranking: merged slices may share hashes when the
+    // slicing is not disjoint (here it is; the operator must not care)
+    kmvEstimate(kmvState(s1.unionAll(s2), k), k)
+      .select("channel", "n_kept", "est_distinct")
       .orderBy("channel")
   }
 
@@ -118,32 +152,66 @@ object Sketches {
     * correction needs ln(), which is not correctly rounded across
     * engines — the raw form is the bit-reproducible one, and the checked
     * output carries the exact count next to it. */
-  def hllDistinct(events: DataFrame): DataFrame = {
-    val m = 64
-    val hashed = events.select(
-      col("event_type").as("channel"),
-      h60(concat(col("user_id").cast("string"), lit("|"),
-        col("event_date").cast("string"))).as("h"))
-    val regs = hashed
-      .select(col("channel"), (col("h") % m).as("idx"), shiftright(col("h"), 6).as("w"))
+  /** Per-channel HLL registers (channel, idx, rank) — the sketch STATE:
+    * register index is the hash's low 6 bits, the register holds the max
+    * rank (leading-zero count + 1) of the remaining 54-bit field. */
+  private def hllRegisters(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("channel"), (col("h") % 64).as("idx"), shiftright(col("h"), 6).as("w"))
       .groupBy("channel", "idx")
       .agg(max(when(col("w") > 0, lit(55) - length(bin(col("w")))).otherwise(lit(55)))
         .as("rank"))
-    val spine = hashed.select("channel").distinct()
+
+  /** (channel, n_registers_hit, est_hll) from a register state: the raw
+    * HLL estimate `α·m²/Σ2^(−M_j)` over INTEGER-scaled register terms
+    * (`2^(55−M_j)` — exact BIGINTs, order-independent sum) so the only
+    * floating-point steps are the final literal products and one
+    * division, identical trees in both engines. */
+  private def hllEstimate(regs: DataFrame): DataFrame = {
+    val m = 64
+    val spine = regs.select("channel").distinct()
       .select(col("channel"), explode(sequence(lit(0), lit(m - 1))).as("idx"))
-    val filled = spine.join(regs, Seq("channel", "idx"), "left")
+    spine.join(regs, Seq("channel", "idx"), "left")
       .select(col("channel"), coalesce(col("rank"), lit(0)).as("rank"))
-    val exact = hashed.distinct().groupBy("channel").agg(count(lit(1)).as("n_exact"))
-    filled
       .groupBy("channel")
       .agg(
         sum(expr("shiftleft(cast(1 as bigint), cast(55 - rank as int))")).as("s_scaled"),
         sum(when(col("rank") > 0, 1L).otherwise(0L)).as("n_registers_hit"))
-      .join(exact, Seq("channel"))
       // α_64 · m² · 2^55 / Σ2^(55−M_j), left-to-right IEEE products
       .withColumn("est_hll",
         lit(0.709) * lit(4096.0) * lit(36028797018963968.0) / col("s_scaled").cast("double"))
+  }
+
+  /** HyperLogLog distinct-count estimate of (user_id, day) pairs per
+    * channel, m = 64 registers (p = 6), with the exact count beside it.
+    *
+    * Deliberately the RAW estimator: the small-range linear-counting
+    * correction needs ln(), which is not correctly rounded across
+    * engines — the raw form is the bit-reproducible one. */
+  def hllDistinct(events: DataFrame): DataFrame = {
+    val hashed = hashedUserDay(events)
+    val exact = hashed.distinct().groupBy("channel").agg(count(lit(1)).as("n_exact"))
+    hllEstimate(hllRegisters(hashed))
+      .join(exact, Seq("channel"))
       .select("channel", "n_exact", "n_registers_hit", "est_hll")
+      .orderBy("channel")
+  }
+
+  /** HLL MERGE: register states built independently on slices combine by
+    * register-wise max, and `max` being idempotent/commutative makes the
+    * merged registers EXACTLY the full-data registers — the lossless
+    * union that lets a 1000-executor rollup keep one m-register state
+    * per group instead of re-scanning history. As with [[kmvMerged]],
+    * the oracle IS the full-data HLL computation: the hash match is the
+    * merge-correctness proof. */
+  def hllMerged(events: DataFrame, splitDay: String = "2024-01-16"): DataFrame = {
+    val d = lit(splitDay).cast("date")
+    val r1 = hllRegisters(hashedUserDay(events.filter(col("event_date") < d)))
+    val r2 = hllRegisters(hashedUserDay(events.filter(col("event_date") >= d)))
+    val merged = r1.unionAll(r2)
+      .groupBy("channel", "idx").agg(max("rank").as("rank"))
+    hllEstimate(merged)
+      .select("channel", "n_registers_hit", "est_hll")
       .orderBy("channel")
   }
 }

@@ -44,6 +44,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("sketch merges are lossless: merged slice states equal the full-data sketch") {
+    val events = Tables.events(spark, sfDir)
+    val fullKmv = Sketches.kmvDistinct(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val mergedKmv = Sketches.kmvMerged(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mergedKmv === fullKmv.view.mapValues(identity).toMap)
+    val fullHll = Sketches.hllDistinct(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val mergedHll = Sketches.hllMerged(events).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(mergedHll === fullHll.view.mapValues(identity).toMap)
+    // overlap robustness: a degenerate split where one slice is empty and
+    // the other is everything must also reproduce the full sketch
+    val skewed = Sketches.kmvMerged(events, splitDay = "1900-01-01").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(skewed === mergedKmv)
+  }
+
   test("KMV bottom-k rank is WindowGroupLimit-pruned (map partitions forward only k rows)") {
     val plan = Sketches.kmvDistinct(Tables.events(spark, sfDir))
       .queryExecution.explainString(
