@@ -2193,6 +2193,39 @@ JOIN sketch s ON s.channel = p.channel AND s.r = p.r AND s.bucket = p.bucket
 GROUP BY p.channel, p.user_id, p.n_exact
 ORDER BY 1, 2"""
 
+  /** Windowed ordered funnel: sequentially-dependent window mins over
+    * one user partitioning, lockstep with `Analytics.windowFunnel`. */
+  val eventsWindowFunnel: String = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), w1 AS (
+  SELECT user_id, event_type, ts_us,
+         MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM ev
+), w2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1
+                      AND ts_us <= t1 + 86400000000 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t2
+  FROM w1
+), w3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'signup' AND ts_us > t2
+                      AND ts_us <= t1 + 86400000000 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t3
+  FROM w2
+), w4 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t3
+                      AND ts_us <= t1 + 86400000000 THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t4
+  FROM w3
+)
+SELECT DISTINCT user_id, t1, t2, t3, t4,
+       CAST(CASE WHEN t4 IS NOT NULL THEN 4 WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS funnel_depth
+FROM w4
+WHERE t1 IS NOT NULL
+ORDER BY user_id"""
+
   /** Oracle for the MERGED KMV sketch: deliberately the FULL-data
     * computation — merging bottom-k states must be lossless
     * (`bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B)`), so matching

@@ -327,6 +327,8 @@ object SparkEntry {
 
     "events_funnel" -> ((s, dir) => Analytics.funnel(Tables.events(s, dir))),
 
+    "events_window_funnel" -> ((s, dir) => Analytics.windowFunnel(Tables.events(s, dir))),
+
     "cohort_retention" -> ((s, dir) => Analytics.cohortRetention(Tables.events(s, dir))),
 
     "order_value_percentiles" -> ((s, dir) =>
@@ -513,6 +515,7 @@ object SparkEntry {
     "ann_ivf_trained_topk"      -> Oracles.annIvfTrainedTopK,
     "top_ngrams"                -> Oracles.topNgrams,
     "events_funnel"             -> Oracles.eventsFunnel,
+    "events_window_funnel"      -> Oracles.eventsWindowFunnel,
     "cohort_retention"          -> Oracles.cohortRetention,
     "order_value_percentiles"   -> Oracles.orderValuePercentiles,
     "clickers_no_purchase"      -> Oracles.clickersNoPurchase,

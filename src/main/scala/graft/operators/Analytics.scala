@@ -132,6 +132,39 @@ object Analytics {
   /** Conversion funnel (signup → first later click → first later
     * purchase): per-user stage timestamps via conditional min-aggregates +
     * two join/min passes; one output row of stage counts. */
+  /** Windowed ORDERED funnel (the ClickHouse `windowFunnel` shape, B40):
+    * per user, the greedy step chain view → click → signup → purchase
+    * where every later step must land within `windowUs` of the step-1
+    * time — t1 = first view, t_i = first step-i event after t_{i-1} and
+    * inside the window. Emits one row per user who entered the funnel,
+    * with each reached step's timestamp and the depth.
+    *
+    * Unlike [[funnel]]'s staged joins, the whole chain is FOUR window
+    * expressions over ONE user_id partitioning: sequentially dependent
+    * mins (t2 references t1, …) become successive Window operators that
+    * all reuse the same exchange — one shuffle total however deep the
+    * funnel, never a self-join per step. */
+  def windowFunnel(events: DataFrame, windowUs: Long = 86400000000L): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+    def stepMin(tpe: String, prev: org.apache.spark.sql.Column) =
+      min(when(col("event_type") === tpe &&
+        col("ts_us") > prev && col("ts_us") <= col("t1") + windowUs,
+        col("ts_us"))).over(byUser)
+    events
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts_us"))).over(byUser))
+      .withColumn("t2", stepMin("click", col("t1")))
+      .withColumn("t3", stepMin("signup", col("t2")))
+      .withColumn("t4", stepMin("purchase", col("t3")))
+      .filter(col("t1").isNotNull)
+      .select("user_id", "t1", "t2", "t3", "t4")
+      .distinct()
+      .withColumn("funnel_depth",
+        when(col("t4").isNotNull, 4).when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2).otherwise(1).cast("long"))
+      .orderBy("user_id")
+  }
+
   def funnel(events: DataFrame): DataFrame = {
     val perUser = events.groupBy("user_id")
       .agg(min(when(col("event_type") === "signup", col("ts_us"))).as("s0"))

@@ -22,6 +22,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.toSeq === Seq(1L, 3L))
   }
 
+  test("window funnel: ordered chain, window bound enforced, one exchange for all steps") {
+    import spark.implicits._
+    val H = 86400000000L // the funnel window (24 h in µs)
+    val ev = Seq(
+      // user 1: full ordered chain inside the window -> depth 4
+      (1L, 1L, "view", 0L), (2L, 1L, "click", 1000L),
+      (3L, 1L, "signup", 2000L), (4L, 1L, "purchase", 3000L),
+      // user 2: click BEFORE the first view must not count -> depth 1
+      (5L, 2L, "click", 0L), (6L, 2L, "view", 1000L),
+      // user 3: signup lands outside t1+window -> depth 2
+      (7L, 3L, "view", 0L), (8L, 3L, "click", 1000L),
+      (9L, 3L, "signup", H + 2000L),
+      // user 4: never views -> not in the funnel at all
+      (10L, 4L, "purchase", 0L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.windowFunnel(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("funnel_depth")).toMap
+    assert(out === Map(1L -> 4L, 2L -> 1L, 3L -> 2L))
+    // all four sequentially-dependent window mins share ONE user_id
+    // exchange; the only other exchanges are distinct + output ordering
+    val plan = Analytics.windowFunnel(ev).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("\\(\\d+\\) Exchange\\b".r.findAllIn(plan).toSet.size <= 3, plan)
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val r = Analytics.funnel(Tables.events(spark, sfDir)).head
     val (s, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
