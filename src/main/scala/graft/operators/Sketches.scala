@@ -36,8 +36,10 @@ object Sketches {
 
   private val HashSpace: Double = 1152921504606846976.0 // 2^60, exact
 
-  /** (channel, h) 60-bit hashes of each event's (user_id, day) pair. */
-  private def hashedUserDay(events: DataFrame): DataFrame =
+  /** (channel, h) 60-bit hashes of each event's (user_id, day) pair —
+    * shared with the streaming HLL ([[graft.streaming.Streaming
+    * .hllCounts]]) so both sketch the identical hash stream. */
+  private[graft] def hashedUserDay(events: DataFrame): DataFrame =
     events.select(
       col("event_type").as("channel"),
       h60(concat(col("user_id").cast("string"), lit("|"),

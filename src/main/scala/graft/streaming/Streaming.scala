@@ -63,6 +63,16 @@ final case class TransitionInc(from_channel: String, to_channel: String, n: Long
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
 
+/** One hashed register observation feeding [[Streaming.hllCounts]]. */
+final case class HllReg(channel: String, idx: Int, rnk: Int)
+
+/** Per-channel HLL register state (m = 64) — BOUNDED: 64 ints per
+  * channel forever, whatever the stream volume. */
+final case class HllState(ranks: Array[Int])
+
+/** A per-channel HLL estimate emitted each micro-batch. */
+final case class HllEstimate(channel: String, n_registers_hit: Long, est_hll: Double)
+
 /** One state-store operator's health snapshot from a streaming query's
   * last progress — the observability surface for stateful streams. */
 final case class StateMetrics(
@@ -349,6 +359,45 @@ object Streaming {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("doc_id", "lang", "source", "quality_score", "pred_lang",
         "n_tokens", "fingerprint")
+  }
+
+  /** Streaming HyperLogLog distinct-count sketch (SURVEY §2.D11): the
+    * per-channel register state of [[graft.operators.Sketches
+    * .hllDistinct]] maintained incrementally — each arriving event folds
+    * its (register index, rank) observation into the register max, and
+    * the current raw estimate is emitted per channel each micro-batch.
+    *
+    * This is the canonical answer to "distinct users per channel, live,
+    * over an unbounded stream": exact distinct needs unbounded state,
+    * but the HLL state is 64 ints per channel FOREVER — and because
+    * register max is idempotent and commutative, replays and arrival
+    * order cannot change the converged registers. The hash/register
+    * arithmetic is the shared [[graft.operators.Sketches]] path and the
+    * estimate arithmetic is the identical IEEE tree, so the stream
+    * converges BIT-EQUAL to the batch sketch (spec-proven across
+    * scrambled micro-batches). */
+  def hllCounts(events: DataFrame): Dataset[HllEstimate] = {
+    import events.sparkSession.implicits._
+    val hashed = graft.operators.Sketches.hashedUserDay(
+      events.withColumn("event_date", timestamp_micros(col("ts_us")).cast("date")))
+    val w = shiftright(col("h"), 6)
+    val regs = hashed.select(
+      col("channel"),
+      (col("h") % 64).cast("int").as("idx"),
+      when(w > 0, lit(55) - length(bin(w))).otherwise(lit(55)).cast("int").as("rnk"))
+      .as[HllReg]
+    regs.groupByKey(_.channel)
+      .mapGroupsWithState[HllState, HllEstimate](GroupStateTimeout.NoTimeout) {
+        (channel: String, it: Iterator[HllReg], state: GroupState[HllState]) =>
+          val ranks = state.getOption.map(_.ranks.clone()).getOrElse(Array.fill(64)(0))
+          it.foreach(r => if (r.rnk > ranks(r.idx)) ranks(r.idx) = r.rnk)
+          state.update(HllState(ranks))
+          val s = ranks.map(m => 1L << (55 - m)).sum
+          // the same left-to-right IEEE product/divide tree as the batch
+          // estimator (Sketches.hllEstimate)
+          HllEstimate(channel, ranks.count(_ > 0).toLong,
+            0.709 * 4096.0 * 36028797018963968.0 / s.toDouble)
+      }
   }
 
   /** Streaming LM-quality filter — the model-apply stage of a streaming
