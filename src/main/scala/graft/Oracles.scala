@@ -2193,6 +2193,41 @@ JOIN sketch s ON s.channel = p.channel AND s.r = p.r AND s.bucket = p.bucket
 GROUP BY p.channel, p.user_id, p.n_exact
 ORDER BY 1, 2"""
 
+  /** Forward as-of: earliest session strictly after each conversion —
+    * the relational (fan-out) form as the oracle for the union+window
+    * implementation in `Temporal.asofNextSession`. */
+  val asofNextSession: String = attrBase + """
+SELECT conv_id, user_id, conv_ts_us, next_session_id, next_channel, gap_us FROM (
+  SELECT c.conv_id, c.user_id, c.conv_ts_us,
+         s.session_id AS next_session_id, s.channel_name AS next_channel,
+         s.ts_us - c.conv_ts_us AS gap_us,
+         row_number() OVER (PARTITION BY c.conv_id
+                            ORDER BY s.ts_us ASC NULLS LAST, s.session_id ASC NULLS LAST) AS rn
+  FROM conversions c LEFT JOIN sessions s
+    ON s.user_id = c.user_id AND s.ts_us > c.conv_ts_us) t
+WHERE rn = 1
+ORDER BY conv_id"""
+
+  /** RFM quartile segmentation, lockstep with `Analytics.rfmSegments`. */
+  val rfmSegments: String = """
+WITH per_user AS (
+  SELECT user_id, MAX(epoch_us(ts)) AS last_ts_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT *,
+         CAST(ntile(4) OVER (ORDER BY last_ts_us DESC, user_id) AS BIGINT) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY n_events DESC, user_id) AS BIGINT) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quartile
+  FROM per_user
+)
+SELECT user_id, last_ts_us, n_events, monetary,
+       r_quartile, f_quartile, m_quartile,
+       concat(r_quartile, f_quartile, m_quartile) AS segment
+FROM scored
+ORDER BY user_id"""
+
   /** Windowed ordered funnel: sequentially-dependent window mins over
     * one user partitioning, lockstep with `Analytics.windowFunnel`. */
   val eventsWindowFunnel: String = """

@@ -135,6 +135,12 @@ object SparkEntry {
     "asof_last_session" -> ((s, dir) =>
       Temporal.asofLastSession(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
+    "asof_next_session" -> ((s, dir) =>
+      Temporal.asofNextSession(Tables.sessions(s, dir), Tables.conversions(s, dir))),
+
+    "user_rfm_segments" -> ((s, dir) =>
+      Analytics.rfmSegments(Tables.events(s, dir))),
+
     "range_session_count" -> ((s, dir) =>
       Temporal.sessionCountWindow(Tables.sessions(s, dir), Tables.conversions(s, dir))),
 
@@ -464,6 +470,8 @@ object SparkEntry {
     "events_anomaly"            -> Oracles.eventsAnomaly,
     "data_profile"              -> Oracles.dataProfile,
     "asof_last_session"         -> Oracles.asofLastSession,
+    "asof_next_session"         -> Oracles.asofNextSession,
+    "user_rfm_segments"         -> Oracles.rfmSegments,
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,
     "contamination_check"       -> Oracles.contaminationCheck,

@@ -132,6 +132,37 @@ object Analytics {
   /** Conversion funnel (signup → first later click → first later
     * purchase): per-user stage timestamps via conditional min-aggregates +
     * two join/min passes; one output row of stage counts. */
+  /** RFM segmentation (B41): per-user recency (last event time),
+    * frequency (event count), monetary (decimal-exact value sum), each
+    * scored into quartiles by ntile(4), concatenated into the classic
+    * 3-digit segment label. Descending metric order → quartile 1 is the
+    * best cohort on every axis; user_id breaks ties so the labeling is
+    * deterministic.
+    *
+    * Scale contract (same as quality_curriculum's): the per-user rollup
+    * is one partial-agg groupBy over the events, but the ntile windows
+    * are UNPARTITIONED — fine while users fit one partition after the
+    * 1000× event→user reduction (they are the dimension, not the
+    * stream); at billion-user scale the quartile boundaries would come
+    * from approx thresholds instead, trading the total order for a
+    * map-side bucket lookup. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      max(col("ts_us")).as("last_ts_us"),
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("monetary"))
+    def q(metric: String) = ntile(4).over(
+      Window.orderBy(col(metric).desc, col("user_id"))).cast("long")
+    perUser
+      .withColumn("r_quartile", q("last_ts_us"))
+      .withColumn("f_quartile", q("n_events"))
+      .withColumn("m_quartile", q("monetary"))
+      .withColumn("segment", concat(
+        col("r_quartile").cast("string"), col("f_quartile").cast("string"),
+        col("m_quartile").cast("string")))
+      .orderBy("user_id")
+  }
+
   /** Windowed ORDERED funnel (the ClickHouse `windowFunnel` shape, B40):
     * per user, the greedy step chain view → click → signup → purchase
     * where every later step must land within `windowUs` of the step-1

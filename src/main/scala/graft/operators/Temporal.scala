@@ -52,6 +52,41 @@ object Temporal {
       .orderBy("conv_id")
   }
 
+  /** Forward as-of join — the time-mirror of [[asofLastSession]]: for
+    * each conversion, the user's EARLIEST session strictly after the
+    * conversion timestamp (ties → smallest session_id) — the
+    * re-engagement question ("what was the next touch after
+    * purchase?"). Same union + running-window machinery, with the frame
+    * reversed to `currentRow → unboundedFollowing` and a
+    * `first(ignoreNulls)`; sessions sort BEFORE conversions at equal
+    * timestamps so the strict `>` holds. One shuffle + one sort,
+    * zero fan-out, exactly like the backward form. */
+  def asofNextSession(sessions: DataFrame, conversions: DataFrame): DataFrame = {
+    val smark = struct(col("ts_us"), col("session_id"), col("channel_name"))
+    val sessSide = sessions.select(
+      col("user_id"), col("ts_us"), lit(0).as("kind"), smark.as("smark"),
+      lit(null).cast("long").as("conv_id"),
+      lit(null).cast("long").as("conv_ts_us"))
+    val convSide = conversions.select(
+      col("user_id"), col("conv_ts_us").as("ts_us"), lit(1).as("kind"),
+      lit(null).cast(sessSide.schema("smark").dataType).as("smark"),
+      col("conv_id"), col("conv_ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").asc, col("kind").asc,
+        coalesce(col("smark.session_id"), lit(-1L)).asc,
+        coalesce(col("conv_id"), lit(-1L)).asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sessSide.unionByName(convSide)
+      .withColumn("m", first(col("smark"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("conv_id"), col("user_id"), col("conv_ts_us"),
+        col("m.session_id").as("next_session_id"),
+        col("m.channel_name").as("next_channel"),
+        (col("m.ts_us") - col("conv_ts_us")).as("gap_us"))
+      .orderBy("conv_id")
+  }
+
   /** Bounded range join: per conversion, count (and holder-engagement-sum)
     * of the user's sessions inside `[conv_ts − windowUs, conv_ts)`.
     * Equi-join on user_id (sort-merge) with the range predicate applied in

@@ -47,6 +47,20 @@ class AnalyticsSpec extends SparkSpec {
     assert("\\(\\d+\\) Exchange\\b".r.findAllIn(plan).toSet.size <= 3, plan)
   }
 
+  test("RFM segments: quartiles balanced within 1, best metrics land in quartile 1") {
+    val out = Analytics.rfmSegments(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    Seq("r_quartile", "f_quartile", "m_quartile").foreach { qc =>
+      val sizes = out.groupBy(_.getAs[Long](qc)).view.mapValues(_.length)
+      assert(sizes.keySet === Set(1L, 2L, 3L, 4L), s"$qc labels")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$qc unbalanced: $sizes")
+    }
+    val topSpender = out.maxBy(r => (r.getAs[Double]("monetary"), -r.getAs[Long]("user_id")))
+    assert(topSpender.getAs[Long]("m_quartile") === 1L)
+    out.foreach(r => assert(r.getAs[String]("segment") ===
+      s"${r.getAs[Long]("r_quartile")}${r.getAs[Long]("f_quartile")}${r.getAs[Long]("m_quartile")}"))
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val r = Analytics.funnel(Tables.events(spark, sfDir)).head
     val (s, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -43,6 +43,20 @@ class TemporalCorpusSpec extends SparkSpec {
     assert(out.head.getAs[Long]("last_session_id") === 9L)
   }
 
+  test("forward as-of is strict and picks the earliest later session, min id on ties") {
+    val s = sess((1L, 7L, 200L, "click"), (9L, 7L, 300L, "a"),
+      (3L, 7L, 300L, "b"), (4L, 7L, 400L, "view"))
+    val c = conv((50L, 7L, 200L), (51L, 7L, 999L))
+    val out = Temporal.asofNextSession(s, c).collect()
+      .map(r => r.getAs[Long]("conv_id") -> r).toMap
+    // session 1 at the SAME ts is not eligible (strict >); ties at 300
+    // resolve to the smallest session_id
+    assert(out(50L).getAs[Long]("next_session_id") === 3L)
+    assert(out(50L).getAs[Long]("gap_us") === 100L)
+    // no later session -> left semantics, null columns
+    assert(out(51L).isNullAt(out(51L).fieldIndex("next_session_id")))
+  }
+
   test("one output row per conversion on real data; gaps strictly positive") {
     val out = Temporal.asofLastSession(
       Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
