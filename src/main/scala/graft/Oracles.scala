@@ -2193,6 +2193,27 @@ JOIN sketch s ON s.channel = p.channel AND s.r = p.r AND s.bucket = p.bucket
 GROUP BY p.channel, p.user_id, p.n_exact
 ORDER BY 1, 2"""
 
+  /** BPE merge-candidate counts: distinct-token frequency table, then
+    * weighted adjacent char pairs — lockstep with `Search.bpeTopMerges`. */
+  val bpeTopMerges: String = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM tok WHERE length(w) >= 2 GROUP BY w
+), positions AS (
+  SELECT w, freq, unnest(range(1, length(w))) AS i FROM vocab
+), pairs AS (
+  SELECT substring(w, CAST(i AS INTEGER), 1) AS c1,
+         substring(w, CAST(i + 1 AS INTEGER), 1) AS c2, freq
+  FROM positions
+)
+SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS pair_freq
+FROM pairs
+GROUP BY c1, c2
+ORDER BY pair_freq DESC, c1, c2
+LIMIT 30"""
+
   /** Forward as-of: earliest session strictly after each conversion —
     * the relational (fan-out) form as the oracle for the union+window
     * implementation in `Temporal.asofNextSession`. */

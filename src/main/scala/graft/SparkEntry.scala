@@ -327,6 +327,8 @@ object SparkEntry {
 
     "bigram_lm" -> ((s, dir) => Search.bigramLm(Tables.documents(s, dir))),
 
+    "bpe_top_merges" -> ((s, dir) => Search.bpeTopMerges(Tables.documents(s, dir))),
+
     "text_normalize" -> ((s, dir) => Search.normalize(Tables.documents(s, dir))),
 
     "top_ngrams" -> ((s, dir) => Dedup.topShingles(Tables.documents(s, dir))),
@@ -543,6 +545,7 @@ object SparkEntry {
     "bm25_search"               -> Oracles.bm25Search,
     "bm25_search_indexed"       -> Oracles.bm25Search,
     "bigram_lm"                 -> Oracles.bigramLm,
+    "bpe_top_merges"            -> Oracles.bpeTopMerges,
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,
     "ann_pq_topk"               -> Oracles.annPqTopK,

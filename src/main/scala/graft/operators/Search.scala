@@ -252,6 +252,38 @@ object Search {
   def lmModel(documents: DataFrame): DataFrame =
     lmModelFrom(docBigrams(documents))
 
+  /** BPE merge-candidate counting (SURVEY §2.C31) — the distributed half
+    * of one byte-pair-encoding tokenizer-training iteration: split every
+    * token into characters, count adjacent character pairs corpus-wide
+    * weighted by token frequency, rank the top merge candidates. The
+    * expensive part of BPE training at 100 TB is exactly this counting
+    * pass; the apply step (rewriting the winning pair into a new symbol)
+    * is a per-token map and the loop re-runs the count on the rewritten
+    * corpus.
+    *
+    * Plan: tokens dedupe to a (token, freq) table FIRST — pair counting
+    * then runs over distinct tokens (vocabulary-sized, not corpus-sized)
+    * with the frequency as a weight, the same trick every real BPE
+    * trainer uses; pairs explode per distinct token via one sequence +
+    * substring map and aggregate in one partial-agg groupBy. */
+  def bpeTopMerges(documents: DataFrame, k: Int = 30): DataFrame = {
+    val vocab = Dedup.tokens(documents)
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    vocab
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(
+        col("w").substr(col("i"), lit(1)).as("c1"),
+        col("w").substr(col("i") + 1, lit(1)).as("c2"),
+        col("freq"))
+      .groupBy("c1", "c2")
+      .agg(sum(col("freq")).as("pair_freq"))
+      .orderBy(col("pair_freq").desc, col("c1"), col("c2"))
+      .limit(k)
+      .select(col("c1"), col("c2"), col("pair_freq"))
+  }
+
   /** Score documents against a FROZEN bigram LM (the model-apply half:
     * the scored docs need not be the training corpus). Unlike
     * [[lmScore]] — where the corpus scores itself so every bigram is in

@@ -6,6 +6,21 @@ import org.apache.spark.sql.functions._
 class SearchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("BPE merge counting: token-frequency-weighted pair counts, deterministic order") {
+    val d = Seq(
+      (1L, "abab ab"),   // 'ab' freq 1 + 'abab' freq 1
+      (2L, "abab cd x")) // 'abab' again -> freq 2; 'x' too short, dropped
+      .toDF("doc_id", "text")
+    val out = graft.operators.Search.bpeTopMerges(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("pair_freq")).toMap
+    // 'abab' (freq 2) contributes a-b x2, b-a x1 per occurrence;
+    // 'ab' (freq 1) contributes a-b x1; 'cd' (freq 1) c-d x1
+    assert(out(("a", "b")) === 2L * 2 + 1L)
+    assert(out(("b", "a")) === 2L)
+    assert(out(("c", "d")) === 1L)
+    assert(!out.keySet.exists(p => p._1 == "x" || p._2 == "x"))
+  }
+
   private lazy val docs = Seq(
     (0L, "rare apple apple common common common", "en", "s", 6L),
     (1L, "common common common common banana common", "en", "s", 6L),
