@@ -31,6 +31,27 @@ class RobustnessSpec extends SparkSpec {
     assert(report.count() === 0)
   }
 
+  test("round-5 operators on degenerate inputs: empty frames out, no errors") {
+    val noEvents = Tables.events(spark, sfDir).filter(lit(false))
+    // sketches: no channels -> no rows (not a crash, not a 0-estimate row)
+    assert(graft.operators.Sketches.kmvDistinct(noEvents).count() === 0)
+    assert(graft.operators.Sketches.hllDistinct(noEvents).count() === 0)
+    assert(graft.operators.Sketches.cmsFrequency(noEvents).count() === 0)
+    assert(graft.operators.Sketches.kmvMerged(noEvents).count() === 0)
+    // funnel / RFM on no events
+    assert(graft.operators.Analytics.windowFunnel(noEvents).count() === 0)
+    assert(graft.operators.Analytics.rfmSegments(noEvents).count() === 0)
+    // forward as-of with no sessions: left semantics, all-null markers
+    val conv = Tables.conversions(spark, sfDir)
+    val noSess = Tables.sessions(spark, sfDir).filter(lit(false))
+    val nxt = graft.operators.Temporal.asofNextSession(noSess, conv)
+    assert(nxt.count() === conv.count())
+    assert(nxt.filter(col("next_session_id").isNotNull).count() === 0)
+    // BPE counting on docs with only 1-char tokens: empty, not an error
+    val tiny = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(graft.operators.Search.bpeTopMerges(tiny).count() === 0)
+  }
+
   test("csv/json/orc round-trips preserve the events row set") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val ev = Tables.events(spark, sfDir)
