@@ -343,17 +343,33 @@ object Markov {
   def channelPagerank(
       assigned: DataFrame, damping: Double = 0.85, iters: Int = 8,
       checkpointEvery: Int = 2): DataFrame = {
-    val trans = Journeys.channelTransitions(assigned)
+    // checkpoint the TRANSITION frame itself (K×K rows) before anything
+    // else derives from it: nodes, out-degrees, and edges all hang off it,
+    // and without this the full journey/transition DAG over the event
+    // stream re-executes once per derivation (3× the scan cost before the
+    // first iteration even starts)
+    val trans = Journeys.channelTransitions(assigned).localCheckpoint()
     val nodes = trans.select(col("from_channel").as("channel"))
       .union(trans.select(col("to_channel")))
       .distinct()
       .localCheckpoint()
     val nD = nodes.count().toDouble // |V| — graph metadata, not row data
     val outSum = trans.groupBy("from_channel").agg(sum("n").as("out_n"))
+      .localCheckpoint()
     val edges = trans.join(outSum, "from_channel")
       .select(col("from_channel"), col("to_channel"),
         (col("n").cast("double") / col("out_n").cast("double")).as("p"))
       .localCheckpoint()
+    // the dangling NODE SET is fixed across iterations (nodes with no
+    // out-edges) — only its rank mass changes. Precompute it once; when
+    // it is empty (every channel links onward — the common case for
+    // channel graphs) the per-iteration dangling aggregate is a constant
+    // 0 and its join+agg+broadcast subplan can be elided entirely,
+    // leaving `+ 0.0` (bit-identical: inflow is never -0.0).
+    val danglingNodes = nodes
+      .join(outSum.select(col("from_channel").as("channel")), Seq("channel"), "left_anti")
+      .localCheckpoint()
+    val hasDangling = danglingNodes.count() > 0
     // scale 12, NOT deeper: Spark's double→decimal cast rounds the
     // SHORTEST-STRING representation while DuckDB rounds the exact binary
     // expansion — they agree only within double's ~17 significant digits,
@@ -365,12 +381,15 @@ object Markov {
         .join(ranks.withColumnRenamed("channel", "from_channel"), "from_channel")
         .groupBy(col("to_channel").as("channel"))
         .agg(sum((col("pr") * col("p")).cast(dec)).cast("double").as("inflow"))
-      val dangling = ranks
-        .join(outSum.select(col("from_channel").as("channel")), Seq("channel"), "left_anti")
-        .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("d"))
-      ranks = nodes
-        .join(inflow, Seq("channel"), "left")
-        .crossJoin(broadcast(dangling))
+      val base = nodes.join(inflow, Seq("channel"), "left")
+      val withD =
+        if (hasDangling) {
+          val dangling = ranks
+            .join(danglingNodes, Seq("channel"), "left_semi")
+            .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("d"))
+          base.crossJoin(broadcast(dangling))
+        } else base.withColumn("d", lit(0.0))
+      ranks = withD
         .select(col("channel"),
           ((lit(1.0) - lit(damping)) / lit(nD) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("d") / lit(nD)))
