@@ -188,6 +188,9 @@ object SparkEntry {
     "sketch_kmv_merged" -> ((s, dir) =>
       graft.operators.Sketches.kmvMerged(Tables.events(s, dir))),
 
+    "sketch_cms_merged" -> ((s, dir) =>
+      graft.operators.Sketches.cmsMerged(Tables.events(s, dir))),
+
     "sketch_hll_merged" -> ((s, dir) =>
       graft.operators.Sketches.hllMerged(Tables.events(s, dir))),
 
@@ -490,6 +493,9 @@ object SparkEntry {
     "sketch_cms_frequency"      -> Oracles.sketchCmsFrequency,
     "sketch_hll_distinct"       -> Oracles.sketchHllDistinct,
     "sketch_kmv_merged"         -> Oracles.sketchKmvMerged,
+    // deliberately the FULL-data CMS oracle: cell-wise-sum merging must
+    // reproduce the full grid exactly, so the hash match IS the proof
+    "sketch_cms_merged"         -> Oracles.sketchCmsFrequency,
     "sketch_hll_merged"         -> Oracles.sketchHllMerged,
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,

@@ -113,19 +113,46 @@ object Sketches {
     * counters regardless of input size. Probe keys are a broadcast-scale
     * frame. */
   def cmsFrequency(
-      events: DataFrame, d: Int = 4, w: Int = 64, nProbeUsers: Int = 10): DataFrame = {
-    val rows = events.select(col("event_type").as("channel"), col("user_id"))
+      events: DataFrame, d: Int = 4, w: Int = 64, nProbeUsers: Int = 10): DataFrame =
+    probeSketch(events, cmsSketch(events, d, w), d, w, nProbeUsers)
+
+  /** HyperLogLog distinct-count estimate of (user_id, day) pairs per
+    * channel, m = 64 registers (p = 6): register index is the hash's low
+    * 6 bits, the register holds the max "rank" (leading-zero count + 1)
+    * of the remaining 54-bit field. The raw HLL estimate
+    * `α·m²/Σ2^(−M_j)` is computed over INTEGER-scaled register terms
+    * (`2^(55−M_j)` — exact BIGINTs, order-independent sum) so the only
+    * floating-point steps are the final literal products and one
+    * division, identical trees in both engines.
+    *
+    * Deliberately the RAW estimator: the small-range linear-counting
+    * correction needs ln(), which is not correctly rounded across
+    * engines — the raw form is the bit-reproducible one, and the checked
+    * output carries the exact count next to it. */
+  /** The CMS counter grid (channel, r, bucket, cnt) — the sketch STATE
+    * for [[cmsFrequency]] and [[cmsMerged]]. */
+  private def cmsSketch(events: DataFrame, d: Int, w: Int): DataFrame = {
     val cells = array((0 until d).map { r =>
       struct(
         lit(r).as("r"),
         (h60(concat(lit(s"$r:"), col("user_id").cast("string"))) % w).as("bucket"))
     }: _*)
-    val sketch = rows
-      .select(col("channel"), explode(cells).as("c"))
+    events.select(col("event_type").as("channel"), explode(cells).as("c"))
       .groupBy(col("channel").as("s_channel"), col("c.r").as("s_r"),
         col("c.bucket").as("s_bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val exact = rows
+  }
+
+  /** Probe a counter grid for users < `nProbeUsers`: exact count next
+    * to the min-of-counters estimate. */
+  private def probeSketch(
+      events: DataFrame, sketch: DataFrame, d: Int, w: Int, nProbeUsers: Int): DataFrame = {
+    val cells = array((0 until d).map { r =>
+      struct(
+        lit(r).as("r"),
+        (h60(concat(lit(s"$r:"), col("user_id").cast("string"))) % w).as("bucket"))
+    }: _*)
+    val exact = events.select(col("event_type").as("channel"), col("user_id"))
       .filter(col("user_id") < nProbeUsers)
       .groupBy("channel", "user_id")
       .agg(count(lit(1)).as("n_exact"))
@@ -141,19 +168,23 @@ object Sketches {
       .orderBy("channel", "user_id")
   }
 
-  /** HyperLogLog distinct-count estimate of (user_id, day) pairs per
-    * channel, m = 64 registers (p = 6): register index is the hash's low
-    * 6 bits, the register holds the max "rank" (leading-zero count + 1)
-    * of the remaining 54-bit field. The raw HLL estimate
-    * `α·m²/Σ2^(−M_j)` is computed over INTEGER-scaled register terms
-    * (`2^(55−M_j)` — exact BIGINTs, order-independent sum) so the only
-    * floating-point steps are the final literal products and one
-    * division, identical trees in both engines.
-    *
-    * Deliberately the RAW estimator: the small-range linear-counting
-    * correction needs ln(), which is not correctly rounded across
-    * engines — the raw form is the bit-reproducible one, and the checked
-    * output carries the exact count next to it. */
+  /** CMS MERGE: counter grids built on slices combine by CELL-WISE SUM —
+    * count-min counters are plain sums, so the merged grid is exactly
+    * the full-data grid (linearity, also spec-pinned on the probe
+    * estimates). Output = the same probe frame as [[cmsFrequency]],
+    * served from the merged grid; the oracle is the full-data CMS, so
+    * the hash match is the merge proof. */
+  def cmsMerged(
+      events: DataFrame, d: Int = 4, w: Int = 64, nProbeUsers: Int = 10,
+      splitDay: String = "2024-01-16"): DataFrame = {
+    val dt = lit(splitDay).cast("date")
+    val merged = cmsSketch(events.filter(col("event_date") < dt), d, w)
+      .unionAll(cmsSketch(events.filter(col("event_date") >= dt), d, w))
+      .groupBy("s_channel", "s_r", "s_bucket")
+      .agg(sum("cnt").as("cnt"))
+    probeSketch(events, merged, d, w, nProbeUsers)
+  }
+
   /** Per-channel HLL registers (channel, idx, rank) — the sketch STATE:
     * register index is the hash's low 6 bits, the register holds the max
     * rank (leading-zero count + 1) of the remaining 54-bit field. */

@@ -56,6 +56,11 @@ class SketchesSpec extends SparkSpec {
     val mergedHll = Sketches.hllMerged(events).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(mergedHll === fullHll.view.mapValues(identity).toMap)
+    val fullCms = Sketches.cmsFrequency(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val mergedCms = Sketches.cmsMerged(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(mergedCms === fullCms)
     // overlap robustness: a degenerate split where one slice is empty and
     // the other is everything must also reproduce the full sketch
     val skewed = Sketches.kmvMerged(events, splitDay = "1900-01-01").collect()
