@@ -63,6 +63,18 @@ final case class TransitionInc(from_channel: String, to_channel: String, n: Long
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
 
+/** Per-user windowed-funnel progress carried in GroupState: the reached
+  * step times of the view→click→signup→purchase chain — 4 optional
+  * longs per user, forever. */
+final case class FunnelState(
+    t1: Option[Long], t2: Option[Long], t3: Option[Long], t4: Option[Long])
+
+/** The current funnel row emitted per user each micro-batch. */
+final case class FunnelOut(
+    user_id: Long,
+    t1: Option[Long], t2: Option[Long], t3: Option[Long], t4: Option[Long],
+    funnel_depth: Long)
+
 /** One hashed register observation feeding [[Streaming.hllCounts]]. */
 final case class HllReg(channel: String, idx: Int, rnk: Int)
 
@@ -359,6 +371,49 @@ object Streaming {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("doc_id", "lang", "source", "quality_score", "pred_lang",
         "n_tokens", "fingerprint")
+  }
+
+  /** Streaming windowed ordered funnel (SURVEY §2.D12) — the live-
+    * dashboard twin of [[graft.operators.Analytics.windowFunnel]]: per
+    * user, the greedy view→click→signup→purchase chain (each later step
+    * strictly after the previous one and within `windowUs` of step 1),
+    * held as FOUR optional timestamps of state per user and emitted as
+    * the user's current funnel row each micro-batch.
+    *
+    * In per-user event-time order the greedy fold is EXACTLY the batch
+    * chain (the batch `t_i` are chained minima, and a greedy in-order
+    * scan takes each first-qualifying event = that minimum) — spec-
+    * proven equal to the batch operator across in-order micro-batch
+    * splits. Same stated assumption as [[attributeIhc]]: sources that
+    * deliver late data across micro-batches need a watermark-driven
+    * reorder buffer in front; order within a batch is handled here. */
+  def funnelProgress(
+      events: Dataset[Event], windowUs: Long = 86400000000L): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    def step(st: FunnelState, e: Event): FunnelState = e.event_type match {
+      case "view" if st.t1.isEmpty => st.copy(t1 = Some(e.ts_us))
+      case "click" if st.t2.isEmpty &&
+        st.t1.exists(t1 => e.ts_us > t1 && e.ts_us <= t1 + windowUs) =>
+        st.copy(t2 = Some(e.ts_us))
+      case "signup" if st.t3.isEmpty && st.t2.exists(e.ts_us > _) &&
+        st.t1.exists(e.ts_us <= _ + windowUs) =>
+        st.copy(t3 = Some(e.ts_us))
+      case "purchase" if st.t4.isEmpty && st.t3.exists(e.ts_us > _) &&
+        st.t1.exists(e.ts_us <= _ + windowUs) =>
+        st.copy(t4 = Some(e.ts_us))
+      case _ => st
+    }
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None, None))
+          it.toVector.sortBy(e => (e.ts_us, e.event_id)).foreach(e => st = step(st, e))
+          state.update(st)
+          val depth =
+            if (st.t4.isDefined) 4L else if (st.t3.isDefined) 3L
+            else if (st.t2.isDefined) 2L else if (st.t1.isDefined) 1L else 0L
+          FunnelOut(uid, st.t1, st.t2, st.t3, st.t4, depth)
+      }
   }
 
   /** Streaming HyperLogLog distinct-count sketch (SURVEY §2.D11): the

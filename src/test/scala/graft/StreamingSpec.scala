@@ -305,6 +305,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel converges to the batch windowed funnel over in-order batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val eventsTable = graft.sources.Tables.events(spark, sfDir)
+    val rows = eventsTable
+      .select("event_id", "ts_us", "user_id", "event_type", "value").collect()
+      .map(r => graft.streaming.Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.ts_us, e.event_id)) // in-order delivery (stated assumption)
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = Streaming.funnelProgress(mem.toDF().as[graft.streaming.Event])
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length / 4) + 1).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("funnel_stream").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (Option(r.get(r.fieldIndex("t1"))), Option(r.get(r.fieldIndex("t2"))),
+            Option(r.get(r.fieldIndex("t3"))), Option(r.get(r.fieldIndex("t4"))),
+            r.getAs[Long]("funnel_depth")))
+        .groupBy(_._1).map { case (u, v) => u -> v.last._2 } // last update = final
+      val batch = graft.operators.Analytics.windowFunnel(eventsTable).collect()
+        .map { r =>
+          def o(n: String) = Option(r.get(r.fieldIndex(n)))
+          r.getAs[Long]("user_id") ->
+            ((o("t1"), o("t2"), o("t3"), o("t4"), r.getAs[Long]("funnel_depth")))
+        }.toMap
+      // batch rows exist only for funnel entrants (t1 defined)
+      val entrants = streamed.filter(_._2._1.isDefined)
+      assert(entrants.keySet === batch.keySet)
+      entrants.foreach { case (u, got) => assert(got === batch(u), s"user $u") }
+    } finally q.stop()
+  }
+
   test("streaming HLL converges bit-equal to the batch sketch across scrambled batches") {
     implicit val sqlCtx = spark.sqlContext
     val eventsTable = graft.sources.Tables.events(spark, sfDir)
