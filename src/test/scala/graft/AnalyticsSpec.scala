@@ -61,6 +61,22 @@ class AnalyticsSpec extends SparkSpec {
       s"${r.getAs[Long]("r_quartile")}${r.getAs[Long]("f_quartile")}${r.getAs[Long]("m_quartile")}"))
   }
 
+  test("window funnel depth is monotone in the window size") {
+    val events = Tables.events(spark, sfDir)
+    val narrow = Analytics.windowFunnel(events, windowUs = 3600000000L).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("funnel_depth")).toMap
+    val wide = Analytics.windowFunnel(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("funnel_depth")).toMap
+    // same entrants (step 1 has no window constraint); a wider window can
+    // only let MORE steps qualify... but not fewer: note this holds for
+    // step 2 (its candidate set grows with W) — later steps chain off a
+    // possibly-different t2, so only the step-2 level is truly monotone
+    assert(narrow.keySet === wide.keySet)
+    narrow.foreach { case (u, d) =>
+      if (d >= 2) assert(wide(u) >= 2, s"user $u lost step 2 with a wider window")
+    }
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val r = Analytics.funnel(Tables.events(spark, sfDir)).head
     val (s, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))

@@ -68,6 +68,15 @@ class SketchesSpec extends SparkSpec {
     assert(skewed === mergedKmv)
   }
 
+  test("distinct sketches are duplication-invariant: replaying every event changes nothing") {
+    val events = Tables.events(spark, sfDir)
+    val doubled = events.unionAll(events)
+    assert(Sketches.kmvDistinct(doubled).collect().toSeq ===
+      Sketches.kmvDistinct(events).collect().toSeq)
+    assert(Sketches.hllDistinct(doubled).collect().toSeq ===
+      Sketches.hllDistinct(events).collect().toSeq)
+  }
+
   test("KMV bottom-k rank is WindowGroupLimit-pruned (map partitions forward only k rows)") {
     val plan = Sketches.kmvDistinct(Tables.events(spark, sfDir))
       .queryExecution.explainString(
