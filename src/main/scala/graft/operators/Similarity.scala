@@ -211,8 +211,16 @@ object Similarity {
     * `−2·x_j·c + |c|²`, ties → min code). */
   private def pqCode(
       j: Int, sub: Int,
-      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]) = {
-    val subv = slice(col("embedding"), j * sub + 1, sub)
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]) =
+    pqCodeFor(j, sub, cb, cbSumsq, col("embedding"))
+
+  /** The same argmin-code pick over an arbitrary embedding column —
+    * shared with [[VectorStore]]'s encode-at-rest path. */
+  private[graft] def pqCodeFor(
+      j: Int, sub: Int,
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]],
+      emb: org.apache.spark.sql.Column) = {
+    val subv = slice(emb, j * sub + 1, sub)
     element_at(sort_array(array(cb(j).indices.map { c =>
       struct(
         (lit(-2.0) * VectorFunctions.dotExact(subv, typedlit(cb(j)(c)))

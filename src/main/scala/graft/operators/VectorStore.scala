@@ -168,6 +168,156 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** Train PQ codebooks on `corpus` (sampled joint-subspace Lloyd, flat
+    * cost in corpus size) and commit them as frozen index metadata under
+    * `pq/<tag>` — the second index structure of a FAISS-style IVF+PQ
+    * store. Frozen for the same reason the coarse quantizer is: every
+    * vector, whenever encoded, gets codes from the same codebooks. */
+  def initPq(
+      spark: SparkSession, stateDir: String, corpus: DataFrame,
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): Unit = {
+    import spark.implicits._
+    val (cb, cbSumsq) = Similarity.trainPqCodebooks(corpus, nSub, codebookSize, iters)
+    val rows = for {
+      j <- cb.indices; c <- cb(j).indices
+    } yield (j, c, cb(j)(c).toSeq, cbSumsq(j)(c))
+    val tag = s"pq0_${java.util.UUID.randomUUID().toString.take(8)}"
+    rows.toDF("j", "code", "sub", "sumsq")
+      .coalesce(1)
+      .write.parquet(s"$stateDir/pq/$tag")
+    val snap = Manifest.snapshot(spark, stateDir)
+    require(!snap.live.exists(_.startsWith("pq/")),
+      s"vector store at $stateDir already has PQ codebooks")
+    Manifest.tryPublish(spark, stateDir, snap,
+      snap.live :+ s"pq/$tag", snap.meta).getOrElse(
+      throw new java.io.IOException(s"lost PQ init race at $stateDir"))
+  }
+
+  private def pqCodebooks(
+      spark: SparkSession, stateDir: String)
+      : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+    val dirs = Manifest.live(spark, stateDir).filter(_.startsWith("pq/"))
+    require(dirs.nonEmpty, s"vector store at $stateDir has no PQ codebooks (run initPq)")
+    val rows = spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
+      .orderBy("j", "code").collect()
+    val bySub = rows.groupBy(_.getAs[Int]("j"))
+    val cb = Array.tabulate(bySub.size)(j =>
+      bySub(j).sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[scala.collection.Seq[Float]]("sub").toArray))
+    val sumsq = Array.tabulate(bySub.size)(j =>
+      bySub(j).sortBy(_.getAs[Int]("code")).map(_.getAs[Double]("sumsq")))
+    (cb, sumsq)
+  }
+
+  /** The marker separating encoded history from post-encode raw batches:
+    * the one vectors/<tag> dir the last [[encodeCompact]] produced. */
+  private val CoveredKey = "pq_covered"
+
+  /** Encode-at-rest compaction: fold every committed vector batch into
+    * ONE cell-clustered raw batch AND its PQ CODES twin (`codes/<tag>`:
+    * cell, vec_id, codes), replacing both prior generations in one
+    * atomic publish (OCC merge — a racing ingest's concurrent commit
+    * survives and simply stays un-encoded until the next pass).
+    *
+    * After this, an ADC read serves the encoded majority from the codes
+    * table — 8 ints a vector instead of 64 floats — and only batches
+    * ingested SINCE the encode pass are encoded on the fly
+    * ([[queryAdc]]), which is exactly the hot/cold split a production
+    * IVF+PQ store runs: encode in the background, serve codes, let the
+    * write path stay raw. */
+  def encodeCompact(spark: SparkSession, stateDir: String, nFiles: Int = 4): Unit = {
+    graft.functions.GraftFunctions.register(spark)
+    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val dirs = snap.live.filter(_.startsWith("vectors/"))
+    if (dirs.isEmpty) return
+    val all = spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
+    val tag = s"e${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    Layout.writeClustered(all, s"$stateDir/vectors/$tag", Seq("cell"), nFiles)
+    Layout.writeClustered(
+      encodeFrame(all, cb, cbSumsq), s"$stateDir/codes/$tag", Seq("cell"), nFiles)
+    val inputs = dirs.toSet
+    Manifest.publishMerge(spark, stateDir) { cur =>
+      val keptCodes = cur.live.filterNot(_.startsWith("codes/"))
+      (keptCodes.filterNot(inputs) :+ s"vectors/$tag" :+ s"codes/$tag",
+        cur.meta + (CoveredKey -> tag))
+    }
+  }
+
+  /** (cell, vec_id, codes) for a raw vectors frame — a pure map against
+    * the literal codebooks. */
+  private def encodeFrame(
+      vecs: DataFrame,
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]): DataFrame = {
+    val nSub = cb.length
+    val sub = cb.head.head.length
+    vecs.select(col("cell"), col("vec_id"),
+      array((0 until nSub).map(j =>
+        Similarity.pqCodeFor(j, sub, cb, cbSumsq, col("embedding"))): _*).as("codes"))
+  }
+
+  /** ADC top-k against the committed store: probe `nProbe` cells, score
+    * candidates against the PQ RECONSTRUCTION. Encoded batches (the
+    * [[encodeCompact]] snapshot) are served from the codes table — the
+    * raw 64-float vectors never load; batches ingested since the encode
+    * pass are encoded on the fly from their raw form. Both paths build
+    * the same (cell, vec_id, recon) shape, so the scoring expression —
+    * the standard decimal-exact ADC cosine — is shared. */
+  def queryAdc(
+      spark: SparkSession, stateDir: String, queries: DataFrame,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val cents = centroids(spark, stateDir)
+    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val covered = snap.meta.get(CoveredKey)
+    val codeDirs = snap.live.filter(_.startsWith("codes/"))
+    val rawDirs = snap.live.filter(d => d.startsWith("vectors/") &&
+      !covered.contains(d.stripPrefix("vectors/")))
+    val encoded =
+      if (codeDirs.nonEmpty)
+        Some(spark.read.parquet(codeDirs.map(d => s"$stateDir/$d"): _*))
+      else None
+    val fresh =
+      if (rawDirs.nonEmpty)
+        Some(encodeFrame(
+          spark.read.parquet(rawDirs.map(d => s"$stateDir/$d"): _*), cb, cbSumsq))
+      else None
+    val codes = (encoded, fresh) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return spark.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
+          lit(0.0).as("adc_cosine"), lit(0).as("rank")).limit(0)
+    }
+    val cand = codes
+      .withColumn("recon", concat((0 until cb.length).map { j =>
+        element_at(typedlit(cb(j)), element_at(col("codes"), j + 1) + 1)
+      }: _*))
+      .withColumn("recon_nrm",
+        sqrt(VectorFunctions.dotExact(col("recon"), col("recon"))))
+      .select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("recon"), col("recon_nrm"))
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        VectorFunctions.normExact(col("embedding")).as("q_nrm"))
+      .select(col("query_id"), col("qe"), col("q_nrm"),
+        explode(transform(
+          slice(Similarity.cellRank(cents, col("qe"), col("q_nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
+    val rk = Window.partitionBy("query_id").orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(cand, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cosine",
+        VectorFunctions.dotExact(col("qe"), col("recon")) / (col("q_nrm") * col("recon_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** Fold all committed vector batches into ONE cell-clustered batch via
     * an OCC merge (a racing ingest's concurrent commit survives). */
   def compact(spark: SparkSession, stateDir: String, nFiles: Int = 4): Unit = {

@@ -64,6 +64,51 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("PQ encode-at-rest: ADC from codes equals on-the-fly ADC; hot batches stay raw") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-pq").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    // two cold batches, encoded at rest; one hot batch ingested after
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 3))
+    VectorStore.ingest(spark, stateDir,
+      emb.filter(col("vec_id") >= n / 3 && col("vec_id") < 2 * n / 3))
+    VectorStore.encodeCompact(spark, stateDir)
+    assert(graft.sources.Manifest.live(spark, stateDir)
+      .count(_.startsWith("codes/")) === 1)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= 2 * n / 3))
+    assert(VectorStore.vectors(spark, stateDir).count() === n)
+
+    val queries = emb.filter(col("vec_id") < 4)
+    def adc(dir: String) = VectorStore.queryAdc(spark, dir, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cosine"))).toMap
+    val mixed = adc(stateDir)
+    assert(mixed.nonEmpty)
+    // reference store: identical content, NEVER encoded at rest — every
+    // candidate scores through the on-the-fly encode path. The codes
+    // table must be a pure representation change: results identical.
+    val rawStore = Files.createTempDirectory("graft-vstore-raw").toString
+    VectorStore.init(spark, rawStore, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, rawStore, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, rawStore, emb)
+    assert(mixed === adc(rawStore))
+    // ADC ranks are a reasonable approximation of the exact probe query:
+    // the exact top-1 neighbor appears in the ADC top-k for most queries
+    val exact = VectorStore.query(spark, stateDir, queries).collect()
+      .filter(_.getAs[Int]("rank") === 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val adcByQ = mixed.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2._1).toSet)
+    val hits = exact.count { case (q, top1) => adcByQ.get(q).exists(_.contains(top1)) }
+    assert(hits >= exact.size / 2, s"ADC lost too many exact top-1s: $hits/${exact.size}")
+    // double-init of the codebooks is refused like the quantizer's
+    intercept[IllegalArgumentException] {
+      VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    }
+  }
+
   test("racing ingests serialize: the shared vector is admitted exactly once") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val stateDir = Files.createTempDirectory("graft-vstore-race").toString
