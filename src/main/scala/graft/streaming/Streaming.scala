@@ -75,6 +75,16 @@ final case class FunnelOut(
     t1: Option[Long], t2: Option[Long], t3: Option[Long], t4: Option[Long],
     funnel_depth: Long)
 
+/** One hashed observation feeding [[Streaming.kmvCounts]]. */
+final case class KmvObs(channel: String, h: Long)
+
+/** Per-channel bottom-k hash state — BOUNDED: at most k longs per
+  * channel forever. */
+final case class KmvState(hashes: Vector[Long])
+
+/** A per-channel KMV estimate emitted each micro-batch. */
+final case class KmvEstimate(channel: String, n_kept: Long, est_distinct: Double)
+
 /** One hashed register observation feeding [[Streaming.hllCounts]]. */
 final case class HllReg(channel: String, idx: Int, rnk: Int)
 
@@ -413,6 +423,35 @@ object Streaming {
             if (st.t4.isDefined) 4L else if (st.t3.isDefined) 3L
             else if (st.t2.isDefined) 2L else if (st.t1.isDefined) 1L else 0L
           FunnelOut(uid, st.t1, st.t2, st.t3, st.t4, depth)
+      }
+  }
+
+  /** Streaming KMV (bottom-k) distinct-count sketch (SURVEY §2.D13) —
+    * the bottom-k twin of [[hllCounts]]: per channel, the k smallest
+    * distinct (user, day) hashes held as state (at most k longs per
+    * channel forever) and the current estimate emitted each
+    * micro-batch. Bottom-k of a union is the bottom-k of the merged
+    * bottom-ks, so replays and arrival order cannot change the
+    * converged state, and the hash/estimate arithmetic is the shared
+    * [[graft.operators.Sketches]] path — the stream converges BIT-EQUAL
+    * to the batch sketch (spec-proven across scrambled micro-batches). */
+  def kmvCounts(events: DataFrame, k: Int = 64): Dataset[KmvEstimate] = {
+    import events.sparkSession.implicits._
+    val hashed = graft.operators.Sketches.hashedUserDay(
+      events.withColumn("event_date", timestamp_micros(col("ts_us")).cast("date")))
+      .as[KmvObs]
+    hashed.groupByKey(_.channel)
+      .mapGroupsWithState[KmvState, KmvEstimate](GroupStateTimeout.NoTimeout) {
+        (channel: String, it: Iterator[KmvObs], state: GroupState[KmvState]) =>
+          val prev = state.getOption.map(_.hashes).getOrElse(Vector.empty)
+          val merged = (prev ++ it.map(_.h)).distinct.sorted.take(k)
+          state.update(KmvState(merged))
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            // the same two-op IEEE tree as Sketches.kmvEstimate:
+            // division first, (k−1) scaling second
+            else (k - 1).toDouble * (1152921504606846976.0 / merged.last.toDouble)
+          KmvEstimate(channel, merged.length.toLong, est)
       }
   }
 

@@ -368,6 +368,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV converges bit-equal to the batch sketch across scrambled batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val eventsTable = graft.sources.Tables.events(spark, sfDir)
+    val rows = eventsTable
+      .select("event_id", "ts_us", "user_id", "event_type", "value").collect()
+      .map(r => graft.streaming.Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e.event_id * 40503L) % 65537L)
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = Streaming.kmvCounts(mem.toDF())
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      rows.grouped((rows.length / 3) + 1).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (c, v) => c -> v.last }
+      val batch = graft.operators.Sketches.kmvDistinct(eventsTable).collect()
+        .map(r => r.getString(0) -> ((r.getString(0), r.getLong(2), r.getDouble(3)))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (c, got) => assert(got === batch(c), s"channel $c") }
+    } finally q.stop()
+  }
+
   test("streaming LM filter: foreachBatch scores equal the batch model apply exactly") {
     implicit val sqlCtx = spark.sqlContext
     // frozen model trained on the committed sf0.001 corpus
