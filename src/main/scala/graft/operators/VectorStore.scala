@@ -209,9 +209,14 @@ object VectorStore {
     (cb, sumsq)
   }
 
-  /** The marker separating encoded history from post-encode raw batches:
-    * the one vectors/<tag> dir the last [[encodeCompact]] produced. */
+  /** The markers separating encoded history from not-yet-encoded raw
+    * batches: the comma-joined vectors/<tag> dirs whose codes are
+    * committed ([[encodeCompact]] resets it to its one folded tag;
+    * [[encodeFresh]] appends). */
   private val CoveredKey = "pq_covered"
+
+  private def coveredTags(meta: Map[String, String]): Set[String] =
+    meta.get(CoveredKey).toSeq.flatMap(_.split(",")).filter(_.nonEmpty).toSet
 
   /** Encode-at-rest compaction: fold every committed vector batch into
     * ONE cell-clustered raw batch AND its PQ CODES twin (`codes/<tag>`:
@@ -244,6 +249,33 @@ object VectorStore {
     }
   }
 
+  /** INCREMENTAL encode pass: encode only the raw batches ingested since
+    * the last encode (no refold of history — the committed codes and raw
+    * batches are untouched), committing one additional codes dir and
+    * extending the covered set. This is the background cadence a
+    * production store actually runs between full [[encodeCompact]]s:
+    * each pass costs O(new data), and [[queryAdc]]'s on-the-fly path
+    * shrinks back to empty. Returns the number of batches encoded. */
+  def encodeFresh(spark: SparkSession, stateDir: String, nFiles: Int = 4): Int = {
+    graft.functions.GraftFunctions.register(spark)
+    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val covered = coveredTags(snap.meta)
+    val fresh = snap.live.filter(d => d.startsWith("vectors/") &&
+      !covered.contains(d.stripPrefix("vectors/")))
+    if (fresh.isEmpty) return 0
+    val tag = s"f${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    Layout.writeClustered(
+      encodeFrame(spark.read.parquet(fresh.map(d => s"$stateDir/$d"): _*), cb, cbSumsq),
+      s"$stateDir/codes/$tag", Seq("cell"), nFiles)
+    val newTags = fresh.map(_.stripPrefix("vectors/"))
+    Manifest.publishMerge(spark, stateDir) { cur =>
+      val nowCovered = (coveredTags(cur.meta) ++ newTags).toSeq.sorted.mkString(",")
+      (cur.live :+ s"codes/$tag", cur.meta + (CoveredKey -> nowCovered))
+    }
+    fresh.length
+  }
+
   /** (cell, vec_id, codes) for a raw vectors frame — a pure map against
     * the literal codebooks. */
   private def encodeFrame(
@@ -270,7 +302,7 @@ object VectorStore {
     val cents = centroids(spark, stateDir)
     val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
     val snap = Manifest.snapshot(spark, stateDir)
-    val covered = snap.meta.get(CoveredKey)
+    val covered = coveredTags(snap.meta)
     val codeDirs = snap.live.filter(_.startsWith("codes/"))
     val rawDirs = snap.live.filter(d => d.startsWith("vectors/") &&
       !covered.contains(d.stripPrefix("vectors/")))

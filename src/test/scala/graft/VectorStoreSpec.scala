@@ -103,6 +103,11 @@ class VectorStoreSpec extends SparkSpec {
       .view.mapValues(_.map(_._2._1).toSet)
     val hits = exact.count { case (q, top1) => adcByQ.get(q).exists(_.contains(top1)) }
     assert(hits >= exact.size / 2, s"ADC lost too many exact top-1s: $hits/${exact.size}")
+    // incremental encode pass: the one hot batch gets codes without any
+    // refold; results unchanged, a second pass finds nothing to do
+    assert(VectorStore.encodeFresh(spark, stateDir) === 1)
+    assert(adc(stateDir) === mixed)
+    assert(VectorStore.encodeFresh(spark, stateDir) === 0)
     // double-init of the codebooks is refused like the quantizer's
     intercept[IllegalArgumentException] {
       VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
