@@ -71,8 +71,12 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
     println(json)
     // also persisted to a file — the driver's stdout tail truncated 9 of 67
-    // per-query timings in round 2
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    // per-query timings in round 2. ONLY the full (unfiltered) run may
+    // write it: a filtered iteration run has clobbered the committed
+    // snapshot twice now (3fc9cf8, 8013df5)
+    if (args.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
     spark.stop()
   }
 
