@@ -231,6 +231,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(cellJoins.nonEmpty, "no payload-free candidate join found")
   }
 
+  test("forward as-of / RFM / BPE: bounded shuffles, no cartesians") {
+    val nxt = graft.operators.Temporal.asofNextSession(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    noCartesian(nxt)
+    // same shape as the backward form: one per-user shuffle + ordering
+    assert(shuffles(nxt) === 2)
+    val rfm = graft.operators.Analytics.rfmSegments(Tables.events(spark, sfDir))
+    noCartesian(rfm)
+    // user rollup + the three single-partition ntile windows + ordering
+    assert(shuffles(rfm) <= 4)
+    val bpe = graft.operators.Search.bpeTopMerges(Tables.documents(spark, sfDir))
+    noCartesian(bpe)
+    // vocabulary groupBy + pair groupBy; the top-k is TakeOrdered, not a sort
+    assert(shuffles(bpe) <= 3)
+  }
+
   test("sketches: CMS/HLL are one partial-agg pass each; KMV adds only the bounded rank") {
     val events = Tables.events(spark, sfDir)
     val cms = graft.operators.Sketches.cmsFrequency(events)
