@@ -56,6 +56,11 @@ final case class SessionTouch(
 /** Per-user state for [[Streaming.transitionCounts]]: the last touch seen. */
 final case class LastTouch(ts_us: Long, session_id: Long, channel_name: String)
 
+/** Per-user state for [[Streaming.transitionCounts2]]: the last SECOND-
+  * ORDER composite state plus the last raw channel — two strings per
+  * user, however long the stream. */
+final case class LastTouch2(lastComposite: String, lastChannel: String)
+
 /** One transition-count increment emitted by [[Streaming.transitionCounts]]. */
 final case class TransitionInc(from_channel: String, to_channel: String, n: Long)
 
@@ -340,6 +345,36 @@ object Streaming {
             last = Some(LastTouch(t.ts_us, t.session_id, t.channel_name))
           }
           last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** SECOND-ORDER streaming transition counts (SURVEY §2.D14) — the
+    * composite-state twin of [[transitionCounts]], feeding the
+    * second-order Markov model (A24b): each arrival moves the user from
+    * composite state (prev₂, prev₁) to (prev₁, cur), joined with the
+    * same 0x1F separator the batch model uses, and emits one increment.
+    * State is TWO strings per user regardless of stream length; summed
+    * increments converge to the batch composite lead-window counts
+    * (spec, across micro-batch splits with scrambled in-batch order). */
+  def transitionCounts2(touches: Dataset[SessionTouch]): Dataset[TransitionInc] = {
+    import touches.sparkSession.implicits._
+    val sep = graft.operators.Markov.StateSep
+    val start = graft.operators.Markov.Start
+    touches
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastTouch2, TransitionInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[SessionTouch], state: GroupState[LastTouch2]) =>
+          val ordered = it.toVector.sortBy(t => (t.ts_us, t.session_id))
+          var st = state.getOption.getOrElse(LastTouch2(start, start))
+          val out = Vector.newBuilder[TransitionInc]
+          ordered.foreach { t =>
+            val composite = st.lastChannel + sep + t.channel_name
+            out += TransitionInc(st.lastComposite, composite, 1L)
+            st = LastTouch2(composite, t.channel_name)
+          }
+          state.update(st)
           out.result().iterator
       }
   }

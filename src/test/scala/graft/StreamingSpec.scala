@@ -240,6 +240,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("second-order streaming transition counts converge to the batch composite counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.{SessionTouch, TransitionInc}
+    val touches = Tables.sessions(spark, sfDir)
+      .selectExpr("user_id", "session_id", "ts_us", "channel_name")
+      .as[SessionTouch].collect().sortBy(t => (t.ts_us, t.session_id))
+    val parts = touches.grouped((touches.length + 2) / 3).toSeq
+      .map(_.sortBy(t => (t.session_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[SessionTouch]
+    val q = Streaming.transitionCounts2(mem.toDS())
+      .writeStream.format("memory").queryName("trans2_inc").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("trans2_inc").as[TransitionInc].collect()
+        .groupBy(t => (t.from_channel, t.to_channel))
+        .view.mapValues(_.map(_.n).sum).toMap
+      // batch twin: per-user composite lag + lead windows over all touches
+      val sep = graft.operators.Markov.StateSep
+      val start = graft.operators.Markov.Start
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "session_id")
+      val batchDf = touches.toSeq.toDF()
+        .withColumn("st", concat_ws(sep,
+          coalesce(lag("channel_name", 1).over(wu), lit(start)), col("channel_name")))
+        .withColumn("nxt", lead("st", 1).over(wu))
+        .withColumn("rn", row_number().over(wu))
+      val batch = (
+        batchDf.filter(col("nxt").isNotNull)
+          .select(col("st").as("f"), col("nxt").as("t"))
+        unionByName
+        batchDf.filter(col("rn") === 1)
+          .select(lit(start).as("f"), col("st").as("t")))
+        .groupBy("f", "t").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      assert(streamed.values.sum === touches.length)
+    } finally q.stop()
+  }
+
   test("streaming sessionizer agrees with the batch sessionizer") {
     implicit val sqlCtx = spark.sqlContext
     val events = (0 until 50).map { i =>
