@@ -2249,6 +2249,24 @@ SELECT user_id, last_ts_us, n_events, monetary,
 FROM scored
 ORDER BY user_id"""
 
+  /** Mixed grouping sets, lockstep with `Analytics.eventsGroupingSets`. */
+  val eventsGroupingSets: String = """
+SELECT event_type, CAST(ts AS DATE) AS event_date,
+       (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type),
+                        ((epoch_us(ts) // 86400000000 + 4) % 7))
+ORDER BY event_type NULLS FIRST, event_date NULLS FIRST, dow NULLS FIRST"""
+
+  /** INTERSECT of distinct clicker/purchaser user sets. */
+  val clickersWhoPurchased: String = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+ORDER BY user_id"""
+
   /** Windowed ordered funnel: sequentially-dependent window mins over
     * one user partitioning, lockstep with `Analytics.windowFunnel`. */
   val eventsWindowFunnel: String = """

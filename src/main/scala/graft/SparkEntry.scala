@@ -357,6 +357,12 @@ object SparkEntry {
 
     "events_cube" -> ((s, dir) => Analytics.eventsCube(Tables.events(s, dir))),
 
+    "events_grouping_sets" -> ((s, dir) =>
+      Analytics.eventsGroupingSets(Tables.events(s, dir))),
+
+    "clickers_who_purchased" -> ((s, dir) =>
+      Analytics.clickersWhoPurchased(Tables.events(s, dir))),
+
     "events_dow_hour_heatmap" -> ((s, dir) =>
       Analytics.eventsDowHourHeatmap(Tables.events(s, dir))),
 
@@ -539,6 +545,8 @@ object SparkEntry {
     "events_rollup"             -> Oracles.eventsRollup,
     "events_pivot"              -> Oracles.eventsPivot,
     "events_cube"               -> Oracles.eventsCube,
+    "events_grouping_sets"      -> Oracles.eventsGroupingSets,
+    "clickers_who_purchased"    -> Oracles.clickersWhoPurchased,
     "events_dow_hour_heatmap"   -> Oracles.eventsDowHourHeatmap,
     "events_daily_dense"        -> Oracles.eventsDailyDense,
     "orders_moving_avg"         -> Oracles.ordersMovingAvg,

@@ -350,6 +350,38 @@ object Analytics {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
       .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"))
 
+  /** Mixed GROUPING SETS (B42): daily detail per (type, date), per-type
+    * totals, AND a day-of-week profile in ONE pass over the events — the
+    * shape neither ROLLUP nor CUBE can express (dow is not drawn from a
+    * prefix lattice of (type, date)). One scan feeds all three
+    * aggregation granularities; the grouping-id columns disambiguate
+    * which set a row belongs to. */
+  def eventsGroupingSets(events: DataFrame): DataFrame = {
+    val withDow = events.select(
+      col("event_type"), col("event_date"),
+      expr("(ts_us DIV 86400000000 + 4) % 7").as("dow"), col("value"))
+    withDow
+      .groupingSets(
+        Seq(
+          Seq(col("event_type"), col("event_date")),
+          Seq(col("event_type")),
+          Seq(col("dow"))),
+        col("event_type"), col("event_date"), col("dow"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("event_date"),
+        asc_nulls_first("dow"))
+  }
+
+  /** INTERSECT set operation — the missing third of the set-op family
+    * (EXCEPT is [[clickersWhoNeverPurchased]], UNION is everywhere):
+    * users who BOTH clicked and purchased. Distinct + intersect plans as
+    * a left-semi over aggregated sides — no row explosion. */
+  def clickersWhoPurchased(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click").select("user_id").distinct()
+      .intersect(
+        events.filter(col("event_type") === "purchase").select("user_id").distinct())
+      .orderBy("user_id")
+
   /** Trailing 30-day moving average of order value per customer — a
     * RANGE-frame window (event-time interval, not row count), ordered on
     * epoch-µs so the frame bound is plain integer arithmetic in every
