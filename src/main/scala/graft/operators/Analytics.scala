@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Exact.dsum
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -134,19 +134,38 @@ object Analytics {
     * two join/min passes; one output row of stage counts. */
   /** RFM segmentation (B41): per-user recency (last event time),
     * frequency (event count), monetary (decimal-exact value sum), each
-    * scored into quartiles by ntile(4), concatenated into the classic
-    * 3-digit segment label. Descending metric order → quartile 1 is the
-    * best cohort on every axis; user_id breaks ties so the labeling is
-    * deterministic.
+    * scored into quartiles, concatenated into the classic 3-digit segment
+    * label. Descending metric order → quartile 1 is the best cohort on
+    * every axis; user_id breaks ties so the labeling is deterministic.
     *
-    * Scale contract (same as quality_curriculum's): the per-user rollup
-    * is one partial-agg groupBy over the events, but the ntile windows
-    * are UNPARTITIONED — fine while users fit one partition after the
-    * 1000× event→user reduction (they are the dimension, not the
-    * stream); at billion-user scale the quartile boundaries would come
-    * from approx thresholds instead, trading the total order for a
-    * map-side bucket lookup. */
+    * Each quartile is the EXACT ntile(4) — but computed via
+    * [[Quantiles.withExactRank]]'s range-bucketed distributed rank
+    * (broadcast per-bucket offsets + a window PARTITIONED by the bucket),
+    * never an unpartitioned window: at billion-user scale no single task
+    * sorts the user dimension. [[rfmSegmentsSingleTask]] pins the
+    * semantics. */
   def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      max(col("ts_us")).as("last_ts_us"),
+      count(lit(1)).as("n_events"),
+      dsum(col("value")).as("monetary"))
+    val scored = Seq("last_ts_us" -> "r_quartile", "n_events" -> "f_quartile",
+      "monetary" -> "m_quartile").foldLeft(perUser) { case (df, (metric, out)) =>
+      Quantiles
+        .withExactRank(df, Nil, Seq((metric, false), ("user_id", true)), "__rk", "__nn")
+        .withColumn(out, Quantiles.ntileFromRank(col("__rk"), col("__nn"), 4))
+        .drop("__rk", "__nn")
+    }
+    scored
+      .withColumn("segment", concat(
+        col("r_quartile").cast("string"), col("f_quartile").cast("string"),
+        col("m_quartile").cast("string")))
+      .orderBy("user_id")
+  }
+
+  /** Single-task reference form of [[rfmSegments]] (unpartitioned ntile
+    * windows) — spec-pinned semantic oracle, not the scale path. */
+  def rfmSegmentsSingleTask(events: DataFrame): DataFrame = {
     val perUser = events.groupBy("user_id").agg(
       max(col("ts_us")).as("last_ts_us"),
       count(lit(1)).as("n_events"),
@@ -410,9 +429,55 @@ object Analytics {
       .agg(dsum(col("value")))
       .orderBy("event_date")
 
-  /** Exact interpolated percentiles (sort-based `percentile`, bit-equal to
-    * DuckDB `quantile_cont`) + exact total. */
-  def orderValuePercentiles(orders: DataFrame): DataFrame =
+  /** Exact interpolated percentiles (bit-equal to Spark `percentile` /
+    * DuckDB `quantile_cont`) + exact total — computed distributed.
+    *
+    * Spark's own `percentile(...)` is an ImperativeAggregate that buffers
+    * every (value, count) pair in ONE aggregation buffer — an executor OOM
+    * at 100 TB of orders. Here the exact rank of every value comes from
+    * [[Quantiles.withExactRank]] (range-bucketed, all sorts partitioned),
+    * the ≤6 boundary rows are filtered map-side, and the interpolation
+    * `(⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi` (Percentile's exact double
+    * expression, pos = p·(n−1)) runs on that 6-row frame.
+    * [[orderValuePercentilesSingleTask]] pins the semantics. */
+  def orderValuePercentiles(orders: DataFrame): DataFrame = {
+    val vals = orders.select(col("o_totalprice").as("__v"), col("o_orderkey").as("__k"))
+    val ranked = Quantiles.withExactRank(
+      vals, Nil, Seq(("__v", true), ("__k", true)), "__rk", "__nn")
+    val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+    val withPos = ps.foldLeft(ranked) { case (df, (tag, p)) =>
+      df.withColumn(s"__pos$tag", lit(p) * (col("__nn") - lit(1L)).cast("double"))
+    }
+    val needed = ps.map { case (tag, _) =>
+      val pos = col(s"__pos$tag")
+      col("__rk") === floor(pos).cast("long") + lit(1L) ||
+        col("__rk") === ceil(pos).cast("long") + lit(1L)
+    }.reduce(_ || _)
+    val aggs = ps.flatMap { case (tag, _) =>
+      val pos = col(s"__pos$tag")
+      Seq(
+        max(when(col("__rk") === floor(pos).cast("long") + lit(1L), col("__v")))
+          .as(s"__lo$tag"),
+        max(when(col("__rk") === ceil(pos).cast("long") + lit(1L), col("__v")))
+          .as(s"__hi$tag"),
+        max(pos).as(s"__p$tag"))
+    }
+    val picked = withPos.filter(needed).agg(aggs.head, aggs.tail: _*)
+    val totals = orders.agg(dsum(col("o_totalprice")).as("total"))
+    def interp(tag: String): Column = {
+      val pos = col(s"__p$tag")
+      when(floor(pos) === ceil(pos), col(s"__lo$tag"))
+        .otherwise((ceil(pos) - pos) * col(s"__lo$tag") +
+          (pos - floor(pos)) * col(s"__hi$tag"))
+    }
+    picked.crossJoin(broadcast(totals)).select(
+      interp("25").as("p25"), interp("50").as("p50"), interp("75").as("p75"),
+      col("total"))
+  }
+
+  /** Single-task reference form of [[orderValuePercentiles]] (Spark's
+    * one-buffer `percentile` aggregate) — spec-pinned semantic oracle. */
+  def orderValuePercentilesSingleTask(orders: DataFrame): DataFrame =
     orders.agg(
       expr("percentile(o_totalprice, 0.25)").as("p25"),
       expr("percentile(o_totalprice, 0.5)").as("p50"),

@@ -162,11 +162,11 @@ object Corpus {
     * re-staging only if a duplicate crept in — before retrying on top of
     * the winner's live set. Both commits land; a document admitted by one
     * writer is never re-admitted by the other, even when their batches
-    * overlap (spec-tested with an injected competing ingest). Racing
-    * deployments must also pass `staleGraceMs` > max staging time so one
-    * writer's recovery sweep cannot vacuum another's in-flight staging
-    * (the default 0 assumes the single-writer cadence and vacuums
-    * crash leftovers immediately).
+    * overlap (spec-tested with an injected competing ingest). Each ingest
+    * holds a [[graft.sources.Manifest.Lease]] across staging+publish, so
+    * one writer's recovery sweep never vacuums another's in-flight staging
+    * with the DEFAULT configuration; `staleGraceMs` remains as
+    * defense-in-depth for writers staging outside this API.
     *
     * Maintenance: ingestion composes with [[graft.sources.Layout]] — once
     * the live batch count exceeds `maxLiveBatches`, the whole corpus is
@@ -181,6 +181,20 @@ object Corpus {
       batch: DataFrame, stateDir: String, maxLiveBatches: Int = 64,
       staleGraceMs: Long = 0L,
       beforePublish: () => Unit = () => ()): Long = {
+    import graft.sources.Manifest
+    // vacuum lease held across staging+publish: a concurrent writer's
+    // recovery sweep skips everything this ingest stages (acquired BEFORE
+    // the first staged dir, released however the ingest exits)
+    val lease = Manifest.acquireLease(spark, stateDir,
+      s"ingest_${java.util.UUID.randomUUID().toString.take(12)}")
+    try ingestLeased(spark, batch, stateDir, maxLiveBatches, staleGraceMs, beforePublish)
+    finally Manifest.releaseLease(spark, stateDir, lease)
+  }
+
+  private def ingestLeased(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, stateDir: String, maxLiveBatches: Int,
+      staleGraceMs: Long,
+      beforePublish: () => Unit): Long = {
     import graft.sources.Manifest
     // crash recovery: delete staged dirs no manifest version references
     Manifest.cleanStale(spark, stateDir, IngestTables, staleGraceMs)
@@ -434,13 +448,39 @@ object Corpus {
   }
 
   /** Curriculum staging: split each language's documents into `stages`
-    * quality quartiles (ntile over the composite quality score, doc_id
-    * tie-break so the cut is deterministic) and report each stage's
-    * boundaries and exact mean quality. The window partitions by language;
-    * at higher scale the same cut comes from quantile thresholds (one
-    * pass + a broadcast threshold table) rather than a full per-lang sort,
-    * which is why the stage boundaries are part of the output contract. */
+    * quality quartiles (exact ntile over the composite quality score,
+    * doc_id tie-break so the cut is deterministic) and report each stage's
+    * boundaries and exact mean quality.
+    *
+    * A `PARTITION BY lang` ntile window concentrates each language's full
+    * corpus in one task (~5 partitions however many executors exist). Here
+    * the exact per-lang rank comes from [[Quantiles.withExactRank]] with
+    * `lang` as the group: range buckets subdivide every language, offsets
+    * broadcast, and each sort partition holds ~n/buckets rows — the stage
+    * cut is bit-identical, the plan is not single-task-per-language.
+    * [[qualityCurriculumSingleTask]] pins the semantics. */
   def qualityCurriculum(documents: DataFrame, stages: Int = 4): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("__q"))
+    Quantiles
+      .withExactRank(scored, Seq("lang"), Seq(("__q", true), ("doc_id", true)),
+        "__rk", "__nn")
+      .withColumn("stage",
+        Quantiles.ntileFromRank(col("__rk"), col("__nn"), stages).cast("int"))
+      .groupBy("lang", "stage")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("__q").as("min_quality"),
+        max("__q").as("max_quality"),
+        (sum(col("__q").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"))
+      .orderBy("lang", "stage")
+  }
+
+  /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile
+    * window) — spec-pinned semantic oracle, not the scale path. */
+  def qualityCurriculumSingleTask(documents: DataFrame, stages: Int = 4): DataFrame = {
     val scored = documents.select(
       col("doc_id"), col("lang"),
       graft.functions.TextFunctions.qualityScore(col("text")).as("__q"))

@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed exact order statistics.
+  *
+  * Spark's exact forms of rank-based statistics funnel the whole input
+  * through ONE task: `percentile(...)` buffers every (value, count) pair in
+  * a single ImperativeAggregate buffer, and `ntile(k)` over an
+  * unpartitioned (or low-cardinality-partitioned) window sorts the full
+  * data in one partition. Both are executor-OOM shapes at 100 TB, not just
+  * slow ones.
+  *
+  * [[withExactRank]] replaces them with a partition-friendly exact rank:
+  *
+  *   1. sample ~`buckets*64` rows by a deterministic hash order (a
+  *      distributed `TakeOrderedAndProject`, no RNG) and derive up to
+  *      `buckets-1` composite-key range boundaries;
+  *   2. assign each row a bucket map-side — the bucket expression is a sum
+  *      of monotone `key > boundary` indicators over LITERAL boundaries,
+  *      so it is a pure function of the row (any two plan subtrees agree,
+  *      no reliance on partition placement or exchange reuse);
+  *   3. count rows per (group, bucket) — collected as index metadata
+  *      (≤ |groups|·buckets rows, same discipline as IVF centroids) and
+  *      turned into broadcast per-bucket rank offsets;
+  *   4. exact rank = offset + `row_number` over a window PARTITIONED BY
+  *      (group, bucket) — every sort partition holds ~n/buckets rows.
+  *
+  * The rank is exact and deterministic whatever the sample produced:
+  * boundary quality affects only balance, never the rank value. Quantile
+  * consumers then become pure expressions of the rank ([[ntileFromRank]])
+  * or a 6-row filter + interpolation (`Analytics.orderValuePercentiles`).
+  *
+  * Scale contract: one pass for the sample, one for the counts, one for
+  * the ranked output; all shuffles hash on (group, bucket); `buckets`
+  * defaults to `spark.sql.shuffle.partitions` and should track cluster
+  * parallelism. Order keys must be NOT NULL and, with the group columns,
+  * form a strict total order per group (callers append a unique id).
+  */
+object Quantiles {
+
+  /** Adds `rankCol` (1-based exact rank within `group` under `order`) and
+    * `nCol` (per-group row count) to `df`.
+    *
+    * @param order  (column name, ascending?) pairs; composite must be
+    *               strict per group and null-free.
+    * @param buckets range-bucket count; 0 → `spark.sql.shuffle.partitions`.
+    */
+  def withExactRank(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[(String, Boolean)],
+      rankCol: String,
+      nCol: String,
+      buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val fullKey: Seq[(String, Boolean)] = group.map((_, true)) ++ order
+    val keyCols = fullKey.map { case (n, _) => col(n) }
+
+    // 1. Deterministic pseudo-random boundary sample: top-N by xxhash64 of
+    // the (unique) composite key is a distributed TakeOrdered — no RNG, no
+    // sampling seed that could disagree between plan subtrees.
+    val sampleN = nb * 64
+    val sampled: Array[Row] = df
+      .select(keyCols: _*)
+      .orderBy(xxhash64(keyCols: _*) +: keyCols: _*)
+      .limit(sampleN)
+      .collect()
+
+    val ord: Ordering[Row] = (a: Row, b: Row) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < fullKey.length) {
+        c = compareAny(a.get(i), b.get(i))
+        if (!fullKey(i)._2) c = -c
+        i += 1
+      }
+      c
+    }
+    val sorted = sampled.sorted(ord)
+    val boundaries: Seq[Row] =
+      if (sorted.isEmpty) Nil
+      else (1 until nb).map(i => sorted(math.min(i * sorted.length / nb, sorted.length - 1)))
+        .distinct
+
+    // 2. Monotone bucket id from literal boundaries. `strictlyAfter` is
+    // monotone in the composite order, so the sum is too — bucket b's keys
+    // all precede bucket b+1's, whatever the boundary quality.
+    val bkt = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(strictlyAfter(fullKey, b), 1).otherwise(0)
+    }
+    val withB = df.withColumn("__bkt", bkt.cast("int"))
+
+    // 3. Per-(group, bucket) counts: ≤ |groups|·nb rows of index metadata.
+    val grpB = group :+ "__bkt"
+    val counts = withB
+      .groupBy(grpB.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+    val byGroup = counts.groupBy(r => group.indices.map(r.get).toList)
+    val offRows: Seq[Row] = byGroup.toSeq.flatMap { case (_, rows) =>
+      def bktOf(r: Row): Int = r.getAs[Number]("__bkt").intValue()
+      def cntOf(r: Row): Long = r.getAs[Number]("__cnt").longValue()
+      val inOrder = rows.sortBy(bktOf)
+      val total = inOrder.map(cntOf).sum
+      var off = 0L
+      inOrder.map { r =>
+        val o = off
+        off += cntOf(r)
+        // Seq[Any], not Seq(...): Scala would widen the Int bucket id to
+        // Long to unify with the Long offsets, breaking the row schema.
+        Row.fromSeq(group.indices.map(r.get) ++ Seq[Any](bktOf(r), o, total))
+      }
+    }
+    val offSchema = StructType(
+      group.map(g => df.schema(g)) ++ Seq(
+        StructField("__bkt", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("__off", LongType, nullable = false),
+        StructField("__n", LongType, nullable = false)))
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+
+    // 4. offset + per-bucket row_number = exact rank; the window partitions
+    // by (group, bucket) so each sort sees ~n/buckets rows.
+    val w = Window
+      .partitionBy(grpB.map(col): _*)
+      .orderBy(order.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }: _*)
+    withB
+      .join(broadcast(offs), grpB)
+      .withColumn(rankCol, col("__off") + row_number().over(w).cast("long"))
+      .withColumn(nCol, col("__n"))
+      .drop("__bkt", "__off", "__n")
+  }
+
+  /** `ntile(k)` as a pure expression of the exact 1-based rank and the
+    * group size — Spark/DuckDB semantics: the first `n % k` tiles take
+    * `n div k + 1` rows, the rest `n div k`. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    val base = floor(n / lit(k)).cast("long")
+    val rem = n % lit(k)
+    val cut = rem * (base + lit(1L))
+    when(rank <= cut,
+      floor((rank - lit(1L)) / (base + lit(1L))).cast("long") + lit(1L))
+      .otherwise(rem +
+        floor((rank - lit(1L) - cut) / greatest(base, lit(1L))).cast("long") + lit(1L))
+  }
+
+  /** Lexicographic "row strictly after `b`" under per-key directions, as a
+    * Column over literal boundary values. */
+  private def strictlyAfter(fullKey: Seq[(String, Boolean)], b: Row): Column =
+    fullKey.zipWithIndex.foldRight(lit(false)) { case (((name, asc), i), tail) =>
+      val c = col(name)
+      val v = lit(b.get(i))
+      val strict = if (asc) c > v else c < v
+      strict || (c === v && tail)
+    }
+
+  private def compareAny(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int) => Integer.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.compareTo(y)
+    case (x: java.sql.Date, y: java.sql.Date) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"unsupported rank key type: ${a.getClass}")
+  }
+}

@@ -239,8 +239,6 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(nxt) === 2)
     val rfm = graft.operators.Analytics.rfmSegments(Tables.events(spark, sfDir))
     noCartesian(rfm)
-    // user rollup + the three single-partition ntile windows + ordering
-    assert(shuffles(rfm) <= 4)
     val bpe = graft.operators.Search.bpeTopMerges(Tables.documents(spark, sfDir))
     noCartesian(bpe)
     // vocabulary groupBy + pair groupBy; the top-k is TakeOrdered, not a sort
@@ -262,5 +260,29 @@ class PlanAuditSpec extends SparkSpec {
     // statically that is 5 exchanges: distinct, bounded rank, distinct
     // again, per-channel count, output ordering
     assert(shuffles(graft.operators.Sketches.kmvDistinct(events)) <= 5)
+  }
+
+  test("order statistics are never single-task: every WindowExec partitioned, no Percentile") {
+    // The three former weak-plan queries (B9/B41/C29): exact order
+    // statistics must come from the Quantiles range-bucketed rank — an
+    // unpartitioned WindowExec or a Percentile one-buffer aggregate in
+    // the final plan is the 100 TB executor-OOM shape.
+    val plans = Seq(
+      "user_rfm_segments" ->
+        graft.operators.Analytics.rfmSegments(Tables.events(spark, sfDir)),
+      "quality_curriculum" ->
+        graft.operators.Corpus.qualityCurriculum(Tables.documents(spark, sfDir)),
+      "order_value_percentiles" ->
+        graft.operators.Analytics.orderValuePercentiles(Tables.orders(spark, sfDir)))
+    plans.foreach { case (name, df) =>
+      val windows = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name: unpartitioned WindowExec\n${w.simpleStringWithNodeId()}"))
+      val agg = df.queryExecution.sparkPlan.toString
+      assert(!agg.contains("percentile("), s"$name plans a Percentile aggregate")
+      noCartesian(df)
+    }
   }
 }
