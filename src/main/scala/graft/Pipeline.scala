@@ -60,9 +60,10 @@ import org.apache.spark.sql.functions._
   *
   * Concurrency: the publish is a manifest CAS — two racing runs cannot
   * corrupt state; the loser fails cleanly with its competitor's commit
-  * intact (re-running attributes whatever remains). The recovery vacuum
-  * assumes the single-writer cadence; see
-  * [[graft.sources.Manifest.cleanStale]] on grace periods.
+  * intact (re-running attributes whatever remains). Each run holds a
+  * [[graft.sources.Manifest.Lease]] across staging+publish, so one run's
+  * recovery vacuum never deletes a concurrent run's in-flight staging
+  * with the DEFAULT configuration (no grace-period tuning required).
   *
   * Scale notes: the manifest is driver-side metadata (bytes per run, never
   * row data). Everything else is the same shuffle-minimal plans as the
@@ -216,11 +217,12 @@ object Pipeline {
     * [[prepareBucketed]] has built it), attribute the not-yet-persisted
     * conversions, stage, publish atomically, and report.
     *
-    * @param staleGraceMs racing deployments must pass a grace > the
-    *                     longest plausible staging time so one run's
-    *                     recovery sweep cannot vacuum another's in-flight
-    *                     staging; the default 0 assumes the single-writer
-    *                     cadence and vacuums crash leftovers immediately */
+    * @param staleGraceMs extra orphan-retention window for the recovery
+    *                     sweep. Concurrent runs need NO tuning — every run
+    *                     holds a vacuum [[graft.sources.Manifest.Lease]]
+    *                     shielding its in-flight staging; a positive grace
+    *                     additionally protects dirs staged outside this
+    *                     API (defense-in-depth) */
   def run(
       spark: SparkSession,
       sfDir: String,
@@ -237,6 +239,25 @@ object Pipeline {
       crashPoint: Option[String],
       staleGraceMs: Long = 0L,
       beforePublish: () => Unit = () => ()): RunSummary = {
+    // Vacuum lease held for the whole run: acquired BEFORE any staging, so
+    // a concurrent run's recovery sweep skips every dir this run stages
+    // (no grace-period tuning); released however the run exits. A hard
+    // kill leaves the lease to expire on its TTL, after which the
+    // leftovers become vacuumable.
+    val lease = Manifest.acquireLease(spark, stateDir,
+      s"run_${java.util.UUID.randomUUID().toString.take(12)}")
+    try runLeased(spark, sfDir, stateDir, endDate, crashPoint, staleGraceMs, beforePublish)
+    finally Manifest.releaseLease(spark, stateDir, lease)
+  }
+
+  private def runLeased(
+      spark: SparkSession,
+      sfDir: String,
+      stateDir: String,
+      endDate: Option[String],
+      crashPoint: Option[String],
+      staleGraceMs: Long,
+      beforePublish: () => Unit): RunSummary = {
     def failpoint(p: String): Unit =
       if (crashPoint.contains(p)) throw InjectedCrash(p)
 

@@ -229,13 +229,107 @@ object Manifest {
     0L // unreachable
   }
 
+  // ---------------------------------------------------------------- leases
+
+  private val LeaseDirName = "leases"
+  private val LeaseRe = raw"(.+)\.txt".r
+
+  /** A writer's vacuum shield. While a lease is unexpired, [[stale]]
+    * refuses to report any orphan directory modified at or after its
+    * `acquiredMs` — so one run's recovery sweep can never delete another
+    * run's in-flight staging, with NO grace-period tuning. The protocol:
+    * acquire BEFORE creating the first staged directory (every staged dir
+    * then has modTime ≥ acquiredMs on the store's clock), renew if staging
+    * may outlive `ttlMs`, release after publish (or abort). A crashed
+    * writer's lease simply expires, after which its leftovers become
+    * vacuumable — the role SQLite's connection lifetime plays for the
+    * reference (`db_utils.py:8-66`). */
+  final case class Lease(owner: String, acquiredMs: Long, expiresMs: Long)
+
+  private def leaseDir(base: String): Path = new Path(manifestDir(base), LeaseDirName)
+
+  private def writeLease(f: FileSystem, base: String, l: Lease, exclusive: Boolean): Unit = {
+    val p = new Path(leaseDir(base), s"${l.owner}.txt")
+    val out = f.create(p, !exclusive)
+    try out.write(
+      s"#acquired=${l.acquiredMs}\n#expires=${l.expiresMs}\n$End\n"
+        .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Acquire a vacuum lease for `owner` (a unique writer tag) lasting
+    * `ttlMs`. Exclusive-create: a duplicate owner tag fails fast. Callers
+    * acquire BEFORE staging their first directory and [[releaseLease]] in
+    * a finally block after publishing. */
+  def acquireLease(
+      spark: SparkSession,
+      base: String,
+      owner: String,
+      ttlMs: Long = 15 * 60 * 1000L): Lease = {
+    require(!owner.contains('/') && !owner.contains('\n'), s"bad lease owner: $owner")
+    val f = fs(spark, base)
+    if (!f.exists(leaseDir(base))) f.mkdirs(leaseDir(base))
+    val now = System.currentTimeMillis()
+    val l = Lease(owner, now, now + ttlMs)
+    writeLease(f, base, l, exclusive = true)
+    l
+  }
+
+  /** Heartbeat: extend the lease's expiry by `ttlMs` from now, keeping the
+    * original acquisition time (the vacuum cutoff). */
+  def renewLease(spark: SparkSession, base: String, lease: Lease, ttlMs: Long): Lease = {
+    val renewed = lease.copy(expiresMs = System.currentTimeMillis() + ttlMs)
+    writeLease(fs(spark, base), base, renewed, exclusive = false)
+    renewed
+  }
+
+  /** Release (delete) the lease — its staged dirs are either published
+    * (live, vacuum-proof) or abandoned (vacuumable immediately). */
+  def releaseLease(spark: SparkSession, base: String, lease: Lease): Unit =
+    fs(spark, base).delete(new Path(leaseDir(base), s"${lease.owner}.txt"), false)
+
+  /** Unexpired leases at `base`; expired lease files are deleted lazily
+    * here (torn/unparseable ones count as active until their file ages
+    * past an hour — a half-written heartbeat must not unshield a live
+    * writer). */
+  def activeLeases(spark: SparkSession, base: String): Seq[Lease] = {
+    val f = fs(spark, base)
+    val dir = leaseDir(base)
+    if (!f.exists(dir)) return Seq.empty
+    val now = System.currentTimeMillis()
+    f.listStatus(dir).iterator.flatMap { s =>
+      s.getPath.getName match {
+        case LeaseRe(owner) =>
+          val parsed =
+            try parse(readFile(f, s.getPath)).map { case (_, meta) =>
+              Lease(owner,
+                meta.get("acquired").map(_.toLong).getOrElse(s.getModificationTime),
+                meta.get("expires").map(_.toLong).getOrElse(Long.MaxValue))
+            }
+            catch { case _: java.io.IOException => None }
+          parsed match {
+            case Some(l) if l.expiresMs > now => Some(l)
+            case Some(_)                      => f.delete(s.getPath, false); None
+            case None => // torn mid-heartbeat: treat as active for an hour
+              if (s.getModificationTime < now - 60 * 60 * 1000L) {
+                f.delete(s.getPath, false); None
+              } else Some(Lease(owner, s.getModificationTime, now + 1))
+          }
+        case _ => None
+      }
+    }.toSeq
+  }
+
   /** Staged-but-unpublished (orphan) directories: subdirectories of
     * `base/<table>` for the given tables that no live manifest entry
     * references — crash leftovers, safe to delete before re-staging.
-    * `graceMs` > 0 keeps recently-modified orphans (a CONCURRENT writer's
-    * in-flight staged dirs look identical to crash leftovers until its
-    * publish lands — deployments with racing writers must vacuum only
-    * past the longest plausible staging time). */
+    *
+    * Two shields keep a CONCURRENT writer's in-flight staging out of the
+    * report: any orphan modified at or after the earliest active
+    * [[Lease]]'s acquisition is skipped (the default protection — writers
+    * that follow the acquire-before-stage protocol need no tuning), and
+    * `graceMs` > 0 additionally keeps recently-modified orphans
+    * (defense-in-depth for writers that stage without a lease). */
   def stale(
       spark: SparkSession,
       base: String,
@@ -243,14 +337,18 @@ object Manifest {
       graceMs: Long = 0L): Seq[String] = {
     val f = fs(spark, base)
     val liveSet = live(spark, base).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
+    val now = System.currentTimeMillis()
+    val graceCutoff = now - graceMs
+    val leaseCutoff = activeLeases(spark, base)
+      .map(_.acquiredMs).minOption.getOrElse(Long.MaxValue)
+    val cutoff = math.min(leaseCutoff, if (graceMs > 0L) graceCutoff else Long.MaxValue)
     tables.flatMap { t =>
       val tDir = new Path(base, t)
       if (!f.exists(tDir)) Seq.empty
       else
         f.listStatus(tDir)
           .iterator
-          .filter(s => s.isDirectory && (graceMs <= 0L || s.getModificationTime < cutoff))
+          .filter(s => s.isDirectory && s.getModificationTime < cutoff)
           .map(s => s"$t/${s.getPath.getName}")
           .filterNot(liveSet.contains)
           .toSeq
@@ -258,7 +356,7 @@ object Manifest {
   }
 
   /** Delete all [[stale]] staged directories (crash recovery at the start
-    * of a writer run). */
+    * of a writer run). Lease-shielded and grace-shielded dirs survive. */
   def cleanStale(
       spark: SparkSession,
       base: String,

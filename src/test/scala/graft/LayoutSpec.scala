@@ -94,16 +94,15 @@ class LayoutSpec extends SparkSpec {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
     val batchA = mk((0L until 10L).map(i => i -> s"writer A document $i") :+ (90L -> shared))
     val batchB = mk((20L until 30L).map(i => i -> s"writer B document $i") :+ (91L -> shared))
-    // grace > staging time so neither writer's recovery sweep vacuums the
-    // other's in-flight staged dirs (the racing-deployment contract)
-    val grace = 3600000L
+    // DEFAULT configuration: no grace tuning — writer A's vacuum lease
+    // shields its in-flight staged dirs from B's recovery sweep
     var nB = -1L
-    val nA = Corpus.ingestIncremental(spark, batchA, state, staleGraceMs = grace,
+    val nA = Corpus.ingestIncremental(spark, batchA, state,
       beforePublish = () => {
         // a competing writer lands a FULL committed ingest between A's
         // staging and A's first publish attempt — A must lose the CAS,
         // re-check novelty against B's fingerprints, and retry on top
-        nB = Corpus.ingestIncremental(spark, batchB, state, staleGraceMs = grace)
+        nB = Corpus.ingestIncremental(spark, batchB, state)
       })
     assert(nB === 11) // B commits first: its 10 docs + the shared one
     assert(nA === 10) // A serializes after B and re-filters the shared doc
@@ -117,6 +116,46 @@ class LayoutSpec extends SparkSpec {
     assert(Corpus.ingestIncremental(spark, batchB, state) === 0)
     assert(graft.sources.Manifest.stale(
       spark, state, Seq("documents", "fingerprints")).isEmpty)
+  }
+
+  test("vacuum lease: in-flight staging survives another writer's DEFAULT sweep") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-lease").toString
+    val b1 = Seq((1L, "committed base doc", "en", "t", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark, b1, state)
+    // an in-flight writer: lease acquired BEFORE staging (the protocol)
+    val lease = Manifest.acquireLease(spark, state, "writer-inflight")
+    Seq((50L, "in-flight staged doc", "en", "t", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$state/documents/b_inflight")
+    // another run's recovery sweep, DEFAULT config: the staged dir is
+    // lease-shielded — reported by neither stale() nor deleted
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints")).isEmpty)
+    Manifest.cleanStale(spark, state, Seq("documents", "fingerprints"))
+    assert(spark.read.parquet(s"$state/documents/b_inflight").count() === 1)
+    // a full competing ingest (which runs its own recovery sweep) must
+    // also leave the shielded dir alone
+    val b2 = Seq((2L, "competing committed doc", "en", "t", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark, b2, state)
+    assert(spark.read.parquet(s"$state/documents/b_inflight").count() === 1)
+    // writer aborts (releases without publishing): leftovers vacuumable
+    Manifest.releaseLease(spark, state, lease)
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints"))
+      .contains("documents/b_inflight"))
+    Manifest.cleanStale(spark, state, Seq("documents", "fingerprints"))
+    assert(!new java.io.File(s"$state/documents/b_inflight").exists())
+    // a crashed writer's lease expires on its TTL and stops shielding
+    Manifest.acquireLease(spark, state, "writer-crashed", ttlMs = -1L)
+    assert(Manifest.activeLeases(spark, state).isEmpty)
+    Seq((60L, "crash leftover", "en", "t", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$state/documents/b_crashed")
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints"))
+      .contains("documents/b_crashed"))
   }
 
   test("manifest: torn version files are invisible to readers and skipped by allocation") {

@@ -140,18 +140,17 @@ class PipelineSpec extends SparkSpec {
 
   test("racing pipeline runs serialize: both commit, overlap attributed exactly once") {
     val stateDir = Files.createTempDirectory("graft-pipeline-race").toString
-    // grace > staging time so neither run's recovery sweep vacuums the
-    // other's in-flight staged dirs (the racing-deployment contract)
-    val grace = 3600000L
+    // DEFAULT configuration: no grace tuning — the outer run's vacuum
+    // lease shields its in-flight staging from the inner run's sweep
     var inner: Pipeline.RunSummary = null
     // the outer run (full window) stages everything, then a competing run
     // over the PARTIAL window commits before the outer publish — the outer
     // run must lose the CAS, drop the winner's conversions from its staged
     // delta, re-merge the report on the winner's base, and retry
-    val outer = Pipeline.runImpl(spark, sfDir, stateDir, None, None, grace,
+    val outer = Pipeline.runImpl(spark, sfDir, stateDir, None, None,
       beforePublish = () => {
         inner = Pipeline.run(spark, sfDir, stateDir,
-          endDate = Some("2024-01-15"), staleGraceMs = grace)
+          endDate = Some("2024-01-15"))
       })
     assert(inner.newConversions > 0)
     assert(outer.newConversions > 0)
