@@ -749,8 +749,15 @@ ORDER BY keep_doc_id"""
                CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) % 2147483647 AS hw
         FROM sh) hs
   GROUP BY doc_id
-), bands AS (
+), bands0 AS (
   $bandSelects
+), bands AS (
+  -- hot-bucket guard, lockstep with Dedup.capBuckets: buckets wider than
+  -- 1000 docs are dropped before the candidate join
+  SELECT b.* FROM bands0 b
+  JOIN (SELECT band, band_hash FROM bands0
+        GROUP BY band, band_hash HAVING COUNT(*) <= 1000) w
+    ON b.band = w.band AND b.band_hash = w.band_hash
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
@@ -805,11 +812,17 @@ ORDER BY doc_id"""
          (${bandSql(0)}) AS b0, (${bandSql(1)}) AS b1,
          (${bandSql(2)}) AS b2, (${bandSql(3)}) AS b3, n.nrm
   FROM embeddings e JOIN enrm n ON e.vec_id = n.vec_id
-), ebanded AS (
+), ebanded0 AS (
   SELECT vec_id, 0 AS band, b0 AS bval FROM efeat
   UNION ALL SELECT vec_id, 1, b1 FROM efeat
   UNION ALL SELECT vec_id, 2, b2 FROM efeat
   UNION ALL SELECT vec_id, 3, b3 FROM efeat
+), ebanded AS (
+  -- hot-bucket guard, lockstep with Dedup.capBuckets
+  SELECT b.* FROM ebanded0 b
+  JOIN (SELECT band, bval FROM ebanded0
+        GROUP BY band, bval HAVING COUNT(*) <= 1000) w
+    ON b.band = w.band AND b.bval = w.bval
 ), ecand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM ebanded a JOIN ebanded b ON a.band = b.band AND a.bval = b.bval
@@ -905,11 +918,17 @@ ORDER BY doc_a, doc_b"""
 """
 
   val dedupEmbedding: String = featBase + """
-, banded AS (
+, banded0 AS (
   SELECT vec_id, 0 AS band, b0 AS bval FROM feat
   UNION ALL SELECT vec_id, 1, b1 FROM feat
   UNION ALL SELECT vec_id, 2, b2 FROM feat
   UNION ALL SELECT vec_id, 3, b3 FROM feat
+), banded AS (
+  -- hot-bucket guard, lockstep with Dedup.capBuckets
+  SELECT b.* FROM banded0 b
+  JOIN (SELECT band, bval FROM banded0
+        GROUP BY band, bval HAVING COUNT(*) <= 1000) w
+    ON b.band = w.band AND b.bval = w.bval
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
@@ -1156,7 +1175,9 @@ ORDER BY query_id, rnk"""
   SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm, xor(bucket, m) AS bucket
   FROM feat CROSS JOIN masks WHERE vec_id < 8
 ), c AS (
+  -- hot-bucket guard on the corpus side, lockstep with Dedup.capBuckets
   SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS c_nrm, bucket FROM feat
+  WHERE bucket IN (SELECT bucket FROM feat GROUP BY bucket HAVING COUNT(*) <= 1000)
 ), dots AS (
   SELECT query_id, neighbor_id, q_nrm, c_nrm,
          CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
@@ -1253,13 +1274,18 @@ ORDER BY query_id, rnk"""
     * norms and all-corpus centroid dot products (`cdotF`) — shared by
     * the trained-IVF and SemDeDup oracles so both stay in lockstep with
     * [[graft.operators.Similarity.trainCentroids]]. */
-  private def trainedQuantBase(iters: Int): String = featBase + """
-, cent0 AS (
+  /** Trained coarse quantizer in SQL, lockstep with
+    * `Similarity.trainCentroids`. `kExpr` is the centroid-count
+    * expression: the default 16 for the fixed-k consumers (C7d), or the
+    * self-scaling `autoKExpr` mirroring `Similarity.autoCellCount` for
+    * semantic dedup. */
+  private def trainedQuantBase(iters: Int, kExpr: String = "16"): String = featBase + """
+, nvec AS (
+  SELECT COUNT(*) AS n FROM embeddings
+), cent0 AS (
   SELECT vec_id AS cid, ix.i, embedding[ix.i] AS v
   FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
-  WHERE vec_id < 16
-), nvec AS (
-  SELECT COUNT(*) AS n FROM embeddings
+  WHERE vec_id < (""" + kExpr + """)
 ), train AS MATERIALIZED (
   -- deterministic md5-bucket training sample, lockstep with
   -- Similarity.trainCentroids: bucket < ceil(10000*4096/N), clamped
@@ -1321,8 +1347,12 @@ ORDER BY query_id, rnk"""
     * recursive-CTE connected-components pass, and each duplicate group
     * keeps its (cos_centroid, vec_id)-minimal member — lockstep with
     * `Dedup.semanticDedup`. */
+  /** ⌈n/1024⌉ clamped to [16, 256] — `Similarity.autoCellCount` verbatim. */
+  private val autoKExpr: String =
+    "SELECT LEAST(256, GREATEST(16, CAST(ceil(n / 1024.0) AS BIGINT))) FROM nvec"
+
   val dedupSemantic: String =
-    trainedQuantBase(2).replaceFirst("^WITH ", "WITH RECURSIVE ") + """
+    trainedQuantBase(2, autoKExpr).replaceFirst("^WITH ", "WITH RECURSIVE ") + """
 , asgF AS (
   SELECT vec_id, cid AS cell, cosc AS cos_centroid FROM (
     SELECT vec_id, cid, dot / (nrm * cnrm) AS cosc,

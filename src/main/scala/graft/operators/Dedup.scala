@@ -17,6 +17,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Dedup {
 
+  /** Hot-bucket guard shared by every LSH-style blocking stage: drop rows
+    * whose bucket (the `keys` tuple) holds more than `maxBucket` members.
+    * One partial-agg groupBy over the bucket keys + one key-local join —
+    * the width histogram is the same shuffle key as the candidate join it
+    * protects, so the guard adds no new shuffle shape. A bucket wider
+    * than the cap would contribute width² join rows to a SINGLE task (the
+    * skew that stalls a 1000-executor stage); dropping it trades
+    * documented recall (members that wide share boilerplate, and genuine
+    * near-dups still collide in their other bands) for a hard per-task
+    * bound. With no oversize bucket the output is row-identical to the
+    * unguarded form. */
+  private[graft] def capBuckets(
+      rows: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame = {
+    val ok = rows
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") <= maxBucket)
+      .select(keys.map(col): _*)
+    rows.join(ok, keys)
+  }
+
   /** Materialize an iterative frame AND cut its statistics lineage.
     *
     * `localCheckpoint()` alone is not enough for iterative algorithms: the
@@ -141,8 +162,17 @@ object Dedup {
     * rows over K=16 hashes → sensitive to ~J≥0.5 near-dups. Candidate
     * generation is one bucket join; the Jaccard estimate is a 16-term
     * column expression over the wide signatures — no per-hash rows
-    * anywhere. */
-  def minhashLsh(documents: DataFrame): DataFrame = {
+    * anywhere.
+    *
+    * Hot-bucket guard: a band value shared by m docs is m² join rows in
+    * ONE task — a boilerplate-heavy corpus (every page sharing a footer
+    * shingle run) turns a single bucket into the whole job. Buckets wider
+    * than `maxBucket` are DROPPED, same discipline as [[ngramJaccard]]'s
+    * stop-shingle df cap: a bucket that wide carries boilerplate, not
+    * near-dup signal, and true near-dups still meet in their other 7
+    * bands (documented recall tradeoff; pair output is unchanged whenever
+    * no bucket exceeds the cap — spec-pinned). */
+  def minhashLsh(documents: DataFrame, maxBucket: Long = 1000L): DataFrame = {
     val sig = minhashSignature(documents).cache()
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
@@ -151,8 +181,9 @@ object Dedup {
           greatest(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("string")))
           .as("band_hash"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    val allBands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
+    val bands = capBuckets(allBands, Seq("band", "band_hash"), maxBucket)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     val cand = a.join(b, Seq("band", "band_hash"))
@@ -455,10 +486,17 @@ object Dedup {
     * @return one row per member of a duplicate group:
     *         (vec_id, cell, cluster_id, cos_centroid, kept) */
   def semanticDedup(
-      embeddings: DataFrame, nCentroids: Int = 16,
+      embeddings: DataFrame, nCentroids: Int = 0,
       iters: Int = 2, threshold: Double = 0.3): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = Similarity.trainCentroids(embeddings, nCentroids, iters)
+    // nCentroids = 0 (the default) SELF-SCALES the quantizer: cells grow
+    // with the corpus (Similarity.autoCellCount), so the per-cell pair
+    // bound Σ cell² stays near-linear as n grows — a fixed k would turn
+    // quadratic. The count is one metadata-cheap job at plan-build time.
+    val k =
+      if (nCentroids > 0) nCentroids
+      else Similarity.autoCellCount(embeddings.count())
+    val cents = Similarity.trainCentroids(embeddings, k, iters)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -513,16 +551,20 @@ object Dedup {
     * candidate join never carries the 64-float payload. */
   def embeddingNearDup(
       embeddings: DataFrame, threshold: Double = 0.3,
-      nBands: Int = 4, nBits: Int = 8): DataFrame = {
+      nBands: Int = 4, nBits: Int = 8, maxBucket: Long = 1000L): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm")).cache()
-    val banded = feat.select(
-      col("vec_id"),
-      posexplode(array((0 until nBands).map(k =>
-        VectorFunctions.signBand(col("embedding"), k, nBits)): _*)))
-      .toDF("vec_id", "band", "bval")
+    // hot-bucket guard ([[capBuckets]]): a sign-band value shared by m
+    // vectors is m² candidate rows in one task — cap it
+    val banded = capBuckets(
+      feat.select(
+        col("vec_id"),
+        posexplode(array((0 until nBands).map(k =>
+          VectorFunctions.signBand(col("embedding"), k, nBits)): _*)))
+        .toDF("vec_id", "band", "bval"),
+      Seq("band", "bval"), maxBucket)
     val cand = banded.select(col("vec_id").as("vec_a"), col("band"), col("bval"))
       .join(banded.select(col("vec_id").as("vec_b"), col("band"), col("bval")),
         Seq("band", "bval"))

@@ -72,6 +72,20 @@ object Similarity {
       nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame =
     probeTopK(embeddings, trainCentroids(embeddings, nCentroids, iters), nQueries, nProbe, k)
 
+  /** Target vectors per coarse-quantizer cell when the cell count is
+    * auto-derived ([[autoCellCount]]). */
+  private[graft] val TargetCellSize = 1024L
+
+  /** Cell count for an n-vector corpus: ⌈n / [[TargetCellSize]]⌉ clamped
+    * to [16, 256] — cells GROW with the corpus, keeping per-cell candidate
+    * blocks (and the Σ cell² pair bound) near-linear in n instead of
+    * quadratic at a fixed k. The cap keeps the trained-sample budget
+    * (≈4096 rows) at ≥16 points per cell; corpora past 256·1024 vectors
+    * should raise `sampleTarget` alongside an explicit k. Mirrored
+    * verbatim in the DuckDB oracle (`Oracles.trainedQuantBase`). */
+  private[graft] def autoCellCount(n: Long): Int =
+    math.min(256L, math.max(16L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
+
   /** The untrained quantizer: the first `nCentroids` vectors, with
     * decimal-exact norms evaluated driver-side on the same float values
     * (same arithmetic as normExact). */
@@ -403,15 +417,21 @@ object Similarity {
     * match at most one probe and needs no distinct. */
   def lshTopK(
       embeddings: DataFrame,
-      nQueries: Int = 8, k: Int = 10, nBits: Int = 8, multiProbe: Boolean = true): DataFrame = {
+      nQueries: Int = 8, k: Int = 10, nBits: Int = 8, multiProbe: Boolean = true,
+      maxBucket: Long = 1000L): DataFrame = {
     val feat = withFeat(embeddings, nBits)
     val masks = if (multiProbe) 0L +: (0 until nBits).map(1L << _).toSeq else Seq(0L)
     val q = feat.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("q_nrm"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
-    val c = feat.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
-      col("nrm").as("c_nrm"), col("bucket"))
+    // hot-bucket guard (Dedup.capBuckets): one overloaded sign bucket
+    // would funnel nQueries·width candidate rows through a single join
+    // task; wider-than-cap buckets are dropped (documented recall cost)
+    val c = Dedup.capBuckets(
+      feat.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nrm").as("c_nrm"), col("bucket")),
+      Seq("bucket"), maxBucket)
     val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))

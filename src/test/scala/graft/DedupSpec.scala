@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -113,6 +113,48 @@ class DedupSpec extends SparkSpec {
       assert(members.find(_.getAs[Boolean]("kept")).get.getAs[Long]("vec_id")
         === expectKeep, s"keep rule violated in group $cid")
     }
+  }
+
+  test("hot-bucket guard: oversize band bucket dropped, output unchanged under the cap") {
+    // planted hot bucket: 30 identical boilerplate docs (≈94% of the
+    // corpus) share EVERY band value — 30-wide buckets, 435 pair rows in
+    // one task — plus one genuine near-dup pair of distinct text
+    val boiler = (0L until 30L).map(i =>
+      i -> "shared boilerplate footer text exactly the same in every single page of this corpus")
+    val near = Seq(
+      31L -> "a unique document describing distributed exact ranking over range buckets",
+      32L -> "a unique document describing distributed exact ranking over range buckets")
+    val d = docs((boiler ++ near): _*)
+    // default cap (1000): the guard is inert — pair output unchanged
+    val uncapped = Dedup.minhashLsh(d).collect()
+    assert(uncapped.length === 30 * 29 / 2 + 1)
+    // cap 10: the 30-wide boilerplate buckets drop; the planted pair
+    // (bucket width 2) is untouched — bounded task skew, kept recall
+    val capped = Dedup.minhashLsh(d, maxBucket = 10L).collect()
+    assert(capped.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      === Seq((31L, 32L)))
+    // capBuckets invariant on a raw bucket frame: no surviving bucket
+    // exceeds the cap, and under-cap buckets survive untouched
+    val rows = (0L until 100L).map(i => (i, if (i < 50) "hot" else s"cold${i % 25}"))
+      .toDF("id", "bucket")
+    val kept = Dedup.capBuckets(rows, Seq("bucket"), 10L)
+    val widths = kept.groupBy("bucket").count().collect()
+    assert(widths.forall(_.getAs[Long]("count") <= 10L))
+    assert(kept.count() === 50L) // the 50-wide hot bucket gone, cold kept
+  }
+
+  test("semantic dedup self-scaling cells: auto k tracks corpus size, fixed-k-identical below the knee") {
+    // the clamp formula, point-by-point (mirrored in Oracles.autoKExpr)
+    assert(Similarity.autoCellCount(1L) === 16)
+    assert(Similarity.autoCellCount(16 * 1024L) === 16)
+    assert(Similarity.autoCellCount(16 * 1024L + 1) === 17)
+    assert(Similarity.autoCellCount(100 * 1024L) === 100)
+    assert(Similarity.autoCellCount(1000000L) === 256)
+    // below the knee the auto default is bit-identical to the fixed form
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val auto = Dedup.semanticDedup(emb).collect().toSeq
+    val fixed = Dedup.semanticDedup(emb, nCentroids = 16).collect().toSeq
+    assert(auto === fixed)
   }
 
   test("star CC equals propagation CC on a planted 1000-deep chain") {
