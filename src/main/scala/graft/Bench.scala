@@ -64,11 +64,37 @@ object Bench {
       s"\"" + k + s"""":{"min":${v.min},"median":${v.median},"reps":${v.n},"load_avg":${v.load}}"""
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    // Incremental-cadence stage (full runs only): N successive daily
+    // Pipeline.run deltas against a fresh state dir. The O(extract+delta)
+    // claim is that per-run wall time stays FLAT as committed history
+    // grows — these numbers are the measured proof (earlier runs carry
+    // one-time costs; the flatness signal is runs 2..N-1 vs the final).
+    val pipelineDaily: String =
+      if (args.nonEmpty) "null"
+      else {
+        val stateDir = java.nio.file.Files.createTempDirectory("graft_bench_pipe").toString
+        val cuts = Seq(Some("2024-01-05"), Some("2024-01-10"), Some("2024-01-15"),
+          Some("2024-01-20"), Some("2024-01-25"), None)
+        val runs = cuts.map { c =>
+          val t0 = System.nanoTime()
+          val s = Pipeline.run(spark, sfDir, stateDir, endDate = c)
+          ((System.nanoTime() - t0) / 1e9, s.newConversions)
+        }
+        val secs = runs.map(_._1)
+        // flatness over the UNIFORM-cadence delta runs (2..N-1): run 1
+        // pays one-time setup, the final unbounded run is a different
+        // shape (full-window extract + possible self-compaction)
+        val mid = secs.slice(1, secs.size - 1)
+        val flat = if (mid.size > 1 && mid.min > 0) mid.max / mid.min else 1.0
+        s"""{"sec":[${secs.map(t => f"$t%.3f").mkString(",")}],""" +
+          s""""new_conversions":[${runs.map(_._2).mkString(",")}],""" +
+          f""""delta_max_over_min":$flat%.3f}"""
+      }
     // system load average: timings on a shared box carry noise proportional
     // to this — recorded overall AND per query group (in `detail`)
     val load = loadAvg
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"pipeline_daily":$pipelineDaily,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
     println(json)
     // also persisted to a file — the driver's stdout tail truncated 9 of 67
     // per-query timings in round 2. ONLY the full (unfiltered) run may

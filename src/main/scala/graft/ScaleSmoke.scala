@@ -222,6 +222,66 @@ object ScaleSmoke {
     time(s"dedup_semantic nVecs=$nSem K=32")(println(s"[scale] dup-group members = " +
       graft.operators.Dedup.semanticDedup(
         vecs.filter(col("vec_id") < nSem), nCentroids = 32).count()))
+
+    // SemDeDup SELF-SCALING cells (r6): with the auto cell count the
+    // candidate bound Σ cell² stays near-linear — candidates/VECTOR stays
+    // pinned at ≈ the target cell size (1024) across a 10× corpus growth,
+    // where a fixed k would grow it ~10×. Both sizes sit past the 16-cell
+    // clamp knee so the flatness signal is real. Assignment reuses the
+    // operator's own trained quantizer + cellRank chain.
+    Seq(nSem, nSem * 10).foreach { nv =>
+      val v = spark.range(nv).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63),
+             i -> CAST(CAST(pmod(hash(id * 67 + i), 1999) - 999 AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+      val k = graft.operators.Similarity.autoCellCount(nv)
+      time(s"semdedup_cells nVecs=$nv autoK=$k") {
+        val cents = graft.operators.Similarity.trainCentroids(v, k, iters = 2)
+        val feat = v.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+        val cellCounts = feat.select(element_at(
+          graft.operators.Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+          .getField("cid").as("cell"))
+          .groupBy("cell").count().collect()
+        val pairs = cellCounts.map(r => { val c = r.getAs[Long]("count"); c * c }).sum
+        println(f"[scale] semdedup nVecs=$nv cells=$k sum_cell_sq=$pairs " +
+          f"candidates_per_vec=${pairs.toDouble / nv}%.1f")
+      }
+    }
+
+    // Distributed exact order statistics (r6): the three former
+    // single-task plans at ≥10× the sf0.1 cardinalities — 100k users
+    // (RFM), 200k docs (curriculum), 2M orders (exact percentiles). The
+    // Quantiles rank partitions every sort by its range bucket, so these
+    // must track input size, not die in one task.
+    time(s"rfm_segments users=100k from n=$n events")(
+      println(s"[scale] rfm rows = " +
+        graft.operators.Analytics.rfmSegments(events).count()))
+    time(s"quality_curriculum nDocs=$nDocs")(
+      println(s"[scale] curriculum rows = " +
+        graft.operators.Corpus.qualityCurriculum(cDocs).count()))
+    val nOrd = 2000000L
+    val sOrders = spark.range(nOrd).selectExpr(
+      "id AS o_orderkey",
+      "CAST(pmod(hash(id * 31), 1000000) AS DOUBLE) / 100.0 AS o_totalprice")
+    time(s"order_value_percentiles nOrders=$nOrd")(
+      println(s"[scale] percentile rows = " +
+        graft.operators.Analytics.orderValuePercentiles(sOrders).count()))
+
+    // Generic PageRank at 1M nodes / 4M edges (r6): the channel plan's
+    // claim is billion-node shape — edges⋈ranks + one partial-agg per
+    // iteration. Timed at 400k and 4M edges: near-linear, never
+    // quadratic (4 iterations keep the smoke bounded; per-iteration cost
+    // is what scales).
+    Seq(400000L, 4000000L).foreach { ne =>
+      val gEdges = spark.range(ne).selectExpr(
+        "CAST(pmod(hash(id), 1000000) AS BIGINT) AS src",
+        "CAST(pmod(hash(id * 7 + 1), 1000000) AS BIGINT) AS dst",
+        "CAST(1 AS BIGINT) AS weight")
+      time(s"pagerank edges=$ne iters=4")(
+        println(s"[scale] pagerank nodes = " +
+          graft.operators.Markov.pagerank(gEdges, iters = 4).count()))
+    }
     spark.stop()
   }
 }

@@ -180,21 +180,24 @@ object Corpus {
   def ingestIncremental(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, stateDir: String, maxLiveBatches: Int = 64,
       staleGraceMs: Long = 0L,
-      beforePublish: () => Unit = () => ()): Long = {
+      beforePublish: () => Unit = () => (),
+      extraMeta: Map[String, String] = Map.empty): Long = {
     import graft.sources.Manifest
     // vacuum lease held across staging+publish: a concurrent writer's
     // recovery sweep skips everything this ingest stages (acquired BEFORE
     // the first staged dir, released however the ingest exits)
     val lease = Manifest.acquireLease(spark, stateDir,
       s"ingest_${java.util.UUID.randomUUID().toString.take(12)}")
-    try ingestLeased(spark, batch, stateDir, maxLiveBatches, staleGraceMs, beforePublish)
+    try ingestLeased(spark, batch, stateDir, maxLiveBatches, staleGraceMs,
+      beforePublish, extraMeta)
     finally Manifest.releaseLease(spark, stateDir, lease)
   }
 
   private def ingestLeased(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, stateDir: String, maxLiveBatches: Int,
       staleGraceMs: Long,
-      beforePublish: () => Unit): Long = {
+      beforePublish: () => Unit,
+      extraMeta: Map[String, String]): Long = {
     import graft.sources.Manifest
     // crash recovery: delete staged dirs no manifest version references
     Manifest.cleanStale(spark, stateDir, IngestTables, staleGraceMs)
@@ -229,7 +232,8 @@ object Corpus {
     var published = false
     while (!published) {
       Manifest.tryPublish(spark, stateDir, snap,
-        snap.live ++ Seq(s"documents/$tag", s"fingerprints/$tag"), snap.meta) match {
+        snap.live ++ Seq(s"documents/$tag", s"fingerprints/$tag"),
+        snap.meta ++ extraMeta) match {
         case Some(_) => published = true
         case None =>
           attempts += 1

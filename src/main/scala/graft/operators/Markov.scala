@@ -349,25 +349,55 @@ object Markov {
     // stream re-executes once per derivation (3× the scan cost before the
     // first iteration even starts)
     val trans = Journeys.channelTransitions(assigned).localCheckpoint()
-    val nodes = trans.select(col("from_channel").as("channel"))
-      .union(trans.select(col("to_channel")))
+    pagerank(
+      trans.select(col("from_channel").as("src"), col("to_channel").as("dst"),
+        col("n").as("weight")),
+      damping, iters, checkpointEvery)
+      .select(col("node").as("channel"), col("pr"))
+      .orderBy(col("pr").desc, col("channel"))
+  }
+
+  /** PageRank over an ARBITRARY weighted edge frame `(src, dst, weight)`
+    * — the general engine behind [[channelPagerank]], usable on any graph
+    * (user-follows, citation, page-link) at any node type/cardinality.
+    * Fixed `iters` damped power iterations with dangling-mass
+    * redistribution; returns one `(node, pr)` row per node, unordered
+    * (callers sort — a billion-node result should not pay a total sort it
+    * may not want). Multi-edges are fine: out-probabilities normalize by
+    * the summed weight.
+    *
+    * Scale shape: the standard distributed plan — edges shuffle-join
+    * ranks on `src`, inflow is one partial-agg groupBy per iteration, and
+    * the dangling mass is a ONE-ROW broadcast cross join (never a driver
+    * collect). Node count is the only driver scalar (graph-cardinality
+    * metadata). Each iteration's lineage is cut periodically
+    * (`localCheckpoint`) so Catalyst re-analysis stays flat in the
+    * iteration count; every arithmetic node keeps the identical
+    * IEEE/decimal tree as the unrolled-CTE oracle on the channel
+    * instance. */
+  def pagerank(
+      edgesIn: DataFrame, damping: Double = 0.85, iters: Int = 8,
+      checkpointEvery: Int = 2): DataFrame = {
+    val trans = edgesIn.select("src", "dst", "weight").localCheckpoint()
+    val nodes = trans.select(col("src").as("node"))
+      .union(trans.select(col("dst")))
       .distinct()
       .localCheckpoint()
     val nD = nodes.count().toDouble // |V| — graph metadata, not row data
-    val outSum = trans.groupBy("from_channel").agg(sum("n").as("out_n"))
+    val outSum = trans.groupBy("src").agg(sum("weight").as("out_n"))
       .localCheckpoint()
-    val edges = trans.join(outSum, "from_channel")
-      .select(col("from_channel"), col("to_channel"),
-        (col("n").cast("double") / col("out_n").cast("double")).as("p"))
+    val edges = trans.join(outSum, "src")
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("out_n").cast("double")).as("p"))
       .localCheckpoint()
     // the dangling NODE SET is fixed across iterations (nodes with no
     // out-edges) — only its rank mass changes. Precompute it once; when
-    // it is empty (every channel links onward — the common case for
-    // channel graphs) the per-iteration dangling aggregate is a constant
-    // 0 and its join+agg+broadcast subplan can be elided entirely,
-    // leaving `+ 0.0` (bit-identical: inflow is never -0.0).
+    // it is empty (every node links onward — the common case for channel
+    // graphs) the per-iteration dangling aggregate is a constant 0 and
+    // its join+agg+broadcast subplan can be elided entirely, leaving
+    // `+ 0.0` (bit-identical: inflow is never -0.0).
     val danglingNodes = nodes
-      .join(outSum.select(col("from_channel").as("channel")), Seq("channel"), "left_anti")
+      .join(outSum.select(col("src").as("node")), Seq("node"), "left_anti")
       .localCheckpoint()
     val hasDangling = danglingNodes.count() > 0
     // scale 12, NOT deeper: Spark's double→decimal cast rounds the
@@ -375,22 +405,22 @@ object Markov {
     // expansion — they agree only within double's ~17 significant digits,
     // so accumulation scale must stay comfortably inside that budget
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
-    var ranks = nodes.select(col("channel"), (lit(1.0) / lit(nD)).as("pr"))
+    var ranks = nodes.select(col("node"), (lit(1.0) / lit(nD)).as("pr"))
     for (i <- 1 to iters) {
       val inflow = edges
-        .join(ranks.withColumnRenamed("channel", "from_channel"), "from_channel")
-        .groupBy(col("to_channel").as("channel"))
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
         .agg(sum((col("pr") * col("p")).cast(dec)).cast("double").as("inflow"))
-      val base = nodes.join(inflow, Seq("channel"), "left")
+      val base = nodes.join(inflow, Seq("node"), "left")
       val withD =
         if (hasDangling) {
           val dangling = ranks
-            .join(danglingNodes, Seq("channel"), "left_semi")
+            .join(danglingNodes, Seq("node"), "left_semi")
             .agg(coalesce(sum(col("pr").cast(dec)).cast("double"), lit(0.0)).as("d"))
           base.crossJoin(broadcast(dangling))
         } else base.withColumn("d", lit(0.0))
       ranks = withD
-        .select(col("channel"),
+        .select(col("node"),
           ((lit(1.0) - lit(damping)) / lit(nD) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("d") / lit(nD)))
             .as("pr"))
@@ -400,6 +430,6 @@ object Markov {
       // overhead, and on big ones a 4-deep join lineage is still cheap
       if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
-    ranks.orderBy(col("pr").desc, col("channel"))
+    ranks
   }
 }

@@ -185,12 +185,22 @@ object VectorStore {
     rows.toDF("j", "code", "sub", "sumsq")
       .coalesce(1)
       .write.parquet(s"$stateDir/pq/$tag")
-    val snap = Manifest.snapshot(spark, stateDir)
-    require(!snap.live.exists(_.startsWith("pq/")),
-      s"vector store at $stateDir already has PQ codebooks")
-    Manifest.tryPublish(spark, stateDir, snap,
-      snap.live :+ s"pq/$tag", snap.meta).getOrElse(
-      throw new java.io.IOException(s"lost PQ init race at $stateDir"))
+    // OCC merge, not a single CAS attempt: an unrelated concurrent commit
+    // (e.g. an ingest) must be retried, and only a REAL duplicate-pq
+    // conflict (checked inside the closure, against the current snapshot)
+    // aborts; either failure path removes the staged orphan dir.
+    try Manifest.publishMerge(spark, stateDir) { cur =>
+      require(!cur.live.exists(_.startsWith("pq/")),
+        s"vector store at $stateDir already has PQ codebooks")
+      (cur.live :+ s"pq/$tag", cur.meta)
+    }
+    catch {
+      case e: Throwable =>
+        new org.apache.hadoop.fs.Path(s"$stateDir/pq/$tag")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(s"$stateDir/pq/$tag"), true)
+        throw e
+    }
   }
 
   private def pqCodebooks(
@@ -256,24 +266,63 @@ object VectorStore {
     * production store actually runs between full [[encodeCompact]]s:
     * each pass costs O(new data), and [[queryAdc]]'s on-the-fly path
     * shrinks back to empty. Returns the number of batches encoded. */
-  def encodeFresh(spark: SparkSession, stateDir: String, nFiles: Int = 4): Int = {
+  def encodeFresh(spark: SparkSession, stateDir: String, nFiles: Int = 4,
+      beforePublish: () => Unit = () => ()): Int = {
     graft.functions.GraftFunctions.register(spark)
     val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
-    val snap = Manifest.snapshot(spark, stateDir)
-    val covered = coveredTags(snap.meta)
-    val fresh = snap.live.filter(d => d.startsWith("vectors/") &&
-      !covered.contains(d.stripPrefix("vectors/")))
-    if (fresh.isEmpty) return 0
-    val tag = s"f${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
-    Layout.writeClustered(
-      encodeFrame(spark.read.parquet(fresh.map(d => s"$stateDir/$d"): _*), cb, cbSumsq),
-      s"$stateDir/codes/$tag", Seq("cell"), nFiles)
-    val newTags = fresh.map(_.stripPrefix("vectors/"))
-    Manifest.publishMerge(spark, stateDir) { cur =>
-      val nowCovered = (coveredTags(cur.meta) ++ newTags).toSeq.sorted.mkString(",")
-      (cur.live :+ s"codes/$tag", cur.meta + (CoveredKey -> nowCovered))
+    val f = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // OCC loop pinned to the SNAPSHOT the codes were encoded from — a
+    // blind publishMerge here would break the store's own contract: if a
+    // concurrent encodeCompact folded some of the same raw batches, our
+    // staged codes would duplicate rows already inside the compacted
+    // codes/<tag> and queryAdc would serve those vectors twice. So the
+    // staged dir is committed only when the current snapshot's fresh set
+    // still matches the one it encodes; any other interleaving deletes
+    // the staged orphan and re-derives (or returns 0 if the race winner
+    // covered everything).
+    var staged: Option[(String, Set[String])] = None // (tag, fresh tags)
+    var attempts = 0
+    while (true) {
+      val snap = Manifest.snapshot(spark, stateDir)
+      val covered = coveredTags(snap.meta)
+      val fresh = snap.live.filter(d => d.startsWith("vectors/") &&
+        !covered.contains(d.stripPrefix("vectors/")))
+      val freshTags = fresh.map(_.stripPrefix("vectors/")).toSet
+      if (fresh.isEmpty) {
+        staged.foreach { case (t, _) =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/codes/$t"), true)
+        }
+        return 0
+      }
+      val tag = staged match {
+        case Some((t, set)) if set == freshTags => t // re-CAS the same codes
+        case other =>
+          other.foreach { case (t, _) =>
+            f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/codes/$t"), true)
+          }
+          val t = s"f${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+          Layout.writeClustered(
+            encodeFrame(spark.read.parquet(fresh.map(d => s"$stateDir/$d"): _*),
+              cb, cbSumsq),
+            s"$stateDir/codes/$t", Seq("cell"), nFiles)
+          staged = Some((t, freshTags))
+          t
+      }
+      beforePublish() // test seam: specs inject a racing encodeCompact here
+      Manifest.tryPublish(spark, stateDir, snap,
+        snap.live :+ s"codes/$tag",
+        snap.meta + (CoveredKey ->
+          (covered ++ freshTags).toSeq.sorted.mkString(","))) match {
+        case Some(_) => return fresh.length
+        case None =>
+          attempts += 1
+          if (attempts >= 16)
+            throw new java.io.IOException(
+              s"encodeFresh lost $attempts consecutive publish races at $stateDir")
+      }
     }
-    fresh.length
+    0 // unreachable
   }
 
   /** (cell, vec_id, codes) for a raw vectors frame — a pure map against

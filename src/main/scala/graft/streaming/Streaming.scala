@@ -431,7 +431,16 @@ object Streaming {
     * proven equal to the batch operator across in-order micro-batch
     * splits. Same stated assumption as [[attributeIhc]]: sources that
     * deliver late data across micro-batches need a watermark-driven
-    * reorder buffer in front; order within a batch is handled here. */
+    * reorder buffer in front; order within a batch is handled here.
+    *
+    * Output contract, BY DESIGN wider than the batch twin: every user
+    * seen so far emits a row each micro-batch, including users whose
+    * events never contained a 'view' — those carry `funnel_depth = 0`
+    * and a null `t1` (mapGroupsWithState emits exactly one row per
+    * touched group; progress dashboards want the not-yet-entered
+    * population). `Analytics.windowFunnel` filters non-entrants out, so
+    * consumers comparing stream to batch must drop the depth-0 rows
+    * first (as the equivalence spec does). */
   def funnelProgress(
       events: Dataset[Event], windowUs: Long = 86400000000L): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
@@ -561,6 +570,54 @@ object Streaming {
         graft.operators.Search.lmScoreAgainst(batch, model)
           .filter(col("avg_lik") >= minAvgLik)
           .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** Manifest metadata key holding the highest committed micro-batch id
+    * of [[corpusIngestSink]] — the stream↔storage exactly-once watermark. */
+  private[graft] val StreamBatchKey = "stream_batch_id"
+
+  /** One micro-batch of the exactly-once streaming→manifest corpus sink.
+    *
+    * The batch id is committed ATOMICALLY with the batch's document and
+    * fingerprint dirs — it rides the same manifest CAS inside
+    * [[graft.operators.Corpus.ingestIncremental]] — so "data visible" and
+    * "batch recorded" are one state change. Replays (foreachBatch reruns
+    * a batch whenever the sink committed but the checkpoint advance was
+    * lost in a crash) are absorbed twice over: a batch id at or below the
+    * committed watermark returns without reading the data at all, and a
+    * replay racing ahead of its own watermark (or arriving with a fresh
+    * checkpoint) is content-deduplicated by the fingerprint anti-join —
+    * each document is admitted exactly once either way.
+    *
+    * @return newly admitted documents (0 for a skipped replay) */
+  def ingestMicroBatch(batch: DataFrame, stateDir: String, batchId: Long): Long = {
+    val spark = batch.sparkSession
+    val committed = graft.sources.Manifest.meta(spark, stateDir)
+      .get(StreamBatchKey).map(_.toLong)
+    if (committed.exists(_ >= batchId)) 0L
+    else graft.operators.Corpus.ingestIncremental(spark, batch, stateDir,
+      extraMeta = Map(StreamBatchKey -> batchId.toString))
+  }
+
+  /** Exactly-once streaming corpus admission into a manifest-backed store
+    * (SURVEY §2.D8 composed with §2.C20): `foreachBatch` feeds each
+    * micro-batch through [[ingestMicroBatch]], so every commit is one
+    * transactional manifest publish carrying data, dedup fingerprints,
+    * AND the micro-batch watermark. Kill + restart replays are admitted
+    * exactly once (spec-proven with a forced replay). One streaming
+    * writer per store: concurrent BATCH ingests still serialize through
+    * the manifest CAS, but a second stream would interleave watermarks.
+    *
+    * `docs` must carry the corpus schema
+    * (doc_id, text, lang, source, n_chars). */
+  def corpusIngestSink(
+      docs: DataFrame, stateDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestMicroBatch(batch, stateDir, batchId); ()
       }
       .start()
 

@@ -280,6 +280,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(sorted === sorted.sorted.reverse)
   }
 
+  test("generic pagerank: arbitrary edge frames, weights honored, mass conserved") {
+    import spark.implicits._
+    // weighted star: hub h links to a (3×) and b (1×); a, b link back.
+    val edges = Seq(
+      (100L, 1L, 3L), (100L, 2L, 1L),
+      (1L, 100L, 1L), (2L, 100L, 1L)).toDF("src", "dst", "weight")
+    val pr = graft.operators.Markov.pagerank(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("pr")).toMap
+    assert(pr.size === 3)
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    assert(pr(1L) > pr(2L)) // 3× the inbound weight → more rank
+    assert(pr(100L) > pr(1L)) // the hub receives from both
+    // dangling node: 1 -> 2, 2 absorbs and redistributes; sums to 1
+    val dang = graft.operators.Markov.pagerank(
+      Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("pr")).toMap
+    assert(dang(2L) > dang(1L))
+    assert(math.abs(dang.values.sum - 1.0) < 1e-9)
+    // string node type works the same (the channel instance relies on it)
+    val s = graft.operators.Markov.pagerank(
+      Seq(("x", "y", 1L), ("y", "x", 1L)).toDF("src", "dst", "weight")).collect()
+    s.foreach(r => assert(math.abs(r.getAs[Double]("pr") - 0.5) < 1e-12))
+  }
+
   test("CSV export writes a single header'd file matching the report") {
     val report = Reporting.channelReporting(
       graft.operators.IhcAttribution.attribute(

@@ -114,6 +114,53 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("encodeFresh racing encodeCompact: no vector ever served twice") {
+    // the OCC hazard: encodeFresh snapshots, encodes the fresh batch, and
+    // a concurrent encodeCompact folds that SAME batch before the publish
+    // lands — a blind merge would commit duplicate codes and queryAdc
+    // would serve those vectors twice (wrong ranks). The CAS-pinned loop
+    // must detect the fold, discard its staged codes, and report 0.
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-race").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 2))
+    VectorStore.encodeCompact(spark, stateDir)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= n / 2))
+    var raced = false
+    val encoded = VectorStore.encodeFresh(spark, stateDir, beforePublish = () => {
+      if (!raced) { raced = true; VectorStore.encodeCompact(spark, stateDir) }
+    })
+    assert(raced)
+    assert(encoded === 0) // the compaction covered everything first
+    // exactly one live codes dir (the compaction's); encodeFresh removed
+    // its own staged codes (f-tagged) — the superseded first compaction's
+    // dir is ordinary unreferenced garbage awaiting vacuum, not ours
+    val live = graft.sources.Manifest.live(spark, stateDir)
+    assert(live.count(_.startsWith("codes/")) === 1)
+    val staged = new java.io.File(s"$stateDir/codes").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("f"))
+    assert(staged.isEmpty, s"orphan staged codes: ${staged.mkString(",")}")
+    // every vector served exactly once, with codes-path cosines equal to
+    // a never-compacted reference store
+    val queries = emb.filter(col("vec_id") < 4)
+    val res = VectorStore.queryAdc(spark, stateDir, queries).collect()
+    val perQuery = res.groupBy(_.getAs[Long]("query_id"))
+    perQuery.values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, "duplicate neighbor served")
+    }
+    val rawStore = Files.createTempDirectory("graft-vstore-race-raw").toString
+    VectorStore.init(spark, rawStore, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, rawStore, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, rawStore, emb)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cosine"))).toMap
+    assert(key(res) === key(VectorStore.queryAdc(spark, rawStore, queries).collect()))
+  }
+
   test("racing ingests serialize: the shared vector is admitted exactly once") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val stateDir = Files.createTempDirectory("graft-vstore-race").toString
