@@ -325,6 +325,95 @@ object VectorStore {
     0 // unreachable
   }
 
+  /** INCREMENTAL encode-compaction: fold the committed codes dirs and the
+    * codes of raw batches ingested since the last encode into ONE
+    * cell-clustered codes dir — WITHOUT re-encoding covered history and
+    * WITHOUT touching the raw vectors layout. Covered batches move as
+    * 8-int codes (a ~30× smaller read than their 64-float raw form), so a
+    * pass costs O(new raw data + total codes bytes) — the steady-state
+    * background cadence of a production IVF+PQ store, where the full
+    * refold ([[encodeCompact]]) is the rare rebuild and [[compact]]
+    * handles raw-file fan-in independently.
+    *
+    * OCC: the staged merged dir is pinned to the snapshot it was derived
+    * from. A concurrent commit fails the CAS; the staged codes are then
+    * re-CASed only when they still account for exactly the store's
+    * current encoded state — the codes dirs and covered set are unchanged
+    * and every tag the staged dir covers is still a live raw batch (a
+    * racing [[compact]] folds raw tags away, which would otherwise leave
+    * the same vectors both encoded AND on the fresh on-the-fly path —
+    * served twice). Any other interleaving deletes the staged orphan and
+    * re-derives. Raw batches ingested DURING the pass simply stay
+    * uncovered until the next pass.
+    *
+    * @param beforePublish test seam, called between staging and each
+    *                      publish attempt
+    * @return number of fresh (previously un-encoded) batches encoded */
+  def encodeCompactIncremental(spark: SparkSession, stateDir: String,
+      nFiles: Int = 4, beforePublish: () => Unit = () => ()): Int = {
+    graft.functions.GraftFunctions.register(spark)
+    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val f = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // staged merged dir + the snapshot facts it was derived from
+    case class Staged(tag: String, inputCodes: Set[String],
+      inputCovered: Set[String], fresh: Set[String])
+    var staged: Option[Staged] = None
+    def dropStaged(): Unit = staged.foreach { s =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/codes/${s.tag}"), true)
+      staged = None
+    }
+    var attempts = 0
+    while (true) {
+      val snap = Manifest.snapshot(spark, stateDir)
+      val rawTags = snap.live.filter(_.startsWith("vectors/"))
+        .map(_.stripPrefix("vectors/")).toSet
+      val codeDirs = snap.live.filter(_.startsWith("codes/")).toSet
+      // covered tags no longer live (folded away by compact) are dead
+      // markers — treat them as gone so the accounting below is exact
+      val covered = coveredTags(snap.meta).intersect(rawTags)
+      val fresh = rawTags -- covered
+      if (codeDirs.size <= 1 && fresh.isEmpty) { dropStaged(); return 0 }
+      val st = staged match {
+        case Some(s) if s.inputCodes == codeDirs && s.inputCovered == covered &&
+          (s.inputCovered ++ s.fresh).subsetOf(rawTags) => s // re-CAS as-is
+        case _ =>
+          dropStaged()
+          val t = s"i${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+          val freshCodes =
+            if (fresh.isEmpty) None
+            else Some(encodeFrame(spark.read.parquet(
+              fresh.toSeq.sorted.map(g => s"$stateDir/vectors/$g"): _*), cb, cbSumsq))
+          val oldCodes =
+            if (codeDirs.isEmpty) None
+            else Some(spark.read.parquet(codeDirs.toSeq.sorted.map(d => s"$stateDir/$d"): _*))
+          val merged = (oldCodes, freshCodes) match {
+            case (Some(a), Some(b)) => a.unionByName(b)
+            case (Some(a), None) => a
+            case (None, Some(b)) => b
+            case (None, None) => throw new IllegalStateException("unreachable")
+          }
+          Layout.writeClustered(merged, s"$stateDir/codes/$t", Seq("cell"), nFiles)
+          val s = Staged(t, codeDirs, covered, fresh)
+          staged = Some(s)
+          s
+      }
+      beforePublish()
+      Manifest.tryPublish(spark, stateDir, snap,
+        (snap.live.filterNot(st.inputCodes) :+ s"codes/${st.tag}"),
+        snap.meta + (CoveredKey ->
+          (st.inputCovered ++ st.fresh).toSeq.sorted.mkString(","))) match {
+        case Some(_) => return st.fresh.size
+        case None =>
+          attempts += 1
+          if (attempts >= 16)
+            throw new java.io.IOException(
+              s"encodeCompactIncremental lost $attempts consecutive publish races at $stateDir")
+      }
+    }
+    0 // unreachable
+  }
+
   /** (cell, vec_id, codes) for a raw vectors frame — a pure map against
     * the literal codebooks. */
   private def encodeFrame(

@@ -114,6 +114,90 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("incremental encode-compaction: one codes dir, no re-encode of history, refold-equal") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-inc").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    // the steady-state history an incremental pass must absorb: a folded
+    // generation (encodeCompact), a fresh-encoded generation (encodeFresh),
+    // and a still-raw hot batch — three codes sources, three raw layouts
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 4))
+    VectorStore.encodeCompact(spark, stateDir)
+    VectorStore.ingest(spark, stateDir,
+      emb.filter(col("vec_id") >= n / 4 && col("vec_id") < n / 2))
+    assert(VectorStore.encodeFresh(spark, stateDir) === 1)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= n / 2))
+    assert(graft.sources.Manifest.live(spark, stateDir)
+      .count(_.startsWith("codes/")) === 2)
+    // the pass encodes exactly the one uncovered batch and folds all
+    // codes into ONE dir; every live raw batch is covered afterwards
+    assert(VectorStore.encodeCompactIncremental(spark, stateDir) === 1)
+    val live = graft.sources.Manifest.live(spark, stateDir)
+    assert(live.count(_.startsWith("codes/")) === 1)
+    val meta = graft.sources.Manifest.meta(spark, stateDir)
+    val covered = meta("pq_covered").split(",").toSet
+    assert(covered === live.filter(_.startsWith("vectors/"))
+      .map(_.stripPrefix("vectors/")).toSet)
+    // bit-equal to a store that took the expensive full-refold path
+    val queries = emb.filter(col("vec_id") < 4)
+    def adc(dir: String) = VectorStore.queryAdc(spark, dir, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cosine"))).toMap
+    val refold = Files.createTempDirectory("graft-vstore-inc-ref").toString
+    VectorStore.init(spark, refold, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, refold, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, refold, emb)
+    VectorStore.encodeCompact(spark, refold)
+    assert(adc(stateDir) === adc(refold))
+    // nothing fresh + one codes dir → a second pass is a no-op
+    assert(VectorStore.encodeCompactIncremental(spark, stateDir) === 0)
+    assert(graft.sources.Manifest.live(spark, stateDir)
+      .count(_.startsWith("codes/")) === 1)
+  }
+
+  test("incremental encode-compaction racing an ingest: retried, new batch stays uncovered") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-inc-race").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 2))
+    VectorStore.encodeCompact(spark, stateDir)
+    VectorStore.ingest(spark, stateDir,
+      emb.filter(col("vec_id") >= n / 2 && col("vec_id") < 3 * n / 4))
+    // a batch lands BETWEEN staging and publish: the CAS fails, but the
+    // staged codes still account for the store's encoded state exactly,
+    // so they are re-CASed (not re-derived) and the race batch simply
+    // stays uncovered for the next pass
+    var raced = false
+    assert(VectorStore.encodeCompactIncremental(spark, stateDir, beforePublish = () => {
+      if (!raced) {
+        raced = true
+        VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= 3 * n / 4))
+      }
+    }) === 1)
+    assert(raced)
+    val live = graft.sources.Manifest.live(spark, stateDir)
+    assert(live.count(_.startsWith("codes/")) === 1)
+    val covered = graft.sources.Manifest.meta(spark, stateDir)("pq_covered")
+      .split(",").toSet
+    val rawTags = live.filter(_.startsWith("vectors/"))
+      .map(_.stripPrefix("vectors/")).toSet
+    assert(covered.subsetOf(rawTags))
+    assert((rawTags -- covered).size === 1) // the race batch, un-encoded
+    // every vector served exactly once across the codes + on-the-fly split
+    val queries = emb.filter(col("vec_id") < 4)
+    val res = VectorStore.queryAdc(spark, stateDir, queries,
+      nProbe = 16, k = n.toInt).collect()
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, "duplicate neighbor served")
+      assert(ids.length === n - 1) // all vectors present exactly once
+    }
+  }
+
   test("encodeFresh racing encodeCompact: no vector ever served twice") {
     // the OCC hazard: encodeFresh snapshots, encodes the fresh batch, and
     // a concurrent encodeCompact folds that SAME batch before the publish
