@@ -601,6 +601,132 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20"""
 
+  /** Q9 shape adapted to this schema: supply cost stands in as
+    * 0.6·p_retailprice·l_quantity (no partsupp table). */
+  val q9ProfitByNation: String = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity
+                     AS DECIMAL(27,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC"""
+
+  /** Q2 shape: the part-supplier offer relation derives from lineitem
+    * (decimal-exact avg unit price), correlated MIN joined back by
+    * equality — both engines compute the identical decimal-sum/division
+    * tree, so the equality is exact. */
+  val q2MinPriceSupplier: String = """
+WITH geo AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT p_partkey, l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+         / CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS unit_price
+  FROM lineitem
+  JOIN geo ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD'
+  GROUP BY 1, 2
+), mo AS (
+  SELECT p_partkey AS mp, MIN(unit_price) AS min_price
+  FROM offers GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name AS nation, p_partkey, unit_price
+FROM offers
+JOIN mo ON p_partkey = mp AND unit_price = min_price
+JOIN geo ON l_suppkey = s_suppkey
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100"""
+
+  /** Q11 shape: per-part value kept above 2× the mean per-part share of
+    * the global total (the scale-free form of Q11's 1/SF-scaled
+    * fraction) over the same restricted supplier set. */
+  val q11ImportantParts: String = """
+WITH perpart AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(CAST(part_value AS DECIMAL(27,6))) AS DOUBLE) AS grand_total,
+         CAST(COUNT(*) AS DOUBLE) AS npart
+  FROM perpart
+)
+SELECT l_partkey, part_value
+FROM perpart CROSS JOIN total
+WHERE part_value > 2.0 * grand_total / npart
+ORDER BY part_value DESC, l_partkey"""
+
+  /** Q12 shape: ship-delay classes on the RAW signed microsecond diff
+    * (synthetic data ships some lines before the order date — no
+    * division, bit-identical thresholds). */
+  val q12ShippingPriority: String = """
+SELECT CASE WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) < 2592000000000
+            THEN 'FAST'
+            WHEN epoch_us(l_shipdate) - epoch_us(o_orderdate) < 7776000000000
+            THEN 'MEDIUM'
+            ELSE 'SLOW' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1"""
+
+  /** Q16 shape: distinct suppliers per part attribute triple with a
+    * NOT-IN supplier exclusion (s_acctbal < 1000 standing in for the
+    * complaints filter). */
+  val q16SupplierCounts: String = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q21 shape: finished multi-supplier orders where exactly one
+    * supplier shipped >=80 days late, counted against that supplier. */
+  val q21WaitingSuppliers: String = """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         epoch_us(l_shipdate) - epoch_us(o_orderdate) >= 6912000000000 AS late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), perorder AS (
+  SELECT l_orderkey AS agg_ok,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nsupp,
+         CAST(COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS BIGINT) AS nlate
+  FROM li GROUP BY 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM li
+JOIN perorder ON l_orderkey = agg_ok
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE late AND nsupp >= 2 AND nlate = 1 AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100"""
+
   val q15TopSupplier: String = """
 WITH rev AS (
   SELECT l_suppkey,
@@ -2373,6 +2499,78 @@ SELECT channel,
        CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(36028797018963968 AS DOUBLE)
          / CAST(CAST(SUM(CAST(1 AS BIGINT) << CAST(55 - rnk AS INTEGER)) AS BIGINT) AS DOUBLE) AS est_hll
 FROM filled
+GROUP BY channel
+ORDER BY 1"""
+
+  /** Histogram-quantile sketch oracle: 16-cent equi-width bins via
+    * `floor(value · 6.25)` (6.25 is exact binary — one IEEE multiply +
+    * floor, identical cross-engine), estimate = first bin whose
+    * cumulative count reaches ceil(q·n) as its integer-cent upper
+    * boundary; exact columns are the discrete rank-`ceil(q·n)` values
+    * under the (value, event_id) total order. */
+  val sketchHistQuantiles: String = """
+WITH ev AS (
+  SELECT event_type AS channel, value, event_id FROM events
+), hist AS (
+  SELECT channel, LEAST(4095, CAST(FLOOR(value * 6.25) AS BIGINT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT channel, b,
+         CAST(SUM(cnt) OVER (PARTITION BY channel ORDER BY b) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY channel) AS BIGINT) AS n
+  FROM hist
+), est AS (
+  SELECT channel, MAX(n) AS n,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT)
+                  THEN CAST((b + 1) * 16 AS BIGINT) END) AS p50_cents_est,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT)
+                  THEN CAST((b + 1) * 16 AS BIGINT) END) AS p90_cents_est,
+         MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT)
+                  THEN CAST((b + 1) * 16 AS BIGINT) END) AS p99_cents_est
+  FROM cum GROUP BY channel
+), rk AS (
+  SELECT channel, value,
+         row_number() OVER (PARTITION BY channel ORDER BY value, event_id) AS rnk,
+         CAST(COUNT(*) OVER (PARTITION BY channel) AS BIGINT) AS nr
+  FROM ev
+), ex AS (
+  SELECT channel,
+         MAX(CASE WHEN rnk = CAST(CEIL(0.5 * nr) AS BIGINT) THEN value END) AS p50_exact,
+         MAX(CASE WHEN rnk = CAST(CEIL(0.9 * nr) AS BIGINT) THEN value END) AS p90_exact,
+         MAX(CASE WHEN rnk = CAST(CEIL(0.99 * nr) AS BIGINT) THEN value END) AS p99_exact
+  FROM rk GROUP BY channel
+)
+SELECT e.channel, e.n, e.p50_cents_est, e.p90_cents_est, e.p99_cents_est,
+       x.p50_exact, x.p90_exact, x.p99_exact
+FROM est e JOIN ex x ON x.channel = e.channel
+ORDER BY 1"""
+
+  /** Oracle for the MERGED histogram: the FULL-data computation —
+    * cell-wise-sum merging of slice grids must reproduce the full grid
+    * exactly (count linearity), so matching this hash IS the merge
+    * proof. */
+  val sketchHistMerged: String = """
+WITH ev AS (
+  SELECT event_type AS channel, value FROM events
+), hist AS (
+  SELECT channel, LEAST(4095, CAST(FLOOR(value * 6.25) AS BIGINT)) AS b,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ev GROUP BY 1, 2
+), cum AS (
+  SELECT channel, b,
+         CAST(SUM(cnt) OVER (PARTITION BY channel ORDER BY b) AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER (PARTITION BY channel) AS BIGINT) AS n
+  FROM hist
+)
+SELECT channel, MAX(n) AS n,
+       MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT)
+                THEN CAST((b + 1) * 16 AS BIGINT) END) AS p50_cents_est,
+       MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT)
+                THEN CAST((b + 1) * 16 AS BIGINT) END) AS p90_cents_est,
+       MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT)
+                THEN CAST((b + 1) * 16 AS BIGINT) END) AS p99_cents_est
+FROM cum
 GROUP BY channel
 ORDER BY 1"""
 

@@ -194,6 +194,12 @@ object SparkEntry {
     "sketch_hll_merged" -> ((s, dir) =>
       graft.operators.Sketches.hllMerged(Tables.events(s, dir))),
 
+    "sketch_hist_quantiles" -> ((s, dir) =>
+      graft.operators.Sketches.histQuantiles(Tables.events(s, dir))),
+
+    "sketch_hist_merged" -> ((s, dir) =>
+      graft.operators.Sketches.histMerged(Tables.events(s, dir))),
+
     "q4_order_priority" -> ((s, dir) =>
       Analytics.q4OrderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
 
@@ -232,6 +238,32 @@ object SparkEntry {
     "q10_returned_items" -> ((s, dir) =>
       Analytics.q10ReturnedItems(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))),
+
+    "q9_profit_by_nation" -> ((s, dir) =>
+      Analytics.q9ProfitByNation(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.nation(s, dir))),
+
+    "q2_min_price_supplier" -> ((s, dir) =>
+      Analytics.q2MinPriceSupplier(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+
+    "q11_important_parts" -> ((s, dir) =>
+      Analytics.q11ImportantParts(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
+
+    "q12_shipping_priority" -> ((s, dir) =>
+      Analytics.q12ShippingPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
+    "q16_supplier_counts" -> ((s, dir) =>
+      Analytics.q16SupplierCounts(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+
+    "q21_waiting_suppliers" -> ((s, dir) =>
+      Analytics.q21WaitingSuppliers(
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.nation(s, dir))),
 
     "q15_top_supplier" -> ((s, dir) =>
@@ -503,6 +535,10 @@ object SparkEntry {
     // reproduce the full grid exactly, so the hash match IS the proof
     "sketch_cms_merged"         -> Oracles.sketchCmsFrequency,
     "sketch_hll_merged"         -> Oracles.sketchHllMerged,
+    "sketch_hist_quantiles"     -> Oracles.sketchHistQuantiles,
+    // the FULL-data histogram oracle: cell-wise-sum merging must
+    // reproduce the full grid exactly, so the hash match IS the proof
+    "sketch_hist_merged"        -> Oracles.sketchHistMerged,
     "q4_order_priority"         -> Oracles.q4OrderPriority,
     "q13_custdist"              -> Oracles.q13CustDist,
     "q17_small_quantity_revenue" -> Oracles.q17SmallQuantityRevenue,
@@ -513,6 +549,12 @@ object SparkEntry {
     "q7_volume_shipping"        -> Oracles.q7VolumeShipping,
     "q8_market_share"           -> Oracles.q8MarketShare,
     "q10_returned_items"        -> Oracles.q10ReturnedItems,
+    "q9_profit_by_nation"       -> Oracles.q9ProfitByNation,
+    "q2_min_price_supplier"     -> Oracles.q2MinPriceSupplier,
+    "q11_important_parts"       -> Oracles.q11ImportantParts,
+    "q12_shipping_priority"     -> Oracles.q12ShippingPriority,
+    "q16_supplier_counts"       -> Oracles.q16SupplierCounts,
+    "q21_waiting_suppliers"     -> Oracles.q21WaitingSuppliers,
     "q15_top_supplier"          -> Oracles.q15TopSupplier,
     "q18_large_volume"          -> Oracles.q18LargeVolume,
     "q19_discounted_revenue"    -> Oracles.q19DiscountedRevenue,

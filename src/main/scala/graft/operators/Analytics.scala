@@ -333,6 +333,185 @@ object Analytics {
       .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
   }
 
+  /** Product-profit rollup by (nation, year) — the TPC-H Q9 plan shape
+    * adapted to this schema (no `partsupp`: supply cost stands in as
+    * `0.6 · p_retailprice · l_quantity`, a broadcast-dim expression with
+    * the same join/agg structure). The fact table joins three BROADCAST
+    * dims (part filtered on a name token, supplier, nation) and shuffles
+    * once for the orders join on l_orderkey, then one partial-agg groupBy
+    * on the ~|nations|·|years| key space. */
+  def q9ProfitByNation(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      orders: DataFrame, nation: DataFrame, nameToken: String = "widget"): DataFrame =
+    lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          lit(0.6) * col("p_retailprice") * col("l_quantity")).as("amount"))
+      .groupBy("nation", "o_year")
+      .agg(dsum(col("amount")).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** Min-price supplier per part — the TPC-H Q2 correlated-subquery shape
+    * (no `partsupp`: the part-supplier offer relation derives from
+    * lineitem as each supplier's DECIMAL-exact average unit price per
+    * part). The correlated `MIN` is a per-part partial agg joined back by
+    * (partkey, price == min) — exact equality is safe because both sides
+    * compute the identical decimal-sum/one-division tree. Region
+    * restriction lands on the broadcast supplier→nation dim; the only
+    * fact shuffle is the (part, supplier) offer rollup. */
+  def q2MinPriceSupplier(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, region: DataFrame,
+      marketRegion: String = "EUROPE", partType: String = "STANDARD"): DataFrame = {
+    val suppGeo = supplier
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === marketRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val offers = lineitem
+      .join(broadcast(suppGeo.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(part.filter(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg((dsum(col("l_extendedprice")) / dsum(col("l_quantity"))).as("unit_price"))
+    val minOffer = offers
+      .groupBy(col("p_partkey").as("mp"))
+      .agg(min(col("unit_price")).as("min_price"))
+    offers
+      .join(broadcast(minOffer),
+        col("p_partkey") === col("mp") && col("unit_price") === col("min_price"))
+      .join(broadcast(suppGeo), offers("l_suppkey") === suppGeo("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name").as("nation"),
+        col("p_partkey"), col("unit_price"))
+      .orderBy(col("s_acctbal").desc, col("nation"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Important-parts filter — the TPC-H Q11 shape (group totals kept only
+    * above a fraction of the GLOBAL total): per-part revenue from one
+    * nation's suppliers, kept above `mult ×` the MEAN per-part share
+    * (Q11's literal fraction is spec-scaled by 1/SF; the mean-share form
+    * is the scale-free equivalent, biting identically at every corpus
+    * size). The global (total, part count) scalar is a one-row broadcast
+    * cross join (never a driver collect); both sides of the comparison
+    * reuse the same per-part partial agg. */
+  def q11ImportantParts(
+      supplier: DataFrame, lineitem: DataFrame, nation: DataFrame,
+      targetNation: String = "NATION_3", mult: Double = 2.0): DataFrame = {
+    val natSupp = supplier
+      .join(broadcast(nation.filter(col("n_name") === targetNation)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("part_value"))
+    val total = perPart.agg(
+      dsum(col("part_value")).as("grand_total"),
+      count(lit(1)).cast("double").as("npart"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("part_value") > lit(mult) * col("grand_total") / col("npart"))
+      .select("l_partkey", "part_value")
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  /** Shipping-delay priority counts — the TPC-H Q12 shape (per-class
+    * URGENT/non-urgent conditional counts): lineitems bucket by their
+    * ship delay vs the order date in RAW MICROSECONDS (synthetic data
+    * ships some items before the order date — thresholds on the signed
+    * diff, no division, bit-identical cross-engine), urgent = priority
+    * 1-URGENT/2-HIGH. One orders join (the fact shuffle) + one
+    * three-row groupBy. */
+  def q12ShippingPriority(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val day: Long = 86400000000L
+    // parquet stores TIMESTAMP_NTZ; the UTC session makes the cast exact
+    val diff = unix_micros(col("l_shipdate").cast("timestamp")) -
+      unix_micros(col("o_orderdate").cast("timestamp"))
+    val urgent = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    lineitem.select("l_orderkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(diff < lit(30L * day), "FAST")
+          .when(diff < lit(90L * day), "MEDIUM")
+          .otherwise("SLOW").as("ship_class"),
+        when(urgent, 1L).otherwise(0L).as("is_urgent"))
+      .groupBy("ship_class")
+      .agg(
+        sum(col("is_urgent")).as("high_line_count"),
+        sum(lit(1L) - col("is_urgent")).as("low_line_count"))
+      .orderBy("ship_class")
+  }
+
+  /** Supplier counts by part attribute — the TPC-H Q16 shape (DISTINCT
+    * suppliers per (brand, type, size) with a NOT-IN supplier exclusion):
+    * the excluded set (here `s_acctbal < 1000` standing in for the
+    * complaints LIKE) is a broadcast anti-join; the distinct count
+    * shuffles the (attrs, suppkey) pairs once. */
+  def q16SupplierCounts(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      excludeBrand: String = "Brand#5", minAcctbal: Double = 1000.0): DataFrame =
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(part.filter(col("p_brand") =!= excludeBrand)
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.filter(col("s_acctbal") < minAcctbal)
+        .select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** Suppliers who kept orders waiting — the TPC-H Q21 EXISTS/NOT-EXISTS
+    * chain: finished multi-supplier orders where exactly ONE supplier
+    * shipped late (≥ 80 days after the order date), counted against that
+    * supplier (restricted to one nation). Both EXISTS conditions collapse
+    * into ONE per-order partial agg — distinct suppliers and distinct
+    * LATE suppliers — re-joined to the late rows; the fact shuffles once
+    * on l_orderkey for the agg and once for the re-join, never
+    * per-subquery. */
+  def q21WaitingSuppliers(
+      supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+      nation: DataFrame, targetNation: String = "NATION_3"): DataFrame = {
+    val lateUs = 80L * 86400000000L
+    val li = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", // NTZ → UTC-session cast, as in q12
+        unix_micros(col("l_shipdate").cast("timestamp")) -
+          unix_micros(col("o_orderdate").cast("timestamp")) >= lit(lateUs))
+    val perOrder = li
+      .groupBy(col("l_orderkey").as("agg_ok"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("nsupp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nlate"))
+    li.filter(col("late"))
+      .join(perOrder, col("l_orderkey") === col("agg_ok"))
+      .filter(col("nsupp") >= 2 && col("nlate") === 1)
+      .join(broadcast(supplier
+        .join(broadcast(nation.filter(col("n_name") === targetNation)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
   /** Dedup-by-key (keep the latest event per user) — the ETL staple.
     * rn = 1 over (ts desc, id desc); Spark's WindowGroupLimit prunes to
     * one row per key per partition BEFORE the shuffle, so this is

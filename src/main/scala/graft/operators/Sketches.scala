@@ -230,6 +230,101 @@ object Sketches {
       .orderBy("channel")
   }
 
+  /** Histogram bin width in cents and the multiplier that maps a dollar
+    * value to its bin: `floor(value · 6.25) = floor(value·100/16)` — 16
+    * cents a bin, and 6.25 (= 2⁻⁴·100) is EXACT in binary, so the bin id
+    * is one IEEE multiply + floor, identical cross-engine. */
+  private val HistBins = 4096
+  private val HistWidthCents = 16L
+
+  /** (channel, b) bin observations for each event's value — shared with
+    * the streaming twin ([[graft.streaming.Streaming.histQuantiles]]) so
+    * both sketch the identical bin stream. */
+  private[graft] def binnedValues(events: DataFrame): DataFrame =
+    events.select(
+      col("event_type").as("channel"),
+      least(lit(HistBins - 1), floor(col("value") * lit(6.25))).cast("int").as("b"))
+
+  /** The histogram sketch STATE (channel, b, cnt): equi-width bins over
+    * [0, $655.36), top bin clamped — |channels|·4096 counters however
+    * large the input, built by one partial-agg pass. */
+  private def histState(events: DataFrame): DataFrame =
+    binnedValues(events)
+      .groupBy("channel", "b")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** (channel, n, p50/p90/p99_cents_est) from a histogram state: the
+    * q-quantile estimate is the UPPER boundary (in integer cents) of the
+    * first bin whose cumulative count reaches `ceil(q·n)` — pure integer
+    * arithmetic once the bin is found, so the estimate is bit-identical
+    * cross-engine and errs above the exact quantile by less than one bin
+    * width. The cumulative window partitions by channel over the SKETCH
+    * (≤ 4096 rows per channel — sketch-sized, not data-sized). */
+  private def histEstimate(hist: DataFrame): DataFrame = {
+    val cum = hist
+      .withColumn("cum",
+        sum("cnt").over(Window.partitionBy("channel").orderBy("b")))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("channel")))
+    def est(q: Double) = min(when(
+      col("cum") >= ceil(lit(q) * col("n")).cast("long"),
+      ((col("b") + 1) * lit(HistWidthCents)).cast("long")))
+    cum.groupBy("channel").agg(
+      max("n").as("n"),
+      est(0.5).as("p50_cents_est"),
+      est(0.9).as("p90_cents_est"),
+      est(0.99).as("p99_cents_est"))
+  }
+
+  /** Streaming-mergeable QUANTILE sketch: per-channel p50/p90/p99 value
+    * thresholds from a fixed equi-width histogram, with the EXACT
+    * discrete quantiles beside them so the (sub-bin-width) error is part
+    * of the checked output — the quantile member of the sketch family,
+    * B37-B39's answer for "percentiles over 100 TB without sorting
+    * anything": the sketch is |channels|·4096 counters built in one
+    * partial-agg pass, and bin counts are plain sums, so states merge by
+    * cell-wise addition ([[histMerged]]) and hold as bounded streaming
+    * state ([[graft.streaming.Streaming.histQuantiles]]).
+    *
+    * The exact columns are the discrete (no-interpolation) quantiles —
+    * the value at rank `ceil(q·n)` per channel — computed via the
+    * distributed [[Quantiles.withExactRank]] (range buckets + broadcast
+    * offsets; no single-task sort). */
+  def histQuantiles(events: DataFrame): DataFrame = {
+    val ranked = Quantiles.withExactRank(
+      events.select(col("event_type").as("channel"), col("value"), col("event_id")),
+      group = Seq("channel"),
+      order = Seq(("value", true), ("event_id", true)),
+      rankCol = "rnk", nCol = "nr")
+    def exact(q: Double) = max(when(
+      col("rnk") === ceil(lit(q) * col("nr")).cast("long"), col("value")))
+    val ex = ranked.groupBy("channel").agg(
+      exact(0.5).as("p50_exact"),
+      exact(0.9).as("p90_exact"),
+      exact(0.99).as("p99_exact"))
+    histEstimate(histState(events))
+      .join(ex, Seq("channel"))
+      .select("channel", "n", "p50_cents_est", "p90_cents_est", "p99_cents_est",
+        "p50_exact", "p90_exact", "p99_exact")
+      .orderBy("channel")
+  }
+
+  /** Histogram MERGE: bin grids built on slices combine by CELL-WISE SUM
+    * (count linearity, the same property as [[cmsMerged]]), so the
+    * merged sketch is EXACTLY the full-data sketch and the quantile
+    * thresholds read from it are bit-identical. The oracle is the
+    * full-data histogram computation — the hash match is the merge
+    * proof. */
+  def histMerged(events: DataFrame, splitDay: String = "2024-01-16"): DataFrame = {
+    val d = lit(splitDay).cast("date")
+    val merged = histState(events.filter(col("event_date") < d))
+      .unionAll(histState(events.filter(col("event_date") >= d)))
+      .groupBy("channel", "b")
+      .agg(sum("cnt").as("cnt"))
+    histEstimate(merged)
+      .select("channel", "n", "p50_cents_est", "p90_cents_est", "p99_cents_est")
+      .orderBy("channel")
+  }
+
   /** HLL MERGE: register states built independently on slices combine by
     * register-wise max, and `max` being idempotent/commutative makes the
     * merged registers EXACTLY the full-data registers — the lossless

@@ -100,6 +100,18 @@ final case class HllState(ranks: Array[Int])
 /** A per-channel HLL estimate emitted each micro-batch. */
 final case class HllEstimate(channel: String, n_registers_hit: Long, est_hll: Double)
 
+/** One histogram-bin observation feeding [[Streaming.histQuantiles]]. */
+final case class HistObs(channel: String, b: Int)
+
+/** Per-channel histogram state — BOUNDED: 4096 longs per channel
+  * forever, whatever the stream volume. */
+final case class HistQState(counts: Array[Long])
+
+/** Per-channel quantile-threshold estimates emitted each micro-batch. */
+final case class HistQEstimate(
+    channel: String, n: Long,
+    p50_cents_est: Long, p90_cents_est: Long, p99_cents_est: Long)
+
 /** One state-store operator's health snapshot from a streaming query's
   * last progress — the observability surface for stateful streams. */
 final case class StateMetrics(
@@ -535,6 +547,51 @@ object Streaming {
           // estimator (Sketches.hllEstimate)
           HllEstimate(channel, ranks.count(_ > 0).toLong,
             0.709 * 4096.0 * 36028797018963968.0 / s.toDouble)
+      }
+  }
+
+  /** Streaming quantile-threshold sketch (the quantile member of the
+    * D11/D13 sketch-twin family): the per-channel equi-width histogram of
+    * [[graft.operators.Sketches.histQuantiles]] maintained incrementally
+    * — each arriving event's value folds into its bin counter, and the
+    * current p50/p90/p99 threshold estimates are emitted per channel each
+    * micro-batch.
+    *
+    * This is the streaming answer to "value percentiles per channel,
+    * live": exact streaming quantiles need unbounded state, but the
+    * histogram is 4096 longs per channel FOREVER — and bin counts being
+    * plain sums (count linearity, the [[graft.operators.Sketches
+    * .histMerged]] property), replays-free arrival order cannot change
+    * the converged counts. The binning expression and the integer
+    * threshold arithmetic are the shared batch path, so the stream
+    * converges BIT-EQUAL to the batch sketch's estimate columns
+    * (spec-proven across scrambled micro-batches). */
+  def histQuantiles(events: DataFrame, bins: Int = 4096): Dataset[HistQEstimate] = {
+    import events.sparkSession.implicits._
+    val obs = graft.operators.Sketches.binnedValues(events).as[HistObs]
+    obs.groupByKey(_.channel)
+      .mapGroupsWithState[HistQState, HistQEstimate](GroupStateTimeout.NoTimeout) {
+        (channel: String, it: Iterator[HistObs], state: GroupState[HistQState]) =>
+          val counts = state.getOption.map(_.counts.clone())
+            .getOrElse(Array.fill(bins)(0L))
+          it.foreach(o => counts(math.min(o.b, bins - 1)) += 1L)
+          state.update(HistQState(counts))
+          val n = counts.sum
+          // first bin whose cumulative count reaches ceil(q·n); upper
+          // boundary in integer cents — the identical arithmetic as the
+          // batch histEstimate, so estimates are bit-equal
+          def est(q: Double): Long = {
+            val target = math.ceil(q * n).toLong
+            var cum = 0L
+            var b = 0
+            while (b < bins) {
+              cum += counts(b)
+              if (cum >= target) return (b + 1) * 16L
+              b += 1
+            }
+            bins * 16L
+          }
+          HistQEstimate(channel, n, est(0.5), est(0.9), est(0.99))
       }
   }
 

@@ -33,6 +33,34 @@ class PlanAuditSpec extends SparkSpec {
       Set("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
   }
 
+  test("TPC-H shapes B44-B49: dims broadcast, bounded fact shuffles, no cartesian blowup") {
+    def explain(name: String) = SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // q9: part/supplier/nation ride broadcast; the only exchanges are the
+    // orders equi-join, the final agg, and the output sort
+    val q9 = SparkEntry.queries("q9_profit_by_nation")(spark, sfDir)
+    assert(shuffles(q9) <= 4, s"q9 shuffles: ${shuffles(q9)}")
+    assert(explain("q9_profit_by_nation").contains("BroadcastHashJoin"))
+    // q2: the correlated-MIN join-back and the supplier re-join are
+    // broadcast; only the offer rollup shuffles the fact
+    assert(explain("q2_min_price_supplier").contains("BroadcastHashJoin"))
+    // q11: the global scalar is a BROADCAST nested-loop of ONE row —
+    // never a shuffled cartesian
+    val q11 = explain("q11_important_parts")
+    assert(q11.contains("BroadcastNestedLoopJoin") || q11.contains("BroadcastHashJoin"))
+    assert(!q11.contains("CartesianProduct"), "q11 plans a cartesian product")
+    // q16: the NOT-IN exclusion plans as a broadcast anti join, not a
+    // per-row subquery
+    assert(explain("q16_supplier_counts").contains("BroadcastHashJoin LeftAnti") ||
+      explain("q16_supplier_counts").contains("LeftAnti"))
+    // q21: both EXISTS conditions fold into per-order aggregation —
+    // bounded exchanges, no cartesian
+    val q21 = SparkEntry.queries("q21_waiting_suppliers")(spark, sfDir)
+    assert(shuffles(q21) <= 6, s"q21 shuffles: ${shuffles(q21)}")
+    assert(!explain("q21_waiting_suppliers").contains("CartesianProduct"))
+  }
+
   test("minhash signature is a pure map stage — zero shuffles") {
     assert(shuffles(Dedup.minhashSignature(Tables.documents(spark, sfDir))) === 0)
   }

@@ -77,6 +77,37 @@ class SketchesSpec extends SparkSpec {
       Sketches.hllDistinct(events).collect().toSeq)
   }
 
+  test("histogram quantiles: estimate brackets the exact value within one bin width") {
+    val out = Sketches.histQuantiles(Tables.events(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      Seq(("p50_cents_est", "p50_exact"), ("p90_cents_est", "p90_exact"),
+        ("p99_cents_est", "p99_exact")).foreach { case (estCol, exCol) =>
+        val estCents = r.getAs[Long](estCol)
+        val exact = r.getAs[Double](exCol)
+        // the exact quantile lies inside the reported bin [est-16, est]
+        // (1e-9 slack: exact·100 re-rounds near 16-cent boundaries)
+        assert(exact * 100.0 <= estCents.toDouble + 1e-9,
+          s"$exCol=$exact above its bin boundary $estCol=$estCents")
+        assert(exact * 100.0 >= (estCents - 16).toDouble - 1e-9,
+          s"$exCol=$exact below its bin $estCol=$estCents")
+      }
+      // quantiles are monotone in q
+      assert(r.getAs[Long]("p50_cents_est") <= r.getAs[Long]("p90_cents_est"))
+      assert(r.getAs[Long]("p90_cents_est") <= r.getAs[Long]("p99_cents_est"))
+    }
+    // merged slice grids reproduce the full-data estimates exactly
+    // (cell-wise-sum linearity), degenerate split included
+    val events = Tables.events(spark, sfDir)
+    val full = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def merged(split: String) = Sketches.histMerged(events, splitDay = split).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(merged("2024-01-16") === full)
+    assert(merged("1900-01-01") === full)
+  }
+
   test("KMV bottom-k rank is WindowGroupLimit-pruned (map partitions forward only k rows)") {
     val plan = Sketches.kmvDistinct(Tables.events(spark, sfDir))
       .queryExecution.explainString(

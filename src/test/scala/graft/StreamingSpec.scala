@@ -380,6 +380,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming histogram quantiles converge bit-equal to the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val eventsTable = graft.sources.Tables.events(spark, sfDir)
+    val rows = eventsTable
+      .select("event_id", "ts_us", "user_id", "event_type", "value").collect()
+      .map(r => graft.streaming.Event(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    // deterministic scramble, split into 3 micro-batches — bin counts are
+    // plain sums, so arrival order cannot change the converged state
+    val scrambled = rows.sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val mem = MemoryStream[graft.streaming.Event]
+    val q = Streaming.histQuantiles(mem.toDF())
+      .writeStream.format("memory").queryName("histq_stream")
+      .outputMode("update").start()
+    try {
+      scrambled.grouped((scrambled.length / 3) + 1).foreach { b =>
+        mem.addData(b.toSeq); q.processAllAvailable()
+      }
+      // last emitted estimate per channel = the converged histogram
+      val streamed = spark.table("histq_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .groupBy(_._1).map { case (c, v) => c -> v.last }
+      val batch = graft.operators.Sketches.histQuantiles(eventsTable).collect()
+        .map(r => r.getString(0) ->
+          ((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (c, got) => assert(got === batch(c), s"channel $c") }
+    } finally q.stop()
+  }
+
   test("streaming HLL converges bit-equal to the batch sketch across scrambled batches") {
     implicit val sqlCtx = spark.sqlContext
     val eventsTable = graft.sources.Tables.events(spark, sfDir)
