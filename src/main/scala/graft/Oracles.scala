@@ -727,6 +727,69 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 100"""
 
+  /** Closed-form OLS on daily revenue per priority: the five moment
+    * sums as exact decimals, then the identical slope/intercept/R²
+    * IEEE arithmetic trees as the Spark side (R² = squared-correlation
+    * form — no sqrt). */
+  val revenueTrendOls: String = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) * 100 AS BIGINT) AS yc
+  FROM orders
+  GROUP BY 1, 2
+), m AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(yc AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS HUGEINT) * yc) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yc AS HUGEINT) * yc) AS DOUBLE) AS syy
+  FROM daily GROUP BY 1
+)
+SELECT priority, n_days,
+       CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+            ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+       (sy - (CASE WHEN (n * sxx - sx * sx) = 0.0 THEN NULL
+                   ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * sx) / n
+         AS intercept,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0.0 THEN NULL
+            ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+FROM m
+ORDER BY priority"""
+
+  /** Q20 shape: excess stock = per-(part, supplier) shipped qty above
+    * 2× the per-part average of those totals, PROMO parts, one nation. */
+  val q20PromoSuppliers: String = """
+WITH sp AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+  GROUP BY 1, 2
+), perpart AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(qty AS DECIMAL(27,6))) AS DOUBLE) AS tot,
+         CAST(COUNT(*) AS DOUBLE) AS nsupp
+  FROM sp GROUP BY 1
+), excess AS (
+  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_excess_parts,
+         CAST(SUM(CAST(qty AS DECIMAL(27,6))) AS DOUBLE) AS excess_qty
+  FROM sp JOIN perpart ON l_partkey = pk
+  WHERE qty > 2.0 * (tot / nsupp)
+  GROUP BY 1
+)
+SELECT s_name, n_excess_parts, excess_qty
+FROM excess
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+ORDER BY s_name"""
+
   val q15TopSupplier: String = """
 WITH rev AS (
   SELECT l_suppkey,
@@ -2169,6 +2232,72 @@ SELECT doc_id, lang, source FROM (
   FROM documents) t
 WHERE bucket < CASE WHEN lang = 'en' THEN 100 ELSE 300 END
 ORDER BY doc_id"""
+
+  /** Priority sampling (Duffield–Lund–Thorup): priority = w·2^60/(h+1)
+    * with the md5-hash uniform proxy; τ = the (k+1)-th priority per
+    * stratum; ŵ = max(w, τ). Identical IEEE trees as the Spark side. */
+  val samplePriority: String = """
+WITH pri AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE) *
+           (1152921504606846976.0 /
+            CAST(CAST(concat('0x', substring(md5(concat('ps:',
+                 CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) + 1 AS DOUBLE)) AS q
+  FROM documents
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rnk
+  FROM pri
+), tau AS (
+  SELECT lang, MAX(CASE WHEN rnk = 21 THEN q END) AS tau
+  FROM ranked WHERE rnk <= 21 GROUP BY lang
+), totals AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY lang
+)
+SELECT r.lang, CAST(r.rnk AS INTEGER) AS rnk, r.doc_id, r.n_chars,
+       GREATEST(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, 0.0)) AS w_est,
+       g.n_docs, g.total_chars
+FROM ranked r
+JOIN tau t ON r.lang = t.lang
+JOIN totals g ON r.lang = g.lang
+WHERE r.rnk <= 20
+ORDER BY r.lang, r.rnk"""
+
+  /** Bloom semi-join prune: the (j, pos) partitioned position sets and
+    * the all-k-hit pass rule replayed literally; counts only. */
+  val sketchBloomPrune: String = """
+WITH urgent AS (
+  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), pos AS (
+  SELECT DISTINCT d.j,
+         CAST(concat('0x', substring(md5(concat('bf', CAST(d.j AS VARCHAR), ':',
+              CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 16384 AS p
+  FROM urgent CROSS JOIN (SELECT unnest(range(0, 3)) AS j) d
+), keys AS (
+  SELECT DISTINCT l_orderkey FROM lineitem
+), khit AS (
+  SELECT k.l_orderkey, CAST(COUNT(pos.p) AS BIGINT) AS hits
+  FROM keys k
+  CROSS JOIN (SELECT unnest(range(0, 3)) AS j) d
+  LEFT JOIN pos ON pos.j = d.j
+    AND pos.p = CAST(concat('0x', substring(md5(concat('bf',
+          CAST(d.j AS VARCHAR), ':', CAST(k.l_orderkey AS VARCHAR))),
+          1, 15)) AS BIGINT) % 16384
+  GROUP BY k.l_orderkey
+), passkeys AS (
+  SELECT l_orderkey FROM khit WHERE hits = 3
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_fact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (SELECT l_orderkey FROM passkeys)) AS n_bloom_pass,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)) AS n_exact,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (SELECT l_orderkey FROM passkeys))
+  - (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM urgent)) AS n_false_pos"""
 
   /** The salted two-phase aggregate must equal the direct aggregate. */
   val saltedChannelAgg: String = """

@@ -170,6 +170,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, dir) =>
       Corpus.stratifiedSample(Tables.documents(s, dir))),
 
+    "sample_priority" -> ((s, dir) =>
+      Corpus.prioritySample(Tables.documents(s, dir))),
+
     "corpus_curation" -> ((s, dir) =>
       Corpus.curation(Tables.documents(s, dir))),
 
@@ -193,6 +196,10 @@ object SparkEntry {
 
     "sketch_hll_merged" -> ((s, dir) =>
       graft.operators.Sketches.hllMerged(Tables.events(s, dir))),
+
+    "sketch_bloom_prune" -> ((s, dir) =>
+      graft.operators.Sketches.bloomSemiPrune(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
 
     "sketch_hist_quantiles" -> ((s, dir) =>
       graft.operators.Sketches.histQuantiles(Tables.events(s, dir))),
@@ -265,6 +272,14 @@ object SparkEntry {
       Analytics.q21WaitingSuppliers(
         Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.nation(s, dir))),
+
+    "q20_promo_suppliers" -> ((s, dir) =>
+      Analytics.q20PromoSuppliers(
+        Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.nation(s, dir))),
+
+    "revenue_trend_ols" -> ((s, dir) =>
+      Analytics.revenueTrendOls(Tables.orders(s, dir))),
 
     "q15_top_supplier" -> ((s, dir) =>
       Analytics.q15TopSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir))),
@@ -520,6 +535,7 @@ object SparkEntry {
     "contamination_check"       -> Oracles.contaminationCheck,
     "text_pii_scrub"            -> Oracles.textPiiScrub,
     "sample_stratified"         -> Oracles.sampleStratified,
+    "sample_priority"           -> Oracles.samplePriority,
     "doc_chunking"              -> Oracles.docChunking,
     "sequence_packing"          -> Oracles.sequencePacking,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
@@ -536,6 +552,9 @@ object SparkEntry {
     "sketch_cms_merged"         -> Oracles.sketchCmsFrequency,
     "sketch_hll_merged"         -> Oracles.sketchHllMerged,
     "sketch_hist_quantiles"     -> Oracles.sketchHistQuantiles,
+    // counts-only replay of the deterministic md5 position sets: the
+    // false-positive overshoot is part of the checked row
+    "sketch_bloom_prune"        -> Oracles.sketchBloomPrune,
     // the FULL-data histogram oracle: cell-wise-sum merging must
     // reproduce the full grid exactly, so the hash match IS the proof
     "sketch_hist_merged"        -> Oracles.sketchHistMerged,
@@ -555,6 +574,8 @@ object SparkEntry {
     "q12_shipping_priority"     -> Oracles.q12ShippingPriority,
     "q16_supplier_counts"       -> Oracles.q16SupplierCounts,
     "q21_waiting_suppliers"     -> Oracles.q21WaitingSuppliers,
+    "q20_promo_suppliers"       -> Oracles.q20PromoSuppliers,
+    "revenue_trend_ols"         -> Oracles.revenueTrendOls,
     "q15_top_supplier"          -> Oracles.q15TopSupplier,
     "q18_large_volume"          -> Oracles.q18LargeVolume,
     "q19_discounted_revenue"    -> Oracles.q19DiscountedRevenue,

@@ -512,6 +512,92 @@ object Analytics {
       .limit(100)
   }
 
+  /** Daily-revenue trend per order priority — closed-form distributed
+    * OLS: regress each priority class's daily revenue on the day index
+    * and report slope / intercept / R² (slope and intercept in CENTS —
+    * the exact-integer domain). The whole regression is two partial-agg
+    * passes (daily cents rollup, then the five integer moment sums Σx,
+    * Σy, Σxy, Σx², Σy²) and a final row of arithmetic —
+    * no iteration, no solver, no driver-side math: the moments ARE the
+    * model, which is why this scales to any number of groups at 100 TB.
+    * R² uses the squared-correlation form, so the only operations are
+    * +, −, ×, ÷ on deterministic values — bit-identical cross-engine
+    * (no sqrt needed). */
+  def revenueTrendOls(orders: DataFrame): DataFrame = {
+    // the ENTIRE moment computation stays in exact integers: day index ×
+    // daily revenue in cents (prices are exact cents, so the ×100 cast
+    // is lossless). No double product ever meets a decimal cast — the
+    // one per-engine rounding step is the final exact-integer → double
+    // conversion, which IEEE rounds identically everywhere.
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val daily = orders
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("o_totalprice"))
+      .groupBy("priority", "x")
+      .agg((sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(27, 6)))
+        * 100).cast("long").as("yc"))
+    val m0 = daily.groupBy("priority").agg(
+      count(lit(1)).as("n_days"),
+      sum(col("x")).as("isx"),
+      sum(col("yc").cast(dec)).as("isy"),
+      sum(col("x").cast(dec) * col("yc").cast(dec)).as("isxy"),
+      sum(col("x") * col("x")).as("isxx"),
+      sum(col("yc").cast(dec) * col("yc").cast(dec)).as("isyy"))
+    val m = m0.select(col("priority"), col("n_days"),
+      col("n_days").cast("double").as("n"),
+      col("isx").cast("double").as("sx"), col("isy").cast("double").as("sy"),
+      col("isxy").cast("double").as("sxy"), col("isxx").cast("double").as("sxx"),
+      col("isyy").cast("double").as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    // explicit nulls on degenerate groups (single day / zero y-variance)
+    // rather than ANSI divide-by-zero; identical CASE trees in the oracle.
+    // slope/intercept are in CENTS (per day / level), matching yc.
+    val slope = when(denx === 0.0, lit(null)).otherwise(num / denx)
+    m.select(
+      col("priority"), col("n_days"),
+      slope.as("slope"),
+      ((col("sy") - slope * col("sx")) / col("n")).as("intercept"),
+      when(denx * deny === 0.0, lit(null)).otherwise((num * num) / (denx * deny))
+        .as("r2"))
+      .orderBy("priority")
+  }
+
+  /** Excess-stock promo suppliers — the TPC-H Q20 nested-semi-join shape
+    * (no `partsupp`: a supplier "holds excess stock" of a PROMO part when
+    * their shipped quantity of it exceeds `mult ×` the per-(supplier,
+    * part) average for that part). The inner correlated aggregate
+    * collapses into one per-(part, supplier) partial agg — the single
+    * fact shuffle — whose per-part rollup (≤ |parts| rows) joins back
+    * BROADCAST; the supplier dim restriction (one nation) is a broadcast
+    * semi at the end. Never a per-subquery fact pass. */
+  def q20PromoSuppliers(
+      part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+      nation: DataFrame, targetNation: String = "NATION_3",
+      partType: String = "PROMO", mult: Double = 2.0): DataFrame = {
+    val sp = lineitem
+      .join(broadcast(part.filter(col("p_type") === partType).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(dsum(col("l_quantity")).as("qty"))
+    val perPart = sp.groupBy(col("l_partkey").as("pk"))
+      .agg(dsum(col("qty")).as("tot"), count(lit(1)).cast("double").as("nsupp"))
+    sp.join(broadcast(perPart), col("l_partkey") === col("pk"))
+      .filter(col("qty") > lit(mult) * (col("tot") / col("nsupp")))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_excess_parts"), dsum(col("qty")).as("excess_qty"))
+      .join(broadcast(supplier
+        .join(broadcast(nation.filter(col("n_name") === targetNation)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_name", "n_excess_parts", "excess_qty")
+      .orderBy("s_name")
+  }
+
   /** Dedup-by-key (keep the latest event per user) — the ETL staple.
     * rn = 1 over (ts desc, id desc); Spark's WindowGroupLimit prunes to
     * one row per key per partition BEFORE the shuffle, so this is

@@ -371,6 +371,50 @@ object Corpus {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** Weighted PRIORITY sampling (Duffield–Lund–Thorup) per language:
+    * each document draws priority `q = w · 2⁶⁰/(h+1)` — weight `w` =
+    * `n_chars`, `h` the 60-bit md5 hash standing in for the uniform
+    * draw, so the sample is deterministic and bit-identical
+    * cross-engine (only a division and a multiply, no transcendentals).
+    * The k highest-priority documents per language form the sample;
+    * `τ` = the (k+1)-th priority, and each sampled document carries the
+    * Horvitz–Thompson estimate `ŵ = max(w, τ)`, making `Σŵ` over the
+    * sample an unbiased estimator of the stratum's total weight — THE
+    * way to take a budgeted, length-weighted corpus sample at 100 TB
+    * and still report calibrated totals.
+    *
+    * Scale shape: the per-language top-(k+1) rank plans as
+    * WindowGroupLimit (each map partition forwards k+1 rows, the same
+    * pruning as the KMV sketch), τ is a ≤|langs|-row broadcast, and the
+    * exact stratum totals reuse one partial agg — nothing concentrates
+    * more than (k+1)·|langs| rows anywhere. */
+  def prioritySample(documents: DataFrame, k: Int = 20): DataFrame = {
+    val hashSpace = 1152921504606846976.0 // 2^60, exact in binary
+    val h = conv(substring(md5(concat(lit("ps:"), col("doc_id").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    // w · (2^60/(h+1)): division FIRST, one IEEE tree on both engines
+    val q = col("n_chars").cast("double") *
+      (lit(hashSpace) / (h + lit(1L)).cast("double"))
+    val ranked = documents
+      .select(col("doc_id"), col("lang"), col("n_chars"), q.as("q"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("q").desc, col("doc_id"))))
+      .filter(col("rnk") <= k + 1)
+    val tau = ranked.groupBy("lang")
+      .agg(max(when(col("rnk") === k + 1, col("q"))).as("tau"))
+    val totals = documents.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"))
+    ranked.filter(col("rnk") <= k)
+      .join(broadcast(tau), Seq("lang"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
+        greatest(col("n_chars").cast("double"), coalesce(col("tau"), lit(0.0)))
+          .as("w_est"),
+        col("n_docs"), col("total_chars"))
+      .orderBy("lang", "rnk")
+  }
+
   /** RAG-style document chunking: overlapping `chunkSize`-token windows
     * advancing by `chunkSize − overlap` tokens. Pure map stage — the
     * split/sequence/posexplode pipeline never shuffles (each document's

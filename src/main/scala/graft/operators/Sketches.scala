@@ -342,4 +342,45 @@ object Sketches {
       .select("channel", "n_registers_hit", "est_hll")
       .orderBy("channel")
   }
+
+  /** Bloom-filter SEMI-JOIN PRUNING — the standard 100 TB join-reduction
+    * move: instead of shuffling the whole fact table to discover which
+    * rows match a filtered dim, build a k-hash Bloom filter over the dim
+    * keys (here: 1-URGENT orders) and drop fact rows map-side before any
+    * fact shuffle exists. The filter is PARTITIONED (one m-slot position
+    * set per hash function, distinct (j, pos) pairs ≤ k·m rows — sketch
+    * metadata, not data) and rides a broadcast; the probe is k chained
+    * broadcast LEFT SEMI joins, i.e. a pure map-side filter with zero
+    * fact-side exchanges (plan-audited). False positives are the
+    * documented price: the output reports fact rows, Bloom survivors,
+    * exact matches, and the false-positive overshoot side by side, so
+    * the m/k operating point is part of the checked result — the same
+    * honesty contract as the KMV/CMS/HLL estimate-vs-exact columns.
+    *
+    * Deterministic by construction (md5 positions, counts only), so the
+    * DuckDB oracle replays the identical filter bit-for-bit. */
+  def bloomSemiPrune(
+      lineitem: DataFrame, orders: DataFrame,
+      m: Int = 16384, k: Int = 3): DataFrame = {
+    def pos(j: Int, key: Column): Column =
+      h60(concat(lit(s"bf$j:"), key.cast("string"))) % m
+    val urgent = orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val fact = lineitem.select("l_orderkey")
+    // the filter: per hash function, the distinct occupied positions
+    val bloomPruned = (0 until k).foldLeft(fact) { (df, j) =>
+      val slots = urgent.select(pos(j, col("o_orderkey")).as(s"__slot$j")).distinct()
+      df.join(broadcast(slots), pos(j, col("l_orderkey")) === col(s"__slot$j"),
+        "left_semi")
+    }
+    val nFact = fact.agg(count(lit(1)).as("n_fact"))
+    val nBloom = bloomPruned.agg(count(lit(1)).as("n_bloom_pass"))
+    val nExact = fact
+      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n_exact"))
+    nFact.crossJoin(broadcast(nBloom)).crossJoin(broadcast(nExact))
+      .select(col("n_fact"), col("n_bloom_pass"), col("n_exact"),
+        (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
+  }
 }

@@ -142,6 +142,35 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream INTERVAL JOIN — view→click attribution joined live:
+    * every click pairs with the same user's views from the preceding
+    * `maxLagUs` microseconds. Both sides are watermarked and the join
+    * condition bounds click time to `[view_ts, view_ts + lag]`, which is
+    * what lets Structured Streaming EVICT state: a buffered view can
+    * stop matching once the click watermark passes `view_ts + lag`, so
+    * per-executor join state is (arrival rate × lag), never the stream
+    * history. This is the canonical two-stream correlation at cluster
+    * scale — the join keys shard the state store, and the batch twin is
+    * the A17-style range join (spec-proven equal on replayed input). */
+  def viewClickJoin(
+      views: DataFrame, clicks: DataFrame,
+      maxLagUs: Long = 3600000000L): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        timestamp_micros(col("ts_us")).as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        timestamp_micros(col("ts_us")).as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    v.join(c,
+      col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $maxLagUs MICROSECONDS"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
+
   /** Streaming-native IHC attribution: the reference's greedy journey
     * assignment (`journey_builder.py:45-105`) is intrinsically a streaming
     * computation — each conversion claims the user's pending earlier

@@ -304,6 +304,33 @@ class AnalyticsSpec extends SparkSpec {
     s.foreach(r => assert(math.abs(r.getAs[Double]("pr") - 0.5) < 1e-12))
   }
 
+  test("OLS trend golden: exact line recovered, R² = 1; flat series slope 0") {
+    import spark.implicits._
+    // y = 100 + 2.5x on days 0..9 for one group; constant 50 for another
+    val rows =
+      (0 until 10).map(i => (1L + i, "LINE", 100.0 + 2.5 * i,
+        java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00"))) ++
+      (0 until 10).map(i => (100L + i, "FLAT", 50.0,
+        java.sql.Timestamp.valueOf(f"1995-01-${i + 1}%02d 00:00:00")))
+    val orders = rows.toDF("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate")
+    val out = Analytics.revenueTrendOls(orders).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // slope/intercept are in cents: 2.5 $/day = 250 cents/day
+    val line = out("LINE")
+    assert(math.abs(line.getAs[Double]("slope") - 250.0) < 1e-9)
+    assert(math.abs(line.getAs[Double]("intercept") - 10000.0) < 1e-9)
+    assert(math.abs(line.getAs[Double]("r2") - 1.0) < 1e-9)
+    assert(line.getAs[Long]("n_days") === 10L)
+    // a perfectly flat series: slope 0, intercept = the level
+    val flat = out("FLAT")
+    assert(math.abs(flat.getAs[Double]("slope")) < 1e-9)
+    assert(math.abs(flat.getAs[Double]("intercept") - 5000.0) < 1e-9)
+    // two same-day orders roll up before the fit (daily grain, not order grain)
+    val dup = Analytics.revenueTrendOls(orders.unionAll(orders)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(dup("LINE").getAs[Double]("slope") - 500.0) < 1e-9)
+  }
+
   test("CSV export writes a single header'd file matching the report") {
     val report = Reporting.channelReporting(
       graft.operators.IhcAttribution.attribute(

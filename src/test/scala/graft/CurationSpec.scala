@@ -112,4 +112,36 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(out3.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L))
   }
+
+  test("priority sample: small strata exact, k-cap enforced, HT estimates calibrated") {
+    import spark.implicits._
+    // a 3-doc stratum (below k) and a 40-doc stratum (above k)
+    val docs = (1L to 3L).map(i => (i, "aa", 10L * i)) ++
+      (101L to 140L).map(i => (i, "bb", i))
+    val df = docs.toDF("doc_id", "lang", "n_chars")
+    val out = Corpus.prioritySample(df, k = 20).collect()
+    val aa = out.filter(_.getAs[String]("lang") === "aa")
+    val bb = out.filter(_.getAs[String]("lang") === "bb")
+    // below-k stratum: the sample IS the population and estimates are exact
+    assert(aa.length === 3)
+    assert(aa.forall(r =>
+      r.getAs[Double]("w_est") === r.getAs[Long]("n_chars").toDouble))
+    // above-k stratum: exactly k rows, ranks 1..k, ŵ = max(w, τ) ≥ w
+    assert(bb.length === 20)
+    assert(bb.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to 20).toSeq)
+    assert(bb.forall(r =>
+      r.getAs[Double]("w_est") >= r.getAs[Long]("n_chars").toDouble))
+    // deterministic: md5 priorities, not RNG
+    val again = Corpus.prioritySample(df, k = 20).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq ===
+      again.map(_.getAs[Long]("doc_id")).toSeq)
+    // on the real corpus the subset-sum estimator Σŵ lands near the true
+    // stratum total (HT-unbiased; this fixed realization is within 2×)
+    val real = Corpus.prioritySample(Tables.documents(spark, sfDir)).collect()
+    real.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val est = rows.map(_.getAs[Double]("w_est")).sum
+      val tot = rows.head.getAs[Long]("total_chars").toDouble
+      assert(est > 0.5 * tot && est < 2.0 * tot, s"$lang: est $est vs total $tot")
+    }
+  }
 }

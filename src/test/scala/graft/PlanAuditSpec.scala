@@ -61,6 +61,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!explain("q21_waiting_suppliers").contains("CartesianProduct"))
   }
 
+  test("bloom prune probes map-side: 3 broadcast semis, no fact-side sort-merge") {
+    val plan = SparkEntry.queries("sketch_bloom_prune")(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the k chained probes and the exact-compare semi are ALL broadcast —
+    // the fact table is never exchanged for a join
+    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).size >= 4, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), "fact-side join shuffled")
+  }
+
+  test("priority sample rank is WindowGroupLimit-pruned; q20 dims broadcast") {
+    val plan = Corpus.prioritySample(Tables.documents(spark, sfDir))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // map partitions forward k+1 rows per stratum, not the corpus
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+    // 5 = offer rollup (appears on both comparison sides), per-part
+    // rollup, supplier agg, output sort — all on post-agg key spaces
+    val q20 = SparkEntry.queries("q20_promo_suppliers")(spark, sfDir)
+    assert(shuffles(q20) <= 5, s"q20 shuffles: ${shuffles(q20)}")
+    assert(!q20.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      .contains("SortMergeJoin"))
+  }
+
   test("minhash signature is a pure map stage — zero shuffles") {
     assert(shuffles(Dedup.minhashSignature(Tables.documents(spark, sfDir))) === 0)
   }

@@ -115,6 +115,25 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("bloom prune: no false negatives; m trades false positives as designed") {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+    val r = Sketches.bloomSemiPrune(li, ord).collect().head
+    // every exact match survives the filter (no false negatives — the
+    // Bloom guarantee), overshoot is non-negative and bounded by the fact
+    assert(r.getAs[Long]("n_bloom_pass") >= r.getAs[Long]("n_exact"))
+    assert(r.getAs[Long]("n_false_pos") ===
+      r.getAs[Long]("n_bloom_pass") - r.getAs[Long]("n_exact"))
+    assert(r.getAs[Long]("n_fact") >= r.getAs[Long]("n_bloom_pass"))
+    // a generously-sized filter prunes exactly (zero false positives at
+    // this key cardinality); a saturated one lets false positives through
+    val big = Sketches.bloomSemiPrune(li, ord, m = 1 << 20).collect().head
+    assert(big.getAs[Long]("n_false_pos") === 0L)
+    assert(big.getAs[Long]("n_bloom_pass") === big.getAs[Long]("n_exact"))
+    val tiny = Sketches.bloomSemiPrune(li, ord, m = 256).collect().head
+    assert(tiny.getAs[Long]("n_false_pos") > 0L)
+  }
+
   test("CMS is linear: doubling the input doubles every counter, hence every estimate") {
     val events = Tables.events(spark, sfDir)
     val once = Sketches.cmsFrequency(events).collect()

@@ -32,6 +32,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    // synthetic two-stream workload: per user, views every 40 min and
+    // clicks every 70 min — some clicks land inside a view's 1 h window,
+    // some between windows, some match two views
+    // base offset keeps the earliest event above the initial watermark
+    // (epoch): stateful ops treat event_time <= watermark as late
+    val base = 86400000000L
+    val views = (0 until 60).map(i =>
+      Event(1000L + i, base + (i / 3).toLong * 2400000000L, (i % 3).toLong, "view", 0.0))
+    val clicks = (0 until 30).map(i =>
+      Event(2000L + i, base + (i / 3).toLong * 4200000000L + 300000000L, (i % 3).toLong, "click", 1.0))
+    val vMem = MemoryStream[Event]
+    val cMem = MemoryStream[Event]
+    val q = Streaming.viewClickJoin(vMem.toDF(), cMem.toDF())
+      .writeStream.format("memory").queryName("vc_join").outputMode("append").start()
+    try {
+      // interleaved micro-batches: matches must assemble across them
+      views.grouped(25).zipAll(clicks.grouped(13), Seq.empty, Seq.empty).foreach {
+        case (v, c) =>
+          if (v.nonEmpty) vMem.addData(v)
+          if (c.nonEmpty) cMem.addData(c)
+          q.processAllAvailable()
+      }
+      val got = spark.table("vc_join")
+        .select("user_id", "view_id", "click_id", "lag_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = (for {
+        v <- views; c <- clicks
+        if v.user_id == c.user_id
+        lag = c.ts_us - v.ts_us
+        if lag >= 0 && lag <= H
+      } yield (v.user_id, v.event_id, c.event_id, lag)).toSet
+      assert(got === want)
+      assert(want.nonEmpty && want.size < views.size * clicks.size / 3)
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses replayed events across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
