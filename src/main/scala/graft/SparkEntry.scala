@@ -201,6 +201,10 @@ object SparkEntry {
       graft.operators.Sketches.bloomSemiPrune(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
 
+    "sketch_bloom_merged" -> ((s, dir) =>
+      graft.operators.Sketches.bloomSemiPruneMerged(
+        Tables.lineitem(s, dir), Tables.orders(s, dir))),
+
     "sketch_hist_quantiles" -> ((s, dir) =>
       graft.operators.Sketches.histQuantiles(Tables.events(s, dir))),
 
@@ -555,6 +559,9 @@ object SparkEntry {
     // counts-only replay of the deterministic md5 position sets: the
     // false-positive overshoot is part of the checked row
     "sketch_bloom_prune"        -> Oracles.sketchBloomPrune,
+    // the FULL-data Bloom oracle: position-set union (bitwise OR) must
+    // reproduce the full filter exactly, so the hash match IS the proof
+    "sketch_bloom_merged"       -> Oracles.sketchBloomPrune,
     // the FULL-data histogram oracle: cell-wise-sum merging must
     // reproduce the full grid exactly, so the hash match IS the proof
     "sketch_hist_merged"        -> Oracles.sketchHistMerged,

@@ -362,17 +362,49 @@ object Sketches {
   def bloomSemiPrune(
       lineitem: DataFrame, orders: DataFrame,
       m: Int = 16384, k: Int = 3): DataFrame = {
-    def pos(j: Int, key: Column): Column =
-      h60(concat(lit(s"bf$j:"), key.cast("string"))) % m
-    val urgent = orders
-      .filter(col("o_orderpriority") === "1-URGENT")
-      .select("o_orderkey")
+    val urgent = urgentKeys(orders)
+    bloomProbe(lineitem, urgent,
+      j => urgent.select(bloomPos(j, col("o_orderkey"), m).as(s"__slot$j")).distinct(),
+      m, k)
+  }
+
+  /** Bloom MERGE: position sets built on slices of the dim combine by
+    * plain set UNION (bitwise OR on the bitmap view — idempotent and
+    * commutative, the HLL-register property), so the merged filter is
+    * EXACTLY the full-data filter: same survivors, same false
+    * positives. The oracle is the full-data Bloom computation — the
+    * hash match is the merge proof, completing the KMV/CMS/HLL/
+    * histogram lossless-merge family for the join-pruning sketch. */
+  def bloomSemiPruneMerged(
+      lineitem: DataFrame, orders: DataFrame,
+      m: Int = 16384, k: Int = 3, splitDay: String = "1998-01-01"): DataFrame = {
+    val d = lit(splitDay).cast("timestamp")
+    val u1 = urgentKeys(orders.filter(col("o_orderdate") < d))
+    val u2 = urgentKeys(orders.filter(col("o_orderdate") >= d))
+    bloomProbe(lineitem, urgentKeys(orders),
+      j => u1.select(bloomPos(j, col("o_orderkey"), m).as(s"__slot$j")).distinct()
+        .unionAll(
+          u2.select(bloomPos(j, col("o_orderkey"), m).as(s"__slot$j")).distinct())
+        .distinct(),
+      m, k)
+  }
+
+  private def urgentKeys(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+
+  private def bloomPos(j: Int, key: Column, m: Int): Column =
+    h60(concat(lit(s"bf$j:"), key.cast("string"))) % m
+
+  /** The probe half of [[bloomSemiPrune]]: k chained broadcast LEFT SEMI
+    * joins against the per-hash-function slot sets, then the honesty
+    * row (fact / survivors / exact / overshoot). */
+  private def bloomProbe(
+      lineitem: DataFrame, urgent: DataFrame, slots: Int => DataFrame,
+      m: Int, k: Int): DataFrame = {
     val fact = lineitem.select("l_orderkey")
-    // the filter: per hash function, the distinct occupied positions
     val bloomPruned = (0 until k).foldLeft(fact) { (df, j) =>
-      val slots = urgent.select(pos(j, col("o_orderkey")).as(s"__slot$j")).distinct()
-      df.join(broadcast(slots), pos(j, col("l_orderkey")) === col(s"__slot$j"),
-        "left_semi")
+      df.join(broadcast(slots(j)),
+        bloomPos(j, col("l_orderkey"), m) === col(s"__slot$j"), "left_semi")
     }
     val nFact = fact.agg(count(lit(1)).as("n_fact"))
     val nBloom = bloomPruned.agg(count(lit(1)).as("n_bloom_pass"))

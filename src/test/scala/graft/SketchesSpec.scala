@@ -132,6 +132,12 @@ class SketchesSpec extends SparkSpec {
     assert(big.getAs[Long]("n_bloom_pass") === big.getAs[Long]("n_exact"))
     val tiny = Sketches.bloomSemiPrune(li, ord, m = 256).collect().head
     assert(tiny.getAs[Long]("n_false_pos") > 0L)
+    // slice position sets OR-merge losslessly: same survivors AND same
+    // false positives as the full-data filter, degenerate split included
+    val full = r.toSeq
+    assert(Sketches.bloomSemiPruneMerged(li, ord).collect().head.toSeq === full)
+    assert(Sketches.bloomSemiPruneMerged(li, ord, splitDay = "1900-01-01")
+      .collect().head.toSeq === full)
   }
 
   test("CMS is linear: doubling the input doubles every counter, hence every estimate") {
