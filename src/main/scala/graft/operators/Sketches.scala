@@ -349,9 +349,10 @@ object Sketches {
     * keys (here: 1-URGENT orders) and drop fact rows map-side before any
     * fact shuffle exists. The filter is PARTITIONED (one m-slot position
     * set per hash function, distinct (j, pos) pairs ≤ k·m rows — sketch
-    * metadata, not data) and rides a broadcast; the probe is k chained
-    * broadcast LEFT SEMI joins, i.e. a pure map-side filter with zero
-    * fact-side exchanges (plan-audited). False positives are the
+    * metadata, not data) and rides a broadcast; the probe is k broadcast
+    * hit-flag joins in ONE pass over the fact, i.e. a pure map-side
+    * filter with zero fact-side exchanges (plan-audited). False
+    * positives are the
     * documented price: the output reports fact rows, Bloom survivors,
     * exact matches, and the false-positive overshoot side by side, so
     * the m/k operating point is part of the checked result — the same
@@ -395,23 +396,26 @@ object Sketches {
   private def bloomPos(j: Int, key: Column, m: Int): Column =
     h60(concat(lit(s"bf$j:"), key.cast("string"))) % m
 
-  /** The probe half of [[bloomSemiPrune]]: k chained broadcast LEFT SEMI
-    * joins against the per-hash-function slot sets, then the honesty
-    * row (fact / survivors / exact / overshoot). */
+  /** The probe half of [[bloomSemiPrune]]: ONE pass over the fact — k
+    * broadcast left joins flag each row's per-hash-function slot hits
+    * (slot sets are distinct, so a left join matches at most once), the
+    * dim key rides a fourth broadcast for the exact flag, and a single
+    * partial-agg rolls up the honesty row (fact / survivors / exact /
+    * overshoot). In a pipeline the same broadcast slot sets filter
+    * map-side as `WHERE` flags — the fact is never exchanged. */
   private def bloomProbe(
       lineitem: DataFrame, urgent: DataFrame, slots: Int => DataFrame,
       m: Int, k: Int): DataFrame = {
-    val fact = lineitem.select("l_orderkey")
-    val bloomPruned = (0 until k).foldLeft(fact) { (df, j) =>
+    val flagged = (0 until k).foldLeft(lineitem.select("l_orderkey")) { (df, j) =>
       df.join(broadcast(slots(j)),
-        bloomPos(j, col("l_orderkey"), m) === col(s"__slot$j"), "left_semi")
-    }
-    val nFact = fact.agg(count(lit(1)).as("n_fact"))
-    val nBloom = bloomPruned.agg(count(lit(1)).as("n_bloom_pass"))
-    val nExact = fact
-      .join(broadcast(urgent), col("l_orderkey") === col("o_orderkey"), "left_semi")
-      .agg(count(lit(1)).as("n_exact"))
-    nFact.crossJoin(broadcast(nBloom)).crossJoin(broadcast(nExact))
+        bloomPos(j, col("l_orderkey"), m) === col(s"__slot$j"), "left")
+    }.join(broadcast(urgent.withColumn("__exact", lit(1))),
+      col("l_orderkey") === col("o_orderkey"), "left")
+    val pass = (0 until k).map(j => col(s"__slot$j").isNotNull).reduce(_ && _)
+    flagged.agg(
+      count(lit(1)).as("n_fact"),
+      sum(when(pass, 1L).otherwise(0L)).as("n_bloom_pass"),
+      sum(when(col("__exact").isNotNull, 1L).otherwise(0L)).as("n_exact"))
       .select(col("n_fact"), col("n_bloom_pass"), col("n_exact"),
         (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
   }

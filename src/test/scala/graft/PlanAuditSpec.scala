@@ -61,14 +61,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!explain("q21_waiting_suppliers").contains("CartesianProduct"))
   }
 
-  test("bloom prune probes map-side: 3 broadcast semis, no fact-side sort-merge") {
-    val plan = SparkEntry.queries("sketch_bloom_prune")(spark, sfDir)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    // the k chained probes and the exact-compare semi are ALL broadcast —
-    // the fact table is never exchanged for a join
-    assert("BroadcastHashJoin .*LeftSemi".r.findAllIn(plan).size >= 4, plan.take(2000))
+  test("bloom prune probes map-side: one fact pass, broadcast flags, no sort-merge") {
+    val df = SparkEntry.queries("sketch_bloom_prune")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the k slot probes and the exact flag are ALL broadcast left joins —
+    // the fact table is never exchanged for a join, and the single fact
+    // scan feeds one partial agg (exchanges = dim-side distincts + the
+    // one-row final agg, never hashpartitioning on a fact key)
+    assert("BroadcastHashJoin .*LeftOuter".r.findAllIn(plan).size >= 4, plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), "fact-side join shuffled")
+    assert(!plan.contains("hashpartitioning(l_orderkey"), "fact exchanged")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).count(_ => true) >= 1)
   }
 
   test("priority sample rank is WindowGroupLimit-pruned; q20 dims broadcast") {
