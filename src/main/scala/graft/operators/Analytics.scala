@@ -708,7 +708,8 @@ object Analytics {
   def orderValuePercentiles(orders: DataFrame): DataFrame = {
     val vals = orders.select(col("o_totalprice").as("__v"), col("o_orderkey").as("__k"))
     val ranked = Quantiles.withExactRank(
-      vals, Nil, Seq(("__v", true), ("__k", true)), "__rk", "__nn")
+      vals, Nil, Seq(("__v", true), ("__k", true)), "__rk", "__nn",
+      materialize = false) // bare pruned scan: re-reading beats checkpointing
     val ps = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
     val withPos = ps.foldLeft(ranked) { case (df, (tag, p)) =>
       df.withColumn(s"__pos$tag", lit(p) * (col("__nn") - lit(1L)).cast("double"))

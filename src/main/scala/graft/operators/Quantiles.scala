@@ -48,6 +48,8 @@ object Quantiles {
     * @param order  (column name, ascending?) pairs; composite must be
     *               strict per group and null-free.
     * @param buckets range-bucket count; 0 → `spark.sql.shuffle.partitions`.
+    * @param materialize localCheckpoint the input once (three passes read
+    *                    it); disable when the input is a bare scan.
     */
   def withExactRank(
       df: DataFrame,
@@ -55,18 +57,28 @@ object Quantiles {
       order: Seq[(String, Boolean)],
       rankCol: String,
       nCol: String,
-      buckets: Int = 0): DataFrame = {
+      buckets: Int = 0,
+      materialize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val nb = if (buckets > 0) buckets
       else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val fullKey: Seq[(String, Boolean)] = group.map((_, true)) ++ order
     val keyCols = fullKey.map { case (n, _) => col(n) }
 
+    // The rank needs three passes over the input (boundary sample,
+    // bucket counts, ranked output). With `materialize` the input is
+    // localCheckpoint'd ONCE instead of recomputing its lineage three
+    // times — essential for aggregated or CHAINED inputs (RFM's three
+    // axes would otherwise recompute their rollup exponentially), a net
+    // loss for a plain column pruned scan (pass false there: re-reading
+    // parquet beats writing a checkpoint of it).
+    val input = if (materialize) df.localCheckpoint(true) else df
+
     // 1. Deterministic pseudo-random boundary sample: top-N by xxhash64 of
     // the (unique) composite key is a distributed TakeOrdered — no RNG, no
     // sampling seed that could disagree between plan subtrees.
     val sampleN = nb * 64
-    val sampled: Array[Row] = df
+    val sampled: Array[Row] = input
       .select(keyCols: _*)
       .orderBy(xxhash64(keyCols: _*) +: keyCols: _*)
       .limit(sampleN)
@@ -94,7 +106,7 @@ object Quantiles {
     val bkt = boundaries.foldLeft(lit(0)) { (acc, b) =>
       acc + when(strictlyAfter(fullKey, b), 1).otherwise(0)
     }
-    val withB = df.withColumn("__bkt", bkt.cast("int"))
+    val withB = input.withColumn("__bkt", bkt.cast("int"))
 
     // 3. Per-(group, bucket) counts: ≤ |groups|·nb rows of index metadata.
     val grpB = group :+ "__bkt"

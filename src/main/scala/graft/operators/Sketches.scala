@@ -294,7 +294,8 @@ object Sketches {
       events.select(col("event_type").as("channel"), col("value"), col("event_id")),
       group = Seq("channel"),
       order = Seq(("value", true), ("event_id", true)),
-      rankCol = "rnk", nCol = "nr")
+      rankCol = "rnk", nCol = "nr",
+      materialize = false) // bare pruned scan: re-reading beats checkpointing
     def exact(q: Double) = max(when(
       col("rnk") === ceil(lit(q) * col("nr")).cast("long"), col("value")))
     val ex = ranked.groupBy("channel").agg(
