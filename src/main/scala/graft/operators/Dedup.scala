@@ -29,14 +29,16 @@ object Dedup {
     * bound. With no oversize bucket the output is row-identical to the
     * unguarded form. */
   private[graft] def capBuckets(
-      rows: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame = {
-    val ok = rows
-      .groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__w"))
+      rows: DataFrame, keys: Seq[String], maxBucket: Long): DataFrame =
+    // one pass: a partition-only window counts each bucket where the
+    // candidate join would shuffle it anyway (O(width) per task — the
+    // width² blowup this guards against never materializes), and the
+    // filtered frame keeps that partitioning for the join that follows.
+    rows
+      .withColumn("__w", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
       .filter(col("__w") <= maxBucket)
-      .select(keys.map(col): _*)
-    rows.join(ok, keys)
-  }
+      .drop("__w")
 
   /** Materialize an iterative frame AND cut its statistics lineage.
     *
