@@ -2732,4 +2732,108 @@ SELECT a.channel, e.n_exact, a.n_registers_hit,
          / CAST(a.s_scaled AS DOUBLE) AS est_hll
 FROM agg a JOIN ex e ON e.channel = a.channel
 ORDER BY 1"""
+
+  /** Hot-span removal: 4-grams in >= 3 distinct docs are hot; covered
+    * positions drop, survivors re-join in order. Mirrors
+    * Dedup.hotSpanRemoval (n = 4, minDf = 3). */
+  val dedupHotSpans: String = """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, p AS start, array_to_string(ws[p + 1:p + 4], ' ') AS gram
+  FROM w, unnest(generate_series(0, n - 4)) AS t(p)
+  WHERE n >= 4
+), hot AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram) x
+  WHERE df >= 3
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.start + o AS pos
+  FROM g JOIN hot USING (gram), unnest(generate_series(0, 3)) AS u(o)
+), tok AS (
+  SELECT doc_id, p - 1 AS pos, ws[p] AS word
+  FROM w, unnest(generate_series(1, n)) AS t(p)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.word
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         string_agg(word, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id, w.lang, CAST(w.n AS BIGINT) AS n_words,
+       COALESCE(a.n_kept, 0) AS n_kept,
+       CAST(w.n AS BIGINT) - COALESCE(a.n_kept, 0) AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM w LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id"""
+
+  /** DSIR importance selection: hashed-bigram buckets (md5 % 256),
+    * add-one smoothed target ('en') vs raw bucket masses, rational score
+    * = (sum_t * (Nr+B)) / (sum_r * (Nt+B)), global top-100. Mirrors
+    * Corpus.dsirSelect. */
+  val dsirSelect: String = """
+WITH w AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ws,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substring(md5(ws[p + 1] || ' ' || ws[p + 2]), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM w, unnest(generate_series(0, n - 2)) AS t(p)
+  WHERE n >= 2
+), raw AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM g GROUP BY bucket
+), tgt AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM g WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+         CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS nt
+  FROM g
+), sc AS (
+  SELECT g.doc_id, g.lang, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(COALESCE(t.ct, 0) + 1) AS BIGINT) AS sum_t,
+         CAST(SUM(r.cr + 1) AS BIGINT) AS sum_r
+  FROM g
+  JOIN raw r USING (bucket)
+  LEFT JOIN tgt t USING (bucket)
+  GROUP BY g.doc_id, g.lang
+)
+SELECT doc_id, lang, n_grams,
+       CAST(sum_t * (tot.nr + 256) AS DOUBLE) /
+       CAST(sum_r * (tot.nt + 256) AS DOUBLE) AS score
+FROM sc, tot
+ORDER BY score DESC, doc_id
+LIMIT 100"""
+
+  /** SCD2 dimension: gaps-and-islands over (user, event_type) runs,
+    * half-open validity intervals, NULL valid_to on the open version.
+    * Mirrors Analytics.scd2UserState. */
+  val scd2UserState: String = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), marked AS (
+  SELECT *, CASE WHEN LAG(event_type) OVER win IS NULL
+                   OR LAG(event_type) OVER win <> event_type
+                 THEN 1 ELSE 0 END AS is_change
+  FROM ev WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), runs AS (
+  SELECT *, SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+  FROM marked
+), versions AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         MIN(event_type) AS state, MIN(ts_us) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, version
+)
+SELECT user_id, version, state, valid_from_us,
+       LEAD(valid_from_us) OVER win AS valid_to_us, n_events,
+       (LEAD(valid_from_us) OVER win IS NULL) AS is_current
+FROM versions WINDOW win AS (PARTITION BY user_id ORDER BY valid_from_us)
+ORDER BY user_id, version"""
 }

@@ -340,6 +340,12 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
 
+    "dedup_hot_spans" -> ((s, dir) => Dedup.hotSpanRemoval(Tables.documents(s, dir))),
+
+    "dsir_select" -> ((s, dir) => Corpus.dsirSelect(Tables.documents(s, dir))),
+
+    "scd2_user_state" -> ((s, dir) => Analytics.scd2UserState(Tables.events(s, dir))),
+
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
 
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(Tables.embeddings(s, dir))),
@@ -599,6 +605,9 @@ object SparkEntry {
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
+    "dedup_hot_spans"           -> Oracles.dedupHotSpans,
+    "dsir_select"               -> Oracles.dsirSelect,
+    "scd2_user_state"           -> Oracles.scd2UserState,
     "dedup_ngram_jaccard"       -> Oracles.dedupNgramJaccard,
     "dedup_embedding"           -> Oracles.dedupEmbedding,
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,

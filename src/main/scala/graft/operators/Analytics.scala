@@ -101,6 +101,45 @@ object Analytics {
       .orderBy("user_id", "session_idx")
   }
 
+  /** SCD2 dimension build (slowly-changing dimension, type 2): collapse
+    * each user's event stream into versioned state intervals. The "state"
+    * is the event type; consecutive events with the same type merge into
+    * one interval, a type change closes the open interval and opens the
+    * next. Emits `[valid_from_us, valid_to_us)` half-open intervals with
+    * `valid_to_us` NULL on the current (open) version — the standard
+    * warehouse dimension-history contract.
+    *
+    * Gaps-and-islands with every window PARTITIONED by `user_id`
+    * (ordered by `ts_us, event_id` so duplicate timestamps stay
+    * deterministic): a change flag via `lag`, a running `sum` numbering
+    * the islands, one per-(user, version) partial agg, and a `lead` for
+    * the interval close. Per-user work is per-user-history sized; no
+    * global sort, no unpartitioned window — the same plan holds when the
+    * dimension covers a billion users. */
+  def scd2UserState(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val versions = events
+      .select("event_id", "user_id", "ts_us", "event_type")
+      .withColumn("is_change",
+        when(lag("event_type", 1).over(byUser).isNull ||
+          lag("event_type", 1).over(byUser) =!= col("event_type"), 1).otherwise(0))
+      .withColumn("version", sum("is_change").over(run))
+      .groupBy("user_id", "version")
+      .agg(
+        min("event_type").as("state"),
+        min("ts_us").as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy("valid_from_us")
+    versions
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(byVersion))
+      .select(
+        col("user_id"), col("version").cast("long").as("version"),
+        col("state"), col("valid_from_us"), col("valid_to_us"),
+        col("n_events"), col("valid_to_us").isNull.as("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Built-in `session_window` sessionization — the idiomatic Spark form
     * of [[sessionize]]: a new session starts when the inter-event gap is
     * >= the timeout and the session end extends to last event + gap.

@@ -526,6 +526,67 @@ object Corpus {
       .orderBy("lang", "stage")
   }
 
+  /** Importance-resampling data selection (the hashed-n-gram DSIR
+    * pattern: score every raw document by how target-like its n-gram
+    * profile is, then keep the top of the ranking). The target
+    * distribution is defined by a predicate over the corpus itself
+    * (default: `lang = 'en'`); features are word bigrams hashed into
+    * `buckets` buckets (collision-lossy on purpose — the feature space
+    * stays fixed no matter how large the corpus grows).
+    *
+    * Scoring is the transcendental-free rational form: with add-one
+    * smoothed bucket counts `ct` (target) and `cr` (raw), a document's
+    * importance is
+    * `((Σ ct+1) / (Nt+B)) / ((Σ cr+1) / (Nr+B))` — the ratio of the mean
+    * smoothed target mass to the mean smoothed raw mass over the
+    * document's bigram occurrences. Sums are exact integers (order-proof),
+    * the normalizers are global constants, and the only floating op is
+    * one final long-ratio division — bit-identical cross-engine, unlike a
+    * log-likelihood formulation whose `ln` differs in the last ulp.
+    *
+    * Scale shape: both count tables are ≤`buckets` rows and broadcast;
+    * the global totals are one-row broadcast frames; scoring is a pure
+    * map + one per-doc partial agg; selection is a global top-k that
+    * plans as TakeOrderedAndProject (each partition forwards k rows).
+    * No stage depends on corpus size except linearly. */
+  def dsirSelect(
+      documents: DataFrame,
+      targetLang: String = "en",
+      buckets: Int = 256,
+      k: Int = 100): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        explode(
+          when(size(col("ws")) >= 2,
+            transform(sequence(lit(0), size(col("ws")) - 2),
+              i => concat_ws(" ",
+                element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+            .otherwise(array().cast("array<string>"))).as("gram"))
+      .withColumn("bucket",
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % buckets)
+    val raw = grams.groupBy("bucket").agg(count(lit(1)).as("cr"))
+    val tgt = grams.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val totals = grams.agg(
+      count(lit(1)).as("nr"),
+      count(when(col("lang") === targetLang, 1)).as("nt"))
+    val scored = grams
+      .join(broadcast(raw), Seq("bucket"), "left")
+      .join(broadcast(tgt), Seq("bucket"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("ct"), lit(0L)) + 1L).as("sum_t"),
+        sum(coalesce(col("cr"), lit(0L)) + 1L).as("sum_r"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("doc_id"), col("lang"), col("n_grams"),
+        ((col("sum_t") * (col("nr") + buckets)).cast("double") /
+          (col("sum_r") * (col("nt") + buckets)).cast("double")).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile
     * window) — spec-pinned semantic oracle, not the scale path. */
   def qualityCurriculumSingleTask(documents: DataFrame, stages: Int = 4): DataFrame = {

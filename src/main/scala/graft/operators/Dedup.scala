@@ -584,4 +584,65 @@ object Dedup {
       .select("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Hot-span removal — the n-gram approximation of exact-substring
+    * dedup (the "dedup at the span level, not the document level" family:
+    * boilerplate headers, license blocks, navigation chrome repeated
+    * across a corpus). A word `n`-gram occurring in at least `minDf`
+    * DISTINCT documents is declared hot; every word position covered by
+    * any hot-gram occurrence is removed, and each document is re-emitted
+    * with its surviving words in original order plus removal accounting.
+    *
+    * Scale shape: gram extraction is a pure map stage over the token
+    * arrays (no window sort — positions come from `transform(sequence)`);
+    * the df histogram is one partial-agg shuffle on the gram key; the hot
+    * set is tiny (boilerplate, by definition ≪ corpus) so the
+    * occurrence-marking join semi-joins the gram stream against a small
+    * frame; coverage explode is a constant ×n; the rebuild is one
+    * per-document partial agg. Nothing is quadratic and no stage sorts a
+    * whole corpus.
+    *
+    * A document whose every position is covered comes back with
+    * `n_kept = 0` and an empty `clean_text` — the span-level analog of
+    * dropping an exact duplicate. */
+  def hotSpanRemoval(documents: DataFrame, n: Int = 4, minDf: Long = 3L): DataFrame = {
+    val words = documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // (doc_id, start, gram): every n-gram with its 0-based start position
+    val grams = words
+      .select(col("doc_id"),
+        posexplode(
+          when(size(col("ws")) >= n,
+            transform(sequence(lit(0), size(col("ws")) - n),
+              i => concat_ws(" ",
+                (0 until n).map(j => element_at(col("ws"), i + j + 1)): _*)))
+            .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "start", "gram")
+    val hot = grams.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select("gram")
+    // positions covered by any hot-gram occurrence (distinct: overlapping
+    // hot grams cover shared positions once)
+    val covered = grams.join(hot, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (n - 1))).as("pos"))
+      .distinct()
+    val toks = words.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word"))).as("clean_text"))
+    documents
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("lang"), col("n_words").cast("long").as("n_words"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_words").cast("long") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
 }

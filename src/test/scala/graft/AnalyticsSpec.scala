@@ -345,4 +345,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(back.count() === report.count())
     assert(back.columns.toSet === report.columns.toSet)
   }
+
+  test("SCD2 collapses same-state runs into half-open versioned intervals") {
+    import spark.implicits._
+    // user 1: view,view @t=10,20 | click @30 | view @40  -> 3 versions
+    // user 2: a single event -> one open version
+    val ev = Seq(
+      (101L, 1L, "view", 10L), (102L, 1L, "view", 20L),
+      (103L, 1L, "click", 30L), (104L, 1L, "view", 40L),
+      (201L, 2L, "purchase", 99L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.scd2UserState(ev).collect()
+    val u1 = out.filter(_.getAs[Long]("user_id") == 1L).sortBy(_.getAs[Long]("version"))
+    assert(u1.map(_.getAs[String]("state")).toSeq === Seq("view", "click", "view"))
+    assert(u1.map(_.getAs[Long]("n_events")).toSeq === Seq(2L, 1L, 1L))
+    assert(u1.map(_.getAs[Long]("valid_from_us")).toSeq === Seq(10L, 30L, 40L))
+    // half-open chain: each valid_to equals the next valid_from; last is open
+    assert(u1.init.map(_.getAs[Long]("valid_to_us")).toSeq === u1.tail.map(_.getAs[Long]("valid_from_us")).toSeq)
+    assert(u1.last.isNullAt(u1.last.fieldIndex("valid_to_us")) && u1.last.getAs[Boolean]("is_current"))
+    assert(u1.init.forall(!_.getAs[Boolean]("is_current")))
+    val u2 = out.filter(_.getAs[Long]("user_id") == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Boolean]("is_current")
+      && u2.head.getAs[Long]("version") === 1L)
+  }
+
+  test("SCD2 orders duplicate timestamps by event_id deterministically") {
+    import spark.implicits._
+    // Same ts for both events: event_id order decides, so state runs are
+    // (click)(view), not timestamp-ambiguous.
+    val ev = Seq(
+      (1L, 7L, "click", 50L), (2L, 7L, "view", 50L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Analytics.scd2UserState(ev).collect().sortBy(_.getAs[Long]("version"))
+    assert(out.map(_.getAs[String]("state")).toSeq === Seq("click", "view"))
+    assert(out.head.getAs[Long]("valid_to_us") === 50L)
+  }
 }

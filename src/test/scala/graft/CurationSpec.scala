@@ -144,4 +144,26 @@ class CurationSpec extends SparkSpec {
       assert(est > 0.5 * tot && est < 2.0 * tot, s"$lang: est $est vs total $tot")
     }
   }
+
+  test("DSIR selection ranks target-like documents above off-distribution ones") {
+    import spark.implicits._
+    // Target ('en') mass lives on the "the quick brown fox" bigrams; doc 10
+    // (non-target lang, target-like text) must outscore doc 11 (pure noise
+    // bigrams that appear nowhere in the target slice).
+    val en = (1 to 8).map(i => (i.toLong, "en", "the quick brown fox jumps"))
+    val probe = Seq(
+      (10L, "xx", "the quick brown fox jumps"),
+      (11L, "xx", "zz1 zz2 zz3 zz4 zz5"))
+    val df = (en ++ probe).toDF("doc_id", "lang", "text")
+    val out = Corpus.dsirSelect(df, targetLang = "en", k = 100).collect()
+    val score = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(score(10L) > score(11L),
+      s"target-like doc must outscore noise doc: ${score(10L)} vs ${score(11L)}")
+    // target-like docs all share one profile -> identical scores
+    assert(score(10L) === score(1L))
+    // ranking is deterministic and k-capped
+    val top = Corpus.dsirSelect(df, targetLang = "en", k = 3).collect()
+    assert(top.length === 3)
+    assert(top.map(_.getAs[Double]("score")).toSeq.reverse === top.map(_.getAs[Double]("score")).toSeq.sorted)
+  }
 }

@@ -213,4 +213,41 @@ class DedupSpec extends SparkSpec {
     assert((out.head.getAs[Long]("vec_a"), out.head.getAs[Long]("vec_b")) === (1L, 2L))
     assert(out.head.getAs[Double]("cosine") > 0.9)
   }
+
+  test("hot-span removal strips the shared boilerplate and keeps unique text in order") {
+    import spark.implicits._
+    // "legal header text here" is a 4-gram shared by docs 1..3 (df=3 = minDf);
+    // each doc keeps its unique tail in original order. Doc 4 shares no span.
+    val d = Seq(
+      (1L, "en", "legal header text here alpha beta"),
+      (2L, "en", "legal header text here gamma"),
+      (3L, "de", "intro legal header text here delta"),
+      (4L, "en", "totally unrelated words only"))
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.hotSpanRemoval(d, n = 4, minDf = 3L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") === "alpha beta")
+    assert(out(1L).getAs[Long]("n_removed") === 4L)
+    assert(out(2L).getAs[String]("clean_text") === "gamma")
+    // doc 3: the hot gram starts at position 1; "intro" and "delta" survive
+    assert(out(3L).getAs[String]("clean_text") === "intro delta")
+    assert(out(4L).getAs[String]("clean_text") === "totally unrelated words only")
+    assert(out(4L).getAs[Long]("n_removed") === 0L)
+  }
+
+  test("hot-span removal: overlapping hot grams cover shared positions once; full coverage empties the doc") {
+    import spark.implicits._
+    // Five-word doc repeated 3x: two overlapping hot 4-grams (starts 0 and 1)
+    // cover ALL five positions -> n_kept = 0 and empty clean_text.
+    val t = "a b c d e"
+    val d = Seq((1L, "en", t), (2L, "en", t), (3L, "en", t))
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.hotSpanRemoval(d, n = 4, minDf = 3L).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === 0L)
+      assert(r.getAs[Long]("n_removed") === 5L)
+      assert(r.getAs[String]("clean_text") === "")
+    }
+  }
 }
