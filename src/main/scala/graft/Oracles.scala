@@ -1733,6 +1733,48 @@ FROM ux
 GROUP BY label, pos
 ORDER BY label, pos"""
 
+  /** Nearest-class-prototype assignment: label centroids (decimal-exact
+    * means, the labelCentroids chain), decimal-exact dots and norms,
+    * argmax cosine with min-label tiebreak. Mirrors
+    * Similarity.topicAssign. */
+  val topicAssign: String = """
+WITH ux AS (
+  SELECT vec_id, label, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cents AS (
+  SELECT label AS cand_label, pos,
+         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS centroid
+  FROM ux GROUP BY label, pos
+), cnorm AS (
+  SELECT cand_label,
+         sqrt(CAST(SUM(CAST(centroid * centroid AS DECIMAL(38,12))) AS DOUBLE)) AS c_nrm
+  FROM cents GROUP BY cand_label
+), vnorm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS v_nrm
+  FROM ux GROUP BY vec_id
+), dots AS (
+  SELECT u.vec_id, u.label AS true_label, c.cand_label,
+         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * c.centroid AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM ux u JOIN cents c ON u.pos = c.pos
+  GROUP BY u.vec_id, u.label, c.cand_label
+), scored AS (
+  SELECT d.vec_id, d.true_label, d.cand_label,
+         d.dot / (v.v_nrm * n.c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY d.dot / (v.v_nrm * n.c_nrm) DESC, d.cand_label) AS rnk
+  FROM dots d
+  JOIN vnorm v ON v.vec_id = d.vec_id
+  JOIN cnorm n ON n.cand_label = d.cand_label
+)
+SELECT vec_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(cand_label AS BIGINT) AS assigned_label, cosine,
+       (cand_label = true_label) AS is_correct
+FROM scored WHERE rnk = 1
+ORDER BY vec_id"""
+
   val textRepetition: String = shingleBase + """
 , n AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id

@@ -368,6 +368,8 @@ object SparkEntry {
 
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
 
+    "topic_assign" -> ((s, dir) => Similarity.topicAssign(Tables.embeddings(s, dir))),
+
     "tfidf_top_terms" -> ((s, dir) => Search.tfidfTopTerms(Tables.documents(s, dir))),
 
     "bm25_search" -> ((s, dir) => Search.bm25Search(Tables.documents(s, dir))),
@@ -645,6 +647,7 @@ object SparkEntry {
     "ann_ivfpq_topk"            -> Oracles.annIvfPqTopK,
     "ann_sq_topk"               -> Oracles.annSqTopK,
     "label_centroids"           -> Oracles.labelCentroids,
+    "topic_assign"              -> Oracles.topicAssign,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "multimodal_features"       -> Oracles.multimodalFeatures,

@@ -489,6 +489,51 @@ object Similarity {
         col("n_vectors"), col("centroid"))
       .orderBy("label", "pos")
 
+  /** Nearest-class-prototype assignment — the distributed inference half
+    * of centroid classification (auto-labeling / topic routing at corpus
+    * scale): every vector is assigned to the label whose
+    * [[labelCentroids]] prototype it is most cosine-similar to, with the
+    * vector's own label kept beside the assignment so the output doubles
+    * as a confusion/self-consistency report.
+    *
+    * Scale shape: the prototype table is |labels|·dims rows — broadcast,
+    * with its norms a |labels|-row broadcast. Scoring explodes each
+    * vector once and joins the broadcast prototypes on the dimension
+    * index, so the only shuffle is the (vec, candidate-label) partial
+    * agg: O(n·L) rows after map-side combine, the irreducible cost of
+    * scoring n vectors against L classes. The final argmax is a window
+    * PARTITIONED by vec_id. All sums are decimal-exact (same discipline
+    * as the ANN family) so the argmax tie-break (min label) is
+    * deterministic cross-engine. */
+  def topicAssign(embeddings: DataFrame): DataFrame = {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val cents = labelCentroids(embeddings)
+      .select(col("label").as("cand_label"), col("pos"), col("centroid"))
+    val cnorm = cents.groupBy("cand_label")
+      .agg(sqrt(sum((col("centroid") * col("centroid")).cast(dec38))
+        .cast("double")).as("c_nrm"))
+    val dots = embeddings
+      .select(col("vec_id"), col("label").as("true_label"),
+        VectorFunctions.normExact(col("embedding")).as("v_nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .join(broadcast(cents), Seq("pos"))
+      .groupBy("vec_id", "true_label", "v_nrm", "cand_label")
+      .agg(sum((col("x").cast("double") * col("centroid")).cast(dec38))
+        .cast("double").as("dot"))
+    val byVec = Window.partitionBy("vec_id")
+      .orderBy(col("cosine").desc, col("cand_label").asc)
+    dots
+      .join(broadcast(cnorm), Seq("cand_label"))
+      .withColumn("cosine", col("dot") / (col("v_nrm") * col("c_nrm")))
+      .withColumn("rnk", row_number().over(byVec))
+      .filter(col("rnk") === 1)
+      .select(
+        col("vec_id"), col("true_label").cast("long").as("true_label"),
+        col("cand_label").cast("long").as("assigned_label"), col("cosine"),
+        (col("cand_label") === col("true_label")).as("is_correct"))
+      .orderBy("vec_id")
+  }
+
   /** Scalar-quantized (int8-per-dimension) ADC top-k — the memory-lean
     * sibling of [[pqTopK]]: each dimension is affinely mapped to a 0..255
     * code against corpus-wide per-dimension min/max, queries stay float,

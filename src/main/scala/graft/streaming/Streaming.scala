@@ -64,6 +64,17 @@ final case class LastTouch2(lastComposite: String, lastChannel: String)
 /** One transition-count increment emitted by [[Streaming.transitionCounts]]. */
 final case class TransitionInc(from_channel: String, to_channel: String, n: Long)
 
+/** Per-user open SCD2 interval carried in GroupState by
+  * [[Streaming.scd2State]] — one fixed-size record per user, forever. */
+final case class Scd2OpenState(
+    version: Long, state: String, validFromUs: Long, nEvents: Long)
+
+/** A CLOSED SCD2 version emitted by [[Streaming.scd2State]]; the open
+  * version lives only in state (it has no valid_to yet). */
+final case class Scd2Closed(
+    user_id: Long, version: Long, state: String,
+    valid_from_us: Long, valid_to_us: Long, n_events: Long)
+
 /** A document in the streaming ingest surface (the documents table's
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
@@ -416,6 +427,47 @@ object Streaming {
             st = LastTouch2(composite, t.channel_name)
           }
           state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming SCD2 dimension maintenance (SURVEY §2.D17) — the CDC twin
+    * of [[graft.operators.Analytics.scd2UserState]]: each user's arriving
+    * events extend the open state interval while the type repeats, and a
+    * type change CLOSES the open version (emitted downstream with its
+    * `[valid_from, valid_to)` bounds) and opens the next. Append-mode
+    * emits exactly the batch twin's closed (`is_current = false`) rows;
+    * the one open version per user lives in GroupState — a fixed-size
+    * record per user however long the stream, sharded across the state
+    * store — and is the row the batch twin reports with NULL `valid_to`.
+    *
+    * Same arrival assumption as [[transitionCounts]]: per-user event-time
+    * order ACROSS micro-batches (in-batch disorder is sorted here, with
+    * the batch twin's `(ts_us, event_id)` tiebreak); reorder-buffer
+    * hardening composes as in [[attributeIhcOrdered]]. */
+  def scd2State(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2OpenState, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Scd2OpenState]) =>
+          val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var cur = state.getOption
+          val out = Vector.newBuilder[Scd2Closed]
+          ordered.foreach { e =>
+            cur match {
+              case Some(c) if c.state == e.event_type =>
+                cur = Some(c.copy(nEvents = c.nEvents + 1))
+              case Some(c) =>
+                out += Scd2Closed(
+                  uid, c.version, c.state, c.validFromUs, e.ts_us, c.nEvents)
+                cur = Some(Scd2OpenState(c.version + 1, e.event_type, e.ts_us, 1L))
+              case None =>
+                cur = Some(Scd2OpenState(1L, e.event_type, e.ts_us, 1L))
+            }
+          }
+          cur.foreach(state.update)
           out.result().iterator
       }
   }

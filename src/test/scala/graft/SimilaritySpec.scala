@@ -180,4 +180,25 @@ class SimilaritySpec extends SparkSpec {
       assert(got.intersect(want).size >= 8, s"query $qid recall too low")
     }
   }
+
+  test("topic assignment routes each vector to its own cluster's prototype") {
+    import spark.implicits._
+    // Two well-separated clusters: label 0 lives on the first 32 dims,
+    // label 1 on the last 32. A slightly-perturbed member of each cluster
+    // must come back assigned to its own label with high cosine.
+    def vec(hi: Range, bump: Int): Array[Float] =
+      Array.tabulate(64)(i => (if (hi.contains(i)) 1f else 0f) + (if (i == bump) 0.05f else 0f))
+    val rows = Seq(
+      (1L, vec(0 until 32, 0), 0), (2L, vec(0 until 32, 5), 0),
+      (3L, vec(0 until 32, 9), 0),
+      (11L, vec(32 until 64, 40), 1), (12L, vec(32 until 64, 50), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.topicAssign(rows).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getAs[Long]("assigned_label") === r.getAs[Long]("true_label"))
+      assert(r.getAs[Boolean]("is_correct"))
+      assert(r.getAs[Double]("cosine") > 0.95)
+    }
+  }
 }

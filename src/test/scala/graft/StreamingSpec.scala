@@ -579,4 +579,41 @@ class StreamingSpec extends SparkSpec {
       assert(batch(900001L) < batch.removed(900001L).values.min)
     } finally q.stop()
   }
+
+  test("streaming SCD2 emits exactly the batch twin's closed versions across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.Scd2Closed
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    // three event-time-ordered micro-batches, each scrambled in-batch
+    val parts = evs.grouped((evs.length + 2) / 3).toSeq
+      .map(_.sortBy(e => (e.event_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[Event]
+    val q = Streaming.scd2State(mem.toDS())
+      .writeStream.format("memory").queryName("scd2_closed").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("scd2_closed").as[Scd2Closed].collect()
+        .map(c => (c.user_id, c.version) -> c).toMap
+      val batch = graft.operators.Analytics.scd2UserState(evs.toSeq.toDF())
+        .collect()
+      val closed = batch.filter(!_.getAs[Boolean]("is_current"))
+      assert(streamed.size === closed.length)
+      closed.foreach { r =>
+        val c = streamed((r.getAs[Long]("user_id"), r.getAs[Long]("version")))
+        assert(c.state === r.getAs[String]("state"))
+        assert(c.valid_from_us === r.getAs[Long]("valid_from_us"))
+        assert(c.valid_to_us === r.getAs[Long]("valid_to_us"))
+        assert(c.n_events === r.getAs[Long]("n_events"))
+      }
+      // every user's OPEN version is absent from the stream output (it has
+      // no valid_to yet) — exactly the batch twin's is_current rows
+      val open = batch.filter(_.getAs[Boolean]("is_current"))
+      open.foreach { r =>
+        assert(!streamed.contains((r.getAs[Long]("user_id"), r.getAs[Long]("version"))))
+      }
+    } finally q.stop()
+  }
 }
