@@ -1686,6 +1686,37 @@ FROM cbi JOIN cw1 USING (w1)
 ORDER BY c_bigram DESC, w1, w2
 LIMIT 30"""
 
+  /** Interpolated Kneser-Ney bigram LM, d = 3/4: the collapsed
+    * single-ratio form [(4c−3)·|B| + 3·N1+(w1·)·N1+(·w2)] / [4·c(w1·)·|B|]
+    * in exact HUGEINT arithmetic, one final double division. */
+  val bigramKnLm: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bi AS (
+  SELECT w1, w2 FROM (
+    SELECT w AS w1, LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) t
+  WHERE w2 IS NOT NULL
+), cbi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram FROM bi GROUP BY w1, w2
+), ext AS (
+  SELECT w1, w2, c_bigram,
+         CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS BIGINT) AS c_w1,
+         CAST(COUNT(*) OVER (PARTITION BY w1) AS BIGINT) AS n1p_w1,
+         CAST(COUNT(*) OVER (PARTITION BY w2) AS BIGINT) AS n1p_w2,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cbi) AS n_b
+  FROM cbi
+)
+SELECT w1, w2, c_bigram, c_w1, n1p_w1, n1p_w2,
+       CAST((CAST(c_bigram AS HUGEINT) * 4 - 3) * n_b
+            + CAST(n1p_w1 AS HUGEINT) * n1p_w2 * 3 AS DOUBLE)
+       / CAST(CAST(c_w1 AS HUGEINT) * n_b * 4 AS DOUBLE) AS p_kn
+FROM ext
+ORDER BY c_bigram DESC, w1, w2
+LIMIT 30"""
+
   val textNormalize: String = s"""
 SELECT doc_id,
        array_to_string(list_filter(string_split(lower(text), ' '),

@@ -389,6 +389,8 @@ object SparkEntry {
 
     "bigram_lm" -> ((s, dir) => Search.bigramLm(Tables.documents(s, dir))),
 
+    "bigram_kn_lm" -> ((s, dir) => Search.bigramKnLm(Tables.documents(s, dir))),
+
     "bpe_top_merges" -> ((s, dir) => Search.bpeTopMerges(Tables.documents(s, dir))),
 
     "text_normalize" -> ((s, dir) => Search.normalize(Tables.documents(s, dir))),
@@ -640,6 +642,7 @@ object SparkEntry {
     "bm25_search"               -> Oracles.bm25Search,
     "bm25_search_indexed"       -> Oracles.bm25Search,
     "bigram_lm"                 -> Oracles.bigramLm,
+    "bigram_kn_lm"              -> Oracles.bigramKnLm,
     "bpe_top_merges"            -> Oracles.bpeTopMerges,
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,

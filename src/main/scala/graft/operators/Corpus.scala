@@ -295,6 +295,128 @@ object Corpus {
     }
   }
 
+  /** TARGETED DELETION (right-to-be-forgotten / takedown): remove the
+    * given doc_ids from the committed corpus, rewriting ONLY the batches
+    * that actually contain a target and purging the deleted documents'
+    * text fingerprints so the same content can be legitimately
+    * re-admitted later. The Delta/Iceberg `DELETE WHERE` shape on the
+    * manifest store.
+    *
+    * Scale shape: touch detection is one COLUMN-PRUNED scan of `doc_id`
+    * with the target list pushed into the parquet reader as an In filter
+    * — on a [[compactCorpus]]-clustered corpus, row-group min/max stats
+    * skip everything outside the targets' key ranges, so the scan reads
+    * metadata for most of a 100 TB corpus. Untouched batch dirs are NOT
+    * rewritten, not even re-listed into new files: their live entries
+    * carry over byte-identical. The touched batches rewrite through
+    * [[graft.sources.Layout.writeClustered]] (clustering invariant
+    * preserved); deletion volume, not corpus volume, drives the cost.
+    *
+    * Concurrency: the rewrite is pinned to the snapshot it read — the
+    * publish is a [[graft.sources.Manifest]] CAS, and ANY concurrent
+    * commit (ingest, compaction, another delete) fails it, discards the
+    * staged dirs, and re-derives from the winner's snapshot (deletes are
+    * rare; full re-derivation is the simplest interleaving-proof answer —
+    * in particular a racing [[compactCorpus]] that folded a touched batch
+    * can never leave deleted rows resurrected or surviving rows
+    * duplicated). A [[graft.sources.Manifest.Lease]] held across
+    * staging+publish keeps a concurrent writer's recovery sweep off the
+    * staged dirs.
+    *
+    * Physical erasure: this PUBLISH removes the targets from every read
+    * via [[documents]]; the superseded batch dirs become unreferenced and
+    * are deleted by the next recovery sweep ([[graft.sources.Manifest
+    * .cleanStale]] — e.g. the next ingest), at which point pre-delete
+    * [[documentsAt]] versions stop resolving. That is the standard
+    * right-to-be-forgotten vs time-travel tradeoff, decided here in favor
+    * of erasure.
+    *
+    * @param beforePublish test seam, called between staging and each
+    *                      publish attempt
+    * @return number of documents actually deleted */
+  def deleteDocs(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, docIds: Seq[Long], nFiles: Int = 4,
+      beforePublish: () => Unit = () => ()): Long = {
+    import graft.sources.{Layout, Manifest}
+    if (docIds.isEmpty) return 0L
+    val f = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = Manifest.acquireLease(spark, stateDir,
+      s"delete_${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      var staged: Seq[String] = Nil
+      def dropStaged(): Unit = {
+        staged.foreach(rel =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$rel"), true))
+        staged = Nil
+      }
+      var attempts = 0
+      while (true) {
+        val snap = Manifest.snapshot(spark, stateDir)
+        val docDirs = snap.live.filter(_.startsWith("documents/"))
+        if (docDirs.isEmpty) return 0L
+        // touch detection: doc_id-only scan, In-filter pushed to parquet
+        val hitFiles = spark.read.parquet(docDirs.map(d => s"$stateDir/$d"): _*)
+          .filter(col("doc_id").isInCollection(docIds))
+          .select(input_file_name().as("fname"))
+          .distinct().collect().map(_.getString(0))
+        val touchedDocs = docDirs.filter(d => hitFiles.exists(_.contains(s"/$d/")))
+        if (touchedDocs.isEmpty) return 0L // nothing to delete, publish nothing
+        val touched = spark.read
+          .parquet(touchedDocs.map(d => s"$stateDir/$d"): _*)
+          .localCheckpoint() // one read serves survivors, deleted, and counts
+        val deleted = touched.filter(col("doc_id").isInCollection(docIds))
+        val delFps = deleted
+          .select(graft.functions.TextFunctions.fingerprint(col("text"))
+            .as("fingerprint")).distinct()
+        val survivors = touched.filter(!col("doc_id").isInCollection(docIds))
+        // fingerprint batches shrink by the deleted docs' fingerprints
+        val fpDirs = snap.live.filter(_.startsWith("fingerprints/"))
+        val touchedFps =
+          if (fpDirs.isEmpty) Nil
+          else {
+            val hitFp = spark.read.parquet(fpDirs.map(d => s"$stateDir/$d"): _*)
+              .join(broadcast(delFps), Seq("fingerprint"), "left_semi")
+              .select(input_file_name().as("fname"))
+              .distinct().collect().map(_.getString(0))
+            fpDirs.filter(d => hitFp.exists(_.contains(s"/$d/")))
+          }
+        val nDeleted = deleted.count()
+        val tag = s"d${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+        var newLive = snap.live.filterNot(touchedDocs.toSet)
+          .filterNot(touchedFps.toSet)
+        if (survivors.limit(1).count() > 0) {
+          Layout.writeClustered(survivors, s"$stateDir/documents/$tag",
+            Seq("doc_id"), nFiles)
+          staged = staged :+ s"documents/$tag"
+          newLive = newLive :+ s"documents/$tag"
+        }
+        if (touchedFps.nonEmpty) {
+          val fpSurvivors = spark.read
+            .parquet(touchedFps.map(d => s"$stateDir/$d"): _*)
+            .join(broadcast(delFps), Seq("fingerprint"), "left_anti")
+          if (fpSurvivors.limit(1).count() > 0) {
+            Layout.writeClustered(fpSurvivors, s"$stateDir/fingerprints/$tag",
+              Seq("fingerprint"), nFiles)
+            staged = staged :+ s"fingerprints/$tag"
+            newLive = newLive :+ s"fingerprints/$tag"
+          }
+        }
+        beforePublish()
+        Manifest.tryPublish(spark, stateDir, snap, newLive, snap.meta) match {
+          case Some(_) => return nDeleted
+          case None =>
+            dropStaged() // any concurrent commit → full re-derive
+            attempts += 1
+            if (attempts >= 16)
+              throw new java.io.IOException(
+                s"deleteDocs lost $attempts consecutive publish races at $stateDir")
+        }
+      }
+      0L // unreachable
+    } finally Manifest.releaseLease(spark, stateDir, lease)
+  }
+
   /** Per-document repetition metrics — the Gopher-style quality signals
     * (Rae et al. 2021 §A1.1: repetitious documents are low-quality
     * training data and slip past stopword/length filters):

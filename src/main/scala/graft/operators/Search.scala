@@ -185,6 +185,52 @@ object Search {
       .select("w1", "w2", "c_bigram", "c_w1", "p")
   }
 
+  /** Interpolated Kneser-Ney smoothed bigram LM (SURVEY §2.C36) — the
+    * smoothing a production n-gram model actually ships (Kneser & Ney
+    * 1995; Chen & Goodman 1999 found interpolated KN the best-performing
+    * n-gram smoother), where [[bigramLm]] is the unsmoothed MLE:
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − d, 0) / c(w1·)
+    *               + d · N1+(w1·)/c(w1·) · N1+(·w2)/|distinct bigrams|
+    *
+    * with discount d = 3/4. The continuation probability N1+(·w2)/|B|
+    * ranks w2 by how many CONTEXTS it follows, not raw frequency — the
+    * "Francisco" fix. Because every emitted bigram has c ≥ 1, the max is
+    * vacuous and, with d = 3/4, the whole formula collapses to ONE exact
+    * integer ratio:
+    *
+    *   P_KN = [ (4c−3)·|B| + 3·N1+(w1·)·N1+(·w2) ] / [ 4·c(w1·)·|B| ]
+    *
+    * evaluated as a single correctly-rounded double division of two
+    * exactly-computed decimal integers — bit-identical cross-engine, the
+    * same transcendental-free discipline as the rest of the class.
+    *
+    * Plan: all four count statistics live on the DISTINCT-bigram frame —
+    * c(w1·) and N1+(w1·) share one window pass partitioned by w1,
+    * N1+(·w2) is a second pass by w2, |B| is a one-row broadcast. No
+    * second occurrence scan, no count-count joins; linear in distinct
+    * bigrams after the one partial-agg counting shuffle. */
+  def bigramKnLm(documents: DataFrame, topK: Int = 30): DataFrame = {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 0))
+    val cBi = docBigrams(documents)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    val byW1 = Window.partitionBy("w1")
+    val byW2 = Window.partitionBy("w2")
+    val nDist = cBi.agg(count(lit(1)).as("n_bigram_types"))
+    cBi
+      .withColumn("c_w1", sum("c_bigram").over(byW1))
+      .withColumn("n1p_w1", count(lit(1)).over(byW1))
+      .withColumn("n1p_w2", count(lit(1)).over(byW2))
+      .crossJoin(broadcast(nDist))
+      .withColumn("p_kn",
+        ((dec(col("c_bigram")) * lit(4) - lit(3)) * dec(col("n_bigram_types")) +
+          dec(col("n1p_w1")) * dec(col("n1p_w2")) * lit(3)).cast("double") /
+          (dec(col("c_w1")) * dec(col("n_bigram_types")) * lit(4)).cast("double"))
+      .orderBy(col("c_bigram").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c_bigram", "c_w1", "n1p_w1", "n1p_w2", "p_kn")
+  }
+
   /** Text cleaning / normalization — the pre-tokenization scrub stage of a
     * training pipeline: lowercase, strip stopword tokens, collapse the
     * remainder back to single-space form; emits how many tokens were

@@ -75,6 +75,17 @@ final case class Scd2Closed(
     user_id: Long, version: Long, state: String,
     valid_from_us: Long, valid_to_us: Long, n_events: Long)
 
+/** Per-event-type trailing-window state carried by [[Streaming.anomalyZ]]:
+  * up to 7 closed (day, count) observations plus the one open day —
+  * bounded at 8 pairs per event type, forever. */
+final case class AnomalyState(
+    days: Seq[Long], ns: Seq[Long], openDay: Long, openN: Long)
+
+/** One completed-day anomaly verdict emitted by [[Streaming.anomalyZ]]. */
+final case class AnomalyOut(
+    event_type: String, epoch_day: Long, n: Long,
+    mean7: Double, std7: Double, zscore: Double, is_anomaly: Boolean)
+
 /** A document in the streaming ingest surface (the documents table's
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
@@ -468,6 +479,62 @@ object Streaming {
             }
           }
           cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming volume-anomaly detection (SURVEY §2.D18) — the live twin of
+    * [[graft.operators.Analytics.eventsAnomaly]]: per event type, each
+    * day's event count is z-scored against the trailing window of up to 7
+    * previously OBSERVED days (row window, not calendar), and a completed
+    * day is emitted as soon as a later day's first event arrives. The
+    * arithmetic replays the batch plan's IEEE chain step for step
+    * (long sums → one double division each for mean and E[x²], variance by
+    * subtraction, √, z), so emitted rows are bit-equal to the batch twin;
+    * a day needs ≥3 trailing observations to be judged, exactly like the
+    * batch `w_n >= 3` gate. Each event type's current OPEN day is the one
+    * row the batch sees that the stream hasn't closed yet (spec filters
+    * it, the same convention as [[scd2State]]'s open versions).
+    *
+    * State is hard-bounded: 8 (day, count) pairs per event type, however
+    * long the stream runs — the anomaly cousin of the [[hllCounts]] /
+    * [[kmvCounts]] / [[histQuantiles]] bounded-state family. Same arrival
+    * assumption as [[transitionCounts]]: per-key event-time order ACROSS
+    * micro-batches, in-batch disorder sorted here. */
+  def anomalyZ(events: Dataset[Event]): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400000000L
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (etype: String, it: Iterator[Event], state: GroupState[AnomalyState]) =>
+          val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption
+          val out = Vector.newBuilder[AnomalyOut]
+          def close(s: AnomalyState): AnomalyState = {
+            val wn = s.days.length
+            if (wn >= 3) {
+              val mean = s.ns.sum.toDouble / wn.toDouble
+              val v = s.ns.map(n => n * n).sum.toDouble / wn.toDouble - mean * mean
+              val std = math.sqrt(math.max(v, 0.0))
+              val z = if (std > 0.0) (s.openN.toDouble - mean) / std else 0.0
+              out += AnomalyOut(
+                etype, s.openDay, s.openN, mean, std, z, math.abs(z) > 2.0)
+            }
+            AnomalyState((s.days :+ s.openDay).takeRight(7),
+              (s.ns :+ s.openN).takeRight(7), -1L, 0L)
+          }
+          ordered.foreach { e =>
+            val d = Math.floorDiv(e.ts_us, DayUs)
+            st = st match {
+              case None => Some(AnomalyState(Nil, Nil, d, 1L))
+              case Some(s) if s.openDay == d => Some(s.copy(openN = s.openN + 1L))
+              case Some(s) =>
+                Some(close(s).copy(openDay = d, openN = 1L))
+            }
+          }
+          st.foreach(state.update)
           out.result().iterator
       }
   }

@@ -228,4 +228,68 @@ class LayoutSpec extends SparkSpec {
       Corpus.documentsAt(spark, state, 999L)
     }
   }
+
+  test("targeted delete rewrites only touched batches, purges fingerprints, " +
+      "and re-admits the deleted text") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-delete").toString
+    def batch(r: Range) = r.map(i =>
+      (i.toLong, s"deletable corpus document number $i with unique text", "en", "t", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark, batch(0 until 10), state)
+    Corpus.ingestIncremental(spark, batch(10 until 20), state)
+    Corpus.ingestIncremental(spark, batch(20 until 30), state)
+    val before = Manifest.live(spark, state)
+    // targets live entirely in the second batch
+    val n = Corpus.deleteDocs(spark, state, Seq(12L, 17L))
+    assert(n === 2)
+    val after = Manifest.live(spark, state)
+    // untouched batch dirs carry over byte-identical (same live entries);
+    // exactly one documents/ and one fingerprints/ entry were replaced
+    assert(before.toSet.intersect(after.toSet).size === before.size - 2)
+    assert(after.count(_.startsWith("documents/")) === 3)
+    val docs = Corpus.documents(spark, state)
+    assert(docs.count() === 28)
+    assert(docs.filter(col("doc_id").isin(12L, 17L)).isEmpty)
+    assert(Corpus.fingerprints(spark, state).count() === 28)
+    // the purge is semantic, not cosmetic: the deleted TEXT is novel again
+    assert(Corpus.ingestIncremental(spark, batch(12 until 13), state) === 1)
+    // deleting ids that don't exist publishes nothing
+    val v = Manifest.history(spark, state).last
+    assert(Corpus.deleteDocs(spark, state, Seq(9999L)) === 0)
+    assert(Manifest.history(spark, state).last === v)
+  }
+
+  test("targeted delete survives a racing ingest: full re-derive after lost CAS") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-delete-race").toString
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark,
+      mk((0L until 10L).map(i => i -> s"delete race base document $i")), state)
+    var raced = false
+    val n = Corpus.deleteDocs(spark, state, Seq(3L, 7L),
+      beforePublish = () => if (!raced) {
+        raced = true // one competing committed ingest between stage and publish
+        Corpus.ingestIncremental(spark,
+          mk(Seq(50L -> "racing ingest document landing mid-delete")), state)
+      })
+    assert(n === 2)
+    val docs = Corpus.documents(spark, state)
+    assert(docs.count() === 9) // 10 − 2 deleted + 1 raced-in
+    assert(docs.filter(col("doc_id").isin(3L, 7L)).isEmpty)
+    assert(docs.filter(col("doc_id") === 50L).count() === 1) // winner survived
+    assert(Corpus.fingerprints(spark, state).count() === 9)
+    // staged dirs from the lost first attempt are orphans, swept clean
+    Manifest.cleanStale(spark, state, Seq("documents", "fingerprints"))
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints")).isEmpty)
+    // post-race store is fully consistent: deleted text re-admits once
+    assert(Corpus.ingestIncremental(spark,
+      mk(Seq(60L -> "delete race base document 3")), state) === 1)
+  }
 }

@@ -58,6 +58,42 @@ class SearchSpec extends SparkSpec {
     sums.foreach(s => assert(math.abs(s - 1.0) < 1e-9))
   }
 
+  test("Kneser-Ney bigram LM matches the hand-computed model bit-for-bit " +
+      "and its full-vocabulary conditionals sum to 1") {
+    // hand model from the same whitespace bigrams
+    val bigrams = docs.select("doc_id", "text").collect().flatMap { r =>
+      val t = r.getString(1).split(" ")
+      t.zip(t.tail)
+    }
+    val c = bigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cW1 = bigrams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n1pW1 = c.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1pW2 = c.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nB = c.size.toLong
+    def pkn(w1: String, w2: String): Double = {
+      val cc = c.getOrElse((w1, w2), 0L)
+      (math.max(4 * cc - 3, 0) * nB + 3 * n1pW1(w1) * n1pW2(w2)).toDouble /
+        (4 * cW1(w1) * nB).toDouble
+    }
+    val got = Search.bigramKnLm(docs, topK = 1000).collect()
+    assert(got.length === nB.toInt)
+    got.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c_bigram") === c((w1, w2)))
+      assert(r.getAs[Long]("c_w1") === cW1(w1))
+      assert(r.getAs[Long]("n1p_w1") === n1pW1(w1))
+      assert(r.getAs[Long]("n1p_w2") === n1pW2(w2))
+      assert(r.getAs[Double]("p_kn") === pkn(w1, w2)) // exact, not approx
+    }
+    // interpolated KN is a proper distribution: summing P_KN(w2|w1) over
+    // the whole continuation vocabulary (seen AND unseen pairs) gives 1
+    val vocab2 = n1pW2.keys.toSeq
+    cW1.keys.foreach { w1 =>
+      val s = vocab2.map(pkn(w1, _)).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"sum for '$w1' was $s")
+    }
+  }
+
   test("normalize strips exactly the stopword tokens and keeps order") {
     val in = Seq((7L, "The quick the fox of a it jumps", "en", "s", 8L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -580,6 +580,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming anomaly z-scores emit the batch twin's completed days bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.AnomalyOut
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    // three event-time-ordered micro-batches, each scrambled in-batch
+    val parts = evs.grouped((evs.length + 2) / 3).toSeq
+      .map(_.sortBy(e => (e.event_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[Event]
+    val q = Streaming.anomalyZ(mem.toDS())
+      .writeStream.format("memory").queryName("anomaly_z").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("anomaly_z").as[AnomalyOut].collect()
+        .map(a => (a.event_type, a.epoch_day) -> a).toMap
+      val batch = graft.operators.Analytics
+        .eventsAnomaly(Tables.events(spark, sfDir)).collect()
+      // each type's final observed day is still OPEN in the stream — the
+      // batch twin minus those rows is exactly what must have been emitted
+      val openDay = evs.groupBy(_.event_type).view
+        .mapValues(_.map(e => Math.floorDiv(e.ts_us, 86400000000L)).max).toMap
+      val closed = batch.filter { r =>
+        r.getAs[java.sql.Date]("event_date").toLocalDate.toEpochDay !=
+          openDay(r.getAs[String]("event_type"))
+      }
+      assert(closed.nonEmpty && streamed.size === closed.length)
+      closed.foreach { r =>
+        val a = streamed((r.getAs[String]("event_type"),
+          r.getAs[java.sql.Date]("event_date").toLocalDate.toEpochDay))
+        assert(a.n === r.getAs[Long]("n"))
+        assert(a.mean7 === r.getAs[Double]("mean7")) // exact, not approx
+        assert(a.std7 === r.getAs[Double]("std7"))
+        assert(a.zscore === r.getAs[Double]("zscore"))
+        assert(a.is_anomaly === r.getAs[Boolean]("is_anomaly"))
+      }
+    } finally q.stop()
+  }
+
   test("streaming SCD2 emits exactly the batch twin's closed versions across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Tables
