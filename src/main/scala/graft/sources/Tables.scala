@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    * timestamp ([PARQUET_TYPE_ILLEGAL]); read it as raw nanos instead and
-    * derive epoch-microsecond / date columns. DuckDB reads the same column
-    * as a µs-truncated TIMESTAMP, so `ts DIV 1000` (integer division,
-    * positive epochs) is bit-identical to DuckDB's `epoch_us(ts)`.
+  /** The `events.ts` physical encoding is owned by the test-data generator
+    * and has shipped as BOTH parquet TIMESTAMP(NANOS) and TIMESTAMP_NTZ(µs)
+    * across rounds, so the loader must survive either. The legacy
+    * `nanosAsLong` flag makes a NANOS column load as raw LongType (Spark
+    * cannot read NANOS as a timestamp — [PARQUET_TYPE_ILLEGAL]) and is a
+    * no-op for µs-encoded columns, so it is always safe to set.
     */
   private def withNanosFlag(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,14 +44,33 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** Raw events with derived `ts_us` (epoch µs) and `event_date` (UTC).
-    * Only this table carries TIMESTAMP(NANOS), so the legacy flag is
-    * scoped here rather than mutating session state on every load. */
+  /** Raw events with derived `ts_us` (epoch µs) and `event_date` (UTC),
+    * branching on the `ts` dtype the parquet footer actually resolved to:
+    *
+    *   - LongType (NANOS file + legacy flag)   → `ts DIV 1000` — integer
+    *     division truncates toward zero for positive epochs, bit-identical
+    *     to DuckDB's µs-truncating read of the same column.
+    *   - TIMESTAMP_NTZ (µs, isAdjustedToUTC=false) → wall-clock equals UTC
+    *     instant for this generator; every session here pins
+    *     `spark.sql.session.timeZone=UTC`, making the NTZ→LTZ cast exact,
+    *     so `unix_micros(cast(ts as timestamp))` lands on the identical
+    *     values DuckDB's `epoch_us(ts)` produces.
+    *   - TIMESTAMP (LTZ µs) → `unix_micros(ts)` directly.
+    *
+    * `event_date` is derived from the same µs value in UTC so all three
+    * encodings agree byte-for-byte downstream. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    withNanosFlag(spark).read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
-      .withColumn("event_date", timestamp_micros(expr("ts DIV 1000")).cast("date"))
+    val raw = withNanosFlag(spark).read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    raw
+      .withColumn("ts_us", tsUs)
+      .withColumn("event_date", timestamp_micros(col("ts_us")).cast("date"))
   }
 
   /** conversions(conv_id, user_id, conv_ts_us, conv_date, revenue) —
