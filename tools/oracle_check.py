@@ -30,13 +30,21 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # graft.Verify records per-query execution failures here (always written,
+    # {} when clean) so a broken query surfaces as an explicit [ERR] line
+    # rather than a silently-missing output directory.
+    errors_path = f"{out_dir}/errors.json"
+    errors = json.load(open(errors_path)) if os.path.exists(errors_path) else {}
     failures = []
     for name, sql in sorted(oracles.items()):
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
         if not files:
             failures.append(name)
-            print(f"[MISS] {name}: no spark output at {spark_dir}")
+            if name in errors:
+                print(f"[ERR]  {name}: {errors[name][:300]}")
+            else:
+                print(f"[MISS] {name}: no spark output at {spark_dir}")
             continue
         try:
             got = pd.read_parquet(spark_dir)
