@@ -1765,8 +1765,10 @@ GROUP BY label, pos
 ORDER BY label, pos"""
 
   /** Nearest-class-prototype assignment: label centroids (decimal-exact
-    * means, the labelCentroids chain), decimal-exact dots and norms,
-    * argmax cosine with min-label tiebreak. Mirrors
+    * means, the labelCentroids chain) NARROWED TO REAL — the float32
+    * prototype matrix a real index stores and the Spark side inlines as a
+    * literal — then decimal-exact dots and norms against the float
+    * prototypes, argmax cosine with min-label tiebreak. Mirrors
     * Similarity.topicAssign. */
   val topicAssign: String = """
 WITH ux AS (
@@ -1775,12 +1777,12 @@ WITH ux AS (
   FROM embeddings
 ), cents AS (
   SELECT label AS cand_label, pos,
-         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
-           / CAST(COUNT(*) AS DOUBLE) AS centroid
+         CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS REAL) AS cf
   FROM ux GROUP BY label, pos
 ), cnorm AS (
   SELECT cand_label,
-         sqrt(CAST(SUM(CAST(centroid * centroid AS DECIMAL(38,12))) AS DOUBLE)) AS c_nrm
+         sqrt(CAST(SUM(CAST(CAST(cf AS DOUBLE) * CAST(cf AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS c_nrm
   FROM cents GROUP BY cand_label
 ), vnorm AS (
   SELECT vec_id,
@@ -1788,7 +1790,7 @@ WITH ux AS (
   FROM ux GROUP BY vec_id
 ), dots AS (
   SELECT u.vec_id, u.label AS true_label, c.cand_label,
-         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * c.centroid AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         CAST(SUM(CAST(CAST(u.x AS DOUBLE) * CAST(c.cf AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
   FROM ux u JOIN cents c ON u.pos = c.pos
   GROUP BY u.vec_id, u.label, c.cand_label
 ), scored AS (
@@ -2877,8 +2879,8 @@ WITH w AS (
   GROUP BY g.doc_id, g.lang
 )
 SELECT doc_id, lang, n_grams,
-       CAST(sum_t * (tot.nr + 256) AS DOUBLE) /
-       CAST(sum_r * (tot.nt + 256) AS DOUBLE) AS score
+       CAST(CAST(sum_t AS HUGEINT) * (tot.nr + 256) AS DOUBLE) /
+       CAST(CAST(sum_r AS HUGEINT) * (tot.nt + 256) AS DOUBLE) AS score
 FROM sc, tot
 ORDER BY score DESC, doc_id
 LIMIT 100"""

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -193,6 +193,16 @@ object Corpus {
     finally Manifest.releaseLease(spark, stateDir, lease)
   }
 
+  /** Drop the cached blocks behind a `localCheckpoint()`ed frame. Spark's
+    * `Dataset.unpersist` only releases CacheManager entries, not the RDD a
+    * local checkpoint pinned — reach through the LogicalRDD node instead.
+    * Non-blocking: readers that already planned over the RDD recompute. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   private def ingestLeased(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, stateDir: String, maxLiveBatches: Int,
       staleGraceMs: Long,
@@ -248,15 +258,17 @@ object Corpus {
             val refiltered =
               admitted.join(winners, Seq("fingerprint"), "left_anti").localCheckpoint()
             if (refiltered.count() != admitted.count()) {
+              releaseLocalCheckpoint(admitted) // superseded copy, drop its blocks
               admitted = refiltered
               tag = uniqueTag(next.alloc + 1) // old staged dirs become orphans
               stage(tag)
-            }
+            } else releaseLocalCheckpoint(refiltered)
           }
           snap = next
       }
     }
     val n = admitted.count()
+    releaseLocalCheckpoint(admitted) // writes + count done; drop the blocks
     if (Manifest.live(spark, stateDir).count(_.startsWith("documents/")) > maxLiveBatches)
       compactCorpus(spark, stateDir)
     n
@@ -365,53 +377,72 @@ object Corpus {
         val touched = spark.read
           .parquet(touchedDocs.map(d => s"$stateDir/$d"): _*)
           .localCheckpoint() // one read serves survivors, deleted, and counts
-        val deleted = touched.filter(col("doc_id").isInCollection(docIds))
-        val delFps = deleted
-          .select(graft.functions.TextFunctions.fingerprint(col("text"))
-            .as("fingerprint")).distinct()
-        val survivors = touched.filter(!col("doc_id").isInCollection(docIds))
-        // fingerprint batches shrink by the deleted docs' fingerprints
-        val fpDirs = snap.live.filter(_.startsWith("fingerprints/"))
-        val touchedFps =
-          if (fpDirs.isEmpty) Nil
-          else {
-            val hitFp = spark.read.parquet(fpDirs.map(d => s"$stateDir/$d"): _*)
-              .join(broadcast(delFps), Seq("fingerprint"), "left_semi")
-              .select(input_file_name().as("fname"))
-              .distinct().collect().map(_.getString(0))
-            fpDirs.filter(d => hitFp.exists(_.contains(s"/$d/")))
+        // release the checkpointed blocks on every exit from this attempt —
+        // without it, 16 CAS-race retries pin 16 copies of the touched
+        // batches in block storage for the life of the session
+        def releaseTouched(): Unit = releaseLocalCheckpoint(touched)
+        try {
+          val deleted = touched.filter(col("doc_id").isInCollection(docIds))
+          val survivors = touched.filter(!col("doc_id").isInCollection(docIds))
+          // Fingerprint batches shrink by the deleted docs' fingerprints so
+          // the same content can be legitimately re-admitted. INVARIANT: the
+          // store holds at most one live doc per fingerprint ([[ingestLeased]]
+          // admits only the min-doc_id representative per fingerprint and
+          // anti-joins the persisted set), so a deleted doc's fingerprint
+          // cannot be load-bearing for any other doc. Guarded anyway: a
+          // fingerprint still carried by a surviving doc in the touched
+          // batches is NOT purged (anti-join below, bounded by touched-batch
+          // volume) — purging it would re-open ingest to a duplicate of
+          // content that is still live.
+          val delFps = deleted
+            .select(graft.functions.TextFunctions.fingerprint(col("text"))
+              .as("fingerprint")).distinct()
+            .join(
+              survivors.select(graft.functions.TextFunctions.fingerprint(col("text"))
+                .as("fingerprint")).distinct(),
+              Seq("fingerprint"), "left_anti")
+          val fpDirs = snap.live.filter(_.startsWith("fingerprints/"))
+          val touchedFps =
+            if (fpDirs.isEmpty) Nil
+            else {
+              val hitFp = spark.read.parquet(fpDirs.map(d => s"$stateDir/$d"): _*)
+                .join(broadcast(delFps), Seq("fingerprint"), "left_semi")
+                .select(input_file_name().as("fname"))
+                .distinct().collect().map(_.getString(0))
+              fpDirs.filter(d => hitFp.exists(_.contains(s"/$d/")))
+            }
+          val nDeleted = deleted.count()
+          val tag = s"d${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+          var newLive = snap.live.filterNot(touchedDocs.toSet)
+            .filterNot(touchedFps.toSet)
+          if (survivors.limit(1).count() > 0) {
+            Layout.writeClustered(survivors, s"$stateDir/documents/$tag",
+              Seq("doc_id"), nFiles)
+            staged = staged :+ s"documents/$tag"
+            newLive = newLive :+ s"documents/$tag"
           }
-        val nDeleted = deleted.count()
-        val tag = s"d${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
-        var newLive = snap.live.filterNot(touchedDocs.toSet)
-          .filterNot(touchedFps.toSet)
-        if (survivors.limit(1).count() > 0) {
-          Layout.writeClustered(survivors, s"$stateDir/documents/$tag",
-            Seq("doc_id"), nFiles)
-          staged = staged :+ s"documents/$tag"
-          newLive = newLive :+ s"documents/$tag"
-        }
-        if (touchedFps.nonEmpty) {
-          val fpSurvivors = spark.read
-            .parquet(touchedFps.map(d => s"$stateDir/$d"): _*)
-            .join(broadcast(delFps), Seq("fingerprint"), "left_anti")
-          if (fpSurvivors.limit(1).count() > 0) {
-            Layout.writeClustered(fpSurvivors, s"$stateDir/fingerprints/$tag",
-              Seq("fingerprint"), nFiles)
-            staged = staged :+ s"fingerprints/$tag"
-            newLive = newLive :+ s"fingerprints/$tag"
+          if (touchedFps.nonEmpty) {
+            val fpSurvivors = spark.read
+              .parquet(touchedFps.map(d => s"$stateDir/$d"): _*)
+              .join(broadcast(delFps), Seq("fingerprint"), "left_anti")
+            if (fpSurvivors.limit(1).count() > 0) {
+              Layout.writeClustered(fpSurvivors, s"$stateDir/fingerprints/$tag",
+                Seq("fingerprint"), nFiles)
+              staged = staged :+ s"fingerprints/$tag"
+              newLive = newLive :+ s"fingerprints/$tag"
+            }
           }
-        }
-        beforePublish()
-        Manifest.tryPublish(spark, stateDir, snap, newLive, snap.meta) match {
-          case Some(_) => return nDeleted
-          case None =>
-            dropStaged() // any concurrent commit → full re-derive
-            attempts += 1
-            if (attempts >= 16)
-              throw new java.io.IOException(
-                s"deleteDocs lost $attempts consecutive publish races at $stateDir")
-        }
+          beforePublish()
+          Manifest.tryPublish(spark, stateDir, snap, newLive, snap.meta) match {
+            case Some(_) => return nDeleted
+            case None =>
+              dropStaged() // any concurrent commit → full re-derive
+              attempts += 1
+              if (attempts >= 16)
+                throw new java.io.IOException(
+                  s"deleteDocs lost $attempts consecutive publish races at $stateDir")
+          }
+        } finally releaseTouched()
       }
       0L // unreachable
     } finally Manifest.releaseLease(spark, stateDir, lease)
@@ -704,9 +735,24 @@ object Corpus {
       .crossJoin(broadcast(totals))
       .select(
         col("doc_id"), col("lang"), col("n_grams"),
-        ((col("sum_t") * (col("nr") + buckets)).cast("double") /
-          (col("sum_r") * (col("nt") + buckets)).cast("double")).as("score"))
+        dsirScore(col("sum_t"), col("sum_r"), col("nr"), col("nt"), buckets)
+          .as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** DSIR importance ratio `(sum_t·(Nr+B)) / (sum_r·(Nt+B))` with
+    * Decimal(38,0) intermediates. At real corpus scale the numerator is
+    * ~1e16·1e12 ≈ 1e28 — a long×long product wraps silently under
+    * non-ANSI Spark and corrupts the top-k ranking exactly when the data
+    * is big enough to matter, while the DuckDB oracle errors in BIGINT.
+    * 38-digit decimals hold products to 1e38; only the final ratio drops
+    * to double (one rounding, order-proof — the `bigramKnLm` discipline).
+    * The oracle computes the same products in HUGEINT (int128). */
+  private[graft] def dsirScore(
+      sumT: Column, sumR: Column, nr: Column, nt: Column, buckets: Int): Column = {
+    val d38 = DecimalType(38, 0)
+    (sumT.cast(d38) * (nr + buckets).cast(d38)).cast("double") /
+      (sumR.cast(d38) * (nt + buckets).cast(d38)).cast("double")
   }
 
   /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile

@@ -496,41 +496,55 @@ object Similarity {
     * vector's own label kept beside the assignment so the output doubles
     * as a confusion/self-consistency report.
     *
-    * Scale shape: the prototype table is |labels|·dims rows — broadcast,
-    * with its norms a |labels|-row broadcast. Scoring explodes each
-    * vector once and joins the broadcast prototypes on the dimension
-    * index, so the only shuffle is the (vec, candidate-label) partial
-    * agg: O(n·L) rows after map-side combine, the irreducible cost of
-    * scoring n vectors against L classes. The final argmax is a window
-    * PARTITIONED by vec_id. All sums are decimal-exact (same discipline
-    * as the ANN family) so the argmax tie-break (min label) is
-    * deterministic cross-engine. */
+    * Scale shape: the prototype matrix is |labels|·dims floats — index
+    * metadata, collected and inlined as a literal exactly like the IVF
+    * centroids and SQ min/max tables (a real prototype index stores
+    * float32 rows; the one `collect()` is bounded by L·d, not corpus
+    * size). Each vector then scores ALL L prototypes in one codegen'd map
+    * pass over the scan — the native [[graft.functions.DotDecimal]] dot
+    * per label, argmax-with-min-label-tiebreak via `array_position` of
+    * the max cosine — so NOTHING shuffles before the output sort. The
+    * earlier posexplode ⋈ broadcast-on-pos form carried n·d·L rows into
+    * its partial agg; this pass carries n.
+    *
+    * Determinism: centroid means are decimal-exact ([[labelCentroids]]),
+    * the double→float prototype narrowing is IEEE round-nearest-even in
+    * both engines, dots/norms go through the exact-decimal
+    * [[graft.functions.DotDecimal]], and the first-index-of-max argmax
+    * equals the oracle's (cosine DESC, label ASC) rank because labels are
+    * inlined in ascending order. */
   def topicAssign(embeddings: DataFrame): DataFrame = {
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 12)
-    val cents = labelCentroids(embeddings)
-      .select(col("label").as("cand_label"), col("pos"), col("centroid"))
-    val cnorm = cents.groupBy("cand_label")
-      .agg(sqrt(sum((col("centroid") * col("centroid")).cast(dec38))
-        .cast("double")).as("c_nrm"))
-    val dots = embeddings
-      .select(col("vec_id"), col("label").as("true_label"),
-        VectorFunctions.normExact(col("embedding")).as("v_nrm"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
-      .join(broadcast(cents), Seq("pos"))
-      .groupBy("vec_id", "true_label", "v_nrm", "cand_label")
-      .agg(sum((col("x").cast("double") * col("centroid")).cast(dec38))
-        .cast("double").as("dot"))
-    val byVec = Window.partitionBy("vec_id")
-      .orderBy(col("cosine").desc, col("cand_label").asc)
-    dots
-      .join(broadcast(cnorm), Seq("cand_label"))
-      .withColumn("cosine", col("dot") / (col("v_nrm") * col("c_nrm")))
-      .withColumn("rnk", row_number().over(byVec))
-      .filter(col("rnk") === 1)
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = labelCentroids(embeddings).collect() // L·d rows: index metadata
+    val labels: Seq[Long] =
+      cents.map(_.getAs[Number]("label").longValue()).distinct.sorted.toSeq
+    val mat: Seq[Seq[Float]] = labels.map { l =>
+      cents.filter(_.getAs[Number]("label").longValue() == l)
+        .sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[Double]("centroid").toFloat).toSeq
+    }
+    // prototype norms, driver-side over the same DotDecimal runtime the
+    // executors run — bit-identical to the oracle's decimal-exact norm
+    val cnorms: Seq[Double] = mat.map { cf =>
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(cf.toArray)
+      math.sqrt(graft.functions.DotDecimalImpl.dot(ad, ad).doubleValue())
+    }
+    val matLit = typedlit(mat)
+    val labelsLit = typedlit(labels)
+    val cnormLit = typedlit(cnorms)
+    val best = col("__best").cast("int")
+    embeddings
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        VectorFunctions.normExact(col("embedding")).as("v_nrm"), col("embedding"))
+      .withColumn("__cos", transform(matLit, (cv, i) =>
+        VectorFunctions.dotExact(col("embedding"), cv) /
+          (col("v_nrm") * element_at(cnormLit, i + 1))))
+      .withColumn("__best", array_position(col("__cos"), array_max(col("__cos"))))
       .select(
-        col("vec_id"), col("true_label").cast("long").as("true_label"),
-        col("cand_label").cast("long").as("assigned_label"), col("cosine"),
-        (col("cand_label") === col("true_label")).as("is_correct"))
+        col("vec_id"), col("true_label"),
+        element_at(labelsLit, best).as("assigned_label"),
+        element_at(col("__cos"), best).as("cosine"),
+        (element_at(labelsLit, best) === col("true_label")).as("is_correct"))
       .orderBy("vec_id")
   }
 

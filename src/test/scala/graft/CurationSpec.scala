@@ -166,4 +166,30 @@ class CurationSpec extends SparkSpec {
     assert(top.length === 3)
     assert(top.map(_.getAs[Double]("score")).toSeq.reverse === top.map(_.getAs[Double]("score")).toSeq.sorted)
   }
+
+  test("DSIR score survives counts whose long products would overflow") {
+    import spark.implicits._
+    // Real-corpus magnitudes: sum_t ~1e16 over nr ~1e12 grams makes the
+    // numerator ~1e28 — far past Long.MaxValue (9.2e18). The Decimal(38,0)
+    // intermediates must produce the exact ratio where long×long wraps
+    // (non-ANSI Spark wraps silently, corrupting the top-k ranking).
+    val sumT = 12345678901234567L // ~1.2e16
+    val sumR = 98765432109876543L // ~9.9e16
+    val nr = 1000000000000L       // 1e12
+    val nt = 250000000000L        // 2.5e11
+    val b = 256
+    val out = Seq((sumT, sumR, nr, nt))
+      .toDF("sum_t", "sum_r", "nr", "nt")
+      .select(Corpus.dsirScore(col("sum_t"), col("sum_r"), col("nr"), col("nt"), b)
+        .as("score"))
+      .collect()(0).getDouble(0)
+    val expected =
+      (BigDecimal(sumT) * BigDecimal(nr + b)).toDouble /
+        (BigDecimal(sumR) * BigDecimal(nt + b)).toDouble
+    assert(out === expected, s"decimal path must match BigDecimal: $out vs $expected")
+    // and the wrapped-long value is genuinely different — the guard matters
+    val wrapped = (sumT * (nr + b)).toDouble / (sumR * (nt + b)).toDouble
+    assert(math.abs(wrapped - expected) > 1e-6 * math.abs(expected),
+      "fixture no longer exercises the overflow regime")
+  }
 }

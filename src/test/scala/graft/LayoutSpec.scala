@@ -292,4 +292,30 @@ class LayoutSpec extends SparkSpec {
     assert(Corpus.ingestIncremental(spark,
       mk(Seq(60L -> "delete race base document 3")), state) === 1)
   }
+
+  test("ingest and delete release their localCheckpoint blocks, even across " +
+      "repeated lost CAS races") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-ckpt-leak").toString
+    def mk(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "t", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Corpus.ingestIncremental(spark,
+      mk((0L until 20L).map(i => i -> s"checkpoint leak probe document $i")), state)
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // every delete attempt localCheckpoints the touched batches; five lost
+    // races must not pin five extra copies in block storage
+    var races = 0
+    val n = Corpus.deleteDocs(spark, state, Seq(2L, 11L),
+      beforePublish = () => if (races < 5) {
+        races += 1
+        Corpus.ingestIncremental(spark,
+          mk(Seq((100L + races) -> s"racing ingest number $races")), state)
+      })
+    assert(n === 2)
+    assert(races === 5)
+    assert(spark.sparkContext.getPersistentRDDs.size === baseline,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.size - baseline}")
+  }
 }

@@ -342,4 +342,16 @@ class PlanAuditSpec extends SparkSpec {
       noCartesian(df)
     }
   }
+
+  test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
+    // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
+    // partial agg. The literal-prototype-matrix pass must plan with NO join
+    // and NO aggregate at all: one map over the scan, then the output sort.
+    val df = graft.operators.Similarity.topicAssign(Tables.embeddings(spark, sfDir))
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), s"topic_assign plans a join:\n$plan")
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"topic_assign plans an aggregate:\n$plan")
+    assert(shuffles(df) <= 1, s"topic_assign shuffles: ${shuffles(df)}")
+  }
 }
