@@ -331,29 +331,58 @@ object Markov {
     * dangling-mass redistribution, every arithmetic node the identical
     * IEEE/decimal tree as the unrolled-CTE oracle.
     *
-    * Scale shape: this is the standard distributed PageRank plan — edges
-    * shuffle-join ranks on the source key, inflow is one partial-agg
-    * groupBy per iteration, and the dangling mass is a ONE-ROW broadcast
-    * cross join (never a driver collect). Node count is the only driver
-    * scalar (graph-cardinality metadata, like the Markov state space).
-    * On channel graphs everything is tiny; on a billion-node graph the
-    * same plan holds with ranks/edges hash-partitioned — each iteration
-    * is localCheckpointed so the lineage (and Catalyst's re-analysis
-    * cost) stays flat in the iteration count. */
+    * Scale shape: ONE distributed pass builds the K×K transition matrix
+    * (the whole event stream reduces to it — same partial-agg pipeline as
+    * [[Journeys.channelTransitions]]); the power iteration then runs on
+    * that matrix in the driver. K = |channels| is event-type cardinality
+    * (single digits at any corpus size), so the collected matrix is
+    * graph-cardinality METADATA — the same legitimate-collect class as
+    * the Markov K×K matrix ([[attribute]]) — and iterating K-row frames
+    * as distributed jobs would be pure scheduler overhead (measured 5 s
+    * of it at bench scale). Graphs whose node count actually scales
+    * (users, pages) take [[pagerank]], the shuffle-join engine.
+    *
+    * Determinism: per-term products round through
+    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` — exactly Spark's
+    * double→DECIMAL(38,12) cast (shortest-repr string, HALF_UP) that the
+    * distributed engine and the unrolled-CTE oracle apply — and the
+    * same-scale decimal sum is exact, so the driver solve is bit-equal to
+    * both. */
   def channelPagerank(
-      assigned: DataFrame, damping: Double = 0.85, iters: Int = 8,
-      checkpointEvery: Int = 2): DataFrame = {
-    // checkpoint the TRANSITION frame itself (K×K rows) before anything
-    // else derives from it: nodes, out-degrees, and edges all hang off it,
-    // and without this the full journey/transition DAG over the event
-    // stream re-executes once per derivation (3× the scan cost before the
-    // first iteration even starts)
-    val trans = Journeys.channelTransitions(assigned).localCheckpoint()
-    pagerank(
-      trans.select(col("from_channel").as("src"), col("to_channel").as("dst"),
-        col("n").as("weight")),
-      damping, iters, checkpointEvery)
-      .select(col("node").as("channel"), col("pr"))
+      assigned: DataFrame, damping: Double = 0.85, iters: Int = 8): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = assigned.sparkSession
+    val trans = Journeys.channelTransitions(assigned).collect()
+      .map(r => (r.getAs[String]("from_channel"), r.getAs[String]("to_channel"),
+        r.getAs[Number]("n").longValue()))
+    val nodes = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    if (nodes.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("channel",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pr",
+            org.apache.spark.sql.types.DoubleType))))
+    val nD = nodes.length.toDouble
+    val outSum = trans.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val edges = trans.map { case (s, d, w) => (s, d, w.toDouble / outSum(s).toDouble) }
+    val dangling = nodes.filterNot(outSum.contains)
+    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    def decSum(xs: Iterable[JBD]): Double =
+      if (xs.isEmpty) 0.0 else xs.reduce(_.add(_)).doubleValue()
+    var pr: Map[String, Double] = nodes.map(_ -> 1.0 / nD).toMap
+    for (_ <- 1 to iters) {
+      val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> decSum(es.map { case (s, _, p) => dec12(pr(s) * p) })
+      }
+      val d = decSum(dangling.map(n => dec12(pr(n))))
+      pr = nodes.map(n => n ->
+        ((1.0 - damping) / nD +
+          damping * (inflow.getOrElse(n, 0.0) + d / nD))).toMap
+    }
+    import spark.implicits._
+    nodes.map(n => (n, pr(n))).toSeq.toDF("channel", "pr")
       .orderBy(col("pr").desc, col("channel"))
   }
 
