@@ -968,6 +968,47 @@ JOIN sig b ON b.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
   }
 
+  /** LSH candidates CONFIRMED by Levenshtein over the 200-char prefix,
+    * kept within 20 edits — mirrors Dedup.editVerified (same unit-cost
+    * Levenshtein, same 1-based substring in both engines). */
+  val dedupEditVerified: String = minhashCandBase + """
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(substring(da.text, 1, 200),
+                        substring(db.text, 1, 200)) AS BIGINT) AS edit_dist
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+WHERE levenshtein(substring(da.text, 1, 200), substring(db.text, 1, 200)) <= 20
+ORDER BY c.doc_a, c.doc_b"""
+
+  /** Deterministic ±1 Johnson–Lindenstrauss projection 64→16 dims:
+    * sign(i,j) from the md5("i_j") first-hex-digit parity (the simhash
+    * discipline), decimal-exact per-dimension dot, /sqrt(16). Mirrors
+    * Similarity.rpProject. */
+  val embedRpProject: String = """
+WITH ux AS (
+  -- x stays REAL: the ±1 matrix makes each term ±x exactly, so the
+  -- decimal term is the float's SHORTEST-REPR string cast (the
+  -- labelCentroids discipline) — exact at scale 12, no binary-expansion
+  -- rounding to diverge between engines
+  SELECT vec_id, CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12)) AS xd, pos - 1 AS i FROM (
+    SELECT vec_id, unnest(embedding) AS x,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings) t
+), s AS (
+  SELECT i.i, j.j,
+         substring(md5(CAST(i.i AS VARCHAR) || '_' || CAST(j.j AS VARCHAR)), 1, 1)
+           IN ('1','3','5','7','9','b','d','f') AS neg
+  FROM (SELECT unnest(range(0, 64)) AS i) i
+  CROSS JOIN (SELECT unnest(range(0, 16)) AS j) j
+)
+SELECT u.vec_id, CAST(s.j AS BIGINT) AS out_dim,
+       CAST(SUM(CASE WHEN s.neg THEN -u.xd ELSE u.xd END) AS DOUBLE)
+         / sqrt(CAST(16 AS DOUBLE)) AS y
+FROM ux u JOIN s ON s.i = u.i
+GROUP BY u.vec_id, s.j
+ORDER BY vec_id, out_dim"""
+
   /** Connected components over the LSH candidate pairs via recursive CTE:
     * label = min doc_id reachable (mirrors Dedup.clusters' fixpoint). */
   val dedupClusters: String =

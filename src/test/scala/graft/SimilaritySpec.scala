@@ -201,4 +201,48 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("cosine") > 0.95)
     }
   }
+
+  test("random projection is deterministic, linear, and JL-preserves relative distances") {
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.{col, transform}
+    val emb = Tables.embeddings(spark, sfDir)
+    val p1 = Similarity.rpProject(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // seedless determinism: a second run is bit-identical
+    val p2 = Similarity.rpProject(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(p1 === p2)
+    assert(p1.keys.map(_._2).toSet === (0L until 16L).toSet)
+    // linearity over the ±1 matrix: projecting 2x doubles every coordinate
+    // (up to the scale-12 shortest-repr term rounding, which doesn't
+    // commute exactly with the doubling — hence the 1e-6 band, ~1e6×
+    // looser than the observed drift and ~1e6× tighter than the signal)
+    val doubled = Similarity.rpProject(
+      emb.select(col("vec_id"),
+        transform(col("embedding"), x => (x * 2f)).as("embedding"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    doubled.foreach { case (k, v) => assert(math.abs(v - 2.0 * p1(k)) < 1e-6) }
+    // JL property on real vectors: squared-distance ratios survive within
+    // a loose (1±ε) band for the 64→16 reduction on sampled pairs
+    val vecs = emb.filter(col("vec_id") < 40)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = vecs.keys.toSeq.sorted
+    val ratios = for {
+      i <- ids; j <- ids if i < j
+      orig = d2(vecs(i), vecs(j)) if orig > 1e-9
+      proj = d2(
+        (0L until 16L).map(d => p1((i, d))).toArray,
+        (0L until 16L).map(d => p1((j, d))).toArray)
+    } yield proj / orig
+    // ±1/√k projections concentrate around 1; 64→16 is a coarse sketch so
+    // allow a wide band, but the MEDIAN must sit near 1
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.length / 2)
+    assert(median > 0.7 && median < 1.3, s"median distance ratio $median")
+    assert(ratios.count(r => r > 0.2 && r < 2.5).toDouble / ratios.size > 0.95,
+      s"too many pairs outside the JL band")
+  }
 }

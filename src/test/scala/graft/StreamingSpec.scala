@@ -656,4 +656,37 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streaming exact dedup admits each distinct text once and matches the batch keepers") {
+    import graft.streaming.{DedupAdmit, Doc}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Streaming.dedupExact(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_docs").outputMode("append").start()
+    try {
+      // batch 1 holds each text's minimum doc_id (the streaming prefix
+      // invariant under which stream admissions equal batch keepers),
+      // including an intra-batch duplicate pair (1,4)
+      val b1 = Seq(
+        Doc(1L, "alpha text", "en", "t", 0L), Doc(2L, "beta text", "en", "t", 1L),
+        Doc(3L, "gamma text", "en", "t", 2L), Doc(4L, "alpha text", "en", "t", 3L))
+      // batch 2: replays of alpha/beta under new ids + one novel text
+      val b2 = Seq(
+        Doc(10L, "alpha text", "en", "t", 4L), Doc(11L, "beta text", "en", "t", 5L),
+        Doc(12L, "delta text", "en", "t", 6L))
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table("dedup_docs").as[DedupAdmit].collect()
+        .map(a => a.text_hash -> a.doc_id).toMap
+      // one admission per distinct text, none re-admitted on replay
+      assert(spark.table("dedup_docs").count() === got.size)
+      val batch = graft.operators.Dedup.exact(
+        (b1 ++ b2).toDF().select(col("doc_id"), col("text"))).collect()
+        .map(r => r.getAs[String]("text_hash") -> r.getAs[Long]("keep_doc_id")).toMap
+      assert(got === batch) // same hashes, same min-doc_id keepers
+      // the md5 keys are Spark's md5() values (joinable with batch frames)
+      val sparkMd5 = Seq("alpha text").toDF("t").select(md5(col("t"))).head.getString(0)
+      assert(got.contains(sparkMd5))
+    } finally q.stop()
+  }
 }
