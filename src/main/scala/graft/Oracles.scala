@@ -209,6 +209,57 @@ outs AS MATERIALIZED (
 SELECT channel, pr FROM pr8
 ORDER BY pr DESC, channel"""
 
+  /** One HITS round (a ← Lᵀh then h ← La, L1-normalized), arithmetic in
+    * lockstep with [[graft.operators.Markov.channelHits]]. */
+  private def hitsIteration(t: Int): String = s"""
+, a${t}raw AS MATERIALIZED (
+  SELECT nd.channel, COALESCE(s.v, CAST(0 AS DOUBLE)) AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT tr.to_channel AS channel,
+           CAST(SUM(CAST(h.v * CAST(tr.n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS v
+    FROM trans tr JOIN h${t - 1} h ON h.channel = tr.from_channel
+    GROUP BY tr.to_channel) s ON s.channel = nd.channel)
+, a$t AS MATERIALIZED (
+  SELECT r.channel, CASE WHEN nrm.s > 0 THEN r.v / nrm.s ELSE CAST(0 AS DOUBLE) END AS v
+  FROM a${t}raw r CROSS JOIN
+    (SELECT CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s FROM a${t}raw) nrm)
+, h${t}raw AS MATERIALIZED (
+  SELECT nd.channel, COALESCE(s.v, CAST(0 AS DOUBLE)) AS v
+  FROM nodes nd LEFT JOIN (
+    SELECT tr.from_channel AS channel,
+           CAST(SUM(CAST(a.v * CAST(tr.n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS v
+    FROM trans tr JOIN a$t a ON a.channel = tr.to_channel
+    GROUP BY tr.from_channel) s ON s.channel = nd.channel)
+, h$t AS MATERIALIZED (
+  SELECT r.channel, CASE WHEN nrm.s > 0 THEN r.v / nrm.s ELSE CAST(0 AS DOUBLE) END AS v
+  FROM h${t}raw r CROSS JOIN
+    (SELECT CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s FROM h${t}raw) nrm)"""
+
+  val channelHits: String = attrBase + """
+, trans AS MATERIALIZED (
+  SELECT channel_name AS from_channel, next_channel AS to_channel,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT conv_id, channel_name,
+           LEAD(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id) AS next_channel
+    FROM assigned) t
+  WHERE next_channel IS NOT NULL
+  GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT channel FROM (
+    SELECT from_channel AS channel FROM trans
+    UNION ALL SELECT to_channel FROM trans) u
+), h0 AS MATERIALIZED (
+  SELECT channel, CAST(1.0 AS DOUBLE) AS v FROM nodes
+)""" +
+    (1 to 8).map(hitsIteration).mkString +
+    """
+SELECT n.channel, h8.v AS hub, a8.v AS authority
+FROM nodes n
+JOIN h8 ON h8.channel = n.channel
+JOIN a8 ON a8.channel = n.channel
+ORDER BY n.channel"""
+
   val dataProfile: String = """
 SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(COUNT(o_custkey) AS BIGINT) AS custkey_nonnull,

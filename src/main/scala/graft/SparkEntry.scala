@@ -117,6 +117,9 @@ object SparkEntry {
     "channel_pagerank" -> ((s, dir) =>
       graft.operators.Markov.channelPagerank(assigned(s, dir))),
 
+    "channel_hits" -> ((s, dir) =>
+      graft.operators.Markov.channelHits(assigned(s, dir))),
+
     "events_anomaly" -> ((s, dir) =>
       Analytics.eventsAnomaly(Tables.events(s, dir))),
 
@@ -543,6 +546,7 @@ object SparkEntry {
     "markov_attribution"        -> Oracles.markovAttribution,
     "markov2_attribution"       -> Oracles.markov2Attribution,
     "channel_pagerank"          -> Oracles.channelPagerank,
+    "channel_hits"              -> Oracles.channelHits,
     "events_anomaly"            -> Oracles.eventsAnomaly,
     "data_profile"              -> Oracles.dataProfile,
     "asof_last_session"         -> Oracles.asofLastSession,

@@ -386,6 +386,60 @@ object Markov {
       .orderBy(col("pr").desc, col("channel"))
   }
 
+  /** HITS hubs & authorities over the channel-transition graph — the
+    * bipartite-influence companion of [[channelPagerank]]: a channel is a
+    * strong HUB when it routes traffic into strong authorities (the
+    * prospecting channels that open journeys) and a strong AUTHORITY when
+    * strong hubs route into it (the closing channels journeys converge
+    * on). Classic Kleinberg mutual recursion, `iters` rounds of
+    * a ← Lᵀh, h ← La with L1 normalization each half-step.
+    *
+    * Scale shape: identical to [[channelPagerank]] — ONE distributed pass
+    * reduces the event stream to the K×K transition matrix
+    * (graph-cardinality metadata, K = |channels|), the iteration runs
+    * driver-side. Determinism: per-term products round through
+    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` (Spark's
+    * double→decimal cast semantics), same-scale decimal sums are exact,
+    * and each normalization is ONE double division — the identical tree
+    * as the unrolled-CTE oracle. */
+  def channelHits(assigned: DataFrame, iters: Int = 8): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = assigned.sparkSession
+    val trans = Journeys.channelTransitions(assigned).collect()
+      .map(r => (r.getAs[String]("from_channel"), r.getAs[String]("to_channel"),
+        r.getAs[Number]("n").longValue()))
+    val nodes = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    if (nodes.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("channel",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("hub",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("authority",
+            org.apache.spark.sql.types.DoubleType))))
+    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
+    def decSum(xs: Iterable[JBD]): Double =
+      if (xs.isEmpty) 0.0 else xs.reduce(_.add(_)).doubleValue()
+    val w = trans.map { case (s, d, n) => (s, d, n.toDouble) }
+    var hub: Map[String, Double] = nodes.map(_ -> 1.0).toMap
+    var auth: Map[String, Double] = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val aRaw: Map[String, Double] = nodes.map(n =>
+        n -> decSum(w.filter(_._2 == n).map { case (s, _, ww) => dec12(hub(s) * ww) })).toMap
+      val aNorm = decSum(nodes.map(n => dec12(aRaw(n))))
+      auth = nodes.map(n => n -> (if (aNorm > 0.0) aRaw(n) / aNorm else 0.0)).toMap
+      val hRaw: Map[String, Double] = nodes.map(n =>
+        n -> decSum(w.filter(_._1 == n).map { case (_, d, ww) => dec12(auth(d) * ww) })).toMap
+      val hNorm = decSum(nodes.map(n => dec12(hRaw(n))))
+      hub = nodes.map(n => n -> (if (hNorm > 0.0) hRaw(n) / hNorm else 0.0)).toMap
+    }
+    import spark.implicits._
+    nodes.map(n => (n, hub(n), auth(n))).toSeq.toDF("channel", "hub", "authority")
+      .orderBy(col("channel"))
+  }
+
   /** PageRank over an ARBITRARY weighted edge frame `(src, dst, weight)`
     * — the general engine behind [[channelPagerank]], usable on any graph
     * (user-follows, citation, page-link) at any node type/cardinality.

@@ -131,6 +131,17 @@ final case class HllState(ranks: Array[Int])
 /** A per-channel HLL estimate emitted each micro-batch. */
 final case class HllEstimate(channel: String, n_registers_hit: Long, est_hll: Double)
 
+/** One item observation feeding [[Streaming.topHitters]]. */
+final case class HitterObs(channel: String, item: String)
+
+/** Per-channel SpaceSaving counter table — BOUNDED: at most m
+  * (item, count) entries per channel forever, whatever the stream
+  * volume or item cardinality. */
+final case class HitterState(counts: Map[String, Long])
+
+/** One current heavy-hitter row emitted per channel each micro-batch. */
+final case class HitterTop(channel: String, item: String, est_count: Long, rank: Int)
+
 /** One histogram-bin observation feeding [[Streaming.histQuantiles]]. */
 final case class HistObs(channel: String, b: Int)
 
@@ -665,6 +676,47 @@ object Streaming {
             // division first, (k−1) scaling second
             else (k - 1).toDouble * (1152921504606846976.0 / merged.last.toDouble)
           KmvEstimate(channel, merged.length.toLong, est)
+      }
+  }
+
+  /** Streaming heavy hitters — per-channel top items over an unbounded
+    * stream via SpaceSaving (Metwally et al. 2005) with `m` counters:
+    * a tracked item increments its counter; an untracked item, arriving
+    * with the table full, REPLACES the minimum-count entry and inherits
+    * min+1 (the overestimate bound: est − true ≤ min at eviction time).
+    * The top-`k` of the table is emitted per channel each micro-batch.
+    *
+    * The top-k member of the D11/D13/D15 bounded-state family: exact
+    * top-k over a stream needs unbounded state, but the SpaceSaving
+    * table is m (item, count) pairs per channel FOREVER, any true item
+    * with frequency > N/m is guaranteed tracked, and while distinct
+    * items per channel stay ≤ m the table IS the exact count table —
+    * order/replay-free (count merge is addition), which the spec pins
+    * against the batch groupBy across scrambled micro-batches. In the
+    * eviction regime estimates stay ≥ true counts (one-sided error,
+    * documented SpaceSaving semantics); ties break on item string so
+    * emitted ranks stay deterministic for a given arrival history. */
+  def topHitters(obs: Dataset[HitterObs], m: Int = 8, k: Int = 5): Dataset[HitterTop] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.channel)
+      .flatMapGroupsWithState[HitterState, HitterTop](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (channel: String, it: Iterator[HitterObs], state: GroupState[HitterState]) =>
+          var counts = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+          it.foreach { o =>
+            counts.get(o.item) match {
+              case Some(c) => counts = counts.updated(o.item, c + 1L)
+              case None if counts.size < m => counts = counts.updated(o.item, 1L)
+              case None =>
+                // evict the (min count, min item) entry: the item tiebreak
+                // makes the whole fold deterministic per arrival sequence
+                val (evict, minC) = counts.minBy { case (i, c) => (c, i) }
+                counts = (counts - evict).updated(o.item, minC + 1L)
+            }
+          }
+          state.update(HitterState(counts))
+          counts.toSeq.sortBy { case (i, c) => (-c, i) }.take(k).zipWithIndex.iterator
+            .map { case ((item, c), r) => HitterTop(channel, item, c, r + 1) }
       }
   }
 

@@ -280,6 +280,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(sorted === sorted.sorted.reverse)
   }
 
+  test("channel HITS golden: pure router is the hub, pure sink the authority") {
+    import spark.implicits._
+    def journeys(chains: Seq[Seq[String]]): org.apache.spark.sql.DataFrame =
+      chains.zipWithIndex.flatMap { case (chain, ci) =>
+        chain.zipWithIndex.map { case (ch, si) =>
+          (ci.toLong, (ci * 100 + si).toLong, (si * 1000).toLong, ch)
+        }
+      }.toDF("conv_id", "session_id", "ts_us", "channel_name")
+    // star: r routes into s1/s2/s3 (and nothing routes into r):
+    // r is the only hub, the sinks split the authority mass by weight
+    val star = graft.operators.Markov.channelHits(
+      journeys(Seq(Seq("r", "s1"), Seq("r", "s2"), Seq("r", "s2"), Seq("r", "s3"))))
+      .collect().map(r => r.getAs[String]("channel") ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(star("r")._1 === 1.0) // all hub mass
+    assert(star("r")._2 === 0.0) // no inbound → zero authority
+    assert(star.filter(_._1 != "r").values.forall(_._1 == 0.0))
+    val auths = star.filter(_._1 != "r").values.map(_._2).sum
+    assert(math.abs(auths - 1.0) < 1e-9) // authority mass sums to 1
+    assert(star("s2")._2 > star("s1")._2) // double weight → more authority
+    // cycle: symmetric roles, uniform scores
+    val cyc = graft.operators.Markov.channelHits(
+      journeys(Seq(Seq("a", "b"), Seq("b", "a")))).collect()
+    cyc.foreach { r =>
+      assert(math.abs(r.getAs[Double]("hub") - 0.5) < 1e-12)
+      assert(math.abs(r.getAs[Double]("authority") - 0.5) < 1e-12)
+    }
+    // real data: distributions over all channels, both sides normalized
+    val real = graft.operators.Markov.channelHits(
+      graft.operators.Journeys.assign(
+        Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))).collect()
+    assert(real.length >= 3)
+    assert(math.abs(real.map(_.getAs[Double]("hub")).sum - 1.0) < 1e-9)
+    assert(math.abs(real.map(_.getAs[Double]("authority")).sum - 1.0) < 1e-9)
+  }
+
   test("generic pagerank: arbitrary edge frames, weights honored, mass conserved") {
     import spark.implicits._
     // weighted star: hub h links to a (3×) and b (1×); a, b link back.

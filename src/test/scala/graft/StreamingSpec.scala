@@ -657,6 +657,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: exact below capacity, one-sided and bounded above") {
+    import graft.streaming.{HitterObs, HitterTop}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[HitterObs]
+    val q = Streaming.topHitters(mem.toDS(), m = 4, k = 3)
+      .writeStream.format("memory").queryName("hitters").outputMode("update").start()
+    try {
+      // channel x stays ≤ m distinct (exact regime); channel y pushes 6
+      // distinct items through the 4-counter table (eviction regime)
+      val b1 = Seq("a", "a", "b", "c", "a").map(HitterObs("x", _)) ++
+        Seq("p", "q", "p").map(HitterObs("y", _))
+      val b2 = Seq("b", "a", "a", "b").map(HitterObs("x", _)) ++
+        Seq("r", "s", "t", "u", "p").map(HitterObs("y", _))
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val rows = spark.table("hitters").as[HitterTop].collect()
+      // final emission per channel = the last rank-1-led run in table order
+      def lastRun(c: String): Seq[(String, Long, Int)] = {
+        val rs = rows.filter(_.channel == c)
+        rs.drop(rs.zipWithIndex.filter(_._1.rank == 1).last._2)
+          .map(t => (t.item, t.est_count, t.rank)).toSeq
+      }
+      // exact regime ≡ the batch groupBy counts, ranked (count desc, item)
+      assert(lastRun("x") === Seq(("a", 5L, 1), ("b", 3L, 2), ("c", 1L, 3)))
+      // eviction regime: deterministic fold (min-count/min-item evictions),
+      // estimates one-sided (≥ true counts), table never exceeds m
+      assert(lastRun("y") === Seq(("p", 3L, 1), ("t", 2L, 2), ("u", 2L, 3)))
+      val trueY = Map("p" -> 3L, "q" -> 1L, "r" -> 1L, "s" -> 1L, "t" -> 1L, "u" -> 1L)
+      lastRun("y").foreach { case (i, est, _) => assert(est >= trueY(i)) }
+    } finally q.stop()
+  }
+
   test("streaming exact dedup admits each distinct text once and matches the batch keepers") {
     import graft.streaming.{DedupAdmit, Doc}
     implicit val sqlCtx = spark.sqlContext
