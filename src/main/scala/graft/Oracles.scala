@@ -1019,6 +1019,25 @@ JOIN sig b ON b.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
   }
 
+  /** Deterministic epoch-0 shuffle/shard assignment: md5(epoch_docid)
+    * key, shard = key mod 8, pos = rank within shard. Mirrors
+    * Corpus.trainingShards. */
+  val trainingShards: String = """
+WITH k AS (
+  SELECT doc_id,
+         md5(CAST(0 AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key,
+         CAST(concat('0x', substring(shuffle_key, 1, 15)) AS BIGINT) % 8 AS shard
+  FROM k
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos,
+       shuffle_key
+FROM s
+ORDER BY shard, pos"""
+
   /** LSH candidates CONFIRMED by Levenshtein over the 200-char prefix,
     * kept within 20 edits — mirrors Dedup.editVerified (same unit-cost
     * Levenshtein, same 1-based substring in both engines). */

@@ -333,6 +333,8 @@ object SparkEntry {
 
     "dedup_edit_verified" -> ((s, dir) => Dedup.editVerified(Tables.documents(s, dir))),
 
+    "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),
+
     "embed_rp_project" -> ((s, dir) => Similarity.rpProject(Tables.embeddings(s, dir))),
 
     "q6_forecast_revenue" -> ((s, dir) =>
@@ -616,6 +618,7 @@ object SparkEntry {
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
+    "training_shards"           -> Oracles.trainingShards,
     "embed_rp_project"          -> Oracles.embedRpProject,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,

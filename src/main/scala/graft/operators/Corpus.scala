@@ -621,6 +621,32 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Deterministic epoch shuffle + shard assignment — the reproducible
+    * global permutation every training dataloader needs: document order
+    * within an epoch must look random, be IDENTICAL on every re-run and
+    * every worker (resumable training, bitwise-reproducible data order),
+    * and change across epochs. Key = md5(epoch || doc_id): shard =
+    * key mod nShards, position = rank of key within the shard.
+    *
+    * Scale shape: shard assignment is a pure map; the within-shard
+    * position is ONE rank window PARTITIONED by shard — `nShards`
+    * independent sorts of corpus/nShards rows each, never a global
+    * single-partition sort, and the shard count is the parallelism knob
+    * (pick shards so corpus/nShards fits an executor's sort budget).
+    * Changing `epoch` re-keys every hash, so epochs are independent
+    * permutations with zero stored state. */
+  def trainingShards(documents: DataFrame, nShards: Int = 8, epoch: Long = 0L): DataFrame = {
+    val key = md5(concat_ws("_", lit(epoch), col("doc_id")))
+    val w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    documents
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard",
+        conv(substring(col("shuffle_key"), 1, 15), 16, 10).cast("long") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos", "shuffle_key")
+      .orderBy("shard", "pos")
+  }
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

@@ -167,6 +167,30 @@ class CurationSpec extends SparkSpec {
     assert(top.map(_.getAs[Double]("score")).toSeq.reverse === top.map(_.getAs[Double]("score")).toSeq.sorted)
   }
 
+  test("training shards: reproducible dense permutation, epochs independent") {
+    val df = Tables.documents(spark, sfDir)
+    val run1 = Corpus.trainingShards(df).collect()
+    val run2 = Corpus.trainingShards(df).collect()
+    // bitwise-reproducible across runs (resumable-training requirement)
+    assert(run1.map(_.toSeq).toSeq === run2.map(_.toSeq).toSeq)
+    val n = df.count()
+    assert(run1.length === n)
+    assert(run1.map(_.getAs[Long]("doc_id")).distinct.length === n)
+    // dense positions 1..count within every shard
+    run1.groupBy(_.getAs[Long]("shard")).foreach { case (s, rows) =>
+      assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to rows.length).toSeq, s"shard $s")
+    }
+    // md5 spreads shards: no shard is empty or dominant at 500 docs
+    val sizes = run1.groupBy(_.getAs[Long]("shard")).view.mapValues(_.length)
+    assert(sizes.size === 8 && sizes.values.max < n / 2)
+    // a different epoch is a genuinely different permutation
+    val e1 = Corpus.trainingShards(df, epoch = 1L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    val e0 = run1
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    assert(e0.count { case (id, sp) => e1(id) != sp } > n / 2)
+  }
+
   test("DSIR score survives counts whose long products would overflow") {
     import spark.implicits._
     // Real-corpus magnitudes: sum_t ~1e16 over nr ~1e12 grams makes the
