@@ -1019,6 +1019,30 @@ JOIN sig b ON b.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
   }
 
+  /** Per-(lang, source) corpus data card: volumes + C9 quality profile,
+    * decimal-exact mean. Mirrors Corpus.corpusDatasheet. */
+  val corpusDatasheet: String = s"""
+WITH q AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+           + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS q
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       MIN(q) AS min_quality,
+       MAX(q) AS max_quality,
+       CAST(SUM(CAST(q AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_quality
+FROM q
+GROUP BY lang, source
+ORDER BY lang, source"""
+
   /** Deterministic epoch-0 shuffle/shard assignment: md5(epoch_docid)
     * key, shard = key mod 8, pos = rank within shard. Mirrors
     * Corpus.trainingShards. */
@@ -1096,6 +1120,44 @@ SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
 FROM r
 GROUP BY node
 ORDER BY doc_id"""
+
+  /** Quality-aware cluster representative selection: recursive-CTE CC
+    * over the LSH candidates (singletons = own cluster), keep the
+    * highest-quality copy per cluster (C9 score, doc_id tiebreak).
+    * Mirrors Dedup.clusterRepresentatives. */
+  val dedupKeepBest: String =
+    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + s"""
+, sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand
+), r AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+  UNION
+  SELECT s.a AS node, r.label AS label FROM sym s JOIN r ON r.node = s.b
+), cc AS (
+  SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+  FROM r GROUP BY node
+), q AS (
+  SELECT doc_id,
+         least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 + unique_ratio * 0.3
+           + (1.0 - stopword_ratio) * 0.3 AS quality_score
+  FROM (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS unique_ratio,
+           CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio
+    FROM documents) t
+)
+SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id, q.quality_score,
+       (row_number() OVER (PARTITION BY COALESCE(cc.cluster_id, d.doc_id)
+                           ORDER BY q.quality_score DESC, d.doc_id) = 1) AS kept
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN cc ON cc.doc_id = d.doc_id
+ORDER BY d.doc_id"""
 
   /** Hybrid clustering: MinHash candidate pairs ∪ embedding-cosine pairs
     * (≥ 0.3, the dedup_embedding threshold) → recursive-CTE connected

@@ -335,6 +335,10 @@ object SparkEntry {
 
     "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),
 
+    "dedup_keep_best" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir))),
+
+    "corpus_datasheet" -> ((s, dir) => Corpus.corpusDatasheet(Tables.documents(s, dir))),
+
     "embed_rp_project" -> ((s, dir) => Similarity.rpProject(Tables.embeddings(s, dir))),
 
     "q6_forecast_revenue" -> ((s, dir) =>
@@ -619,6 +623,8 @@ object SparkEntry {
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
     "training_shards"           -> Oracles.trainingShards,
+    "dedup_keep_best"           -> Oracles.dedupKeepBest,
+    "corpus_datasheet"          -> Oracles.corpusDatasheet,
     "embed_rp_project"          -> Oracles.embedRpProject,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,

@@ -621,6 +621,32 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Corpus datasheet — the per-(lang, source) data card a training-data
+    * governance process publishes with every corpus release: volume
+    * (docs, chars, whitespace tokens) and quality profile (min/max/mean
+    * C9 score) for every stratum, so mixture decisions and drift checks
+    * read one small table instead of re-scanning the corpus.
+    *
+    * One partial-agg groupBy over a pure map — scan speed at any corpus
+    * size, output rows = |langs|·|sources|. The mean divides the
+    * decimal-exact score sum by the exact count in one double division
+    * (the C29 discipline), so every cell is bit-reproducible. */
+  def corpusDatasheet(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("source"), col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("__q"))
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("n_tokens").as("total_tokens"),
+        min("__q").as("min_quality"),
+        max("__q").as("max_quality"),
+        (sum(col("__q").cast(DecimalType(27, 9))).cast("double") /
+          count(lit(1)).cast("double")).as("avg_quality"))
+      .orderBy("lang", "source")
+
   /** Deterministic epoch shuffle + shard assignment — the reproducible
     * global permutation every training dataloader needs: document order
     * within an epoch must look random, be IDENTICAL on every re-run and

@@ -563,6 +563,33 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Quality-aware cluster representative selection — the keep rule real
+    * dedup pipelines apply: within each near-dup cluster keep the
+    * HIGHEST-QUALITY copy (not the min-id one), because boilerplate
+    * variants of a page differ in ads/truncation and the min id is an
+    * arbitrary crawl accident. Clusters come from the [[clustersStar]]
+    * connected components over [[minhashLsh]] candidates; docs in no
+    * cluster are their own singleton representative; ranking is the C9
+    * quality score with doc_id as the deterministic tiebreak.
+    *
+    * Scale shape: CC is the existing O(log²)-round star machinery,
+    * quality is a pure map, and selection is one window PARTITIONED by
+    * cluster_id — near-dup clusters are small by construction (LSH
+    * bucket-capped), so no partition concentrates. */
+  def clusterRepresentatives(documents: DataFrame): DataFrame = {
+    val cl = clustersStar(minhashLsh(documents).select("doc_a", "doc_b"))
+    val q = documents.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    q.join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("rn") === 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level top-k shingles by document frequency (vocabulary /
     * boilerplate analysis; also the df profile behind the stop-shingle
     * cap). */

@@ -167,6 +167,25 @@ class CurationSpec extends SparkSpec {
     assert(top.map(_.getAs[Double]("score")).toSeq.reverse === top.map(_.getAs[Double]("score")).toSeq.sorted)
   }
 
+  test("corpus datasheet: strata cover the corpus exactly, quality bounds hold") {
+    val df = Tables.documents(spark, sfDir)
+    val out = Corpus.corpusDatasheet(df).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === df.count())
+    assert(out.map(_.getAs[Long]("total_chars")).sum ===
+      df.agg(sum("n_chars")).head.getLong(0))
+    out.foreach { r =>
+      val (mn, mx, avg) = (r.getAs[Double]("min_quality"),
+        r.getAs[Double]("max_quality"), r.getAs[Double]("avg_quality"))
+      // the mean's decimal(27,9) term rounding can put it ~1e-9 outside
+      // the raw-double min/max on single-doc strata
+      assert(mn - 1e-8 <= avg && avg <= mx + 1e-8)
+      assert(mn >= 0.0 && mx <= 1.0)
+      assert(r.getAs[Long]("total_tokens") > 0)
+    }
+    // strata are the full lang × source cross product present in the data
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length === out.length)
+  }
+
   test("training shards: reproducible dense permutation, epochs independent") {
     val df = Tables.documents(spark, sfDir)
     val run1 = Corpus.trainingShards(df).collect()

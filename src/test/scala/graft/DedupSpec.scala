@@ -263,6 +263,23 @@ class DedupSpec extends SparkSpec {
     assert(ed > 0 && ed <= 3, s"edit_dist $ed")
   }
 
+  test("cluster representatives: highest-quality copy kept, not the min id; singletons self-keep") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // docs 1 and 2 are near-dups; doc 1 (min id) ends in a stopword, doc 2
+    // in a fresh token → doc 2 scores higher and must be the keeper
+    val d = docs(
+      1L -> s"$base the",
+      2L -> s"$base zz",
+      3L -> (100 to 140).map(i => s"v$i").mkString(" "))
+    val out = Dedup.clusterRepresentatives(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Boolean]("kept")))).toMap
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L, "near-dups share the min-id cluster label")
+    assert(!out(1L)._2, "min-id doc must NOT be kept when a better copy exists")
+    assert(out(2L)._2, "highest-quality copy is the representative")
+    assert(out(3L) === ((3L, true)), "singleton keeps itself")
+  }
+
   test("hot-span removal: overlapping hot grams cover shared positions once; full coverage empties the doc") {
     import spark.implicits._
     // Five-word doc repeated 3x: two overlapping hot 4-grams (starts 0 and 1)
