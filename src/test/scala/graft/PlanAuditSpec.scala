@@ -343,6 +343,31 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("wave-6 shapes: shard window partitioned, datasheet one agg, verified dedup no cartesian") {
+    val docs = Tables.documents(spark, sfDir)
+    // training_shards: the rank window must be PARTITIONED by shard (a
+    // global unpartitioned sort is the 100 TB single-task killer)
+    val shards = graft.operators.Corpus.trainingShards(docs)
+    val windows = shards.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"unpartitioned WindowExec:\n${w.simpleStringWithNodeId()}"))
+    noCartesian(shards)
+    // corpus_datasheet: one partial-agg groupBy + output sort, nothing else
+    val ds = graft.operators.Corpus.corpusDatasheet(docs)
+    assert(shuffles(ds) <= 2, s"datasheet shuffles: ${shuffles(ds)}")
+    noCartesian(ds)
+    // edit-verified dedup: candidate join + verify joins, never a cartesian
+    noCartesian(graft.operators.Dedup.editVerified(docs))
+    // random projection: pure map before the output ordering
+    val rp = graft.operators.Similarity.rpProject(
+      Tables.embeddings(spark, sfDir))
+    assert(shuffles(rp) <= 1, s"rpProject shuffles: ${shuffles(rp)}")
+    assert(!rp.queryExecution.sparkPlan.toString.contains("Join"))
+  }
+
   test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
     // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
     // partial agg. The literal-prototype-matrix pass must plan with NO join
