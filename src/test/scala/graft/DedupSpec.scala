@@ -157,6 +157,23 @@ class DedupSpec extends SparkSpec {
     assert(auto === fixed)
   }
 
+  test("adaptive CC: driver union-find and distributed star rounds label identically") {
+    import spark.implicits._
+    // chain ∪ clique ∪ singleton-pair: mixed shapes, min labels non-trivial
+    val pairs = ((1L until 60L).map(i => (i, i + 1)) ++
+      (for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b)) ++
+      Seq((500L, 400L))).toDF("doc_a", "doc_b")
+    val driver = Dedup.clustersStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val distributed = Dedup.clustersStar(pairs, driverSolveMaxEdges = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(driver === distributed)
+    val m = driver.toMap
+    assert((1L to 60L).forall(m(_) == 1L))
+    assert((100L to 104L).forall(m(_) == 100L))
+    assert(m(400L) === 400L && m(500L) === 400L)
+  }
+
   test("star CC equals propagation CC on a planted 1000-deep chain") {
     // chain n -> n+1 descending by id so min-label has to travel the whole
     // diameter — the worst case for propagation, the design case for
