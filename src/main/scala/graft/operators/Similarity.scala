@@ -144,34 +144,70 @@ object Similarity {
       embeddings: DataFrame, nCentroids: Int = 16,
       iters: Int = 2, sampleTarget: Long = 4096): Array[(Long, Array[Float], Double)] = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val feat = embeddings.select(
-      col("vec_id"), col("embedding"),
-      VectorFunctions.normExact(col("embedding")).as("nrm"))
     val n = embeddings.count()
     val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
-    val train = feat.filter(
-      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-        % 10000 < threshold)
+    // ONE distributed pass collects the ≈sampleTarget-row training sample
+    // (bounded whatever the corpus size — index-training metadata); the
+    // Lloyd iterations then run in the driver with the IDENTICAL
+    // arithmetic the Spark expressions evaluate — DotDecimalImpl dots,
+    // Float.toString-string decimal(12) term rounding, exact decimal
+    // sums, one double division, float narrowing — so the trained
+    // centroids are bit-equal to the former per-iteration-job form (and
+    // to the unrolled oracle), without 2·iters driver-scheduled
+    // map+agg+collect rounds per index build.
+    val sample: Array[Array[Float]] = embeddings
+      .filter(
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+          % 10000 < threshold)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
     var cents = initialCentroids(embeddings, nCentroids)
     (1 to iters).foreach { _ =>
-      val assigned = train.withColumn("cell",
-        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
-      val means = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg((sum(col("x").cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-          .cast("double") / count(lit(1)).cast("double")).cast("float").as("v"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getFloat(2)).toArray
+      val sums = scala.collection.mutable.HashMap
+        .empty[(Long, Int), java.math.BigDecimal]
+      val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+      sample.foreach { v =>
+        val nv = driverNorm(v)
+        // max cosine, tie min cid — the cellRank struct-sort rule, with
+        // Spark's NaN-greatest double ordering
+        val cell = cents.map { case (cid, cv, cn) =>
+          (-(driverDot(v, cv) / (nv * cn)), cid)
+        }.min(Ordering.fromLessThan[(Double, Long)] { (p, q) =>
+          val c = java.lang.Double.compare(p._1, q._1)
+          c < 0 || (c == 0 && p._2 < q._2)
+        })._2
+        counts(cell) = counts.getOrElse(cell, 0L) + 1L
+        var i = 0
+        while (i < v.length) {
+          val key = (cell, i)
+          sums(key) = sums.getOrElse(key, java.math.BigDecimal.ZERO)
+            .add(dec12OfFloat(v(i)))
+          i += 1
         }
+      }
       cents = cents.map { case (cid, prev, _) =>
-        withNorm(cid, means.getOrElse(cid, prev))
+        val c = counts.getOrElse(cid, 0L)
+        if (c == 0L) withNorm(cid, prev)
+        else withNorm(cid, Array.tabulate(prev.length)(i =>
+          (sums((cid, i)).doubleValue() / c.toDouble).toFloat))
       }
     }
     cents
   }
+
+  /** Spark's FLOAT→STRING→DECIMAL(38,12) term cast, driver-side:
+    * Float.toString (the float's shortest repr — what Spark's string cast
+    * emits) parsed and HALF_UP-rounded to scale 12. */
+  private def dec12OfFloat(x: Float): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Float.toString(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
+  private def driverDot(a: Array[Float], b: Array[Float]): Double =
+    graft.functions.DotDecimalImpl.dot(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(a),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(b)).doubleValue()
+
+  private def driverNorm(v: Array[Float]): Double = math.sqrt(driverDot(v, v))
 
   /** The shared IVF probe path: corpus rows are assigned to their nearest
     * cell; a query probes its `nProbe` nearest cells and ranks only those
@@ -270,26 +306,49 @@ object Similarity {
     if (iters > 0) {
       val n = embeddings.count()
       val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
-      val train = embeddings.filter(
-        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-          % 10000 < threshold)
+      // same driver-Lloyd shape as [[trainCentroids]]: one bounded-sample
+      // collect, then in-memory iterations with the identical per-step
+      // arithmetic (encode metric −2·x·c + |c|² over DotDecimalImpl dots,
+      // min-dist/min-code ties, string-cast decimal means) — bit-equal to
+      // the former per-iteration-job form and the oracle.
+      val sample: Array[Array[Float]] = embeddings
+        .filter(
+          conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+            % 10000 < threshold)
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray)
       (1 to iters).foreach { _ =>
-        val enc = array((0 until nSub).map { j =>
-          struct(
-            lit(j).as("j"), pqCode(j, sub, cb, cbSumsq).as("code"),
-            slice(col("embedding"), j * sub + 1, sub).as("sub"))
-        }: _*)
-        val means = train.select(explode(enc).as("e"))
-          .select(col("e.j").as("j"), col("e.code").as("code"),
-            posexplode(col("e.sub")).as(Seq("pos", "x")))
-          .groupBy("j", "code", "pos")
-          .agg((sum(col("x").cast("string").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-            .cast("double") / count(lit(1)).cast("double")).cast("float").as("v"))
-          .collect()
-          .groupBy(r => (r.getInt(0), r.getInt(1)))
-          .map { case (k2, rows) => k2 -> rows.sortBy(_.getInt(2)).map(_.getFloat(3)).toArray }
-        cb = Array.tabulate(nSub)(j => Array.tabulate(codebookSize)(c =>
-          means.getOrElse((j, c), cb(j)(c))))
+        val sums = scala.collection.mutable.HashMap
+          .empty[(Int, Int, Int), java.math.BigDecimal]
+        val counts = scala.collection.mutable.HashMap.empty[(Int, Int), Long]
+        sample.foreach { v =>
+          var j = 0
+          while (j < nSub) {
+            val subv = v.slice(j * sub, (j + 1) * sub)
+            val code = (0 until codebookSize).map { c =>
+              (-2.0 * driverDot(subv, cb(j)(c)) + cbSumsq(j)(c), c)
+            }.min(Ordering.fromLessThan[(Double, Int)] { (p, q) =>
+              val cmp = java.lang.Double.compare(p._1, q._1)
+              cmp < 0 || (cmp == 0 && p._2 < q._2)
+            })._2
+            counts((j, code)) = counts.getOrElse((j, code), 0L) + 1L
+            var i = 0
+            while (i < sub) {
+              val key = (j, code, i)
+              sums(key) = sums.getOrElse(key, java.math.BigDecimal.ZERO)
+                .add(dec12OfFloat(subv(i)))
+              i += 1
+            }
+            j += 1
+          }
+        }
+        cb = Array.tabulate(nSub)(j => Array.tabulate(codebookSize) { c =>
+          counts.get((j, c)) match {
+            case Some(cnt) => Array.tabulate(sub)(i =>
+              (sums((j, c, i)).doubleValue() / cnt.toDouble).toFloat)
+            case None => cb(j)(c)
+          }
+        })
         cbSumsq = cb.map(_.map(sumsqOf))
       }
     }
