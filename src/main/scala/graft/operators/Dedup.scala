@@ -522,6 +522,25 @@ object Dedup {
   def semanticDedup(
       embeddings: DataFrame, nCentroids: Int = 0,
       iters: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val (assigned, pairs) = semanticScored(embeddings, nCentroids, iters, threshold)
+    val groups = clustersStar(pairs.select("vec_a", "vec_b"))
+    val w = Window.partitionBy("cluster_id").orderBy(col("cos_centroid"), col("vec_id"))
+    groups.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .join(assigned.select("vec_id", "cell", "cos_centroid"), Seq("vec_id"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("vec_id"), col("cell"), col("cluster_id"), col("cos_centroid"),
+        (col("rn") === 1).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  /** The scored-candidate stage of [[semanticDedup]] — (cell-assigned
+    * vectors, threshold-filtered cosine pairs) — factored out so the plan
+    * audit can inspect the candidate-generation subplan directly (the
+    * adaptive [[clustersStar]] executes it eagerly, so it no longer
+    * appears in the final frame's plan). */
+  private[graft] def semanticScored(
+      embeddings: DataFrame, nCentroids: Int,
+      iters: Int, threshold: Double): (DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // nCentroids = 0 (the default) SELF-SCALES the quantizer: cells grow
     // with the corpus (Similarity.autoCellCount), so the per-cell pair
@@ -553,14 +572,7 @@ object Dedup {
       .withColumn("cosine",
         VectorFunctions.dotExact(col("ea"), col("eb")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
-    val groups = clustersStar(pairs.select("vec_a", "vec_b"))
-    val w = Window.partitionBy("cluster_id").orderBy(col("cos_centroid"), col("vec_id"))
-    groups.select(col("doc_id").as("vec_id"), col("cluster_id"))
-      .join(assigned.select("vec_id", "cell", "cos_centroid"), Seq("vec_id"))
-      .withColumn("rn", row_number().over(w))
-      .select(col("vec_id"), col("cell"), col("cluster_id"), col("cos_centroid"),
-        (col("rn") === 1).as("kept"))
-      .orderBy("vec_id")
+    (assigned, pairs)
   }
 
   /** Edit-distance-VERIFIED near-dup pairs — the exact-verification stage

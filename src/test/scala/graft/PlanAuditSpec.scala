@@ -275,13 +275,18 @@ class PlanAuditSpec extends SparkSpec {
 
   test("semantic dedup: candidate cell join carries ids only, no cartesian anywhere") {
     val emb = Tables.embeddings(spark, sfDir)
-    val df = graft.operators.Dedup.semanticDedup(emb)
-    noCartesian(df)
+    noCartesian(graft.operators.Dedup.semanticDedup(emb))
     // the within-cell id self-join must not carry the 64-float payload —
-    // embeddings re-join AFTER candidate generation
-    val joins = df.queryExecution.sparkPlan.collect {
+    // embeddings re-join AFTER candidate generation. Audited on the
+    // candidate stage directly: the adaptive CC executes it eagerly, so
+    // it no longer appears in the final frame's plan.
+    val (_, pairs) = graft.operators.Dedup.semanticScored(
+      emb, nCentroids = 0, iters = 2, threshold = 0.3)
+    noCartesian(pairs)
+    val joins = pairs.queryExecution.sparkPlan.collect {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
     }
     val cellJoins = joins.filter(_.children.forall(
       !_.output.map(_.name).contains("embedding")))
