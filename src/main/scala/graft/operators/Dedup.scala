@@ -62,8 +62,22 @@ object Dedup {
     * `df.count()` that re-plans the frame. Iterative loops use the count
     * for their convergence bookkeeping. */
   private def materializeCounted(df: DataFrame): (DataFrame, Long) = {
+    val (out, n, _) = materializeCountedReleasable(df)
+    (out, n)
+  }
+
+  /** [[materializeCounted]] plus a release thunk that drops the
+    * checkpoint's cached blocks — callable ONLY once nothing will read
+    * the returned frame again (a local checkpoint truncates lineage, so
+    * released blocks cannot be recomputed). */
+  private def materializeCountedReleasable(
+      df: DataFrame): (DataFrame, Long, () => Unit) = {
     val ck = df.localCheckpoint()
-    (df.sparkSession.createDataFrame(ck.rdd, df.schema), ck.rdd.count())
+    val release: () => Unit = () => ck.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    (df.sparkSession.createDataFrame(ck.rdd, df.schema), ck.rdd.count(), release)
   }
 
   /** Run an iterative-CC loop with planning config sized to the MEASURED
@@ -378,13 +392,17 @@ object Dedup {
     val first = pairs.columns(0)
     val second = pairs.columns(1)
     // canonical (a < b) distinct edges; materialized once (see clusters)
-    val (edges0, nEdges) = materializeCounted(pairs
+    val (edges0, nEdges, releaseEdges) = materializeCountedReleasable(pairs
       .select(least(col(first), col(second)).as("a"), greatest(col(first), col(second)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct())
     if (nEdges <= driverSolveMaxEdges) {
       val es = edges0.collect()
         .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue()))
+      // nothing references the checkpointed edge frame after this collect —
+      // drop its blocks (a 140-query Verify session otherwise accumulates
+      // one pinned copy per clustered query; the Corpus.deleteDocs lesson)
+      releaseEdges()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -172,6 +172,13 @@ class DedupSpec extends SparkSpec {
     assert((1L to 60L).forall(m(_) == 1L))
     assert((100L to 104L).forall(m(_) == 100L))
     assert(m(400L) === 400L && m(500L) === 400L)
+    // the driver path releases its edge checkpoint — no NEW cached RDD
+    // survives the call (set difference, not size: the async
+    // ContextCleaner may concurrently drop OLDER entries)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.clustersStar(pairs).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"driver-path clustersStar leaked checkpoint RDDs: $leaked")
   }
 
   test("star CC equals propagation CC on a planted 1000-deep chain") {
