@@ -1556,6 +1556,20 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
+  /** Per-query recall@k of the LSH index against exact brute force —
+    * both rankings as parenthesized subqueries of their own oracle SQL
+    * (defined after both so the interpolation sees initialized vals).
+    * Mirrors Similarity.lshRecall. */
+  val annRecallLsh: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annLshTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
   val annIvfTopK: String = featBase + """
 , cdots AS (
   SELECT f.vec_id, f.nrm, c.cid, c.cent_nrm,

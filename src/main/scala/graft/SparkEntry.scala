@@ -367,6 +367,8 @@ object SparkEntry {
 
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
 
+    "ann_recall_lsh" -> ((s, dir) => Similarity.lshRecall(Tables.embeddings(s, dir))),
+
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
 
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTopKTrained(Tables.embeddings(s, dir))),
@@ -635,6 +637,7 @@ object SparkEntry {
     "dedup_embedding"           -> Oracles.dedupEmbedding,
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
+    "ann_recall_lsh"            -> Oracles.annRecallLsh,
     "ann_ivf_topk"              -> Oracles.annIvfTopK,
     "ann_ivf_trained_topk"      -> Oracles.annIvfTrainedTopK,
     "top_ngrams"                -> Oracles.topNgrams,

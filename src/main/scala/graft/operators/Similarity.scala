@@ -607,6 +607,37 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Recall@k of an approximate neighbor ranking against a ground-truth
+    * ranking — the evaluation operator every ANN deployment runs before
+    * trusting an index: per query, the fraction of true top-k neighbors
+    * the approximate result recovered. Both inputs are (query_id,
+    * neighbor_id[, ...]) frames; the truth side defines the denominator,
+    * so an approximate result that returns fewer than k rows is
+    * penalized, not excused.
+    *
+    * Scale shape: one equi-join on (query_id, neighbor_id) + one
+    * per-query partial agg — both sides are |Q|·k rows (evaluation
+    * slices, not the corpus), so this costs nothing at any corpus size;
+    * the expensive part is producing the rankings, which the caller
+    * already has. */
+  def recallAtK(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select("query_id", "neighbor_id")
+      .join(approx.select("query_id", "neighbor_id").withColumn("__hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("__hit")).as("n_hits"),
+        (count(col("__hit")).cast("double") / count(lit(1)).cast("double")).as("recall"))
+      .orderBy("query_id")
+
+  /** Recall@k of the sign-LSH index vs exact brute force on the same
+    * table — the oracle-gated instance of [[recallAtK]] (the spec-level
+    * recall checks sample; this one is hash-exact per query). */
+  def lshRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      lshTopK(embeddings, nQueries, k))
+
   /** Johnson–Lindenstrauss random projection of the embedding column to
     * `k` dimensions with a DETERMINISTIC ±1 sign matrix — the classic
     * Achlioptas construction that preserves pairwise distances within

@@ -202,6 +202,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recall@k: self-recall is exactly 1; LSH recall bounded and consistent with hits") {
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, sfDir)
+    val truth = Similarity.bruteForceTopK(emb)
+    // an index evaluated against itself recovers everything
+    Similarity.recallAtK(truth, truth).collect().foreach { r =>
+      assert(r.getAs[Long]("n_hits") === 10L)
+      assert(r.getAs[Double]("recall") === 1.0)
+    }
+    val lsh = Similarity.lshRecall(emb).collect()
+    assert(lsh.length === 8) // one row per query, none dropped
+    lsh.foreach { r =>
+      val (h, rec) = (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))
+      assert(h >= 0L && h <= 10L)
+      assert(rec === h.toDouble / 10.0)
+    }
+    // on the near-random synthetic embeddings sign-LSH top-10 recall is
+    // honestly low (that is WHY the evaluation operator exists — it's the
+    // number that tells you to pick IVF here); assert it is measured,
+    // non-zero, and strictly below the self-recall ceiling
+    val mean = lsh.map(_.getAs[Double]("recall")).sum / 8.0
+    assert(mean > 0.0 && mean < 1.0, s"mean LSH recall $mean")
+  }
+
   test("random projection is deterministic, linear, and JL-preserves relative distances") {
     import graft.sources.Tables
     import org.apache.spark.sql.functions.{col, transform}
