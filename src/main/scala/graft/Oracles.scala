@@ -3098,4 +3098,206 @@ SELECT user_id, version, state, valid_from_us,
        (LEAD(valid_from_us) OVER win IS NULL) AS is_current
 FROM versions WINDOW win AS (PARTITION BY user_id ORDER BY valid_from_us)
 ORDER BY user_id, version"""
+
+  /** RRF hybrid retrieval: the BM25 top-20 and the exact-cosine top-20
+    * around query vector 0 fused with 1/(60+rank) — lockstep with
+    * `Search.rrfFusion` (same tie rules, same fixed-order two-term
+    * double sum). */
+  val searchRrfFusion: String = featBase + """
+, tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl
+), tf AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+  WHERE w IN ('spark', 'table', 'window') GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w
+), ts AS (
+  SELECT tf.doc_id,
+         (CAST(t.n_docs - df.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+           / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS idf,
+         CAST(dl.dl * t.n_docs AS DOUBLE) / CAST(t.sum_dl AS DOUBLE) AS dl_norm,
+         tf.tf
+  FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN totals t
+), lexscored AS (
+  SELECT doc_id,
+         idf * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+           / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * dl_norm)) AS score_t
+  FROM ts
+), lexagg AS (
+  SELECT doc_id, CAST(SUM(CAST(score_t AS DECIMAL(27,6))) AS DOUBLE) AS score
+  FROM lexscored GROUP BY doc_id
+), lexk AS (
+  SELECT doc_id, r_lex FROM (
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+    FROM lexagg) x WHERE r_lex <= 20
+), q0 AS (
+  SELECT embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id = 0
+), ddots AS (
+  SELECT c.vec_id AS doc_id, c.nrm AS c_nrm, q.q_nrm,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat c CROSS JOIN q0 q
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id, c.nrm, q.q_nrm
+), densek AS (
+  SELECT doc_id, r_dense FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY dot / (q_nrm * c_nrm) DESC, doc_id) AS INTEGER) AS r_dense
+    FROM ddots) x WHERE r_dense <= 20
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id, l.r_lex, d.r_dense,
+         COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + l.r_lex AS DOUBLE), CAST(0.0 AS DOUBLE))
+           + COALESCE(CAST(1.0 AS DOUBLE) / CAST(60 + d.r_dense AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf_score
+  FROM lexk l FULL OUTER JOIN densek d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, r_lex, r_dense, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS fused_rank
+FROM fused ORDER BY fused_rank"""
+
+  /** Per-query recall@k of the TRAINED-quantizer IVF index against exact
+    * brute force — the two full oracle statements as subqueries, the
+    * [[annRecallLsh]] pattern. Mirrors Similarity.ivfTrainedRecall. */
+  val annRecallIvfTrained: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annIvfTrainedTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
+  /** Cell-blocked k-NN graph: the trained-quantizer chain assigns every
+    * vector to its cell, within-cell exact-decimal cosines rank, top-5
+    * per source — lockstep with `Similarity.knnGraph` (self-scaling cell
+    * count, same tie rules). */
+  val annKnnGraph: String = trainedQuantBase(2, autoKExpr) + """
+, asgK AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), kcand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM asgK a JOIN asgK b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+), kdots AS (
+  -- ordered double fold (≡ Spark dotFold), NOT the decimal-cast sum: at
+  -- this pair volume the double→decimal half-up ambiguity band is a
+  -- statistical certainty (measured 2/2500 rows)
+  SELECT c.src, c.dst, fa.nrm AS na, fb.nrm AS nb,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(fa.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) AS dot
+  FROM kcand c
+  JOIN feat fa ON fa.vec_id = c.src
+  JOIN feat fb ON fb.vec_id = c.dst
+), kranked AS (
+  SELECT src, dst, dot / (na * nb) AS cosine,
+         row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) DESC, dst) AS rnk
+  FROM kdots
+)
+SELECT src AS vec_id, dst AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM kranked WHERE rnk <= 5
+ORDER BY vec_id, rnk"""
+
+  /** One unrolled MMR greedy step: among candidates not yet selected,
+    * score = λ·rel − (1−λ)·max sim to the selected set, pick the
+    * (score DESC, vec_id ASC) best. (1−λ) is COMPUTED as 1.0 − 0.7 —
+    * not the literal 0.3 — because the Spark driver computes
+    * `mu = 1.0 - lambda` and the two doubles differ in the last ulp. */
+  private def mmrStep(t: Int): String = s"""
+, pick$t AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+         CAST(0.7 AS DOUBLE) * c.rel
+           - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+               SELECT MAX(p.sim) FROM psim p JOIN sel${t - 1} s ON p.b = s.vec_id
+               WHERE p.a = c.vec_id) AS score
+  FROM relk c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+  ORDER BY score DESC, c.vec_id LIMIT 1
+), sel$t AS MATERIALIZED (
+  SELECT vec_id, mmr_rank, rel, score FROM sel${t - 1}
+  UNION ALL SELECT vec_id, $t AS mmr_rank, rel, score FROM pick$t
+)"""
+
+  /** MMR diversity re-rank of the exact top-20 around query vector 0,
+    * greedy unrolled to 10 selections — lockstep with
+    * `Similarity.mmrRerank` (same λ-blend tree, same tie rules). */
+  val searchMmrRerank: String = featBase + """
+, q0 AS (
+  SELECT embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id = 0
+), rdots AS (
+  SELECT c.vec_id, c.nrm AS c_nrm, q.q_nrm,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat c CROSS JOIN q0 q
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  WHERE c.vec_id <> 0
+  GROUP BY c.vec_id, c.nrm, q.q_nrm
+), relk AS MATERIALIZED (
+  SELECT vec_id, rel FROM (
+    SELECT vec_id, dot / (q_nrm * c_nrm) AS rel,
+           row_number() OVER (ORDER BY dot / (q_nrm * c_nrm) DESC, vec_id) AS rn
+    FROM rdots) x WHERE rn <= 20
+), cfeat AS (
+  SELECT f.vec_id, f.embedding, f.nrm FROM feat f JOIN relk r ON r.vec_id = f.vec_id
+), psim AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           / (a.nrm * b.nrm) AS sim
+  FROM cfeat a JOIN cfeat b ON a.vec_id <> b.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
+), pick1 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS score FROM relk
+  ORDER BY score DESC, vec_id LIMIT 1
+), sel1 AS MATERIALIZED (
+  SELECT vec_id, 1 AS mmr_rank, rel, score FROM pick1
+)""" + (2 to 10).map(mmrStep).mkString + """
+SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
+FROM sel10 ORDER BY mmr_rank"""
+
+  /** Mean-center + L2-renormalize: decimal-exact per-dimension means
+    * (the labelCentroids discipline), one IEEE center-subtract narrowed
+    * to REAL, then a SEQUENTIAL left-to-right double fold for the norm
+    * (list_reduce with a prepended 0 accumulator ≡ Spark's
+    * `aggregate(cvec, 0.0, acc + c²)`) — the double→decimal cast path is
+    * deliberately avoided: full-mantissa centered floats hit its half-up
+    * ambiguity band. Lockstep with `Similarity.centerNormalize`. */
+  val embedCenterNorm: String = """
+WITH ux AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), mean AS (
+  SELECT i,
+         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean
+  FROM ux GROUP BY i
+), mlist AS (
+  SELECT list(mean ORDER BY i) AS m FROM mean
+), cent AS (
+  SELECT e.vec_id,
+         list_transform(e.embedding,
+           (x, i) -> CAST(CAST(x AS DOUBLE) - m[i] AS REAL)) AS cvec
+  FROM embeddings e CROSS JOIN mlist
+), nrmed AS (
+  SELECT vec_id, cvec,
+         sqrt(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(cvec, c -> CAST(c AS DOUBLE))),
+           (acc, c) -> acc + c * c)) AS nrm
+  FROM cent
+)
+SELECT vec_id, CAST(ix.i - 1 AS BIGINT) AS pos,
+       CAST(cvec[ix.i] AS DOUBLE) / nrm AS y
+FROM nrmed CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+ORDER BY vec_id, pos"""
 }

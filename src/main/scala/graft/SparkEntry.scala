@@ -341,6 +341,8 @@ object SparkEntry {
 
     "embed_rp_project" -> ((s, dir) => Similarity.rpProject(Tables.embeddings(s, dir))),
 
+    "embed_center_norm" -> ((s, dir) => Similarity.centerNormalize(Tables.embeddings(s, dir))),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -369,9 +371,18 @@ object SparkEntry {
 
     "ann_recall_lsh" -> ((s, dir) => Similarity.lshRecall(Tables.embeddings(s, dir))),
 
+    "search_rrf_fusion" -> ((s, dir) =>
+      Search.rrfFusion(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
+    "search_mmr_rerank" -> ((s, dir) => Similarity.mmrRerank(Tables.embeddings(s, dir))),
+
     "ann_ivf_topk" -> ((s, dir) => Similarity.ivfTopK(Tables.embeddings(s, dir))),
 
     "ann_ivf_trained_topk" -> ((s, dir) => Similarity.ivfTopKTrained(Tables.embeddings(s, dir))),
+
+    "ann_recall_ivf" -> ((s, dir) => Similarity.ivfTrainedRecall(Tables.embeddings(s, dir))),
+
+    "ann_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir))),
 
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
 
@@ -628,6 +639,7 @@ object SparkEntry {
     "dedup_keep_best"           -> Oracles.dedupKeepBest,
     "corpus_datasheet"          -> Oracles.corpusDatasheet,
     "embed_rp_project"          -> Oracles.embedRpProject,
+    "embed_center_norm"         -> Oracles.embedCenterNorm,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_hot_spans"           -> Oracles.dedupHotSpans,
@@ -638,8 +650,12 @@ object SparkEntry {
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
     "ann_recall_lsh"            -> Oracles.annRecallLsh,
+    "search_rrf_fusion"         -> Oracles.searchRrfFusion,
+    "search_mmr_rerank"         -> Oracles.searchMmrRerank,
     "ann_ivf_topk"              -> Oracles.annIvfTopK,
     "ann_ivf_trained_topk"      -> Oracles.annIvfTrainedTopK,
+    "ann_recall_ivf"            -> Oracles.annRecallIvfTrained,
+    "ann_knn_graph"             -> Oracles.annKnnGraph,
     "top_ngrams"                -> Oracles.topNgrams,
     "events_funnel"             -> Oracles.eventsFunnel,
     "events_window_funnel"      -> Oracles.eventsWindowFunnel,

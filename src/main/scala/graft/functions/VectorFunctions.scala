@@ -28,6 +28,19 @@ object VectorFunctions {
   private def decSum(terms: Column): Column =
     aggregate(terms, lit(0).cast(dec), (acc, v) => (acc + v).cast(dec)).cast("double")
 
+  /** Ordered-double-fold dot product: element products in double, summed
+    * left-to-right (Spark `aggregate` ≡ DuckDB `list_reduce` with a
+    * prepended 0 accumulator → bit-identical). Unlike [[dotExact]] this
+    * never touches the double→decimal cast, whose half-up rounding
+    * differs from DuckDB's in a ~0.1%-of-rows ambiguity band when the
+    * products carry full-mantissa noise — use it for operators whose
+    * pair volume makes hitting that band a statistical certainty (the
+    * kNN graph), at the cost of order-DEPENDENT summation (fine here:
+    * the element order of a vector is fixed). */
+  def dotFold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Exact dot product of two float-array columns — the native
     * codegen'd [[DotDecimal]] expression (resolves via the `graft_dot`
     * registration in [[GraftFunctions]], done by every table loader). */

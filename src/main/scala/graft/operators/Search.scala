@@ -347,4 +347,44 @@ object Search {
         (sum(coalesce(col("p"), lit(0.0)).cast(DecimalType(27, 9))).cast("double") /
           count(lit(1)).cast("double")).as("avg_lik"))
       .orderBy("doc_id")
+
+  /** Hybrid lexical+dense retrieval via Reciprocal Rank Fusion: the BM25
+    * top-k ([[bm25Search]]) and the exact-cosine top-k around a fixed
+    * query vector ([[graft.operators.Similarity.bruteForceTopK]] with
+    * `query_id = 0`, the deterministic stand-in for an encoded query) are
+    * fused over the union of their candidates with
+    * `score = Σ_modality 1/(rrfK + rank)` — the standard RRF combiner
+    * (Cormack et al., SIGIR'09) used to mix keyword and embedding
+    * retrieval without score calibration.
+    *
+    * Scale shape: each modality independently reduces the corpus to a
+    * k-row ranked list (their own linear scans + bounded top-k), so the
+    * fusion join, the missing-rank coalesce, and the final re-rank all
+    * operate on ≤2k rows — driver-trivial at ANY corpus size; the
+    * unpartitioned rank windows here run post-limit on those bounded
+    * lists, not on corpus data. Determinism: `1/(rrfK+rank)` is one
+    * correctly-rounded IEEE division of exact integers and the two-term
+    * sum is fixed-order, so the fused scores are bit-identical across
+    * engines; ties break on doc_id. */
+  def rrfFusion(
+      documents: DataFrame,
+      embeddings: DataFrame,
+      k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val lex = bm25Search(documents, Bm25Query, k)
+      .select(col("doc_id"), col("score"))
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "r_lex")
+    val dense = Similarity.bruteForceTopK(embeddings, nQueries = 1, k = k)
+      .select(col("neighbor_id").as("doc_id"), col("rank").cast("int").as("r_dense"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_lex")).cast("double"), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")).cast("double"), lit(0.0)))
+      .withColumn("fused_rank",
+        row_number().over(Window.orderBy(col("rrf_score").desc, col("doc_id"))).cast("int"))
+      .select("doc_id", "r_lex", "r_dense", "rrf_score", "fused_rank")
+      .orderBy("fused_rank")
+  }
 }

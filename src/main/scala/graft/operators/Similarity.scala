@@ -638,6 +638,18 @@ object Similarity {
       bruteForceTopK(embeddings, nQueries, k),
       lshTopK(embeddings, nQueries, k))
 
+  /** Recall@k of the TRAINED-quantizer IVF index ([[ivfTopKTrained]]) vs
+    * exact brute force — the quality gate for the index family that
+    * actually ships at 100 TB (brute force is the small-corpus baseline;
+    * trained IVF is the scale path, and this is the query that tells you
+    * what its nProbe setting costs in recall). Same bounded shape as
+    * [[lshRecall]]: both sides are |Q|·k ranked lists, the recall join is
+    * metadata-sized. */
+  def ivfTrainedRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      ivfTopKTrained(embeddings, nQueries = nQueries, k = k))
+
   /** Johnson–Lindenstrauss random projection of the embedding column to
     * `k` dimensions with a DETERMINISTIC ±1 sign matrix — the classic
     * Achlioptas construction that preserves pairwise distances within
@@ -687,6 +699,153 @@ object Similarity {
       .select(col("vec_id"), posexplode(proj).as(Seq("out_dim", "y")))
       .select(col("vec_id"), col("out_dim").cast("long").as("out_dim"), col("y"))
       .orderBy("vec_id", "out_dim")
+  }
+
+  /** All-corpus k-NN graph: every vector's top-k cosine neighbors WITHIN
+    * its trained-quantizer cell — the blocked construction graph-based
+    * dedup, clustering, and label-propagation passes consume (an exact
+    * all-pairs kNN is O(n²) and never ships; cell-blocking is the same
+    * candidate-bounding discipline as [[graft.operators.Dedup.semanticDedup]]).
+    * Vectors in cells smaller than k+1 get fewer neighbors — the honest
+    * semantics of a blocked graph, refined by raising nProbe-style
+    * spill only if a consumer needs it.
+    *
+    * Scale shape: the self-scaling cell count ([[autoCellCount]]) keeps
+    * Σ cell² near-linear in n; cell assignment is a pure map against the
+    * inlined centroid literals; the candidate join shuffles on `cell` and
+    * the per-source top-k is one rank window partitioned by source. */
+  def knnGraph(
+      embeddings: DataFrame,
+      k: Int = 5,
+      nCentroids: Int = 0,
+      iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
+    val cents = trainCentroids(embeddings, kc, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val best = element_at(cellRank(cents, col("embedding"), col("nrm")), 1)
+    val assigned = feat.select(
+      col("vec_id"), col("embedding"), col("nrm"),
+      best.getField("cid").as("cell")).cache()
+    val a = assigned.select(col("cell"), col("vec_id").as("src"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("dst"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        VectorFunctions.dotFold(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * '98): from the exact top-`k` cosine candidates around query vector 0,
+    * greedily select `select` results maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)` — the diversity-aware
+    * retrieval pass a training-data pipeline runs so near-duplicate
+    * passages don't crowd a retrieved context set.
+    *
+    * Scale shape: the CORPUS-sized work (candidate top-k, pairwise sims
+    * among candidates) is distributed — one broadcast-query scan plus a
+    * k×k bounded self-join; the greedy itself is inherently sequential
+    * over a k×k double matrix (≤ 3 KB here), so it runs driver-side like
+    * the Markov/PageRank solves — metadata-sized, independent of corpus
+    * size. Determinism: rel and sim go through the exact-decimal dot
+    * discipline; λ-blend is two correctly-rounded IEEE ops on literals
+    * both engines parse identically; ties break (score desc, vec_id asc),
+    * mirrored by the oracle's unrolled greedy CTE chain. */
+  def mmrRerank(
+      embeddings: DataFrame,
+      k: Int = 20,
+      nSelect: Int = 10,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cands = bruteForceTopK(embeddings, nQueries = 1, k = k)
+      .select(col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
+    val feat = withFeat(embeddings)
+    val cf = feat.join(broadcast(cands.select("vec_id")), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val a = cf.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = cf.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val psim = broadcast(a).join(b, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        (VectorFunctions.dotExact(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+    // k rel rows + k·(k−1) sim rows: bounded index metadata, not corpus data
+    val rel: Seq[(Long, Double)] =
+      cands.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val sim: Map[(Long, Long), Double] =
+      psim.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val mu = 1.0 - lambda // 0.3 for the default: same literal the oracle casts
+    var selected = Vector.empty[(Long, Int, Double, Double)]
+    var remaining = rel
+    while (selected.size < math.min(nSelect, rel.size)) {
+      val scored = remaining.map { case (v, r) =>
+        val penalty =
+          if (selected.isEmpty) 0.0
+          else mu * selected.map(s => sim((v, s._1))).max
+        val score = if (selected.isEmpty) lambda * r else lambda * r - penalty
+        (v, r, score)
+      }
+      val best = scored.reduceLeft { (x, y) =>
+        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+      }
+      selected :+= ((best._1, selected.size + 1, best._2, best._3))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toDF("vec_id", "mmr_rank", "rel", "score").orderBy("mmr_rank")
+  }
+
+  /** Mean-center + L2-renormalize the embedding column — the standard
+    * retrieval preprocessing (centering removes the corpus-wide "hub"
+    * direction that inflates cosine similarity between unrelated
+    * vectors; renormalizing restores unit sphere geometry for the
+    * ANN/dedup passes downstream).
+    *
+    * Scale shape: pass 1 is a d-group partial aggregate (posexplode feeds
+    * map-side combine, shuffle volume = partitions·d rows, NOT n·d); the
+    * d per-dimension means are INDEX METADATA — collected once and inlined
+    * as a literal array — so pass 2 is a pure shuffle-free codegen'd map
+    * over the scan: center, narrow to float32 (what a production pipeline
+    * materializes), exact-decimal norm, divide. Works for any corpus size
+    * at scan speed.
+    *
+    * Determinism: means go through the [[labelCentroids]] float-string
+    * decimal discipline (exact sum, one correctly-rounded divide); the
+    * center-subtract and float narrowing are single IEEE ops mirrored in
+    * the oracle; the norm is a SEQUENTIAL double fold over the centered
+    * floats (Spark `aggregate` ≡ DuckDB `list_reduce`, same left-to-right
+    * order → bit-identical), deliberately NOT the double→decimal cast
+    * path: full-mantissa centered floats land in its half-up ambiguity
+    * band at ~0.2% per vector (measured here: 1 vector in 500), where
+    * the ordered fold has zero. */
+  def centerNormalize(embeddings: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val means: Array[Double] = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg((sum(col("x").cast("string").cast(dec)).cast("double") /
+        count(lit(1)).cast("double")).as("mean"))
+      .orderBy("pos")
+      .collect().map(_.getDouble(1))
+    val meanLit = array(means.map(lit(_)): _*)
+    val centered = transform(col("embedding"),
+      (x, i) => (x.cast("double") - element_at(meanLit, (i + 1).cast("int"))).cast("float"))
+    embeddings
+      .withColumn("cvec", centered)
+      .withColumn("nrm", sqrt(aggregate(col("cvec"), lit(0.0),
+        (acc, c) => acc + c.cast("double") * c.cast("double"))))
+      .select(col("vec_id"), col("nrm"), posexplode(col("cvec")).as(Seq("pos", "c")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        (col("c").cast("double") / col("nrm")).as("y"))
+      .orderBy("vec_id", "pos")
   }
 
   /** Scalar-quantized (int8-per-dimension) ADC top-k — the memory-lean

@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Search, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Wave-7 retrieval-composition operators: RRF hybrid fusion, MMR
+  * diversity re-rank, trained-IVF recall, and embedding center+norm. */
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("rrfFusion: contiguous fused ranks over the candidate union; exact RRF arithmetic") {
+    val fused = Search.rrfFusion(docs, emb).collect()
+    val n = fused.length
+    assert(n >= 20 && n <= 40, s"candidate union of two top-20 lists, got $n")
+    assert(fused.map(_.getInt(4)).toSeq == (1 to n), "fused_rank must be 1..n in order")
+    // every row carries at least one modality rank, and the score is the
+    // literal RRF formula of whatever ranks are present
+    fused.foreach { r =>
+      val rl = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val rd = if (r.isNullAt(2)) None else Some(r.getInt(2))
+      assert(rl.isDefined || rd.isDefined)
+      val expected = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rd.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getDouble(3) == expected, s"row $r")
+    }
+    // a doc ranked by BOTH modalities outscores any doc seen by one
+    // modality at an equal-or-worse best rank
+    val both = fused.filter(r => !r.isNullAt(1) && !r.isNullAt(2))
+    if (both.nonEmpty) {
+      val b = both.minBy(r => math.min(r.getInt(1), r.getInt(2)))
+      val bBest = math.min(b.getInt(1), b.getInt(2))
+      fused.filter(r => r.isNullAt(1) ^ r.isNullAt(2))
+        .filter(r => (if (r.isNullAt(1)) r.getInt(2) else r.getInt(1)) >= bBest)
+        .foreach(r => assert(b.getDouble(3) > r.getDouble(3)))
+    }
+  }
+
+  test("mmrRerank: first pick is the relevance argmax; selections are distinct top-k members") {
+    val cands = Similarity.bruteForceTopK(emb, nQueries = 1, k = 20)
+      .select(col("neighbor_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val out = Similarity.mmrRerank(emb).collect()
+    assert(out.length == 10)
+    assert(out.map(_.getInt(1)).toSeq == (1 to 10))
+    val picked = out.map(_.getLong(0))
+    assert(picked.distinct.length == 10)
+    assert(picked.toSet.subsetOf(cands.map(_._1).toSet))
+    val bestRel = cands.maxBy(c => (c._2, -c._1))
+    assert(out.head.getLong(0) == bestRel._1, "rank-1 must be the pure-relevance argmax")
+    assert(out.head.getDouble(3) == 0.7 * bestRel._2)
+  }
+
+  test("mmrRerank demotes an exact duplicate of an already-selected result") {
+    // Query q = [1,.5,.5,0...]; vecs 1 and 2 are IDENTICAL with
+    // cos(q)=0.866; vec 3 has the SAME relevance 0.866 but only 0.5
+    // similarity to the dup pair. Pure relevance ranks (1,2) adjacently;
+    // MMR must interleave 3 between them: after picking 1, score(2) =
+    // 0.7·0.866 − 0.3·1.0 ≈ 0.31 < score(3) = 0.7·0.866 − 0.3·0.5 ≈ 0.46.
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat).padTo(8, 0f)
+    val rows = Seq(
+      0L -> v(1, 0.5, 0.5), // the query vector
+      1L -> v(1, 1, 0),
+      2L -> v(1, 1, 0),
+      3L -> v(1, 0, 1),
+      4L -> v(0, 0, 0, 1),
+      5L -> v(0, 0, 0, 0, 1),
+      6L -> v(0, 0, 0, 0, 0, 1),
+      7L -> v(0, 0, 0, 0, 0, 0, 1))
+    val e = rows.toDF("vec_id", "embedding")
+    val picked = Similarity.mmrRerank(e, k = 4, nSelect = 3).collect().map(_.getLong(0)).toSeq
+    assert(picked.take(2) == Seq(1L, 3L),
+      s"MMR should break up the duplicate pair, got $picked")
+  }
+
+  test("ivfTrainedRecall: one row per query, recall in [0,1], consistent with recallAtK") {
+    val out = Similarity.ivfTrainedRecall(emb).collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 10.0)
+    }
+  }
+
+  test("knnGraph: ≤k neighbors per source, no self-edges, within-cell exactness") {
+    val g = Similarity.knnGraph(emb, k = 5).collect()
+    assert(g.nonEmpty)
+    g.foreach { r =>
+      assert(r.getLong(0) != r.getLong(1), "no self edges")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 5)
+    }
+    val bySrc = g.groupBy(_.getLong(0))
+    bySrc.foreach { case (src, rows) =>
+      val ranks = rows.map(_.getInt(3)).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"ranks for $src must be dense: $ranks")
+      val cosines = rows.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"cosines for $src must be non-increasing")
+    }
+    // a planted identical pair must be mutual rank-1 neighbors (identical
+    // vectors always share a cell: same argmax over the same centroids)
+    val dup = (0 until 40).map { i =>
+      val arr =
+        if (i == 7 || i == 23) Array.tabulate(64)(d => (d + 1).toFloat)
+        else Array.tabulate(64)(d => ((d * 31 + i * 17) % 13 - 6).toFloat + (if (d == 0) i else 0))
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val gd = Similarity.knnGraph(dup, k = 3).collect()
+      .map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
+    assert(gd.get((7L, 1)).contains(23L) && gd.get((23L, 1)).contains(7L))
+  }
+
+  test("centerNormalize: unit output norms and ~zero centered means") {
+    val out = Similarity.centerNormalize(emb)
+    val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
+    norms.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, s"norm² ${r.getDouble(1)}"))
+    // centering: per-dimension mean of (y·nrm) is 0 up to float rounding;
+    // check on y directly with a loose bound (norms vary per vector)
+    val dimMeans = out.groupBy("pos").agg(avg("y").as("m")).collect()
+    dimMeans.foreach(r => assert(math.abs(r.getDouble(1)) < 0.05, s"dim ${r.get(0)} mean ${r.getDouble(1)}"))
+  }
+}
