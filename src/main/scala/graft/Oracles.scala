@@ -1238,16 +1238,22 @@ FROM sim
 ORDER BY doc_id"""
 
   val dedupNgramJaccard: String = shingleBase + """
-, keep AS (
-  SELECT shingle FROM (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle) d
+, shi AS (
+  -- 60-bit md5-prefix shingle ids, lockstep with Dedup.ngramJaccard's
+  -- shuffle-narrowing projection (identical md5 → identical merges even
+  -- under a collision)
+  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
+  FROM sh
+), keep AS (
+  SELECT sid FROM (SELECT sid, COUNT(*) AS df FROM shi GROUP BY sid) d
   WHERE df <= 1000
 ), shf AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)
+  SELECT shi.doc_id, shi.sid FROM shi JOIN keep USING (sid)
 ), dc AS (
   SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id
   GROUP BY 1, 2
   HAVING COUNT(*) >= 3
 )

@@ -16,6 +16,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_dot", exprs => DotDecimal(exprs(0), exprs(1)), "scala_udf")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_dotf"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_dotf", exprs => DotFold(exprs(0), exprs(1)), "scala_udf")
+    }
     if (!reg.functionExists(FunctionIdentifier("graft_simhash"))) {
       reg.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimHash32(exprs.head), "scala_udf")

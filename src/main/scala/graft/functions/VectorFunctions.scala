@@ -36,8 +36,12 @@ object VectorFunctions {
     * products carry full-mantissa noise — use it for operators whose
     * pair volume makes hitting that band a statistical certainty (the
     * kNN graph), at the cost of order-DEPENDENT summation (fine here:
-    * the element order of a vector is fixed). */
-  def dotFold(a: Column, b: Column): Column =
+    * the element order of a vector is fixed). Dispatches to the native
+    * codegen [[DotFold]] expression; [[dotFoldCompositional]] is the
+    * spec-pinned semantic reference. */
+  def dotFold(a: Column, b: Column): Column = call_function("graft_dotf", a, b)
+
+  private[graft] def dotFoldCompositional(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

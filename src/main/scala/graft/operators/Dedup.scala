@@ -260,15 +260,25 @@ object Dedup {
     * `minCommon` surviving shingles; that support threshold plus the df
     * cap keep pair cardinality near-linear. */
   def ngramJaccard(documents: DataFrame, minCommon: Long = 3L, maxDf: Long = 1000L): DataFrame = {
-    val shAll = shingles(documents).cache() // one tokenize/window pass feeds both uses
+    // Every downstream stage tests shingle EQUALITY only, so project the
+    // ~20-byte 3-gram strings to 60-bit md5-prefix ids at the scan: the
+    // df-cap groupBy, the pair self-join, and their exchanges all move
+    // 8-byte longs instead of strings (the largest shuffles of this
+    // operator). md5 is the one hash both engines share, so the oracle
+    // derives the IDENTICAL id — even a collision (2^-60 per pair) would
+    // merge the same rows on both sides and stay hash-equal.
+    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
+    val shAll = shingles(documents)
+      .select(col("doc_id"), sid)
+      .cache() // one tokenize/window pass feeds both uses
     val keep = shAll
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .select("shingle")
-    val sh = shAll.join(keep, "shingle").cache()
+      .select("sid")
+    val sh = shAll.join(keep, "sid").cache()
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sid"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_common"))

@@ -838,10 +838,11 @@ object Similarity {
     val meanLit = array(means.map(lit(_)): _*)
     val centered = transform(col("embedding"),
       (x, i) => (x.cast("double") - element_at(meanLit, (i + 1).cast("int"))).cast("float"))
+    // dotFold(c, c) ≡ aggregate(cvec, 0.0, acc + c²): same products in the
+    // same left-to-right order, so the native codegen fold is bit-identical
     embeddings
       .withColumn("cvec", centered)
-      .withColumn("nrm", sqrt(aggregate(col("cvec"), lit(0.0),
-        (acc, c) => acc + c.cast("double") * c.cast("double"))))
+      .withColumn("nrm", sqrt(VectorFunctions.dotFold(col("cvec"), col("cvec"))))
       .select(col("vec_id"), col("nrm"), posexplode(col("cvec")).as(Seq("pos", "c")))
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         (col("c").cast("double") / col("nrm")).as("y"))

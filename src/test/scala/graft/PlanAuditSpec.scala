@@ -373,6 +373,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rp.queryExecution.sparkPlan.toString.contains("Join"))
   }
 
+  test("wave-7 retrieval shapes: center+norm is map-only, knn graph cell-blocked, rrf bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // centerNormalize pass 2: the means are inlined literals, so the
+    // output frame is one map over the scan + the output sort — exactly
+    // one exchange, no join, no aggregate
+    val cn = graft.operators.Similarity.centerNormalize(emb)
+    assert(shuffles(cn) <= 1, s"centerNormalize shuffles: ${shuffles(cn)}")
+    assert(!cn.queryExecution.sparkPlan.toString.contains("Join"))
+    // knnGraph: candidates come ONLY from the cell equi-join — never a
+    // cartesian; exchanges = cell join + rank window + output sort
+    val knn = graft.operators.Similarity.knnGraph(emb)
+    noCartesian(knn)
+    assert(shuffles(knn) <= 4, s"knnGraph shuffles: ${shuffles(knn)}")
+    // rrfFusion: corpus work lives in the two modality top-ks; the dense
+    // corpus pass joins against a BROADCAST query side (one row), and the
+    // global rank windows run post-limit on bounded lists
+    val rrf = graft.operators.Search.rrfFusion(Tables.documents(spark, sfDir), emb)
+    noCartesian(rrf)
+    val rplan = rrf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(rplan.contains("Broadcast"), "dense query side should broadcast")
+  }
+
   test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
     // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
     // partial agg. The literal-prototype-matrix pass must plan with NO join
