@@ -1019,6 +1019,73 @@ JOIN sig b ON b.doc_id = c.doc_b
 ORDER BY c.doc_a, c.doc_b"""
   }
 
+  /** MinHash estimator calibration: per LSH candidate pair, the 16-lane
+    * estimate, the exact shingle-set Jaccard (md5-sid keyed, candidates
+    * only), and the absolute error. Mirrors Dedup.minhashEval. */
+  val dedupMinhashEval: String = {
+    val matchTerms = (0 until 16)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    minhashCandBase + s"""
+, est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(($matchTerms) AS DOUBLE) / 16.0 AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+), shi AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
+  FROM sh
+), cdocs AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b AS doc_id FROM cand) u
+), shc AS (
+  SELECT s.doc_id, s.sid FROM shi s JOIN cdocs d ON d.doc_id = s.doc_id
+), dc AS (
+  SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shc a JOIN shc b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT e.doc_a, e.doc_b, e.est_jaccard,
+       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+         / CAST(na.n + nb.n - COALESCE(i.n_common, 0) AS DOUBLE) AS jaccard,
+       abs(e.est_jaccard
+         - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+           / CAST(na.n + nb.n - COALESCE(i.n_common, 0) AS DOUBLE)) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN dc na ON na.doc_id = e.doc_a
+JOIN dc nb ON nb.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b"""
+  }
+
+  /** Chunk-granularity exact dedup: disjoint 64-word chunks, md5 per
+    * chunk, corpus-wide first occurrence kept. Mirrors Dedup.chunkDedup
+    * (same slicing: 1-based inclusive window of 64 words, clamped). */
+  val dedupChunks: String = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+), ch AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, ((len(words) - 1) // 64) + 1)) AS BIGINT) AS chunk_id,
+         words
+  FROM w
+), h AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(
+           words[(CAST(chunk_id * 64 AS INTEGER) + 1):(CAST(chunk_id * 64 AS INTEGER) + 64)],
+           ' ')) AS chunk_hash
+  FROM ch
+)
+SELECT doc_id, chunk_id, chunk_hash,
+       CAST(COUNT(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies,
+       (row_number() OVER (PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) = 1) AS kept
+FROM h
+ORDER BY doc_id, chunk_id"""
+
   /** Per-(lang, source) corpus data card: volumes + C9 quality profile,
     * decimal-exact mean. Mirrors Corpus.corpusDatasheet. */
   val corpusDatasheet: String = s"""

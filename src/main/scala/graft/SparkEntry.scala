@@ -333,6 +333,10 @@ object SparkEntry {
 
     "dedup_edit_verified" -> ((s, dir) => Dedup.editVerified(Tables.documents(s, dir))),
 
+    "dedup_minhash_eval" -> ((s, dir) => Dedup.minhashEval(Tables.documents(s, dir))),
+
+    "dedup_chunks_exact" -> ((s, dir) => Dedup.chunkDedup(Tables.documents(s, dir))),
+
     "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),
 
     "dedup_keep_best" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir))),
@@ -635,6 +639,8 @@ object SparkEntry {
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
+    "dedup_minhash_eval"        -> Oracles.dedupMinhashEval,
+    "dedup_chunks_exact"        -> Oracles.dedupChunks,
     "training_shards"           -> Oracles.trainingShards,
     "dedup_keep_best"           -> Oracles.dedupKeepBest,
     "corpus_datasheet"          -> Oracles.corpusDatasheet,

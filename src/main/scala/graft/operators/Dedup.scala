@@ -217,6 +217,63 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MinHash estimator CALIBRATION: for every LSH candidate pair, the
+    * 16-lane MinHash Jaccard estimate ([[minhashLsh]]) next to the EXACT
+    * shingle-set Jaccard and the absolute error — the measurement a
+    * pipeline runs before trusting banded MinHash at a new shingle size
+    * or lane count (the C43/C47 recall-eval discipline applied to the
+    * dedup estimator).
+    *
+    * Scale shape: exact Jaccard is computed ONLY for candidate docs — the
+    * shingle table is semi-joined down to docs that appear in some LSH
+    * pair before the sid self-join, so the exact pass costs
+    * O(candidate-doc shingles), not corpus²; ids ride the 60-bit
+    * md5-prefix projection ([[ngramJaccard]]'s shuffle-narrowing). */
+  def minhashEval(documents: DataFrame): DataFrame = {
+    val est = minhashLsh(documents)
+    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
+    val sh = shingles(documents).select(col("doc_id"), sid)
+    val cdocs = est.select(col("doc_a").as("doc_id"))
+      .union(est.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(cdocs, "doc_id").cache()
+    val counts = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shc.select(col("doc_id").as("doc_a"), col("sid"))
+      .join(shc.select(col("doc_id").as("doc_b"), col("sid")), "sid")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("nc", coalesce(col("n_common"), lit(0L)))
+      .withColumn("jaccard", col("nc").cast("double") /
+        (col("n_a") + col("n_b") - col("nc")).cast("double"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Chunk-granularity exact dedup (the C4/RefinedWeb recipe): documents
+    * split into disjoint fixed-size word chunks ([[Corpus.chunkDocuments]]
+    * with zero overlap), each chunk hashed, and only the corpus-wide FIRST
+    * occurrence of each hash kept — the pass that removes boilerplate
+    * repeated ACROSS documents that whole-document dedup (C1) cannot see
+    * and span removal (C32) only catches for hot n-grams.
+    *
+    * Scale shape: one map (chunk + hash), one rank window partitioned by
+    * chunk hash (each partition = the copies of one chunk — tiny), output
+    * sort. Linear at any corpus size. */
+  def chunkDedup(documents: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val w = Window.partitionBy("chunk_hash").orderBy("doc_id", "chunk_id")
+    Corpus.chunkDocuments(documents, chunkSize, overlap = 0)
+      .withColumn("chunk_hash", md5(col("chunk_text")))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("chunk_hash")))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_hash"), col("n_copies"), col("kept"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** 32-bit frequency-weighted SimHash from token md5s. Bit b of a token's
     * hash = parity of hex digit b (odd digit → 1); simhash bit = sign of
     * the ±1 vote sum. Bucket = top 16 bits, the blocking key for near-dup

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Search, Similarity}
+import graft.operators.{Dedup, Search, Similarity}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -112,6 +112,33 @@ class FusionSpec extends SparkSpec {
     val gd = Similarity.knnGraph(dup, k = 3).collect()
       .map(r => ((r.getLong(0), r.getInt(3)), r.getLong(1))).toMap
     assert(gd.get((7L, 1)).contains(23L) && gd.get((23L, 1)).contains(7L))
+  }
+
+  test("chunkDedup keeps only the first corpus-wide occurrence of a repeated chunk") {
+    // doc 0 and doc 2 share an identical 64-word block (doc 2's SECOND
+    // chunk); doc 1 is unrelated
+    val block = (0 until 64).map(i => s"w$i").mkString(" ")
+    val other = (0 until 64).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (0L, block, "en", "a", 1L),
+      (1L, (0 until 30).map(i => s"y$i").mkString(" "), "en", "a", 1L),
+      (2L, other + " " + block, "en", "a", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.chunkDedup(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((0L, 0L)) == ((2L, true)), "doc 0 chunk 0 is the first copy")
+    assert(out((2L, 1L)) == ((2L, false)), "doc 2's repeat of the block is dropped")
+    assert(out((1L, 0L)) == ((1L, true)) && out((2L, 0L)) == ((1L, true)))
+  }
+
+  test("minhashEval: exact jaccard in [0,1], abs_err consistent, near-dups score high") {
+    val out = graft.operators.Dedup.minhashEval(docs).collect()
+    assert(out.nonEmpty, "sf0.001 corpus should produce LSH candidates")
+    out.foreach { r =>
+      val (est, ex, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(ex >= 0.0 && ex <= 1.0)
+      assert(err == math.abs(est - ex))
+    }
   }
 
   test("centerNormalize: unit output norms and ~zero centered means") {
