@@ -3337,6 +3337,44 @@ ORDER BY vec_id, rnk"""
 SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
 FROM sel10 ORDER BY mmr_rank"""
 
+  /** Prefix-truncation (Matryoshka) recall: the 16-dim-prefix ranking's
+    * recall against the full-dimension exact top-k. The truncated chain
+    * is the brute-force SQL with `range(1, 17)` norms/dots. Mirrors
+    * Similarity.matryoshkaRecall. */
+  val annMatryoshkaRecall: String = s"""
+WITH tnrm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM embeddings CROSS JOIN (SELECT unnest(range(1, 17)) AS i) ix
+  GROUP BY vec_id
+), tq AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, n.nrm AS q_nrm
+  FROM embeddings e JOIN tnrm n USING (vec_id) WHERE e.vec_id < 8
+), tc AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS ce, n.nrm AS c_nrm
+  FROM embeddings e JOIN tnrm n USING (vec_id)
+), tdots AS (
+  SELECT query_id, neighbor_id, q_nrm, c_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM tq JOIN tc ON query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 17)) AS i) idx
+  GROUP BY query_id, neighbor_id, q_nrm, c_nrm
+), tapprox AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+    FROM tdots) x WHERE rnk <= 10
+)
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN tapprox l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
   /** Mean-center + L2-renormalize: decimal-exact per-dimension means
     * (the labelCentroids discipline), one IEEE center-subtract narrowed
     * to REAL, then a SEQUENTIAL left-to-right double fold for the norm

@@ -388,6 +388,9 @@ object SparkEntry {
 
     "ann_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir))),
 
+    "embed_matryoshka_recall" -> ((s, dir) =>
+      Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
+
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
 
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir))),
@@ -662,6 +665,7 @@ object SparkEntry {
     "ann_ivf_trained_topk"      -> Oracles.annIvfTrainedTopK,
     "ann_recall_ivf"            -> Oracles.annRecallIvfTrained,
     "ann_knn_graph"             -> Oracles.annKnnGraph,
+    "embed_matryoshka_recall"   -> Oracles.annMatryoshkaRecall,
     "top_ngrams"                -> Oracles.topNgrams,
     "events_funnel"             -> Oracles.eventsFunnel,
     "events_window_funnel"      -> Oracles.eventsWindowFunnel,

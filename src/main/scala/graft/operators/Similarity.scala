@@ -701,6 +701,26 @@ object Similarity {
       .orderBy("vec_id", "out_dim")
   }
 
+  /** Recall@k of PREFIX-TRUNCATED embeddings vs the full vectors — the
+    * Matryoshka-style evaluation (Kusupati et al., NeurIPS'22) run before
+    * shipping a shortened representation: rank with only the first
+    * `dims` of 64 dimensions (renormalized — cosine does that
+    * implicitly) and measure how much of the exact full-dimension top-k
+    * survives. Complements [[rpProject]] (which mixes all dims): prefix
+    * truncation is free at query time when the index stores prefixes.
+    * Same bounded eval shape as [[lshRecall]]/[[ivfTrainedRecall]]. */
+  def matryoshkaRecall(
+      embeddings: DataFrame,
+      dims: Int = 16,
+      nQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val trunc = embeddings.select(
+      col("vec_id"), slice(col("embedding"), 1, dims).as("embedding"))
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      bruteForceTopK(trunc, nQueries, k))
+  }
+
   /** All-corpus k-NN graph: every vector's top-k cosine neighbors WITHIN
     * its trained-quantizer cell — the blocked construction graph-based
     * dedup, clustering, and label-propagation passes consume (an exact

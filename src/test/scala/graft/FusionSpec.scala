@@ -141,6 +141,22 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: valid recall rows; longer prefixes never hurt aggregate recall") {
+    val r16 = Similarity.matryoshkaRecall(emb, dims = 16).collect()
+    val r48 = Similarity.matryoshkaRecall(emb, dims = 48).collect()
+    assert(r16.length == 8 && r48.length == 8)
+    (r16 ++ r48).foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 10.0)
+    }
+    val sum16 = r16.map(_.getLong(1)).sum
+    val sum48 = r48.map(_.getLong(1)).sum
+    assert(sum48 >= sum16,
+      s"48-dim prefix aggregate recall $sum48 must be >= 16-dim $sum16")
+    val full = Similarity.matryoshkaRecall(emb, dims = 64).collect()
+    assert(full.forall(_.getDouble(2) == 1.0), "64-dim prefix is the identity")
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
