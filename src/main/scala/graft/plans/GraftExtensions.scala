@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotDecimal, MinHashSig, ShingleSet, SimHash32, Winnow}
+import graft.functions.{DotDecimal, DotFold, MinHashSig, ShingleSet, SimHash32, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotDecimal].getName, "graft_dot"),
       (exprs: Seq[Expression]) => DotDecimal(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_dotf"),
+      new ExpressionInfo(classOf[DotFold].getName, "graft_dotf"),
+      (exprs: Seq[Expression]) => DotFold(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleSet].getName, "graft_shingles"),

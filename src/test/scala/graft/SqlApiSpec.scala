@@ -58,4 +58,19 @@ class SqlApiSpec extends SparkSpec {
       .orderBy("vec_id")
     assert(viaSql.collect().toSeq === viaDf.collect().toSeq)
   }
+
+  test("graft_dotf from SQL equals the DataFrame ordered fold") {
+    init()
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, graft_dotf(a.embedding, b.embedding) AS d
+         FROM embeddings_v a JOIN embeddings_v b ON b.vec_id = a.vec_id + 1
+         ORDER BY a.vec_id""")
+    val e = Tables.embeddings(spark, sfDir)
+    val viaDf = e.select(col("vec_id"), col("embedding").as("ea"))
+      .join(e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb")), "vec_id")
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.dotFold(col("ea"), col("eb")).as("d"))
+      .orderBy("vec_id")
+    assert(viaSql.collect().toSeq === viaDf.collect().toSeq)
+  }
 }
