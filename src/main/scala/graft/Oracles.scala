@@ -1033,32 +1033,24 @@ ORDER BY c.doc_a, c.doc_b"""
   FROM cand c
   JOIN sig a ON a.doc_id = c.doc_a
   JOIN sig b ON b.doc_id = c.doc_b
-), shi AS (
-  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
-  FROM sh
-), cdocs AS (
-  SELECT DISTINCT doc_id FROM (
-    SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b AS doc_id FROM cand) u
-), shc AS (
-  SELECT s.doc_id, s.sid FROM shi s JOIN cdocs d ON d.doc_id = s.doc_id
-), dc AS (
-  SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-  FROM shc a JOIN shc b ON a.sid = b.sid AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+), sarr AS (
+  -- per-doc shingle SET (sh is already distinct per doc); exact jaccard
+  -- is one row-local list_intersect per pair — lockstep with
+  -- Dedup.minhashEval's array_intersect formulation
+  SELECT doc_id, list(shingle) AS sl FROM sh GROUP BY doc_id
+), exact AS (
+  SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         CAST(len(list_intersect(a.sl, b.sl)) AS BIGINT) AS nc,
+         CAST(len(a.sl) AS BIGINT) AS na, CAST(len(b.sl) AS BIGINT) AS nb
+  FROM est e
+  JOIN sarr a ON a.doc_id = e.doc_a
+  JOIN sarr b ON b.doc_id = e.doc_b
 )
-SELECT e.doc_a, e.doc_b, e.est_jaccard,
-       CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-         / CAST(na.n + nb.n - COALESCE(i.n_common, 0) AS DOUBLE) AS jaccard,
-       abs(e.est_jaccard
-         - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
-           / CAST(na.n + nb.n - COALESCE(i.n_common, 0) AS DOUBLE)) AS abs_err
-FROM est e
-LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
-JOIN dc na ON na.doc_id = e.doc_a
-JOIN dc nb ON nb.doc_id = e.doc_b
-ORDER BY e.doc_a, e.doc_b"""
+SELECT doc_a, doc_b, est_jaccard,
+       CAST(nc AS DOUBLE) / CAST(na + nb - nc AS DOUBLE) AS jaccard,
+       abs(est_jaccard - CAST(nc AS DOUBLE) / CAST(na + nb - nc AS DOUBLE)) AS abs_err
+FROM exact
+ORDER BY doc_a, doc_b"""
   }
 
   /** Chunk-granularity exact dedup: disjoint 64-word chunks, md5 per
