@@ -3329,6 +3329,19 @@ ORDER BY vec_id, rnk"""
 SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
 FROM sel10 ORDER BY mmr_rank"""
 
+  /** Per-query recall@k of the PQ-ADC index against exact brute force —
+    * the [[annRecallLsh]] subquery-composition pattern. Mirrors
+    * Similarity.pqRecall. */
+  val annRecallPq: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annPqTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
   /** Prefix-truncation (Matryoshka) recall: the 16-dim-prefix ranking's
     * recall against the full-dimension exact top-k. The truncated chain
     * is the brute-force SQL with `range(1, 17)` norms/dots. Mirrors

@@ -391,6 +391,8 @@ object SparkEntry {
     "embed_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
 
+    "ann_recall_pq" -> ((s, dir) => Similarity.pqRecall(Tables.embeddings(s, dir))),
+
     "ann_range_search" -> ((s, dir) => Similarity.rangeSearch(Tables.embeddings(s, dir))),
 
     "ann_pq_topk" -> ((s, dir) => Similarity.pqTopK(Tables.embeddings(s, dir))),
@@ -666,6 +668,7 @@ object SparkEntry {
     "ann_recall_ivf"            -> Oracles.annRecallIvfTrained,
     "ann_knn_graph"             -> Oracles.annKnnGraph,
     "embed_matryoshka_recall"   -> Oracles.annMatryoshkaRecall,
+    "ann_recall_pq"             -> Oracles.annRecallPq,
     "top_ngrams"                -> Oracles.topNgrams,
     "events_funnel"             -> Oracles.eventsFunnel,
     "events_window_funnel"      -> Oracles.eventsWindowFunnel,

@@ -701,6 +701,15 @@ object Similarity {
       .orderBy("vec_id", "out_dim")
   }
 
+  /** Recall@k of the PQ-ADC index ([[pqTopK]]) vs exact brute force —
+    * completing the per-index recall family (C43 LSH, C47 trained IVF):
+    * PQ's 32× compression trades recall for memory, and this is the
+    * query that prices that trade on the actual corpus. */
+  def pqRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      pqTopK(embeddings, nQueries = nQueries, k = k))
+
   /** Recall@k of PREFIX-TRUNCATED embeddings vs the full vectors — the
     * Matryoshka-style evaluation (Kusupati et al., NeurIPS'22) run before
     * shipping a shortened representation: rank with only the first
