@@ -3329,6 +3329,25 @@ ORDER BY vec_id, rnk"""
 SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
 FROM sel10 ORDER BY mmr_rank"""
 
+  /** Year-over-year monthly revenue growth: exact-date-arithmetic
+    * self-join (month − 12), decimal-exact revenue, NULL growth when no
+    * prior-year month. Mirrors Analytics.yoyGrowth. */
+  val ordersYoyGrowth: String = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT CAST(month + INTERVAL 12 MONTH AS DATE) AS month,
+         revenue AS prev_year_revenue
+  FROM m
+)
+SELECT m.month, m.revenue, p.prev_year_revenue,
+       CASE WHEN p.prev_year_revenue IS NOT NULL
+            THEN (m.revenue - p.prev_year_revenue) / p.prev_year_revenue END AS yoy_growth
+FROM m LEFT JOIN p USING (month)
+ORDER BY month"""
+
   /** Per-query recall@k of the PQ-ADC index against exact brute force —
     * the [[annRecallLsh]] subquery-composition pattern. Mirrors
     * Similarity.pqRecall. */

@@ -467,6 +467,8 @@ object SparkEntry {
 
     "orders_moving_avg" -> ((s, dir) => Analytics.ordersMovingAvg(Tables.orders(s, dir))),
 
+    "orders_yoy_growth" -> ((s, dir) => Analytics.yoyGrowth(Tables.orders(s, dir))),
+
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -684,6 +686,7 @@ object SparkEntry {
     "events_dow_hour_heatmap"   -> Oracles.eventsDowHourHeatmap,
     "events_daily_dense"        -> Oracles.eventsDailyDense,
     "orders_moving_avg"         -> Oracles.ordersMovingAvg,
+    "orders_yoy_growth"         -> Oracles.ordersYoyGrowth,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

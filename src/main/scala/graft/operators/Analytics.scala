@@ -724,6 +724,34 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Year-over-year monthly revenue growth — the reporting staple the
+    * moving-average window can't express: each month joined to the month
+    * EXACTLY 12 months earlier by date arithmetic (`add_months`), not a
+    * lag-12 row window, so gaps in the month sequence can never silently
+    * compare the wrong periods. growth = (rev − prev)/prev, NULL when no
+    * prior-year month exists (the ÷0-style rule the reference's CPO/ROAS
+    * columns use).
+    *
+    * Scale shape: one partial-agg groupBy collapses the fact table to
+    * |months| rows; the self-join and output sort run on that bounded
+    * frame. Revenue sums ride the decimal-exact [[graft.functions.Exact]]
+    * pattern so growth ratios are bit-stable. */
+  def yoyGrowth(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .select(trunc(col("o_orderdate").cast("date"), "month").as("month"),
+        col("o_totalprice"))
+      .groupBy("month").agg(dsum(col("o_totalprice")).as("revenue"))
+    val prev = monthly.select(
+      add_months(col("month"), 12).as("month"),
+      col("revenue").as("prev_year_revenue"))
+    monthly.join(prev, Seq("month"), "left")
+      .withColumn("yoy_growth",
+        when(col("prev_year_revenue").isNotNull,
+          (col("revenue") - col("prev_year_revenue")) / col("prev_year_revenue")))
+      .select("month", "revenue", "prev_year_revenue", "yoy_growth")
+      .orderBy("month")
+  }
+
   /** PIVOT: one row per date, one value column per channel (fixed,
     * deterministic column set — never inferred at plan time at scale). */
   def eventsPivot(events: DataFrame): DataFrame =

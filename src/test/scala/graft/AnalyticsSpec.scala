@@ -416,4 +416,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("state")).toSeq === Seq("click", "view"))
     assert(out.head.getAs[Long]("valid_to_us") === 50L)
   }
+
+  test("YoY growth joins month-12 by date arithmetic: gaps can't misalign periods") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    // 1995: Jan=100, Feb=200. 1996: Jan=200 (growth exactly 1.0); Feb
+    // ABSENT; Mar=50 with NO 1995-Mar — growth NULL, and crucially Mar
+    // must NOT pick up 1995-Feb (a lag-12 row window would).
+    val orders = Seq(
+      (1L, 1L, "O", 100.0, ts("1995-01-15 00:00:00"), "1-URGENT"),
+      (2L, 1L, "O", 200.0, ts("1995-02-15 00:00:00"), "1-URGENT"),
+      (3L, 1L, "O", 200.0, ts("1996-01-10 00:00:00"), "1-URGENT"),
+      (4L, 1L, "O", 50.0, ts("1996-03-10 00:00:00"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val out = Analytics.yoyGrowth(orders).collect()
+      .map(r => (r.getDate(0).toString, Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out("1995-01-01").isEmpty && out("1995-02-01").isEmpty)
+    assert(out("1996-01-01").contains(1.0))
+    assert(out("1996-03-01").isEmpty, "gap month must not borrow a misaligned period")
+  }
 }
