@@ -1323,6 +1323,24 @@ JOIN dc na ON na.doc_id = doc_a
 JOIN dc nb ON nb.doc_id = doc_b
 ORDER BY doc_a, doc_b"""
 
+  /** Per-doc n-gram novelty: fraction of shingles whose corpus-wide min
+    * doc_id is this doc. Mirrors Dedup.ngramNovelty (md5-sid keys). */
+  val ngramNovelty: String = shingleBase + """
+, shi AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
+  FROM sh
+), fst AS (
+  SELECT sid, MIN(doc_id) AS first_doc FROM shi GROUP BY sid
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS BIGINT) AS n_novel,
+       CAST(COUNT(CASE WHEN f.first_doc = s.doc_id THEN 1 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM shi s JOIN fst f USING (sid)
+GROUP BY s.doc_id
+ORDER BY s.doc_id"""
+
   /** One 8-bit sign band over dims [band·8, band·8+8) — generated to
     * mirror VectorFunctions.signBand term by term. */
   private def bandSql(band: Int): String = (0 until 8)

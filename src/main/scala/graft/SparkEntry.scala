@@ -335,6 +335,8 @@ object SparkEntry {
 
     "dedup_minhash_eval" -> ((s, dir) => Dedup.minhashEval(Tables.documents(s, dir))),
 
+    "ngram_novelty" -> ((s, dir) => Dedup.ngramNovelty(Tables.documents(s, dir))),
+
     "dedup_chunks_exact" -> ((s, dir) => Dedup.chunkDedup(Tables.documents(s, dir))),
 
     "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),
@@ -647,6 +649,7 @@ object SparkEntry {
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
     "dedup_minhash_eval"        -> Oracles.dedupMinhashEval,
+    "ngram_novelty"             -> Oracles.ngramNovelty,
     "dedup_chunks_exact"        -> Oracles.dedupChunks,
     "training_shards"           -> Oracles.trainingShards,
     "dedup_keep_best"           -> Oracles.dedupKeepBest,

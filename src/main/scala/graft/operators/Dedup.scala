@@ -245,6 +245,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's shingles
+    * whose corpus-wide FIRST occurrence (min doc_id — ingestion order) is
+    * this document — the dedup-aware curation signal that separates
+    * "mostly recombines existing text" from "introduces new content"
+    * without any pairwise comparison at all (near-dups of earlier docs
+    * score ≈0, fresh material ≈1; the doc-level complement of the C32
+    * hot-span df view).
+    *
+    * Scale shape: one shingle partial-agg (min per sid) + one join back
+    * on sid + a per-doc agg — all linear, no pairs anywhere; ids ride the
+    * 60-bit md5-prefix projection. */
+  def ngramNovelty(documents: DataFrame): DataFrame = {
+    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
+    val sh = shingles(documents).select(col("doc_id"), sid)
+    val first = sh.groupBy("sid").agg(min("doc_id").as("first_doc"))
+    sh.join(first, "sid")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-granularity exact dedup (the C4/RefinedWeb recipe): documents
     * split into disjoint fixed-size word chunks ([[Corpus.chunkDocuments]]
     * with zero overlap), each chunk hashed, and only the corpus-wide FIRST

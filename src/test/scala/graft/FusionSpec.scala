@@ -157,6 +157,20 @@ class FusionSpec extends SparkSpec {
     assert(full.forall(_.getDouble(2) == 1.0), "64-dim prefix is the identity")
   }
 
+  test("ngramNovelty: exact duplicate of an earlier doc scores 0, fresh doc scores 1") {
+    val a = (0 until 40).map(i => s"a$i").mkString(" ")
+    val b = (0 until 40).map(i => s"b$i").mkString(" ")
+    val d = Seq(
+      (10L, a, "en", "s", 1L), // first copy: all shingles novel
+      (20L, a, "en", "s", 1L), // exact duplicate, later id: nothing novel
+      (30L, b, "en", "s", 1L)  // disjoint: all novel
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.ngramNovelty(d).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toMap
+    assert(out(10L) == 1.0 && out(30L) == 1.0)
+    assert(out(20L) == 0.0)
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
