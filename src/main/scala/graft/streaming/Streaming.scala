@@ -99,6 +99,16 @@ final case class DedupSeen(doc_id: Long)
   * occurrence of each distinct text. */
 final case class DedupAdmit(doc_id: Long, text_hash: String)
 
+/** Per-shingle novelty state carried by [[Streaming.noveltyMarks]]:
+  * the first doc that introduced this shingle — one long per distinct
+  * shingle, the fingerprint-store growth profile. */
+final case class NoveltySeen(first_doc: Long)
+
+/** One (doc, shingle) novelty mark emitted by
+  * [[Streaming.noveltyMarks]]: `novel` iff this doc introduced the
+  * shingle to the stream. */
+final case class NoveltyMark(doc_id: Long, sid: Long, novel: Boolean)
+
 /** Per-user windowed-funnel progress carried in GroupState: the reached
   * step times of the view→click→signup→purchase chain — 4 optional
   * longs per user, forever. */
@@ -929,6 +939,53 @@ object Streaming {
             val first = it.minBy(_.doc_id)
             state.update(DedupSeen(first.doc_id))
             Iterator.single(DedupAdmit(first.doc_id, hash))
+          }
+      }
+  }
+
+  /** Streaming n-gram novelty marks — the continuous twin of
+    * [[graft.operators.Dedup.ngramNovelty]]: each (doc, shingle) row is
+    * marked `novel` iff the doc is the FIRST to carry that shingle
+    * (within a micro-batch the min doc_id wins, matching the batch
+    * twin's min-doc_id rule; across batches first-batch-wins — the D19
+    * prefix invariant). Consumers fold the marks into per-doc novelty
+    * ratios with one ordinary aggregation; over doc_id-ordered arrival
+    * the ratios are bit-equal to the batch operator (spec-pinned).
+    *
+    * Shingles and 60-bit md5-prefix sids replicate the batch
+    * [[graft.functions.ShingleSet]] walk exactly (split-on-space keeping
+    * empties, distinct first-occurrence 3-grams). State is one long per
+    * distinct shingle — the fingerprint-store growth the batch manifest
+    * pays; bound it in production the same way (TTL by content age). */
+  def noveltyMarks(docs: Dataset[Doc]): Dataset[NoveltyMark] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap { d =>
+        val toks = d.text.split(" ", -1)
+        val n = math.max(0, toks.length - 2)
+        val seen = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i < n) { seen.add(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"); i += 1 }
+        val dig = java.security.MessageDigest.getInstance("MD5")
+        val it = seen.iterator()
+        val out = Seq.newBuilder[(Long, Long)]
+        while (it.hasNext) {
+          val hex = dig.digest(it.next().getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 15)
+          out += ((d.doc_id, java.lang.Long.parseLong(hex, 16)))
+        }
+        out.result()
+      }
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[NoveltySeen, NoveltyMark](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sid: Long, it: Iterator[(Long, Long)], state: GroupState[NoveltySeen]) =>
+          val docs = it.map(_._1).toVector
+          if (state.exists) docs.iterator.map(NoveltyMark(_, sid, novel = false))
+          else {
+            val first = docs.min
+            state.update(NoveltySeen(first))
+            docs.iterator.map(d => NoveltyMark(d, sid, novel = d == first))
           }
       }
   }

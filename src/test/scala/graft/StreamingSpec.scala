@@ -721,4 +721,40 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains(sparkMd5))
     } finally q.stop()
   }
+
+  test("streaming novelty marks fold to the batch ngramNovelty ratios over ordered batches") {
+    import graft.streaming.{Doc, NoveltyMark}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = Streaming.noveltyMarks(mem.toDS())
+      .writeStream.format("memory").queryName("novelty_marks").outputMode("append").start()
+    try {
+      def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+      val a = words("a", 20)
+      // doc 1 fresh; doc 2 duplicates doc 1; doc 3 half-overlaps doc 1;
+      // doc 4 (later batch) fresh; doc 5 (later batch) duplicates doc 1
+      val b1 = Seq(
+        Doc(1L, a, "en", "t", 0L), Doc(2L, a, "en", "t", 1L),
+        Doc(3L, words("a", 10) + " " + words("b", 10), "en", "t", 2L))
+      val b2 = Seq(
+        Doc(4L, words("c", 20), "en", "t", 3L), Doc(5L, a, "en", "t", 4L))
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val marks = spark.table("novelty_marks").as[NoveltyMark]
+      val streamed = marks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("novel"), 1)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val batch = graft.operators.Dedup.ngramNovelty(
+        (b1 ++ b2).map(d => (d.doc_id, d.text, d.lang, d.source, 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(streamed === batch)
+      assert(streamed.find(_._1 == 2L).exists(_._4 == 0.0)) // exact dup scores 0
+      assert(streamed.find(_._1 == 4L).exists(_._4 == 1.0)) // fresh doc scores 1
+    } finally q.stop()
+  }
 }
