@@ -3256,11 +3256,11 @@ LEFT JOIN ($annIvfTrainedTopK) l
 GROUP BY b.query_id
 ORDER BY b.query_id"""
 
-  /** Cell-blocked k-NN graph: the trained-quantizer chain assigns every
-    * vector to its cell, within-cell exact-decimal cosines rank, top-5
-    * per source — lockstep with `Similarity.knnGraph` (self-scaling cell
-    * count, same tie rules). */
-  val annKnnGraph: String = trainedQuantBase(2, autoKExpr) + """
+  /** Shared cell-blocked pair chain (trained-quantizer assignment →
+    * within-cell directed pairs → ordered-fold cosines) — the base of
+    * the kNN-graph and contrastive-pair oracles, lockstep with
+    * `Similarity.cellScoredPairs`. */
+  private def knnPairsBase: String = trainedQuantBase(2, autoKExpr) + """
 , asgK AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cid AS cell,
@@ -3282,7 +3282,13 @@ ORDER BY b.query_id"""
   FROM kcand c
   JOIN feat fa ON fa.vec_id = c.src
   JOIN feat fb ON fb.vec_id = c.dst
-), kranked AS (
+)"""
+
+  /** Cell-blocked k-NN graph: within-cell ordered-fold cosines, top-5
+    * per source — lockstep with `Similarity.knnGraph` (self-scaling cell
+    * count, same tie rules). */
+  val annKnnGraph: String = knnPairsBase + """
+, kranked AS (
   SELECT src, dst, dot / (na * nb) AS cosine,
          row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) DESC, dst) AS rnk
   FROM kdots
@@ -3290,6 +3296,28 @@ ORDER BY b.query_id"""
 SELECT src AS vec_id, dst AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM kranked WHERE rnk <= 5
 ORDER BY vec_id, rnk"""
+
+  /** Contrastive-triplet mining: per anchor, nearest within-cell
+    * neighbor at cosine ≥ 0.3 as positive, farthest within-cell
+    * neighbor as the semi-hard negative. Mirrors
+    * Similarity.contrastivePairs. */
+  val contrastivePairs: String = knnPairsBase + """
+, cranked AS (
+  SELECT src, dst, dot / (na * nb) AS cosine,
+         row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) DESC, dst) AS rp,
+         row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) ASC, dst) AS rn
+  FROM kdots
+), cpos AS (
+  SELECT src AS anchor, dst AS positive_id, cosine AS pos_cos
+  FROM cranked WHERE rp = 1 AND cosine >= 0.3
+), cneg AS (
+  SELECT src AS anchor, dst AS negative_id, cosine AS neg_cos
+  FROM cranked WHERE rn = 1
+)
+SELECT p.anchor, p.positive_id, p.pos_cos, n.negative_id, n.neg_cos
+FROM cpos p JOIN cneg n USING (anchor)
+WHERE p.positive_id <> n.negative_id
+ORDER BY p.anchor"""
 
   /** One unrolled MMR greedy step: among candidates not yet selected,
     * score = λ·rel − (1−λ)·max sim to the selected set, pick the

@@ -390,6 +390,8 @@ object SparkEntry {
 
     "ann_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir))),
 
+    "contrastive_pairs" -> ((s, dir) => Similarity.contrastivePairs(Tables.embeddings(s, dir))),
+
     "embed_matryoshka_recall" -> ((s, dir) =>
       Similarity.matryoshkaRecall(Tables.embeddings(s, dir))),
 
@@ -672,6 +674,7 @@ object SparkEntry {
     "ann_ivf_trained_topk"      -> Oracles.annIvfTrainedTopK,
     "ann_recall_ivf"            -> Oracles.annRecallIvfTrained,
     "ann_knn_graph"             -> Oracles.annKnnGraph,
+    "contrastive_pairs"         -> Oracles.contrastivePairs,
     "embed_matryoshka_recall"   -> Oracles.annMatryoshkaRecall,
     "ann_recall_pq"             -> Oracles.annRecallPq,
     "top_ngrams"                -> Oracles.topNgrams,

@@ -748,6 +748,21 @@ object Similarity {
       k: Int = 5,
       nCentroids: Int = 0,
       iters: Int = 2): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    cellScoredPairs(embeddings, nCentroids, iters)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** The cell-blocked (src, dst, cosine) pair frame [[knnGraph]] and
+    * [[contrastivePairs]] rank over: trained-quantizer cell assignment
+    * (pure map vs inlined centroid literals), within-cell directed pairs
+    * via one `cell` equi-join, ordered-fold cosine per pair. */
+  private def cellScoredPairs(
+      embeddings: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
     val cents = trainCentroids(embeddings, kc, iters)
@@ -762,15 +777,42 @@ object Similarity {
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("dst"),
       col("embedding").as("eb"), col("nrm").as("nb"))
-    val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
     a.join(b, Seq("cell")).filter(col("src") =!= col("dst"))
       .withColumn("cosine",
         VectorFunctions.dotFold(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
-        col("cosine"), col("rank").cast("int").as("rank"))
-      .orderBy("vec_id", "rank")
+      .select("src", "dst", "cosine")
+  }
+
+  /** Contrastive-triplet mining over the cell-blocked pair frame: per
+    * anchor, positive = its nearest within-cell neighbor (cosine ≥ `tau`
+    * — a near-duplicate-grade match), negative = its FARTHEST
+    * within-cell neighbor — the classic SEMI-HARD negative (same coarse
+    * region as the anchor, low similarity), which trains embedding
+    * models far better than uniform negatives. Anchors whose cell offers
+    * no τ-grade positive, or only one neighbor, emit nothing.
+    *
+    * Scale shape: identical to [[knnGraph]] — Σ cell² bounded pairs, two
+    * rank windows partitioned by anchor, no new shuffles. */
+  def contrastivePairs(
+      embeddings: DataFrame,
+      tau: Double = 0.3,
+      nCentroids: Int = 0,
+      iters: Int = 2): DataFrame = {
+    val scored = cellScoredPairs(embeddings, nCentroids, iters)
+    val wPos = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
+    val wNeg = Window.partitionBy("src").orderBy(col("cosine").asc, col("dst"))
+    val ranked = scored
+      .withColumn("rp", row_number().over(wPos))
+      .withColumn("rn", row_number().over(wNeg))
+    val pos = ranked.filter(col("rp") === 1 && col("cosine") >= tau)
+      .select(col("src").as("anchor"), col("dst").as("positive_id"),
+        col("cosine").as("pos_cos"))
+    val neg = ranked.filter(col("rn") === 1)
+      .select(col("src").as("anchor"), col("dst").as("negative_id"),
+        col("cosine").as("neg_cos"))
+    pos.join(neg, "anchor")
+      .filter(col("positive_id") =!= col("negative_id"))
+      .orderBy("anchor")
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR

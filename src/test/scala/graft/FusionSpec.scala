@@ -171,6 +171,33 @@ class FusionSpec extends SparkSpec {
     assert(out(20L) == 0.0)
   }
 
+  test("contrastivePairs: planted duplicate becomes the positive, negative is dissimilar") {
+    val out = Similarity.contrastivePairs(emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (anchor, pos, posCos, neg, negCos) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(pos != anchor && neg != anchor && pos != neg)
+      assert(posCos >= 0.3)
+      assert(negCos <= posCos, s"negative must be the far end: $r")
+    }
+    // two tight clusters; 7 and 23 are EXACT duplicates inside cluster A,
+    // whose other members are near-identical variants — so the dup pair
+    // shares a cell with distinct negatives and must pick each other as
+    // the positive
+    val dup = (0 until 64).map { i =>
+      val cluster = if (i < 32) 1f else -1f
+      val j = if (i == 23) 7 else i // 23 clones 7's noise → exact dup
+      val arr = Array.tabulate(64)(d =>
+        cluster * (d + 1).toFloat + 0.01f * ((j * 13 + d * 7) % 101))
+      (i.toLong, arr)
+    }.toDF("vec_id", "embedding")
+    val m = Similarity.contrastivePairs(dup, nCentroids = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m.get(7L).contains(23L) && m.get(23L).contains(7L),
+      s"exact duplicates must be mutual positives, got ${m.get(7L)}/${m.get(23L)}")
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
