@@ -337,6 +337,11 @@ object SparkEntry {
 
     "ngram_novelty" -> ((s, dir) => Dedup.ngramNovelty(Tables.documents(s, dir))),
 
+    "bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Search.bpeEncode(docs, Search.bpeLearn(docs))
+    }),
+
     "dedup_chunks_exact" -> ((s, dir) => Dedup.chunkDedup(Tables.documents(s, dir))),
 
     "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),

@@ -330,6 +330,111 @@ object Search {
       .select(col("c1"), col("c2"), col("pair_freq"))
   }
 
+  /** Iterative BPE merge LEARNING (Sennrich et al., ACL'16) — the
+    * multi-round extension of [[bpeTopMerges]]' first-round statistics:
+    * repeatedly merge the highest-frequency adjacent symbol pair across
+    * the frequency-weighted vocabulary, `nMerges` times. Ties break
+    * (pair_freq DESC, c1 ASC, c2 ASC) so the merge table is a pure
+    * function of the corpus.
+    *
+    * Scale shape: tokenizer training NEVER iterates over the corpus —
+    * ONE distributed (word, freq) aggregation collapses 100 TB of text
+    * to its vocabulary, the top-`maxVocab` slice of which is collected
+    * (bounded model-training state, the same class as the IVF training
+    * sample), and the merge loop runs driver-side over that table
+    * exactly like production tokenizer trainers do. */
+  def bpeLearn(
+      documents: DataFrame,
+      nMerges: Int = 30,
+      maxVocab: Int = 65536): Seq[(String, String)] = {
+    var words: Array[(Array[String], Long)] = Dedup.tokens(documents)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < nMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, freq) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + freq)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        words = words.map { case (syms, freq) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              out += syms(i) + syms(i + 1); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toArray, freq)
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE ENCODE + tokenizer-fertility report: apply a learned merge
+    * table ([[bpeLearn]]) to every document — per word, repeatedly merge
+    * the LOWEST-RANK applicable pair (the standard encode order, which
+    * reproduces training tokenizations exactly) — and report per-doc
+    * word/token/char counts plus tokens-per-word, the fertility number
+    * tokenizer and data-mixture decisions read.
+    *
+    * Scale shape: the merge table is broadcast model metadata; encoding
+    * is one typed map over the scan — embarrassingly parallel, no
+    * shuffle before the output sort. Not SQL-expressible (iterative
+    * in-word merging), so this operator is GOLDEN-SPEC verified and
+    * rows-only gated rather than oracle-hashed. */
+  def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val bRank = spark.sparkContext.broadcast(rank)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (docId, text) =>
+        val r = bRank.value
+        val wordsArr = text.split(" ", -1).filter(_.nonEmpty)
+        var nTokens = 0L
+        var nChars = 0L
+        wordsArr.foreach { w =>
+          nChars += w.length
+          var syms = w.map(_.toString).toArray
+          var merged = true
+          while (merged && syms.length > 1) {
+            var bestIdx = -1
+            var bestRank = Int.MaxValue
+            var i = 0
+            while (i < syms.length - 1) {
+              val rk = r.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+              if (rk < bestRank) { bestRank = rk; bestIdx = i }
+              i += 1
+            }
+            if (bestIdx < 0) merged = false
+            else {
+              syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+                syms.drop(bestIdx + 2)
+            }
+          }
+          nTokens += syms.length
+        }
+        (docId, wordsArr.length.toLong, nChars, nTokens,
+          if (wordsArr.isEmpty) 0.0 else nTokens.toDouble / wordsArr.length.toDouble)
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_tokens", "tokens_per_word")
+      .orderBy("doc_id")
+  }
+
   /** Score documents against a FROZEN bigram LM (the model-apply half:
     * the scored docs need not be the training corpus). Unlike
     * [[lmScore]] — where the corpus scores itself so every bigram is in

@@ -198,6 +198,30 @@ class FusionSpec extends SparkSpec {
       s"exact duplicates must be mutual positives, got ${m.get(7L)}/${m.get(23L)}")
   }
 
+  test("BPE learn+encode golden: hand-computed merges and fertilities") {
+    val d = Seq(
+      (1L, "abab ab abab", "en", "s", 1L),
+      (2L, "ab ba", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // round 1: (a,b) weight 6 beats (b,a) 3 → merge "ab";
+    // round 2: (ab,ab) weight 2 beats (b,a) 1 → merge "abab"
+    val merges = Search.bpeLearn(d, nMerges = 2)
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    val out = Search.bpeEncode(d, merges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // doc 1: abab|ab|abab → 1+1+1 tokens over 3 words
+    assert(out(1L) == ((3L, 10L, 3L, 1.0)))
+    // doc 2: ab → 1 token, ba → 2 tokens ((b,a) never merged at nMerges=2)
+    assert(out(2L) == ((2L, 4L, 3L, 1.5)))
+    // learning to exhaustion merges (b,a) too and everything collapses
+    val all = Search.bpeLearn(d, nMerges = 10)
+    assert(all == Seq(("a", "b"), ("ab", "ab"), ("b", "a")))
+    val out2 = Search.bpeEncode(d, all).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out2(2L) == 2L, "ba collapses to one token once (b,a) is learned")
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
