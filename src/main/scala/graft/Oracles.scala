@@ -165,7 +165,13 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
   /** One damped PageRank power iteration, arithmetic tree in lockstep
-    * with [[graft.operators.Markov.channelPagerank]]. */
+    * with [[graft.operators.Markov.channelPagerank]]. Term sums are
+    * ORDERED DOUBLE FOLDS (list_reduce over channel-sorted lists ≡ the
+    * driver's sorted foldLeft) — the double→DECIMAL(38,12) cast path was
+    * dropped because DuckDB's cast rounding in the half-way ambiguity
+    * band is engine-internal (int64 vs hugeint decimal paths round ties
+    * differently) and diverged from every driver-side bridge we could
+    * write; an ordered fold has NO rounding bridge at all. */
   private def prIteration(t: Int): String = s"""
 , pr$t AS MATERIALIZED (
   SELECT nd.channel,
@@ -173,10 +179,14 @@ ORDER BY 1, 2"""
          + CAST(0.85 AS DOUBLE) * (COALESCE(inf.inflow, CAST(0 AS DOUBLE)) + dang.d / n1.nn) AS pr
   FROM nodes nd
   CROSS JOIN n1
-  CROSS JOIN (SELECT COALESCE(CAST(SUM(CAST(pr AS DECIMAL(38,12))) AS DOUBLE), CAST(0 AS DOUBLE)) AS d
+  CROSS JOIN (SELECT COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(pr ORDER BY channel)), (acc, x) -> acc + x),
+                     CAST(0 AS DOUBLE)) AS d
               FROM pr${t - 1} WHERE channel NOT IN (SELECT from_channel FROM outs)) dang
   LEFT JOIN (SELECT to_channel AS channel,
-                    CAST(SUM(CAST(pr * p AS DECIMAL(38,12))) AS DOUBLE) AS inflow
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list(CAST(pr * p AS DOUBLE) ORDER BY edges.from_channel)),
+                      (acc, x) -> acc + x) AS inflow
              FROM edges JOIN pr${t - 1} pv ON edges.from_channel = pv.channel
              GROUP BY to_channel) inf
     ON nd.channel = inf.channel)"""
@@ -210,30 +220,39 @@ SELECT channel, pr FROM pr8
 ORDER BY pr DESC, channel"""
 
   /** One HITS round (a ← Lᵀh then h ← La, L1-normalized), arithmetic in
-    * lockstep with [[graft.operators.Markov.channelHits]]. */
+    * lockstep with [[graft.operators.Markov.channelHits]]: ordered
+    * double folds over channel-sorted term lists (see [[prIteration]]'s
+    * note on why the decimal cast path was dropped — sf0.1 put 4 HITS
+    * terms in the cast's ambiguity band and the engines diverged). */
   private def hitsIteration(t: Int): String = s"""
 , a${t}raw AS MATERIALIZED (
   SELECT nd.channel, COALESCE(s.v, CAST(0 AS DOUBLE)) AS v
   FROM nodes nd LEFT JOIN (
     SELECT tr.to_channel AS channel,
-           CAST(SUM(CAST(h.v * CAST(tr.n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS v
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(h.v * CAST(tr.n AS DOUBLE) AS DOUBLE) ORDER BY tr.from_channel)),
+             (acc, x) -> acc + x) AS v
     FROM trans tr JOIN h${t - 1} h ON h.channel = tr.from_channel
     GROUP BY tr.to_channel) s ON s.channel = nd.channel)
 , a$t AS MATERIALIZED (
   SELECT r.channel, CASE WHEN nrm.s > 0 THEN r.v / nrm.s ELSE CAST(0 AS DOUBLE) END AS v
   FROM a${t}raw r CROSS JOIN
-    (SELECT CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s FROM a${t}raw) nrm)
+    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY channel)),
+            (acc, x) -> acc + x) AS s FROM a${t}raw) nrm)
 , h${t}raw AS MATERIALIZED (
   SELECT nd.channel, COALESCE(s.v, CAST(0 AS DOUBLE)) AS v
   FROM nodes nd LEFT JOIN (
     SELECT tr.from_channel AS channel,
-           CAST(SUM(CAST(a.v * CAST(tr.n AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS v
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(a.v * CAST(tr.n AS DOUBLE) AS DOUBLE) ORDER BY tr.to_channel)),
+             (acc, x) -> acc + x) AS v
     FROM trans tr JOIN a$t a ON a.channel = tr.to_channel
     GROUP BY tr.from_channel) s ON s.channel = nd.channel)
 , h$t AS MATERIALIZED (
   SELECT r.channel, CASE WHEN nrm.s > 0 THEN r.v / nrm.s ELSE CAST(0 AS DOUBLE) END AS v
   FROM h${t}raw r CROSS JOIN
-    (SELECT CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE) AS s FROM h${t}raw) nrm)"""
+    (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(v ORDER BY channel)),
+            (acc, x) -> acc + x) AS s FROM h${t}raw) nrm)"""
 
   val channelHits: String = attrBase + """
 , trans AS MATERIALIZED (

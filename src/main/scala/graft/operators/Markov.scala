@@ -74,8 +74,17 @@ object Markov {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Exact binary-value decimal rounding at scale 9 — the oracle engine's
-    * double→DECIMAL(14,9) cast semantics. */
+  /** Exact binary-value decimal rounding at scale 9, mirroring the oracle
+    * engine's double→DECIMAL(14,9) cast on every value observed at both
+    * test scales. KNOWN RESIDUAL RISK: the oracle engine's tie rounding
+    * in the scale-9 half-way ambiguity band is engine-internal (its int64
+    * and int128 decimal paths even disagree with each other), so a future
+    * corpus could land a probability on a tie and diverge — the fix, if
+    * that ever fires, is the ordered-double-fold conversion already
+    * applied to [[channelPagerank]]/[[channelHits]] (SURVEY §3
+    * discipline (3)); it is not applied here pre-emptively because the
+    * distributed twin ([[attributionDistributedImpl]]) and its
+    * equivalence spec would have to convert in lockstep. */
   private def dec9(d: Double): JBD = new JBD(d).setScale(9, RoundingMode.HALF_UP)
 
   /** START→CONV absorption probability after `iters` Jacobi steps, with
@@ -342,15 +351,15 @@ object Markov {
     * of it at bench scale). Graphs whose node count actually scales
     * (users, pages) take [[pagerank]], the shuffle-join engine.
     *
-    * Determinism: per-term products round through
-    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` — exactly Spark's
-    * double→DECIMAL(38,12) cast (shortest-repr string, HALF_UP) that the
-    * distributed engine and the unrolled-CTE oracle apply — and the
-    * same-scale decimal sum is exact, so the driver solve is bit-equal to
-    * both. */
+    * Determinism: per-term sums are ORDERED DOUBLE FOLDS over
+    * channel-sorted terms — the same left-to-right fold the oracle's
+    * `list_reduce(list(x ORDER BY channel))` computes, so there is NO
+    * float→decimal rounding bridge to get wrong. (The earlier
+    * decimal-cast bridge relied on mirroring DuckDB's double→decimal
+    * tie rounding, which is engine-internal and path-dependent — the
+    * sf0.1 channel_hits divergence; SURVEY §3 discipline (3).) */
   def channelPagerank(
       assigned: DataFrame, damping: Double = 0.85, iters: Int = 8): DataFrame = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val spark = assigned.sparkSession
     val trans = Journeys.channelTransitions(assigned).collect()
       .map(r => (r.getAs[String]("from_channel"), r.getAs[String]("to_channel"),
@@ -368,15 +377,13 @@ object Markov {
     val outSum = trans.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
     val edges = trans.map { case (s, d, w) => (s, d, w.toDouble / outSum(s).toDouble) }
     val dangling = nodes.filterNot(outSum.contains)
-    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
-    def decSum(xs: Iterable[JBD]): Double =
-      if (xs.isEmpty) 0.0 else xs.reduce(_.add(_)).doubleValue()
+    def foldSum(xs: Iterable[Double]): Double = xs.foldLeft(0.0)(_ + _)
     var pr: Map[String, Double] = nodes.map(_ -> 1.0 / nD).toMap
     for (_ <- 1 to iters) {
       val inflow = edges.groupBy(_._2).map { case (dst, es) =>
-        dst -> decSum(es.map { case (s, _, p) => dec12(pr(s) * p) })
+        dst -> foldSum(es.sortBy(_._1).map { case (s, _, p) => pr(s) * p })
       }
-      val d = decSum(dangling.map(n => dec12(pr(n))))
+      val d = foldSum(dangling.map(n => pr(n)))
       pr = nodes.map(n => n ->
         ((1.0 - damping) / nD +
           damping * (inflow.getOrElse(n, 0.0) + d / nD))).toMap
@@ -397,13 +404,13 @@ object Markov {
     * Scale shape: identical to [[channelPagerank]] — ONE distributed pass
     * reduces the event stream to the K×K transition matrix
     * (graph-cardinality metadata, K = |channels|), the iteration runs
-    * driver-side. Determinism: per-term products round through
-    * `BigDecimal.valueOf(x).setScale(12, HALF_UP)` (Spark's
-    * double→decimal cast semantics), same-scale decimal sums are exact,
-    * and each normalization is ONE double division — the identical tree
-    * as the unrolled-CTE oracle. */
+    * driver-side. Determinism: per-term sums are ORDERED DOUBLE FOLDS
+    * over channel-sorted terms (≡ the oracle's
+    * `list_reduce(list(x ORDER BY channel))`), and each normalization is
+    * ONE double division — no float→decimal bridge anywhere (the
+    * decimal-cast version diverged at sf0.1 when 4 terms hit DuckDB's
+    * cast-rounding ambiguity band; SURVEY §3 discipline (3)). */
   def channelHits(assigned: DataFrame, iters: Int = 8): DataFrame = {
-    import java.math.{BigDecimal => JBD, RoundingMode}
     val spark = assigned.sparkSession
     val trans = Journeys.channelTransitions(assigned).collect()
       .map(r => (r.getAs[String]("from_channel"), r.getAs[String]("to_channel"),
@@ -419,20 +426,20 @@ object Markov {
             org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("authority",
             org.apache.spark.sql.types.DoubleType))))
-    def dec12(x: Double): JBD = JBD.valueOf(x).setScale(12, RoundingMode.HALF_UP)
-    def decSum(xs: Iterable[JBD]): Double =
-      if (xs.isEmpty) 0.0 else xs.reduce(_.add(_)).doubleValue()
+    def foldSum(xs: Iterable[Double]): Double = xs.foldLeft(0.0)(_ + _)
     val w = trans.map { case (s, d, n) => (s, d, n.toDouble) }
     var hub: Map[String, Double] = nodes.map(_ -> 1.0).toMap
     var auth: Map[String, Double] = nodes.map(_ -> 1.0).toMap
     for (_ <- 1 to iters) {
       val aRaw: Map[String, Double] = nodes.map(n =>
-        n -> decSum(w.filter(_._2 == n).map { case (s, _, ww) => dec12(hub(s) * ww) })).toMap
-      val aNorm = decSum(nodes.map(n => dec12(aRaw(n))))
+        n -> foldSum(w.filter(_._2 == n).sortBy(_._1)
+          .map { case (s, _, ww) => hub(s) * ww })).toMap
+      val aNorm = foldSum(nodes.map(aRaw))
       auth = nodes.map(n => n -> (if (aNorm > 0.0) aRaw(n) / aNorm else 0.0)).toMap
       val hRaw: Map[String, Double] = nodes.map(n =>
-        n -> decSum(w.filter(_._1 == n).map { case (_, d, ww) => dec12(auth(d) * ww) })).toMap
-      val hNorm = decSum(nodes.map(n => dec12(hRaw(n))))
+        n -> foldSum(w.filter(_._1 == n).sortBy(_._2)
+          .map { case (_, d, ww) => auth(d) * ww })).toMap
+      val hNorm = foldSum(nodes.map(hRaw))
       hub = nodes.map(n => n -> (if (hNorm > 0.0) hRaw(n) / hNorm else 0.0)).toMap
     }
     import spark.implicits._
