@@ -372,9 +372,10 @@ GROUP BY channel_name
 ORDER BY channel_name"""
 
   /** One Jacobi step of the Markov absorption solve — mirrors
-    * [[graft.operators.Markov.absorption]]: both product factors rounded
-    * to decimal scale 9, exact decimal product + sum, accumulator rounded
-    * back to scale 9 (half-up) before returning to double. */
+    * [[graft.operators.Markov.absorption]]: per-state accumulation is an
+    * ORDERED DOUBLE FOLD over to-state-sorted terms (the prIteration
+    * discipline — no double→decimal cast anywhere, so no tie-rounding
+    * bridge to the oracle engine's internal cast semantics). */
   private def markovIter(t: Int): String = s"""
 , p$t AS MATERIALIZED (
   SELECT st.r, st.s,
@@ -383,7 +384,9 @@ ORDER BY channel_name"""
   LEFT JOIN convp cv ON cv.r = st.r AND cv.s = st.s
   LEFT JOIN (
     SELECT m.r, m.f AS s,
-           CAST(round(SUM(CAST(m.prob AS DECIMAL(14,9)) * CAST(pp.p AS DECIMAL(14,9))), 9) AS DOUBLE) AS acc
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(m.prob * pp.p AS DOUBLE) ORDER BY m.t)),
+             (acc, x) -> acc + x) AS acc
     FROM chant m JOIN p${t - 1} pp ON pp.r = m.r AND pp.s = m.t
     GROUP BY m.r, m.f) x ON x.r = st.r AND x.s = st.s
 )"""
@@ -444,7 +447,9 @@ ORDER BY channel_name"""
   FROM (SELECT r, p FROM p$iters WHERE s = 'START' AND r <> '<none>') rm
   CROSS JOIN (SELECT p FROM p$iters WHERE s = 'START' AND r = '<none>') fl
 ), ws AS (
-  SELECT CAST(SUM(CAST(removal_effect AS DECIMAL(14,9))) AS DOUBLE) AS w FROM re
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(removal_effect ORDER BY channel_name)),
+           (acc, x) -> acc + x) AS w FROM re
 ), tot_rev AS (
   SELECT CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total
   FROM (SELECT DISTINCT conv_id, revenue FROM assigned) t
@@ -524,7 +529,9 @@ ORDER BY channel_name"""
   FROM (SELECT r, p FROM p$iters WHERE s = 'START' AND r <> '<none>') rm
   CROSS JOIN (SELECT p FROM p$iters WHERE s = 'START' AND r = '<none>') fl
 ), ws AS (
-  SELECT CAST(SUM(CAST(removal_effect AS DECIMAL(14,9))) AS DOUBLE) AS w FROM re
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(removal_effect ORDER BY channel_name)),
+           (acc, x) -> acc + x) AS w FROM re
 ), tot_rev AS (
   SELECT CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total
   FROM (SELECT DISTINCT conv_id, revenue FROM assigned) t

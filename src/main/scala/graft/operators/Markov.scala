@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.math.{BigDecimal => JBD, RoundingMode}
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -25,12 +23,14 @@ import org.apache.spark.sql.functions._
   * collected matrix, exactly like collecting K centroid vectors for IVF.
   *
   * Exactness: each iteration step mirrors the DuckDB oracle bit-for-bit —
-  * both factors of every product are rounded to DECIMAL scale 9 (the
-  * driver uses the exact binary-value constructor + HALF_UP, which is the
-  * same rounding the oracle engine applies in its double→decimal cast),
-  * products and sums are exact decimal arithmetic, and each per-state
-  * accumulator is rounded back to scale 9 before returning to double —
-  * so 16 iterations later the two engines still agree on every bit.
+  * every per-state accumulation is an ORDERED DOUBLE FOLD over
+  * to-state-sorted terms (driver `foldLeft` ≡ oracle
+  * `list_reduce(list(… ORDER BY m.t))`), each term ONE correctly-rounded
+  * IEEE multiply. No double→decimal cast exists anywhere in the solve:
+  * the oracle engine's cast tie-rounding is engine-internal and
+  * path-dependent (the sf0.1 channel_hits divergence, SURVEY §3
+  * discipline 3), so the fold is the only bridge-free formulation — and
+  * 16 iterations later the two engines still agree on every bit.
   */
 object Markov {
 
@@ -74,18 +74,6 @@ object Markov {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Exact binary-value decimal rounding at scale 9, mirroring the oracle
-    * engine's double→DECIMAL(14,9) cast on every value observed at both
-    * test scales. KNOWN RESIDUAL RISK: the oracle engine's tie rounding
-    * in the scale-9 half-way ambiguity band is engine-internal (its int64
-    * and int128 decimal paths even disagree with each other), so a future
-    * corpus could land a probability on a tie and diverge — the fix, if
-    * that ever fires, is the ordered-double-fold conversion already
-    * applied to [[channelPagerank]]/[[channelHits]] (SURVEY §3
-    * discipline (3)); it is not applied here pre-emptively because the
-    * distributed twin ([[attributionDistributedImpl]]) and its
-    * equivalence spec would have to convert in lockstep. */
-  private def dec9(d: Double): JBD = new JBD(d).setScale(9, RoundingMode.HALF_UP)
 
   /** START→CONV absorption probability after `iters` Jacobi steps, with
     * transitions into `removed` redirected to NULL and `removed`'s own
@@ -114,14 +102,19 @@ object Markov {
       }
     val states = trans.map(_._1).distinct.filterNot(isRemoved)
     val cp = probs.filter(_._2 == Conv).map { case (fr, _, p) => fr -> p }.toMap
-    val chan = probs.filter { case (_, to, _) => to != Conv && to != Absorb }
+    // per-source terms pre-sorted by TO-state: each accumulation is an
+    // ordered double fold, the identical left-to-right sequence the
+    // oracle's `list_reduce(list(prob*p ORDER BY m.t))` computes — no
+    // double→decimal bridge anywhere (the channelHits lesson)
+    val chanBySrc: Map[String, Seq[(String, Double)]] = probs
+      .filter { case (_, to, _) => to != Conv && to != Absorb }
+      .groupBy(_._1)
+      .map { case (s, xs) => s -> xs.sortBy(_._2).map(x => (x._2, x._3)) }
     var p: Map[String, Double] = states.map(_ -> 0.0).toMap
     (1 to iters).foreach { _ =>
       p = states.map { s =>
-        val terms = chan.collect { case (`s`, to, pr) => dec9(pr).multiply(dec9(p(to))) }
-        val acc =
-          if (terms.isEmpty) 0.0
-          else terms.reduce(_.add(_)).setScale(9, RoundingMode.HALF_UP).doubleValue()
+        val acc = chanBySrc.getOrElse(s, Nil)
+          .foldLeft(0.0) { case (a, (to, pr)) => a + pr * p(to) }
         s -> (cp.getOrElse(s, 0.0) + acc)
       }.toMap
     }
@@ -211,9 +204,9 @@ object Markov {
     val effects = channels.map { c =>
       c -> math.max(1.0 - absorptionBy(trans, removes(c)) / pFull, 0.0)
     }
-    // Σ removal effects, decimal-exact like every other cross-engine sum
-    val wsum = effects.map { case (_, e) => dec9(e) }
-      .reduce(_.add(_)).doubleValue()
+    // Σ removal effects: ordered double fold in channel order (channels
+    // is sorted), ≡ the oracle's list_reduce(… ORDER BY channel_name)
+    val wsum = effects.foldLeft(0.0) { case (a, (_, e)) => a + e }
     if (wsum == 0.0) return empty
     // total journey revenue — distributed decimal-exact sum
     val total = assigned.select(col("conv_id"), col("revenue")).distinct()
