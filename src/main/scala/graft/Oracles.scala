@@ -3401,6 +3401,30 @@ ORDER BY p.anchor"""
 SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
 FROM sel10 ORDER BY mmr_rank"""
 
+  /** ABC/Pareto customer classification: cumulative revenue share in
+    * (revenue DESC, custkey) order, decimal-exact running sum — mirrors
+    * Analytics.abcClassification (whose distributed prefix-sum is
+    * bit-equal to this single-window form by construction). */
+  val ordersAbcPareto: String = """
+WITH pc AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT o_custkey, revenue,
+         SUM(CAST(revenue AS DECIMAL(27,6))) OVER (
+           ORDER BY revenue DESC, o_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(CAST(revenue AS DECIMAL(27,6))) OVER () AS tot
+  FROM pc
+)
+SELECT o_custkey, revenue,
+       CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) AS cum_share,
+       CASE WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.7 THEN 'A'
+            WHEN CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) <= 0.9 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+ORDER BY revenue DESC, o_custkey"""
+
   /** Year-over-year monthly revenue growth: exact-date-arithmetic
     * self-join (month − 12), decimal-exact revenue, NULL growth when no
     * prior-year month. Mirrors Analytics.yoyGrowth. */

@@ -478,6 +478,8 @@ object SparkEntry {
 
     "orders_yoy_growth" -> ((s, dir) => Analytics.yoyGrowth(Tables.orders(s, dir))),
 
+    "orders_abc_pareto" -> ((s, dir) => Analytics.abcClassification(Tables.orders(s, dir))),
+
     "text_langid" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -698,6 +700,7 @@ object SparkEntry {
     "events_daily_dense"        -> Oracles.eventsDailyDense,
     "orders_moving_avg"         -> Oracles.ordersMovingAvg,
     "orders_yoy_growth"         -> Oracles.ordersYoyGrowth,
+    "orders_abc_pareto"         -> Oracles.ordersAbcPareto,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

@@ -724,6 +724,30 @@ object Analytics {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** ABC / Pareto customer classification: customers ranked by revenue
+    * descending, classified by the CUMULATIVE revenue share up to and
+    * including them — A ≤ 70%, B ≤ 90%, C the tail (the classic
+    * inventory/CRM segmentation). The running total is the
+    * [[Quantiles.withExactPrefixSum]] distributed prefix sum — the naive
+    * unpartitioned running-sum window is the single-task OOM shape the
+    * exact-rank machinery exists to avoid, and the prefix-sum sibling
+    * applies the identical range-bucket pattern (per-bucket decimal
+    * subtotals → broadcast offsets → bucket-local running sums).
+    * Decimal-exact accumulation keeps every share bit-stable at any
+    * parallelism. */
+  def abcClassification(orders: DataFrame): DataFrame = {
+    val perCust = orders.groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+    Quantiles.withExactPrefixSum(perCust, Nil,
+        Seq(("revenue", false), ("o_custkey", true)), "revenue", "__cum", "__tot")
+      .withColumn("cum_share", col("__cum").cast("double") / col("__tot").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.7, "A")
+          .when(col("cum_share") <= 0.9, "B").otherwise("C"))
+      .select(col("o_custkey"), col("revenue"), col("cum_share"), col("abc_class"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+  }
+
   /** Year-over-year monthly revenue growth — the reporting staple the
     * moving-average window can't express: each month joined to the month
     * EXACTLY 12 months earlier by date arithmetic (`add_months`), not a

@@ -149,6 +149,110 @@ object Quantiles {
       .drop("__bkt", "__off", "__n")
   }
 
+  /** Distributed EXACT PREFIX SUM — the running-total sibling of
+    * [[withExactRank]]: every row gets the decimal-exact sum of
+    * `valueCol` over all rows at-or-before it in the composite
+    * (group, order) ordering, plus the group total. The naive form is an
+    * unpartitioned running-sum window (one task sorts everything — the
+    * same OOM shape exact rank replaces); here the identical
+    * range-bucket machinery applies: per-(group, bucket) decimal
+    * subtotals are collected as index metadata, folded into broadcast
+    * bucket OFFSETS driver-side (exact `BigDecimal` adds), and each
+    * bucket computes only its local running sum — every sort partition
+    * holds ~n/buckets rows.
+    *
+    * Determinism: all accumulation is fixed-scale decimal (exact, order-
+    * independent), so the prefix is bit-equal to a single-task running
+    * sum and to the oracle's window SUM at any parallelism. Output
+    * columns `prefixCol`/`totalCol` are DecimalType(38, 6); cast to
+    * double at the consumer. */
+  def withExactPrefixSum(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[(String, Boolean)],
+      valueCol: String,
+      prefixCol: String,
+      totalCol: String,
+      buckets: Int = 0,
+      materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val dec = DecimalType(27, 6)
+    val decW = DecimalType(38, 6)
+    val fullKey: Seq[(String, Boolean)] = group.map((_, true)) ++ order
+    val keyCols = fullKey.map { case (n, _) => col(n) }
+    val input = if (materialize) df.localCheckpoint(true) else df
+
+    val sampleN = nb * 64
+    val sampled: Array[Row] = input
+      .select(keyCols: _*)
+      .orderBy(xxhash64(keyCols: _*) +: keyCols: _*)
+      .limit(sampleN)
+      .collect()
+    val ord: Ordering[Row] = (a: Row, b: Row) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < fullKey.length) {
+        c = compareAny(a.get(i), b.get(i))
+        if (!fullKey(i)._2) c = -c
+        i += 1
+      }
+      c
+    }
+    val sorted = sampled.sorted(ord)
+    val boundaries: Seq[Row] =
+      if (sorted.isEmpty) Nil
+      else (1 until nb).map(i => sorted(math.min(i * sorted.length / nb, sorted.length - 1)))
+        .distinct
+    val bkt = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(strictlyAfter(fullKey, b), 1).otherwise(0)
+    }
+    val withB = input.withColumn("__bkt", bkt.cast("int"))
+
+    val grpB = group :+ "__bkt"
+    val subtotals = withB
+      .groupBy(grpB.map(col): _*)
+      .agg(sum(col(valueCol).cast(dec)).as("__vsum"))
+      .collect()
+    val byGroup = subtotals.groupBy(r => group.indices.map(r.get).toList)
+    val offRows: Seq[Row] = byGroup.toSeq.flatMap { case (_, rows) =>
+      def bktOf(r: Row): Int = r.getAs[Number](group.length).intValue()
+      def sumOf(r: Row): java.math.BigDecimal = {
+        val d = r.getDecimal(group.length + 1)
+        if (d == null) java.math.BigDecimal.ZERO.setScale(6) else d
+      }
+      val inOrder = rows.sortBy(bktOf)
+      val total = inOrder.map(sumOf)
+        .foldLeft(java.math.BigDecimal.ZERO.setScale(6))(_.add(_))
+      var off = java.math.BigDecimal.ZERO.setScale(6)
+      inOrder.map { r =>
+        val o = off
+        off = off.add(sumOf(r))
+        Row.fromSeq(group.indices.map(r.get) ++ Seq[Any](bktOf(r), o, total))
+      }
+    }
+    val offSchema = StructType(
+      group.map(g => df.schema(g)) ++ Seq(
+        StructField("__bkt", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("__voff", decW, nullable = false),
+        StructField("__vtot", decW, nullable = false)))
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+
+    val w = Window
+      .partitionBy(grpB.map(col): _*)
+      .orderBy(order.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offs), grpB)
+      .withColumn(prefixCol,
+        (col("__voff") + sum(col(valueCol).cast(dec)).over(w)).cast(decW))
+      .withColumn(totalCol, col("__vtot"))
+      .drop("__bkt", "__voff", "__vtot")
+  }
+
   /** `ntile(k)` as a pure expression of the exact 1-based rank and the
     * group size — Spark/DuckDB semantics: the first `n % k` tiles take
     * `n div k + 1` rows, the rest `n div k`. */

@@ -417,6 +417,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("valid_to_us") === 50L)
   }
 
+  test("ABC classification: distributed prefix sum ≡ single-window running total") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val out = Analytics.abcClassification(orders).collect()
+    assert(out.nonEmpty)
+    // shares strictly increase down the ranking and end exactly at 1.0
+    val shares = out.map(_.getDouble(2))
+    shares.zip(shares.tail).foreach { case (a, b) => assert(a < b) }
+    assert(shares.last == 1.0)
+    // classes partition the ranking in A..B..C order
+    val classes = out.map(_.getString(3))
+    assert(classes.mkString.matches("A*B*C*"))
+    assert(classes.contains("A") && classes.contains("C"))
+    // bit-equality with the naive single-task running sum
+    val naive = {
+      val pc = orders.groupBy("o_custkey")
+        .agg(graft.functions.Exact.dsum(col("o_totalprice")).as("revenue"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (k, r) => (-r, k) }
+      def dec6(d: Double) = new java.math.BigDecimal(d.toString)
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      var cum = java.math.BigDecimal.ZERO.setScale(6)
+      val tot = pc.map(x => dec6(x._2))
+        .foldLeft(java.math.BigDecimal.ZERO.setScale(6))(_.add(_))
+      pc.map { case (k, r) =>
+        cum = cum.add(dec6(r))
+        (k, cum.doubleValue() / tot.doubleValue())
+      }.toMap
+    }
+    out.foreach(r => assert(r.getDouble(2) == naive(r.getLong(0)),
+      s"share mismatch for customer ${r.getLong(0)}"))
+  }
+
   test("YoY growth joins month-12 by date arithmetic: gaps can't misalign periods") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)

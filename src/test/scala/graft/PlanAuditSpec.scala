@@ -396,6 +396,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(rplan.contains("Broadcast"), "dense query side should broadcast")
   }
 
+  test("ABC prefix sum windows partition by bucket — no full-frame single-task sort") {
+    val df = graft.operators.Analytics.abcClassification(Tables.orders(spark, sfDir))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the running-sum window must carry the __bkt partition key; the only
+    // unpartitioned sort allowed is the bounded output ordering
+    assert(plan.contains("__bkt"), "prefix-sum window lost its bucket partitioning")
+    val win = "\\(\\d+\\) Window\\b".r.findAllIn(plan).size
+    assert(win >= 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
     // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
     // partial agg. The literal-prototype-matrix pass must plan with NO join
