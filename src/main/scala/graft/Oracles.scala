@@ -3401,6 +3401,32 @@ ORDER BY p.anchor"""
 SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
 FROM sel10 ORDER BY mmr_rank"""
 
+  /** Quality-ordered token-budget selection: decimal-exact running token
+    * total in (quality DESC, doc_id) order, selected while ≤ 20000 —
+    * mirrors Corpus.budgetSelect (whose distributed prefix sum is
+    * bit-equal to this single-window form). */
+  val corpusBudgetSelect: String = s"""
+WITH q AS (
+  SELECT doc_id,
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+           + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, quality, n_tokens,
+         SUM(CAST(n_tokens AS DECIMAL(27,6))) OVER (
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q
+)
+SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       (CAST(cum AS BIGINT) <= 20000) AS selected
+FROM c
+ORDER BY quality DESC, doc_id"""
+
   /** ABC/Pareto customer classification: cumulative revenue share in
     * (revenue DESC, custkey) order, decimal-exact running sum — mirrors
     * Analytics.abcClassification (whose distributed prefix-sum is

@@ -164,6 +164,8 @@ object SparkEntry {
     "data_mixture_sample" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir))),
 
+    "corpus_budget_select" -> ((s, dir) => Corpus.budgetSelect(Tables.documents(s, dir))),
+
     "quality_curriculum" -> ((s, dir) =>
       Corpus.qualityCurriculum(Tables.documents(s, dir))),
 
@@ -701,6 +703,7 @@ object SparkEntry {
     "orders_moving_avg"         -> Oracles.ordersMovingAvg,
     "orders_yoy_growth"         -> Oracles.ordersYoyGrowth,
     "orders_abc_pareto"         -> Oracles.ordersAbcPareto,
+    "corpus_budget_select"      -> Oracles.corpusBudgetSelect,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

@@ -812,6 +812,31 @@ object Corpus {
       (sumR.cast(d38) * (nt + buckets).cast(d38)).cast("double")
   }
 
+  /** Quality-ordered TOKEN-BUDGET selection: rank documents by quality
+    * score descending and keep exactly the prefix whose cumulative token
+    * count fits `tokenBudget` — the curation primitive behind "take the
+    * best N-billion tokens" dataset cuts (quality threshold picking is
+    * the wrong tool: the threshold that hits a byte/token budget moves
+    * with every corpus refresh; the budget is the actual constraint).
+    *
+    * The running total is [[Quantiles.withExactPrefixSum]] — the
+    * distributed prefix sum, so no single task sorts the corpus. Every
+    * row is emitted with its cumulative position and `selected` flag so
+    * the same frame answers "what got cut and how close was it". */
+  def budgetSelect(documents: DataFrame, tokenBudget: Long = 20000L): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Quantiles.withExactPrefixSum(scored, Nil,
+        Seq(("quality", false), ("doc_id", true)), "n_tokens", "__cum", "__tot")
+      .withColumn("cum_tokens", col("__cum").cast("long"))
+      .withColumn("selected", col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"), col("selected"))
+      .orderBy(col("quality").desc, col("doc_id"))
+  }
+
   /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile
     * window) — spec-pinned semantic oracle, not the scale path. */
   def qualityCurriculumSingleTask(documents: DataFrame, stages: Int = 4): DataFrame = {

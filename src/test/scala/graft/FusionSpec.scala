@@ -222,6 +222,25 @@ class FusionSpec extends SparkSpec {
     assert(out2(2L) == 2L, "ba collapses to one token once (b,a) is learned")
   }
 
+  test("budgetSelect: selected prefix maximal under the token budget, quality-ordered") {
+    val out = graft.operators.Corpus.budgetSelect(docs, tokenBudget = 2000L).collect()
+    assert(out.nonEmpty)
+    val sel = out.filter(_.getBoolean(4))
+    val unsel = out.filterNot(_.getBoolean(4))
+    assert(sel.nonEmpty && unsel.nonEmpty, "budget should bite at sf0.001")
+    // the selected set is exactly the ranked prefix: every selected row
+    // precedes every unselected row in output order
+    val flags = out.map(_.getBoolean(4))
+    assert(flags.mkString.matches("true*(truefalse|false)?.*") || flags.dropWhile(identity).forall(!_))
+    assert(flags.dropWhile(identity).forall(!_), "selection must be a prefix")
+    // budget maximality: selected total <= budget < selected total + first cut doc
+    val selTok = sel.map(_.getLong(2)).sum
+    assert(selTok <= 2000L)
+    assert(selTok + unsel.head.getLong(2) > 2000L, "first cut doc must overflow the budget")
+    // cum_tokens is the running sum of n_tokens in order
+    assert(out.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.sameElements(out.map(_.getLong(3))))
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
