@@ -3427,6 +3427,31 @@ SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
 FROM c
 ORDER BY quality DESC, doc_id"""
 
+  /** Per-language token-budget selection: the budget-select running
+    * total PARTITIONED by lang. Mirrors Corpus.budgetSelectPerLang. */
+  val corpusBudgetByLang: String = s"""
+WITH q AS (
+  SELECT doc_id, lang,
+         least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+           + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, quality, n_tokens,
+         SUM(CAST(n_tokens AS DECIMAL(27,6))) OVER (
+           PARTITION BY lang
+           ORDER BY quality DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM q
+)
+SELECT lang, doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       (CAST(cum AS BIGINT) <= 5000) AS selected
+FROM c
+ORDER BY lang, quality DESC, doc_id"""
+
   /** ABC/Pareto customer classification: cumulative revenue share in
     * (revenue DESC, custkey) order, decimal-exact running sum — mirrors
     * Analytics.abcClassification (whose distributed prefix-sum is

@@ -166,6 +166,8 @@ object SparkEntry {
 
     "corpus_budget_select" -> ((s, dir) => Corpus.budgetSelect(Tables.documents(s, dir))),
 
+    "corpus_budget_by_lang" -> ((s, dir) => Corpus.budgetSelectPerLang(Tables.documents(s, dir))),
+
     "quality_curriculum" -> ((s, dir) =>
       Corpus.qualityCurriculum(Tables.documents(s, dir))),
 
@@ -704,6 +706,7 @@ object SparkEntry {
     "orders_yoy_growth"         -> Oracles.ordersYoyGrowth,
     "orders_abc_pareto"         -> Oracles.ordersAbcPareto,
     "corpus_budget_select"      -> Oracles.corpusBudgetSelect,
+    "corpus_budget_by_lang"     -> Oracles.corpusBudgetByLang,
     "text_langid"               -> Oracles.textLangid,
     "text_quality"              -> Oracles.textQuality,
     "token_count"               -> Oracles.tokenCount,

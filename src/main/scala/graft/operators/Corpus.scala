@@ -837,6 +837,28 @@ object Corpus {
       .orderBy(col("quality").desc, col("doc_id"))
   }
 
+  /** PER-LANGUAGE token-budget selection — [[budgetSelect]] with the
+    * prefix sum GROUPED by `lang`: each language independently keeps its
+    * best-quality prefix under the same budget, which is how real
+    * mixtures are cut (a global budget lets one dominant language crowd
+    * out the rest; per-language budgets ARE the mixture weights
+    * expressed in tokens). Exercises the grouped path of
+    * [[Quantiles.withExactPrefixSum]]: every shuffle keys on
+    * (lang, bucket), offsets are per-language. */
+  def budgetSelectPerLang(documents: DataFrame, tokenBudget: Long = 5000L): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Quantiles.withExactPrefixSum(scored, Seq("lang"),
+        Seq(("quality", false), ("doc_id", true)), "n_tokens", "__cum", "__tot")
+      .withColumn("cum_tokens", col("__cum").cast("long"))
+      .withColumn("selected", col("cum_tokens") <= tokenBudget)
+      .select(col("lang"), col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"), col("selected"))
+      .orderBy(col("lang"), col("quality").desc, col("doc_id"))
+  }
+
   /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile
     * window) — spec-pinned semantic oracle, not the scale path. */
   def qualityCurriculumSingleTask(documents: DataFrame, stages: Int = 4): DataFrame = {

@@ -241,6 +241,21 @@ class FusionSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).scanLeft(0L)(_ + _).tail.sameElements(out.map(_.getLong(3))))
   }
 
+  test("budgetSelectPerLang: each language keeps an independent maximal prefix") {
+    val out = graft.operators.Corpus.budgetSelectPerLang(docs, tokenBudget = 1500L).collect()
+    val byLang = out.groupBy(_.getString(0))
+    assert(byLang.size >= 2, "sf0.001 should have multiple languages")
+    byLang.foreach { case (lang, rows) =>
+      val flags = rows.map(_.getBoolean(5))
+      assert(flags.dropWhile(identity).forall(!_), s"$lang selection must be a prefix")
+      val sel = rows.filter(_.getBoolean(5))
+      if (sel.nonEmpty) assert(sel.map(_.getLong(3)).sum <= 1500L, s"$lang over budget")
+      // per-lang cumulative restarts at the language boundary
+      assert(rows.map(_.getLong(3)).scanLeft(0L)(_ + _).tail
+        .sameElements(rows.map(_.getLong(4))), s"$lang cum must restart")
+    }
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
