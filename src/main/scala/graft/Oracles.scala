@@ -2820,6 +2820,46 @@ SELECT k.channel, e.n_exact, k.n_kept,
 FROM kept k JOIN ex e ON e.channel = k.channel
 ORDER BY 1"""
 
+  /** KMV theta-intersection oracle: per channel pair, θ = min of the two
+    * k-th hashes (2^60 when unsaturated), common-below-θ scaled by
+    * 2^60/θ — mirrors Sketches.kmvIntersection. */
+  val sketchKmvIntersection: String = sketchHashed + """
+, dh AS (
+  SELECT DISTINCT channel, h FROM hashed
+), ranked AS (
+  SELECT channel, h, row_number() OVER (PARTITION BY channel ORDER BY h) AS rn
+  FROM dh
+), st AS (
+  SELECT channel, h FROM ranked WHERE rn <= 64
+), th AS (
+  SELECT channel,
+         CASE WHEN COUNT(*) < 64 THEN CAST(1152921504606846976 AS DOUBLE)
+              ELSE CAST(MAX(h) AS DOUBLE) END AS theta
+  FROM st GROUP BY channel
+), prs AS (
+  SELECT a.channel AS ch_a, b.channel AS ch_b, least(a.theta, b.theta) AS theta
+  FROM th a JOIN th b ON a.channel < b.channel
+), cm AS (
+  SELECT sa.channel AS ch_a, sb.channel AS ch_b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st sa JOIN st sb ON sa.h = sb.h AND sa.channel < sb.channel
+  JOIN prs p ON p.ch_a = sa.channel AND p.ch_b = sb.channel
+  WHERE CAST(sa.h AS DOUBLE) < p.theta
+  GROUP BY 1, 2
+), exv AS (
+  SELECT da.channel AS ch_a, db.channel AS ch_b, CAST(COUNT(*) AS BIGINT) AS n_exact
+  FROM dh da JOIN dh db ON da.h = db.h AND da.channel < db.channel
+  GROUP BY 1, 2
+)
+SELECT p.ch_a, p.ch_b,
+       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+         * (CAST(1152921504606846976 AS DOUBLE) / p.theta) AS est_intersection
+FROM prs p
+LEFT JOIN cm c ON c.ch_a = p.ch_a AND c.ch_b = p.ch_b
+LEFT JOIN exv e ON e.ch_a = p.ch_a AND e.ch_b = p.ch_b
+ORDER BY p.ch_a, p.ch_b"""
+
   /** Count-min sketch oracle: d=4 rows × w=64 buckets, probe users < 10,
     * estimate = min over rows — same "r:user" hash input as
     * `Sketches.cmsFrequency`. */

@@ -195,6 +195,9 @@ object SparkEntry {
     "sketch_hll_distinct" -> ((s, dir) =>
       graft.operators.Sketches.hllDistinct(Tables.events(s, dir))),
 
+    "sketch_kmv_intersection" -> ((s, dir) =>
+      graft.operators.Sketches.kmvIntersection(Tables.events(s, dir))),
+
     "sketch_kmv_merged" -> ((s, dir) =>
       graft.operators.Sketches.kmvMerged(Tables.events(s, dir))),
 
@@ -614,6 +617,7 @@ object SparkEntry {
     "sketch_cms_frequency"      -> Oracles.sketchCmsFrequency,
     "sketch_hll_distinct"       -> Oracles.sketchHllDistinct,
     "sketch_kmv_merged"         -> Oracles.sketchKmvMerged,
+    "sketch_kmv_intersection"   -> Oracles.sketchKmvIntersection,
     // deliberately the FULL-data CMS oracle: cell-wise-sum merging must
     // reproduce the full grid exactly, so the hash match IS the proof
     "sketch_cms_merged"         -> Oracles.sketchCmsFrequency,

@@ -140,6 +140,29 @@ class SketchesSpec extends SparkSpec {
       .collect().head.toSeq === full)
   }
 
+  test("KMV theta-intersection: all channel pairs present, estimates track exact overlap") {
+    val events = Tables.events(spark, sfDir)
+    val out = Sketches.kmvIntersection(events).collect()
+    val channels = events.select("event_type").distinct().count()
+    assert(out.length == channels * (channels - 1) / 2, "one row per unordered pair")
+    out.foreach { r =>
+      val (exact, common, est) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(common >= 0 && est >= 0.0)
+      // unsaturated sketches (theta = full space) are EXACT on the overlap
+      // they see; saturated ones estimate — either way, a zero estimate
+      // must mean genuinely small overlap and a big overlap must register
+      if (exact == 0) assert(common == 0)
+      if (exact > 50) assert(est > 0.0, s"large overlap missed entirely: $r")
+    }
+    // theta-sketch property: identical inputs → self-overlap estimate is
+    // within 3x of exact for every pair at this k/corpus (loose sanity
+    // band; the oracle hash-compare is the exactness gate)
+    out.filter(_.getLong(2) > 100).foreach { r =>
+      val ratio = r.getDouble(4) / r.getLong(2).toDouble
+      assert(ratio > 0.25 && ratio < 4.0, s"estimate off by >4x: $r")
+    }
+  }
+
   test("CMS is linear: doubling the input doubles every counter, hence every estimate") {
     val events = Tables.events(spark, sfDir)
     val once = Sketches.cmsFrequency(events).collect()
