@@ -3392,54 +3392,65 @@ ORDER BY p.anchor"""
     * `mu = 1.0 - lambda` and the two doubles differ in the last ulp. */
   private def mmrStep(t: Int): String = s"""
 , pick$t AS MATERIALIZED (
-  SELECT c.vec_id, c.rel,
-         CAST(0.7 AS DOUBLE) * c.rel
-           - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
-               SELECT MAX(p.sim) FROM psim p JOIN sel${t - 1} s ON p.b = s.vec_id
-               WHERE p.a = c.vec_id) AS score
-  FROM relk c
-  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
-  ORDER BY score DESC, c.vec_id LIMIT 1
+  SELECT query_id, vec_id, rel, score FROM (
+    SELECT y.*, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id) AS pk
+    FROM (
+      SELECT c.query_id, c.vec_id, c.rel,
+             CAST(0.7 AS DOUBLE) * c.rel
+               - (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) * (
+                   SELECT MAX(p.sim) FROM psim p
+                   JOIN sel${t - 1} s ON s.query_id = p.query_id AND p.b = s.vec_id
+                   WHERE p.query_id = c.query_id AND p.a = c.vec_id) AS score
+      FROM relk c
+      WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s2
+                        WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id)) y) z
+  WHERE pk = 1
 ), sel$t AS MATERIALIZED (
-  SELECT vec_id, mmr_rank, rel, score FROM sel${t - 1}
-  UNION ALL SELECT vec_id, $t AS mmr_rank, rel, score FROM pick$t
+  SELECT query_id, vec_id, mmr_rank, rel, score FROM sel${t - 1}
+  UNION ALL SELECT query_id, vec_id, $t AS mmr_rank, rel, score FROM pick$t
 )"""
 
   /** MMR diversity re-rank of the exact top-20 around query vector 0,
     * greedy unrolled to 10 selections — lockstep with
     * `Similarity.mmrRerank` (same λ-blend tree, same tie rules). */
   val searchMmrRerank: String = featBase + """
-, q0 AS (
-  SELECT embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id = 0
+, qs AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 4
 ), rdots AS (
-  SELECT c.vec_id, c.nrm AS c_nrm, q.q_nrm,
+  SELECT q.query_id, c.vec_id, c.nrm AS c_nrm, q.q_nrm,
          CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-  FROM feat c CROSS JOIN q0 q
+  FROM feat c CROSS JOIN qs q
   CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
-  WHERE c.vec_id <> 0
-  GROUP BY c.vec_id, c.nrm, q.q_nrm
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id, c.nrm, q.q_nrm
 ), relk AS MATERIALIZED (
-  SELECT vec_id, rel FROM (
-    SELECT vec_id, dot / (q_nrm * c_nrm) AS rel,
-           row_number() OVER (ORDER BY dot / (q_nrm * c_nrm) DESC, vec_id) AS rn
+  SELECT query_id, vec_id, rel FROM (
+    SELECT query_id, vec_id, dot / (q_nrm * c_nrm) AS rel,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (q_nrm * c_nrm) DESC, vec_id) AS rn
     FROM rdots) x WHERE rn <= 20
 ), cfeat AS (
-  SELECT f.vec_id, f.embedding, f.nrm FROM feat f JOIN relk r ON r.vec_id = f.vec_id
+  SELECT r.query_id, f.vec_id, f.embedding, f.nrm
+  FROM feat f JOIN relk r ON r.vec_id = f.vec_id
 ), psim AS MATERIALIZED (
-  SELECT a.vec_id AS a, b.vec_id AS b,
+  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
          CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
            / (a.nrm * b.nrm) AS sim
-  FROM cfeat a JOIN cfeat b ON a.vec_id <> b.vec_id
+  FROM cfeat a JOIN cfeat b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
   CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
-  GROUP BY a.vec_id, b.vec_id, a.nrm, b.nrm
+  GROUP BY a.query_id, a.vec_id, b.vec_id, a.nrm, b.nrm
 ), pick1 AS MATERIALIZED (
-  SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS score FROM relk
-  ORDER BY score DESC, vec_id LIMIT 1
+  SELECT query_id, vec_id, rel, score FROM (
+    SELECT query_id, vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id) AS pk
+    FROM relk) z WHERE pk = 1
 ), sel1 AS MATERIALIZED (
-  SELECT vec_id, 1 AS mmr_rank, rel, score FROM pick1
+  SELECT query_id, vec_id, 1 AS mmr_rank, rel, score FROM pick1
 )""" + (2 to 10).map(mmrStep).mkString + """
-SELECT vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
-FROM sel10 ORDER BY mmr_rank"""
+SELECT query_id, vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, rel, score
+FROM sel10 ORDER BY query_id, mmr_rank"""
 
   /** Quality-ordered token-budget selection: decimal-exact running token
     * total in (quality DESC, doc_id) order, selected while ≤ 20000 —

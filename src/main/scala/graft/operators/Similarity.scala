@@ -816,8 +816,8 @@ object Similarity {
   }
 
   /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
-    * '98): from the exact top-`k` cosine candidates around query vector 0,
-    * greedily select `select` results maximizing
+    * '98): PER QUERY (`vec_id < nQueries`), from the exact top-`k` cosine
+    * candidates, greedily select `nSelect` results maximizing
     * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)` — the diversity-aware
     * retrieval pass a training-data pipeline runs so near-duplicate
     * passages don't crowd a retrieved context set.
@@ -833,44 +833,54 @@ object Similarity {
     * mirrored by the oracle's unrolled greedy CTE chain. */
   def mmrRerank(
       embeddings: DataFrame,
+      nQueries: Int = 4,
       k: Int = 20,
       nSelect: Int = 10,
       lambda: Double = 0.7): DataFrame = {
     val spark = embeddings.sparkSession
-    val cands = bruteForceTopK(embeddings, nQueries = 1, k = k)
-      .select(col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
+    val cands = bruteForceTopK(embeddings, nQueries = nQueries, k = k)
+      .select(col("query_id"), col("neighbor_id").as("vec_id"), col("cosine").as("rel"))
     val feat = withFeat(embeddings)
-    val cf = feat.join(broadcast(cands.select("vec_id")), "vec_id")
-      .select(col("vec_id"), col("embedding"), col("nrm"))
-    val a = cf.select(col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
-    val b = cf.select(col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
-    val psim = broadcast(a).join(b, col("a") =!= col("b"))
-      .select(col("a"), col("b"),
+    val cf = feat.join(broadcast(cands.select("query_id", "vec_id")), "vec_id")
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("nrm"))
+    val a = cf.select(col("query_id"), col("vec_id").as("a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = cf.select(col("query_id"), col("vec_id").as("b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val psim = broadcast(a).join(b, Seq("query_id")).filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
         (VectorFunctions.dotExact(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
-    // k rel rows + k·(k−1) sim rows: bounded index metadata, not corpus data
-    val rel: Seq[(Long, Double)] =
-      cands.collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
-    val sim: Map[(Long, Long), Double] =
-      psim.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // |Q|·k rel rows + |Q|·k·(k−1) sim rows: bounded index metadata
+    val rel: Map[Long, Seq[(Long, Double)]] =
+      cands.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(x => (x._2, x._3)) }
+    val sim: Map[(Long, Long, Long), Double] =
+      psim.collect().map(r =>
+        ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
     val mu = 1.0 - lambda // 0.3 for the default: same literal the oracle casts
-    var selected = Vector.empty[(Long, Int, Double, Double)]
-    var remaining = rel
-    while (selected.size < math.min(nSelect, rel.size)) {
-      val scored = remaining.map { case (v, r) =>
-        val penalty =
-          if (selected.isEmpty) 0.0
-          else mu * selected.map(s => sim((v, s._1))).max
-        val score = if (selected.isEmpty) lambda * r else lambda * r - penalty
-        (v, r, score)
+    val out = rel.keys.toSeq.sorted.flatMap { q =>
+      val qRel = rel(q)
+      var selected = Vector.empty[(Long, Long, Int, Double, Double)]
+      var remaining = qRel
+      while (selected.size < math.min(nSelect, qRel.size)) {
+        val scored = remaining.map { case (v, r) =>
+          val penalty =
+            if (selected.isEmpty) 0.0
+            else mu * selected.map(s => sim((q, v, s._2))).max
+          val score = if (selected.isEmpty) lambda * r else lambda * r - penalty
+          (v, r, score)
+        }
+        val best = scored.reduceLeft { (x, y) =>
+          if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
+        }
+        selected :+= ((q, best._1, selected.size + 1, best._2, best._3))
+        remaining = remaining.filterNot(_._1 == best._1)
       }
-      val best = scored.reduceLeft { (x, y) =>
-        if (y._3 > x._3 || (y._3 == x._3 && y._1 < x._1)) y else x
-      }
-      selected :+= ((best._1, selected.size + 1, best._2, best._3))
-      remaining = remaining.filterNot(_._1 == best._1)
+      selected
     }
     import spark.implicits._
-    selected.toDF("vec_id", "mmr_rank", "rel", "score").orderBy("mmr_rank")
+    out.toDF("query_id", "vec_id", "mmr_rank", "rel", "score")
+      .orderBy("query_id", "mmr_rank")
   }
 
   /** Mean-center + L2-renormalize the embedding column — the standard

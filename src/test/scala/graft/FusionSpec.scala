@@ -39,19 +39,23 @@ class FusionSpec extends SparkSpec {
     }
   }
 
-  test("mmrRerank: first pick is the relevance argmax; selections are distinct top-k members") {
-    val cands = Similarity.bruteForceTopK(emb, nQueries = 1, k = 20)
-      .select(col("neighbor_id"), col("cosine")).collect()
-      .map(r => (r.getLong(0), r.getDouble(1)))
+  test("mmrRerank: per-query first pick is the relevance argmax; selections distinct") {
+    val cands = Similarity.bruteForceTopK(emb, nQueries = 4, k = 20)
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
     val out = Similarity.mmrRerank(emb).collect()
-    assert(out.length == 10)
-    assert(out.map(_.getInt(1)).toSeq == (1 to 10))
-    val picked = out.map(_.getLong(0))
-    assert(picked.distinct.length == 10)
-    assert(picked.toSet.subsetOf(cands.map(_._1).toSet))
-    val bestRel = cands.maxBy(c => (c._2, -c._1))
-    assert(out.head.getLong(0) == bestRel._1, "rank-1 must be the pure-relevance argmax")
-    assert(out.head.getDouble(3) == 0.7 * bestRel._2)
+    assert(out.length == 40, "10 selections × 4 queries")
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq == (1 to 10))
+      val picked = rows.sortBy(_.getInt(2)).map(_.getLong(1))
+      assert(picked.distinct.length == 10)
+      assert(picked.toSet.subsetOf(cands(q).map(_._2).toSet))
+      val bestRel = cands(q).maxBy(c => (c._3, -c._2))
+      assert(picked.head == bestRel._2, s"q$q rank-1 must be the pure-relevance argmax")
+      val first = rows.minBy(_.getInt(2))
+      assert(first.getDouble(4) == 0.7 * bestRel._3)
+    }
   }
 
   test("mmrRerank demotes an exact duplicate of an already-selected result") {
@@ -71,7 +75,8 @@ class FusionSpec extends SparkSpec {
       6L -> v(0, 0, 0, 0, 0, 1),
       7L -> v(0, 0, 0, 0, 0, 0, 1))
     val e = rows.toDF("vec_id", "embedding")
-    val picked = Similarity.mmrRerank(e, k = 4, nSelect = 3).collect().map(_.getLong(0)).toSeq
+    val picked = Similarity.mmrRerank(e, nQueries = 1, k = 4, nSelect = 3)
+      .collect().map(_.getLong(1)).toSeq
     assert(picked.take(2) == Seq(1L, 3L),
       s"MMR should break up the duplicate pair, got $picked")
   }
