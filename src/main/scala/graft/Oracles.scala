@@ -3597,6 +3597,32 @@ LEFT JOIN tapprox l
 GROUP BY b.query_id
 ORDER BY b.query_id"""
 
+  /** Per-dimension embedding stats: float-string scale-12 decimal moment
+    * sums, the second moment over FLOAT32 squares (see
+    * Similarity.dimStats for why scale-24 exact squares are avoided),
+    * variance = E[x²] − mean² in double. */
+  val embedDimStats: String = """
+WITH ux AS (
+  SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), m AS (
+  SELECT i,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean,
+         CAST(SUM(CAST(CAST(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS REAL) AS VARCHAR)
+                  AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_sq,
+         CAST(MIN(x) AS DOUBLE) AS min_x,
+         CAST(MAX(x) AS DOUBLE) AS max_x
+  FROM ux GROUP BY i
+)
+SELECT CAST(i - 1 AS BIGINT) AS pos, n, mean,
+       mean_sq - mean * mean AS variance,
+       min_x, max_x
+FROM m
+ORDER BY pos"""
+
   /** Mean-center + L2-renormalize: decimal-exact per-dimension means
     * (the labelCentroids discipline), one IEEE center-subtract narrowed
     * to REAL, then a SEQUENTIAL left-to-right double fold for the norm

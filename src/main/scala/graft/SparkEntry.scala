@@ -361,6 +361,8 @@ object SparkEntry {
 
     "embed_center_norm" -> ((s, dir) => Similarity.centerNormalize(Tables.embeddings(s, dir))),
 
+    "embed_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables.embeddings(s, dir))),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -673,6 +675,7 @@ object SparkEntry {
     "corpus_datasheet"          -> Oracles.corpusDatasheet,
     "embed_rp_project"          -> Oracles.embedRpProject,
     "embed_center_norm"         -> Oracles.embedCenterNorm,
+    "embed_dim_stats"           -> Oracles.embedDimStats,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_hot_spans"           -> Oracles.dedupHotSpans,

@@ -883,6 +883,44 @@ object Similarity {
       .orderBy("query_id", "mmr_rank")
   }
 
+  /** Per-DIMENSION embedding statistics — the health check run before
+    * trusting (or whitening) an embedding column: mean, variance,
+    * min/max per dimension expose dead dimensions (zero variance),
+    * scale drift between dimensions, and the hub offset
+    * ([[centerNormalize]]'s input). One posexplode partial-agg — d
+    * output rows at scan speed whatever the corpus size.
+    *
+    * Determinism: both moment sums ride the float-string scale-12
+    * decimal discipline ([[labelCentroids]]): the second moment squares
+    * each component as FLOAT32 first (one exact double multiply + one
+    * IEEE narrowing, identical in both engines), because an exact
+    * scale-24 x² decimal would need a decimal→double conversion through
+    * 1e24 — NOT an exact double — where the engines' conversions differ
+    * in the last ulp (measured 18/64 dims); scale 12's 1e12 is exact and
+    * proven green across every mean-style oracle. Variance =
+    * E[x²] − mean², one multiply + one subtract in double. */
+  def dimStats(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xsq",
+        (col("x").cast("double") * col("x").cast("double")).cast("float"))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("x").cast("string").cast(dec)).cast("double") /
+          count(lit(1)).cast("double")).as("mean"),
+        sum(col("xsq").cast("string").cast(dec)).as("__ss"),
+        min(col("x")).cast("double").as("min_x"),
+        max(col("x")).cast("double").as("max_x"))
+      .withColumn("variance",
+        col("__ss").cast("double") / col("n").cast("double")
+          - col("mean") * col("mean"))
+      .select(col("pos").cast("long").as("pos"), col("n"), col("mean"),
+        col("variance"), col("min_x"), col("max_x"))
+      .orderBy("pos")
+  }
+
   /** Mean-center + L2-renormalize the embedding column — the standard
     * retrieval preprocessing (centering removes the corpus-wide "hub"
     * direction that inflates cosine similarity between unrelated

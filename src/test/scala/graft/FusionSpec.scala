@@ -261,6 +261,24 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("dimStats: one row per dim, variance non-negative, dead dim detected") {
+    val out = Similarity.dimStats(emb).collect()
+    assert(out.length == 64)
+    out.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) >= -1e-9, s"variance negative: $r")
+      assert(r.getDouble(4) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(5),
+        "mean must sit within [min, max]")
+    }
+    // a planted constant dimension reports ~zero variance
+    val dead = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(d => if (d == 3) 2.5f else (i * 7 + d).toFloat % 5)))
+      .toDF("vec_id", "embedding")
+    val ds = Similarity.dimStats(dead).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(ds(3L)) < 1e-12, s"dead dim variance ${ds(3L)}")
+    assert(ds.filterKeys(_ != 3L).values.exists(_ > 0.1))
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
