@@ -3623,6 +3623,27 @@ SELECT CAST(i - 1 AS BIGINT) AS pos, n, mean,
 FROM m
 ORDER BY pos"""
 
+  /** Per-dimension whitening: (x − μ)/√(σ²+1e-6) with the dimStats
+    * moment bridges — mirrors Similarity.whiten. */
+  val embedWhiten: String = """
+WITH ux AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), m AS (
+  SELECT i,
+         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean,
+         CAST(SUM(CAST(CAST(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS REAL) AS VARCHAR)
+                  AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_sq
+  FROM ux GROUP BY i
+)
+SELECT u.vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       (CAST(u.x AS DOUBLE) - m.mean)
+         / sqrt((m.mean_sq - m.mean * m.mean) + 1e-6) AS y
+FROM ux u JOIN m ON m.i = u.i
+ORDER BY vec_id, pos"""
+
   /** Mean-center + L2-renormalize: decimal-exact per-dimension means
     * (the labelCentroids discipline), one IEEE center-subtract narrowed
     * to REAL, then a SEQUENTIAL left-to-right double fold for the norm

@@ -363,6 +363,8 @@ object SparkEntry {
 
     "embed_dim_stats" -> ((s, dir) => Similarity.dimStats(Tables.embeddings(s, dir))),
 
+    "embed_whiten" -> ((s, dir) => Similarity.whiten(Tables.embeddings(s, dir))),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
@@ -676,6 +678,7 @@ object SparkEntry {
     "embed_rp_project"          -> Oracles.embedRpProject,
     "embed_center_norm"         -> Oracles.embedCenterNorm,
     "embed_dim_stats"           -> Oracles.embedDimStats,
+    "embed_whiten"              -> Oracles.embedWhiten,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
     "dedup_hot_spans"           -> Oracles.dedupHotSpans,

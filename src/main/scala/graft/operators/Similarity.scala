@@ -921,6 +921,33 @@ object Similarity {
       .orderBy("pos")
   }
 
+  /** Per-dimension WHITENING (standardization): y_i = (x_i − μ_i) /
+    * √(σ²_i + ε) — the preprocessing that equalizes dimension scales
+    * before distance-based passes when [[dimStats]] shows drift (full
+    * ZCA needs the covariance; diagonal whitening is the production
+    * default). Same two-pass shape as [[centerNormalize]]: the d
+    * (μ, σ²) pairs are INDEX METADATA — computed by [[dimStats]]'
+    * aggregation, collected once, inlined as literal arrays — so the
+    * transform is a shuffle-free codegen'd map over the scan.
+    *
+    * Determinism: μ/σ² come from dimStats' proven bridges; √(σ²+ε) and
+    * the per-element subtract/divide are single IEEE ops with identical
+    * trees in the oracle. */
+  def whiten(embeddings: DataFrame, eps: Double = 1e-6): DataFrame = {
+    val stats = dimStats(embeddings)
+      .select("pos", "mean", "variance").collect()
+      .sortBy(_.getLong(0))
+    val meanLit = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+    val stdLit = array(stats.map(r =>
+      lit(math.sqrt(r.getDouble(2) + eps))).toSeq: _*)
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        ((col("x").cast("double") - element_at(meanLit, (col("pos") + 1).cast("int"))) /
+          element_at(stdLit, (col("pos") + 1).cast("int"))).as("y"))
+      .orderBy("vec_id", "pos")
+  }
+
   /** Mean-center + L2-renormalize the embedding column — the standard
     * retrieval preprocessing (centering removes the corpus-wide "hub"
     * direction that inflates cosine similarity between unrelated

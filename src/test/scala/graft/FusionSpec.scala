@@ -279,6 +279,18 @@ class FusionSpec extends SparkSpec {
     assert(ds.filterKeys(_ != 3L).values.exists(_ > 0.1))
   }
 
+  test("whiten: ~unit variance and ~zero mean per dimension afterwards") {
+    val out = Similarity.whiten(emb)
+    val post = out.groupBy("pos").agg(
+      avg("y").as("m"),
+      (sum(col("y") * col("y")) / count(lit(1))).as("msq")).collect()
+    post.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-7, s"post-whiten mean ${r.getDouble(1)}")
+      val v = r.getDouble(2) - r.getDouble(1) * r.getDouble(1)
+      assert(v > 0.9 && v < 1.1, s"post-whiten variance $v (eps shifts it slightly)")
+    }
+  }
+
   test("centerNormalize: unit output norms and ~zero centered means") {
     val out = Similarity.centerNormalize(emb)
     val norms = out.groupBy("vec_id").agg(sum(col("y") * col("y")).as("ss")).collect()
