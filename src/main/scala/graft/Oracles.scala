@@ -83,6 +83,70 @@ SELECT conv_id, session_id, channel_name, ihc
 FROM ihc_tbl
 ORDER BY conv_id, session_id"""
 
+  /** Redistribution-parameter IHC (`api_utils.py:304-340`): 'error' is the
+    * direct-channel stand-in; thresholds/directions per the reference's
+    * `create_redistribution_parameter` defaults (i: earlier-only thr 0,
+    * h: any thr 0, c: later-only thr 0.1). Every multi-term sum is the
+    * ordered double fold, matching the Spark side bit-for-bit. */
+  val ihcRedistributed: String = attrBase + """
+, pw AS (
+  SELECT conv_id, session_id, ts_us, channel_name,
+    (CASE WHEN row_number() OVER (PARTITION BY conv_id ORDER BY ts_us ASC, session_id ASC) = 1 THEN 1.0 ELSE 0.0 END) AS w_i,
+    (CASE WHEN SUM(holder_engagement) OVER (PARTITION BY conv_id) > 0
+       THEN CAST(holder_engagement AS DOUBLE) / CAST(SUM(holder_engagement) OVER (PARTITION BY conv_id) AS DOUBLE)
+       ELSE 1.0 / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE) END) AS w_h,
+    (CASE WHEN SUM(closer_engagement) OVER (PARTITION BY conv_id) > 0
+       THEN CAST(closer_engagement AS DOUBLE) / CAST(SUM(closer_engagement) OVER (PARTITION BY conv_id) AS DOUBLE)
+       ELSE CAST(conversion AS DOUBLE) END) AS w_c
+  FROM flagged
+), pwc AS (
+  SELECT *, (w_i + w_h + w_c) / 3.0 AS ihc FROM pw
+), donors AS (
+  SELECT conv_id, 'i' AS phase, session_id AS d_sid, ts_us AS d_ts, w_i AS d_w
+  FROM pwc WHERE channel_name IN ('error') AND w_i > 0.0
+  UNION ALL
+  SELECT conv_id, 'h', session_id, ts_us, w_h FROM pwc WHERE channel_name IN ('error') AND w_h > 0.0
+  UNION ALL
+  SELECT conv_id, 'c', session_id, ts_us, w_c FROM pwc WHERE channel_name IN ('error') AND w_c > 0.0
+), receivers AS (
+  SELECT conv_id AS r_conv, session_id AS r_sid, ts_us AS r_ts, ihc AS r_ihc
+  FROM pwc WHERE channel_name NOT IN ('error')
+), pairs AS (
+  SELECT d.conv_id, d.phase, d.d_sid, d.d_w, r.r_sid, r.r_ihc
+  FROM donors d JOIN receivers r
+    ON d.conv_id = r.r_conv
+   AND r.r_ihc >= (CASE d.phase WHEN 'i' THEN 0.0 WHEN 'h' THEN 0.0 ELSE 0.1 END)
+   AND (d.phase = 'h'
+     OR (d.phase = 'i' AND (r.r_ts < d.d_ts OR (r.r_ts = d.d_ts AND r.r_sid < d.d_sid)))
+     OR (d.phase = 'c' AND (r.r_ts > d.d_ts OR (r.r_ts = d.d_ts AND r.r_sid > d.d_sid))))
+), denom AS (
+  SELECT conv_id, phase, d_sid, MAX(d_w) AS d_w,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(r_ihc ORDER BY r_sid)),
+                     (a, b) -> a + b) AS denom
+  FROM pairs GROUP BY conv_id, phase, d_sid
+), live AS (
+  SELECT * FROM denom WHERE denom > 0.0
+), transfers AS (
+  SELECT p.conv_id, p.r_sid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(((p.d_w * p.r_ihc) / l.denom) / 3.0 ORDER BY p.phase, p.d_sid)),
+           (a, b) -> a + b) AS t_in
+  FROM pairs p JOIN live l
+    ON p.conv_id = l.conv_id AND p.phase = l.phase AND p.d_sid = l.d_sid
+  GROUP BY p.conv_id, p.r_sid
+), donated AS (
+  SELECT conv_id, d_sid,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(d_w / 3.0 ORDER BY phase)),
+                     (a, b) -> a + b) AS t_out
+  FROM live GROUP BY conv_id, d_sid
+)
+SELECT b.conv_id, b.session_id, b.channel_name, b.ihc,
+       (b.ihc - COALESCE(o.t_out, 0.0)) + COALESCE(t.t_in, 0.0) AS ihc_redist
+FROM pwc b
+LEFT JOIN donated o ON b.conv_id = o.conv_id AND b.session_id = o.d_sid
+LEFT JOIN transfers t ON b.conv_id = t.conv_id AND b.session_id = t.r_sid
+ORDER BY b.conv_id, b.session_id"""
+
   val attributionSumCheck: String = attrBase + """
 SELECT conv_id, total_ihc, (ABS(total_ihc - 1.0) <= 0.001) AS within_tolerance
 FROM (

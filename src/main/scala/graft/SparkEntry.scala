@@ -37,7 +37,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conversions_extract" -> ((s, dir) =>
-      Tables.conversions(s, dir)
+      // raw-ts window (pushes into the parquet scan) + the redundant
+      // derived-date filter (exactness guard against encoding drift)
+      Tables.deriveConversions(
+          Tables.eventsWindowed(s, dir, Some("2024-01-05"), None))
         .filter(col("conv_date") >= lit("2024-01-05").cast("date"))
         .orderBy("conv_id")),
 
@@ -61,6 +64,13 @@ object SparkEntry {
         .select("conv_id", "session_id", "channel_name", "ihc")
         .orderBy("conv_id", "session_id")),
 
+    "ihc_redistributed" -> ((s, dir) =>
+      // 'error' is this schema's untracked/no-engagement channel — the
+      // stand-in for the reference's 'Direct' label (api_utils.py:322)
+      IhcAttribution.attributeRedistributed(flagged(s, dir), directChannels = Seq("error"))
+        .select("conv_id", "session_id", "channel_name", "ihc", "ihc_redist")
+        .orderBy("conv_id", "session_id")),
+
     "attribution_sum_check" -> ((s, dir) =>
       IhcAttribution.sumCheck(attributed(s, dir)).orderBy("conv_id")),
 
@@ -76,7 +86,10 @@ object SparkEntry {
       Reporting.withMetrics(report(s, dir)).orderBy("channel_name", "date")),
 
     "channel_reporting_window" -> ((s, dir) => {
-      val sessions = Tables.sessions(s, dir)
+      // raw-ts window (pushes into the parquet scan) + the redundant
+      // derived-date filter (exactness guard against encoding drift)
+      val sessions = Tables.deriveSessions(
+          Tables.eventsWindowed(s, dir, Some("2024-01-05"), Some("2024-01-20")))
         .filter(col("event_date") >= lit("2024-01-05").cast("date") &&
           col("event_date") <= lit("2024-01-20").cast("date"))
       Reporting.channelReporting(
@@ -578,6 +591,7 @@ object SparkEntry {
     "journey_build"             -> Oracles.journeyBuild,
     "journey_flag"              -> Oracles.journeyFlag,
     "ihc_attribution"           -> Oracles.ihcAttribution,
+    "ihc_redistributed"         -> Oracles.ihcRedistributed,
     "attribution_sum_check"     -> Oracles.attributionSumCheck,
     "journey_stats"             -> Oracles.journeyStats,
     "journey_validate"          -> Oracles.journeyValidate,

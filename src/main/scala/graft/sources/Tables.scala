@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loaders plus the attribution-schema derivations.
@@ -59,16 +59,52 @@ object Tables {
     *
     * `event_date` is derived from the same µs value in UTC so all three
     * encodings agree byte-for-byte downstream. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsWindowed(spark, dir, None, None)
+
+  /** Events restricted to an optional `[startDate, endDateInclusive]` UTC
+    * date window — the reference's windowed re-run shape (`main.py:323`,
+    * `db_utils.py:67-103`).
+    *
+    * The window is applied directly on the RAW `ts` column, phrased per
+    * physical encoding (ns-long literal for the legacy LongType branch,
+    * `LocalDateTime` literal for NTZ, `Instant` literal for LTZ), so the
+    * bound lands in the parquet scan's `PushedFilters` and row-group
+    * statistics prune — a filter on the DERIVED `event_date`
+    * (`timestamp_micros(ts_us)`) can never push, which at 100 TB means a
+    * full-table read for a one-week extract. The raw bound is exact, not
+    * just a prune: for positive epochs, `date(ts) >= d ⟺ ts >=
+    * d 00:00 UTC` under every branch's µs/ns truncation, so callers that
+    * keep a redundant derived-column filter do so for drift-safety, not
+    * correctness. */
+  def eventsWindowed(
+      spark: SparkSession,
+      dir: String,
+      startDate: Option[String],
+      endDateInclusive: Option[String]): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val raw = withNanosFlag(spark).read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val NanosPerDay = 86400L * 1000000000L
+    def bound(day: java.time.LocalDate, lowerInclusive: Boolean): Column = {
+      val c = raw.schema("ts").dataType match {
+        case LongType               => lit(day.toEpochDay * NanosPerDay)
+        case _: TimestampNTZType    => lit(day.atStartOfDay())
+        case _                      => lit(java.time.Instant.parse(s"${day}T00:00:00Z"))
+      }
+      if (lowerInclusive) col("ts") >= c else col("ts") < c
+    }
+    val lo = startDate.map(d => bound(java.time.LocalDate.parse(d), lowerInclusive = true))
+    val hi = endDateInclusive.map(d =>
+      bound(java.time.LocalDate.parse(d).plusDays(1), lowerInclusive = false))
+    val bounded = (lo.toSeq ++ hi.toSeq).foldLeft(raw)(_ filter _)
     val tsUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _: org.apache.spark.sql.types.TimestampNTZType =>
+      case LongType => expr("ts DIV 1000")
+      case _: TimestampNTZType =>
         unix_micros(col("ts").cast("timestamp"))
       case _ => unix_micros(col("ts"))
     }
-    raw
+    bounded
       .withColumn("ts_us", tsUs)
       .withColumn("event_date", timestamp_micros(col("ts_us")).cast("date"))
   }
