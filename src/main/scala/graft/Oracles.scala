@@ -2955,6 +2955,76 @@ ORDER BY 1, 2"""
 
   /** BPE merge-candidate counts: distinct-token frequency table, then
     * weighted adjacent char pairs — lockstep with `Search.bpeTopMerges`. */
+  /** BPE train + encode (`Search.bpeLearn` + `Search.bpeEncode`), fully
+    * unrolled: 30 learning rounds as MATERIALIZED CTE pairs (best-pair
+    * argmax, then one greedy left-to-right non-overlapping rewrite) —
+    * the Lloyd/MMR unroll trick applied to tokenizer training.
+    *
+    * Representation: each vocabulary word is kept as its symbols joined
+    * by a DOUBLE space with double-space sentinels ("  a  b  c  "), so
+    * one `replace(' x  y ', ' xy ')` per round implements EXACTLY the
+    * greedy skip-2 merge pass (adjacent occurrences never share a
+    * separator character, so left-to-right non-overlapping `replace`
+    * can't miss the second of two touching matches). A round with no
+    * remaining pairs yields an empty p_r; the LEFT JOIN ON TRUE then
+    * passes words through unchanged, mirroring `bpeLearn`'s early stop.
+    *
+    * Fertility re-aggregates from the final vocabulary tokenization;
+    * every document word is in the vocabulary because the 65536 cap is
+    * far above this corpus's distinct-word count (the Spark side's
+    * truncation would equally only matter beyond the cap). */
+  val bpeEncode: String = {
+    val nMerges = 30
+    val sb = new StringBuilder
+    sb ++= """WITH v0 AS MATERIALIZED (
+  SELECT w, freq, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s
+  FROM (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY w ORDER BY freq DESC, w LIMIT 65536) vocab
+)"""
+    for (r <- 1 to nMerges) {
+      sb ++= s"""
+, p$r AS MATERIALIZED (
+  SELECT c1, c2 FROM (
+    SELECT syms[CAST(i AS INTEGER)] AS c1, syms[CAST(i AS INTEGER) + 1] AS c2, freq
+    FROM (
+      SELECT freq, syms, unnest(range(1, len(syms))) AS i
+      FROM (SELECT freq, string_split(trim(s), '  ') AS syms FROM v${r - 1}) z) zz
+  ) GROUP BY c1, c2 ORDER BY SUM(freq) DESC, c1, c2 LIMIT 1
+), v$r AS MATERIALIZED (
+  SELECT v.w, v.freq,
+         CASE WHEN p.c1 IS NULL THEN v.s
+              ELSE replace(v.s, ' ' || p.c1 || '  ' || p.c2 || ' ',
+                                ' ' || p.c1 || p.c2 || ' ') END AS s
+  FROM v${r - 1} v LEFT JOIN p$r p ON TRUE
+)"""
+    }
+    sb ++= s"""
+, wtok AS (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tok,
+         CAST(length(w) AS BIGINT) AS n_chr
+  FROM v$nMerges WHERE w <> ''
+), tokd AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(t.w) AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(wt.n_chr), 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(SUM(wt.n_tok), 0) AS BIGINT) AS n_tokens,
+       CASE WHEN COUNT(t.w) = 0 THEN 0.0
+            ELSE CAST(COALESCE(SUM(wt.n_tok), 0) AS DOUBLE) / CAST(COUNT(t.w) AS DOUBLE)
+       END AS tokens_per_word
+FROM documents d
+LEFT JOIN tokd t ON d.doc_id = t.doc_id
+LEFT JOIN wtok wt ON t.w = wt.w
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+    sb.result()
+  }
+
   val bpeTopMerges: String = """
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents

@@ -742,6 +742,7 @@ object SparkEntry {
     "bigram_lm"                 -> Oracles.bigramLm,
     "bigram_kn_lm"              -> Oracles.bigramKnLm,
     "bpe_top_merges"            -> Oracles.bpeTopMerges,
+    "bpe_encode"                -> Oracles.bpeEncode,
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,
     "ann_pq_topk"               -> Oracles.annPqTopK,

@@ -350,7 +350,7 @@ object Search {
     var words: Array[(Array[String], Long)] = Dedup.tokens(documents)
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("w")).limit(maxVocab)
-      .collect().map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      .collect().map(r => (codePointSymbols(r.getString(0)), r.getLong(1)))
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var done = false
@@ -384,47 +384,60 @@ object Search {
     merges.result()
   }
 
+  /** Unicode-correct symbol seeding: one symbol per CODE POINT, so
+    * non-BMP text (emoji, CJK extensions) never trains or encodes on
+    * half-surrogate symbols, and character counts match every
+    * code-point-based engine (DuckDB `length`, Python `len`). */
+  private[operators] def codePointSymbols(w: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
   /** BPE ENCODE + tokenizer-fertility report: apply a learned merge
-    * table ([[bpeLearn]]) to every document — per word, repeatedly merge
-    * the LOWEST-RANK applicable pair (the standard encode order, which
-    * reproduces training tokenizations exactly) — and report per-doc
-    * word/token/char counts plus tokens-per-word, the fertility number
-    * tokenizer and data-mixture decisions read.
+    * table ([[bpeLearn]]) to every document — per word, REPLAY the
+    * merges in training order, each as one greedy left-to-right
+    * non-overlapping pass (exactly the pass [[bpeLearn]] itself runs per
+    * round, so encoding reproduces training tokenizations verbatim) —
+    * and report per-doc word/token/char counts plus tokens-per-word,
+    * the fertility number tokenizer and data-mixture decisions read.
     *
     * Scale shape: the merge table is broadcast model metadata; encoding
     * is one typed map over the scan — embarrassingly parallel, no
-    * shuffle before the output sort. Not SQL-expressible (iterative
-    * in-word merging), so this operator is GOLDEN-SPEC verified and
-    * rows-only gated rather than oracle-hashed. */
+    * shuffle before the output sort. Oracle: the same training-order
+    * replay unrolls as `nMerges` sentinel-spaced `replace` steps over
+    * the distinct-word vocabulary in DuckDB ([[graft.Oracles.bpeEncode]]),
+    * so this operator is hash-gated like every other batch query. */
   def bpeEncode(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val spark = documents.sparkSession
     import spark.implicits._
-    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
-    val bRank = spark.sparkContext.broadcast(rank)
+    val bMerges = spark.sparkContext.broadcast(merges.toArray)
     documents.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (docId, text) =>
-        val r = bRank.value
+        val ms = bMerges.value
         val wordsArr = text.split(" ", -1).filter(_.nonEmpty)
         var nTokens = 0L
         var nChars = 0L
         wordsArr.foreach { w =>
-          nChars += w.length
-          var syms = w.map(_.toString).toArray
-          var merged = true
-          while (merged && syms.length > 1) {
-            var bestIdx = -1
-            var bestRank = Int.MaxValue
+          var syms = codePointSymbols(w)
+          nChars += syms.length
+          var m = 0
+          while (m < ms.length && syms.length > 1) {
+            val (a, b) = ms(m)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
             var i = 0
-            while (i < syms.length - 1) {
-              val rk = r.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
-              if (rk < bestRank) { bestRank = rk; bestIdx = i }
-              i += 1
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
             }
-            if (bestIdx < 0) merged = false
-            else {
-              syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
-                syms.drop(bestIdx + 2)
-            }
+            syms = out.toArray
+            m += 1
           }
           nTokens += syms.length
         }
