@@ -2909,19 +2909,13 @@ ORDER BY 1"""
   JOIN prs p ON p.ch_a = sa.channel AND p.ch_b = sb.channel
   WHERE CAST(sa.h AS DOUBLE) < p.theta
   GROUP BY 1, 2
-), exv AS (
-  SELECT da.channel AS ch_a, db.channel AS ch_b, CAST(COUNT(*) AS BIGINT) AS n_exact
-  FROM dh da JOIN dh db ON da.h = db.h AND da.channel < db.channel
-  GROUP BY 1, 2
 )
 SELECT p.ch_a, p.ch_b,
-       CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS n_exact,
        CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
        CAST(COALESCE(c.n_common, 0) AS DOUBLE)
          * (CAST(1152921504606846976 AS DOUBLE) / p.theta) AS est_intersection
 FROM prs p
 LEFT JOIN cm c ON c.ch_a = p.ch_a AND c.ch_b = p.ch_b
-LEFT JOIN exv e ON e.ch_a = p.ch_a AND e.ch_b = p.ch_b
 ORDER BY p.ch_a, p.ch_b"""
 
   /** Count-min sketch oracle: d=4 rows × w=64 buckets, probe users < 10,

@@ -165,7 +165,14 @@ object Quantiles {
     * independent), so the prefix is bit-equal to a single-task running
     * sum and to the oracle's window SUM at any parallelism. Output
     * columns `prefixCol`/`totalCol` are DecimalType(38, 6); cast to
-    * double at the consumer. */
+    * double at the consumer.
+    *
+    * CONTRACT (mirrors [[withExactRank]]): the composite (group ++
+    * order) key must be UNIQUE per row. With ties, the bucket-local
+    * running-sum window assigns tied rows' prefixes in partition-
+    * dependent order, diverging nondeterministically from a single
+    * window's result — append a tiebreaker column (e.g. a row id) to
+    * `order` if the natural key can repeat. */
   def withExactPrefixSum(
       df: DataFrame,
       group: Seq[String],

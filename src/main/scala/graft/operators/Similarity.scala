@@ -770,9 +770,14 @@ object Similarity {
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
     val best = element_at(cellRank(cents, col("embedding"), col("nrm")), 1)
+    // localCheckpoint, NOT cache(): both join sides reuse the assignment
+    // without recompute, and the pinned blocks release via ContextCleaner
+    // once the frame is unreachable — a cache() entry would pin partitions
+    // in the shared CacheManager for the session lifetime on every
+    // knnGraph/contrastivePairs call (r8 ADVICE).
     val assigned = feat.select(
       col("vec_id"), col("embedding"), col("nrm"),
-      best.getField("cid").as("cell")).cache()
+      best.getField("cid").as("cell")).localCheckpoint(true)
     val a = assigned.select(col("cell"), col("vec_id").as("src"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("dst"),

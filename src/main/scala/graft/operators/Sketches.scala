@@ -107,14 +107,22 @@ object Sketches {
     * sketches are a uniform sample of the intersection at sampling rate
     * θ/2^60, so `|common<θ| · 2^60/θ` estimates |A ∩ B| — audience
     * overlap from two constant-size states, NEVER touching the raw sets
-    * together. The exact intersection rides along so the result
-    * quantifies its own error (drop it at true scale).
+    * together.
     *
-    * Scale shape: sketch states are k rows per channel (bounded); the
-    * pair frame is |channels|² metadata; the only data-sized pass is the
-    * shared hash scan. Determinism: θ and the estimate are the same
-    * two-op IEEE tree as [[kmvEstimate]] (divide first, scale second). */
-  def kmvIntersection(events: DataFrame, k: Int = 64): DataFrame = {
+    * `includeExact` (default OFF — the scale path) additionally joins
+    * the full distinct (channel, hash) frame against itself to emit the
+    * exact intersection alongside the estimate. That is a corpus-sized
+    * pairwise pass that exists only to let small-scale runs quantify the
+    * sketch's error; never enable it at 100 TB.
+    *
+    * Scale shape (default): sketch states are k rows per channel
+    * (bounded); the pair frame is |channels|² metadata (broadcast-hinted
+    * on both sides so it can never degrade to a shuffled product); the
+    * only data-sized pass is the shared hash scan. Determinism: θ and
+    * the estimate are the same two-op IEEE tree as [[kmvEstimate]]
+    * (divide first, scale second). */
+  def kmvIntersection(
+      events: DataFrame, k: Int = 64, includeExact: Boolean = false): DataFrame = {
     val dh = hashedUserDay(events).distinct()
     val state = kmvState(dh, k)
     val thetas = state.groupBy("channel")
@@ -122,8 +130,8 @@ object Sketches {
       .withColumn("theta",
         when(col("n_kept") < k, lit(HashSpace)).otherwise(col("h_k").cast("double")))
       .select("channel", "theta")
-    val pairs = thetas.select(col("channel").as("ch_a"), col("theta").as("theta_a"))
-      .crossJoin(thetas.select(col("channel").as("ch_b"), col("theta").as("theta_b")))
+    val pairs = broadcast(thetas.select(col("channel").as("ch_a"), col("theta").as("theta_a")))
+      .crossJoin(broadcast(thetas.select(col("channel").as("ch_b"), col("theta").as("theta_b"))))
       .filter(col("ch_a") < col("ch_b"))
       .withColumn("theta", least(col("theta_a"), col("theta_b")))
       .select("ch_a", "ch_b", "theta")
@@ -133,19 +141,24 @@ object Sketches {
       .join(broadcast(pairs), Seq("ch_a", "ch_b"))
       .filter(col("h").cast("double") < col("theta"))
       .groupBy("ch_a", "ch_b").agg(count(lit(1)).as("n_common"))
-    val exact = dh.select(col("channel").as("ch_a"), col("h"))
-      .join(dh.select(col("channel").as("ch_b"), col("h")), "h")
-      .filter(col("ch_a") < col("ch_b"))
-      .groupBy("ch_a", "ch_b").agg(count(lit(1)).as("n_exact"))
-    pairs
+    val estimated = pairs
       .join(common, Seq("ch_a", "ch_b"), "left")
-      .join(exact, Seq("ch_a", "ch_b"), "left")
       .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
-      .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
       .withColumn("est_intersection",
         col("n_common").cast("double") * (lit(HashSpace) / col("theta")))
-      .select("ch_a", "ch_b", "n_exact", "n_common", "est_intersection")
-      .orderBy("ch_a", "ch_b")
+    val out =
+      if (!includeExact) estimated.select("ch_a", "ch_b", "n_common", "est_intersection")
+      else {
+        val exact = dh.select(col("channel").as("ch_a"), col("h"))
+          .join(dh.select(col("channel").as("ch_b"), col("h")), "h")
+          .filter(col("ch_a") < col("ch_b"))
+          .groupBy("ch_a", "ch_b").agg(count(lit(1)).as("n_exact"))
+        estimated
+          .join(exact, Seq("ch_a", "ch_b"), "left")
+          .withColumn("n_exact", coalesce(col("n_exact"), lit(0L)))
+          .select("ch_a", "ch_b", "n_exact", "n_common", "est_intersection")
+      }
+    out.orderBy("ch_a", "ch_b")
   }
 
   /** Count-min sketch over per-(channel, user) event frequencies: d

@@ -344,6 +344,21 @@ class PlanAuditSpec extends SparkSpec {
     // small-side broadcasts or reuse the agg partitioning; ordering last
     assert(shuffles(cms) <= 4)
     assert(shuffles(hll) <= 5)
+    // kmv intersection (scale path): the only nested-loop join is the
+    // broadcast |channels|² theta pairing — both BNLJ inputs are
+    // metadata-sized theta frames, never a data-sized side, and the
+    // corpus-sized exact-overlap self-join is OFF by default
+    val kmvI = graft.operators.Sketches.kmvIntersection(events)
+    noCartesian(kmvI)
+    val bnlj = kmvI.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    bnlj.foreach { j =>
+      val cols = j.children.flatMap(_.output.map(_.name)).toSet
+      assert(cols.subsetOf(Set("ch_a", "ch_b", "theta_a", "theta_b", "channel", "theta")),
+        s"data-sized frame in sketch nested-loop join: $cols")
+    }
+    assert(!kmvI.columns.contains("n_exact"), "exact overlap must be off on the scale path")
     // the n_exact companion branch re-aggregates the same distinct frame
     // (identical canonical subplans — merged by ReuseExchange at runtime);
     // statically that is 5 exchanges: distinct, bounded rank, distinct

@@ -142,7 +142,7 @@ class SketchesSpec extends SparkSpec {
 
   test("KMV theta-intersection: all channel pairs present, estimates track exact overlap") {
     val events = Tables.events(spark, sfDir)
-    val out = Sketches.kmvIntersection(events).collect()
+    val out = Sketches.kmvIntersection(events, includeExact = true).collect()
     val channels = events.select("event_type").distinct().count()
     assert(out.length == channels * (channels - 1) / 2, "one row per unordered pair")
     out.foreach { r =>
