@@ -194,15 +194,17 @@ object Pipeline {
     * standard otherwise. Exposed so callers/specs can audit the plan. */
   def assignedJourneys(
       spark: SparkSession, sfDir: String, stateDir: String,
-      endDate: Option[String]): DataFrame = {
+      endDate: Option[String],
+      startDate: Option[String] = None): DataFrame = {
     val bucketed = hasBucketed(spark, stateDir)
     val allConversions =
       if (bucketed) spark.table(bucketedName(stateDir, "conversions"))
       else Tables.conversions(spark, sfDir)
-    val conversions = endDate // the filter keeps the scan's bucketing AND,
-      // on the partitioned layout, prunes date partitions at the file level
-      .map(d => allConversions.filter(col("conv_date") <= lit(d).cast("date")))
-      .getOrElse(allConversions)
+    val conversions = Seq( // the filters keep the scan's bucketing AND, on
+      // the partitioned layout, prune date partitions at the file level
+      startDate.map(d => col("conv_date") >= lit(d).cast("date")),
+      endDate.map(d => col("conv_date") <= lit(d).cast("date"))
+    ).flatten.foldLeft(allConversions)(_ filter _)
     val sessions =
       if (bucketed) spark.table(bucketedName(stateDir, "sessions"))
       else Tables.sessions(spark, sfDir)
@@ -228,8 +230,10 @@ object Pipeline {
       sfDir: String,
       stateDir: String,
       endDate: Option[String] = None,
-      staleGraceMs: Long = 0L): RunSummary =
-    runImpl(spark, sfDir, stateDir, endDate, crashPoint = None, staleGraceMs = staleGraceMs)
+      staleGraceMs: Long = 0L,
+      startDate: Option[String] = None): RunSummary =
+    runImpl(spark, sfDir, stateDir, endDate, crashPoint = None,
+      staleGraceMs = staleGraceMs, startDate = startDate)
 
   private[graft] def runImpl(
       spark: SparkSession,
@@ -238,7 +242,8 @@ object Pipeline {
       endDate: Option[String],
       crashPoint: Option[String],
       staleGraceMs: Long = 0L,
-      beforePublish: () => Unit = () => ()): RunSummary = {
+      beforePublish: () => Unit = () => (),
+      startDate: Option[String] = None): RunSummary = {
     // Vacuum lease held for the whole run: acquired BEFORE any staging, so
     // a concurrent run's recovery sweep skips every dir this run stages
     // (no grace-period tuning); released however the run exits. A hard
@@ -246,7 +251,8 @@ object Pipeline {
     // leftovers become vacuumable.
     val lease = Manifest.acquireLease(spark, stateDir,
       s"run_${java.util.UUID.randomUUID().toString.take(12)}")
-    try runLeased(spark, sfDir, stateDir, endDate, crashPoint, staleGraceMs, beforePublish)
+    try runLeased(spark, sfDir, stateDir, endDate, crashPoint, staleGraceMs,
+      beforePublish, startDate)
     finally Manifest.releaseLease(spark, stateDir, lease)
   }
 
@@ -257,7 +263,8 @@ object Pipeline {
       endDate: Option[String],
       crashPoint: Option[String],
       staleGraceMs: Long,
-      beforePublish: () => Unit): RunSummary = {
+      beforePublish: () => Unit,
+      startDate: Option[String] = None): RunSummary = {
     def failpoint(p: String): Unit =
       if (crashPoint.contains(p)) throw InjectedCrash(p)
 
@@ -269,9 +276,15 @@ object Pipeline {
     val allConversions =
       if (bucketed) spark.table(bucketedName(stateDir, "conversions"))
       else Tables.conversions(spark, sfDir)
-    val conversions = endDate
-      .map(d => allConversions.filter(col("conv_date") <= lit(d).cast("date")))
-      .getOrElse(allConversions)
+    // [startDate, endDate] mirrors the reference's conversion extract
+    // window (db_utils.py:67-103). Sessions intentionally stay UNwindowed:
+    // journeys need the full pre-conversion touch history, and the
+    // reference's session-window truncation silently drops pre-window
+    // touches from journeys — a shape A3's semantics reject.
+    val conversions = Seq(
+      startDate.map(d => col("conv_date") >= lit(d).cast("date")),
+      endDate.map(d => col("conv_date") <= lit(d).cast("date"))
+    ).flatten.foldLeft(allConversions)(_ filter _)
     val sessions =
       if (bucketed) spark.table(bucketedName(stateDir, "sessions"))
       else Tables.sessions(spark, sfDir)
