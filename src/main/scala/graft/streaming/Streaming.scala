@@ -95,6 +95,13 @@ final case class Doc(doc_id: Long, text: String, lang: String, source: String, t
   * cardinality, the same growth the batch fingerprint store pays. */
 final case class DedupSeen(doc_id: Long)
 
+/** Reorder-buffer states for the watermark-hardened twins ([[Streaming.scd2StateOrdered]],
+  * [[Streaming.dedupExactOrdered]], [[Streaming.noveltyMarksOrdered]]):
+  * rows wait in `buffered` until the watermark passes their event time. */
+final case class Scd2BufState(buffered: Vector[Event], open: Option[Scd2OpenState])
+final case class DedupBufState(buffered: Vector[(Long, Long)], admitted: Boolean)
+final case class NoveltyBufState(buffered: Vector[(Long, Long)], taken: Boolean)
+
 /** One admission emitted by [[Streaming.dedupExact]] for the FIRST
   * occurrence of each distinct text. */
 final case class DedupAdmit(doc_id: Long, text_hash: String)
@@ -494,22 +501,68 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[Scd2OpenState]) =>
           val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-          var cur = state.getOption
-          val out = Vector.newBuilder[Scd2Closed]
-          ordered.foreach { e =>
-            cur match {
-              case Some(c) if c.state == e.event_type =>
-                cur = Some(c.copy(nEvents = c.nEvents + 1))
-              case Some(c) =>
-                out += Scd2Closed(
-                  uid, c.version, c.state, c.validFromUs, e.ts_us, c.nEvents)
-                cur = Some(Scd2OpenState(c.version + 1, e.event_type, e.ts_us, 1L))
-              case None =>
-                cur = Some(Scd2OpenState(1L, e.event_type, e.ts_us, 1L))
-            }
-          }
+          val (out, cur) = scd2Fold(uid, ordered, state.getOption)
           cur.foreach(state.update)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** The SCD2 version fold shared by [[scd2State]] and
+    * [[scd2StateOrdered]]: events MUST already be in event-time order. */
+  private def scd2Fold(
+      uid: Long,
+      ordered: Seq[Event],
+      open: Option[Scd2OpenState]): (Vector[Scd2Closed], Option[Scd2OpenState]) = {
+    var cur = open
+    val out = Vector.newBuilder[Scd2Closed]
+    ordered.foreach { e =>
+      cur match {
+        case Some(c) if c.state == e.event_type =>
+          cur = Some(c.copy(nEvents = c.nEvents + 1))
+        case Some(c) =>
+          out += Scd2Closed(
+            uid, c.version, c.state, c.validFromUs, e.ts_us, c.nEvents)
+          cur = Some(Scd2OpenState(c.version + 1, e.event_type, e.ts_us, 1L))
+        case None =>
+          cur = Some(Scd2OpenState(1L, e.event_type, e.ts_us, 1L))
+      }
+    }
+    (out.result(), cur)
+  }
+
+  /** [[scd2State]] hardened with the [[attributeIhcOrdered]] reorder
+    * buffer: arriving events wait in state until the watermark passes
+    * their event time, then fold into versions in exact `(ts_us,
+    * event_id)` order — so the closed-version stream is bit-equal to the
+    * batch twin under ANY cross-batch arrival order (late rows beyond
+    * `delay` drop, the standard watermark contract). An event-time
+    * timeout at the earliest buffered event flushes users whose traffic
+    * stops. */
+  def scd2StateOrdered(
+      events: Dataset[Event], delay: String = "2 hours"): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2BufState, Scd2Closed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[Scd2BufState]) =>
+          val st = state.getOption.getOrElse(Scd2BufState(Vector.empty, None))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++ it.filter(_.ts_us >= wmUs)
+          val (ready, keep) = buf.partition(_.ts_us < wmUs)
+          val ordered = ready.sortBy(e => (e.ts_us, e.event_id))
+          val (out, cur) = scd2Fold(uid, ordered, st.open)
+          if (keep.isEmpty && cur.isEmpty) state.remove()
+          else {
+            state.update(Scd2BufState(keep, cur))
+            if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+              keep.map(_.ts_us).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
       }
   }
 
@@ -923,14 +976,14 @@ object Streaming {
     * age). The md5 is computed driver-free per row (the same
     * lowercase-hex value Spark's `md5()` yields), so admissions join
     * directly against batch-side `text_hash` columns. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   def dedupExact(docs: Dataset[Doc]): Dataset[DedupAdmit] = {
     import docs.sparkSession.implicits._
     docs
-      .groupByKey { d =>
-        val dig = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.text.getBytes("UTF-8"))
-        dig.map("%02x".format(_)).mkString
-      }
+      .groupByKey(d => md5Hex(d.text))
       .flatMapGroupsWithState[DedupSeen, DedupAdmit](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (hash: String, it: Iterator[Doc], state: GroupState[DedupSeen]) =>
@@ -940,6 +993,42 @@ object Streaming {
             state.update(DedupSeen(first.doc_id))
             Iterator.single(DedupAdmit(first.doc_id, hash))
           }
+      }
+  }
+
+  /** [[dedupExact]] hardened with the [[attributeIhcOrdered]] reorder
+    * buffer: per content hash, arriving docs wait in state until the
+    * watermark passes their event time; the admitted doc is then the
+    * `(ts_us, doc_id)`-least arrival — so when ingestion assigns doc ids
+    * in event-time order (the batch corpus invariant), the admission set
+    * is bit-equal to the batch min-doc_id rule under ANY cross-batch
+    * arrival order. The admitted marker stays in state forever, exactly
+    * like [[dedupExact]]'s fingerprint store. */
+  def dedupExactOrdered(
+      docs: Dataset[Doc], delay: String = "2 hours"): Dataset[DedupAdmit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      .as[Doc]
+      .groupByKey(d => md5Hex(d.text))
+      .flatMapGroupsWithState[DedupBufState, DedupAdmit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (hash: String, it: Iterator[Doc], state: GroupState[DedupBufState]) =>
+          val st = state.getOption.getOrElse(DedupBufState(Vector.empty, admitted = false))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++
+            it.filter(_.ts_us >= wmUs).map(d => (d.ts_us, d.doc_id))
+          val (ready, keep) = buf.partition(_._1 < wmUs)
+          val out =
+            if (!st.admitted && ready.nonEmpty)
+              Iterator.single(DedupAdmit(ready.min._2, hash))
+            else Iterator.empty
+          state.update(DedupBufState(keep, st.admitted || ready.nonEmpty))
+          if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+            keep.map(_._1).min / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+          out
       }
   }
 
@@ -957,25 +1046,30 @@ object Streaming {
     * empties, distinct first-occurrence 3-grams). State is one long per
     * distinct shingle — the fingerprint-store growth the batch manifest
     * pays; bound it in production the same way (TTL by content age). */
+  /** Distinct 60-bit shingle sids of one document — the
+    * [[graft.functions.ShingleSet]] walk (split-on-space keeping empties,
+    * first-occurrence 3-grams), shared by both novelty twins. */
+  private def docShingleSids(text: String): Seq[Long] = {
+    val toks = text.split(" ", -1)
+    val n = math.max(0, toks.length - 2)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < n) { seen.add(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"); i += 1 }
+    val dig = java.security.MessageDigest.getInstance("MD5")
+    val it = seen.iterator()
+    val out = Seq.newBuilder[Long]
+    while (it.hasNext) {
+      val hex = dig.digest(it.next().getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      out += java.lang.Long.parseLong(hex, 16)
+    }
+    out.result()
+  }
+
   def noveltyMarks(docs: Dataset[Doc]): Dataset[NoveltyMark] = {
     import docs.sparkSession.implicits._
     docs
-      .flatMap { d =>
-        val toks = d.text.split(" ", -1)
-        val n = math.max(0, toks.length - 2)
-        val seen = new java.util.LinkedHashSet[String]()
-        var i = 0
-        while (i < n) { seen.add(s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}"); i += 1 }
-        val dig = java.security.MessageDigest.getInstance("MD5")
-        val it = seen.iterator()
-        val out = Seq.newBuilder[(Long, Long)]
-        while (it.hasNext) {
-          val hex = dig.digest(it.next().getBytes("UTF-8"))
-            .map("%02x".format(_)).mkString.substring(0, 15)
-          out += ((d.doc_id, java.lang.Long.parseLong(hex, 16)))
-        }
-        out.result()
-      }
+      .flatMap(d => docShingleSids(d.text).map(sid => (d.doc_id, sid)))
       .groupByKey(_._2)
       .flatMapGroupsWithState[NoveltySeen, NoveltyMark](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -987,6 +1081,50 @@ object Streaming {
             state.update(NoveltySeen(first))
             docs.iterator.map(d => NoveltyMark(d, sid, novel = d == first))
           }
+      }
+  }
+
+  /** [[noveltyMarks]] hardened with the [[attributeIhcOrdered]] reorder
+    * buffer: per shingle, (doc, ts) rows wait in state until the
+    * watermark passes their event time; the first owner is then the
+    * `(ts_us, doc_id)`-least arrival, so with event-time-ordered doc ids
+    * (the batch corpus invariant) the mark stream is bit-equal to the
+    * batch min-doc_id rule under ANY cross-batch arrival order. The
+    * taken marker persists like the batch fingerprint store; buffered
+    * rows flush via event-time timeout when a shingle's traffic stops. */
+  def noveltyMarksOrdered(
+      docs: Dataset[Doc], delay: String = "2 hours"): Dataset[NoveltyMark] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => docShingleSids(d.text).map(sid => (d.doc_id, d.ts_us, sid)))
+      .toDF("doc_id", "ts_us", "sid")
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      // event_ts must SURVIVE into the stateful operator's input — the
+      // analyzer requires the watermarked column for EventTimeTimeout
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[NoveltyBufState, NoveltyMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sid: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[NoveltyBufState]) =>
+          val st = state.getOption.getOrElse(NoveltyBufState(Vector.empty, taken = false))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++
+            it.filter(_._2 >= wmUs).map(r => (r._2, r._1)) // (ts, doc)
+          val (ready, keep) = buf.partition(_._1 < wmUs)
+          val ordered = ready.sorted
+          val out =
+            if (ordered.isEmpty) Iterator.empty
+            else if (st.taken) ordered.iterator.map(r => NoveltyMark(r._2, sid, novel = false))
+            else ordered.iterator.zipWithIndex.map { case (r, i) =>
+              NoveltyMark(r._2, sid, novel = i == 0)
+            }
+          state.update(NoveltyBufState(keep, st.taken || ready.nonEmpty))
+          if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+            keep.map(_._1).min / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+          out
       }
   }
 

@@ -757,4 +757,117 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.find(_._1 == 4L).exists(_._4 == 1.0)) // fresh doc scores 1
     } finally q.stop()
   }
+
+  // ---- reorder-hardened twins (r8 verdict task 7): shuffled cross-batch
+  // arrival must still be bit-equal to batch ----
+
+  test("hardened SCD2: shuffled out-of-order micro-batches match the batch twin bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.Scd2Closed
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // GLOBAL deterministic shuffle — arrival order across micro-batches
+    // bears no relation to event time (the D4b harness)
+    val shuffled = evs.sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val parts = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    val day = 24L * 3600 * 1000000L
+    val maxTs = evs.map(_.ts_us).max
+    val mem = MemoryStream[Event]
+    val q = Streaming.scd2StateOrdered(mem.toDS(), delay = "30 days")
+      .writeStream.format("memory").queryName("scd2_ord").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      // sentinels (same type → open version only, no closed rows) advance
+      // the watermark past every real event, then fire the flush timeouts
+      mem.addData(Seq(Event(900001L, maxTs + 40 * day, 999999L, "click", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(900002L, maxTs + 41 * day, 999999L, "click", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("scd2_ord").as[Scd2Closed].collect()
+        .filter(_.user_id != 999999L)
+        .map(c => (c.user_id, c.version) -> c).toMap
+      val batch = graft.operators.Analytics.scd2UserState(evs.toSeq.toDF()).collect()
+      val closed = batch.filter(!_.getAs[Boolean]("is_current"))
+      assert(streamed.size === closed.length)
+      closed.foreach { r =>
+        val c = streamed((r.getAs[Long]("user_id"), r.getAs[Long]("version")))
+        assert(c.state === r.getAs[String]("state"))
+        assert(c.valid_from_us === r.getAs[Long]("valid_from_us"))
+        assert(c.valid_to_us === r.getAs[Long]("valid_to_us"))
+        assert(c.n_events === r.getAs[Long]("n_events"))
+      }
+    } finally q.stop()
+  }
+
+  test("hardened exact dedup: shuffled micro-batches still admit the batch min-doc keepers") {
+    import graft.streaming.{DedupAdmit, Doc}
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L
+    // 60 docs over 20 distinct texts; doc ids ordered by event time, so
+    // the batch min-doc_id keeper is the earliest arrival per text
+    val docs = (1 to 60).map(i => Doc(i.toLong, s"text ${i % 20}", "en", "t", i * H / 100))
+    val shuffled = docs.sortBy(d => (d.doc_id * 2654435761L) % 1000003L)
+    val parts = shuffled.grouped(20).toSeq
+    val mem = MemoryStream[Doc]
+    val q = Streaming.dedupExactOrdered(mem.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_ord").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p); q.processAllAvailable() }
+      mem.addData(Seq(Doc(900001L, "sentinel one", "en", "t", 100 * H)))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(900002L, "sentinel two", "en", "t", 101 * H)))
+      q.processAllAvailable()
+      val got = spark.table("dedup_ord").as[DedupAdmit].collect()
+        .filter(_.doc_id < 900000L).map(a => a.text_hash -> a.doc_id).toMap
+      val batch = graft.operators.Dedup.exact(
+        docs.toDF().select(col("doc_id"), col("text"))).collect()
+        .map(r => r.getAs[String]("text_hash") -> r.getAs[Long]("keep_doc_id")).toMap
+      assert(got === batch)
+      assert(spark.table("dedup_ord").as[DedupAdmit].collect()
+        .count(_.doc_id < 900000L) === batch.size) // exactly one admission per text
+    } finally q.stop()
+  }
+
+  test("hardened novelty marks: shuffled micro-batches fold to the batch ngramNovelty ratios") {
+    import graft.streaming.{Doc, NoveltyMark}
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L
+    def words(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val a = words("a", 20)
+    val docs = Seq(
+      Doc(1L, a, "en", "t", 1 * H / 100),
+      Doc(2L, a, "en", "t", 2 * H / 100),
+      Doc(3L, words("a", 10) + " " + words("b", 10), "en", "t", 3 * H / 100),
+      Doc(4L, words("c", 20), "en", "t", 4 * H / 100),
+      Doc(5L, a, "en", "t", 5 * H / 100))
+    // worst-case arrival: exact reverse of event time, one doc per batch
+    val parts = docs.reverse.map(Seq(_))
+    val mem = MemoryStream[Doc]
+    val q = Streaming.noveltyMarksOrdered(mem.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("novelty_ord").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p); q.processAllAvailable() }
+      mem.addData(Seq(Doc(900001L, words("z", 5), "en", "t", 100 * H)))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(900002L, words("y", 5), "en", "t", 101 * H)))
+      q.processAllAvailable()
+      val marks = spark.table("novelty_ord").as[NoveltyMark].filter(col("doc_id") < 900000L)
+      val streamed = marks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("novel"), 1)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      val batch = graft.operators.Dedup.ngramNovelty(
+        docs.map(d => (d.doc_id, d.text, d.lang, d.source, 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      assert(streamed === batch)
+      assert(streamed.find(_._1 == 2L).exists(_._4 == 0.0)) // later dup scores 0
+      assert(streamed.find(_._1 == 1L).exists(_._4 == 1.0)) // true first owner keeps 1
+    } finally q.stop()
+  }
 }
