@@ -282,6 +282,46 @@ object ScaleSmoke {
         println(s"[scale] pagerank nodes = " +
           graft.operators.Markov.pagerank(gEdges, iters = 4).count()))
     }
+
+    // r9 stages for the wave-7 additions.
+
+    // kNN graph / contrastive mining: the Σcell² candidate bound must
+    // stay near-linear under 10× corpus growth (the auto cell count
+    // scales with n, pinning candidates/vector at ≈ the target cell
+    // size) — timed at 20k and 200k vectors so superlinear pair blowup
+    // shows as a >>10× wall-clock jump.
+    Seq(20000L, 200000L).foreach { nv =>
+      val v = spark.range(nv).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63),
+             i -> CAST(CAST(pmod(hash(id * 67 + i), 1999) - 999 AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+      time(s"knn_graph nVecs=$nv")(println(s"[scale] knn edges = " +
+        graft.operators.Similarity.knnGraph(v, k = 5).count()))
+      time(s"contrastive_pairs nVecs=$nv")(println(s"[scale] triplets = " +
+        graft.operators.Similarity.contrastivePairs(v).count()))
+    }
+
+    // Distributed exact prefix sum / token-budget selection at 10× the
+    // dedup-stage doc count: the running sum must come from the
+    // range-bucketed Quantiles machinery (every sort partition ~n/buckets
+    // rows), so 10× docs must scale the wall clock ~linearly, never die
+    // in a single-task global sort.
+    Seq(nDocs, nDocs * 10).foreach { nd =>
+      val bDocs = spark.range(nd).selectExpr(
+        "id AS doc_id",
+        """array_join(transform(sequence(1, 30),
+             i -> concat('w', pmod(hash(id * 61 + i), 1000))), ' ') AS text""")
+      time(s"budget_select nDocs=$nd")(println(s"[scale] selected docs = " +
+        graft.operators.Corpus.budgetSelect(bDocs, tokenBudget = nd * 3)
+          .filter(col("selected")).count()))
+    }
+
+    // Edit-distance-verified dedup: candidates come only from LSH
+    // buckets, each verified at fixed prefixLen² cost — wall clock must
+    // track the candidate count (≈ the planted 1% near-dups), not the
+    // doc-pair square.
+    time(s"edit_verified nDocs=$nDocs")(println(s"[scale] verified dups = " +
+      graft.operators.Dedup.editVerified(docs).count()))
     spark.stop()
   }
 }
