@@ -228,6 +228,131 @@ WHERE next_channel IS NOT NULL
 GROUP BY 1, 2
 ORDER BY 1, 2"""
 
+  /** Synchronous label propagation over the (symmetrized) channel
+    * transition graph — `iters` rounds unrolled, each round = label mass
+    * groupBy + per-node argmax with (wsum DESC, label ASC) tie-break,
+    * in lockstep with `Markov.labelPropagation` (long sums, no floats
+    * anywhere). */
+  val channelCommunities: String = {
+    val iters = 4
+    val sb = new StringBuilder
+    sb ++= attrBase
+    sb ++= """
+, trans AS (
+  SELECT channel_name AS from_channel, next_channel AS to_channel,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT conv_id, channel_name,
+           LEAD(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id) AS next_channel
+    FROM assigned) t
+  WHERE next_channel IS NOT NULL
+  GROUP BY 1, 2
+), e AS (
+  SELECT from_channel AS src, to_channel AS dst, n AS weight FROM trans
+  UNION ALL
+  SELECT to_channel, from_channel, n FROM trans
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), l0 AS (
+  SELECT node, node AS label FROM nodes
+)"""
+    for (r <- 1 to iters) {
+      sb ++= s"""
+, l$r AS (
+  SELECT nd.node, COALESCE(b.label, nd.node) AS label
+  FROM nodes nd LEFT JOIN (
+    SELECT node, label FROM (
+      SELECT node, label,
+             row_number() OVER (PARTITION BY node ORDER BY wsum DESC, label ASC) AS rn
+      FROM (
+        SELECT e.dst AS node, l.label, SUM(e.weight) AS wsum
+        FROM e JOIN l${r - 1} l ON e.src = l.node
+        GROUP BY e.dst, l.label) m) q
+    WHERE rn = 1) b ON nd.node = b.node
+)"""
+    }
+    sb ++= s"""
+SELECT node, label AS community FROM l$iters ORDER BY node"""
+    sb.result()
+  }
+
+  /** Market-basket support/confidence/lift over distinct order lines —
+    * exact long counts, single IEEE divisions, (lift DESC, n_ab DESC,
+    * item) tie-broken top-k, in lockstep with `Analytics.basketLift`. */
+  val basketLift: String = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+), no AS (
+  SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM items
+), ic AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY item
+), pr AS (
+  SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.okey = b.okey AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT pr.item_a, pr.item_b, pr.n_ab, ca.n AS n_a, cb.n AS n_b,
+       CAST(pr.n_ab AS DOUBLE) / CAST(no.n_orders AS DOUBLE) AS support,
+       CAST(pr.n_ab AS DOUBLE) / CAST(ca.n AS DOUBLE) AS confidence,
+       (CAST(pr.n_ab AS DOUBLE) * CAST(no.n_orders AS DOUBLE)) /
+         (CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE)) AS lift
+FROM pr
+JOIN ic ca ON pr.item_a = ca.item
+JOIN ic cb ON pr.item_b = cb.item
+CROSS JOIN no
+ORDER BY lift DESC, n_ab DESC, item_a, item_b
+LIMIT 100"""
+
+  /** Daily-revenue EWMA: decimal-exact day rollup, then the recurrence
+    * `s_t = (0.3·x_t) + ((1−0.3)·s_{t−1})` replayed by a recursive CTE —
+    * the identical IEEE tree the driver fold applies per step. */
+  val ordersEwma: String = """
+WITH RECURSIVE daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT day, revenue, row_number() OVER (ORDER BY day) AS rn FROM daily
+), ew AS (
+  SELECT rn, day, revenue, revenue AS ewma FROM rk WHERE rn = 1
+  UNION ALL
+  SELECT r.rn, r.day, r.revenue, (0.3 * r.revenue) + ((1.0 - 0.3) * e.ewma)
+  FROM ew e JOIN rk r ON r.rn = e.rn + 1
+)
+SELECT day, revenue, ewma FROM ew ORDER BY day"""
+
+  /** Zipf OLS fit over the top-1000 token frequencies: ordered double
+    * folds of ln(rank)/ln(freq) moments in rank order, slope/intercept
+    * as the identical IEEE trees `Corpus.tokenZipf` builds. */
+  val tokenZipf: String = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), top AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM tok WHERE w <> ''
+  GROUP BY w ORDER BY freq DESC, w LIMIT 1000
+), ranked AS (
+  SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM top
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sx,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(ln(CAST(freq AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sy,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sxx,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sxy
+  FROM ranked
+), sl AS (
+  SELECT n,
+         ((CAST(n AS DOUBLE) * sxy) - (sx * sy)) /
+           ((CAST(n AS DOUBLE) * sxx) - (sx * sx)) AS slope,
+         sx, sy
+  FROM s
+)
+SELECT n, slope, (sy - (slope * sx)) / CAST(n AS DOUBLE) AS intercept FROM sl"""
+
   /** One damped PageRank power iteration, arithmetic tree in lockstep
     * with [[graft.operators.Markov.channelPagerank]]. Term sums are
     * ORDERED DOUBLE FOLDS (list_reduce over channel-sorted lists ≡ the

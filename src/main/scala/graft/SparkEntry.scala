@@ -100,6 +100,18 @@ object SparkEntry {
 
     "journey_paths" -> ((s, dir) => Journeys.paths(assigned(s, dir))),
 
+    "channel_communities" -> ((s, dir) =>
+      graft.operators.Markov.labelPropagation(
+        Journeys.channelTransitions(assigned(s, dir))
+          .selectExpr("from_channel AS src", "to_channel AS dst", "n AS weight"))
+        .orderBy("node")),
+
+    "basket_lift" -> ((s, dir) => Analytics.basketLift(Tables.lineitem(s, dir))),
+
+    "orders_ewma" -> ((s, dir) => Analytics.ordersEwma(Tables.orders(s, dir))),
+
+    "token_zipf" -> ((s, dir) => Corpus.tokenZipf(Tables.documents(s, dir))),
+
     "channel_transitions" -> ((s, dir) => Journeys.channelTransitions(assigned(s, dir))),
 
     "attribution_incremental" -> ((s, dir) => {
@@ -601,6 +613,10 @@ object SparkEntry {
     "attribution_incremental"   -> Oracles.attributionIncremental,
     "journey_paths"             -> Oracles.journeyPaths,
     "channel_transitions"       -> Oracles.channelTransitions,
+    "channel_communities"       -> Oracles.channelCommunities,
+    "basket_lift"               -> Oracles.basketLift,
+    "orders_ewma"               -> Oracles.ordersEwma,
+    "token_zipf"                -> Oracles.tokenZipf,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
     "training_data_export"      -> Oracles.trainingDataExport,
     "journey_hashed_features"   -> Oracles.journeyHashedFeatures,

@@ -776,6 +776,80 @@ object Analytics {
       .orderBy("month")
   }
 
+  /** Market-basket pair mining over order lines: support / confidence /
+    * lift for every co-purchased part pair (a<b), the association-rule
+    * statistics a merchandising or data-mixture pipeline reads.
+    *
+    * Scale shape: the pair stage self-joins the DISTINCT (order, item)
+    * frame ON THE ORDER KEY, so candidate volume is Σ basket² — bounded
+    * by the max basket size (single digits for order data), linear in
+    * orders; per-item counts and the order total are partial-agg
+    * groupBys, the total rides in as a ONE-ROW broadcast (never a driver
+    * scalar), and the `topK` cut is TakeOrdered, not a global sort.
+    * Determinism: all counts are exact longs; support/confidence/lift
+    * are single IEEE divisions of exact integers, ties on the output
+    * order break (lift desc, n_ab desc, item_a, item_b). */
+  def basketLift(lineitem: DataFrame, minPairCount: Long = 3, topK: Int = 100): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val nOrders = items.select(col("okey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val itemCounts = items.groupBy("item").agg(count(lit(1)).as("n"))
+    val pairs = items.select(col("okey"), col("item").as("item_a"))
+      .join(items.select(col("okey"), col("item").as("item_b")), "okey")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(itemCounts.select(col("item").as("item_a"), col("n").as("n_a")), "item_a")
+      .join(itemCounts.select(col("item").as("item_b"), col("n").as("n_b")), "item_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("support",
+        col("n_ab").cast("double") / col("n_orders").cast("double"))
+      .withColumn("confidence",
+        col("n_ab").cast("double") / col("n_a").cast("double"))
+      .withColumn("lift",
+        (col("n_ab").cast("double") * col("n_orders").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select("item_a", "item_b", "n_ab", "n_a", "n_b", "support", "confidence", "lift")
+      .orderBy(col("lift").desc, col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /** Exponentially-weighted moving average over the daily revenue series:
+    * `s_1 = x_1`, `s_t = α·x_t + (1−α)·s_{t−1}` — the classic
+    * smoothing/forecast baseline next to [[revenueTrendOls]]'s linear
+    * fit.
+    *
+    * Scale shape: the data-sized work is ONE decimal-exact daily rollup
+    * (partial-agg groupBy over all orders); the recurrence then runs
+    * driver-side over the CALENDAR-sized day series (bounded metadata,
+    * the Markov/OLS collect class — days, not rows). Determinism: day
+    * totals are exact decimal sums; the fold applies the same IEEE tree
+    * `(α·x) + (β·s)` per step that the oracle's recursive CTE replays,
+    * so every smoothed value is bit-equal. */
+  def ordersEwma(orders: DataFrame, alpha: Double = 0.3): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val daily = orders
+      .select(col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
+      .groupBy("day").agg(dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("day")
+      .collect()
+      .map(r => (r.getDate(0), r.getDouble(1)))
+    val beta = 1.0 - alpha
+    val out = Seq.newBuilder[(java.sql.Date, Double, Double)]
+    var s = 0.0
+    var first = true
+    daily.foreach { case (day, x) =>
+      s = if (first) { first = false; x } else (alpha * x) + (beta * s)
+      out += ((day, x, s))
+    }
+    out.result().toDF("day", "revenue", "ewma").orderBy("day")
+  }
+
   /** PIVOT: one row per date, one value column per channel (fixed,
     * deterministic column set — never inferred at plan time at scale). */
   def eventsPivot(events: DataFrame): DataFrame =

@@ -647,6 +647,49 @@ object Corpus {
           count(lit(1)).cast("double")).as("avg_quality"))
       .orderBy("lang", "source")
 
+  /** Zipf-law fit over the corpus token-frequency distribution: OLS of
+    * `ln(freq)` against `ln(rank)` over the top-`topN` tokens — the
+    * corpus-health slope (natural text ≈ −1; heavily templated or
+    * boilerplate-ridden corpora flatten or steepen it) a data-mixture
+    * report tracks next to [[corpusDatasheet]].
+    *
+    * Scale shape: the corpus-sized work is ONE (token, freq) partial-agg
+    * groupBy; the top-`topN` cut is TakeOrdered (never a global sort).
+    * The fit itself runs DRIVER-SIDE over the collected ≤ `topN`
+    * (rank, freq) table — bounded model metadata, the Markov/MMR collect
+    * class — because Spark's `log()` expression evaluates
+    * `StrictMath.log` (fdlibm), which differs from DuckDB's libm `ln`
+    * by 1 ulp on some inputs (observed: ln(3), ln(936)); `Math.log`
+    * agrees with libm, so the driver fold is the bit-stable path (the
+    * SURVEY §3 transcendental discipline: keep non-correctly-rounded
+    * functions out of distributed oracle-gated expressions).
+    * Determinism: sums accumulate left-to-right in rank order (≡ the
+    * oracle's `list_reduce(list(x ORDER BY rank))`), slope/intercept are
+    * the same fixed IEEE trees the oracle builds. */
+  def tokenZipf(documents: DataFrame, topN: Int = 1000): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val ranked: Array[(Long, Long)] = Dedup.tokens(documents)
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(topN)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getLong(1)) }
+    val n = ranked.length.toLong
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    ranked.foreach { case (rank, freq) =>
+      val lr = Math.log(rank.toDouble)
+      val lf = Math.log(freq.toDouble)
+      sx += lr; sy += lf; sxx += lr * lr; sxy += lr * lf
+    }
+    val nD = n.toDouble
+    val slope = ((nD * sxy) - (sx * sy)) / ((nD * sxx) - (sx * sx))
+    val intercept = (sy - (slope * sx)) / nD
+    Seq((n, slope, intercept)).toDF("n", "slope", "intercept")
+  }
+
   /** Deterministic epoch shuffle + shard assignment — the reproducible
     * global permutation every training dataloader needs: document order
     * within an epoch must look random, be IDENTICAL on every re-run and

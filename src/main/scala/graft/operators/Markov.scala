@@ -515,4 +515,47 @@ object Markov {
     }
     ranks
   }
+
+  /** SYNCHRONOUS label-propagation community detection (Raghavan et al.
+    * 2007, deterministic variant) over a weighted directed edge frame
+    * `(src, dst, weight)`, treated as undirected by symmetrizing the
+    * edges. Every node starts in its own community (label = node key);
+    * each of `iters` synchronous rounds relabels every node to the label
+    * carrying the MAXIMUM total incident edge weight among its
+    * neighbors, ties → lexicographically smallest label — a pure
+    * function of the graph, no randomness, so the result is identical on
+    * any cluster layout and to the oracle's unrolled-round CTE chain.
+    * Isolated nodes keep their own label.
+    *
+    * Scale shape: the same distributed discipline as [[pagerank]] — per
+    * round, labels join edges on `src` (one shuffle), label mass is one
+    * partial-agg groupBy, and the argmax is a window partitioned BY NODE
+    * (never global). Weights stay integral (long sums — exact), so no
+    * decimal/float bridge exists anywhere. Lineage is cut periodically
+    * so Catalyst re-analysis stays flat in `iters`. */
+  def labelPropagation(
+      edgesIn: DataFrame, iters: Int = 4, checkpointEvery: Int = 2): DataFrame = {
+    val dirEdges = edgesIn.select("src", "dst", "weight")
+    val edges = dirEdges
+      .union(dirEdges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    val w = Window.partitionBy("node").orderBy(col("wsum").desc, col("label").asc)
+    for (i <- 1 to iters) {
+      val mass = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum("weight").as("wsum"))
+      val best = mass
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("node", "label")
+      labels = nodes
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+      if (i % checkpointEvery == 0 && i < iters) labels = labels.localCheckpoint()
+    }
+    labels.withColumnRenamed("label", "community")
+  }
 }

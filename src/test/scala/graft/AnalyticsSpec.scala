@@ -470,4 +470,77 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("1996-01-01").contains(1.0))
     assert(out("1996-03-01").isEmpty, "gap month must not borrow a misaligned period")
   }
+
+  test("basketLift golden: hand-computed support/confidence/lift, threshold filters") {
+    import spark.implicits._
+    // baskets: {A,B,C}, {A,B}, {A,B}, {C} (item ids 1=A, 2=B, 3=C);
+    // duplicate line for (order 1, item 1) must collapse via distinct
+    val li = Seq(
+      (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val all = Analytics.basketLift(li, minPairCount = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val ab = all((1L, 2L))
+    assert(ab.getLong(2) === 3L)                         // n_ab
+    assert(ab.getLong(3) === 3L && ab.getLong(4) === 3L) // n_a, n_b
+    assert(ab.getDouble(5) === 3.0 / 4.0)                // support
+    assert(ab.getDouble(6) === 3.0 / 3.0)                // confidence
+    assert(ab.getDouble(7) === (3.0 * 4.0) / (3.0 * 3.0)) // lift
+    assert(all.contains((1L, 3L)) && all.contains((2L, 3L)))
+    // default threshold (3) keeps only the (A,B) pair
+    val filtered = Analytics.basketLift(li).collect()
+    assert(filtered.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("ordersEwma golden: the recurrence folds day by day over exact daily totals") {
+    import spark.implicits._
+    val orders = Seq(
+      ("1996-01-01 00:00:00", 4.0), ("1996-01-01 00:00:00", 6.0), // day 1 = 10
+      ("1996-01-02 00:00:00", 20.0),
+      ("1996-01-03 00:00:00", 30.0))
+      .toDF("o_orderdate", "o_totalprice")
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+    val out = Analytics.ordersEwma(orders, alpha = 0.3).collect()
+      .map(r => r.getDate(0).toString -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out("1996-01-01") === ((10.0, 10.0)))
+    assert(out("1996-01-02") === ((20.0, (0.3 * 20.0) + (0.7 * 10.0))))
+    val s2 = (0.3 * 20.0) + (0.7 * 10.0)
+    assert(out("1996-01-03") === ((30.0, (0.3 * 30.0) + (0.7 * s2))))
+  }
+
+  test("labelPropagation: two dense cliques joined by a weak edge split into two communities") {
+    import spark.implicits._
+    def clique(ns: Seq[String], w: Long) =
+      for (a <- ns; b <- ns if a < b) yield (a, b, w)
+    val edges = (clique(Seq("a", "b", "c"), 5L) ++ clique(Seq("d", "e", "f"), 5L) :+
+      (("c", "d", 1L))).toDF("src", "dst", "weight")
+    val out = graft.operators.Markov.labelPropagation(edges, iters = 4).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Set("a", "b", "c").map(out).size === 1, s"left clique split: $out")
+    assert(Set("d", "e", "f").map(out).size === 1, s"right clique split: $out")
+    assert(out("a") !== out("d"), s"cliques merged: $out")
+    // isolated node keeps its own label
+    val iso = graft.operators.Markov.labelPropagation(
+      (clique(Seq("a", "b"), 1L) :+ (("z", "z", 1L))).toDF("src", "dst", "weight"),
+      iters = 2).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(iso("z") === "z")
+  }
+
+  test("tokenZipf: negative slope on real text, exact fit on a synthetic power law") {
+    val real = graft.operators.Corpus.tokenZipf(Tables.documents(spark, sfDir)).collect().head
+    assert(real.getLong(0) > 10)
+    assert(real.getDouble(1) < 0.0, s"zipf slope must be negative: $real")
+    assert(!real.getDouble(2).isNaN)
+    // exact power law freq = 64 / rank: ln f = ln 64 − 1·ln r → slope −1
+    import spark.implicits._
+    val text = (1 to 64).flatMap(r => Seq.fill(64 / r)(s"w$r")).mkString(" ")
+    val doc = Seq((1L, text)).toDF("doc_id", "text")
+    val fit = graft.operators.Corpus.tokenZipf(doc, topN = 4).collect().head
+    // ranks 1,2,4(tie w3/w4 broken by word)…: top-4 = w1(64), w2(32), w3(21), w4(16)
+    assert(fit.getLong(0) === 4L)
+    assert(fit.getDouble(1) < -0.8 && fit.getDouble(1) > -1.2, s"slope: $fit")
+  }
 }
