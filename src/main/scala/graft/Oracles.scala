@@ -276,6 +276,81 @@ SELECT node, label AS community FROM l$iters ORDER BY node"""
     sb.result()
   }
 
+  /** Degree-oriented triangle counting + clustering coefficient over the
+    * undirected channel transition graph — wedge-at-lowest-degree-apex
+    * enumeration in lockstep with `Markov.triangleCount` (exact long
+    * counts, one IEEE division for the coefficient). */
+  val channelTriangles: String = attrBase + """
+, trans AS (
+  SELECT channel_name AS from_channel, next_channel AS to_channel
+  FROM (
+    SELECT channel_name,
+           LEAD(channel_name) OVER (PARTITION BY conv_id ORDER BY ts_us, session_id) AS next_channel
+    FROM assigned) t
+  WHERE next_channel IS NOT NULL
+), und AS (
+  SELECT DISTINCT least(from_channel, to_channel) AS a,
+                  greatest(from_channel, to_channel) AS b
+  FROM trans WHERE from_channel <> to_channel
+), dg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und) n
+  GROUP BY node
+), orient AS (
+  SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.a < u.b) THEN u.a ELSE u.b END AS lo,
+         CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u.a < u.b) THEN u.b ELSE u.a END AS hi
+  FROM und u JOIN dg d1 ON u.a = d1.node JOIN dg d2 ON u.b = d2.node
+), wedge AS (
+  SELECT w1.lo AS apex, w1.hi AS x, w2.hi AS y
+  FROM orient w1 JOIN orient w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+), closed AS (
+  SELECT w.apex, w.x, w.y
+  FROM wedge w JOIN (SELECT least(lo, hi) AS x, greatest(lo, hi) AS y FROM orient) e
+    ON w.x = e.x AND w.y = e.y
+), pern AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT unnest([apex, x, y]) AS node FROM closed) m
+  GROUP BY node
+)
+SELECT d.node, d.deg, CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN d.deg >= 2
+            THEN (2.0 * CAST(COALESCE(p.triangles, 0) AS DOUBLE)) /
+                 (CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE))
+            ELSE 0.0 END AS clustering
+FROM dg d LEFT JOIN pern p ON d.node = p.node
+ORDER BY d.node"""
+
+  /** SCD2 point-in-interval enrichment: the B53 version derivation, then
+    * every event left-joined to the version whose [from, to) interval
+    * covers its timestamp — the relational (range-join) form as the
+    * oracle for `Temporal.intervalJoin`'s union+window plan. */
+  val scd2Enrich: String = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+), chg AS (
+  SELECT user_id, event_id, ts_us, event_type,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS is_change
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), ver AS (
+  SELECT user_id, ts_us, event_type,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) AS version
+  FROM chg
+), g AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version,
+         MIN(event_type) AS state, MIN(ts_us) AS valid_from_us
+  FROM ver GROUP BY user_id, version
+), v AS (
+  SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us
+  FROM g
+)
+SELECT e.event_id, e.user_id, e.ts_us, v.version, v.state
+FROM ev e LEFT JOIN v
+  ON e.user_id = v.user_id AND e.ts_us >= v.valid_from_us
+ AND (v.valid_to_us IS NULL OR e.ts_us < v.valid_to_us)
+ORDER BY e.event_id"""
+
   /** Market-basket support/confidence/lift over distinct order lines —
     * exact long counts, single IEEE divisions, (lift DESC, n_ab DESC,
     * item) tie-broken top-k, in lockstep with `Analytics.basketLift`. */

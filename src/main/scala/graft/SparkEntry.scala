@@ -108,6 +108,20 @@ object SparkEntry {
 
     "basket_lift" -> ((s, dir) => Analytics.basketLift(Tables.lineitem(s, dir))),
 
+    "channel_triangles" -> ((s, dir) =>
+      graft.operators.Markov.triangleCount(
+        Journeys.channelTransitions(assigned(s, dir))
+          .selectExpr("from_channel AS src", "to_channel AS dst"))
+        .orderBy("node")),
+
+    "scd2_enrich" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "user_id", "ts_us", "event_type")
+      Temporal.intervalJoin(ev, Analytics.scd2UserState(ev),
+        keyCol = "user_id", tsCol = "ts_us", dimTieBreak = Seq("version"))
+        .select("event_id", "user_id", "ts_us", "version", "state")
+        .orderBy("event_id")
+    }),
+
     "orders_ewma" -> ((s, dir) => Analytics.ordersEwma(Tables.orders(s, dir))),
 
     "token_zipf" -> ((s, dir) => Corpus.tokenZipf(Tables.documents(s, dir))),
@@ -615,6 +629,8 @@ object SparkEntry {
     "channel_transitions"       -> Oracles.channelTransitions,
     "channel_communities"       -> Oracles.channelCommunities,
     "basket_lift"               -> Oracles.basketLift,
+    "channel_triangles"         -> Oracles.channelTriangles,
+    "scd2_enrich"               -> Oracles.scd2Enrich,
     "orders_ewma"               -> Oracles.ordersEwma,
     "token_zipf"                -> Oracles.tokenZipf,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,

@@ -558,4 +558,66 @@ object Markov {
     }
     labels.withColumnRenamed("label", "community")
   }
+
+  /** Per-node TRIANGLE COUNT + local clustering coefficient over an
+    * arbitrary edge frame, treated as an undirected simple graph
+    * (self-loops and duplicate/reverse edges collapse first).
+    *
+    * Algorithm: the degree-ordered orientation (Cohen 2009 / Suri &
+    * Vassilvitskii '11 MR-style): each undirected edge points from its
+    * LOWER-(degree, id) endpoint to the higher one, so every wedge is
+    * enumerated at its lowest-degree apex — Σ out-deg² is O(m^1.5) on
+    * any graph, where the naive a<b orientation degenerates to hub²
+    * on skewed graphs (the 100 TB killer: one celebrity node =
+    * quadratic wedges). Wedges close with one hash join back against
+    * the oriented edge list; each closed triangle explodes to its three
+    * members for the per-node rollup.
+    *
+    * Determinism: counts are exact longs; the clustering coefficient
+    * `2T / (deg·(deg−1))` is one IEEE division of exact integers. */
+  def triangleCount(edgesIn: DataFrame): DataFrame = {
+    val und = edgesIn
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("a").as("node"))
+      .union(und.select(col("b")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // orient every edge lower-(deg, node) → higher-(deg, node)
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("lo"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("hi"))
+      .localCheckpoint()
+    // wedges at the low-degree apex: (apex → x, apex → y), x < y;
+    // the triangle closes iff {x, y} is an edge (in either orientation)
+    val wedges = oriented.select(col("lo").as("apex"), col("hi").as("x"))
+      .join(oriented.select(col("lo").as("apex"), col("hi").as("y")), "apex")
+      .filter(col("x") < col("y"))
+    val closed = wedges.join(
+      oriented.select(
+        least(col("lo"), col("hi")).as("x"), greatest(col("lo"), col("hi")).as("y")),
+      Seq("x", "y"))
+    val perNode = closed
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg
+      .join(perNode, Seq("node"), "left")
+      .withColumn("triangles", coalesce(col("triangles"), lit(0L)))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          (lit(2.0) * col("triangles").cast("double")) /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double")))
+          .otherwise(lit(0.0)))
+      .select("node", "deg", "triangles", "clustering")
+  }
 }

@@ -110,4 +110,59 @@ object Temporal {
         coalesce(sum("holder_engagement"), lit(0)).cast("long").as("n_holder"))
       .orderBy("conv_id")
   }
+
+  /** POINT-IN-INTERVAL enrichment against a versioned dimension with
+    * NON-OVERLAPPING validity intervals per key (the SCD2 shape): every
+    * fact row picks up the dimension payload whose
+    * `[fromCol, toCol)` interval contains its timestamp (`toCol` NULL =
+    * open interval), or NULLs when no interval covers it — the
+    * "state as of the event" join every warehouse enrichment runs.
+    *
+    * Scale shape: the [[asofLastSession]] union+window discipline — a
+    * naive `ts >= from AND ts < to` range join fans every fact out
+    * against all of its key's versions before filtering; here dimension
+    * starts and facts interleave in ONE per-key window sort, each fact
+    * reads the running `last` dimension struct, and validity is a
+    * post-filter on the picked interval's end. One shuffle, zero
+    * fan-out, per-key cost n·log n.
+    *
+    * `dimTieBreak` orders dimension rows that share (key, from) —
+    * e.g. SCD2 `version` — so a zero-width version (closed at its own
+    * start by a same-timestamp state flip) loses to the version that
+    * actually covers the instant, exactly like the range-join semantics.
+    */
+  def intervalJoin(
+      facts: DataFrame,
+      dims: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      fromCol: String = "valid_from_us",
+      toCol: String = "valid_to_us",
+      dimTieBreak: Seq[String] = Nil): DataFrame = {
+    val payloadCols = dims.columns.filterNot(_ == keyCol).toSeq
+    val dmark = struct(payloadCols.map(col): _*)
+    val fmark = struct(facts.columns.map(col).toSeq: _*)
+    val dimSide = dims.select(
+      col(keyCol), col(fromCol).as("__ts"), lit(0).as("__kind"), dmark.as("__d"))
+    val factSide = facts.select(
+      col(keyCol), col(tsCol).as("__ts"), lit(1).as("__kind"),
+      lit(null).cast(dimSide.schema("__d").dataType).as("__d"),
+      fmark.as("__f"))
+    val both = dimSide
+      .withColumn("__f", lit(null).cast(factSide.schema("__f").dataType))
+      .unionByName(factSide)
+    val tieCols = dimTieBreak.map(c => coalesce(col(s"__d.$c"), lit(-1L)).asc)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("__ts").asc +: col("__kind").asc +: tieCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val valid = col("__m").isNotNull &&
+      (col(s"__m.$toCol").isNull || col("__ts") < col(s"__m.$toCol"))
+    val outPayload = payloadCols.filterNot(c => c == fromCol || c == toCol)
+    both
+      .withColumn("__m", last(col("__d"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(
+        facts.columns.toSeq.map(c => col(s"__f.$c").as(c)) ++
+          outPayload.map(c => when(valid, col(s"__m.$c")).as(c)): _*)
+  }
 }

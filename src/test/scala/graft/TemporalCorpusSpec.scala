@@ -179,4 +179,50 @@ class TemporalCorpusSpec extends SparkSpec {
       .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
     assert(out === Map(1L -> 1L, 0L -> 1L))
   }
+
+  test("triangleCount golden: square + diagonal, hub star, reverse/self edges collapse") {
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+      ("b", "a"), // reverse duplicate — must collapse
+      ("c", "c")) // self loop — must drop
+      .toDF("src", "dst")
+    val out = graft.operators.Markov.triangleCount(edges).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // triangles: (a,b,c) and (a,c,d)
+    assert(out("a") === ((3L, 2L, (2.0 * 2.0) / (3.0 * 2.0))))
+    assert(out("b") === ((2L, 1L, 1.0)))
+    assert(out("c") === ((3L, 2L, (2.0 * 2.0) / (3.0 * 2.0))))
+    assert(out("d") === ((2L, 1L, 1.0)))
+    // star: hub with 5 spokes — no triangles anywhere, hub clustering 0
+    val star = (1 to 5).map(i => ("hub", s"x$i")).toDF("src", "dst")
+    val s = graft.operators.Markov.triangleCount(star).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(s.values.forall(_ === 0L))
+  }
+
+  test("intervalJoin: facts pick their covering SCD2 version; zero-width versions lose") {
+    val ev = Seq(
+      (1L, 1L, 10L, "A"), (2L, 1L, 20L, "A"), (3L, 1L, 30L, "B"), (4L, 1L, 40L, "A"),
+      // user 2: same-timestamp state flip → v1 is zero-width at ts 10
+      (5L, 2L, 10L, "X"), (6L, 2L, 10L, "Y"), (7L, 2L, 20L, "Y"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val out = Temporal.intervalJoin(
+      ev, Analytics.scd2UserState(ev),
+      keyCol = "user_id", tsCol = "ts_us", dimTieBreak = Seq("version"))
+      .select("event_id", "version", "state").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) === ((1L, "A")) && out(2L) === ((1L, "A")))
+    assert(out(3L) === ((2L, "B")))
+    assert(out(4L) === ((3L, "A")))
+    // both ts-10 events land in the COVERING version 2, not the empty v1
+    assert(out(5L) === ((2L, "Y")) && out(6L) === ((2L, "Y")))
+    assert(out(7L) === ((2L, "Y")))
+    // a fact key with no dimension rows → null payload
+    val lone = Seq((9L, 99L, 5L, "Z")).toDF("event_id", "user_id", "ts_us", "event_type")
+    val l = Temporal.intervalJoin(
+      lone, Analytics.scd2UserState(ev),
+      keyCol = "user_id", tsCol = "ts_us", dimTieBreak = Seq("version"))
+      .select("event_id", "version").collect().head
+    assert(l.isNullAt(1))
+  }
 }
