@@ -322,6 +322,40 @@ object ScaleSmoke {
     // doc-pair square.
     time(s"edit_verified nDocs=$nDocs")(println(s"[scale] verified dups = " +
       graft.operators.Dedup.editVerified(docs).count()))
+
+    // Label propagation at 1M nodes / 4M edges: per-round cost is one
+    // labels⋈edges shuffle + one groupBy — linear per round, like
+    // pagerank above.
+    val lpaEdges = spark.range(4000000L).selectExpr(
+      "CAST(pmod(hash(id), 1000000) AS BIGINT) AS src",
+      "CAST(pmod(hash(id * 7 + 1), 1000000) AS BIGINT) AS dst",
+      "CAST(1 AS BIGINT) AS weight")
+    time("label_propagation nodes=1M edges=4M iters=4")(
+      println(s"[scale] communities = " +
+        graft.operators.Markov.labelPropagation(lpaEdges, iters = 4)
+          .select("community").distinct().count()))
+
+    // Degree-oriented triangle counting: wedges enumerate at the
+    // lowest-degree apex (Σ out-deg² bounded ~O(m^1.5)); a hub-skewed
+    // graph (one node on 10% of edges) must NOT blow up the wedge count
+    // the way an id-ordered orientation would.
+    val triEdges = spark.range(400000L).selectExpr(
+      """CAST(CASE WHEN pmod(id, 10) = 0 THEN 0
+              ELSE pmod(hash(id), 100000) END AS BIGINT) AS src""",
+      "CAST(pmod(hash(id * 7 + 1), 100000) AS BIGINT) AS dst")
+    time("triangles nodes=100k edges=400k (hub holds 10%)")(
+      println(s"[scale] triangle rows = " +
+        graft.operators.Markov.triangleCount(triEdges).count()))
+
+    // Interval-join enrichment at n events: SCD2 derivation + the
+    // union+window pick are all per-user window passes — linear, no
+    // range fan-out.
+    time(s"interval_join n=$n")(println(s"[scale] enriched rows = " + {
+      val ev = events.select("event_id", "user_id", "ts_us", "event_type")
+      graft.operators.Temporal.intervalJoin(
+        ev, graft.operators.Analytics.scd2UserState(ev),
+        keyCol = "user_id", tsCol = "ts_us", dimTieBreak = Seq("version")).count()
+    }))
     spark.stop()
   }
 }

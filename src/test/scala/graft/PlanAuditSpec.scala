@@ -450,6 +450,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("r9 operators: basket pairs key on the order, triangles hash-close, interval join one per-key sort") {
+    val bl = Analytics.basketLift(Tables.lineitem(spark, sfDir))
+    noCartesian(bl)
+    // candidate pairs come ONLY from the okey equi-join — never a
+    // nested-loop over the item universe; the order total joins as a
+    // one-row broadcast
+    val blPlan = bl.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!blPlan.contains("CartesianProduct"))
+    assert(blPlan.contains("BroadcastNestedLoopJoin") || blPlan.contains("BroadcastHashJoin"))
+    val assigned = graft.operators.Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    val tri = graft.operators.Markov.triangleCount(
+      graft.operators.Journeys.channelTransitions(assigned)
+        .selectExpr("from_channel AS src", "to_channel AS dst"))
+    noCartesian(tri)
+    // interval join: the dimension pick is ONE per-key window sort over
+    // the union — every WindowExec partitioned, no range-join fan-out
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts_us", "event_type")
+    val ij = graft.operators.Temporal.intervalJoin(
+      ev, Analytics.scd2UserState(ev),
+      keyCol = "user_id", tsCol = "ts_us", dimTieBreak = Seq("version"))
+    noCartesian(ij)
+    ij.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned WindowExec in intervalJoin"))
+    assert(shuffles(ij) <= 4, s"intervalJoin shuffles: ${shuffles(ij)}")
+    // LPA rounds: label mass joins + node argmax windows, no cartesian
+    val lpa = graft.operators.Markov.labelPropagation(
+      graft.operators.Journeys.channelTransitions(assigned)
+        .selectExpr("from_channel AS src", "to_channel AS dst", "n AS weight"), iters = 2)
+    noCartesian(lpa)
+  }
+
   test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
     // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
     // partial agg. The literal-prototype-matrix pass must plan with NO join
