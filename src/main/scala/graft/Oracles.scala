@@ -3167,8 +3167,9 @@ ORDER BY 1, 2"""
     * every document word is in the vocabulary because the 65536 cap is
     * far above this corpus's distinct-word count (the Spark side's
     * truncation would equally only matter beyond the cap). */
-  val bpeEncode: String = {
-    val nMerges = 30
+  /** The shared 30-round unrolled BPE learning chain (v0 → v30) used by
+    * [[bpeEncode]] and [[bpeCoverage]]. */
+  private def bpeChain(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH v0 AS MATERIALIZED (
   SELECT w, freq, '  ' || regexp_replace(w, '(.)', '\1  ', 'g') AS s
@@ -3194,6 +3195,13 @@ ORDER BY 1, 2"""
   FROM v${r - 1} v LEFT JOIN p$r p ON TRUE
 )"""
     }
+    sb.result()
+  }
+
+  val bpeEncode: String = {
+    val nMerges = 30
+    val sb = new StringBuilder
+    sb ++= bpeChain(nMerges)
     sb ++= s"""
 , wtok AS (
   SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tok,
@@ -3217,6 +3225,32 @@ LEFT JOIN wtok wt ON t.w = wt.w
 GROUP BY d.doc_id
 ORDER BY d.doc_id"""
     sb.result()
+  }
+
+  /** Per-language tokenizer coverage: the learning chain re-tokenizes
+    * the vocabulary; (lang, word) occurrences join back for the
+    * fertility / single-token rollup — lockstep with
+    * `Search.bpeCoverage`. */
+  val bpeCoverage: String = {
+    val nMerges = 30
+    bpeChain(nMerges) + s"""
+, wtok AS (
+  SELECT w, CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS n_tok
+  FROM v$nMerges WHERE w <> ''
+), tokd AS (
+  SELECT lang, w
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) z
+  WHERE w <> ''
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wt.n_tok) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE wt.n_tok = 1) AS BIGINT) AS n_single,
+       CAST(SUM(wt.n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS tokens_per_word,
+       CAST(COUNT(*) FILTER (WHERE wt.n_tok = 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS single_frac
+FROM tokd t JOIN wtok wt ON t.w = wt.w
+GROUP BY t.lang
+ORDER BY t.lang"""
   }
 
   val bpeTopMerges: String = """
@@ -3953,6 +3987,47 @@ ORDER BY pos"""
 
   /** Per-dimension whitening: (x − μ)/√(σ²+1e-6) with the dimStats
     * moment bridges — mirrors Similarity.whiten. */
+  /** Embedding outlier screen: per-dimension decimal-exact moments (the
+    * dimStats discipline), |z| per element, per-vector max with the
+    * largest-index tie-break — lockstep with `Similarity.embedOutliers`. */
+  val embedOutliers: String = """
+WITH ux AS (
+  SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), m AS (
+  SELECT i,
+         CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean,
+         CAST(SUM(CAST(CAST(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS REAL) AS VARCHAR)
+                  AS DECIMAL(38,12))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS mean_sq
+  FROM ux GROUP BY i
+), z AS (
+  SELECT u.vec_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         abs((CAST(u.x AS DOUBLE) - m.mean)
+             / sqrt((m.mean_sq - m.mean * m.mean) + 1e-6)) AS z
+  FROM ux u JOIN m ON m.i = u.i
+), mx AS (
+  SELECT vec_id, pos, z, MAX(z) OVER (PARTITION BY vec_id) AS max_z FROM z
+)
+SELECT vec_id, MAX(pos) AS worst_pos, MAX(z) AS max_z, (MAX(z) > 4.0) AS is_outlier
+FROM mx WHERE z = max_z
+GROUP BY vec_id
+ORDER BY vec_id"""
+
+  /** Journey latency distribution: per-conversion first-touch→conversion
+    * gap, interpolated quartiles (≡ the exact-rank interpolation) and
+    * the decimal-exact mean. */
+  val timeToConvert: String = attrBase + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_journeys,
+       quantile_cont(gap, 0.25) AS p25_us,
+       quantile_cont(gap, 0.5) AS p50_us,
+       quantile_cont(gap, 0.75) AS p75_us,
+       CAST(SUM(CAST(gap AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_us
+FROM (
+  SELECT conv_id, CAST(MIN(conv_ts_us) - MIN(ts_us) AS DOUBLE) AS gap
+  FROM assigned GROUP BY conv_id) g"""
+
   val embedWhiten: String = """
 WITH ux AS (
   SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i

@@ -126,6 +126,15 @@ object SparkEntry {
 
     "token_zipf" -> ((s, dir) => Corpus.tokenZipf(Tables.documents(s, dir))),
 
+    "time_to_convert" -> ((s, dir) => Analytics.timeToConvertQuantiles(assigned(s, dir))),
+
+    "embed_outliers" -> ((s, dir) => Similarity.embedOutliers(Tables.embeddings(s, dir))),
+
+    "bpe_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Search.bpeCoverage(docs, Search.bpeLearn(docs))
+    }),
+
     "channel_transitions" -> ((s, dir) => Journeys.channelTransitions(assigned(s, dir))),
 
     "attribution_incremental" -> ((s, dir) => {
@@ -633,6 +642,9 @@ object SparkEntry {
     "scd2_enrich"               -> Oracles.scd2Enrich,
     "orders_ewma"               -> Oracles.ordersEwma,
     "token_zipf"                -> Oracles.tokenZipf,
+    "time_to_convert"           -> Oracles.timeToConvert,
+    "embed_outliers"            -> Oracles.embedOutliers,
+    "bpe_coverage"              -> Oracles.bpeCoverage,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,
     "training_data_export"      -> Oracles.trainingDataExport,
     "journey_hashed_features"   -> Oracles.journeyHashedFeatures,

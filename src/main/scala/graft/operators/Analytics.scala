@@ -870,8 +870,11 @@ object Analytics {
     * `(⌈pos⌉−pos)·v_lo + (pos−⌊pos⌋)·v_hi` (Percentile's exact double
     * expression, pos = p·(n−1)) runs on that 6-row frame.
     * [[orderValuePercentilesSingleTask]] pins the semantics. */
-  def orderValuePercentiles(orders: DataFrame): DataFrame = {
-    val vals = orders.select(col("o_totalprice").as("__v"), col("o_orderkey").as("__k"))
+  /** One-row exact interpolated quartiles over `(__v double, __k long)`
+    * — the distributed [[Quantiles.withExactRank]] machinery shared by
+    * [[orderValuePercentiles]] and [[timeToConvertQuantiles]]; emits
+    * `__q25/__q50/__q75` with Percentile's exact interpolation tree. */
+  private def interpolatedQuartiles(vals: DataFrame): DataFrame = {
     val ranked = Quantiles.withExactRank(
       vals, Nil, Seq(("__v", true), ("__k", true)), "__rk", "__nn",
       materialize = false) // bare pruned scan: re-reading beats checkpointing
@@ -893,17 +896,46 @@ object Analytics {
           .as(s"__hi$tag"),
         max(pos).as(s"__p$tag"))
     }
-    val picked = withPos.filter(needed).agg(aggs.head, aggs.tail: _*)
-    val totals = orders.agg(dsum(col("o_totalprice")).as("total"))
     def interp(tag: String): Column = {
       val pos = col(s"__p$tag")
       when(floor(pos) === ceil(pos), col(s"__lo$tag"))
         .otherwise((ceil(pos) - pos) * col(s"__lo$tag") +
           (pos - floor(pos)) * col(s"__hi$tag"))
     }
-    picked.crossJoin(broadcast(totals)).select(
-      interp("25").as("p25"), interp("50").as("p50"), interp("75").as("p75"),
+    withPos.filter(needed).agg(aggs.head, aggs.tail: _*)
+      .select(interp("25").as("__q25"), interp("50").as("__q50"),
+        interp("75").as("__q75"))
+  }
+
+  def orderValuePercentiles(orders: DataFrame): DataFrame = {
+    val vals = orders.select(col("o_totalprice").as("__v"), col("o_orderkey").as("__k"))
+    val totals = orders.agg(dsum(col("o_totalprice")).as("total"))
+    interpolatedQuartiles(vals).crossJoin(broadcast(totals)).select(
+      col("__q25").as("p25"), col("__q50").as("p50"), col("__q75").as("p75"),
       col("total"))
+  }
+
+  /** Time-to-convert distribution: per journey, the µs gap from the
+    * FIRST assigned touch to the conversion; exact interpolated
+    * quartiles + exact mean over all journeys — the latency lens on the
+    * attribution output (how long the funnel actually takes).
+    *
+    * Scale shape: one journey-partitioned aggregate produces the gap
+    * series, then the [[interpolatedQuartiles]] range-bucketed rank
+    * machinery — no single-task sort, no Percentile buffer. Mean =
+    * exact decimal sum / count, one IEEE division. */
+  def timeToConvertQuantiles(assigned: DataFrame): DataFrame = {
+    val gaps = assigned
+      .groupBy("conv_id")
+      .agg((min(col("conv_ts_us")) - min(col("ts_us"))).cast("double").as("__v"))
+      .select(col("__v"), col("conv_id").as("__k"))
+    val summary = gaps.agg(
+      count(lit(1)).as("n_journeys"),
+      (dsum(col("__v")) / count(lit(1)).cast("double")).as("avg_us"))
+    interpolatedQuartiles(gaps).crossJoin(broadcast(summary)).select(
+      col("n_journeys"),
+      col("__q25").as("p25_us"), col("__q50").as("p50_us"), col("__q75").as("p75_us"),
+      col("avg_us"))
   }
 
   /** Single-task reference form of [[orderValuePercentiles]] (Spark's

@@ -399,6 +399,64 @@ object Search {
     out.toArray
   }
 
+  /** Token count of one word after replaying `ms` in training order —
+    * each merge one greedy left-to-right non-overlapping pass (exactly
+    * the pass [[bpeLearn]] runs per round). */
+  private def replayTokenCount(symsIn: Array[String], ms: Array[(String, String)]): Long = {
+    var syms = symsIn
+    var m = 0
+    while (m < ms.length && syms.length > 1) {
+      val (a, b) = ms(m)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += syms(i) + syms(i + 1); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+      m += 1
+    }
+    syms.length.toLong
+  }
+
+  /** Per-language tokenizer COVERAGE report for a learned merge table:
+    * words, tokens, single-token ("fully merged") words, fertility, and
+    * the single-token fraction per `lang` — the numbers a tokenizer
+    * evaluation reads to see which languages a vocabulary actually
+    * serves (high fertility / low single-token fraction = the tokenizer
+    * fragments that language).
+    *
+    * Scale shape: broadcast merge table + one typed map over the scan
+    * emitting per-doc partials, then one |langs|-sized groupBy — no
+    * shuffle carries corpus-sized data. Oracle: the [[bpeEncode]]
+    * unrolled learning chain re-tokenizes the vocabulary and joins back
+    * per (lang, word); languages with zero words drop on both sides. */
+  def bpeCoverage(documents: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val bMerges = spark.sparkContext.broadcast(merges.toArray)
+    documents.select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) =>
+        val ms = bMerges.value
+        var nWords = 0L; var nTokens = 0L; var nSingle = 0L
+        text.split(" ", -1).filter(_.nonEmpty).foreach { w =>
+          val t = replayTokenCount(codePointSymbols(w), ms)
+          nWords += 1; nTokens += t; if (t == 1L) nSingle += 1
+        }
+        (lang, nWords, nTokens, nSingle)
+      }
+      .toDF("lang", "w", "t", "s")
+      .groupBy("lang")
+      .agg(sum("w").as("n_words"), sum("t").as("n_tokens"), sum("s").as("n_single"))
+      .filter(col("n_words") > 0)
+      .withColumn("tokens_per_word",
+        col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("single_frac",
+        col("n_single").cast("double") / col("n_words").cast("double"))
+      .orderBy("lang")
+  }
+
   /** BPE ENCODE + tokenizer-fertility report: apply a learned merge
     * table ([[bpeLearn]]) to every document — per word, REPLAY the
     * merges in training order, each as one greedy left-to-right
@@ -424,22 +482,9 @@ object Search {
         var nTokens = 0L
         var nChars = 0L
         wordsArr.foreach { w =>
-          var syms = codePointSymbols(w)
+          val syms = codePointSymbols(w)
           nChars += syms.length
-          var m = 0
-          while (m < ms.length && syms.length > 1) {
-            val (a, b) = ms(m)
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-                out += syms(i) + syms(i + 1); i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            syms = out.toArray
-            m += 1
-          }
-          nTokens += syms.length
+          nTokens += replayTokenCount(syms, ms)
         }
         (docId, wordsArr.length.toLong, nChars, nTokens,
           if (wordsArr.isEmpty) 0.0 else nTokens.toDouble / wordsArr.length.toDouble)

@@ -938,6 +938,45 @@ object Similarity {
     * Determinism: μ/σ² come from dimStats' proven bridges; √(σ²+ε) and
     * the per-element subtract/divide are single IEEE ops with identical
     * trees in the oracle. */
+  /** Embedding OUTLIER detection against the corpus per-dimension
+    * statistics: each vector's score is its max per-dimension |z|
+    * (z = (x − μ_d)/√(σ²_d + ε)), plus the offending dimension — the
+    * screen that catches corrupt/degenerate embeddings (NaN-adjacent
+    * encoder output, wrong-model rows, truncated floats) before they
+    * poison ANN/dedup stages.
+    *
+    * Scale shape: the [[whiten]] two-pass design — d (μ, σ) pairs are
+    * INDEX METADATA (collected once, inlined as literal arrays), so
+    * scoring is a shuffle-free codegen'd map + one vec_id-partial
+    * max-aggregate. Determinism: the same decimal moment bridges as
+    * [[dimStats]], √ and |·| are correctly-rounded IEEE ops, and the
+    * worst dimension tie-breaks to the largest index via the max
+    * aggregate over (z-equal) rows. */
+  def embedOutliers(
+      embeddings: DataFrame, eps: Double = 1e-6, threshold: Double = 4.0): DataFrame = {
+    val stats = dimStats(embeddings)
+      .select("pos", "mean", "variance").collect()
+      .sortBy(_.getLong(0))
+    val meanLit = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+    val stdLit = array(stats.map(r =>
+      lit(math.sqrt(r.getDouble(2) + eps))).toSeq: _*)
+    val scored = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        abs((col("x").cast("double") -
+          element_at(meanLit, (col("pos") + 1).cast("int"))) /
+          element_at(stdLit, (col("pos") + 1).cast("int"))).as("z"))
+    val wMax = Window.partitionBy("vec_id")
+    scored
+      .withColumn("max_z", max("z").over(wMax))
+      .filter(col("z") === col("max_z"))
+      .groupBy("vec_id")
+      .agg(max("pos").as("worst_pos"), max("z").as("max_z"))
+      .withColumn("is_outlier", col("max_z") > threshold)
+      .select("vec_id", "worst_pos", "max_z", "is_outlier")
+      .orderBy("vec_id")
+  }
+
   def whiten(embeddings: DataFrame, eps: Double = 1e-6): DataFrame = {
     val stats = dimStats(embeddings)
       .select("pos", "mean", "variance").collect()

@@ -529,6 +529,56 @@ class AnalyticsSpec extends SparkSpec {
     assert(iso("z") === "z")
   }
 
+  test("timeToConvertQuantiles golden: gaps from first touch, interpolated quartiles") {
+    import spark.implicits._
+    // journeys (conv_ts − first touch): 100, 200, 300, 400 µs
+    val assigned = Seq(
+      (1L, 10L, 110L, 1L), (1L, 50L, 110L, 2L),      // conv 1: first ts 10 → gap 100
+      (2L, 100L, 300L, 3L),                          // conv 2: gap 200
+      (3L, 0L, 300L, 4L), (3L, 200L, 300L, 5L),      // conv 3: gap 300
+      (4L, 600L, 1000L, 6L))                         // conv 4: gap 400
+      .toDF("conv_id", "ts_us", "conv_ts_us", "session_id")
+    val out = Analytics.timeToConvertQuantiles(assigned).collect().head
+    assert(out.getLong(0) === 4L)
+    assert(out.getDouble(1) === 175.0) // p25: pos=0.75 → 0.25·100 + 0.75·200
+    assert(out.getDouble(2) === 250.0) // p50
+    assert(out.getDouble(3) === 325.0) // p75
+    assert(out.getDouble(4) === 250.0) // mean
+  }
+
+  test("embedOutliers: a planted corrupt vector dominates, clean vectors stay under threshold") {
+    import spark.implicits._
+    // 50 well-behaved vectors + one with a wild value in dim 3
+    val vecs = (0 until 50).map { i =>
+      val arr = Array.tabulate(8)(d => (d + 1).toFloat + 0.01f * ((i * 7 + d) % 11))
+      (i.toLong, if (i == 13) { arr(3) = 1e6f; arr } else arr)
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.embedOutliers(vecs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(13L)._1 === 3L, "worst dim must be the corrupted one")
+    assert(out(13L)._3, "corrupt vector must flag as outlier")
+    assert(out.count(_._2._3) === 1, "exactly one outlier planted")
+    assert(out.filterNot(_._1 == 13L).values.forall(_._2 < 4.0))
+  }
+
+  test("bpeCoverage golden: fully-merged language vs fragmenting language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abab abab ab", "en", "s", 1L),
+      (2L, "abab ab", "en", "s", 1L),
+      (3L, "xy zz", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = graft.operators.Search.bpeLearn(docs, nMerges = 2)
+    // merges learned on token freqs: (a,b) then (ab,ab) — en words collapse
+    val out = graft.operators.Search.bpeCoverage(docs, merges).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // en: words abab×3, ab×2 → all single tokens after both merges
+    assert(out("en") === ((5L, 5L, 5L, 1.0, 1.0)))
+    // de: xy → 2 tokens, zz → 2 tokens; nothing merged
+    assert(out("de") === ((2L, 4L, 0L, 2.0, 0.0)))
+  }
+
   test("tokenZipf: negative slope on real text, exact fit on a synthetic power law") {
     val real = graft.operators.Corpus.tokenZipf(Tables.documents(spark, sfDir)).collect().head
     assert(real.getLong(0) > 10)
