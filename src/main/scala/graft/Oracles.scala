@@ -4015,6 +4015,47 @@ FROM mx WHERE z = max_z
 GROUP BY vec_id
 ORDER BY vec_id"""
 
+  /** Welch t over md5-armed per-user revenue — exact decimal moments
+    * (DECIMAL(12,6) revenue, exact squares within both engines' native
+    * widths), the identical t/dof IEEE tree as `Analytics.abTestWelch`. */
+  val abTestWelch: String = """
+WITH rev AS (
+  SELECT user_id,
+         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END
+                       AS DECIMAL(12,6))) AS DECIMAL(12,6)) AS rev
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT rev,
+         CAST(concat('0x', substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS arm
+  FROM rev
+), ag AS (
+  SELECT
+    CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+    CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+    CAST(SUM(rev) FILTER (WHERE arm = 0) AS DOUBLE) AS sx_a,
+    CAST(SUM(rev) FILTER (WHERE arm = 1) AS DOUBLE) AS sx_b,
+    CAST(SUM(CAST(rev AS DECIMAL(24,6)) * rev) FILTER (WHERE arm = 0) AS DOUBLE) AS sxx_a,
+    CAST(SUM(CAST(rev AS DECIMAL(24,6)) * rev) FILTER (WHERE arm = 1) AS DOUBLE) AS sxx_b
+  FROM armed
+), mm AS (
+  SELECT *, sx_a / CAST(n_a AS DOUBLE) AS mean_a, sx_b / CAST(n_b AS DOUBLE) AS mean_b
+  FROM ag
+), vv AS (
+  SELECT *,
+    (sxx_a - (CAST(n_a AS DOUBLE) * (mean_a * mean_a))) / CAST(n_a - 1 AS DOUBLE) AS var_a,
+    (sxx_b - (CAST(n_b AS DOUBLE) * (mean_b * mean_b))) / CAST(n_b - 1 AS DOUBLE) AS var_b
+  FROM mm
+), ss AS (
+  SELECT *, var_a / CAST(n_a AS DOUBLE) AS se_a, var_b / CAST(n_b AS DOUBLE) AS se_b
+  FROM vv
+)
+SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+       (mean_a - mean_b) / sqrt(se_a + se_b) AS t_stat,
+       ((se_a + se_b) * (se_a + se_b)) /
+         (((se_a * se_a) / CAST(n_a - 1 AS DOUBLE)) +
+          ((se_b * se_b) / CAST(n_b - 1 AS DOUBLE))) AS dof
+FROM ss"""
+
   /** Journey latency distribution: per-conversion first-touch→conversion
     * gap, interpolated quartiles (≡ the exact-rank interpolation) and
     * the decimal-exact mean. */

@@ -128,6 +128,8 @@ object SparkEntry {
 
     "time_to_convert" -> ((s, dir) => Analytics.timeToConvertQuantiles(assigned(s, dir))),
 
+    "ab_test_welch" -> ((s, dir) => Analytics.abTestWelch(Tables.events(s, dir))),
+
     "embed_outliers" -> ((s, dir) => Similarity.embedOutliers(Tables.embeddings(s, dir))),
 
     "bpe_coverage" -> ((s, dir) => {
@@ -643,6 +645,7 @@ object SparkEntry {
     "orders_ewma"               -> Oracles.ordersEwma,
     "token_zipf"                -> Oracles.tokenZipf,
     "time_to_convert"           -> Oracles.timeToConvert,
+    "ab_test_welch"             -> Oracles.abTestWelch,
     "embed_outliers"            -> Oracles.embedOutliers,
     "bpe_coverage"              -> Oracles.bpeCoverage,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,

@@ -850,6 +850,65 @@ object Analytics {
     out.result().toDF("day", "revenue", "ewma").orderBy("day")
   }
 
+  /** A/B experiment readout with WELCH's unequal-variance t-statistic:
+    * users hash-split into two arms (deterministic md5 coin — identical
+    * assignment on any cluster and any re-run), per-user total purchase
+    * revenue compared across arms, with the Welch–Satterthwaite degrees
+    * of freedom. No p-value (the t CDF is not bit-reproducible across
+    * engines); a consumer thresholds |t| directly.
+    *
+    * Scale shape: one per-user rollup + ONE conditional aggregate row —
+    * all sums are exact fixed-scale DECIMAL (the per-user revenue is
+    * DECIMAL(18,6), its square exact in DECIMAL(37,12)), so the arm
+    * moments are order-independent and bit-equal to the oracle at any
+    * parallelism; the t/dof arithmetic is a fixed IEEE tree on six
+    * scalars. Revenue is bounded per user well below the DECIMAL(12,6)
+    * ceiling (1e6) — widen the type alongside the oracle if that ever
+    * changes. */
+  def abTestWelch(events: DataFrame): DataFrame = {
+    val d6 = DecimalType(12, 6) // ≤1e6 per-user revenue: product stays DECIMAL(25,12)
+    // in Spark and DECIMAL(24,12) in DuckDB — exact in both, no precision-loss
+    // rescale (18,6)² would trip Spark's 38-cap and DuckDB's int64 path
+    val rev = events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", col("value"))
+        .otherwise(0.0).cast(d6)).cast(d6).as("rev")) // re-narrow: the sum's
+      // widened precision would blow the product type past both engines' caps
+      .withColumn("arm",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(2L)))
+    val ag = rev.agg(
+      count(when(col("arm") === 0, 1)).as("n_a"),
+      count(when(col("arm") === 1, 1)).as("n_b"),
+      sum(when(col("arm") === 0, col("rev"))).cast("double").as("sx_a"),
+      sum(when(col("arm") === 1, col("rev"))).cast("double").as("sx_b"),
+      // widen one factor so the exact product lands in DECIMAL(~36,12) on
+      // BOTH engines (DuckDB's (12,6)² binds to an int64 DECIMAL(18,12)
+      // that overflows; Spark's (18,6)² would trip the 38-cap rescale)
+      sum(when(col("arm") === 0,
+        col("rev").cast(DecimalType(24, 6)) * col("rev"))).cast("double").as("sxx_a"),
+      sum(when(col("arm") === 1,
+        col("rev").cast(DecimalType(24, 6)) * col("rev"))).cast("double").as("sxx_b"))
+    def meanOf(s: String, n: String): Column = col(s) / col(n).cast("double")
+    ag
+      .withColumn("mean_a", meanOf("sx_a", "n_a"))
+      .withColumn("mean_b", meanOf("sx_b", "n_b"))
+      .withColumn("var_a",
+        (col("sxx_a") - (col("n_a").cast("double") * (col("mean_a") * col("mean_a")))) /
+          (col("n_a") - 1).cast("double"))
+      .withColumn("var_b",
+        (col("sxx_b") - (col("n_b").cast("double") * (col("mean_b") * col("mean_b")))) /
+          (col("n_b") - 1).cast("double"))
+      .withColumn("se_a", col("var_a") / col("n_a").cast("double"))
+      .withColumn("se_b", col("var_b") / col("n_b").cast("double"))
+      .withColumn("t_stat",
+        (col("mean_a") - col("mean_b")) / sqrt(col("se_a") + col("se_b")))
+      .withColumn("dof",
+        ((col("se_a") + col("se_b")) * (col("se_a") + col("se_b"))) /
+          (((col("se_a") * col("se_a")) / (col("n_a") - 1).cast("double")) +
+            ((col("se_b") * col("se_b")) / (col("n_b") - 1).cast("double"))))
+      .select("n_a", "n_b", "mean_a", "mean_b", "var_a", "var_b", "t_stat", "dof")
+  }
+
   /** PIVOT: one row per date, one value column per channel (fixed,
     * deterministic column set — never inferred at plan time at scale). */
   def eventsPivot(events: DataFrame): DataFrame =

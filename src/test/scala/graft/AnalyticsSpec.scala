@@ -579,6 +579,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("de") === ((2L, 4L, 0L, 2.0, 0.0)))
   }
 
+  test("abTestWelch: hash arms partition users, moments exact, Welch dof in bounds") {
+    val events = Tables.events(spark, sfDir)
+    val out = Analytics.abTestWelch(events).collect().head
+    val (na, nb) = (out.getLong(0), out.getLong(1))
+    assert(na + nb === events.select("user_id").distinct().count())
+    // deterministic md5 coin ≈ balances arms
+    assert(math.abs(na - nb).toDouble / (na + nb) < 0.2, s"arms skewed: $na vs $nb")
+    val (va, vb) = (out.getDouble(4), out.getDouble(5))
+    assert(va > 0.0 && vb > 0.0)
+    assert(!out.getDouble(6).isNaN, "t_stat must be finite")
+    val dof = out.getDouble(7)
+    assert(dof >= math.min(na, nb) - 1.0 && dof <= na + nb - 2.0,
+      s"Welch dof out of bounds: $dof")
+    // same inputs → bit-identical readout (the hash coin is deterministic)
+    assert(Analytics.abTestWelch(events).collect().head === out)
+  }
+
   test("tokenZipf: negative slope on real text, exact fit on a synthetic power law") {
     val real = graft.operators.Corpus.tokenZipf(Tables.documents(spark, sfDir)).collect().head
     assert(real.getLong(0) > 10)
