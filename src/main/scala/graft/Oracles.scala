@@ -4015,6 +4015,50 @@ FROM mx WHERE z = max_z
 GROUP BY vec_id
 ORDER BY vec_id"""
 
+  /** Exact Shapley attribution over the journey channel-set game —
+    * bitmask coalitions, subset-containment v(S), factorial weights and
+    * an ascending-mask ordered fold, in lockstep with
+    * `Reporting.shapleyAttribution`. */
+  val shapleyAttribution: String = attrBase + """
+, sets AS (
+  SELECT conv_id, list_sort(list(DISTINCT channel_name)) AS chset
+  FROM assigned GROUP BY conv_id
+), k AS (
+  SELECT list_sort(list(DISTINCT channel_name)) AS u,
+         CAST(len(list(DISTINCT channel_name)) AS INTEGER) AS kk
+  FROM assigned
+), jm AS (
+  SELECT s.conv_id,
+         list_reduce(list_prepend(0,
+           list_transform(s.chset, c -> (1 << (list_position(k.u, c) - 1)))),
+           (a, b) -> a + b) AS mask
+  FROM sets s CROSS JOIN k
+), mc AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n FROM jm GROUP BY mask
+), coal AS (
+  SELECT CAST(unnest(range(0, 1 << kk)) AS INTEGER) AS S FROM k
+), v AS (
+  SELECT c.S,
+         CAST(COALESCE(SUM(CASE WHEN (mc.mask & c.S) = mc.mask THEN mc.n END), 0) AS BIGINT) AS v
+  FROM coal c LEFT JOIN mc ON (mc.mask & c.S) = mc.mask
+  GROUP BY c.S
+), chan AS (
+  SELECT unnest(u) AS channel, CAST(generate_subscripts(u, 1) AS INTEGER) AS i, kk FROM k
+), terms AS (
+  SELECT ch.channel, v0.S,
+         ((CAST(factorial(bit_count(CAST(v0.S AS BIGINT))) AS DOUBLE) *
+           CAST(factorial(ch.kk - bit_count(CAST(v0.S AS BIGINT)) - 1) AS DOUBLE))
+            / CAST(factorial(ch.kk) AS DOUBLE))
+           * CAST(v1.v - v0.v AS DOUBLE) AS term
+  FROM chan ch
+  JOIN v v0 ON (v0.S & (1 << (ch.i - 1))) = 0
+  JOIN v v1 ON v1.S = v0.S + (1 << (ch.i - 1))
+)
+SELECT channel,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY S)),
+                   (a, b) -> a + b) AS shapley
+FROM terms GROUP BY channel ORDER BY channel"""
+
   /** Welch t over md5-armed per-user revenue — exact decimal moments
     * (DECIMAL(12,6) revenue, exact squares within both engines' native
     * widths), the identical t/dof IEEE tree as `Analytics.abTestWelch`. */

@@ -161,6 +161,8 @@ object SparkEntry {
 
     "position_attribution" -> ((s, dir) => Reporting.positionBasedAttribution(assigned(s, dir))),
 
+    "shapley_attribution" -> ((s, dir) => Reporting.shapleyAttribution(assigned(s, dir))),
+
     "markov_attribution" -> ((s, dir) =>
       graft.operators.Markov.attribution(s, Tables.sessions(s, dir), assigned(s, dir))),
 
@@ -646,6 +648,7 @@ object SparkEntry {
     "token_zipf"                -> Oracles.tokenZipf,
     "time_to_convert"           -> Oracles.timeToConvert,
     "ab_test_welch"             -> Oracles.abTestWelch,
+    "shapley_attribution"       -> Oracles.shapleyAttribution,
     "embed_outliers"            -> Oracles.embedOutliers,
     "bpe_coverage"              -> Oracles.bpeCoverage,
     "q1_pricing_summary"        -> Oracles.q1PricingSummary,

@@ -224,4 +224,66 @@ object Reporting {
     * path is the scale-appropriate sink. */
   def exportCsv(report: DataFrame, path: String): Unit =
     report.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** SHAPLEY-VALUE attribution (Shapley '53 via the simplified
+    * conversion-game of Dalessandro et al. / Zhao et al.): the
+    * characteristic function `v(S)` = number of conversions whose
+    * distinct channel set is CONTAINED in coalition `S`, and each
+    * channel's credit is its exact Shapley value
+    * `φ(c) = Σ_{S ⊆ U\\{c}} |S|!(K−|S|−1)!/K! · (v(S∪{c}) − v(S))` —
+    * the fourth classic data-driven model beside Markov removal
+    * (A24), completing the family. Σφ = v(U) = total conversions.
+    *
+    * Scale shape: the corpus-sized work is ONE distinct + groupBy pass
+    * producing per-journey channel SETS and their counts — at most
+    * 2^K rows of schema-cardinality metadata (K = |channels|, guarded
+    * ≤ 12); the subset-sum table and the exact Shapley loop run
+    * driver-side like the Markov/PageRank solves. Determinism:
+    * factorials ≤ 12! are exact in double, every weight is the fixed
+    * `(s!·(K−s−1)!)/K!` IEEE tree, per-channel terms fold in ascending
+    * coalition-mask order (≡ the oracle's `list_reduce(list(term ORDER
+    * BY S))`), counts are exact longs. */
+  def shapleyAttribution(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val setCounts: Array[(Seq[String], Long)] = assigned
+      .select(col("conv_id"), col("channel_name")).distinct()
+      .groupBy("conv_id").agg(sort_array(collect_set("channel_name")).as("chset"))
+      .groupBy("chset").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getSeq[String](0), r.getLong(1)))
+    val universe: Array[String] =
+      setCounts.flatMap(_._1).distinct.sorted
+    val k = universe.length
+    if (k == 0)
+      return Seq.empty[(String, Double)].toDF("channel", "shapley")
+    require(k <= 12,
+      s"shapleyAttribution: $k channels — the 2^K coalition game is for " +
+        "schema-cardinality channel alphabets (≤ 12); use markov for more")
+    val idx = universe.zipWithIndex.toMap
+    val maskCounts = new Array[Long](1 << k)
+    setCounts.foreach { case (chs, n) =>
+      maskCounts(chs.map(c => 1 << idx(c)).sum) += n
+    }
+    // v(S) = Σ_{T ⊆ S} cnt(T) — subset-sum (SOS) DP, K·2^K
+    val v = maskCounts.clone()
+    for (i <- 0 until k; s <- 0 until (1 << k))
+      if ((s & (1 << i)) != 0) v(s) += v(s ^ (1 << i))
+    def factD(n: Int): Double = { var r = 1.0; var i = 2; while (i <= n) { r *= i; i += 1 }; r }
+    val rows = universe.zipWithIndex.map { case (ch, i) =>
+      val bit = 1 << i
+      var phi = 0.0
+      var s = 0
+      while (s < (1 << k)) { // ascending-mask fold, mirrored by the oracle
+        if ((s & bit) == 0) {
+          val w = (factD(java.lang.Integer.bitCount(s)) *
+            factD(k - java.lang.Integer.bitCount(s) - 1)) / factD(k)
+          phi += w * (v(s | bit) - v(s)).toDouble
+        }
+        s += 1
+      }
+      (ch, phi)
+    }
+    rows.toSeq.toDF("channel", "shapley").orderBy("channel")
+  }
 }

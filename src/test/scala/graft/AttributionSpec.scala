@@ -174,4 +174,25 @@ class AttributionSpec extends SparkSpec {
       assert(math.abs(dist(c) - e) < 1e-8, s"$c: ${dist(c)} vs $e")
     }
   }
+
+  test("shapleyAttribution golden: hand-computed coalition game; efficiency on real data") {
+    import spark.implicits._
+    // journeys: {A} x2, {A,B} x1. v(A)=2, v(B)=0, v(AB)=3.
+    // phi(A) = 1/2*(2-0) + 1/2*(3-0) = 2.5 ; phi(B) = 0 + 1/2*(3-2) = 0.5
+    val assigned = Seq(
+      (1L, "A"), (1L, "A"), // duplicate touch on the same channel collapses
+      (2L, "A"),
+      (3L, "A"), (3L, "B"))
+      .toDF("conv_id", "channel_name")
+    val out = Reporting.shapleyAttribution(assigned).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("A" -> 2.5, "B" -> 0.5))
+    // efficiency: credits sum to the total number of conversions
+    val real = Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    val phi = Reporting.shapleyAttribution(real).collect().map(_.getDouble(1))
+    val nConv = real.select("conv_id").distinct().count()
+    assert(math.abs(phi.sum - nConv.toDouble) < 1e-6, s"sum ${phi.sum} vs $nConv")
+    assert(phi.forall(_ >= 0.0), "v is monotone, so every Shapley credit is >= 0")
+  }
 }
