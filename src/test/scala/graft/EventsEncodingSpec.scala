@@ -84,4 +84,32 @@ class EventsEncodingSpec extends SparkSpec {
     assert(r.getLong(1) == 0L, "null ts_us rows")
     assert(r.getLong(2) == 0L, "null event_date rows")
   }
+
+  test("eventsWindowed: raw-ts bounds are exact AND pushed, under every encoding") {
+    val fixtures = Seq(
+      "nanos" -> writeFixture((id, us, uid, typ, v, p) =>
+        Row(id, us * 1000L + 789L, uid, typ, v, p), LongType),
+      "ntz" -> writeFixture((id, us, uid, typ, v, p) =>
+        Row(id, java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC),
+          uid, typ, v, p), TimestampNTZType),
+      "ltz" -> writeFixture((id, us, uid, typ, v, p) =>
+        Row(id, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L)), uid, typ, v, p), TimestampType))
+    fixtures.foreach { case (name, dir) =>
+      // [2024-03-11, 2024-03-11] keeps exactly event 2 (the +1s row)
+      val win = Tables.eventsWindowed(spark, dir, Some("2024-03-11"), Some("2024-03-11"))
+      assert(win.select("event_id").collect().map(_.getLong(0)).toSeq === Seq(2L),
+        s"$name: wrong rows in window")
+      // no-bounds form stays identical to Tables.events
+      assert(Tables.eventsWindowed(spark, dir, None, None).count() === 2L)
+      // BOTH raw-ts bounds reach the parquet scan
+      val pushed = win.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metadata("PushedFilters")
+      }.mkString(";")
+      assert(pushed.contains("GreaterThanOrEqual(ts") && pushed.contains("LessThan(ts"),
+        s"$name: ts bounds not pushed: $pushed")
+    }
+  }
 }
