@@ -86,6 +86,13 @@ final case class AnomalyOut(
     event_type: String, epoch_day: Long, n: Long,
     mean7: Double, std7: Double, zscore: Double, is_anomaly: Boolean)
 
+/** Open-day accumulator for [[Streaming.ewmaSmooth]]: the day's exact
+  * micro-scaled sum plus the running smoothed value. */
+final case class EwmaState(openDay: Long, sumMicros: Long, ewma: Double, hasPrev: Boolean)
+
+/** One closed day emitted by [[Streaming.ewmaSmooth]]. */
+final case class EwmaOut(key: String, epoch_day: Long, revenue: Double, ewma: Double)
+
 /** A document in the streaming ingest surface (the documents table's
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
@@ -1046,6 +1053,55 @@ object Streaming {
     * empties, distinct first-occurrence 3-grams). State is one long per
     * distinct shingle — the fingerprint-store growth the batch manifest
     * pays; bound it in production the same way (TTL by content age). */
+  /** Streaming per-key daily EWMA — the live twin of
+    * [[graft.operators.Analytics.ordersEwma]], keyed by event type: each
+    * key's open day accumulates its value sum EXACTLY (micro-scaled
+    * longs ≡ the batch DECIMAL(·,6) rollup, including the Spark
+    * double→decimal shortest-string rounding), and a later day's first
+    * event CLOSES the open day, emitting `(key, day, revenue, ewma)`
+    * with `s_t = (α·x_t) + ((1−α)·s_{t−1})` — the identical IEEE tree
+    * the batch fold applies, so emitted rows are bit-equal to the batch
+    * twin over the closed prefix (spec-pinned).
+    *
+    * State is ONE fixed-size record per key forever — the
+    * [[anomalyZ]]/[[hllCounts]] bounded-state family. Same arrival
+    * assumption as [[transitionCounts]] (per-key event-time order across
+    * micro-batches; in-batch disorder sorted here); the open day is the
+    * one row the batch sees that the stream hasn't closed yet. */
+  def ewmaSmooth(events: Dataset[Event], alpha: Double = 0.3): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400000000L
+    val beta = 1.0 - alpha
+    def micros(v: Double): Long =
+      // shortest-string decimal of the double, scaled to 6 — Spark's own
+      // double→Decimal(·,6) cast semantics (HALF_UP past 6 dp)
+      java.math.BigDecimal.valueOf(v).movePointRight(6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.orNull
+          val out = Vector.newBuilder[EwmaOut]
+          ordered.foreach { e =>
+            val day = e.ts_us / DayUs
+            if (st == null) st = EwmaState(day, micros(e.value), 0.0, hasPrev = false)
+            else if (day == st.openDay)
+              st = st.copy(sumMicros = st.sumMicros + micros(e.value))
+            else {
+              val x = st.sumMicros.toDouble / 1e6
+              val s = if (st.hasPrev) (alpha * x) + (beta * st.ewma) else x
+              out += EwmaOut(key, st.openDay, x, s)
+              st = EwmaState(day, micros(e.value), s, hasPrev = true)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Distinct 60-bit shingle sids of one document — the
     * [[graft.functions.ShingleSet]] walk (split-on-space keeping empties,
     * first-occurrence 3-grams), shared by both novelty twins. */

@@ -758,6 +758,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EWMA closes days bit-equal to the batch fold, per key") {
+    import graft.streaming.EwmaOut
+    implicit val sqlCtx = spark.sqlContext
+    val D = 86400000000L
+    val mem = MemoryStream[Event]
+    val q = Streaming.ewmaSmooth(mem.toDS())
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      // click: day0 = 4+6, day1 = 20, day2 = 30, day3 open; view interleaved
+      mem.addData(Seq(
+        Event(1L, 0L, 1L, "click", 4.0), Event(2L, 1000L, 1L, "click", 6.0),
+        Event(10L, 500L, 2L, "view", 2.5)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Event(3L, D + 5L, 1L, "click", 20.0), Event(11L, D + 6L, 2L, "view", 7.5)))
+      q.processAllAvailable()
+      mem.addData(Seq(
+        Event(4L, 2 * D, 1L, "click", 30.0), Event(5L, 3 * D, 1L, "click", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_out").as[EwmaOut].collect()
+      val click = rows.filter(_.key == "click").sortBy(_.epoch_day)
+        .map(r => (r.epoch_day, r.revenue, r.ewma)).toSeq
+      // batch twin over the SAME day totals
+      val orders = Seq((0L, 4.0), (0L, 6.0), (1L, 20.0), (2L, 30.0), (3L, 1.0))
+        .toDF("d", "o_totalprice")
+        .withColumn("o_orderdate", timestamp_micros(col("d") * D))
+      val batch = graft.operators.Analytics.ordersEwma(orders).collect()
+        .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1), r.getDouble(2)))
+      // the stream has closed every day except the open day 3
+      assert(click === batch.take(3).toSeq)
+      // second key isolated: view's day0 closed with its own total
+      val view = rows.filter(_.key == "view").map(r => (r.epoch_day, r.revenue, r.ewma))
+      assert(view.toSeq === Seq((0L, 2.5, 2.5)))
+    } finally q.stop()
+  }
+
   // ---- reorder-hardened twins (r8 verdict task 7): shuffled cross-batch
   // arrival must still be bit-equal to batch ----
 
