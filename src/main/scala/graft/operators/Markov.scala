@@ -534,8 +534,39 @@ object Markov {
     * decimal/float bridge exists anywhere. Lineage is cut periodically
     * so Catalyst re-analysis stays flat in `iters`. */
   def labelPropagation(
-      edgesIn: DataFrame, iters: Int = 4, checkpointEvery: Int = 2): DataFrame = {
+      edgesIn: DataFrame, iters: Int = 4, checkpointEvery: Int = 2,
+      driverSolveMaxEdges: Long = 10000L): DataFrame = {
     val dirEdges = edgesIn.select("src", "dst", "weight")
+    // Schema-cardinality graphs (channel/category alphabets) solve
+    // driver-side — the channelPagerank/channelHits discipline: the
+    // whole edge list is bounded metadata, and 4 rounds of tiny
+    // distributed joins are pure scheduler overhead. Same sync rounds,
+    // same (wsum DESC, label ASC) tie-break, bit-identical labels.
+    // String keys only (ASCII label ordering matches Spark's UTF8
+    // binary order); other key types always take the distributed path.
+    val stringKeys =
+      dirEdges.schema("src").dataType == org.apache.spark.sql.types.StringType
+    if (stringKeys && dirEdges.count() <= driverSolveMaxEdges) {
+      val spark = edgesIn.sparkSession
+      import spark.implicits._
+      val es = dirEdges.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getAs[Number](2).longValue()))
+      val sym = es ++ es.map { case (a, b, w) => (b, a, w) }
+      val nodes = sym.map(_._1).distinct.sorted
+      var labels: Map[String, String] = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        val mass = new scala.collection.mutable.HashMap[(String, String), Long]()
+        sym.foreach { case (s, d, w) =>
+          val k = (d, labels(s)); mass(k) = mass.getOrElse(k, 0L) + w
+        }
+        labels = nodes.map { n =>
+          val cand = mass.collect { case ((`n`, l), w) => (l, w) }
+          if (cand.isEmpty) n -> labels(n)
+          else n -> cand.minBy { case (l, w) => (-w, l) }._1
+        }.toMap
+      }
+      return nodes.map(n => (n, labels(n))).toSeq.toDF("node", "community")
+    }
     val edges = dirEdges
       .union(dirEdges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
       .localCheckpoint()
