@@ -4168,4 +4168,218 @@ SELECT vec_id, CAST(ix.i - 1 AS BIGINT) AS pos,
        CAST(cvec[ix.i] AS DOUBLE) / nrm AS y
 FROM nrmed CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
 ORDER BY vec_id, pos"""
+
+  /** Recall@k of the scalar-quantized index vs exact brute force — the
+    * [[annRecallLsh]]/[[annRecallPq]] composition. Mirrors
+    * Similarity.sqRecall. */
+  val annRecallSq: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annSqTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
+  /** kNN majority-vote label prediction over the exact top-10 neighbor
+    * lists — modal label, ties to the smaller label id. Mirrors
+    * Similarity.knnClassify. */
+  val knnClassify: String = s"""
+WITH nb AS (
+  SELECT query_id, neighbor_id FROM ($annBruteforceTopK)
+), v AS (
+  SELECT nb.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS votes
+  FROM nb JOIN embeddings e ON e.vec_id = nb.neighbor_id
+  GROUP BY nb.query_id, e.label
+), r AS (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS rk
+  FROM v
+)
+SELECT query_id, label AS predicted_label, votes, CAST(10 AS BIGINT) AS k
+FROM r WHERE rk = 1
+ORDER BY query_id"""
+
+  /** SimHash near-dup pairs within Hamming distance 3 — all-pairs verify
+    * at oracle scale (the Spark side blocks by byte-bands; pigeonhole
+    * makes the band join lossless, so the SETS agree). Shares the
+    * [[dedupSimhash]] simhash derivation. */
+  val dedupSimhashNear: String = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN substr(md5(w), CAST(b + 1 AS INTEGER), 1)
+                       IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+  GROUP BY doc_id, b
+), sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b"""
+
+  /** Asymmetric n-gram containment over df-capped shingles — the
+    * [[dedupNgramJaccard]] pair machinery with per-side ratios and an
+    * either-direction threshold. Mirrors Dedup.ngramContainment. */
+  val dedupNgramContainment: String = shingleBase + """
+, shi AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
+  FROM sh
+), keep AS (
+  SELECT sid FROM (SELECT sid, COUNT(*) AS df FROM shi GROUP BY sid) d
+  WHERE df <= 1000
+), shf AS (
+  SELECT shi.doc_id, shi.sid FROM shi JOIN keep USING (sid)
+), dc AS (
+  SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(na.n AS DOUBLE) AS containment_a,
+       CAST(n_common AS DOUBLE) / CAST(nb.n AS DOUBLE) AS containment_b
+FROM inter
+JOIN dc na ON na.doc_id = doc_a
+JOIN dc nb ON nb.doc_id = doc_b
+WHERE greatest(CAST(n_common AS DOUBLE) / CAST(na.n AS DOUBLE),
+               CAST(n_common AS DOUBLE) / CAST(nb.n AS DOUBLE)) >= 0.5
+ORDER BY doc_a, doc_b"""
+
+  /** Deterministic cross-engine `ln` of a positive BIGINT expression —
+    * the op-for-op SQL twin of [[graft.functions.LnIntImpl.ln]] (see its
+    * scaladoc for why NO platform ln can be hash-gated: StrictMath,
+    * Math.log, and glibc disagree pairwise in the last ulp on real
+    * inputs). exponent = binary-format length (exact integer op),
+    * mantissa via exact power-of-two division, √2 range reduction, then
+    * the same atanh Horner tree — every step one correctly-rounded IEEE
+    * double op in both engines. */
+  private def lniSql(x: String): String = {
+    val e0 = s"(length(format('{:b}', $x)) - 1)"
+    val m0 = s"(CAST($x AS DOUBLE) / CAST((CAST(1 AS BIGINT) << $e0) AS DOUBLE))"
+    val ee = s"(CASE WHEN $m0 > 1.4142135623730951 THEN $e0 + 1 ELSE $e0 END)"
+    val m  = s"(CASE WHEN $m0 > 1.4142135623730951 THEN $m0 / 2.0 ELSE $m0 END)"
+    val t  = s"(($m - 1.0) / ($m + 1.0))"
+    val t2 = s"($t * $t)"
+    val h  = s"(0.3333333333333333 + $t2 * (0.2 + $t2 * (0.14285714285714285 + " +
+      s"$t2 * (0.1111111111111111 + $t2 * (0.09090909090909091 + " +
+      s"$t2 * (0.07692307692307693 + $t2 * (0.06666666666666667 + " +
+      s"$t2 * 0.058823529411764705)))))))"
+    s"(CAST($ee AS DOUBLE) * 0.6931471805599453 + 2.0 * ($t * (1.0 + $t2 * $h)))"
+  }
+
+  /** Top-30 bigram collocations by PMI (support ≥ 5), ranked by the EXACT
+    * integer ratio; the reported PMI is lni(c·N) − lni(c_l·c_r) over
+    * integer products via [[lniSql]]. Mirrors Search.tokenPmi. */
+  val tokenPmi: String = s"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bi AS (
+  SELECT w1, w2 FROM (
+    SELECT w AS w1, LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) t
+  WHERE w2 IS NOT NULL
+), cbi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bigram FROM bi GROUP BY w1, w2
+), m AS (
+  SELECT w1, w2, c_bigram,
+         CAST(SUM(c_bigram) OVER (PARTITION BY w1) AS BIGINT) AS c_left,
+         CAST(SUM(c_bigram) OVER (PARTITION BY w2) AS BIGINT) AS c_right,
+         CAST(SUM(c_bigram) OVER () AS BIGINT) AS n_total
+  FROM cbi
+)
+SELECT w1, w2, c_bigram, c_left, c_right,
+       ${lniSql("c_bigram * n_total")} - ${lniSql("c_left * c_right")} AS pmi
+FROM m
+WHERE c_bigram >= 5
+ORDER BY CAST(c_bigram * n_total AS DOUBLE) / CAST(c_left * c_right AS DOUBLE) DESC, w1, w2
+LIMIT 30"""
+
+  /** Per-document character-level Shannon entropy in the integer-ln form
+    * H = ln n − (Σ c·ln c)/n: ln only on INTEGER counts via [[lniSql]],
+    * per-doc ORDERED fold over char-sorted terms (the tokenZipf
+    * list_reduce discipline), bits = nats / the LN2 literal. Mirrors
+    * Corpus.textEntropy. ASCII corpus: DuckDB's code-point chars ≡
+    * Spark's UTF-16 chars. */
+  val textEntropy: String = s"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+), cnt AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ch WHERE ch <> '' GROUP BY doc_id, ch
+), terms AS (
+  SELECT doc_id, ch, c,
+         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM cnt
+), lnt AS (
+  SELECT doc_id, ch, c, n,
+         CAST(c AS DOUBLE) * ${lniSql("c")} AS term,
+         ${lniSql("n")} AS lnn
+  FROM terms
+), folded AS (
+  SELECT doc_id,
+         MAX(n) AS n_chars_counted,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+         MAX(lnn) AS lnn,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY ch)),
+           (a, b) -> a + b) AS s
+  FROM lnt GROUP BY doc_id
+)
+SELECT doc_id, n_chars_counted, n_distinct_chars,
+       lnn - s / CAST(n_chars_counted AS DOUBLE) AS entropy_nats,
+       (lnn - s / CAST(n_chars_counted AS DOUBLE)) / 0.6931471805599453 AS entropy_bits
+FROM folded
+ORDER BY doc_id"""
+
+  /** Referential-integrity audit: per FK edge, total fact rows and
+    * orphans (no parent key). Mirrors Analytics.integrityAudit. */
+  val integrityAudit: String = {
+    def edge(name: String, fact: String, fk: String, parent: String, pk: String) = s"""
+SELECT '$name' AS relation,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM $fact) AS fk_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM $fact f
+        WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = f.$fk)) AS orphan_rows"""
+    Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL", "\nORDER BY relation")
+  }
+
+  /** Daily DAU / trailing-7-day WAU. The WAU side re-anchors each
+    * distinct (user, day) to day..day+6 — identical to the Spark
+    * explode — then counts distinct users per anchor. Mirrors
+    * Analytics.userStickiness. */
+  val userStickiness: String = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS event_date FROM events
+), dau AS (
+  SELECT event_date, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY event_date
+), wau AS (
+  SELECT CAST(event_date + CAST(o.k AS INTEGER) AS DATE) AS event_date,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM ud CROSS JOIN (SELECT unnest(range(7)) AS k) o
+  GROUP BY 1
+)
+SELECT d.event_date, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+FROM dau d JOIN wau w USING (event_date)
+ORDER BY d.event_date"""
 }

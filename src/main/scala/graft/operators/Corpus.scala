@@ -492,6 +492,56 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** Per-document character-level Shannon entropy — the quality signal
+    * that separates natural prose (≈4.1 bits/char in English) from
+    * low-entropy boilerplate/repetition and high-entropy encoded blobs
+    * (base64, minified JS), both of which a training-data filter wants
+    * flagged; complements [[repetitionMetrics]] (token-level) with a
+    * sub-token view.
+    *
+    * Determinism (the transcendental discipline, SURVEY §3): rewrite
+    * H = −Σ (c/n)·ln(c/n) = ln n − (Σ c·ln c)/n so ln is only ever
+    * applied to the INTEGER counts, through the deterministic
+    * [[graft.functions.LnInt]] tree — no platform ln is engine-stable
+    * (Math.log vs libm: 54 divergent integers in the first 2M; see
+    * LnInt's scaladoc), so the oracle replicates the identical IEEE ops
+    * instead of calling DuckDB's `ln`. Each c·ln c product is one
+    * correctly-rounded multiply; the per-document sum is an ORDERED fold
+    * over the char-sorted term list (`aggregate(sort_array(...))` ≡
+    * DuckDB `list_reduce(list(term ORDER BY ch))`) — no decimal bridge,
+    * no order nondeterminism; bits = nats / the LN2 literal.
+    *
+    * Scale shape: one char-explode pass (output ∝ corpus bytes, the same
+    * cost class as tokenization), a (doc_id, ch) partial-agg count, a
+    * per-doc fold over ≤|alphabet| terms. Linear; no windows, no joins. */
+  def textEntropy(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val chars = documents
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val terms = counts
+      .withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .withColumn("term", col("c").cast("double") * expr("graft_lni(c)"))
+    terms
+      .groupBy("doc_id")
+      .agg(
+        max("n").as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("ch"), col("term")))),
+            s => s.getField("term")),
+          lit(0.0), (acc, v) => acc + v).as("__s"))
+      .withColumn("entropy_nats",
+        expr("graft_lni(n_chars_counted)") -
+          col("__s") / col("n_chars_counted").cast("double"))
+      .select(
+        col("doc_id"), col("n_chars_counted"), col("n_distinct_chars"),
+        col("entropy_nats"),
+        (col("entropy_nats") / lit(graft.functions.LnIntImpl.Ln2)).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end curation filter — the query a training-data pipeline runs
     * last: keep a document iff it is its exact-dedup cluster's
     * representative (min doc_id per text md5) AND its composite quality

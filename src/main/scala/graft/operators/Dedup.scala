@@ -327,6 +327,79 @@ object Dedup {
         expr("shiftright(simhash, 16)").as("bucket"))
       .orderBy("doc_id")
 
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips, found by
+    * BANDED blocking instead of an all-pairs scan: the 32-bit simhash is
+    * cut into `maxHamming + 1` = 4 byte-bands, and by pigeonhole any pair
+    * within Hamming distance 3 agrees EXACTLY on at least one band — so
+    * joining on (band_index, band_value) loses nothing while candidate
+    * volume stays Σbucket² over byte-sized buckets (the classic
+    * Manku/Jarvelin near-dup sharding, here 4×256 buckets; widen the hash
+    * and band count together at larger corpora). The Hamming verify is a
+    * codegen'd `bit_count(a ^ b)` on the candidate pairs only.
+    *
+    * Scale shape: one simhash map pass, a 4× band explode, a bucket
+    * self-join (bounded by the band-value distribution, no all-pairs), a
+    * pair distinct. Nothing quadratic in the corpus. */
+  def simhashNear(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val sim = simhash(documents).select("doc_id", "simhash")
+    val banded = sim
+      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("band_key",
+        expr(s"(simhash >> (8 * band)) & 255"))
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sim_a ^ sim_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Asymmetric n-gram CONTAINMENT over the df-capped discriminative
+    * shingles — the doc-inside-doc detector Jaccard misses: a short
+    * document quoted whole inside a long one has low Jaccard (the union
+    * is large) but containment_a = |A∩B|/|A| ≈ 1. Pairs survive when
+    * either direction's containment clears `minContainment`.
+    *
+    * Same near-linear blocking as [[ngramJaccard]] (shared df cap, shared
+    * support threshold, md5-prefix shingle ids); only the final scoring
+    * differs, so the scale argument carries over unchanged. */
+  def ngramContainment(
+      documents: DataFrame,
+      minCommon: Long = 3L,
+      maxDf: Long = 1000L,
+      minContainment: Double = 0.5): DataFrame = {
+    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
+    val shAll = shingles(documents)
+      .select(col("doc_id"), sid)
+      .cache()
+    val keep = shAll
+      .groupBy("sid").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("sid")
+    val sh = shAll.join(keep, "sid").cache()
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("doc_a"), col("sid"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("containment_a", col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b", col("n_common").cast("double") / col("n_b").cast("double"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** True n-gram Jaccard over DISCRIMINATIVE shingles: shingles occurring
     * in more than `maxDf` documents are stop-shingles — they carry no
     * near-dup signal but dominate the pair join quadratically (one

@@ -185,6 +185,51 @@ object Search {
       .select("w1", "w2", "c_bigram", "c_w1", "p")
   }
 
+  /** Top-k collocations by pointwise mutual information over corpus
+    * bigrams: PMI(w1,w2) = ln( c(w1,w2)·N / (c(w1·)·c(·w2)) ), the
+    * association score that surfaces multi-word expressions raw frequency
+    * buries (frequent-word pairs score near zero; "san francisco"-style
+    * pairs score high). A `minCount` support floor kills the
+    * singleton-pair PMI explosion (a 1-count bigram of two 1-count words
+    * maxes the score by construction).
+    *
+    * Determinism: the RANKING key is the exact ratio c·N/(c_l·c_r) —
+    * both products stay far below 2^53 so each double is exact and the
+    * one division correctly rounded, identical cross-engine; the reported
+    * PMI is ln(c·N) − ln(c_l·c_r) over those same INTEGER products via
+    * the deterministic [[graft.functions.LnInt]] tree (no platform ln is
+    * engine-stable — see its scaladoc), which the oracle replicates
+    * op-for-op. Plan: one bigram counting shuffle, two count
+    * aggregations over the distinct-bigram frame via w1/w2 windows — no
+    * second corpus scan — then a TakeOrderedAndProject top-k. Linear in
+    * distinct bigrams at any corpus size. */
+  def tokenPmi(documents: DataFrame, topK: Int = 30, minCount: Long = 5L): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = Dedup.tokens(documents)
+      .withColumn("w2", lead("w", 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("w").as("w1"), col("w2"))
+    val cBi = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_bigram"))
+    // n_total as a broadcast one-row frame, NOT an empty-partition window
+    // (a global window would single-partition every distinct bigram)
+    val total = cBi.agg(sum("c_bigram").as("n_total"))
+    val withMargins = cBi
+      .withColumn("c_left", sum("c_bigram").over(Window.partitionBy("w1")))
+      .withColumn("c_right", sum("c_bigram").over(Window.partitionBy("w2")))
+      .crossJoin(broadcast(total))
+    withMargins
+      .filter(col("c_bigram") >= minCount)
+      .withColumn("ratio",
+        (col("c_bigram") * col("n_total")).cast("double") /
+          (col("c_left") * col("c_right")).cast("double"))
+      .withColumn("pmi",
+        expr("graft_lni(c_bigram * n_total) - graft_lni(c_left * c_right)"))
+      .orderBy(col("ratio").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select("w1", "w2", "c_bigram", "c_left", "c_right", "pmi")
+  }
+
   /** Interpolated Kneser-Ney smoothed bigram LM (SURVEY §2.C36) — the
     * smoothing a production n-gram model actually ships (Kneser & Ney
     * 1995; Chen & Goodman 1999 found interpolated KN the best-performing

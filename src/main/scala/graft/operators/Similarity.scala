@@ -1092,4 +1092,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "sq_cosine", "rank")
       .orderBy("query_id", "rank")
   }
+
+  /** Recall@k of the scalar-quantized index ([[sqTopK]]) vs exact brute
+    * force — closing the per-index recall family (C43 LSH, C47 trained
+    * IVF, C52 PQ): SQ is the cheapest compression (4× at 8 bits, no
+    * codebook training), and this query prices its ranking loss on the
+    * actual corpus. Same bounded shape as the siblings: both inputs are
+    * |Q|·k ranked lists, the recall join is metadata-sized. */
+  def sqRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      sqTopK(embeddings, nQueries, k))
+
+  /** kNN majority-vote label prediction — the serve-side shape of a
+    * nearest-neighbor classifier over the labeled embedding corpus: each
+    * query's `k` exact nearest neighbors vote with their `label`, the
+    * modal label wins (ties broken toward the smaller label id, the
+    * deterministic convention every vote-count oracle here uses).
+    *
+    * Scale shape: the expensive part is neighbor retrieval, which is the
+    * existing top-k machinery (swap [[bruteForceTopK]] for
+    * [[ivfTopKTrained]] at corpus scale — the vote aggregation is
+    * identical); the label join is |Q|·k rows against a broadcastable
+    * (vec_id, label) projection, and the vote groupBy is |Q|·k rows —
+    * both free at any corpus size. */
+  def knnClassify(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val neighbors = bruteForceTopK(embeddings, nQueries, k)
+      .select("query_id", "neighbor_id")
+    val labels = embeddings.select(col("vec_id").as("neighbor_id"), col("label"))
+    val votes = neighbors
+      .join(broadcast(labels), "neighbor_id")
+      .groupBy("query_id", "label")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id").orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("predicted_label"),
+        col("votes"), lit(k.toLong).as("k"))
+      .orderBy("query_id")
+  }
 }

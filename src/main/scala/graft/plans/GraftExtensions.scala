@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotDecimal, DotFold, MinHashSig, ShingleSet, SimHash32, Winnow}
+import graft.functions.{DotDecimal, DotFold, LnInt, MinHashSig, ShingleSet, SimHash32, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[Winnow].getName, "graft_winnow"),
       (exprs: Seq[Expression]) => Winnow(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_lni"),
+      new ExpressionInfo(classOf[LnInt].getName, "graft_lni"),
+      (exprs: Seq[Expression]) => LnInt(exprs.head)))
     e.injectPlannerStrategy(_ => BucketUnionStrategy)
   }
 }

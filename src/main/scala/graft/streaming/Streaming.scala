@@ -93,6 +93,20 @@ final case class EwmaState(openDay: Long, sumMicros: Long, ewma: Double, hasPrev
 /** One closed day emitted by [[Streaming.ewmaSmooth]]. */
 final case class EwmaOut(key: String, epoch_day: Long, revenue: Double, ewma: Double)
 
+/** Per-user open-journey state for [[Streaming.timeToConvert]]: the event
+  * times of the first and last sessions not yet consumed by a conversion
+  * — two longs per user, forever (the greedy-assignment invariant means
+  * nothing else about the journey is needed to produce its latency; the
+  * last-ts field exists only to keep an exactly-at-conversion-time
+  * session pending for the next journey, the batch "strictly before"
+  * rule). */
+final case class TtcState(firstSessionUs: Long, lastSessionUs: Long, hasPending: Boolean)
+
+/** One converted journey's latency emitted by [[Streaming.timeToConvert]]. */
+final case class TtcOut(
+    conv_id: Long, user_id: Long, conv_ts_us: Long,
+    journey_start_us: Long, lag_us: Long)
+
 /** A document in the streaming ingest surface (the documents table's
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
@@ -480,6 +494,57 @@ object Streaming {
             val composite = st.lastChannel + sep + t.channel_name
             out += TransitionInc(st.lastComposite, composite, 1L)
             st = LastTouch2(composite, t.channel_name)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming conversion-latency extraction (SURVEY §2.D23) — the
+    * per-journey input of the batch time-to-convert quantiles (B64): on
+    * each purchase, emit `conv_ts − first unassigned session ts`, the
+    * journey span `Analytics.timeToConvertQuantiles` aggregates. The
+    * greedy journey semantics of [[graft.operators.Journeys.assign]]
+    * collapse to ONE long of state per user: a conversion consumes every
+    * strictly-prior unassigned session, so only the FIRST pending
+    * session's event time matters; a session at exactly the conversion's
+    * timestamp is NOT strictly prior and stays pending for the next
+    * journey, and a sessionless conversion emits nothing (it has no
+    * journey row in the batch frame either).
+    *
+    * Same arrival contract as [[transitionCounts]]/[[scd2State]]:
+    * per-user event-time order ACROSS micro-batches, in-batch disorder
+    * sorted here with the batch `(ts_us, event_id)` tiebreak; the
+    * [[attributeIhcOrdered]] reorder buffer composes for shuffled
+    * replay. Downstream, the emitted lags feed any quantile consumer —
+    * e.g. [[histQuantiles]] for a bounded-state streaming percentile. */
+  def timeToConvert(events: Dataset[Event]): Dataset[TtcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TtcState, TtcOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[TtcState]) =>
+          val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(TtcState(0L, 0L, hasPending = false))
+          val out = Vector.newBuilder[TtcOut]
+          ordered.foreach { e =>
+            if (e.event_type == "purchase") {
+              if (st.hasPending && st.firstSessionUs < e.ts_us) {
+                out += TtcOut(e.event_id, uid, e.ts_us,
+                  st.firstSessionUs, e.ts_us - st.firstSessionUs)
+                // sessions at EXACTLY conv_ts are not strictly prior:
+                // they open the next journey (in-order arrival means a
+                // pending ts can never exceed conv_ts)
+                st = if (st.lastSessionUs >= e.ts_us)
+                  TtcState(e.ts_us, st.lastSessionUs, hasPending = true)
+                else TtcState(0L, 0L, hasPending = false)
+              }
+            } else if (!st.hasPending) {
+              st = TtcState(e.ts_us, e.ts_us, hasPending = true)
+            } else {
+              st = st.copy(lastSessionUs = e.ts_us)
+            }
           }
           state.update(st)
           out.result().iterator

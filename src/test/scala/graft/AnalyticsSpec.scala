@@ -610,4 +610,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(fit.getLong(0) === 4L)
     assert(fit.getDouble(1) < -0.8 && fit.getDouble(1) > -1.2, s"slope: $fit")
   }
+
+  test("integrityAudit counts planted orphans per FK edge") {
+    import spark.implicits._
+    val region = Seq((0L, "r0")).toDF("r_regionkey", "r_name")
+    val nation = Seq((0L, 0L), (1L, 9L)).toDF("n_nationkey", "n_regionkey") // 1 orphan
+    val customer = Seq((10L, 0L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((20L, 0L), (21L, 0L)).toDF("s_suppkey", "s_nationkey")
+    val orders = Seq((100L, 10L), (101L, 99L)).toDF("o_orderkey", "o_custkey") // 1 orphan
+    val part = Seq((200L, "p")).toDF("p_partkey", "p_name")
+    val lineitem = Seq(
+      (100L, 200L, 20L), (100L, 999L, 21L), (555L, 200L, 20L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey") // 1 order-orphan, 1 part-orphan
+    val out = Analytics.integrityAudit(region, nation, customer, supplier, part, orders, lineitem)
+      .collect().map(r => r.getAs[String]("relation") ->
+        (r.getAs[Long]("fk_rows"), r.getAs[Long]("orphan_rows"))).toMap
+    assert(out("lineitem.l_orderkey->orders") === ((3L, 1L)))
+    assert(out("lineitem.l_partkey->part") === ((3L, 1L)))
+    assert(out("lineitem.l_suppkey->supplier") === ((3L, 0L)))
+    assert(out("orders.o_custkey->customer") === ((2L, 1L)))
+    assert(out("nation.n_regionkey->region") === ((2L, 1L)))
+  }
+
+  test("userStickiness: DAU over trailing-7-day distinct actives") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-01"),
+      (1L, "2024-01-05"),
+      (3L, "2024-01-20"))
+      .toDF("user_id", "d")
+      .select(col("user_id"), to_date(col("d")).as("event_date"))
+    val out = Analytics.userStickiness(ev).collect()
+      .map(r => r.getAs[java.sql.Date]("event_date").toString ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Double]("stickiness"))).toMap
+    // Jan 1: dau 2, wau {1,2} = 2 → 1.0
+    assert(out("2024-01-01") === ((2L, 2L, 1.0)))
+    // Jan 5: dau 1 (user 1), trailing window Dec 30..Jan 5 actives {1,2} → 0.5
+    assert(out("2024-01-05") === ((1L, 2L, 0.5)))
+    // Jan 20: isolated → 1.0; days with no activity are absent
+    assert(out("2024-01-20") === ((1L, 1L, 1.0)))
+    assert(out.size === 3)
+  }
 }

@@ -319,4 +319,33 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[String]("clean_text") === "")
     }
   }
+
+  test("simhashNear banding is lossless vs the all-pairs Hamming scan") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val banded = Dedup.simhashNear(d).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming"))).toSet
+    // brute force: every pair, no blocking — the banding must find the
+    // identical set (pigeonhole: d<=3 over 4 byte-bands => one equal band)
+    val sim = Dedup.simhash(d).select("doc_id", "simhash")
+    val a = sim.select(col("doc_id").as("doc_a"), col("simhash").as("sa"))
+    val b = sim.select(col("doc_id").as("doc_b"), col("simhash").as("sb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("h"))
+      .filter(col("h") <= 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("h"))).toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "sf0.001 must contain at least one near-dup pair")
+  }
+
+  test("ngramContainment flags a doc fully quoted inside a longer one") {
+    val short = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val long = short + " " + (100 to 200).map(i => s"pad$i").mkString(" ")
+    val other = (300 to 400).map(i => s"q$i").mkString(" ")
+    val out = Dedup.ngramContainment(docs(1L -> short, 2L -> long, 3L -> other)).collect()
+    val r = out.find(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L)
+    assert(r.isDefined, s"containment pair (1,2) missing: ${out.mkString(",")}")
+    assert(r.get.getAs[Double]("containment_a") >= 0.99)
+    assert(r.get.getAs[Double]("containment_b") < 0.5)
+    assert(!out.exists(x => x.getAs[Long]("doc_b") == 3L))
+  }
 }

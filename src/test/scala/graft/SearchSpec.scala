@@ -154,4 +154,27 @@ class SearchSpec extends SparkSpec {
     assert(postingsScan.head.metadata("PushedFilters").contains("In(term"),
       postingsScan.head.metadata("PushedFilters"))
   }
+
+  test("tokenPmi ranks a collocation above frequent-but-independent pairs") {
+    import spark.implicits._
+    // "new york" always adjacent; "the" frequent everywhere → PMI(new,york)
+    // high, PMI(the, *) near zero
+    val d = (1 to 20).map { i =>
+      (i.toLong, s"the a$i new york the b$i the c$i new york the d$i")
+    }.toDF("doc_id", "text")
+    val out = graft.operators.Search.tokenPmi(d, topK = 10, minCount = 5).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert(top.getAs[String]("w1") === "new" && top.getAs[String]("w2") === "york", top.toString)
+    assert(top.getAs[Double]("pmi") > 1.0)
+    // graft_lni: the SQL-registered expression must equal the Scala twin
+    // bit-for-bit and sit within 1 ulp of true ln (faithful rounding)
+    val ln3 = spark.sql("SELECT graft_lni(CAST(3 AS BIGINT)) AS v").collect().head.getDouble(0)
+    assert(ln3 === graft.functions.LnIntImpl.ln(3L))
+    assert(math.abs(ln3 - math.log(3.0)) <= math.ulp(math.log(3.0)))
+    // the divergence that motivated it: Math.log(9170) != libm; graft_lni
+    // is deterministic by construction, so just pin faithful rounding
+    val ln9170 = graft.functions.LnIntImpl.ln(9170L)
+    assert(math.abs(ln9170 - math.log(9170.0)) <= math.ulp(math.log(9170.0)))
+  }
 }

@@ -269,4 +269,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ratios.count(r => r > 0.2 && r < 2.5).toDouble / ratios.size > 0.95,
       s"too many pairs outside the JL band")
   }
+
+  test("sqRecall: 8-bit scalar quantization keeps high recall@10") {
+    val embTable = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = Similarity.sqRecall(embTable).collect()
+    assert(out.length === 8)
+    out.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.8 && rec <= 1.0, s"sq recall out of band: $r")
+    }
+  }
+
+  test("knnClassify predicts the planted cluster label by majority vote") {
+    // two tight clusters: label 1 around +e_d pattern, label 2 around its
+    // negation; queries 0 and 1 sit inside cluster 1 and 2 respectively
+    val rows = (0 until 24).map { i =>
+      val inC1 = i % 2 == 0
+      val base = Array.tabulate(64)(d => ((d % 7) + 1).toFloat)
+      val v = if (inC1) base.map(x => x + (i % 5) * 0.01f) else base.map(x => -x - (i % 5) * 0.01f)
+      (i.toLong, v, if (inC1) 1 else 2)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, nQueries = 2, k = 5).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("predicted_label")).toMap
+    assert(out === Map(0L -> 1, 1L -> 2))
+  }
 }

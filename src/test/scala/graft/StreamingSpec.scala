@@ -906,4 +906,36 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.find(_._1 == 1L).exists(_._4 == 1.0)) // true first owner keeps 1
     } finally q.stop()
   }
+
+  test("streaming time-to-convert emits the batch journey spans bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.TtcOut
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    // in-order micro-batches, scrambled WITHIN each batch (the operator's
+    // arrival contract; the per-batch sort must restore it)
+    val parts = events.grouped((events.length + 2) / 3).toSeq
+      .map(_.sortBy(e => (e.event_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[Event]
+    val q = Streaming.timeToConvert(mem.toDS())
+      .writeStream.format("memory").queryName("ttc_out").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("ttc_out").as[TtcOut].collect()
+        .map(t => t.conv_id -> (t.journey_start_us, t.lag_us)).toMap
+      // batch twin: per-journey span from the greedy assignment
+      val batch = graft.operators.Journeys.assign(
+          Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+        .groupBy("conv_id")
+        .agg((min(col("conv_ts_us")) - min(col("ts_us"))).as("lag"),
+          min(col("ts_us")).as("start"))
+        .collect()
+        .map(r => r.getAs[Long]("conv_id") ->
+          (r.getAs[Long]("start"), r.getAs[Long]("lag"))).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -139,4 +139,20 @@ class TextMultimodalSpec extends SparkSpec {
     val img = Multimodal.featuresBinary(spark, Seq((9L, bmp)).toDF("doc_id", "payload")).head()
     assert((img.sample_rate, img.n_channels, img.bit_depth, img.pcm_peak) === ((0, 0, 0, 0)))
   }
+
+  test("textEntropy: analytic entropies for uniform and degenerate alphabets") {
+    val d = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd")).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.textEntropy(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chars_counted"), r.getAs[Long]("n_distinct_chars"),
+          r.getAs[Double]("entropy_bits"))).toMap
+    assert(out(1L)._1 === 4L && out(1L)._2 === 1L)
+    assert(math.abs(out(1L)._3) < 1e-12, s"constant text must have 0 entropy: ${out(1L)}")
+    assert(math.abs(out(2L)._3 - 1.0) < 1e-12, s"2 uniform symbols = 1 bit: ${out(2L)}")
+    assert(math.abs(out(3L)._3 - 2.0) < 1e-12, s"4 uniform symbols = 2 bits: ${out(3L)}")
+    // order-independence: same multiset, different order → identical bits
+    val perm = graft.operators.Corpus.textEntropy(Seq((9L, "dcba")).toDF("doc_id", "text"))
+      .head().getAs[Double]("entropy_bits")
+    assert(perm === out(3L)._3)
+  }
 }
