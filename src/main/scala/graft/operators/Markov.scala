@@ -125,10 +125,19 @@ object Markov {
     * (channel_name, removal_effect, weight, revenue). */
   def attribution(
       spark: SparkSession, sessions: DataFrame, assigned: DataFrame): DataFrame = {
-    val trans = transitionCounts(sessions, assigned)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-    val channels = trans.map(_._1).distinct.filter(_ != Start).sorted
-    effectsFrame(spark, assigned, trans, channels, c => st => st == c)
+    // The journey-assignment DAG under `assigned` is consumed three times
+    // (transition window, residual anti-join probe, revenue total) and
+    // only its exchanges would be reused — cache the narrow projection for
+    // the operator's duration so the upstream windows run once. Both
+    // consumers are eager (collect / head), so the unpersist is safe.
+    val a = assigned
+      .select("conv_id", "session_id", "ts_us", "channel_name", "revenue").cache()
+    try {
+      val trans = transitionCounts(sessions, a)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val channels = trans.map(_._1).distinct.filter(_ != Start).sorted
+      effectsFrame(spark, a, trans, channels, c => st => st == c)
+    } finally a.unpersist()
   }
 
   /** SECOND-ORDER transition counts: states are (previous, current)
@@ -177,12 +186,17 @@ object Markov {
     * stays fully distributed. */
   def attribution2(
       spark: SparkSession, sessions: DataFrame, assigned: DataFrame): DataFrame = {
-    val trans = transitionCounts2(sessions, assigned)
-      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
-    val channels = trans.map(_._1)
-      .filter(_ != Start).map(st => st.substring(st.indexOf(StateSep) + StateSep.length))
-      .distinct.sorted
-    effectsFrame(spark, assigned, trans, channels, c => st => st.endsWith(StateSep + c))
+    // same shared-pass cache as [[attribution]]
+    val a = assigned
+      .select("conv_id", "session_id", "ts_us", "channel_name", "revenue").cache()
+    try {
+      val trans = transitionCounts2(sessions, a)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val channels = trans.map(_._1)
+        .filter(_ != Start).map(st => st.substring(st.indexOf(StateSep) + StateSep.length))
+        .distinct.sorted
+      effectsFrame(spark, a, trans, channels, c => st => st.endsWith(StateSep + c))
+    } finally a.unpersist()
   }
 
   /** Shared removal-effect → (weight, revenue) post-processing with the
