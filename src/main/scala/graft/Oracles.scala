@@ -4382,4 +4382,95 @@ SELECT d.event_date, d.dau, w.wau,
        CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
 FROM dau d JOIN wau w USING (event_date)
 ORDER BY d.event_date"""
+
+  /** Lookback-window IHC: the assignment filtered to sessions within 2
+    * days of their conversion, then the SAME flag + I/H/C windows over
+    * the surviving touches (credit renormalizes per journey by
+    * construction). Mirrors Journeys.lookbackFilter → IhcAttribution. */
+  val ihcLookback: String = attrBase + """
+, lb AS (
+  SELECT * FROM assigned WHERE conv_ts_us - ts_us <= 172800000000
+), lbf AS (
+  SELECT *, CASE WHEN row_number() OVER (PARTITION BY conv_id ORDER BY ts_us DESC, session_id ASC) = 1
+                 THEN 1 ELSE 0 END AS conversion
+  FROM lb
+), lbihc AS (
+  SELECT *,
+    ((CASE WHEN row_number() OVER (PARTITION BY conv_id ORDER BY ts_us ASC, session_id ASC) = 1 THEN 1.0 ELSE 0.0 END)
+     + (CASE WHEN SUM(holder_engagement) OVER (PARTITION BY conv_id) > 0
+          THEN CAST(holder_engagement AS DOUBLE) / CAST(SUM(holder_engagement) OVER (PARTITION BY conv_id) AS DOUBLE)
+          ELSE 1.0 / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE) END)
+     + (CASE WHEN SUM(closer_engagement) OVER (PARTITION BY conv_id) > 0
+          THEN CAST(closer_engagement AS DOUBLE) / CAST(SUM(closer_engagement) OVER (PARTITION BY conv_id) AS DOUBLE)
+          ELSE CAST(conversion AS DOUBLE) END)) / 3.0 AS ihc
+  FROM lbf
+)
+SELECT conv_id, session_id, channel_name, ihc
+FROM lbihc
+ORDER BY conv_id, session_id"""
+
+  /** Channel co-occurrence (support + lift per unordered pair) across
+    * journeys. Mirrors Journeys.channelOverlap. */
+  val channelOverlap: String = attrBase + """
+, cc AS (
+  SELECT DISTINCT conv_id, channel_name FROM assigned
+), nconv AS (
+  SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs FROM assigned
+), chc AS (
+  SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n FROM cc GROUP BY channel_name
+), prs AS (
+  SELECT a.channel_name AS ch_a, b.channel_name AS ch_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM cc a JOIN cc b ON a.conv_id = b.conv_id AND a.channel_name < b.channel_name
+  GROUP BY 1, 2
+)
+SELECT ch_a, ch_b, n_ab, na.n AS n_a, nb.n AS n_b, n_convs,
+       CAST(n_ab AS DOUBLE) / CAST(n_convs AS DOUBLE) AS support,
+       CAST(n_ab * n_convs AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS lift
+FROM prs
+JOIN chc na ON na.channel_name = ch_a
+JOIN chc nb ON nb.channel_name = ch_b
+CROSS JOIN nconv
+ORDER BY ch_a, ch_b"""
+
+  /** Packing-efficiency rollup over the sequencePacking bins. Mirrors
+    * Corpus.packingEfficiency. */
+  val packingEfficiency: String = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM t),
+packed AS (
+  SELECT lang, shard, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin FROM c)
+SELECT lang, shard,
+       CAST(MAX(bin) + 1 AS BIGINT) AS n_bins,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST((MAX(bin) + 1) * 2048 AS BIGINT) AS capacity,
+       CAST(SUM(n_tokens) AS DOUBLE) / CAST((MAX(bin) + 1) * 2048 AS DOUBLE) AS fill_rate
+FROM packed
+GROUP BY lang, shard
+ORDER BY lang, shard"""
+
+  /** Per-shard token balance for the epoch-0 shard assignment. Mirrors
+    * Corpus.shardSkew. */
+  val shardSkew: String = """
+WITH s AS (
+  SELECT CAST(concat('0x', substring(md5(CAST(0 AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), per AS (
+  SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM s GROUP BY shard
+), tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM per
+)
+SELECT shard, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+       (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 8.0 AS token_skew
+FROM per CROSS JOIN tot
+ORDER BY shard"""
 }

@@ -74,6 +74,15 @@ object SparkEntry {
     "attribution_sum_check" -> ((s, dir) =>
       IhcAttribution.sumCheck(attributed(s, dir)).orderBy("conv_id")),
 
+    "ihc_lookback" -> ((s, dir) =>
+      // 2-day lookback window (172800000000 µs), matching the oracle
+      IhcAttribution.attribute(Journeys.flagConversion(
+          Journeys.lookbackFilter(assigned(s, dir), 172800000000L)))
+        .select("conv_id", "session_id", "channel_name", "ihc")
+        .orderBy("conv_id", "session_id")),
+
+    "channel_overlap" -> ((s, dir) => Journeys.channelOverlap(assigned(s, dir))),
+
     "journey_stats" -> ((s, dir) => Journeys.statistics(assigned(s, dir))),
 
     "journey_validate" -> ((s, dir) =>
@@ -220,6 +229,11 @@ object SparkEntry {
 
     "sequence_packing" -> ((s, dir) =>
       Corpus.sequencePacking(Tables.documents(s, dir))),
+
+    "packing_efficiency" -> ((s, dir) =>
+      Corpus.packingEfficiency(Tables.documents(s, dir))),
+
+    "shard_skew" -> ((s, dir) => Corpus.shardSkew(Tables.documents(s, dir))),
 
     "data_mixture_sample" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir))),
@@ -652,6 +666,8 @@ object SparkEntry {
     "ihc_attribution"           -> Oracles.ihcAttribution,
     "ihc_redistributed"         -> Oracles.ihcRedistributed,
     "attribution_sum_check"     -> Oracles.attributionSumCheck,
+    "ihc_lookback"              -> Oracles.ihcLookback,
+    "channel_overlap"           -> Oracles.channelOverlap,
     "journey_stats"             -> Oracles.journeyStats,
     "journey_validate"          -> Oracles.journeyValidate,
     "channel_reporting"         -> Oracles.channelReporting,
@@ -698,6 +714,8 @@ object SparkEntry {
     "sample_priority"           -> Oracles.samplePriority,
     "doc_chunking"              -> Oracles.docChunking,
     "sequence_packing"          -> Oracles.sequencePacking,
+    "packing_efficiency"        -> Oracles.packingEfficiency,
+    "shard_skew"                -> Oracles.shardSkew,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,
     "lm_doc_score"              -> Oracles.lmDocScore,

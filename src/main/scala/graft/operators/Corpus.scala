@@ -766,6 +766,53 @@ object Corpus {
       .orderBy("shard", "pos")
   }
 
+  /** Packing-efficiency report over [[sequencePacking]]'s bins: per
+    * (lang, shard), bin count, packed tokens, capacity, and fill rate —
+    * the utilization readout that tells a training pipeline how much GPU
+    * time the greedy packer wastes on padding (and which language shards
+    * pack badly, e.g. many over-budget documents each forcing a bin
+    * spill).
+    *
+    * Scale shape: one groupBy over the packing assignment (itself one
+    * cumulative window per (lang, shard)); output is |langs|·|shards|
+    * rows of metadata. fill_rate is one division of exact longs. */
+  def packingEfficiency(
+      documents: DataFrame, budget: Int = 2048, nShards: Int = 8): DataFrame =
+    sequencePacking(documents, budget, nShards)
+      .groupBy("lang", "shard")
+      .agg(
+        (max("bin") + 1L).as("n_bins"),
+        sum("n_tokens").as("total_tokens"))
+      .withColumn("capacity", col("n_bins") * budget.toLong)
+      .withColumn("fill_rate",
+        col("total_tokens").cast("double") / col("capacity").cast("double"))
+      .orderBy("lang", "shard")
+
+  /** Shard-balance report over [[trainingShards]]' epoch assignment: per
+    * shard, document and token counts plus each shard's token load
+    * relative to the mean (`token_skew` = share × nShards; 1.0 =
+    * perfectly balanced) — the dataloader-balance check run before an
+    * epoch ships, since one heavy shard gates every data-parallel step.
+    *
+    * Scale shape: the shard hash is a pure map over documents, the
+    * per-shard rollup one partial agg; the corpus total rides in as a
+    * one-row broadcast. Output is nShards rows. */
+  def shardSkew(documents: DataFrame, nShards: Int = 8, epoch: Long = 0L): DataFrame = {
+    val perDoc = documents.select(
+      (conv(substring(md5(concat_ws("_", lit(epoch), col("doc_id"))), 1, 15), 16, 10)
+        .cast("long") % nShards).as("shard"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val perShard = perDoc.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val total = perShard.agg(sum("n_tokens").as("total_tokens"))
+    perShard.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens").cast("double"))
+      .withColumn("token_skew", col("token_share") * nShards.toDouble)
+      .select("shard", "n_docs", "n_tokens", "token_share", "token_skew")
+      .orderBy("shard")
+  }
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

@@ -175,6 +175,58 @@ object Journeys {
       .orderBy("conv_id")
   }
 
+  /** Lookback-window restriction over the assignment: sessions older than
+    * `lookbackUs` before their conversion carry no credit and drop out of
+    * the journey (they are NOT reassigned — the industry lookback
+    * semantics every ad platform applies, and the windowed complement of
+    * the reference's date-window extracts). Downstream IHC renormalizes
+    * over the surviving touches, so a journey whose opener ages out
+    * promotes the next-oldest touch to initializer. Pure filter on the
+    * already-assigned frame — no new shuffle, the window predicate is a
+    * codegen'd comparison. */
+  def lookbackFilter(assigned: DataFrame, lookbackUs: Long): DataFrame =
+    assigned.filter(col("conv_ts_us") - col("ts_us") <= lookbackUs)
+
+  /** Channel co-occurrence across journeys — which channels appear
+    * TOGETHER in converting paths (support + lift per unordered channel
+    * pair): the assist-analysis readout that tells a budget owner whether
+    * two channels reach the same conversions (lift > 1) or independent
+    * audiences, complementing [[channelTransitions]]' sequential view.
+    *
+    * Scale shape: journeys collapse to one sorted-distinct-channels
+    * basket row per conversion (one groupBy over assigned — the only
+    * journey-sized pass), localCheckpointed once; pairs generate
+    * ROW-LOCALLY inside each basket (≤ C(|channels|,2) per journey —
+    * channel cardinality is schema-bounded), per-channel counts and the
+    * journey total are partial aggs over the same checkpoint, the total
+    * a one-row broadcast. The [[Analytics.basketLift]] plan shape. */
+  def channelOverlap(assigned: DataFrame): DataFrame = {
+    val baskets = assigned
+      .groupBy("conv_id").agg(sort_array(collect_set(col("channel_name"))).as("chs"))
+      .localCheckpoint()
+    val nConvs = baskets.agg(count(lit(1)).as("n_convs"))
+    val chCounts = baskets.select(explode(col("chs")).as("channel"))
+      .groupBy("channel").agg(count(lit(1)).as("n"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(chs, (x, i) ->
+          |  transform(slice(chs, i + 2, size(chs)),
+          |            y -> struct(x AS ch_a, y AS ch_b))))""".stripMargin)).as("p"))
+      .select(col("p.ch_a"), col("p.ch_b"))
+      .groupBy("ch_a", "ch_b")
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(chCounts.select(col("channel").as("ch_a"), col("n").as("n_a")), "ch_a")
+      .join(chCounts.select(col("channel").as("ch_b"), col("n").as("n_b")), "ch_b")
+      .crossJoin(broadcast(nConvs))
+      .withColumn("support", col("n_ab").cast("double") / col("n_convs").cast("double"))
+      .withColumn("lift",
+        (col("n_ab") * col("n_convs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"))
+      .select("ch_a", "ch_b", "n_ab", "n_a", "n_b", "n_convs", "support", "lift")
+      .orderBy("ch_a", "ch_b")
+  }
+
   def channelTransitions(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
     assigned

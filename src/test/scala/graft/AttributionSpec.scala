@@ -195,4 +195,46 @@ class AttributionSpec extends SparkSpec {
     assert(math.abs(phi.sum - nConv.toDouble) < 1e-6, s"sum ${phi.sum} vs $nConv")
     assert(phi.forall(_ >= 0.0), "v is monotone, so every Shapley credit is >= 0")
   }
+
+  test("lookback filter ages out the opener and credit renormalizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one user: an old 'view' touch 10 days before conversion, a fresh
+    // 'click' 1 hour before — a 2-day lookback drops the view, the click
+    // becomes initializer AND closer, sum(ihc) stays 1
+    val day = 86400000000L
+    val sess = Seq(
+      (10L, 1L, 100L * day, java.sql.Date.valueOf("2024-01-01"), "view", 1, 0, 1),
+      (11L, 1L, 110L * day - 3600000000L, java.sql.Date.valueOf("2024-01-10"), "click", 1, 1, 0))
+      .toDF("session_id", "user_id", "ts_us", "event_date", "channel_name",
+        "holder_engagement", "closer_engagement", "impression_interaction")
+    val conv = Seq((1000L, 1L, 110L * day, java.sql.Date.valueOf("2024-01-10"), 50.0))
+      .toDF("conv_id", "user_id", "conv_ts_us", "conv_date", "revenue")
+    val full = IhcAttribution.attribute(
+      Journeys.flagConversion(Journeys.assign(sess, conv)))
+    assert(full.count() === 2)
+    val lb = IhcAttribution.attribute(Journeys.flagConversion(
+      Journeys.lookbackFilter(Journeys.assign(sess, conv), 2L * day)))
+      .collect()
+    assert(lb.length === 1)
+    assert(lb.head.getAs[Long]("session_id") === 11L)
+    assert(math.abs(lb.head.getAs[Double]("ihc") - 1.0) < 1e-12)
+  }
+
+  test("channelOverlap: planted co-occurrence yields exact support and lift") {
+    import spark.implicits._
+    // conv 1: {a,b}; conv 2: {a,b}; conv 3: {a}; conv 4: {c}
+    val a = Seq(
+      (1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("conv_id", "channel_name")
+    val out = Journeys.channelOverlap(a).collect()
+    val ab = out.find(r => r.getAs[String]("ch_a") == "a" && r.getAs[String]("ch_b") == "b").get
+    assert(ab.getAs[Long]("n_ab") === 2L)
+    assert(ab.getAs[Long]("n_a") === 3L)
+    assert(ab.getAs[Long]("n_b") === 2L)
+    assert(ab.getAs[Long]("n_convs") === 4L)
+    assert(ab.getAs[Double]("support") === 0.5)
+    assert(ab.getAs[Double]("lift") === (2.0 * 4.0) / (3.0 * 2.0))
+    assert(!out.exists(r => r.getAs[String]("ch_b") == "c"), "c co-occurs with nothing")
+  }
 }

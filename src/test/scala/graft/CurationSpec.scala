@@ -235,4 +235,41 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(wrapped - expected) > 1e-6 * math.abs(expected),
       "fixture no longer exercises the overflow regime")
   }
+
+  test("packingEfficiency: exact fill rates incl. the over-budget spill signal") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // lang x: two 1024-token docs -> one full bin (fill 1.0)
+    // lang y: one 3000-token doc -> bin 0 overflows capacity (fill > 1)
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, "x", words(1024)), (8L, "x", words(1024)), // same shard: md5 dependent — use budget math per (lang, shard) group
+      (1L, "y", words(3000)))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Corpus.packingEfficiency(docs).collect()
+    out.foreach { r =>
+      val fill = r.getAs[Double]("fill_rate")
+      val cap = r.getAs[Long]("capacity")
+      val tot = r.getAs[Long]("total_tokens")
+      assert(fill === tot.toDouble / cap.toDouble)
+      assert(cap % 2048 === 0L)
+    }
+    val y = out.filter(_.getAs[String]("lang") == "y")
+    assert(y.map(_.getAs[Long]("total_tokens")).sum === 3000L)
+    assert(y.exists(_.getAs[Double]("fill_rate") > 1.0), "over-budget doc must overflow")
+  }
+
+  test("shardSkew: shares sum to 1 and uniform corpora balance near 1.0") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, "en", (1 to 50).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Corpus.shardSkew(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 400L)
+    val shareSum = out.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    out.foreach { r =>
+      val skew = r.getAs[Double]("token_skew")
+      assert(skew > 0.5 && skew < 1.5, s"uniform corpus shard skew out of band: $r")
+    }
+  }
 }
