@@ -484,6 +484,68 @@ class PlanAuditSpec extends SparkSpec {
     noCartesian(lpa)
   }
 
+  test("wave-8/9 shapes: banded near-dup equi-joins, entropy join-free, audits broadcast dims") {
+    val docs = Tables.documents(spark, sfDir)
+    // simhashNear: candidates ONLY from the (band, band_key) equi-join
+    val near = Dedup.simhashNear(docs)
+    noCartesian(near)
+    assert(shuffles(near) <= 5, s"simhashNear shuffles: ${shuffles(near)}")
+    // containment shares the df-capped sid blocking — no cartesian
+    noCartesian(Dedup.ngramContainment(docs))
+    // textEntropy: one count groupBy + per-doc window/fold — NO join
+    val ent = Corpus.textEntropy(docs)
+    assert(!ent.queryExecution.sparkPlan.toString.contains("Join"),
+      "textEntropy must not plan a join")
+    assert(shuffles(ent) <= 3, s"textEntropy shuffles: ${shuffles(ent)}")
+    // tokenPmi: the top-k must be TakeOrdered, never a global sort
+    val pmi = graft.operators.Search.tokenPmi(docs)
+    assert(pmi.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      "tokenPmi top-k must plan as TakeOrderedAndProject")
+    // stickiness: the 7x explode runs over the deduped user-day frame;
+    // bounded shuffles, no cartesian
+    val stick = Analytics.userStickiness(Tables.events(spark, sfDir))
+    noCartesian(stick)
+    // user-day dedup + dau agg + countDistinct's two-phase expand + the
+    // day-keyed join + ordering — all keyed on user/day aggregates, none
+    // proportional to raw events after the first dedup
+    assert(shuffles(stick) <= 6, s"userStickiness shuffles: ${shuffles(stick)}")
+    // integrity audit: every dimension parent joins as broadcast; only
+    // the fact-fact edge may sort-merge
+    val audit = Analytics.integrityAudit(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.part(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+    noCartesian(audit)
+    val auditPlan = audit.queryExecution.sparkPlan.toString
+    assert(auditPlan.contains("BroadcastHashJoin"), "audit dims must broadcast")
+    // knnClassify: the label join is a broadcast over |Q|*k rows
+    val knn = graft.operators.Similarity.knnClassify(
+      Tables.embeddings(spark, sfDir))
+    assert(knn.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "knnClassify label join must broadcast")
+    // basketLift's rewritten pair stage generates pairs ROW-LOCALLY: the
+    // only joins left are the count/broadcast attach — no okey self-join
+    val bl = Analytics.basketLift(Tables.lineitem(spark, sfDir))
+    val blJoins = bl.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(blJoins.size <= 2, s"basketLift re-grew join stages: ${blJoins.size}")
+    // channelOverlap shares the basket shape
+    val assigned = graft.operators.Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    noCartesian(graft.operators.Journeys.channelOverlap(assigned))
+    // packing/shard reports: windows partitioned, totals broadcast
+    val pe = Corpus.packingEfficiency(docs)
+    pe.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned packing window"))
+    val sk = Corpus.shardSkew(docs)
+    assert(sk.queryExecution.sparkPlan.toString.contains("BroadcastNestedLoopJoin") ||
+      sk.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "shardSkew total must attach as broadcast")
+  }
+
   test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
     // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
     // partial agg. The literal-prototype-matrix pass must plan with NO join
