@@ -4473,4 +4473,119 @@ SELECT shard, n_docs, n_tokens,
        (CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) * 8.0 AS token_skew
 FROM per CROSS JOIN tot
 ORDER BY shard"""
+
+  /** Five closed-form attribution models side by side + spread — each
+    * model CTE is the verbatim formula of its standalone oracle over the
+    * shared attrBase CTEs. Mirrors Reporting.modelCompare. */
+  val attributionModelCompare: String = attrBase + """
+, ft AS (
+  SELECT channel_name, CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY ts_us ASC, session_id ASC) AS rn
+    FROM assigned) t
+  WHERE rn = 1 GROUP BY channel_name
+), lt AS (
+  SELECT channel_name, CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS rev
+  FROM flagged WHERE conversion = 1 GROUP BY channel_name
+), lin AS (
+  SELECT channel_name,
+         CAST(round(SUM(CAST(credit AS DECIMAL(10,9)) * CAST(revenue AS DECIMAL(12,6))), 9) AS DOUBLE) AS rev
+  FROM (
+    SELECT channel_name, revenue,
+           CAST(1.0 AS DOUBLE) / CAST(COUNT(*) OVER (PARTITION BY conv_id) AS DOUBLE) AS credit
+    FROM assigned) l
+  GROUP BY channel_name
+), td0 AS (
+  SELECT channel_name, revenue, conv_id,
+         CAST(1.0 AS DOUBLE)
+           / (CAST(1.0 AS DOUBLE) + CAST((conv_ts_us - ts_us) // 86400000000 AS DOUBLE)) AS w
+  FROM assigned
+), tdn0 AS (
+  SELECT channel_name, revenue,
+         w / CAST(SUM(CAST(w AS DECIMAL(27,9))) OVER (PARTITION BY conv_id) AS DOUBLE) AS credit
+  FROM td0
+), td AS (
+  SELECT channel_name,
+         CAST(round(SUM(CAST(credit AS DECIMAL(10,9)) * CAST(revenue AS DECIMAL(12,6))), 9) AS DOUBLE) AS rev
+  FROM tdn0 GROUP BY channel_name
+), pos0 AS (
+  SELECT channel_name, revenue,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts_us ASC, session_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM assigned
+), pcredit0 AS (
+  SELECT channel_name, revenue,
+         CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+              WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+              WHEN rn = 1 OR rn = n THEN CAST(0.4 AS DOUBLE)
+              ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE) END AS credit
+  FROM pos0
+), pos AS (
+  SELECT channel_name,
+         CAST(round(SUM(CAST(credit AS DECIMAL(10,9)) * CAST(revenue AS DECIMAL(12,6))), 9) AS DOUBLE) AS rev
+  FROM pcredit0 GROUP BY channel_name
+), chans AS (
+  SELECT DISTINCT channel_name FROM assigned
+)
+SELECT c.channel_name,
+       COALESCE(ft.rev, 0.0) AS rev_first,
+       COALESCE(lt.rev, 0.0) AS rev_last,
+       COALESCE(lin.rev, 0.0) AS rev_linear,
+       COALESCE(td.rev, 0.0) AS rev_decay,
+       COALESCE(pos.rev, 0.0) AS rev_position,
+       greatest(COALESCE(ft.rev, 0.0), COALESCE(lt.rev, 0.0), COALESCE(lin.rev, 0.0),
+                COALESCE(td.rev, 0.0), COALESCE(pos.rev, 0.0))
+       - least(COALESCE(ft.rev, 0.0), COALESCE(lt.rev, 0.0), COALESCE(lin.rev, 0.0),
+               COALESCE(td.rev, 0.0), COALESCE(pos.rev, 0.0)) AS spread
+FROM chans c
+LEFT JOIN ft USING (channel_name)
+LEFT JOIN lt USING (channel_name)
+LEFT JOIN lin USING (channel_name)
+LEFT JOIN td USING (channel_name)
+LEFT JOIN pos USING (channel_name)
+ORDER BY c.channel_name"""
+
+  /** Day-of-week revenue seasonality. Mirrors Analytics.ordersSeasonality
+    * (DuckDB dayofweek ≡ Spark dayofweek − 1, both 0 = Sunday). */
+  val ordersSeasonality: String = """
+WITH b AS (
+  SELECT CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue FROM b
+)
+SELECT dow, n_orders, revenue,
+       revenue / total_revenue AS revenue_share,
+       (revenue / total_revenue) * 7.0 AS seasonality_index
+FROM b CROSS JOIN t
+ORDER BY dow"""
+
+  /** Power-of-two token-length histogram per language (integer bit-length
+    * buckets — no log2). Mirrors Corpus.docLenHistogram. */
+  val docLenHistogram: String = """
+WITH t AS (
+  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+), b AS (
+  SELECT lang, CAST(length(format('{:b}', n_tokens)) - 1 AS BIGINT) AS bucket, n_tokens
+  FROM t WHERE n_tokens > 0
+)
+SELECT lang, bucket,
+       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS bucket_lo,
+       CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS bucket_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY lang, bucket
+ORDER BY lang, bucket"""
+
+  /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
+  val dupRateBySource: String = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+FROM documents GROUP BY source
+ORDER BY source"""
 }

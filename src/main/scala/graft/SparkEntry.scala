@@ -83,6 +83,9 @@ object SparkEntry {
 
     "channel_overlap" -> ((s, dir) => Journeys.channelOverlap(assigned(s, dir))),
 
+    "attribution_model_compare" -> ((s, dir) =>
+      Reporting.modelCompare(assigned(s, dir))),
+
     "journey_stats" -> ((s, dir) => Journeys.statistics(assigned(s, dir))),
 
     "journey_validate" -> ((s, dir) =>
@@ -132,6 +135,8 @@ object SparkEntry {
     }),
 
     "orders_ewma" -> ((s, dir) => Analytics.ordersEwma(Tables.orders(s, dir))),
+
+    "orders_seasonality" -> ((s, dir) => Analytics.ordersSeasonality(Tables.orders(s, dir))),
 
     "integrity_audit" -> ((s, dir) =>
       Analytics.integrityAudit(
@@ -234,6 +239,10 @@ object SparkEntry {
       Corpus.packingEfficiency(Tables.documents(s, dir))),
 
     "shard_skew" -> ((s, dir) => Corpus.shardSkew(Tables.documents(s, dir))),
+
+    "doc_len_histogram" -> ((s, dir) => Corpus.docLenHistogram(Tables.documents(s, dir))),
+
+    "dup_rate_by_source" -> ((s, dir) => Corpus.dupRateBySource(Tables.documents(s, dir))),
 
     "data_mixture_sample" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir))),
@@ -668,6 +677,8 @@ object SparkEntry {
     "attribution_sum_check"     -> Oracles.attributionSumCheck,
     "ihc_lookback"              -> Oracles.ihcLookback,
     "channel_overlap"           -> Oracles.channelOverlap,
+    "attribution_model_compare" -> Oracles.attributionModelCompare,
+    "orders_seasonality"        -> Oracles.ordersSeasonality,
     "journey_stats"             -> Oracles.journeyStats,
     "journey_validate"          -> Oracles.journeyValidate,
     "channel_reporting"         -> Oracles.channelReporting,
@@ -716,6 +727,8 @@ object SparkEntry {
     "sequence_packing"          -> Oracles.sequencePacking,
     "packing_efficiency"        -> Oracles.packingEfficiency,
     "shard_skew"                -> Oracles.shardSkew,
+    "doc_len_histogram"         -> Oracles.docLenHistogram,
+    "dup_rate_by_source"        -> Oracles.dupRateBySource,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,
     "lm_doc_score"              -> Oracles.lmDocScore,

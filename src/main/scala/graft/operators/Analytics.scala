@@ -1313,6 +1313,34 @@ object Analytics {
       .orderBy("c_mktsegment")
   }
 
+  /** Day-of-week seasonality index over order revenue: each weekday's
+    * share of total revenue scaled by 7, so 1.0 = a flat week and the
+    * index reads directly as over/under-trading — the calendar profile a
+    * forecast (B52/B61) is seasonally adjusted with.
+    *
+    * dow is 0 = Sunday … 6 = Saturday (Spark `dayofweek` − 1 ≡ DuckDB
+    * `dayofweek`). One partial-agg groupBy to 7 rows; the total rides in
+    * as a one-row broadcast; share/index are divisions of exact decimal
+    * sums. */
+  def ordersSeasonality(orders: DataFrame): DataFrame = {
+    val byDow = orders
+      .select((dayofweek(col("o_orderdate").cast("date")) - 1).cast("long").as("dow"),
+        col("o_totalprice"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+    val total = byDow.agg(dsum2(col("revenue")).as("total_revenue"))
+    byDow.crossJoin(broadcast(total))
+      .withColumn("revenue_share", col("revenue") / col("total_revenue"))
+      .withColumn("seasonality_index", col("revenue_share") * 7.0)
+      .select("dow", "n_orders", "revenue", "revenue_share", "seasonality_index")
+      .orderBy("dow")
+  }
+
+  /** Exact re-sum of already-exact per-group decimal sums (the totals are
+    * scale-6-exact doubles, so the re-cast is lossless). */
+  private def dsum2(c: Column): Column =
+    sum(c.cast(DecimalType(27, 6))).cast("double")
+
   /** Referential-integrity audit across every FK edge of the warehouse —
     * the data-quality gate a 100 TB ingest runs before anything else
     * touches the tables: per relation, total FK rows and how many are

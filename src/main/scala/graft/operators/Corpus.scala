@@ -813,6 +813,45 @@ object Corpus {
       .orderBy("shard")
   }
 
+  /** Token-length histogram per language on power-of-two buckets —
+    * the length profile that tunes the packing budget (C27) and the
+    * chunk size (C26): bucket b covers [2^b, 2^(b+1)) whitespace tokens.
+    *
+    * The bucket is the INTEGER bit length of the token count (binary
+    * string length − 1) — no log2 anywhere, because floor(log2(n))
+    * through a transcendental log is off-by-one exactly at the powers of
+    * two where a libm ulp lands below the integer (the graft_lni
+    * finding, dodged with integer arithmetic instead of solved with it).
+    * One map + one partial-agg groupBy; output |langs|·~12 rows. */
+  def docLenHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", (length(conv(col("n_tokens"), 10, 2)) - 1).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .withColumn("bucket_lo", expr("CAST(1 AS BIGINT) << bucket"))
+      .withColumn("bucket_hi", expr("(CAST(1 AS BIGINT) << (bucket + 1)) - 1"))
+      .select("lang", "bucket", "bucket_lo", "bucket_hi", "n_docs", "total_tokens")
+      .orderBy("lang", "bucket")
+
+  /** Per-source exact-duplication rate: documents vs distinct texts per
+    * source — the one-line provenance health check (a crawl source whose
+    * dup rate jumps is re-serving cached pages) that decides where the
+    * heavier near-dup passes (C2/C64) spend their budget.
+    *
+    * One groupBy with a partial-aggregable distinct count over md5(text)
+    * — no pairwise anything; output |sources| rows. */
+  def dupRateBySource(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct_texts"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

@@ -218,6 +218,44 @@ object Reporting {
       .orderBy("channel_name")
   }
 
+  /** Side-by-side model comparison: every channel's revenue credit under
+    * the five closed-form models (first/last/linear/time-decay/position)
+    * plus the cross-model spread — the disagreement readout an
+    * attribution review starts from (a channel whose credit swings with
+    * the model choice is exactly where the model choice matters; a flat
+    * row is settled no matter the methodology debate).
+    *
+    * Scale shape: the journey frame is localCheckpointed ONCE (narrow
+    * projection) and feeds all five rollups — without it each model
+    * re-runs the upstream assignment DAG; each model is its existing
+    * audited one-window plan; the compare joins five |channels|-row
+    * aggregates to the distinct-channel list (metadata-sized). Missing
+    * channels coalesce to 0.0 credit; spread = greatest − least of five
+    * identical-tree doubles. */
+  def modelCompare(assigned: DataFrame): DataFrame = {
+    val a = assigned
+      .select("conv_id", "session_id", "ts_us", "conv_ts_us", "channel_name", "revenue")
+      .localCheckpoint()
+    def rev(df: DataFrame, tag: String) =
+      df.select(col("channel_name"), col("revenue").as(s"rev_$tag"))
+    val models = Seq(
+      rev(firstTouch(a), "first"),
+      rev(lastTouch(graft.operators.Journeys.flagConversion(a)), "last"),
+      rev(linearAttribution(a), "linear"),
+      rev(timeDecayAttribution(a), "decay"),
+      rev(positionBasedAttribution(a), "position"))
+    val channels = a.select("channel_name").distinct()
+    val joined = models.foldLeft(channels)((acc, m) => acc.join(m, Seq("channel_name"), "left"))
+    val tags = Seq("first", "last", "linear", "decay", "position")
+    val revCols = tags.map(t => coalesce(col(s"rev_$t"), lit(0.0)).as(s"rev_$t"))
+    joined
+      .select(col("channel_name") +: revCols: _*)
+      .withColumn("spread",
+        greatest(tags.map(t => col(s"rev_$t")): _*) -
+          least(tags.map(t => col(s"rev_$t")): _*))
+      .orderBy("channel_name")
+  }
+
   /** Export the reporting table as a single CSV with header — reference
     * `reporting.py:105-168` (`channel_reporting.csv`). Coalesced to one
     * file to match the reference's single-artifact contract; the parquet

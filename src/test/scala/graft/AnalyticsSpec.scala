@@ -651,4 +651,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(out("2024-01-20") === ((1L, 1L, 1.0)))
     assert(out.size === 3)
   }
+
+  test("ordersSeasonality: shares sum to 1, index averages 1") {
+    val out = Analytics.ordersSeasonality(Tables.orders(spark, sfDir)).collect()
+    assert(out.length <= 7)
+    assert(out.map(_.getAs[Long]("dow")).forall(d => d >= 0 && d <= 6))
+    val shareSum = out.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    val idxMean = out.map(_.getAs[Double]("seasonality_index")).sum / 7.0
+    assert(math.abs(idxMean - 1.0) < 1e-9)
+  }
 }

@@ -237,4 +237,25 @@ class AttributionSpec extends SparkSpec {
     assert(ab.getAs[Double]("lift") === (2.0 * 4.0) / (3.0 * 2.0))
     assert(!out.exists(r => r.getAs[String]("ch_b") == "c"), "c co-occurs with nothing")
   }
+
+  test("modelCompare: every model conserves total journey revenue") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Reporting.modelCompare(assigned)
+    val total = assigned.select("conv_id", "revenue").distinct()
+      .agg(graft.functions.Exact.dsum(col("revenue"))).head().getDouble(0)
+    val sums = out.agg(
+      sum("rev_first"), sum("rev_last"), sum("rev_linear"),
+      sum("rev_decay"), sum("rev_position")).head()
+    // fractional models round each journey's credit at decimal scale 9,
+    // so conservation holds to ~5e-9 per journey, not machine epsilon
+    val nJourneys = assigned.select("conv_id").distinct().count()
+    val tol = 1e-8 * nJourneys.toDouble + 1e-9
+    (0 until 5).foreach { i =>
+      assert(math.abs(sums.getDouble(i) - total) < tol,
+        s"model $i leaks revenue: ${sums.getDouble(i)} vs $total (tol $tol)")
+    }
+    out.collect().foreach { r =>
+      assert(r.getAs[Double]("spread") >= 0.0)
+    }
+  }
 }

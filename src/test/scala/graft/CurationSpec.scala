@@ -272,4 +272,33 @@ class CurationSpec extends SparkSpec {
       assert(skew > 0.5 && skew < 1.5, s"uniform corpus shard skew out of band: $r")
     }
   }
+
+  test("docLenHistogram: analytic power-of-two buckets") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "a"),                       // 1 token  -> bucket 0 [1,1]
+      (2L, "en", "a b c d e"),               // 5 tokens -> bucket 2 [4,7]
+      (3L, "en", (1 to 8).map(_ => "w").mkString(" "))) // 8 -> bucket 3 [8,15]
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.Corpus.docLenHistogram(docs).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("bucket_lo"), r.getAs[Long]("bucket_hi"), r.getAs[Long]("n_docs"))).toMap
+    assert(out(0L) === ((1L, 1L, 1L)))
+    assert(out(2L) === ((4L, 7L, 1L)))
+    assert(out(3L) === ((8L, 15L, 1L)))
+  }
+
+  test("dupRateBySource: planted duplicates per source") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "crawl", "same text"), (2L, "crawl", "same text"), (3L, "crawl", "other"),
+      (4L, "books", "unique one"), (5L, "books", "unique two"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Corpus.dupRateBySource(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct_texts"),
+          r.getAs[Double]("dup_rate"))).toMap
+    assert(out("crawl") === ((3L, 2L, 1.0 - 2.0 / 3.0)))
+    assert(out("books") === ((2L, 2L, 0.0)))
+  }
 }
