@@ -4580,6 +4580,52 @@ SELECT lang, bucket,
 FROM b GROUP BY lang, bucket
 ORDER BY lang, bucket"""
 
+  /** Winnow-fingerprint overlap pairs with df cap + support floor.
+    * Mirrors Corpus.winnowOverlap. */
+  val winnowOverlap: String = winnowCte + """
+, keep AS (
+  SELECT fingerprint FROM (
+    SELECT fingerprint, COUNT(*) AS df FROM wfp GROUP BY fingerprint) d
+  WHERE df <= 1000
+), f AS (
+  SELECT wfp.doc_id, wfp.fingerprint FROM wfp JOIN keep USING (fingerprint)
+), dc AS (
+  SELECT doc_id, COUNT(*) AS n FROM f GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM f a JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+)
+SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE) AS overlap
+FROM inter
+JOIN dc na ON na.doc_id = doc_a
+JOIN dc nb ON nb.doc_id = doc_b
+ORDER BY doc_a, doc_b"""
+
+  /** Quality-decile × length-bucket grid with exact decimal mean quality.
+    * Mirrors Corpus.qualityLengthGrid. */
+  val qualityLengthGrid: String = s"""
+WITH base AS (
+  SELECT least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) * 0.3
+           + (1.0 - CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT CAST(floor(q * 10.0) AS BIGINT) AS q_decile,
+         CAST(length(format('{:b}', n_tokens)) - 1 AS BIGINT) AS len_bucket, q
+  FROM base WHERE n_tokens > 0
+)
+SELECT q_decile, len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(q AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quality
+FROM b GROUP BY q_decile, len_bucket
+ORDER BY q_decile, len_bucket"""
+
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """
 SELECT source,

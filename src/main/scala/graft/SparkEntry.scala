@@ -244,6 +244,10 @@ object SparkEntry {
 
     "dup_rate_by_source" -> ((s, dir) => Corpus.dupRateBySource(Tables.documents(s, dir))),
 
+    "winnow_overlap" -> ((s, dir) => Corpus.winnowOverlap(Tables.documents(s, dir))),
+
+    "quality_length_grid" -> ((s, dir) => Corpus.qualityLengthGrid(Tables.documents(s, dir))),
+
     "data_mixture_sample" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir))),
 
@@ -729,6 +733,8 @@ object SparkEntry {
     "shard_skew"                -> Oracles.shardSkew,
     "doc_len_histogram"         -> Oracles.docLenHistogram,
     "dup_rate_by_source"        -> Oracles.dupRateBySource,
+    "winnow_overlap"            -> Oracles.winnowOverlap,
+    "quality_length_grid"       -> Oracles.qualityLengthGrid,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,
     "lm_doc_score"              -> Oracles.lmDocScore,

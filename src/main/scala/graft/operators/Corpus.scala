@@ -852,6 +852,65 @@ object Corpus {
         lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs").cast("double"))
       .orderBy("source")
 
+  /** Winnow-fingerprint OVERLAP pairs (the MOSS report shape): document
+    * pairs sharing ≥ `minCommon` discriminative winnowing fingerprints,
+    * scored by containment against the smaller side — the structural
+    * plagiarism/overlap detector that survives token insertion where
+    * plain shingle Jaccard (C4) degrades, since winnowing guarantees a
+    * fingerprint match for any shared run of ≥ w+k−1 tokens.
+    *
+    * Same near-linear discipline as [[graft.operators.Dedup
+    * .ngramJaccard]]: a df cap drops corpus-wide boilerplate fingerprints
+    * (they dominate the pair join quadratically and carry no pair
+    * signal), the support floor keeps pair cardinality bounded by genuine
+    * overlap. */
+  def winnowOverlap(
+      documents: DataFrame, minCommon: Long = 2L, maxDf: Long = 1000L): DataFrame = {
+    val fp = winnowFp(documents).cache()
+    val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("fingerprint")
+    val f = fp.join(keep, "fingerprint").cache()
+    val counts = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = f.select(col("doc_id").as("doc_a"), col("fingerprint"))
+      .join(f.select(col("doc_id").as("doc_b"), col("fingerprint")), "fingerprint")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minCommon)
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("overlap",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .select("doc_a", "doc_b", "n_common", "overlap")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Quality × length calibration grid: document counts and exact mean
+    * quality per (quality decile, power-of-two length bucket) — the 2-D
+    * diagnostic that shows whether the C9 quality score is just a length
+    * proxy (mass hugging the diagonal) and which length bands a quality
+    * threshold would actually cut.
+    *
+    * One map + one partial-agg groupBy to ≤ 11·~12 cells; the decile is
+    * floor(q·10) on the identical IEEE score both engines already
+    * hash-agree on, the length bucket the C70 integer bit length. */
+  def qualityLengthGrid(documents: DataFrame): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    documents
+      .select(q.as("q"), nTok.as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("q_decile", floor(col("q") * 10.0).cast("long"))
+      .withColumn("len_bucket", (length(conv(col("n_tokens"), 10, 2)) - 1).cast("long"))
+      .groupBy("q_decile", "len_bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (graft.functions.Exact.dsum9(col("q")) / count(lit(1)).cast("double"))
+          .as("mean_quality"))
+      .orderBy("q_decile", "len_bucket")
+  }
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

@@ -107,6 +107,15 @@ final case class TtcOut(
     conv_id: Long, user_id: Long, conv_ts_us: Long,
     journey_start_us: Long, lag_us: Long)
 
+/** Per-user open-journey touch buffer for [[Streaming.channelOverlapIncs]]:
+  * the (ts, channel) touches not yet consumed by a conversion — bounded
+  * by journey length, the [[IhcBufState]] growth profile. */
+final case class OverlapState(pending: Vector[(Long, String)])
+
+/** One per-journey channel-pair increment emitted by
+  * [[Streaming.channelOverlapIncs]]. */
+final case class OverlapInc(conv_id: Long, ch_a: String, ch_b: String, n: Long)
+
 /** A document in the streaming ingest surface (the documents table's
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
@@ -544,6 +553,48 @@ object Streaming {
               st = TtcState(e.ts_us, e.ts_us, hasPending = true)
             } else {
               st = st.copy(lastSessionUs = e.ts_us)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming channel co-occurrence increments (SURVEY §2.D24) — the
+    * live twin of A30: when a journey CLOSES (its purchase arrives), emit
+    * one increment per unordered channel pair among the journey's
+    * distinct touched channels; summed increments equal the batch
+    * [[graft.operators.Journeys.channelOverlap]] pair counts exactly.
+    * The greedy-assignment rules are [[timeToConvert]]'s: a conversion
+    * consumes every strictly-prior unassigned touch; exactly-at-
+    * conversion-time touches stay pending for the next journey;
+    * sessionless conversions emit nothing.
+    *
+    * State is the open journey's (ts, channel) touch buffer — bounded by
+    * journey length, the [[attributeIhc]] growth profile (channel SET
+    * alone would lose the equal-ts retention rule). Same D7 arrival
+    * contract; the D4b reorder buffer composes for shuffled replay. */
+  def channelOverlapIncs(events: Dataset[Event]): Dataset[OverlapInc] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverlapState, OverlapInc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[OverlapState]) =>
+          val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(OverlapState(Vector.empty))
+          val out = Vector.newBuilder[OverlapInc]
+          ordered.foreach { e =>
+            if (e.event_type == "purchase") {
+              val (consumed, kept) = st.pending.partition(_._1 < e.ts_us)
+              if (consumed.nonEmpty) {
+                val chs = consumed.map(_._2).distinct.sorted
+                for (i <- chs.indices; j <- (i + 1) until chs.length)
+                  out += OverlapInc(e.event_id, chs(i), chs(j), 1L)
+                st = OverlapState(kept)
+              }
+            } else {
+              st = OverlapState(st.pending :+ ((e.ts_us, e.event_type)))
             }
           }
           state.update(st)

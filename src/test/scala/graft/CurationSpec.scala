@@ -301,4 +301,32 @@ class CurationSpec extends SparkSpec {
     assert(out("crawl") === ((3L, 2L, 1.0 - 2.0 / 3.0)))
     assert(out("books") === ((2L, 2L, 0.0)))
   }
+
+  test("winnowOverlap flags a doc sharing a long run, scores by the smaller side") {
+    import spark.implicits._
+    val shared = (1 to 40).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),
+      (2L, (100 to 130).map(i => s"pre$i").mkString(" ") + " " + shared),
+      (3L, (200 to 260).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Corpus.winnowOverlap(docs).collect()
+    val r = out.find(x => x.getAs[Long]("doc_a") == 1L && x.getAs[Long]("doc_b") == 2L)
+    assert(r.isDefined, s"overlap pair missing: ${out.mkString(",")}")
+    assert(r.get.getAs[Double]("overlap") > 0.8, s"shared-run overlap low: ${r.get}")
+    assert(!out.exists(x => x.getAs[Long]("doc_b") == 3L))
+  }
+
+  test("qualityLengthGrid cells partition the corpus with exact means") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = graft.operators.Corpus.qualityLengthGrid(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      val m = r.getAs[Double]("mean_quality")
+      val d = r.getAs[Long]("q_decile")
+      assert(m >= d / 10.0 - 1e-9 && m < (d + 1) / 10.0 + 1e-9,
+        s"mean outside its decile: $r")
+    }
+  }
 }

@@ -938,4 +938,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming channel-overlap increments sum to the batch pair counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.OverlapInc
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    val parts = events.grouped((events.length + 2) / 3).toSeq
+      .map(_.sortBy(e => (e.event_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[Event]
+    val q = Streaming.channelOverlapIncs(mem.toDS())
+      .writeStream.format("memory").queryName("overlap_inc").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("overlap_inc").as[OverlapInc].collect()
+        .groupBy(o => (o.ch_a, o.ch_b))
+        .view.mapValues(_.map(_.n).sum).toMap
+      val batch = graft.operators.Journeys.channelOverlap(
+          graft.operators.Journeys.assign(
+            Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir)))
+        .collect()
+        .map(r => (r.getAs[String]("ch_a"), r.getAs[String]("ch_b")) -> r.getAs[Long]("n_ab"))
+        .toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
