@@ -4626,6 +4626,55 @@ SELECT q_decile, len_bucket,
 FROM b GROUP BY q_decile, len_bucket
 ORDER BY q_decile, len_bucket"""
 
+  /** Journeys and revenue by touch count. Mirrors
+    * Journeys.lengthDistribution. */
+  val journeyLengthDistribution: String = attrBase + """
+, per AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_touches, MAX(revenue) AS revenue
+  FROM assigned GROUP BY conv_id
+)
+SELECT n_touches,
+       CAST(COUNT(*) AS BIGINT) AS n_journeys,
+       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_revenue
+FROM per GROUP BY n_touches
+ORDER BY n_touches"""
+
+  /** One-row events DQ audit. Mirrors Analytics.eventsQualityAudit. */
+  val eventsQualityAudit: String = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS n_dup_event_ids,
+       CAST(COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT) AS n_null_user,
+       CAST(COUNT(CASE WHEN value < 0.0 THEN 1 END) AS BIGINT) AS n_negative_value,
+       CAST(COUNT(CASE WHEN event_type NOT IN ('purchase','click','view','signup','error') THEN 1 END) AS BIGINT) AS n_unknown_type,
+       MIN(CAST(ts AS DATE)) AS min_date,
+       MAX(CAST(ts AS DATE)) AS max_date
+FROM events"""
+
+  /** Vocabulary-growth deciles (Heaps curve). Mirrors Corpus.vocabGrowth. */
+  val vocabGrowth: String = """
+WITH nd AS (
+  SELECT CAST(MAX(doc_id) + 1 AS BIGINT) AS n FROM documents
+), tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), firsts AS (
+  SELECT w, MIN(doc_id) AS first_doc FROM tok WHERE w <> '' GROUP BY w
+), byd AS (
+  SELECT (first_doc * 10) // n AS decile, CAST(COUNT(*) AS BIGINT) AS new_tokens
+  FROM firsts CROSS JOIN nd GROUP BY 1
+), dpd AS (
+  SELECT (doc_id * 10) // n AS decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents CROSS JOIN nd GROUP BY 1
+)
+SELECT d.decile, d.n_docs,
+       CAST(SUM(d.n_docs) OVER (ORDER BY d.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_cum,
+       COALESCE(b.new_tokens, 0) AS new_tokens,
+       CAST(SUM(COALESCE(b.new_tokens, 0)) OVER (ORDER BY d.decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_cum
+FROM dpd d LEFT JOIN byd b USING (decile)
+ORDER BY d.decile"""
+
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """
 SELECT source,

@@ -86,6 +86,12 @@ object SparkEntry {
     "attribution_model_compare" -> ((s, dir) =>
       Reporting.modelCompare(assigned(s, dir))),
 
+    "journey_length_distribution" -> ((s, dir) =>
+      Journeys.lengthDistribution(assigned(s, dir))),
+
+    "events_quality_audit" -> ((s, dir) =>
+      Analytics.eventsQualityAudit(Tables.events(s, dir))),
+
     "journey_stats" -> ((s, dir) => Journeys.statistics(assigned(s, dir))),
 
     "journey_validate" -> ((s, dir) =>
@@ -247,6 +253,8 @@ object SparkEntry {
     "winnow_overlap" -> ((s, dir) => Corpus.winnowOverlap(Tables.documents(s, dir))),
 
     "quality_length_grid" -> ((s, dir) => Corpus.qualityLengthGrid(Tables.documents(s, dir))),
+
+    "vocab_growth" -> ((s, dir) => Corpus.vocabGrowth(Tables.documents(s, dir))),
 
     "data_mixture_sample" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir))),
@@ -683,6 +691,8 @@ object SparkEntry {
     "channel_overlap"           -> Oracles.channelOverlap,
     "attribution_model_compare" -> Oracles.attributionModelCompare,
     "orders_seasonality"        -> Oracles.ordersSeasonality,
+    "journey_length_distribution" -> Oracles.journeyLengthDistribution,
+    "events_quality_audit"      -> Oracles.eventsQualityAudit,
     "journey_stats"             -> Oracles.journeyStats,
     "journey_validate"          -> Oracles.journeyValidate,
     "channel_reporting"         -> Oracles.channelReporting,
@@ -735,6 +745,7 @@ object SparkEntry {
     "dup_rate_by_source"        -> Oracles.dupRateBySource,
     "winnow_overlap"            -> Oracles.winnowOverlap,
     "quality_length_grid"       -> Oracles.qualityLengthGrid,
+    "vocab_growth"              -> Oracles.vocabGrowth,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,
     "lm_doc_score"              -> Oracles.lmDocScore,

@@ -1341,6 +1341,28 @@ object Analytics {
   private def dsum2(c: Column): Column =
     sum(c.cast(DecimalType(27, 6))).cast("double")
 
+  /** One-row data-quality audit over the raw event stream — the landing
+    * gate run before anything derives from events: duplicate event ids
+    * (every downstream distinct/join silently dedups or fans out on
+    * them), null users (unjoinable), negative values (corrupt revenue),
+    * unknown event types (schema drift — every derivation here branches
+    * on the type vocabulary), and the observed date range (a future or
+    * ancient timestamp is an encoding bug, the r7 lesson).
+    *
+    * One aggregate pass; the duplicate count is rows − distinct ids,
+    * partial-aggregable like any distinct. */
+  def eventsQualityAudit(events: DataFrame): DataFrame = {
+    val knownTypes = Seq("purchase", "click", "view", "signup", "error")
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("n_dup_event_ids"),
+      count(when(col("user_id").isNull, 1)).as("n_null_user"),
+      count(when(col("value") < 0.0, 1)).as("n_negative_value"),
+      count(when(!col("event_type").isin(knownTypes: _*), 1)).as("n_unknown_type"),
+      min(col("event_date")).as("min_date"),
+      max(col("event_date")).as("max_date"))
+  }
+
   /** Referential-integrity audit across every FK edge of the warehouse —
     * the data-quality gate a 100 TB ingest runs before anything else
     * touches the tables: per relation, total FK rows and how many are

@@ -911,6 +911,39 @@ object Corpus {
       .orderBy("q_decile", "len_bucket")
   }
 
+  /** Vocabulary-growth curve (the Heaps'-law readout): distinct tokens
+    * accumulated by each doc-id decile of the corpus — sublinear growth
+    * is healthy natural text; a curve that keeps climbing linearly means
+    * unbounded entity/noise vocabulary (OCR junk, serial numbers), and
+    * the asymptote calibrates tokenizer vocab size.
+    *
+    * Each token's FIRST document (one min-agg over the token explode —
+    * the C53 novelty pass) lands in a decile via integer arithmetic
+    * ((first_doc·10) div (max_doc+1) — no doubles); the cumulative sum
+    * runs over the 10-row decile frame. Output: 10 metadata rows. */
+  def vocabGrowth(documents: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(documents).filter(col("w") =!= "")
+    val nDocs = documents.agg((max("doc_id") + 1L).as("n"))
+    val firsts = toks.groupBy("w").agg(min("doc_id").as("first_doc"))
+    val byDecile = firsts.crossJoin(broadcast(nDocs))
+      .withColumn("decile", expr("(first_doc * 10) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("new_tokens"))
+    val docsPerDecile = documents.crossJoin(broadcast(nDocs))
+      .withColumn("decile", expr("(doc_id * 10) div n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsPerDecile
+      .join(byDecile, Seq("decile"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+      // 10-row frame: the unpartitioned running sum is metadata-sized
+      .withColumn("docs_cum", sum("n_docs").over(w))
+      .withColumn("vocab_cum", sum("new_tokens").over(w))
+      .select("decile", "n_docs", "docs_cum", "new_tokens", "vocab_cum")
+      .orderBy("decile")
+  }
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

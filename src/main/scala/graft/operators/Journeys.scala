@@ -227,6 +227,26 @@ object Journeys {
       .orderBy("ch_a", "ch_b")
   }
 
+  /** Journey-length distribution: journeys and revenue by touch count —
+    * the shape report behind every attribution-model argument (position
+    * weights only matter where multi-touch journeys actually carry
+    * revenue; a corpus of 1-touch journeys makes every model agree).
+    *
+    * One per-journey count agg (revenue rides along as a max — constant
+    * within the journey), one histogram agg over journey-sized rows.
+    * Output ≤ max-journey-length rows. */
+  def lengthDistribution(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n_touches"), max("revenue").as("revenue"))
+      .groupBy("n_touches")
+      .agg(
+        count(lit(1)).as("n_journeys"),
+        graft.functions.Exact.dsum(col("revenue")).as("total_revenue"))
+      .withColumn("avg_revenue",
+        col("total_revenue") / col("n_journeys").cast("double"))
+      .orderBy("n_touches")
+
   def channelTransitions(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
     assigned

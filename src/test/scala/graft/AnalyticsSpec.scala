@@ -661,4 +661,21 @@ class AnalyticsSpec extends SparkSpec {
     val idxMean = out.map(_.getAs[Double]("seasonality_index")).sum / 7.0
     assert(math.abs(idxMean - 1.0) < 1e-9)
   }
+
+  test("eventsQualityAudit counts planted defects") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1000L, Some(1L), "click", 1.0),
+      (1L, 2000L, Some(1L), "view", 2.0),     // dup event_id
+      (2L, 3000L, None, "purchase", 5.0),     // null user
+      (3L, 4000L, Some(2L), "weird", -1.0))   // unknown type + negative
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("event_date", expr("CAST(timestamp_micros(ts_us) AS DATE)"))
+    val r = Analytics.eventsQualityAudit(ev).head()
+    assert(r.getAs[Long]("n_rows") === 4L)
+    assert(r.getAs[Long]("n_dup_event_ids") === 1L)
+    assert(r.getAs[Long]("n_null_user") === 1L)
+    assert(r.getAs[Long]("n_negative_value") === 1L)
+    assert(r.getAs[Long]("n_unknown_type") === 1L)
+  }
 }

@@ -258,4 +258,15 @@ class AttributionSpec extends SparkSpec {
       assert(r.getAs[Double]("spread") >= 0.0)
     }
   }
+
+  test("lengthDistribution partitions journeys and conserves revenue") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Journeys.lengthDistribution(assigned)
+    val nJourneys = assigned.select("conv_id").distinct().count()
+    assert(out.agg(sum("n_journeys")).head().getLong(0) === nJourneys)
+    val total = assigned.select("conv_id", "revenue").distinct()
+      .agg(graft.functions.Exact.dsum(col("revenue"))).head().getDouble(0)
+    val sumRev = out.agg(sum("total_revenue")).head().getDouble(0)
+    assert(math.abs(sumRev - total) < 1e-6)
+  }
 }

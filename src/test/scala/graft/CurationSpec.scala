@@ -329,4 +329,16 @@ class CurationSpec extends SparkSpec {
         s"mean outside its decile: $r")
     }
   }
+
+  test("vocabGrowth: cumulative vocabulary is monotone and ends at the distinct count") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = graft.operators.Corpus.vocabGrowth(docs).collect().sortBy(_.getAs[Long]("decile"))
+    val cums = out.map(_.getAs[Long]("vocab_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val distinctTokens = graft.operators.Dedup.tokens(docs)
+      .filter(org.apache.spark.sql.functions.col("w") =!= "").select("w").distinct().count()
+    assert(cums.last === distinctTokens)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+  }
 }
