@@ -382,6 +382,33 @@ object ScaleSmoke {
     // and a per-day distinct count.
     time(s"user_stickiness n=$n")(println(s"[scale] stickiness days = " +
       graft.operators.Analytics.userStickiness(events).count()))
+
+    // Basket mining: the collapsed-basket shape — one groupBy over the
+    // synthetic lineitem-shaped frame, pairs row-local (bounded basket
+    // size), so wall clock tracks lines, not line-pairs.
+    val sLines = spark.range(n / 2).selectExpr(
+      "CAST(pmod(hash(id), 500000) AS BIGINT) AS l_orderkey",
+      "CAST(pmod(hash(id * 13 + 1), 20000) AS BIGINT) AS l_partkey")
+    time(s"basket_lift lines=${n / 2}")(println(s"[scale] basket pairs = " +
+      graft.operators.Analytics.basketLift(sLines).count()))
+
+    // Winnow overlap: df-capped fingerprint pair join over the planted
+    // near-dup corpus — candidate volume must stay near-linear like the
+    // jaccard stage.
+    time(s"winnow_overlap nDocs=$nDocs")(println(s"[scale] overlap pairs = " +
+      graft.operators.Corpus.winnowOverlap(docs).count()))
+
+    // Vocabulary growth: one token min-agg (the novelty pass) + decile
+    // rollup — scan-bound.
+    time(s"vocab_growth nDocs=$nDocs")(println(s"[scale] vocab deciles = " +
+      graft.operators.Corpus.vocabGrowth(docs).count()))
+
+    // Model comparison: the checkpointed journey frame feeds five
+    // one-window rollups — cost ≈ one assignment pass + 5 cheap aggs,
+    // not 5 assignment passes.
+    time(s"attribution_model_compare n=$n")(println(s"[scale] compare rows = " +
+      graft.operators.Reporting.modelCompare(
+        Journeys.assign(sessions, conversions)).count()))
     spark.stop()
   }
 }
