@@ -4675,6 +4675,78 @@ SELECT d.decile, d.n_docs,
 FROM dpd d LEFT JOIN byd b USING (decile)
 ORDER BY d.decile"""
 
+  /** Language-ID confusion matrix with per-declared recall rates.
+    * Mirrors Corpus.langConfusion. */
+  val langConfusion: String = s"""
+WITH p AS (
+  SELECT lang AS declared_lang,
+         CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) >= 2
+              THEN 'en' ELSE 'unknown' END AS predicted_lang
+  FROM documents
+), cells AS (
+  SELECT declared_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM p GROUP BY declared_lang, predicted_lang
+)
+SELECT declared_lang, predicted_lang, n,
+       CAST(SUM(n) OVER (PARTITION BY declared_lang) AS BIGINT) AS n_declared,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY declared_lang) AS DOUBLE) AS rate
+FROM cells
+ORDER BY declared_lang, predicted_lang"""
+
+  /** Jaccard-decile pair counts + at-or-above cumulative over the C4 pair
+    * frame. Mirrors Corpus.dedupThresholdSweep. */
+  val dedupThresholdSweep: String = shingleBase + """
+, shi AS (
+  SELECT doc_id, CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid
+  FROM sh
+), keep AS (
+  SELECT sid FROM (SELECT sid, COUNT(*) AS df FROM shi GROUP BY sid) d
+  WHERE df <= 1000
+), shf AS (
+  SELECT shi.doc_id, shi.sid FROM shi JOIN keep USING (sid)
+), dc AS (
+  SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM shf a JOIN shf b ON a.sid = b.sid AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+), jac AS (
+  SELECT CAST(n_common AS DOUBLE) / CAST(na.n + nb.n - n_common AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN dc na ON na.doc_id = doc_a
+  JOIN dc nb ON nb.doc_id = doc_b
+), byb AS (
+  SELECT CAST(floor(jaccard * 10.0) AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM jac GROUP BY 1
+)
+SELECT bucket, CAST(bucket AS DOUBLE) / 10.0 AS threshold_lo, n_pairs,
+       CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_at_or_above
+FROM byb
+ORDER BY bucket"""
+
+  /** Exact LTV deciles over the distributed rank. Mirrors
+    * Analytics.customerLtvDeciles. */
+  val customerLtvDeciles: String = """
+WITH ltv AS (
+  SELECT o_custkey AS custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS ltv
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT ltv,
+         row_number() OVER (ORDER BY ltv, custkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM ltv
+)
+SELECT ((rk - 1) * 10) // n AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(ltv AS DECIMAL(27,6))) AS DOUBLE) AS total_ltv,
+       CAST(SUM(CAST(ltv AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_ltv
+FROM ranked
+GROUP BY 1
+ORDER BY decile"""
+
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """
 SELECT source,

@@ -256,6 +256,14 @@ object SparkEntry {
 
     "vocab_growth" -> ((s, dir) => Corpus.vocabGrowth(Tables.documents(s, dir))),
 
+    "lang_confusion" -> ((s, dir) => Corpus.langConfusion(Tables.documents(s, dir))),
+
+    "dedup_threshold_sweep" -> ((s, dir) =>
+      Corpus.dedupThresholdSweep(Tables.documents(s, dir))),
+
+    "customer_ltv_deciles" -> ((s, dir) =>
+      Analytics.customerLtvDeciles(Tables.orders(s, dir))),
+
     "data_mixture_sample" -> ((s, dir) =>
       Corpus.mixtureSample(Tables.documents(s, dir))),
 
@@ -746,6 +754,9 @@ object SparkEntry {
     "winnow_overlap"            -> Oracles.winnowOverlap,
     "quality_length_grid"       -> Oracles.qualityLengthGrid,
     "vocab_growth"              -> Oracles.vocabGrowth,
+    "lang_confusion"            -> Oracles.langConfusion,
+    "dedup_threshold_sweep"     -> Oracles.dedupThresholdSweep,
+    "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,
     "lm_doc_score"              -> Oracles.lmDocScore,

@@ -1341,6 +1341,32 @@ object Analytics {
   private def dsum2(c: Column): Column =
     sum(c.cast(DecimalType(27, 6))).cast("double")
 
+  /** Customer-lifetime-value deciles: customers ranked by total order
+    * value, rolled up per decile (count, total, mean LTV) — the
+    * concentration readout behind every "top-decile drives X% of
+    * revenue" statement, exact rather than sampled.
+    *
+    * The global rank uses the distributed range-bucketed
+    * [[Quantiles.withExactRank]] (never a single-task window); the
+    * decile is integer arithmetic ((rank−1)·10 div n); the rollup is one
+    * 10-row agg. Ties break on custkey, so the decile assignment is
+    * deterministic cross-engine. */
+  def customerLtvDeciles(orders: DataFrame): DataFrame = {
+    val ltv = orders.groupBy(col("o_custkey").as("custkey"))
+      .agg(dsum(col("o_totalprice")).as("ltv"))
+    val ranked = Quantiles.withExactRank(
+      ltv, group = Nil, order = Seq(("ltv", true), ("custkey", true)),
+      rankCol = "rk", nCol = "n")
+    ranked
+      .withColumn("decile", expr("((rk - 1) * 10) div n"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        dsum(col("ltv")).as("total_ltv"))
+      .withColumn("avg_ltv", col("total_ltv") / col("n_customers").cast("double"))
+      .orderBy("decile")
+  }
+
   /** One-row data-quality audit over the raw event stream — the landing
     * gate run before anything derives from events: duplicate event ids
     * (every downstream distinct/join silently dedups or fans out on

@@ -944,6 +944,49 @@ object Corpus {
       .orderBy("decile")
   }
 
+  /** Language-ID confusion matrix: declared label × predicted label with
+    * per-declared-language recall — the evaluation readout for the C8
+    * heuristic (and the template for evaluating any classifier column
+    * against a labeled corpus).
+    *
+    * One map + one partial agg to |langs|² cells; the per-declared total
+    * attaches via a window over the tiny cell frame. */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val cells = documents
+      .select(col("lang").as("declared_lang"),
+        graft.functions.TextFunctions.langId(col("text")).as("predicted_lang"))
+      .groupBy("declared_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("n_declared", sum("n").over(Window.partitionBy("declared_lang")))
+      .withColumn("rate", col("n").cast("double") / col("n_declared").cast("double"))
+      .select("declared_lang", "predicted_lang", "n", "n_declared", "rate")
+      .orderBy("declared_lang", "predicted_lang")
+  }
+
+  /** Near-dup threshold sweep: pair counts per Jaccard decile with the
+    * at-or-above cumulative — the one-pass tuning table for choosing a
+    * dedup threshold (how many pairs each candidate threshold removes)
+    * instead of re-running the pipeline per candidate.
+    *
+    * Reuses the C4 pair frame; the rollup and the descending cumulative
+    * run over ≤11 metadata rows. */
+  def dedupThresholdSweep(documents: DataFrame): DataFrame = {
+    val pairs = Dedup.ngramJaccard(documents)
+    val byBucket = pairs
+      .withColumn("bucket", floor(col("jaccard") * 10.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byBucket
+      // ≤11-row frame: the unpartitioned cumulative is metadata-sized
+      .withColumn("n_pairs_at_or_above", sum("n_pairs").over(w))
+      .withColumn("threshold_lo", col("bucket").cast("double") / 10.0)
+      .select("bucket", "threshold_lo", "n_pairs", "n_pairs_at_or_above")
+      .orderBy("bucket")
+  }
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

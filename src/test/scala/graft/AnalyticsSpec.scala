@@ -678,4 +678,14 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_negative_value") === 1L)
     assert(r.getAs[Long]("n_unknown_type") === 1L)
   }
+
+  test("customerLtvDeciles: deciles partition customers, decile 9 is richest") {
+    val orders = Tables.orders(spark, sfDir)
+    val out = Analytics.customerLtvDeciles(orders).collect().sortBy(_.getAs[Long]("decile"))
+    val nCust = orders.select("o_custkey").distinct().count()
+    assert(out.map(_.getAs[Long]("n_customers")).sum === nCust)
+    val avgs = out.map(_.getAs[Double]("avg_ltv"))
+    assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b },
+      s"decile means must be nondecreasing: ${avgs.mkString(",")}")
+  }
 }

@@ -341,4 +341,26 @@ class CurationSpec extends SparkSpec {
     assert(cums.last === distinctTokens)
     assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
   }
+
+  test("langConfusion: rates sum to 1 per declared language") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = graft.operators.Corpus.langConfusion(docs).collect()
+    out.groupBy(_.getAs[String]("declared_lang")).foreach { case (_, rows) =>
+      val s = rows.map(_.getAs[Double]("rate")).sum
+      assert(math.abs(s - 1.0) < 1e-9)
+      assert(rows.map(_.getAs[Long]("n")).sum === rows.head.getAs[Long]("n_declared"))
+    }
+  }
+
+  test("dedupThresholdSweep: cumulative counts are a valid survival curve") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = graft.operators.Corpus.dedupThresholdSweep(docs).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    val nTotal = graft.operators.Dedup.ngramJaccard(docs).count()
+    assert(out.map(_.getAs[Long]("n_pairs")).sum === nTotal)
+    // at-or-above is nonincreasing in the threshold and starts at the total
+    val cums = out.map(_.getAs[Long]("n_pairs_at_or_above"))
+    assert(cums.head === nTotal)
+    assert(cums.zip(cums.tail).forall { case (lo, hi) => lo >= hi })
+  }
 }
