@@ -4747,6 +4747,84 @@ FROM ranked
 GROUP BY 1
 ORDER BY decile"""
 
+  /** Within-journey inter-touch gap quartiles + mean. Mirrors
+    * Analytics.touchGapQuantiles (quantile_cont ≡ the exact
+    * interpolation tree, the timeToConvert precedent). */
+  val touchGapQuantiles: String = attrBase + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       quantile_cont(gap, 0.25) AS p25_us,
+       quantile_cont(gap, 0.5) AS p50_us,
+       quantile_cont(gap, 0.75) AS p75_us,
+       CAST(SUM(CAST(gap AS DECIMAL(27,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_us
+FROM (
+  SELECT CAST(nxt - ts_us AS DOUBLE) AS gap FROM (
+    SELECT ts_us, LEAD(ts_us, 1) OVER (PARTITION BY conv_id
+                                       ORDER BY ts_us, session_id) AS nxt
+    FROM assigned) t
+  WHERE nxt IS NOT NULL) g"""
+
+  /** Per-nation supplier HHI over SHARES with an ordered share² fold —
+    * bridge-free (the wide-decimal Σrev²/(Σrev)² form dies on the
+    * past-2^53 decimal→double cast). Mirrors Analytics.supplierHhi. */
+  val supplierHhi: String = """
+WITH srev AS (
+  SELECT l.l_suppkey,
+         CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS srev
+  FROM lineitem l GROUP BY l.l_suppkey
+), j AS (
+  SELECT n.n_name, s2.l_suppkey, s2.srev FROM srev s2
+  JOIN supplier s ON s.s_suppkey = s2.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+), sh AS (
+  SELECT n_name, l_suppkey, srev,
+         CAST(SUM(CAST(srev AS DECIMAL(27,6))) OVER (PARTITION BY n_name) AS DOUBLE) AS nrev
+  FROM j
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       MAX(nrev) AS revenue,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list((srev / nrev) * (srev / nrev) ORDER BY l_suppkey)),
+         (a, b) -> a + b) AS hhi
+FROM sh GROUP BY n_name
+ORDER BY n_name"""
+
+  /** Hour-of-day activity profile (integer µs hour). Mirrors
+    * Analytics.eventsHourProfile. */
+  val eventsHourProfile: String = """
+WITH b AS (
+  SELECT CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total_events FROM b
+)
+SELECT hour, n_events,
+       CAST(n_events AS DOUBLE) / CAST(total_events AS DOUBLE) AS share,
+       (CAST(n_events AS DOUBLE) / CAST(total_events AS DOUBLE)) * 24.0 AS activity_index
+FROM b CROSS JOIN t
+ORDER BY hour"""
+
+  /** One-row corpus language-mixture entropy — the C67 integer-ln form
+    * via [[lniSql]]. Mirrors Corpus.mixtureEntropy. */
+  val corpusMixtureEntropy: String = s"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, c, CAST(c AS DOUBLE) * ${lniSql("c")} AS term FROM c
+), f AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_langs,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY lang)),
+                     (a, b) -> a + b) AS s
+  FROM t
+)
+SELECT n_docs, n_langs,
+       ${lniSql("n_docs")} - s / CAST(n_docs AS DOUBLE) AS entropy_nats,
+       (${lniSql("n_docs")} - s / CAST(n_docs AS DOUBLE)) / 0.6931471805599453 AS entropy_bits
+FROM f"""
+
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """
 SELECT source,

@@ -89,6 +89,16 @@ object SparkEntry {
     "journey_length_distribution" -> ((s, dir) =>
       Journeys.lengthDistribution(assigned(s, dir))),
 
+    "touch_gap_quantiles" -> ((s, dir) =>
+      Analytics.touchGapQuantiles(assigned(s, dir))),
+
+    "supplier_hhi" -> ((s, dir) =>
+      Analytics.supplierHhi(
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.lineitem(s, dir))),
+
+    "events_hour_profile" -> ((s, dir) =>
+      Analytics.eventsHourProfile(Tables.events(s, dir))),
+
     "events_quality_audit" -> ((s, dir) =>
       Analytics.eventsQualityAudit(Tables.events(s, dir))),
 
@@ -257,6 +267,8 @@ object SparkEntry {
     "vocab_growth" -> ((s, dir) => Corpus.vocabGrowth(Tables.documents(s, dir))),
 
     "lang_confusion" -> ((s, dir) => Corpus.langConfusion(Tables.documents(s, dir))),
+
+    "corpus_mixture_entropy" -> ((s, dir) => Corpus.mixtureEntropy(Tables.documents(s, dir))),
 
     "dedup_threshold_sweep" -> ((s, dir) =>
       Corpus.dedupThresholdSweep(Tables.documents(s, dir))),
@@ -701,6 +713,9 @@ object SparkEntry {
     "orders_seasonality"        -> Oracles.ordersSeasonality,
     "journey_length_distribution" -> Oracles.journeyLengthDistribution,
     "events_quality_audit"      -> Oracles.eventsQualityAudit,
+    "touch_gap_quantiles"       -> Oracles.touchGapQuantiles,
+    "supplier_hhi"              -> Oracles.supplierHhi,
+    "events_hour_profile"       -> Oracles.eventsHourProfile,
     "journey_stats"             -> Oracles.journeyStats,
     "journey_validate"          -> Oracles.journeyValidate,
     "channel_reporting"         -> Oracles.channelReporting,
@@ -755,6 +770,7 @@ object SparkEntry {
     "quality_length_grid"       -> Oracles.qualityLengthGrid,
     "vocab_growth"              -> Oracles.vocabGrowth,
     "lang_confusion"            -> Oracles.langConfusion,
+    "corpus_mixture_entropy"    -> Oracles.corpusMixtureEntropy,
     "dedup_threshold_sweep"     -> Oracles.dedupThresholdSweep,
     "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,

@@ -1367,6 +1367,91 @@ object Analytics {
       .orderBy("decile")
   }
 
+  /** Within-journey inter-touch gap distribution: exact interpolated
+    * quartiles + exact mean of the µs gaps between CONSECUTIVE touches in
+    * converting journeys — the cadence complement of B64's
+    * first-touch-to-conversion span (how often the funnel touches, not
+    * just how long it runs; the number that sizes a session-timeout or
+    * retargeting window).
+    *
+    * One journey-partitioned lead() pass produces the gap series; then
+    * the shared [[interpolatedQuartiles]] range-bucketed rank machinery —
+    * no single-task sort, no Percentile buffer. */
+  def touchGapQuantiles(assigned: DataFrame): DataFrame = {
+    val w = Window.partitionBy("conv_id").orderBy("ts_us", "session_id")
+    val gaps = assigned
+      .withColumn("nxt", lead("ts_us", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select((col("nxt") - col("ts_us")).cast("double").as("__v"),
+        col("session_id").as("__k"))
+    val summary = gaps.agg(
+      count(lit(1)).as("n_gaps"),
+      (dsum(col("__v")) / count(lit(1)).cast("double")).as("avg_us"))
+    interpolatedQuartiles(gaps).crossJoin(broadcast(summary)).select(
+      col("n_gaps"),
+      col("__q25").as("p25_us"), col("__q50").as("p50_us"), col("__q75").as("p75_us"),
+      col("avg_us"))
+  }
+
+  /** Supplier revenue concentration per nation — the Herfindahl–Hirschman
+    * index (Σ share², 1/n = perfectly even, 1.0 = monopoly) a supply-
+    * chain risk review reads: a nation whose parts revenue concentrates
+    * in one supplier is a single point of failure.
+    *
+    * HHI computes over SHARES (scale-invariant): share = srev/nation
+    * revenue (both scale-6-exact doubles, one correctly-rounded
+    * division), then Σ share² as an ORDERED double fold in supplier-key
+    * order — the bridge-free §3 discipline. The rejected alternative,
+    * Σrev²/(Σrev)² in wide decimal, dies on the decimal→double cast: the
+    * squares' unscaled values sit far past 2^53, where that conversion
+    * is engine-specific in the last ulp (measured 8/25 divergent
+    * nations). One revenue rollup shuffle keyed on supplier, a broadcast
+    * nation attach, one nation-partitioned window + agg. */
+  def supplierHhi(
+      supplier: DataFrame, nation: DataFrame, lineitem: DataFrame): DataFrame = {
+    val srev = lineitem
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .groupBy("l_suppkey")
+      .agg(dsum(col("r")).as("srev"))
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        "l_suppkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+    srev
+      .withColumn("nrev",
+        sum(col("srev").cast(DecimalType(27, 6)))
+          .over(Window.partitionBy("n_name")).cast("double"))
+      .withColumn("share", col("srev") / col("nrev"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        max("nrev").as("revenue"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("l_suppkey"), col("share")))),
+            s => s.getField("share")),
+          lit(0.0), (acc, sh) => acc + sh * sh).as("hhi"))
+      .select("n_name", "n_suppliers", "revenue", "hhi")
+      .orderBy("n_name")
+  }
+
+  /** Hour-of-day activity profile over the raw event stream (share × 24 =
+    * the activity index; 1.0 = flat day) — the intra-day twin of B68's
+    * weekday index, read when sizing streaming capacity and batch
+    * windows. Hour = integer µs arithmetic, identical in both engines. */
+  def eventsHourProfile(events: DataFrame): DataFrame = {
+    val byHour = events
+      .select(expr("(ts_us % 86400000000) div 3600000000").as("hour"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_events"))
+    val total = byHour.agg(sum("n_events").as("total_events"))
+    byHour.crossJoin(broadcast(total))
+      .withColumn("share", col("n_events").cast("double") / col("total_events").cast("double"))
+      .withColumn("activity_index", col("share") * 24.0)
+      .select("hour", "n_events", "share", "activity_index")
+      .orderBy("hour")
+  }
+
   /** One-row data-quality audit over the raw event stream — the landing
     * gate run before anything derives from events: duplicate event ids
     * (every downstream distinct/join silently dedups or fans out on

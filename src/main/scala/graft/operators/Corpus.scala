@@ -987,6 +987,34 @@ object Corpus {
       .orderBy("bucket")
   }
 
+  /** One-row corpus mixture entropy: Shannon entropy of the language
+    * shares — the single number tracked per corpus release to catch
+    * mixture drift (a release whose entropy drops is collapsing toward
+    * one language; the datasheet C42 gives the detail, this gives the
+    * trend line).
+    *
+    * The C67 integer-ln form over per-language counts (H = ln N −
+    * (Σ c·ln c)/N via graft_lni, ordered fold by lang), so the one-row
+    * transcendental output is deterministic by construction. */
+  def mixtureEntropy(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val counts = documents.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("term", col("c").cast("double") * expr("graft_lni(c)"))
+    counts
+      .agg(
+        sum("c").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("lang"), col("term")))),
+            s => s.getField("term")),
+          lit(0.0), (acc, v) => acc + v).as("__s"))
+      .withColumn("entropy_nats",
+        expr("graft_lni(n_docs)") - col("__s") / col("n_docs").cast("double"))
+      .select(
+        col("n_docs"), col("n_langs"), col("entropy_nats"),
+        (col("entropy_nats") / lit(graft.functions.LnIntImpl.Ln2)).as("entropy_bits"))
+  }
+
   /** Deterministic data-mixture sampling: admit documents so the surviving
     * corpus approaches target language proportions (en-heavy here), at the
     * largest total size the corpus can support. The feasible total is

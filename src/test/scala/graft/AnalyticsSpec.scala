@@ -688,4 +688,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(avgs.zip(avgs.tail).forall { case (a, b) => a <= b },
       s"decile means must be nondecreasing: ${avgs.mkString(",")}")
   }
+
+  test("supplierHhi: monopoly scores 1.0, an even duopoly 0.5") {
+    import spark.implicits._
+    val supplier = Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0L, "DUO"), (1L, "MONO")).toDF("n_nationkey", "n_name")
+    val li = Seq(
+      (1L, 100.0, 0.0), (2L, 100.0, 0.0), // nation DUO: 50/50 split
+      (3L, 70.0, 0.0))                    // nation MONO: single supplier
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val out = Analytics.supplierHhi(supplier, nation, li).collect()
+      .map(r => r.getAs[String]("n_name") ->
+        (r.getAs[Long]("n_suppliers"), r.getAs[Double]("hhi"))).toMap
+    assert(out("MONO") === ((1L, 1.0)))
+    assert(out("DUO")._1 === 2L)
+    assert(math.abs(out("DUO")._2 - 0.5) < 1e-12)
+  }
+
+  test("eventsHourProfile: shares sum to 1, 24 buckets max, index mean 1") {
+    val out = Analytics.eventsHourProfile(Tables.events(spark, sfDir)).collect()
+    assert(out.length <= 24)
+    assert(out.map(_.getAs[Long]("hour")).forall(h => h >= 0 && h <= 23))
+    assert(math.abs(out.map(_.getAs[Double]("share")).sum - 1.0) < 1e-9)
+  }
+
+  test("touchGapQuantiles: quartiles ordered, mean within range") {
+    val assigned = graft.operators.Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    val r = Analytics.touchGapQuantiles(assigned).head()
+    val (p25, p50, p75) = (r.getAs[Double]("p25_us"), r.getAs[Double]("p50_us"),
+      r.getAs[Double]("p75_us"))
+    assert(p25 <= p50 && p50 <= p75)
+    assert(r.getAs[Long]("n_gaps") > 0)
+    assert(r.getAs[Double]("avg_us") > 0)
+  }
 }

@@ -363,4 +363,16 @@ class CurationSpec extends SparkSpec {
     assert(cums.head === nTotal)
     assert(cums.zip(cums.tail).forall { case (lo, hi) => lo >= hi })
   }
+
+  test("mixtureEntropy: analytic uniform and degenerate mixtures") {
+    import spark.implicits._
+    // 4 langs x 2 docs each -> exactly 2 bits; single lang -> 0
+    val uni = (0L until 8L).map(i => (i, s"l${i % 4}", "t")).toDF("doc_id", "lang", "text")
+    val u = graft.operators.Corpus.mixtureEntropy(uni).head()
+    assert(u.getAs[Long]("n_docs") === 8L && u.getAs[Long]("n_langs") === 4L)
+    assert(math.abs(u.getAs[Double]("entropy_bits") - 2.0) < 1e-12)
+    val one = Seq((1L, "en", "t"), (2L, "en", "t")).toDF("doc_id", "lang", "text")
+    assert(math.abs(graft.operators.Corpus.mixtureEntropy(one).head()
+      .getAs[Double]("entropy_bits")) < 1e-12)
+  }
 }
