@@ -409,6 +409,16 @@ object ScaleSmoke {
     time(s"attribution_model_compare n=$n")(println(s"[scale] compare rows = " +
       graft.operators.Reporting.modelCompare(
         Journeys.assign(sessions, conversions)).count()))
+
+    // LTV deciles at 2M synthetic orders: the global rank must come from
+    // the range-bucketed machinery — near-linear, never one sort task.
+    val ltvOrders = spark.range(2000000L).selectExpr(
+      "id AS o_orderkey",
+      "CAST(pmod(hash(id * 7), 200000) AS BIGINT) AS o_custkey",
+      "CAST(pmod(hash(id * 31), 1000000) AS DOUBLE) / 100.0 AS o_totalprice")
+    time("customer_ltv_deciles orders=2M customers=200k")(
+      println(s"[scale] ltv deciles = " +
+        graft.operators.Analytics.customerLtvDeciles(ltvOrders).count()))
     spark.stop()
   }
 }

@@ -546,6 +546,51 @@ class PlanAuditSpec extends SparkSpec {
       "shardSkew total must attach as broadcast")
   }
 
+  test("wave-10/14 shapes: model compare reuses one checkpoint, ranks partitioned, dims broadcast") {
+    val assigned = graft.operators.Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+    // modelCompare: the five model rollups must read the SAME checkpoint
+    // (scan reuse), not five copies of the assignment DAG — post-
+    // checkpoint the plan contains no window over the raw events scan
+    val mc = graft.operators.Reporting.modelCompare(assigned)
+    noCartesian(mc)
+    val mcScans = mc.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(mcScans.isEmpty, "modelCompare must consume the checkpoint, not re-scan parquet")
+    // LTV deciles: every window partitioned (the exact-rank machinery),
+    // no Percentile aggregate
+    val ltv = Analytics.customerLtvDeciles(Tables.orders(spark, sfDir))
+    ltv.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned LTV window"))
+    assert(!ltv.queryExecution.sparkPlan.toString.contains("Percentile"))
+    // supplier HHI: both dims broadcast; the per-nation share window is
+    // nation-partitioned
+    val hhi = Analytics.supplierHhi(
+      Tables.supplier(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.lineitem(spark, sfDir))
+    assert(hhi.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    hhi.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned HHI window"))
+    // seasonality / hour profile / len histogram / dup rate: one
+    // aggregation pass + broadcast total, bounded shuffles
+    Seq(
+      Analytics.ordersSeasonality(Tables.orders(spark, sfDir)),
+      Analytics.eventsHourProfile(Tables.events(spark, sfDir)),
+      graft.operators.Corpus.docLenHistogram(Tables.documents(spark, sfDir)),
+      graft.operators.Corpus.dupRateBySource(Tables.documents(spark, sfDir))
+    ).foreach { df =>
+      noCartesian(df)
+      assert(shuffles(df) <= 4, s"profile rollup shuffles: ${shuffles(df)}")
+    }
+    // vocab growth: the token explode feeds ONE min-agg; no join back to
+    // the token frame (the decile attach joins 10-row aggregates)
+    val vg = graft.operators.Corpus.vocabGrowth(Tables.documents(spark, sfDir))
+    noCartesian(vg)
+  }
+
   test("topic assignment scores all prototypes map-side: no join, ordering-only shuffle") {
     // The r7 shape was posexplode ⋈ broadcast-on-pos — n·d·L rows into the
     // partial agg. The literal-prototype-matrix pass must plan with NO join
