@@ -4825,6 +4825,68 @@ SELECT n_docs, n_langs,
        (${lniSql("n_docs")} - s / CAST(n_docs AS DOUBLE)) / 0.6931471805599453 AS entropy_bits
 FROM f"""
 
+  /** ACF of the daily revenue series at lags 1..14 — every sum an
+    * ordered fold in day order (the tokenZipf/EWMA discipline). Mirrors
+    * Analytics.ordersAutocorrelation. */
+  val ordersAutocorrelation: String = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+), arr AS (
+  SELECT list(revenue ORDER BY day) AS xs, CAST(COUNT(*) AS BIGINT) AS n FROM daily
+), m AS (
+  SELECT xs, n,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs), (a, b) -> a + b)
+           / CAST(n AS DOUBLE) AS mean
+  FROM arr
+), den AS (
+  SELECT xs, n, mean,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(xs, x -> (x - mean) * (x - mean))), (a, b) -> a + b) AS ss
+  FROM m
+), lags AS (
+  SELECT unnest(range(1, 15)) AS lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, n - lag + 1),
+           i -> (xs[i] - mean) * (xs[i + lag] - mean))), (a, b) -> a + b) / ss AS acf
+FROM den CROSS JOIN lags
+ORDER BY lag"""
+
+  /** Per-channel journey-participation rate. Mirrors
+    * Reporting.channelConversionRate. */
+  val channelConversionRate: String = attrBase + """
+, alls AS (
+  SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM sessions GROUP BY channel_name
+), inj AS (
+  SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n_in_journeys
+  FROM assigned GROUP BY channel_name
+)
+SELECT a.channel_name, a.n_sessions,
+       COALESCE(i.n_in_journeys, 0) AS n_in_journeys,
+       CAST(COALESCE(i.n_in_journeys, 0) AS DOUBLE) / CAST(a.n_sessions AS DOUBLE) AS journey_rate
+FROM alls a LEFT JOIN inj i USING (channel_name)
+ORDER BY a.channel_name"""
+
+  /** Purchases-per-user histogram with the zero bucket. Mirrors
+    * Analytics.userPurchaseHistogram. */
+  val userPurchaseHistogram: String = """
+WITH p AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), hist AS (
+  SELECT n_purchases, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY n_purchases
+), z AS (
+  SELECT CAST(0 AS BIGINT) AS n_purchases,
+         (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_users
+)
+SELECT * FROM hist UNION ALL SELECT * FROM z
+ORDER BY n_purchases"""
+
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """
 SELECT source,

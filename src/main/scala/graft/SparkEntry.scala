@@ -154,6 +154,15 @@ object SparkEntry {
 
     "orders_seasonality" -> ((s, dir) => Analytics.ordersSeasonality(Tables.orders(s, dir))),
 
+    "orders_autocorrelation" -> ((s, dir) =>
+      Analytics.ordersAutocorrelation(Tables.orders(s, dir))),
+
+    "channel_conversion_rate" -> ((s, dir) =>
+      Reporting.channelConversionRate(Tables.sessions(s, dir), assigned(s, dir))),
+
+    "user_purchase_histogram" -> ((s, dir) =>
+      Analytics.userPurchaseHistogram(Tables.events(s, dir))),
+
     "integrity_audit" -> ((s, dir) =>
       Analytics.integrityAudit(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
@@ -714,6 +723,9 @@ object SparkEntry {
     "journey_length_distribution" -> Oracles.journeyLengthDistribution,
     "events_quality_audit"      -> Oracles.eventsQualityAudit,
     "touch_gap_quantiles"       -> Oracles.touchGapQuantiles,
+    "orders_autocorrelation"    -> Oracles.ordersAutocorrelation,
+    "channel_conversion_rate"   -> Oracles.channelConversionRate,
+    "user_purchase_histogram"   -> Oracles.userPurchaseHistogram,
     "supplier_hhi"              -> Oracles.supplierHhi,
     "events_hour_profile"       -> Oracles.eventsHourProfile,
     "journey_stats"             -> Oracles.journeyStats,

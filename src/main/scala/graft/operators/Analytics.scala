@@ -861,6 +861,42 @@ object Analytics {
     out.result().toDF("day", "revenue", "ewma").orderBy("day")
   }
 
+  /** Autocorrelation function of the daily revenue series at lags
+    * 1..maxLag — the seasonality detector that tells you WHICH period
+    * (weekly spike at lag 7, monthly at ~30) the B68 index and a
+    * forecast's seasonal adjustment should use.
+    *
+    * Scale shape: the data-sized work is ONE decimal-exact daily rollup;
+    * the ACF then runs driver-side over the CALENDAR-sized series (the
+    * ordersEwma collect class — days, not rows). Determinism: every sum
+    * is a left fold in day order (mean, denominator, each lag's
+    * numerator), the identical sequence the oracle's list_reduce over
+    * the day-ordered list computes; products/divisions are single IEEE
+    * ops on identical doubles. */
+  def ordersAutocorrelation(orders: DataFrame, maxLag: Int = 14): DataFrame = {
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val xs: Array[Double] = orders
+      .select(col("o_orderdate").cast("date").as("day"), col("o_totalprice"))
+      .groupBy("day").agg(dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("day")
+      .collect()
+      .map(_.getDouble(1))
+    val n = xs.length
+    var s = 0.0
+    xs.foreach(x => s = s + x)
+    val mean = s / n.toDouble
+    var ss = 0.0
+    xs.foreach(x => ss = ss + (x - mean) * (x - mean))
+    val rows = (1 to maxLag).map { k =>
+      var num = 0.0
+      var i = 0
+      while (i + k < n) { num = num + (xs(i) - mean) * (xs(i + k) - mean); i += 1 }
+      (k.toLong, n.toLong, num / ss)
+    }
+    rows.toDF("lag", "n_days", "acf").orderBy("lag")
+  }
+
   /** A/B experiment readout with WELCH's unequal-variance t-statistic:
     * users hash-split into two arms (deterministic md5 coin — identical
     * assignment on any cluster and any re-run), per-user total purchase
@@ -1450,6 +1486,24 @@ object Analytics {
       .withColumn("activity_index", col("share") * 24.0)
       .select("hour", "n_events", "share", "activity_index")
       .orderBy("hour")
+  }
+
+  /** Purchases-per-user histogram including the ZERO bucket (actives who
+    * never bought) — the repeat-purchase shape behind retention and LTV
+    * work: a heavy 1-purchase bucket with an empty tail means
+    * acquisition without loyalty.
+    *
+    * Two partial aggs (per-user purchase counts; distinct actives) and a
+    * metadata union for the zero bucket. */
+  def userPurchaseHistogram(events: DataFrame): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    val hist = p.groupBy("n_purchases").agg(count(lit(1)).as("n_users"))
+    val actives = events.agg(countDistinct("user_id").as("nu"))
+    val purchasers = p.agg(count(lit(1)).as("np"))
+    val zeroRow = actives.crossJoin(purchasers)
+      .select(lit(0L).as("n_purchases"), (col("nu") - col("np")).as("n_users"))
+    hist.unionByName(zeroRow).orderBy("n_purchases")
   }
 
   /** One-row data-quality audit over the raw event stream — the landing

@@ -256,6 +256,25 @@ object Reporting {
       .orderBy("channel_name")
   }
 
+  /** Per-channel journey-participation rate: of each channel's sessions,
+    * the share that landed inside a converting journey — the top-of-model
+    * efficiency number (a channel whose touches rarely reach any journey
+    * is spending on users who never convert, regardless of how the
+    * credit models split the converters).
+    *
+    * Two partial-agg rollups joined on the |channels|-row key; absent
+    * channels coalesce to 0. */
+  def channelConversionRate(sessions: DataFrame, assigned: DataFrame): DataFrame = {
+    val all = sessions.groupBy("channel_name").agg(count(lit(1)).as("n_sessions"))
+    val inJ = assigned.groupBy("channel_name").agg(count(lit(1)).as("n_in_journeys"))
+    all.join(inJ, Seq("channel_name"), "left")
+      .withColumn("n_in_journeys", coalesce(col("n_in_journeys"), lit(0L)))
+      .withColumn("journey_rate",
+        col("n_in_journeys").cast("double") / col("n_sessions").cast("double"))
+      .select("channel_name", "n_sessions", "n_in_journeys", "journey_rate")
+      .orderBy("channel_name")
+  }
+
   /** Export the reporting table as a single CSV with header — reference
     * `reporting.py:105-168` (`channel_reporting.csv`). Coalesced to one
     * file to match the reference's single-artifact contract; the parquet

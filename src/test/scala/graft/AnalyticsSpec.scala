@@ -722,4 +722,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_gaps") > 0)
     assert(r.getAs[Double]("avg_us") > 0)
   }
+
+  test("ordersAutocorrelation: perfect period-7 series scores acf(7) near 1") {
+    import spark.implicits._
+    // 70 days of a strict weekly pattern
+    val rows = (0 until 70).map { d =>
+      (d.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)),
+        100.0 + 50.0 * (d % 7))
+    }.toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val acf = Analytics.ordersAutocorrelation(rows).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    assert(acf(7L) > 0.85, s"weekly series must autocorrelate at lag 7: ${acf(7L)}")
+    assert(acf(7L) > acf(3L), "lag 7 must beat an off-period lag")
+  }
+
+  test("userPurchaseHistogram: buckets partition all active users") {
+    val ev = Tables.events(spark, sfDir)
+    val out = Analytics.userPurchaseHistogram(ev).collect()
+    val totalUsers = ev.select("user_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_users")).sum === totalUsers)
+    assert(out.map(_.getAs[Long]("n_purchases")).distinct.length === out.length)
+  }
 }

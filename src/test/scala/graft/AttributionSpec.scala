@@ -269,4 +269,16 @@ class AttributionSpec extends SparkSpec {
     val sumRev = out.agg(sum("total_revenue")).head().getDouble(0)
     assert(math.abs(sumRev - total) < 1e-6)
   }
+
+  test("channelConversionRate: rates in [0,1], counts consistent with assignment") {
+    val out = Reporting.channelConversionRate(sessions, assigned).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rate = r.getAs[Double]("journey_rate")
+      assert(rate >= 0.0 && rate <= 1.0, r.toString)
+      assert(r.getAs[Long]("n_in_journeys") <= r.getAs[Long]("n_sessions"))
+    }
+    val sumJ = out.map(_.getAs[Long]("n_in_journeys")).sum
+    assert(sumJ === assigned.count())
+  }
 }
