@@ -888,6 +888,10 @@ object Analytics {
     val mean = s / n.toDouble
     var ss = 0.0
     xs.foreach(x => ss = ss + (x - mean) * (x - mean))
+    // degenerate series (under 2 days, or zero variance) have no defined
+    // ACF — empty frame, never NaN rows (the Markov degenerate-guard rule)
+    if (n < 2 || ss == 0.0)
+      return Seq.empty[(Long, Long, Double)].toDF("lag", "n_days", "acf")
     val rows = (1 to maxLag).map { k =>
       var num = 0.0
       var i = 0

@@ -97,4 +97,38 @@ class RobustnessSpec extends SparkSpec {
     val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(approx - exact) / exact <= 0.05)
   }
+
+  test("round-9 operators on degenerate inputs: empty/zero out, no NaN rows") {
+    import spark.implicits._
+    val emptyOrders = Seq.empty[(Long, java.sql.Date, Double)]
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    // ACF: under-2-day and zero-variance series return EMPTY, never NaN
+    assert(graft.operators.Analytics.ordersAutocorrelation(emptyOrders).count() === 0)
+    val flat = (0 until 30).map(d =>
+      (d.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)), 5.0))
+      .toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    assert(graft.operators.Analytics.ordersAutocorrelation(flat).count() === 0)
+    // overlap / length distribution on an empty assignment
+    val emptyAsg = Seq.empty[(Long, Long, Long, String, Long, Long, Double)]
+      .toDF("session_id", "user_id", "ts_us", "channel_name", "conv_id", "conv_ts_us", "revenue")
+    assert(graft.operators.Journeys.channelOverlap(emptyAsg).count() === 0)
+    assert(graft.operators.Journeys.lengthDistribution(emptyAsg).count() === 0)
+    // stickiness / hour profile on empty events
+    val emptyEv = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("event_date", expr("CAST(timestamp_micros(ts_us) AS DATE)"))
+    assert(graft.operators.Analytics.userStickiness(emptyEv).count() === 0)
+    assert(graft.operators.Analytics.eventsHourProfile(emptyEv).count() === 0)
+    // purchase histogram on sessions-only events: a single zero bucket
+    val noBuy = Seq((1L, 1000L, 7L, "click", 1.0))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+    val hb = graft.operators.Analytics.userPurchaseHistogram(noBuy).collect()
+    assert(hb.length === 1 && hb.head.getAs[Long]("n_purchases") === 0L
+      && hb.head.getAs[Long]("n_users") === 1L)
+    // entropy / confusion on an empty corpus
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.operators.Corpus.langConfusion(emptyDocs).count() === 0)
+    assert(graft.operators.Corpus.textEntropy(
+      Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
+  }
 }
