@@ -4169,6 +4169,19 @@ SELECT vec_id, CAST(ix.i - 1 AS BIGINT) AS pos,
 FROM nrmed CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
 ORDER BY vec_id, pos"""
 
+  /** Recall@k of the composed IVF+PQ index vs exact brute force —
+    * completing the per-index recall family. Mirrors
+    * Similarity.ivfPqRecall. */
+  val annRecallIvfPq: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annIvfPqTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
   /** Recall@k of the scalar-quantized index vs exact brute force — the
     * [[annRecallLsh]]/[[annRecallPq]] composition. Mirrors
     * Similarity.sqRecall. */

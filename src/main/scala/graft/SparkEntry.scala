@@ -551,6 +551,8 @@ object SparkEntry {
 
     "ann_recall_sq" -> ((s, dir) => Similarity.sqRecall(Tables.embeddings(s, dir))),
 
+    "ann_recall_ivfpq" -> ((s, dir) => Similarity.ivfPqRecall(Tables.embeddings(s, dir))),
+
     "knn_classify" -> ((s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir))),
 
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -912,6 +914,7 @@ object SparkEntry {
     "ann_ivfpq_topk"            -> Oracles.annIvfPqTopK,
     "ann_sq_topk"               -> Oracles.annSqTopK,
     "ann_recall_sq"             -> Oracles.annRecallSq,
+    "ann_recall_ivfpq"          -> Oracles.annRecallIvfPq,
     "knn_classify"              -> Oracles.knnClassify,
     "label_centroids"           -> Oracles.labelCentroids,
     "topic_assign"              -> Oracles.topicAssign,

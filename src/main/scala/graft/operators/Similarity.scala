@@ -1104,6 +1104,17 @@ object Similarity {
       bruteForceTopK(embeddings, nQueries, k),
       sqTopK(embeddings, nQueries, k))
 
+  /** Recall@k of the composed IVF+PQ index ([[ivfPqTopK]]) vs exact brute
+    * force — the recall family now covers EVERY shipped index variant
+    * (C43 LSH, C47 trained IVF, C51 prefix, C52 PQ, C62 SQ, and this):
+    * IVF+PQ stacks the cell-probe loss on the ADC loss, so neither
+    * component's recall alone prices the composition a 100 TB deployment
+    * actually runs. Same bounded |Q|·k eval shape as the siblings. */
+  def ivfPqRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      ivfPqTopK(embeddings, nQueries = nQueries, k = k))
+
   /** kNN majority-vote label prediction — the serve-side shape of a
     * nearest-neighbor classifier over the labeled embedding corpus: each
     * query's `k` exact nearest neighbors vote with their `label`, the

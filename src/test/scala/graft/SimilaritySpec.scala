@@ -294,4 +294,27 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Int]("predicted_label")).toMap
     assert(out === Map(0L -> 1, 1L -> 2))
   }
+
+  test("ivfPqRecall: composition loses real recall vs PQ alone — the metric's point") {
+    // Measured 2026-08 on the synthetic embeddings: mean IVF+PQ recall
+    // ≈ 0.35 at sf0.01 AND sf0.1, and PQ alone ALSO ≈ 0.35 — the ADC
+    // quantization loss dominates and the cell probe costs nothing
+    // extra at this scale (oracle-hash-confirmed, a true index
+    // property, not a bug). Pinned as a regression band; the probe can
+    // only ever REMOVE candidates, so composition recall can never
+    // exceed plain PQ.
+    val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val comp = Similarity.ivfPqRecall(embTable).collect()
+    assert(comp.length === 8)
+    comp.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"invalid recall: $r")
+    }
+    val meanComp = comp.map(_.getAs[Double]("recall")).sum / comp.length
+    assert(meanComp >= 0.2 && meanComp <= 0.7, s"ivf+pq recall band drifted: $meanComp")
+    val meanPq = Similarity.pqRecall(embTable).collect()
+      .map(_.getAs[Double]("recall")).sum / 8.0
+    assert(meanPq >= meanComp,
+      s"the probe only removes candidates: pq ($meanPq) >= ivf+pq ($meanComp)")
+  }
 }
