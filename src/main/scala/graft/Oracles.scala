@@ -4639,6 +4639,25 @@ SELECT q_decile, len_bucket,
 FROM b GROUP BY q_decile, len_bucket
 ORDER BY q_decile, len_bucket"""
 
+  /** Channel opener/closer/middle position shares. Mirrors
+    * Journeys.channelPositionBias. */
+  val channelPositionBias: String = attrBase + """
+, pos AS (
+  SELECT channel_name,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts_us ASC, session_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM assigned
+)
+SELECT channel_name,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_opener,
+       CAST(COUNT(CASE WHEN rn = n THEN 1 END) AS BIGINT) AS n_closer,
+       CAST(COUNT(CASE WHEN rn <> 1 AND rn <> n THEN 1 END) AS BIGINT) AS n_middle,
+       CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS opener_share,
+       CAST(COUNT(CASE WHEN rn = n THEN 1 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS closer_share
+FROM pos GROUP BY channel_name
+ORDER BY channel_name"""
+
   /** Journeys and revenue by touch count. Mirrors
     * Journeys.lengthDistribution. */
   val journeyLengthDistribution: String = attrBase + """

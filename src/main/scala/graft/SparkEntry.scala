@@ -89,6 +89,9 @@ object SparkEntry {
     "journey_length_distribution" -> ((s, dir) =>
       Journeys.lengthDistribution(assigned(s, dir))),
 
+    "channel_position_bias" -> ((s, dir) =>
+      Journeys.channelPositionBias(assigned(s, dir))),
+
     "touch_gap_quantiles" -> ((s, dir) =>
       Analytics.touchGapQuantiles(assigned(s, dir))),
 
@@ -723,6 +726,7 @@ object SparkEntry {
     "attribution_model_compare" -> Oracles.attributionModelCompare,
     "orders_seasonality"        -> Oracles.ordersSeasonality,
     "journey_length_distribution" -> Oracles.journeyLengthDistribution,
+    "channel_position_bias"     -> Oracles.channelPositionBias,
     "events_quality_audit"      -> Oracles.eventsQualityAudit,
     "touch_gap_quantiles"       -> Oracles.touchGapQuantiles,
     "orders_autocorrelation"    -> Oracles.ordersAutocorrelation,

@@ -247,6 +247,33 @@ object Journeys {
         col("total_revenue") / col("n_journeys").cast("double"))
       .orderBy("n_touches")
 
+  /** Channel position bias: each channel's share of appearances as the
+    * journey OPENER, CLOSER, or a middle touch — the diagnostic that
+    * explains model disagreement (A31): a channel that mostly opens
+    * journeys is favored by first-touch and the I phase; one that mostly
+    * closes, by last-touch and the C phase. A single-touch journey's
+    * channel counts as both opener and closer (it is both).
+    *
+    * One journey-partitioned window pass + one channel rollup. */
+  def channelPositionBias(assigned: DataFrame): DataFrame = {
+    val asc = Window.partitionBy("conv_id").orderBy(col("ts_us").asc, col("session_id").asc)
+    val byConv = Window.partitionBy("conv_id")
+    assigned
+      .withColumn("rn", row_number().over(asc))
+      .withColumn("n", count(lit(1)).over(byConv))
+      .groupBy("channel_name")
+      .agg(
+        count(lit(1)).as("n_touches"),
+        count(when(col("rn") === 1, 1)).as("n_opener"),
+        count(when(col("rn") === col("n"), 1)).as("n_closer"),
+        count(when(col("rn") =!= 1 && col("rn") =!= col("n"), 1)).as("n_middle"))
+      .withColumn("opener_share",
+        col("n_opener").cast("double") / col("n_touches").cast("double"))
+      .withColumn("closer_share",
+        col("n_closer").cast("double") / col("n_touches").cast("double"))
+      .orderBy("channel_name")
+  }
+
   def channelTransitions(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
     assigned

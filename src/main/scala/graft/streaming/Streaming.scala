@@ -116,6 +116,10 @@ final case class OverlapState(pending: Vector[(Long, String)])
   * [[Streaming.channelOverlapIncs]]. */
 final case class OverlapInc(conv_id: Long, ch_a: String, ch_b: String, n: Long)
 
+/** One closed journey's touch count emitted by
+  * [[Streaming.journeyLengths]]. */
+final case class JourneyLen(conv_id: Long, n_touches: Long, revenue: Double)
+
 /** A document in the streaming ingest surface (the documents table's
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
@@ -591,6 +595,38 @@ object Streaming {
                 val chs = consumed.map(_._2).distinct.sorted
                 for (i <- chs.indices; j <- (i + 1) until chs.length)
                   out += OverlapInc(e.event_id, chs(i), chs(j), 1L)
+                st = OverlapState(kept)
+              }
+            } else {
+              st = OverlapState(st.pending :+ ((e.ts_us, e.event_type)))
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming journey lengths (SURVEY §2.D25) — the live twin of A32's
+    * input: each closing journey (purchase arrival) emits its touch
+    * count and revenue; histogramming the emissions reproduces the batch
+    * length distribution exactly. Shares [[channelOverlapIncs]]'s
+    * greedy-consumption state machine and touch buffer (the equal-ts
+    * retention rule needs the (ts, channel) vector, not a counter). */
+  def journeyLengths(events: Dataset[Event]): Dataset[JourneyLen] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverlapState, JourneyLen](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[OverlapState]) =>
+          val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(OverlapState(Vector.empty))
+          val out = Vector.newBuilder[JourneyLen]
+          ordered.foreach { e =>
+            if (e.event_type == "purchase") {
+              val (consumed, kept) = st.pending.partition(_._1 < e.ts_us)
+              if (consumed.nonEmpty) {
+                out += JourneyLen(e.event_id, consumed.length.toLong, e.value)
                 st = OverlapState(kept)
               }
             } else {

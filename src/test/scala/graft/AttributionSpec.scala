@@ -281,4 +281,22 @@ class AttributionSpec extends SparkSpec {
     val sumJ = out.map(_.getAs[Long]("n_in_journeys")).sum
     assert(sumJ === assigned.count())
   }
+
+  test("channelPositionBias: roles partition touches; single-touch counts as both ends") {
+    import spark.implicits._
+    // journey 10: a -> b -> c; journey 20: d alone
+    val asg = Seq(
+      (1L, 1L, 1000L, "a", 10L, 9000L, 5.0),
+      (2L, 1L, 2000L, "b", 10L, 9000L, 5.0),
+      (3L, 1L, 3000L, "c", 10L, 9000L, 5.0),
+      (4L, 2L, 1000L, "d", 20L, 9000L, 7.0))
+      .toDF("session_id", "user_id", "ts_us", "channel_name", "conv_id", "conv_ts_us", "revenue")
+    val out = Journeys.channelPositionBias(asg).collect()
+      .map(r => r.getAs[String]("channel_name") ->
+        (r.getAs[Long]("n_opener"), r.getAs[Long]("n_closer"), r.getAs[Long]("n_middle"))).toMap
+    assert(out("a") === ((1L, 0L, 0L)))
+    assert(out("b") === ((0L, 0L, 1L)))
+    assert(out("c") === ((0L, 1L, 0L)))
+    assert(out("d") === ((1L, 1L, 0L))) // single touch = opener AND closer
+  }
 }

@@ -966,4 +966,30 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming journey lengths reproduce the batch length distribution") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.JourneyLen
+    val events = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    val parts = events.grouped((events.length + 2) / 3).toSeq
+      .map(_.sortBy(e => (e.event_id * 2654435761L) % 1000003L))
+    val mem = MemoryStream[Event]
+    val q = Streaming.journeyLengths(mem.toDS())
+      .writeStream.format("memory").queryName("jlen_out").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      val streamed = spark.table("jlen_out").as[JourneyLen].collect()
+        .groupBy(_.n_touches).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.Journeys.lengthDistribution(
+          graft.operators.Journeys.assign(
+            Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir)))
+        .collect()
+        .map(r => r.getAs[Long]("n_touches") -> r.getAs[Long]("n_journeys")).toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
