@@ -130,9 +130,13 @@ final case class Doc(doc_id: Long, text: String, lang: String, source: String, t
 final case class DedupSeen(doc_id: Long)
 
 /** Reorder-buffer states for the watermark-hardened twins ([[Streaming.scd2StateOrdered]],
-  * [[Streaming.dedupExactOrdered]], [[Streaming.noveltyMarksOrdered]]):
+  * [[Streaming.dedupExactOrdered]], [[Streaming.noveltyMarksOrdered]],
+  * [[Streaming.timeToConvertOrdered]], [[Streaming.channelOverlapIncsOrdered]],
+  * [[Streaming.journeyLengthsOrdered]]):
   * rows wait in `buffered` until the watermark passes their event time. */
 final case class Scd2BufState(buffered: Vector[Event], open: Option[Scd2OpenState])
+final case class TtcBufState(buffered: Vector[Event], inner: TtcState)
+final case class OverlapBufState(buffered: Vector[Event], pending: Vector[(Long, String)])
 final case class DedupBufState(buffered: Vector[(Long, Long)], admitted: Boolean)
 final case class NoveltyBufState(buffered: Vector[(Long, Long)], taken: Boolean)
 
@@ -539,28 +543,72 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[TtcState]) =>
           val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-          var st = state.getOption.getOrElse(TtcState(0L, 0L, hasPending = false))
-          val out = Vector.newBuilder[TtcOut]
-          ordered.foreach { e =>
-            if (e.event_type == "purchase") {
-              if (st.hasPending && st.firstSessionUs < e.ts_us) {
-                out += TtcOut(e.event_id, uid, e.ts_us,
-                  st.firstSessionUs, e.ts_us - st.firstSessionUs)
-                // sessions at EXACTLY conv_ts are not strictly prior:
-                // they open the next journey (in-order arrival means a
-                // pending ts can never exceed conv_ts)
-                st = if (st.lastSessionUs >= e.ts_us)
-                  TtcState(e.ts_us, st.lastSessionUs, hasPending = true)
-                else TtcState(0L, 0L, hasPending = false)
-              }
-            } else if (!st.hasPending) {
-              st = TtcState(e.ts_us, e.ts_us, hasPending = true)
-            } else {
-              st = st.copy(lastSessionUs = e.ts_us)
-            }
-          }
+          val st0 = state.getOption.getOrElse(TtcState(0L, 0L, hasPending = false))
+          val (out, st) = ttcFold(uid, ordered, st0)
           state.update(st)
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** The greedy journey-latency fold shared by [[timeToConvert]] and
+    * [[timeToConvertOrdered]]: events MUST already be in event-time
+    * order. */
+  private def ttcFold(
+      uid: Long, ordered: Seq[Event], st0: TtcState): (Vector[TtcOut], TtcState) = {
+    var st = st0
+    val out = Vector.newBuilder[TtcOut]
+    ordered.foreach { e =>
+      if (e.event_type == "purchase") {
+        if (st.hasPending && st.firstSessionUs < e.ts_us) {
+          out += TtcOut(e.event_id, uid, e.ts_us,
+            st.firstSessionUs, e.ts_us - st.firstSessionUs)
+          // sessions at EXACTLY conv_ts are not strictly prior:
+          // they open the next journey (in-order arrival means a
+          // pending ts can never exceed conv_ts)
+          st = if (st.lastSessionUs >= e.ts_us)
+            TtcState(e.ts_us, st.lastSessionUs, hasPending = true)
+          else TtcState(0L, 0L, hasPending = false)
+        }
+      } else if (!st.hasPending) {
+        st = TtcState(e.ts_us, e.ts_us, hasPending = true)
+      } else {
+        st = st.copy(lastSessionUs = e.ts_us)
+      }
+    }
+    (out.result(), st)
+  }
+
+  /** [[timeToConvert]] hardened with the [[attributeIhcOrdered]] reorder
+    * buffer: events wait in state until the watermark passes their event
+    * time, then fold in exact `(ts_us, event_id)` order — journey
+    * latencies bit-equal to batch under ANY cross-batch arrival order.
+    * An event-time timeout at the earliest buffered event flushes users
+    * whose traffic stops. */
+  def timeToConvertOrdered(
+      events: Dataset[Event], delay: String = "2 hours"): Dataset[TtcOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TtcBufState, TtcOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[TtcBufState]) =>
+          val st = state.getOption.getOrElse(
+            TtcBufState(Vector.empty, TtcState(0L, 0L, hasPending = false)))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++ it.filter(_.ts_us >= wmUs)
+          val (ready, keep) = buf.partition(_.ts_us < wmUs)
+          val (out, inner) = ttcFold(uid, ready.sortBy(e => (e.ts_us, e.event_id)), st.inner)
+          if (keep.isEmpty && !inner.hasPending) state.remove()
+          else {
+            state.update(TtcBufState(keep, inner))
+            if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+              keep.map(_.ts_us).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+          }
+          out.iterator
       }
   }
 
@@ -586,23 +634,65 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[Event], state: GroupState[OverlapState]) =>
           val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-          var st = state.getOption.getOrElse(OverlapState(Vector.empty))
-          val out = Vector.newBuilder[OverlapInc]
-          ordered.foreach { e =>
-            if (e.event_type == "purchase") {
-              val (consumed, kept) = st.pending.partition(_._1 < e.ts_us)
-              if (consumed.nonEmpty) {
-                val chs = consumed.map(_._2).distinct.sorted
-                for (i <- chs.indices; j <- (i + 1) until chs.length)
-                  out += OverlapInc(e.event_id, chs(i), chs(j), 1L)
-                st = OverlapState(kept)
-              }
-            } else {
-              st = OverlapState(st.pending :+ ((e.ts_us, e.event_type)))
-            }
+          val st0 = state.getOption.getOrElse(OverlapState(Vector.empty)).pending
+          val (out, pending) = overlapFold(ordered, st0)
+          state.update(OverlapState(pending))
+          out.iterator
+      }
+  }
+
+  /** The greedy journey pair-emit fold shared by [[channelOverlapIncs]]
+    * and [[channelOverlapIncsOrdered]]: events MUST already be in
+    * event-time order. */
+  private def overlapFold(
+      ordered: Seq[Event],
+      pending0: Vector[(Long, String)]): (Vector[OverlapInc], Vector[(Long, String)]) = {
+    var pending = pending0
+    val out = Vector.newBuilder[OverlapInc]
+    ordered.foreach { e =>
+      if (e.event_type == "purchase") {
+        val (consumed, kept) = pending.partition(_._1 < e.ts_us)
+        if (consumed.nonEmpty) {
+          val chs = consumed.map(_._2).distinct.sorted
+          for (i <- chs.indices; j <- (i + 1) until chs.length)
+            out += OverlapInc(e.event_id, chs(i), chs(j), 1L)
+          pending = kept
+        }
+      } else {
+        pending = pending :+ ((e.ts_us, e.event_type))
+      }
+    }
+    (out.result(), pending)
+  }
+
+  /** [[channelOverlapIncs]] hardened with the watermark reorder buffer —
+    * pair increments bit-equal to batch under ANY cross-batch arrival
+    * order (the [[timeToConvertOrdered]] contract). */
+  def channelOverlapIncsOrdered(
+      events: Dataset[Event], delay: String = "2 hours"): Dataset[OverlapInc] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverlapBufState, OverlapInc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[OverlapBufState]) =>
+          val st = state.getOption.getOrElse(OverlapBufState(Vector.empty, Vector.empty))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++ it.filter(_.ts_us >= wmUs)
+          val (ready, keep) = buf.partition(_.ts_us < wmUs)
+          val (out, pending) =
+            overlapFold(ready.sortBy(e => (e.ts_us, e.event_id)), st.pending)
+          if (keep.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(OverlapBufState(keep, pending))
+            if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+              keep.map(_.ts_us).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
           }
-          state.update(st)
-          out.result().iterator
+          out.iterator
       }
   }
 
@@ -620,21 +710,63 @@ object Streaming {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (_: Long, it: Iterator[Event], state: GroupState[OverlapState]) =>
           val ordered = it.toVector.sortBy(e => (e.ts_us, e.event_id))
-          var st = state.getOption.getOrElse(OverlapState(Vector.empty))
-          val out = Vector.newBuilder[JourneyLen]
-          ordered.foreach { e =>
-            if (e.event_type == "purchase") {
-              val (consumed, kept) = st.pending.partition(_._1 < e.ts_us)
-              if (consumed.nonEmpty) {
-                out += JourneyLen(e.event_id, consumed.length.toLong, e.value)
-                st = OverlapState(kept)
-              }
-            } else {
-              st = OverlapState(st.pending :+ ((e.ts_us, e.event_type)))
-            }
+          val st0 = state.getOption.getOrElse(OverlapState(Vector.empty)).pending
+          val (out, pending) = lengthsFold(ordered, st0)
+          state.update(OverlapState(pending))
+          out.iterator
+      }
+  }
+
+  /** The greedy journey length-emit fold shared by [[journeyLengths]] and
+    * [[journeyLengthsOrdered]]: events MUST already be in event-time
+    * order. */
+  private def lengthsFold(
+      ordered: Seq[Event],
+      pending0: Vector[(Long, String)]): (Vector[JourneyLen], Vector[(Long, String)]) = {
+    var pending = pending0
+    val out = Vector.newBuilder[JourneyLen]
+    ordered.foreach { e =>
+      if (e.event_type == "purchase") {
+        val (consumed, kept) = pending.partition(_._1 < e.ts_us)
+        if (consumed.nonEmpty) {
+          out += JourneyLen(e.event_id, consumed.length.toLong, e.value)
+          pending = kept
+        }
+      } else {
+        pending = pending :+ ((e.ts_us, e.event_type))
+      }
+    }
+    (out.result(), pending)
+  }
+
+  /** [[journeyLengths]] hardened with the watermark reorder buffer —
+    * journey lengths bit-equal to batch under ANY cross-batch arrival
+    * order (the [[timeToConvertOrdered]] contract). */
+  def journeyLengthsOrdered(
+      events: Dataset[Event], delay: String = "2 hours"): Dataset[JourneyLen] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverlapBufState, JourneyLen](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[Event], state: GroupState[OverlapBufState]) =>
+          val st = state.getOption.getOrElse(OverlapBufState(Vector.empty, Vector.empty))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++ it.filter(_.ts_us >= wmUs)
+          val (ready, keep) = buf.partition(_.ts_us < wmUs)
+          val (out, pending) =
+            lengthsFold(ready.sortBy(e => (e.ts_us, e.event_id)), st.pending)
+          if (keep.isEmpty && pending.isEmpty) state.remove()
+          else {
+            state.update(OverlapBufState(keep, pending))
+            if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+              keep.map(_.ts_us).min / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
           }
-          state.update(st)
-          out.result().iterator
+          out.iterator
       }
   }
 

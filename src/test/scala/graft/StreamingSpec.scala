@@ -992,4 +992,77 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("hardened journey twins: globally shuffled micro-batches match batch bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Tables
+    import graft.streaming.{TtcOut, OverlapInc, JourneyLen}
+    val evs = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "ts_us", "user_id", "event_type", "value")
+      .as[Event].collect()
+    // GLOBAL deterministic shuffle — arrival order across micro-batches
+    // bears no relation to event time (the D4b harness)
+    val shuffled = evs.sortBy(e => (e.event_id * 2654435761L) % 1000003L)
+    val parts = shuffled.grouped((shuffled.length + 2) / 3).toSeq
+    val day = 24L * 3600 * 1000000L
+    val maxTs = evs.map(_.ts_us).max
+    val assigned = graft.operators.Journeys.assign(
+      Tables.sessions(spark, sfDir), Tables.conversions(spark, sfDir))
+
+    def drive[T](q: org.apache.spark.sql.streaming.StreamingQuery,
+                 mem: MemoryStream[Event]): Unit = {
+      parts.foreach { p => mem.addData(p.toSeq); q.processAllAvailable() }
+      // sentinel sessions (never purchases) advance the watermark past
+      // every real event, firing the flush timeouts
+      mem.addData(Seq(Event(900001L, maxTs + 40 * day, 999999L, "click", 0.0)))
+      q.processAllAvailable()
+      mem.addData(Seq(Event(900002L, maxTs + 41 * day, 999999L, "click", 0.0)))
+      q.processAllAvailable()
+    }
+
+    // 1. time-to-convert: per-journey starts and lags
+    val ttcMem = MemoryStream[Event]
+    val ttcQ = Streaming.timeToConvertOrdered(ttcMem.toDS(), delay = "30 days")
+      .writeStream.format("memory").queryName("ttc_ord").outputMode("append").start()
+    try {
+      drive(ttcQ, ttcMem)
+      val streamed = spark.table("ttc_ord").as[TtcOut].collect()
+        .filter(_.user_id != 999999L)
+        .map(t => t.conv_id -> (t.journey_start_us, t.lag_us)).toMap
+      val batch = assigned.groupBy("conv_id")
+        .agg((min(col("conv_ts_us")) - min(col("ts_us"))).as("lag"),
+          min(col("ts_us")).as("start"))
+        .collect()
+        .map(r => r.getAs[Long]("conv_id") ->
+          (r.getAs[Long]("start"), r.getAs[Long]("lag"))).toMap
+      assert(streamed === batch)
+    } finally ttcQ.stop()
+
+    // 2. channel overlap: summed pair increments
+    val ovMem = MemoryStream[Event]
+    val ovQ = Streaming.channelOverlapIncsOrdered(ovMem.toDS(), delay = "30 days")
+      .writeStream.format("memory").queryName("ov_ord").outputMode("append").start()
+    try {
+      drive(ovQ, ovMem)
+      val streamed = spark.table("ov_ord").as[OverlapInc].collect()
+        .groupBy(o => (o.ch_a, o.ch_b)).view.mapValues(_.map(_.n).sum).toMap
+      val batch = graft.operators.Journeys.channelOverlap(assigned).collect()
+        .map(r => (r.getAs[String]("ch_a"), r.getAs[String]("ch_b")) -> r.getAs[Long]("n_ab"))
+        .toMap
+      assert(streamed === batch)
+    } finally ovQ.stop()
+
+    // 3. journey lengths: the histogram
+    val jlMem = MemoryStream[Event]
+    val jlQ = Streaming.journeyLengthsOrdered(jlMem.toDS(), delay = "30 days")
+      .writeStream.format("memory").queryName("jl_ord").outputMode("append").start()
+    try {
+      drive(jlQ, jlMem)
+      val streamed = spark.table("jl_ord").as[JourneyLen].collect()
+        .groupBy(_.n_touches).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.Journeys.lengthDistribution(assigned).collect()
+        .map(r => r.getAs[Long]("n_touches") -> r.getAs[Long]("n_journeys")).toMap
+      assert(streamed === batch)
+    } finally jlQ.stop()
+  }
 }
