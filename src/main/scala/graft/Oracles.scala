@@ -4314,10 +4314,12 @@ WITH tok AS (
   FROM cbi
 )
 SELECT w1, w2, c_bigram, c_left, c_right,
-       ${lniSql("c_bigram * n_total")} - ${lniSql("c_left * c_right")} AS pmi
+       (${lniSql("c_bigram")} + ${lniSql("n_total")})
+         - (${lniSql("c_left")} + ${lniSql("c_right")}) AS pmi
 FROM m
 WHERE c_bigram >= 5
-ORDER BY CAST(c_bigram * n_total AS DOUBLE) / CAST(c_left * c_right AS DOUBLE) DESC, w1, w2
+ORDER BY (CAST(c_bigram AS DOUBLE) * CAST(n_total AS DOUBLE))
+           / (CAST(c_left AS DOUBLE) * CAST(c_right AS DOUBLE)) DESC, w1, w2
 LIMIT 30"""
 
   /** Per-document character-level Shannon entropy in the integer-ln form
@@ -4438,7 +4440,8 @@ ORDER BY conv_id, session_id"""
 )
 SELECT ch_a, ch_b, n_ab, na.n AS n_a, nb.n AS n_b, n_convs,
        CAST(n_ab AS DOUBLE) / CAST(n_convs AS DOUBLE) AS support,
-       CAST(n_ab * n_convs AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE) AS lift
+       (CAST(n_ab AS DOUBLE) * CAST(n_convs AS DOUBLE))
+         / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)) AS lift
 FROM prs
 JOIN chc na ON na.channel_name = ch_a
 JOIN chc nb ON nb.channel_name = ch_b

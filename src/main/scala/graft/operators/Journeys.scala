@@ -220,9 +220,12 @@ object Journeys {
       .join(chCounts.select(col("channel").as("ch_b"), col("n").as("n_b")), "ch_b")
       .crossJoin(broadcast(nConvs))
       .withColumn("support", col("n_ab").cast("double") / col("n_convs").cast("double"))
+      // double-domain products: n_ab·n_convs overflows int64 at web-scale
+      // journey volumes (the DSIR overflow class); double products of
+      // exact longs round identically cross-engine at any magnitude
       .withColumn("lift",
-        (col("n_ab") * col("n_convs")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double"))
+        (col("n_ab").cast("double") * col("n_convs").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
       .select("ch_a", "ch_b", "n_ab", "n_a", "n_b", "n_convs", "support", "lift")
       .orderBy("ch_a", "ch_b")
   }

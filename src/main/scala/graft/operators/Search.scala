@@ -193,10 +193,13 @@ object Search {
     * singleton-pair PMI explosion (a 1-count bigram of two 1-count words
     * maxes the score by construction).
     *
-    * Determinism: the RANKING key is the exact ratio c·N/(c_l·c_r) —
-    * both products stay far below 2^53 so each double is exact and the
-    * one division correctly rounded, identical cross-engine; the reported
-    * PMI is ln(c·N) − ln(c_l·c_r) over those same INTEGER products via
+    * Determinism AND overflow safety: integer PRODUCTS like c·N overflow
+    * int64 once N reaches web-corpus bigram volumes (~10¹² total with
+    * frequent words at ~10⁹ — the DSIR r7 overflow class), so both the
+    * ranking key and the score avoid them: the key is the double-domain
+    * ratio (c·N as one double product of exact longs — correctly rounded
+    * identically cross-engine at ANY magnitude), and PMI = (ln c + ln N)
+    * − (ln c_l + ln c_r) over the INDIVIDUAL counts (each ≤ 2^53) via
     * the deterministic [[graft.functions.LnInt]] tree (no platform ln is
     * engine-stable — see its scaladoc), which the oracle replicates
     * op-for-op. Plan: one bigram counting shuffle, two count
@@ -221,10 +224,11 @@ object Search {
     withMargins
       .filter(col("c_bigram") >= minCount)
       .withColumn("ratio",
-        (col("c_bigram") * col("n_total")).cast("double") /
-          (col("c_left") * col("c_right")).cast("double"))
+        (col("c_bigram").cast("double") * col("n_total").cast("double")) /
+          (col("c_left").cast("double") * col("c_right").cast("double")))
       .withColumn("pmi",
-        expr("graft_lni(c_bigram * n_total) - graft_lni(c_left * c_right)"))
+        expr("(graft_lni(c_bigram) + graft_lni(n_total)) - " +
+          "(graft_lni(c_left) + graft_lni(c_right))"))
       .orderBy(col("ratio").desc, col("w1"), col("w2"))
       .limit(topK)
       .select("w1", "w2", "c_bigram", "c_left", "c_right", "pmi")
