@@ -1446,7 +1446,11 @@ object Analytics {
     * squares' unscaled values sit far past 2^53, where that conversion
     * is engine-specific in the last ulp (measured 8/25 divergent
     * nations). One revenue rollup shuffle keyed on supplier, a broadcast
-    * nation attach, one nation-partitioned window + agg. */
+    * nation attach, one nation-partitioned window + agg. The per-nation
+    * fold buffers one (suppkey, share) pair per supplier of that nation;
+    * if a deployment's groups reach many millions of members, split the
+    * fold two-level (ordered sub-bucket folds, then an ordered fold of
+    * sub-results — still bridge-free and deterministic). */
   def supplierHhi(
       supplier: DataFrame, nation: DataFrame, lineitem: DataFrame): DataFrame = {
     val srev = lineitem
