@@ -4922,6 +4922,60 @@ WITH p AS (
 SELECT * FROM hist UNION ALL SELECT * FROM z
 ORDER BY n_purchases"""
 
+  /** One-row chunk-duplication summary (the dedupChunks chunking CTEs +
+    * a rollup). Mirrors Dedup.chunkDupStats. */
+  val chunkDupStats: String = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+  WHERE len(string_split(text, ' ')) >= 1
+), ch AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, ((len(words) - 1) // 64) + 1)) AS BIGINT) AS chunk_id,
+         words
+  FROM w
+), h AS (
+  SELECT md5(array_to_string(
+           words[(CAST(chunk_id * 64 AS INTEGER) + 1):(CAST(chunk_id * 64 AS INTEGER) + 64)],
+           ' ')) AS chunk_hash
+  FROM ch
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(COUNT(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+       1.0 - CAST(COUNT(DISTINCT chunk_hash) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_chunk_rate
+FROM h"""
+
+  /** Shingle document-frequency histogram on power-of-two buckets.
+    * Mirrors Dedup.shingleDfHistogram. */
+  val shingleDfHistogram: String = shingleBase + """
+, shi AS (
+  SELECT CAST(concat('0x', substring(md5(shingle), 1, 15)) AS BIGINT) AS sid FROM sh
+), d AS (
+  SELECT sid, CAST(COUNT(*) AS BIGINT) AS df FROM shi GROUP BY sid
+), b AS (
+  SELECT CAST(length(format('{:b}', df)) - 1 AS BIGINT) AS bucket, df FROM d
+)
+SELECT bucket,
+       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS df_lo,
+       CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS df_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(df) AS BIGINT) AS total_occurrences
+FROM b GROUP BY bucket
+ORDER BY bucket"""
+
+  /** Mean conversion lag per OPENER channel. Mirrors Journeys.lagByOpener. */
+  val journeyLagByOpener: String = attrBase + """
+, op AS (
+  SELECT channel_name, conv_ts_us - ts_us AS lag_us FROM (
+    SELECT *, row_number() OVER (PARTITION BY conv_id
+                                 ORDER BY ts_us ASC, session_id ASC) AS rn
+    FROM assigned) t
+  WHERE rn = 1
+)
+SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n_journeys,
+       CAST(CAST(SUM(lag_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lag_us
+FROM op GROUP BY channel_name
+ORDER BY channel_name"""
+
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """
 SELECT source,

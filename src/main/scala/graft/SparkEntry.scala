@@ -92,6 +92,8 @@ object SparkEntry {
     "channel_position_bias" -> ((s, dir) =>
       Journeys.channelPositionBias(assigned(s, dir))),
 
+    "journey_lag_by_opener" -> ((s, dir) => Journeys.lagByOpener(assigned(s, dir))),
+
     "touch_gap_quantiles" -> ((s, dir) =>
       Analytics.touchGapQuantiles(assigned(s, dir))),
 
@@ -478,6 +480,10 @@ object SparkEntry {
 
     "dedup_chunks_exact" -> ((s, dir) => Dedup.chunkDedup(Tables.documents(s, dir))),
 
+    "chunk_dup_stats" -> ((s, dir) => Dedup.chunkDupStats(Tables.documents(s, dir))),
+
+    "shingle_df_histogram" -> ((s, dir) => Dedup.shingleDfHistogram(Tables.documents(s, dir))),
+
     "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),
 
     "dedup_keep_best" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir))),
@@ -727,6 +733,7 @@ object SparkEntry {
     "orders_seasonality"        -> Oracles.ordersSeasonality,
     "journey_length_distribution" -> Oracles.journeyLengthDistribution,
     "channel_position_bias"     -> Oracles.channelPositionBias,
+    "journey_lag_by_opener"     -> Oracles.journeyLagByOpener,
     "events_quality_audit"      -> Oracles.eventsQualityAudit,
     "touch_gap_quantiles"       -> Oracles.touchGapQuantiles,
     "orders_autocorrelation"    -> Oracles.ordersAutocorrelation,
@@ -851,6 +858,8 @@ object SparkEntry {
     "dedup_minhash_eval"        -> Oracles.dedupMinhashEval,
     "ngram_novelty"             -> Oracles.ngramNovelty,
     "dedup_chunks_exact"        -> Oracles.dedupChunks,
+    "chunk_dup_stats"           -> Oracles.chunkDupStats,
+    "shingle_df_histogram"      -> Oracles.shingleDfHistogram,
     "training_shards"           -> Oracles.trainingShards,
     "dedup_keep_best"           -> Oracles.dedupKeepBest,
     "corpus_datasheet"          -> Oracles.corpusDatasheet,

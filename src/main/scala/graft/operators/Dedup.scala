@@ -291,6 +291,43 @@ object Dedup {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** One-row chunk-duplication summary over [[chunkDedup]]'s hashes:
+    * total chunks, distinct chunks, and the duplicated-chunk rate — the
+    * headline number the C49 pass reports before anyone looks at
+    * per-chunk detail (the fraction of corpus volume that is verbatim
+    * cross-document boilerplate, i.e. what chunk dedup would save).
+    *
+    * One map (chunk + hash) + one aggregate with a partial-aggregable
+    * distinct. Linear, one row out. */
+  def chunkDupStats(documents: DataFrame, chunkSize: Int = 64): DataFrame =
+    Corpus.chunkDocuments(documents, chunkSize, overlap = 0)
+      .select(md5(col("chunk_text")).as("h"))
+      .agg(
+        count(lit(1)).as("total_chunks"),
+        countDistinct(col("h")).as("distinct_chunks"))
+      .withColumn("dup_chunk_rate",
+        lit(1.0) - col("distinct_chunks").cast("double") / col("total_chunks").cast("double"))
+
+  /** Document-frequency histogram of the discriminative shingles on
+    * power-of-two buckets — the tuning table behind C4/C65's `maxDf`
+    * cap: how many shingles (and how much pair-join volume, which grows
+    * with df²) each candidate cap admits, so the cap stops being a magic
+    * number. One shingle pass + a df partial agg + a ≤~20-row bucket
+    * rollup. */
+  def shingleDfHistogram(documents: DataFrame): DataFrame = {
+    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
+    shingles(documents)
+      .select(sid)
+      .groupBy("sid").agg(count(lit(1)).as("df"))
+      .withColumn("bucket", (length(conv(col("df"), 10, 2)) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"), sum("df").as("total_occurrences"))
+      .withColumn("df_lo", expr("CAST(1 AS BIGINT) << bucket"))
+      .withColumn("df_hi", expr("(CAST(1 AS BIGINT) << (bucket + 1)) - 1"))
+      .select("bucket", "df_lo", "df_hi", "n_shingles", "total_occurrences")
+      .orderBy("bucket")
+  }
+
   /** 32-bit frequency-weighted SimHash from token md5s. Bit b of a token's
     * hash = parity of hex digit b (odd digit → 1); simhash bit = sign of
     * the ±1 vote sum. Bucket = top 16 bits, the blocking key for near-dup

@@ -277,6 +277,30 @@ object Journeys {
       .orderBy("channel_name")
   }
 
+  /** Mean conversion lag by OPENER channel — which acquisition channel
+    * starts the fastest-converting journeys: per journey, the span from
+    * first touch to conversion, attributed to the journey's opening
+    * channel (the A35 opener role) and averaged per channel.
+    *
+    * One journey-partitioned window pass (opener pick + span in the same
+    * aggregate), one K-row channel rollup. The lags are INTEGRAL µs, so
+    * the mean sums them as exact BIGINTs and divides once — a decimal
+    * sum here would hit the past-2^53 decimal→double cast (measured: 1
+    * ulp off on one channel at sf0.01, the supplierHhi trap). */
+  def lagByOpener(assigned: DataFrame): DataFrame = {
+    val asc = Window.partitionBy("conv_id").orderBy(col("ts_us").asc, col("session_id").asc)
+    assigned
+      .withColumn("rn", row_number().over(asc))
+      .filter(col("rn") === 1)
+      .select(col("channel_name"), (col("conv_ts_us") - col("ts_us")).as("lag_us"))
+      .groupBy("channel_name")
+      .agg(
+        count(lit(1)).as("n_journeys"),
+        (sum(col("lag_us")).cast("double") / count(lit(1)).cast("double"))
+          .as("avg_lag_us"))
+      .orderBy("channel_name")
+  }
+
   def channelTransitions(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy(col("ts_us"), col("session_id"))
     assigned

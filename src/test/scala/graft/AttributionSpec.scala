@@ -299,4 +299,11 @@ class AttributionSpec extends SparkSpec {
     assert(out("c") === ((0L, 1L, 0L)))
     assert(out("d") === ((1L, 1L, 0L))) // single touch = opener AND closer
   }
+
+  test("lagByOpener partitions journeys across opener channels") {
+    val out = Journeys.lagByOpener(assigned).collect()
+    val nJourneys = assigned.select("conv_id").distinct().count()
+    assert(out.map(_.getAs[Long]("n_journeys")).sum === nJourneys)
+    out.foreach(r => assert(r.getAs[Double]("avg_lag_us") > 0.0))
+  }
 }

@@ -348,4 +348,26 @@ class DedupSpec extends SparkSpec {
     assert(r.get.getAs[Double]("containment_b") < 0.5)
     assert(!out.exists(x => x.getAs[Long]("doc_b") == 3L))
   }
+
+  test("chunkDupStats: planted verbatim chunks drive the dup rate") {
+    import spark.implicits._
+    // two docs sharing the identical single 64-word chunk + one unique
+    def words(tag: String) = (1 to 64).map(i => s"$tag$i").mkString(" ")
+    val d = Seq((1L, "en", words("a")), (2L, "en", words("a")), (3L, "en", words("z")))
+      .toDF("doc_id", "lang", "text")
+    val r = Dedup.chunkDupStats(d).head()
+    assert(r.getAs[Long]("total_chunks") === 3L)
+    assert(r.getAs[Long]("distinct_chunks") === 2L)
+    assert(math.abs(r.getAs[Double]("dup_chunk_rate") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("shingleDfHistogram: buckets partition shingles, occurrences reconcile") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val out = Dedup.shingleDfHistogram(d).collect()
+    val totalShingles = Dedup.shingles(d)
+      .select(col("shingle")).distinct().count()
+    assert(out.map(_.getAs[Long]("n_shingles")).sum === totalShingles)
+    val totalOcc = Dedup.shingles(d).count()
+    assert(out.map(_.getAs[Long]("total_occurrences")).sum === totalOcc)
+  }
 }
