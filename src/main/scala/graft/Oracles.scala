@@ -1470,6 +1470,33 @@ FROM r
 GROUP BY node
 ORDER BY doc_id"""
 
+  /** Cluster-size histogram over the recursive-CTE CC labels (power-of-
+    * two buckets). Mirrors Dedup.clusterSizeHistogram. */
+  val dedupClusterSizes: String =
+    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + """
+, sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand
+), r AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+  UNION
+  SELECT s.a AS node, r.label AS label FROM sym s JOIN r ON r.node = s.b
+), cl AS (
+  SELECT node, CAST(MIN(label) AS BIGINT) AS cluster_id FROM r GROUP BY node
+), sz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM cl GROUP BY cluster_id
+), b AS (
+  SELECT CAST(length(format('{:b}', size)) - 1 AS BIGINT) AS bucket, size FROM sz
+)
+SELECT bucket,
+       CAST(CAST(1 AS BIGINT) << bucket AS BIGINT) AS size_lo,
+       CAST((CAST(1 AS BIGINT) << (bucket + 1)) - 1 AS BIGINT) AS size_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(size) AS BIGINT) AS n_docs
+FROM b GROUP BY bucket
+ORDER BY bucket"""
+
   /** Quality-aware cluster representative selection: recursive-CTE CC
     * over the LSH candidates (singletons = own cluster), keep the
     * highest-quality copy per cluster (C9 score, doc_id tiebreak).
@@ -4975,6 +5002,31 @@ SELECT channel_name, CAST(COUNT(*) AS BIGINT) AS n_journeys,
        CAST(CAST(SUM(lag_us) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lag_us
 FROM op GROUP BY channel_name
 ORDER BY channel_name"""
+
+  /** Per-nation supply vs demand with the net. Mirrors
+    * Analytics.nationTradeBalance. */
+  val nationTradeBalance: String = """
+WITH supply AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE) AS supply_revenue
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  GROUP BY n.n_name
+), demand AS (
+  SELECT n.n_name,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS demand_spend
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+)
+SELECT COALESCE(s.n_name, d.n_name) AS n_name,
+       COALESCE(s.supply_revenue, 0.0) AS supply_revenue,
+       COALESCE(d.demand_spend, 0.0) AS demand_spend,
+       COALESCE(s.supply_revenue, 0.0) - COALESCE(d.demand_spend, 0.0) AS net_balance
+FROM supply s FULL OUTER JOIN demand d ON s.n_name = d.n_name
+ORDER BY n_name"""
 
   /** Per-source exact-dup rate. Mirrors Corpus.dupRateBySource. */
   val dupRateBySource: String = """

@@ -168,6 +168,11 @@ object SparkEntry {
     "user_purchase_histogram" -> ((s, dir) =>
       Analytics.userPurchaseHistogram(Tables.events(s, dir))),
 
+    "nation_trade_balance" -> ((s, dir) =>
+      Analytics.nationTradeBalance(
+        Tables.supplier(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     "integrity_audit" -> ((s, dir) =>
       Analytics.integrityAudit(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
@@ -481,6 +486,9 @@ object SparkEntry {
     "dedup_chunks_exact" -> ((s, dir) => Dedup.chunkDedup(Tables.documents(s, dir))),
 
     "chunk_dup_stats" -> ((s, dir) => Dedup.chunkDupStats(Tables.documents(s, dir))),
+
+    "dedup_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(Tables.documents(s, dir))),
 
     "shingle_df_histogram" -> ((s, dir) => Dedup.shingleDfHistogram(Tables.documents(s, dir))),
 
@@ -859,6 +867,8 @@ object SparkEntry {
     "ngram_novelty"             -> Oracles.ngramNovelty,
     "dedup_chunks_exact"        -> Oracles.dedupChunks,
     "chunk_dup_stats"           -> Oracles.chunkDupStats,
+    "dedup_cluster_sizes"       -> Oracles.dedupClusterSizes,
+    "nation_trade_balance"      -> Oracles.nationTradeBalance,
     "shingle_df_histogram"      -> Oracles.shingleDfHistogram,
     "training_shards"           -> Oracles.trainingShards,
     "dedup_keep_best"           -> Oracles.dedupKeepBest,

@@ -1514,6 +1514,42 @@ object Analytics {
     hist.unionByName(zeroRow).orderBy("n_purchases")
   }
 
+  /** Per-nation trade balance inside the warehouse: revenue SUPPLIED by
+    * a nation's suppliers vs spend DEMANDED by its customers, with the
+    * net — the cross-dimension rollup that joins the q5 (demand) and q9
+    * (supply) perspectives one level up.
+    *
+    * Two independent fact rollups (lineitem by supplier nation; orders
+    * by customer nation), each with broadcast dims, joined on the
+    * |nations|-row key; exact decimal sums, one subtraction. */
+  def nationTradeBalance(
+      supplier: DataFrame, customer: DataFrame, nation: DataFrame,
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val supply = lineitem
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
+      .join(broadcast(supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))),
+        "l_suppkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
+        "s_nationkey")
+      .groupBy("n_name")
+      .agg(dsum(col("r")).as("supply_revenue"))
+    val demand = orders
+      .select(col("o_custkey"), col("o_totalprice"))
+      .join(broadcast(customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+        "o_custkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"), col("n_name"))),
+        "c_nationkey")
+      .groupBy("n_name")
+      .agg(dsum(col("o_totalprice")).as("demand_spend"))
+    supply.join(demand, Seq("n_name"), "full_outer")
+      .withColumn("supply_revenue", coalesce(col("supply_revenue"), lit(0.0)))
+      .withColumn("demand_spend", coalesce(col("demand_spend"), lit(0.0)))
+      .withColumn("net_balance", col("supply_revenue") - col("demand_spend"))
+      .select("n_name", "supply_revenue", "demand_spend", "net_balance")
+      .orderBy("n_name")
+  }
+
   /** One-row data-quality audit over the raw event stream — the landing
     * gate run before anything derives from events: duplicate event ids
     * (every downstream distinct/join silently dedups or fans out on

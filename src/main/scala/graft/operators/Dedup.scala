@@ -328,6 +328,26 @@ object Dedup {
       .orderBy("bucket")
   }
 
+  /** Cluster-size histogram over the MinHash near-dup components (power-
+    * of-two buckets; singletons excluded — a doc with no near-dup pair is
+    * not in the graph): the duplication SHAPE report. Many small clusters
+    * = independent double-submissions; a few giant ones = template/
+    * boilerplate families, which deserve the C32 hot-span treatment
+    * instead of representative-keeping.
+    *
+    * Reuses the full near-dup cluster pipeline; the size rollup and
+    * bucket histogram are metadata-sized. */
+  def clusterSizeHistogram(documents: DataFrame): DataFrame =
+    clustersStar(minhashLsh(documents).select("doc_a", "doc_b"))
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .withColumn("bucket", (length(conv(col("size"), 10, 2)) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_clusters"), sum("size").as("n_docs"))
+      .withColumn("size_lo", expr("CAST(1 AS BIGINT) << bucket"))
+      .withColumn("size_hi", expr("(CAST(1 AS BIGINT) << (bucket + 1)) - 1"))
+      .select("bucket", "size_lo", "size_hi", "n_clusters", "n_docs")
+      .orderBy("bucket")
+
   /** 32-bit frequency-weighted SimHash from token md5s. Bit b of a token's
     * hash = parity of hex digit b (odd digit → 1); simhash bit = sign of
     * the ±1 vote sum. Bucket = top 16 bits, the blocking key for near-dup

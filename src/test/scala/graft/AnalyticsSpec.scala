@@ -743,4 +743,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_users")).sum === totalUsers)
     assert(out.map(_.getAs[Long]("n_purchases")).distinct.length === out.length)
   }
+
+  test("nationTradeBalance: net reconciles and covers every nation with activity") {
+    val out = Analytics.nationTradeBalance(
+      Tables.supplier(spark, sfDir), Tables.customer(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val net = r.getAs[Double]("net_balance")
+      assert(net === r.getAs[Double]("supply_revenue") - r.getAs[Double]("demand_spend"))
+    }
+    // global supply equals the discounted lineitem revenue
+    val totalSupply = out.map(_.getAs[Double]("supply_revenue")).sum
+    val expected = Tables.lineitem(spark, sfDir)
+      .agg(graft.functions.Exact.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+      .head().getDouble(0)
+    assert(math.abs(totalSupply - expected) < 1e-4)
+  }
 }

@@ -370,4 +370,16 @@ class DedupSpec extends SparkSpec {
     val totalOcc = Dedup.shingles(d).count()
     assert(out.map(_.getAs[Long]("total_occurrences")).sum === totalOcc)
   }
+
+  test("clusterSizeHistogram: cluster docs reconcile with the CC output") {
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    val out = Dedup.clusterSizeHistogram(d).collect()
+    val cc = Dedup.clustersStar(Dedup.minhashLsh(d).select("doc_a", "doc_b"))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === cc.count())
+    assert(out.map(_.getAs[Long]("n_clusters")).sum ===
+      cc.select("cluster_id").distinct().count())
+    // every clustered component has >= 2 members (singletons never enter
+    // the pair graph), so bucket 0 (size 1) must be absent
+    assert(!out.exists(_.getAs[Long]("bucket") == 0L))
+  }
 }
