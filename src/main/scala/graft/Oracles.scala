@@ -4243,21 +4243,31 @@ FROM r WHERE rk = 1
 ORDER BY query_id"""
 
   /** SimHash near-dup pairs within Hamming distance 3 — all-pairs verify
-    * at oracle scale (the Spark side blocks by byte-bands; pigeonhole
-    * makes the band join lossless, so the SETS agree). Shares the
-    * [[dedupSimhash]] simhash derivation. */
+    * at oracle scale (the Spark side blocks by 4×16-bit bands of a 64-bit
+    * simhash; pigeonhole makes the band join lossless, so the SETS
+    * agree). 64-bit vote derivation twin of
+    * [[graft.functions.SimHashImpl.simhash64]]: vote bit b = bit (b & 1)
+    * of hex nibble (b >> 1) of md5(token) — even bits test the digit's
+    * low bit (odd digits), odd bits its second bit. Bit 63's addend is
+    * BIGINT.MIN (the sign bit as an opaque pattern); the vote sum runs in
+    * DuckDB's HUGEINT and lands back in BIGINT exactly. */
   val dedupSimhashNear: String = """
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
 ), votes AS (
   SELECT doc_id, b,
-         SUM(CASE WHEN substr(md5(w), CAST(b + 1 AS INTEGER), 1)
-                       IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s
-  FROM tok CROSS JOIN (SELECT unnest(range(32)) AS b) bs
+         SUM(CASE WHEN (b % 2 = 0 AND substr(md5(w), CAST(b // 2 + 1 AS INTEGER), 1)
+                          IN ('1','3','5','7','9','b','d','f'))
+                    OR (b % 2 = 1 AND substr(md5(w), CAST(b // 2 + 1 AS INTEGER), 1)
+                          IN ('2','3','6','7','a','b','e','f'))
+                  THEN 1 ELSE -1 END) AS s
+  FROM tok CROSS JOIN (SELECT unnest(range(64)) AS b) bs
   GROUP BY doc_id, b
 ), sim AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         CAST(SUM(CASE WHEN s < 0 THEN 0
+                       WHEN b = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -359,12 +359,24 @@ object ScaleSmoke {
 
     // r9 wave-8 stages.
 
-    // Banded SimHash near-dup: candidate volume is Σbucket² over 4×256
-    // byte-band buckets — one simhash map pass + a bucket self-join; at
-    // 200k docs the planted 1% near-dups must dominate the survivors,
-    // and wall clock must track docs, not doc pairs.
+    // Block-combination SimHash near-dup (Manku tables): 20 combo keys of
+    // 32-33 bits each, so random-collision candidates ~ 20*n^2/2^32 stay
+    // near-LINEAR. Measured at nDocs and 10*nDocs: pair counts must track
+    // the planted 1% near-dup rate (~n/100) at both points and wall clock
+    // must grow ~10x, not ~100x (the r9 8-bit-band shape was n^2/64 and
+    // would blow up ~100x on this very step).
     time(s"simhash_near nDocs=$nDocs")(println(s"[scale] near pairs = " +
       graft.operators.Dedup.simhashNear(docs).count()))
+    val docs10x = spark.range(nDocs * 10).selectExpr(
+      "id AS doc_id",
+      """array_join(transform(sequence(1, 60),
+           i -> concat('w', pmod(hash((CASE WHEN pmod(id, 100) = 1 THEN id - 1 ELSE id END) * 61 + i), 1000))),
+         ' ') AS text""")
+      .selectExpr("doc_id",
+        "CASE WHEN pmod(doc_id, 100) = 1 THEN concat(text, ' extra') ELSE text END AS text")
+    time(s"simhash_near nDocs=${nDocs * 10} (linearity check)")(
+      println(s"[scale] near pairs at 10x = " +
+        graft.operators.Dedup.simhashNear(docs10x).count()))
 
     // Containment shares ngramJaccard's df-capped blocking, so its pair
     // volume is the same near-linear bound; the planted contained docs

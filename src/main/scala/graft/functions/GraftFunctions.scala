@@ -24,6 +24,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_simhash", exprs => SimHash32(exprs.head), "scala_udf")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash64"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    }
     if (!reg.functionExists(FunctionIdentifier("graft_shingles"))) {
       reg.createOrReplaceTempFunction(
         "graft_shingles", exprs => ShingleSet(exprs.head), "scala_udf")

@@ -384,26 +384,57 @@ object Dedup {
         expr("shiftright(simhash, 16)").as("bucket"))
       .orderBy("doc_id")
 
-  /** SimHash near-duplicate pairs within `maxHamming` bit flips, found by
-    * BANDED blocking instead of an all-pairs scan: the 32-bit simhash is
-    * cut into `maxHamming + 1` = 4 byte-bands, and by pigeonhole any pair
-    * within Hamming distance 3 agrees EXACTLY on at least one band — so
-    * joining on (band_index, band_value) loses nothing while candidate
-    * volume stays Σbucket² over byte-sized buckets (the classic
-    * Manku/Jarvelin near-dup sharding, here 4×256 buckets; widen the hash
-    * and band count together at larger corpora). The Hamming verify is a
-    * codegen'd `bit_count(a ^ b)` on the candidate pairs only.
+  /** 64-bit SimHash per document — the hash the banded near-dup join
+    * blocks on. Bit b of a token's vote = bit (b & 1) of hex nibble
+    * (b >> 1) of md5(token) (two vote bits per digit); simhash bit b =
+    * sign of the ±1 vote sum. One codegen-resident map pass via the
+    * native [[graft.functions.SimHash64]] expression. */
+  private[graft] def simhash64(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"), expr("graft_simhash64(text)").as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` (= 3) bit flips via
+    * the Manku et al. WWW'07 BLOCK-COMBINATION tables, not an all-pairs
+    * scan: the 64-bit simhash splits into 6 blocks (widths
+    * 11,11,11,11,10,10); a pair within Hamming distance 3 differs in at
+    * most 3 blocks, so it agrees EXACTLY on at least one 3-block subset —
+    * joining on all C(6,3) = 20 (combo_id, packed 3-block key) tables
+    * loses nothing (pigeonhole), while each key carries 32–33 bits, so
+    * random-collision candidate volume is ≈ 20·n²/2³² — near-LINEAR out
+    * past 10⁹ docs. The r9 shape (32-bit hash, 4×8-bit bands = 1,024
+    * buckets total) was ≈ n²/64, the one quadratic generator in the repo;
+    * single 16-bit bands would still be n²/2¹⁴. The shared [[capBuckets]]
+    * guard bounds residual key skew (boilerplate corpora whose near-dup
+    * clusters exceed `maxBucket`) as defense in depth, and the Hamming
+    * verify is a codegen'd `bit_count(a ^ b)` on candidate pairs only.
     *
-    * Scale shape: one simhash map pass, a 4× band explode, a bucket
-    * self-join (bounded by the band-value distribution, no all-pairs), a
-    * pair distinct. Nothing quadratic in the corpus. */
-  def simhashNear(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val nBands = maxHamming + 1
-    val sim = simhash(documents).select("doc_id", "simhash")
-    val banded = sim
-      .withColumn("band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("band_key",
-        expr(s"(simhash >> (8 * band)) & 255"))
+    * Scale shape: one simhash map pass, a 20× combo explode (linear), a
+    * capped bucket self-join on ~2³²-way keys, a pair distinct. Nothing
+    * quadratic in the corpus. */
+  def simhashNear(
+      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    require(maxHamming == 3, "block table layout is derived for maxHamming = 3")
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blk(i: Int) =
+      expr(s"(simhash >> ${offsets(i)}) & ${(1L << widths(i)) - 1}")
+    // agree-on-(B-k) blocks: every 3-subset of the 6 blocks, packed into
+    // one long key (11 bits per slot) + the combo index as the table id
+    val combos = for {
+      i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6
+    } yield (i, j, k)
+    val bandStructs = combos.zipWithIndex.map { case ((i, j, k), ci) =>
+      struct(
+        lit(ci).as("band"),
+        (blk(i) * lit(1L << 22) + blk(j) * lit(1L << 11) + blk(k)).as("band_key"))
+    }
+    val banded = capBuckets(
+      simhash64(documents)
+        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.band_key").as("band_key")),
+      Seq("band", "band_key"), maxBucket)
     val a = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_key"),

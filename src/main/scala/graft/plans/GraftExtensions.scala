@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotDecimal, DotFold, LnInt, MinHashSig, ShingleSet, SimHash32, Winnow}
+import graft.functions.{DotDecimal, DotFold, LnInt, MinHashSig, ShingleSet, SimHash32, SimHash64, Winnow}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (exprs: Seq[Expression]) => SimHash32(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotDecimal].getName, "graft_dot"),
