@@ -4835,9 +4835,12 @@ FROM (
     FROM assigned) t
   WHERE nxt IS NOT NULL) g"""
 
-  /** Per-nation supplier HHI over SHARES with an ordered share² fold —
-    * bridge-free (the wide-decimal Σrev²/(Σrev)² form dies on the
-    * past-2^53 decimal→double cast). Mirrors Analytics.supplierHhi. */
+  /** Per-nation supplier HHI over SHARES with the TWO-LEVEL ordered
+    * share² fold — bridge-free (the wide-decimal Σrev²/(Σrev)² form dies
+    * on the past-2^53 decimal→double cast), and the exact chain of
+    * Analytics.supplierHhi's bucketed form: per-(nation, suppkey div
+    * 65536) inner folds in suppkey order, then an outer fold of bucket
+    * subtotals in bucket order. Mirrors Analytics.supplierHhi. */
   val supplierHhi: String = """
 WITH srev AS (
   SELECT l.l_suppkey,
@@ -4851,15 +4854,23 @@ WITH srev AS (
   SELECT n_name, l_suppkey, srev,
          CAST(SUM(CAST(srev AS DECIMAL(27,6))) OVER (PARTITION BY n_name) AS DOUBLE) AS nrev
   FROM j
+), sub AS (
+  SELECT n_name, l_suppkey // 65536 AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS nb,
+         MAX(nrev) AS nrev,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list((srev / nrev) * (srev / nrev) ORDER BY l_suppkey)),
+           (a, b) -> a + b) AS s
+  FROM sh GROUP BY n_name, bkt
 )
 SELECT n_name,
-       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(nb) AS BIGINT) AS n_suppliers,
        MAX(nrev) AS revenue,
        list_reduce(
-         list_prepend(CAST(0.0 AS DOUBLE),
-           list((srev / nrev) * (srev / nrev) ORDER BY l_suppkey)),
+         list_prepend(CAST(0.0 AS DOUBLE), list(s ORDER BY bkt)),
          (a, b) -> a + b) AS hhi
-FROM sh GROUP BY n_name
+FROM sub GROUP BY n_name
 ORDER BY n_name"""
 
   /** Hour-of-day activity profile (integer µs hour). Mirrors

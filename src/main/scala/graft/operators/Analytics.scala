@@ -1446,14 +1446,51 @@ object Analytics {
     * squares' unscaled values sit far past 2^53, where that conversion
     * is engine-specific in the last ulp (measured 8/25 divergent
     * nations). One revenue rollup shuffle keyed on supplier, a broadcast
-    * nation attach, one nation-partitioned window + agg. The per-nation
-    * fold buffers one (suppkey, share) pair per supplier of that nation;
-    * if a deployment's groups reach many millions of members, split the
-    * fold two-level (ordered sub-bucket folds, then an ordered fold of
-    * sub-results — still bridge-free and deterministic). */
+    * nation attach, one nation-partitioned window + agg.
+    *
+    * The share² fold is TWO-LEVEL so no aggregation buffer is
+    * proportional to a nation's supplier count: suppliers bucket by
+    * `l_suppkey div bucketWidth` (bucket id monotone in suppkey, so the
+    * bucket-then-key order IS the global key order), each bucket folds
+    * its ≤ bucketWidth shares in suppkey order, then the per-nation fold
+    * runs over the bucket subtotals in bucket order — every buffer is
+    * ≤ max(bucketWidth, n_buckets) structs, and a third level composes
+    * the same way if n/bucketWidth ever gets large. The chain is
+    * deterministic at any scale, and whenever a nation's suppliers land
+    * in ONE bucket (every test SF: keys ≤ 10⁴ < bucketWidth·1) it is
+    * bit-equal to the flat single fold, because the outer chain
+    * degenerates to 0.0 + s₁ and adding +0.0 to a positive partial is
+    * exact — the spec pins both properties. */
   def supplierHhi(
-      supplier: DataFrame, nation: DataFrame, lineitem: DataFrame): DataFrame = {
-    val srev = lineitem
+      supplier: DataFrame, nation: DataFrame, lineitem: DataFrame,
+      bucketWidth: Long = 65536L): DataFrame =
+    supplierShares(supplier, nation, lineitem)
+      .withColumn("bkt", expr(s"l_suppkey div $bucketWidth"))
+      .groupBy("n_name", "bkt")
+      .agg(
+        count(lit(1)).as("nb"),
+        max("nrev").as("nrev"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("l_suppkey"), col("share")))),
+            s => s.getField("share")),
+          lit(0.0), (acc, sh) => acc + sh * sh).as("s"))
+      .groupBy("n_name")
+      .agg(
+        sum("nb").as("n_suppliers"),
+        max("nrev").as("revenue"),
+        aggregate(
+          transform(sort_array(collect_list(struct(col("bkt"), col("s")))),
+            b => b.getField("s")),
+          lit(0.0), (acc, s) => acc + s).as("hhi"))
+      .select("n_name", "n_suppliers", "revenue", "hhi")
+      .orderBy("n_name")
+
+  /** The (n_name, l_suppkey, srev, nrev, share) frame [[supplierHhi]]
+    * folds over — exposed so the fold-chain spec can recompute the flat
+    * and bucketed chains driver-side against the engine's OWN shares. */
+  private[graft] def supplierShares(
+      supplier: DataFrame, nation: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
       .select(col("l_suppkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("r"))
       .groupBy("l_suppkey")
@@ -1462,22 +1499,10 @@ object Analytics {
         "l_suppkey")
       .join(broadcast(nation.select(col("n_nationkey").as("s_nationkey"), col("n_name"))),
         "s_nationkey")
-    srev
       .withColumn("nrev",
         sum(col("srev").cast(DecimalType(27, 6)))
           .over(Window.partitionBy("n_name")).cast("double"))
       .withColumn("share", col("srev") / col("nrev"))
-      .groupBy("n_name")
-      .agg(
-        count(lit(1)).as("n_suppliers"),
-        max("nrev").as("revenue"),
-        aggregate(
-          transform(sort_array(collect_list(struct(col("l_suppkey"), col("share")))),
-            s => s.getField("share")),
-          lit(0.0), (acc, sh) => acc + sh * sh).as("hhi"))
-      .select("n_name", "n_suppliers", "revenue", "hhi")
-      .orderBy("n_name")
-  }
 
   /** Hour-of-day activity profile over the raw event stream (share × 24 =
     * the activity index; 1.0 = flat day) — the intra-day twin of B68's

@@ -705,6 +705,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(out("DUO")._2 - 0.5) < 1e-12)
   }
 
+  test("supplierHhi: two-level fold bit-equals the flat fold when a nation fits one bucket, and pins the bucketed chain across buckets") {
+    import spark.implicits._
+    val n = 40
+    val supplier = (1 to n).map(i => (i.toLong, 0L)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((0L, "ONE")).toDF("n_nationkey", "n_name")
+    val li = (1 to n).map(i =>
+      (i.toLong, 10.0 + i * 0.37, 0.01 * (i % 7))).toDF("l_suppkey", "l_extendedprice", "l_discount")
+    // the engine's own shares, in global suppkey order
+    val shares = Analytics.supplierShares(supplier, nation, li)
+      .select("l_suppkey", "share").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).sortBy(_._1)
+    // flat chain reference (the pre-bucketing definition)
+    val flat = shares.foldLeft(0.0) { case (acc, (_, sh)) => acc + sh * sh }
+    val hhiDefault = Analytics.supplierHhi(supplier, nation, li)
+      .collect().head.getAs[Double]("hhi")
+    // default width 65536 => every key in bucket 0 => outer chain is
+    // 0.0 + s1, exact for positive s1 => BIT-equal to the flat fold
+    assert(java.lang.Double.doubleToLongBits(hhiDefault)
+      === java.lang.Double.doubleToLongBits(flat),
+      s"single-bucket two-level fold must bit-equal the flat fold: $hhiDefault vs $flat")
+    // width 7 => 6 buckets; the engine must produce exactly the
+    // two-level chain (inner folds in key order, outer in bucket order)
+    val twoLevel = shares.groupBy { case (k, _) => k / 7 }.toSeq.sortBy(_._1)
+      .map { case (_, b) => b.sortBy(_._1).foldLeft(0.0) { case (a, (_, sh)) => a + sh * sh } }
+      .foldLeft(0.0)(_ + _)
+    val hhi7 = Analytics.supplierHhi(supplier, nation, li, bucketWidth = 7L)
+      .collect().head.getAs[Double]("hhi")
+    assert(java.lang.Double.doubleToLongBits(hhi7)
+      === java.lang.Double.doubleToLongBits(twoLevel),
+      s"bucketed fold chain drifted: $hhi7 vs $twoLevel")
+    // determinism: a different physical layout must not move a bit
+    val hhi7b = Analytics.supplierHhi(
+      supplier.repartition(7), nation, li.repartition(13), bucketWidth = 7L)
+      .collect().head.getAs[Double]("hhi")
+    assert(java.lang.Double.doubleToLongBits(hhi7b)
+      === java.lang.Double.doubleToLongBits(hhi7))
+  }
+
   test("eventsHourProfile: shares sum to 1, 24 buckets max, index mean 1") {
     val out = Analytics.eventsHourProfile(Tables.events(spark, sfDir)).collect()
     assert(out.length <= 24)
