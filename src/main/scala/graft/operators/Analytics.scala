@@ -53,18 +53,22 @@ object Analytics {
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy("r_name", "n_name")
 
-  /** Top-k customers by lifetime spend, ranked (window over aggregate). */
+  /** Top-k customers by lifetime spend, ranked. The per-customer
+    * aggregate is |customers|-sized, so the top-k runs as a distributed
+    * sort+LIMIT (per-partition partial top-k merged on the driver —
+    * `TakeOrderedAndProject`), and only the surviving ≤ k rows pass
+    * through the rank window; ranking the full aggregate through one
+    * unpartitioned window task would bottleneck at warehouse scale. */
   def topCustomers(customer: DataFrame, orders: DataFrame, k: Int): DataFrame = {
     val rev = orders
       .groupBy("o_custkey")
       .agg(dsum(col("o_totalprice")).as("revenue"))
       .join(broadcast(customer.select("c_custkey", "c_name")),
         col("o_custkey") === col("c_custkey"))
-    // global rank over the tiny aggregated frame — fine unpartitioned
     val rk = Window.orderBy(col("revenue").desc, col("c_custkey"))
     rev.select(col("c_custkey"), col("c_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(k)
       .withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= k)
       .orderBy("rk")
   }
 
@@ -1270,16 +1274,19 @@ object Analytics {
 
   /** Supplier(s) achieving the maximum quarterly revenue (TPC-H Q15
     * shape). The revenue aggregate shuffles once on l_suppkey; the
-    * "= max" scalar subquery becomes a window max over the already-tiny
-    * aggregated frame — no second scan of lineitem, no driver round trip. */
+    * "= max" scalar subquery becomes a one-row max aggregate attached by
+    * broadcast cross join — no second scan of lineitem, no driver round
+    * trip, and (unlike an unpartitioned window max) no plan step that
+    * funnels the |suppliers|-row aggregate through a single task. */
   def q15TopSupplier(supplier: DataFrame, lineitem: DataFrame): DataFrame = {
     val rev = lineitem
       .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
         col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
-    val withMax = rev.withColumn("__mx", max(col("total_revenue")).over(Window.partitionBy()))
-    withMax
+      .localCheckpoint(true) // one materialization feeds the max and the probe
+    rev
+      .crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("__mx"))))
       .filter(col("total_revenue") === col("__mx"))
       .join(broadcast(supplier.select("s_suppkey", "s_name")),
         col("l_suppkey") === col("s_suppkey"))

@@ -866,10 +866,10 @@ object Corpus {
     * overlap. */
   def winnowOverlap(
       documents: DataFrame, minCommon: Long = 2L, maxDf: Long = 1000L): DataFrame = {
-    val fp = winnowFp(documents).cache()
+    val fp = winnowFp(documents).localCheckpoint(true) // releasable, not a CacheManager pin
     val keep = fp.groupBy("fingerprint").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("fingerprint")
-    val f = fp.join(keep, "fingerprint").cache()
+    val f = fp.join(keep, "fingerprint").localCheckpoint(true)
     val counts = f.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = f.select(col("doc_id").as("doc_a"), col("fingerprint"))
       .join(f.select(col("doc_id").as("doc_b"), col("fingerprint")), "fingerprint")

@@ -189,7 +189,10 @@ object Dedup {
     * bands (documented recall tradeoff; pair output is unchanged whenever
     * no bucket exceeds the cap — spec-pinned). */
   def minhashLsh(documents: DataFrame, maxBucket: Long = 1000L): DataFrame = {
-    val sig = minhashSignature(documents).cache()
+    // localCheckpoint(eager), NOT cache(): blocks release via
+    // ContextCleaner once the frame is unreachable instead of pinning the
+    // shared CacheManager for the session lifetime (r9 ADVICE)
+    val sig = minhashSignature(documents).localCheckpoint(true)
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
@@ -465,12 +468,12 @@ object Dedup {
     val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
     val shAll = shingles(documents)
       .select(col("doc_id"), sid)
-      .cache()
+      .localCheckpoint(true) // releasable materialize, not a CacheManager pin
     val keep = shAll
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("sid")
-    val sh = shAll.join(keep, "sid").cache()
+    val sh = shAll.join(keep, "sid").localCheckpoint(true)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("sid"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
@@ -505,12 +508,12 @@ object Dedup {
     val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
     val shAll = shingles(documents)
       .select(col("doc_id"), sid)
-      .cache() // one tokenize/window pass feeds both uses
+      .localCheckpoint(true) // one tokenize/window pass feeds both uses, releasable
     val keep = shAll
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("sid")
-    val sh = shAll.join(keep, "sid").cache()
+    val sh = shAll.join(keep, "sid").localCheckpoint(true)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("sid"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
@@ -821,7 +824,7 @@ object Dedup {
     val assigned = feat.select(
       col("vec_id"), col("embedding"), col("nrm"),
       best.getField("cid").as("cell"),
-      (-best.getField("negcos")).as("cos_centroid")).cache()
+      (-best.getField("negcos")).as("cos_centroid")).localCheckpoint(true)
     val ids = assigned.select(col("cell"), col("vec_id"))
     val cand = ids.select(col("cell"), col("vec_id").as("vec_a"))
       .join(ids.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
@@ -923,7 +926,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
-      VectorFunctions.normExact(col("embedding")).as("nrm")).cache()
+      VectorFunctions.normExact(col("embedding")).as("nrm")).localCheckpoint(true)
     // hot-bucket guard ([[capBuckets]]): a sign-band value shared by m
     // vectors is m² candidate rows in one task — cap it
     val banded = capBuckets(
