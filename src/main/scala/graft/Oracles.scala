@@ -398,9 +398,12 @@ WITH RECURSIVE daily AS (
 SELECT day, revenue, ewma FROM ew ORDER BY day"""
 
   /** Zipf OLS fit over the top-1000 token frequencies: ordered double
-    * folds of ln(rank)/ln(freq) moments in rank order, slope/intercept
-    * as the identical IEEE trees `Corpus.tokenZipf` builds. */
-  val tokenZipf: String = """
+    * folds of lni(rank)/lni(freq) moments in rank order (the
+    * [[lniSql]] integer-ln tree — libm `ln` is NOT hash-gateable, it
+    * diverges from every JVM ln on some integers in this exact range),
+    * slope/intercept as the identical IEEE trees `Corpus.tokenZipf`
+    * builds. */
+  val tokenZipf: String = s"""
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents
 ), top AS (
@@ -408,17 +411,19 @@ WITH tok AS (
   GROUP BY w ORDER BY freq DESC, w LIMIT 1000
 ), ranked AS (
   SELECT w, freq, row_number() OVER (ORDER BY freq DESC, w) AS rank FROM top
+), lns AS (
+  SELECT rank, ${lniSql("rank")} AS lr, ${lniSql("freq")} AS lf FROM ranked
 ), s AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n,
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list(ln(CAST(rank AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sx,
+      list(lr ORDER BY rank)), (a, b) -> a + b) AS sx,
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list(ln(CAST(freq AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sy,
+      list(lf ORDER BY rank)), (a, b) -> a + b) AS sy,
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sxx,
+      list(lr * lr ORDER BY rank)), (a, b) -> a + b) AS sxx,
     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      list(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE)) ORDER BY rank)), (a, b) -> a + b) AS sxy
-  FROM ranked
+      list(lr * lf ORDER BY rank)), (a, b) -> a + b) AS sxy
+  FROM lns
 ), sl AS (
   SELECT n,
          ((CAST(n AS DOUBLE) * sxy) - (sx * sy)) /
@@ -4909,7 +4914,9 @@ SELECT n_docs, n_langs,
 FROM f"""
 
   /** ACF of the daily revenue series at lags 1..14 — every sum an
-    * ordered fold in day order (the tokenZipf/EWMA discipline). Mirrors
+    * ordered fold in day order (the tokenZipf/EWMA discipline), with the
+    * engine's SAME degenerate guard: a series under 2 days or with zero
+    * variance emits NO rows (never 0/0 NaNs). Mirrors
     * Analytics.ordersAutocorrelation. */
   val ordersAutocorrelation: String = """
 WITH daily AS (
@@ -4936,6 +4943,7 @@ SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
          list_transform(range(1, n - lag + 1),
            i -> (xs[i] - mean) * (xs[i + lag] - mean))), (a, b) -> a + b) / ss AS acf
 FROM den CROSS JOIN lags
+WHERE n >= 2 AND ss <> 0.0
 ORDER BY lag"""
 
   /** Per-channel journey-participation rate. Mirrors

@@ -707,12 +707,13 @@ object Corpus {
     * groupBy; the top-`topN` cut is TakeOrdered (never a global sort).
     * The fit itself runs DRIVER-SIDE over the collected ≤ `topN`
     * (rank, freq) table — bounded model metadata, the Markov/MMR collect
-    * class — because Spark's `log()` expression evaluates
-    * `StrictMath.log` (fdlibm), which differs from DuckDB's libm `ln`
-    * by 1 ulp on some inputs (observed: ln(3), ln(936)); `Math.log`
-    * agrees with libm, so the driver fold is the bit-stable path (the
-    * SURVEY §3 transcendental discipline: keep non-correctly-rounded
-    * functions out of distributed oracle-gated expressions).
+    * class. The logs go through [[graft.functions.LnIntImpl.ln]] (both
+    * rank and freq are positive integers ≤ 2^53), the explicit IEEE tree
+    * the oracle rebuilds op-for-op via `lniSql` — NO platform ln is
+    * hash-gateable: StrictMath (Spark `log()`), `Math.log` (HotSpot
+    * intrinsic), and DuckDB's glibc `ln` disagree pairwise in the last
+    * ulp on real inputs (Math.log vs libm: 54 of the first 2M integers,
+    * e.g. ln(9170) — token frequencies land in exactly that range).
     * Determinism: sums accumulate left-to-right in rank order (≡ the
     * oracle's `list_reduce(list(x ORDER BY rank))`), slope/intercept are
     * the same fixed IEEE trees the oracle builds. */
@@ -730,8 +731,8 @@ object Corpus {
     val n = ranked.length.toLong
     var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
     ranked.foreach { case (rank, freq) =>
-      val lr = Math.log(rank.toDouble)
-      val lf = Math.log(freq.toDouble)
+      val lr = graft.functions.LnIntImpl.ln(rank)
+      val lf = graft.functions.LnIntImpl.ln(freq)
       sx += lr; sy += lf; sxx += lr * lr; sxy += lr * lf
     }
     val nD = n.toDouble

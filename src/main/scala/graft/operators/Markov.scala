@@ -557,10 +557,20 @@ object Markov {
     // distributed joins are pure scheduler overhead. Same sync rounds,
     // same (wsum DESC, label ASC) tie-break, bit-identical labels.
     // String keys only (ASCII label ordering matches Spark's UTF8
-    // binary order); other key types always take the distributed path.
+    // binary order) AND integral weights only: the driver fold sums
+    // longs, while the distributed path sums the native weight type — a
+    // double-weighted edge frame would yield different communities
+    // depending only on whether the edge count crosses
+    // driverSolveMaxEdges (r9 ADVICE). Non-integral weights always take
+    // the distributed path.
     val stringKeys =
       dirEdges.schema("src").dataType == org.apache.spark.sql.types.StringType
-    if (stringKeys && dirEdges.count() <= driverSolveMaxEdges) {
+    val integralWeights = dirEdges.schema("weight").dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (stringKeys && integralWeights && dirEdges.count() <= driverSolveMaxEdges) {
       val spark = edgesIn.sparkSession
       import spark.implicits._
       val es = dirEdges.collect().map(r =>

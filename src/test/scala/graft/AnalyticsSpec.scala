@@ -529,6 +529,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(iso("z") === "z")
   }
 
+  test("labelPropagation: double weights route to the distributed path, path-independent communities") {
+    import spark.implicits._
+    // fractional weights BELOW 1 truncate to 0 under the driver fold's
+    // longValue — communities would differ by path; the type gate must
+    // send this frame distributed even though it's tiny
+    val edges = Seq(
+      ("a", "b", 0.9), ("b", "c", 0.9), ("a", "c", 0.9),
+      ("d", "e", 0.9), ("e", "f", 0.9), ("d", "f", 0.9),
+      ("c", "d", 0.1)).toDF("src", "dst", "weight")
+    val auto = graft.operators.Markov.labelPropagation(edges, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).sorted.toSeq
+    val forcedDistributed = graft.operators.Markov.labelPropagation(
+      edges, iters = 4, driverSolveMaxEdges = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).sorted.toSeq
+    assert(auto === forcedDistributed,
+      "double-weighted edges must produce the same communities regardless of edge count")
+    val m = auto.toMap
+    assert(Set("a", "b", "c").map(m).size === 1 && Set("d", "e", "f").map(m).size === 1)
+  }
+
   test("timeToConvertQuantiles golden: gaps from first touch, interpolated quartiles") {
     import spark.implicits._
     // journeys (conv_ts − first touch): 100, 200, 300, 400 µs
