@@ -1264,6 +1264,42 @@ FROM documents
 GROUP BY md5(text)
 ORDER BY keep_doc_id"""
 
+  /** Exact substring dedup spans (Lee et al. ExactSubstr, k = 20):
+    * every token position whose 20-gram first occurs in an EARLIER doc
+    * is removable; flagged positions stitch gaps-and-islands into
+    * maximal [min p, max p + 19] spans. 60-bit md5-prefix gram ids,
+    * lockstep with Dedup.exactSubstringSpans. */
+  val dedupExactSubstring: String = """
+WITH tokarr AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), g0 AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 19)) AS pos
+  FROM tokarr WHERE len(ts) >= 20
+), g AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 1, 15)) AS BIGINT) AS gid
+  FROM g0
+), fst AS (
+  SELECT gid, MIN(doc_id) AS first_doc FROM g GROUP BY gid
+), flagged AS (
+  SELECT g.doc_id, g.pos FROM g JOIN fst USING (gid) WHERE g.doc_id > fst.first_doc
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 20
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), isl2 AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 19 AS span_end,
+       CAST(MAX(pos) + 19 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM isl2 GROUP BY doc_id, island
+ORDER BY doc_id, span_start"""
+
   /** Shared minhash chain through the LSH candidate pairs. */
   private val minhashCandBase: String = {
     def a(j: Int): Long = 1299721L + 104729L * j

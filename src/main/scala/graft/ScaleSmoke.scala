@@ -378,6 +378,18 @@ object ScaleSmoke {
       println(s"[scale] near pairs at 10x = " +
         graft.operators.Dedup.simhashNear(docs10x).count()))
 
+    // r10: exact substring spans — corpus-sized work is the gram map +
+    // one gram-keyed min + a linear join-back (each position meets ONE
+    // gram row, no self-join, no df cap needed), then doc-partitioned
+    // windows. The 1% shifted near-dups (same 60 tokens, one appended)
+    // plant full-doc spans; wall clock must track positions, not pairs,
+    // even with hot boilerplate grams.
+    time(s"exact_substring nDocs=$nDocs")(println(s"[scale] substring spans = " +
+      graft.operators.Dedup.exactSubstringSpans(docs).count()))
+    time(s"exact_substring nDocs=${nDocs * 10} (linearity check)")(
+      println(s"[scale] substring spans at 10x = " +
+        graft.operators.Dedup.exactSubstringSpans(docs10x).count()))
+
     // Containment shares ngramJaccard's df-capped blocking, so its pair
     // volume is the same near-linear bound; the planted contained docs
     // (1% verbatim + extra token) must surface.

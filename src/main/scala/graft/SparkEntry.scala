@@ -461,6 +461,9 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => Dedup.exact(Tables.documents(s, dir))),
 
+    "dedup_exact_substring" -> ((s, dir) =>
+      Dedup.exactSubstringSpans(Tables.documents(s, dir))),
+
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
     "dedup_clusters" -> ((s, dir) =>
@@ -858,6 +861,7 @@ object SparkEntry {
     "events_json_extract"       -> Oracles.eventsJsonExtract,
     "orders_enrich_denorm"      -> Oracles.ordersEnrichDenorm,
     "dedup_exact"               -> Oracles.dedupExact,
+    "dedup_exact_substring"     -> Oracles.dedupExactSubstring,
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
     "dedup_clusters"            -> Oracles.dedupClusters,
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,

@@ -273,6 +273,56 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT substring dedup spans (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" ExactSubstr family): maximal
+    * verbatim runs of ≥ `k` tokens that also appear in an EARLIER
+    * document, reported as removable (doc_id, span_start, span_end)
+    * token intervals. Exact — unlike C32's hot-n-gram approximation
+    * (needs a minDf) and C49's fixed chunk boundaries (misses
+    * offset-shifted duplicates), every cross-document k-token repeat is
+    * found at any offset.
+    *
+    * Mechanics: every token position opens a k-gram (md5-prefix 60-bit
+    * id, the [[ngramJaccard]] shuffle-narrowing projection — identical
+    * in both engines); a position is REMOVABLE iff its gram's corpus-wide
+    * first-occurrence doc (min doc_id) is an earlier document — the
+    * gram-keyed first-occurrence rule, so the earliest copy always
+    * survives intact. Removable positions stitch into maximal spans via
+    * gaps-and-islands: consecutive flagged starts p,q merge while
+    * q ≤ p + k (their k-token windows overlap or touch), each island's
+    * span is [min p, max p + k − 1].
+    *
+    * Scale shape: the corpus-sized work is one gram map (positions × 1),
+    * one gram-keyed partial-agg min, one join back (each position meets
+    * exactly one gram row — linear, no pair blow-up, NO df cap needed),
+    * then doc-partitioned lag/sum windows and a bounded rollup. Nothing
+    * quadratic at any duplication profile — hot boilerplate grams cost
+    * one agg row, not a self-join bucket. */
+  def exactSubstringSpans(documents: DataFrame, k: Int = 20): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gid"))
+    val firstDoc = grams.groupBy("gid").agg(min("doc_id").as("first_doc"))
+    val flagged = grams.join(firstDoc, "gid")
+      .filter(col("doc_id") > col("first_doc"))
+      .select("doc_id", "pos")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("span_start"), (max("pos") + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Chunk-granularity exact dedup (the C4/RefinedWeb recipe): documents
     * split into disjoint fixed-size word chunks ([[Corpus.chunkDocuments]]
     * with zero overlap), each chunk hashed, and only the corpus-wide FIRST

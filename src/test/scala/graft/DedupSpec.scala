@@ -362,6 +362,41 @@ class DedupSpec extends SparkSpec {
     assert(h12.values.toSet.size === 3, "three distinct docs -> three distinct hashes")
   }
 
+  test("exactSubstringSpans: offset-shifted verbatim run found exactly; chunkDedup provably misses it") {
+    import spark.implicits._
+    val as = (1 to 100).map(i => s"a$i")
+    val base = as.mkString(" ")                                   // doc 1: a1..a100
+    val shifted = ((1 to 7).map(i => s"junk$i") ++ as.take(50)).mkString(" ") // doc 2: 7 junk + a1..a50
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")          // doc 3: unrelated
+    val d = Seq((1L, "en", base), (2L, "en", shifted), (3L, "en", other))
+      .toDF("doc_id", "lang", "text")
+    val spans = Dedup.exactSubstringSpans(d, k = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_tokens")))
+    // the copied a1..a50 run sits at doc-2 positions 8..57: flagged gram
+    // starts are 8..38, one island, span [8, 38+19] = [8, 57], 50 tokens
+    assert(spans.toSeq === Seq((2L, 8L, 57L, 50L)),
+      s"expected exactly the shifted span, got ${spans.mkString(",")}")
+    // doc 1 (the first occurrence) keeps everything; doc 3 is untouched
+    assert(!spans.exists(s => s._1 == 1L || s._1 == 3L))
+    // C49 fixed 64-word chunks MISS this: doc 2's junk prefix shifts
+    // every chunk boundary, so no chunk hash repeats
+    val chunkKept = Dedup.chunkDedup(d, chunkSize = 64).collect()
+    assert(chunkKept.forall(_.getAs[Boolean]("kept")),
+      "fixed-boundary chunk dedup must fail to flag the offset duplicate " +
+        "(that's the gap exactSubstringSpans closes)")
+    // two disjoint copied runs stitch into TWO islands, not one: doc 4
+    // copies a1..a25 and a60..a85 with a 10-token original gap between
+    val twoRuns = (as.take(25) ++ (1 to 10).map(i => s"own$i") ++
+      as.slice(59, 85)).mkString(" ")
+    val d2 = Seq((1L, "en", base), (4L, "en", twoRuns)).toDF("doc_id", "lang", "text")
+    val spans2 = Dedup.exactSubstringSpans(d2, k = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end")))
+    assert(spans2.toSeq === Seq((4L, 1L, 25L), (4L, 36L, 61L)),
+      s"expected two disjoint islands, got ${spans2.mkString(",")}")
+  }
+
   test("ngramContainment flags a doc fully quoted inside a longer one") {
     val short = (1 to 30).map(i => s"tok$i").mkString(" ")
     val long = short + " " + (100 to 200).map(i => s"pad$i").mkString(" ")
