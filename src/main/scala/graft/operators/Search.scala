@@ -542,6 +542,193 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** A trained unigram-LM tokenizer: the FIXED piece inventory with its
+    * final hard-EM counts, plus the smoothed total `Σ(c+1)` the Viterbi
+    * score normalizes by. Model metadata — |pieces| is bounded by the
+    * seed budget, never by the corpus. */
+  case class UnigramModel(counts: Map[String, Long], total: Long)
+
+  /** Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer TRAINING via
+    * hard (Viterbi) EM — the subword alternative to [[bpeLearn]] whose
+    * segmentation optimizes a likelihood instead of replaying greedy
+    * merges.
+    *
+    * Discipline (the C55 corpus rule): the only corpus-sized work is ONE
+    * (word, freq) partial-agg groupBy; everything after runs driver-side
+    * over the collected ≤ `maxVocab` vocabulary slice — bounded model
+    * metadata, the bpeLearn/Markov collect class. Seeding: every
+    * substring of 1..`maxPieceLen` code points scores Σ freq×occurrences;
+    * ALL single code points are kept (coverage guarantee) plus the top
+    * `nSeed` multi-character pieces by (score DESC, piece ASC). The
+    * inventory is then FIXED; `emRounds` hard-EM rounds re-estimate
+    * counts: E = Viterbi-segment every vocab word under the current
+    * counts, M = new count(piece) = Σ word_freq over its Viterbi
+    * occurrences (exact integers — no float accumulation anywhere in
+    * training state).
+    *
+    * Cross-engine determinism: Viterbi scores are
+    * `lni(c+1) − lni(Σ(c+1))` ([[graft.functions.LnIntImpl]] — the
+    * explicit integer-ln tree both engines share; NO platform ln), dp
+    * additions run left-to-right along the path, and score ties break to
+    * the SHORTEST candidate piece — the oracle's unrolled-EM
+    * MATERIALIZED-CTE chain ([[graft.Oracles.unigramChain]]) reproduces
+    * every double bit-for-bit. */
+  def unigramLearn(
+      documents: DataFrame,
+      nSeed: Int = 200,
+      maxPieceLen: Int = 4,
+      emRounds: Int = 2,
+      maxVocab: Int = 65536): UnigramModel = {
+    val vocab: Array[(String, Long)] = Dedup.tokens(documents)
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // seed scores: every 1..maxPieceLen-cp substring, Σ freq × occurrences
+    val c0 = scala.collection.mutable.HashMap.empty[String, Long]
+    val isSingle = scala.collection.mutable.HashSet.empty[String]
+    vocab.foreach { case (w, f) =>
+      val cps = codePointSymbols(w)
+      var i = 0
+      while (i < cps.length) {
+        var len = 1
+        while (len <= maxPieceLen && i + len <= cps.length) {
+          val p = cps.slice(i, i + len).mkString
+          c0.update(p, c0.getOrElse(p, 0L) + f)
+          if (len == 1) isSingle += p
+          len += 1
+        }
+        i += 1
+      }
+    }
+    val multis = c0.iterator.filter { case (p, _) => !isSingle(p) }.toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(nSeed)
+    var counts: Map[String, Long] =
+      (c0.iterator.filter { case (p, _) => isSingle(p) } ++ multis.iterator).toMap
+    for (_ <- 1 to emRounds) {
+      val total = counts.valuesIterator.sum + counts.size.toLong
+      val lnt = graft.functions.LnIntImpl.ln(total)
+      val next = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (w, f) =>
+        unigramViterbi(w, counts, lnt, maxPieceLen).foreach { p =>
+          next.update(p, next.getOrElse(p, 0L) + f)
+        }
+      }
+      counts = counts.keysIterator.map(p => p -> next.getOrElse(p, 0L)).toMap
+    }
+    UnigramModel(counts, counts.valuesIterator.sum + counts.size.toLong)
+  }
+
+  /** Viterbi segmentation of one word under smoothed unigram counts:
+    * maximize Σ (lni(c(piece)+1) − lnTotal) over segmentations. Pieces
+    * of ≥ 2 code points must be IN the inventory; single code points are
+    * always usable (count 0 smoothed to 1 — the UNK path), so every
+    * word segments. Ties break to the SHORTEST candidate piece at each
+    * position (ascending scan with strict `>` ≡ the oracle's
+    * `ORDER BY score DESC, len ASC`). */
+  private[operators] def unigramViterbi(
+      w: String, counts: scala.collection.Map[String, Long],
+      lnTotal: Double, maxPieceLen: Int): Array[String] = {
+    val cps = codePointSymbols(w)
+    val n = cps.length
+    if (n == 0) return Array.empty
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    dp(0) = 0.0
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var len = 1
+      while (len <= maxPieceLen && len <= j) {
+        val piece = cps.slice(j - len, j).mkString
+        val c = counts.get(piece)
+        if (len == 1 || c.isDefined) {
+          val s = dp(j - len) +
+            (graft.functions.LnIntImpl.ln(c.getOrElse(0L) + 1L) - lnTotal)
+          if (s > dp(j)) { dp(j) = s; bp(j) = len }
+        }
+        len += 1
+      }
+      j += 1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var p = n
+    while (p > 0) {
+      val len = bp(p)
+      out.prepend(cps.slice(p - len, p).mkString)
+      p -= len
+    }
+    out.toArray
+  }
+
+  /** Unigram-LM ENCODE + per-doc fertility: Viterbi-segment every word
+    * under a trained [[UnigramModel]] and report word/char/piece counts
+    * — the unigram sibling of [[bpeEncode]]. The model is broadcast
+    * metadata; encoding is one typed map over the scan (embarrassingly
+    * parallel, no shuffle before the output sort), and OOV-character
+    * words still segment via the smoothed single-code-point UNK path. */
+  def unigramEncode(documents: DataFrame, model: UnigramModel): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val lnt = graft.functions.LnIntImpl.ln(model.total)
+    documents.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (docId, text) =>
+        val m = b.value
+        val wordsArr = text.split(" ", -1).filter(_.nonEmpty)
+        var nPieces = 0L
+        var nChars = 0L
+        wordsArr.foreach { w =>
+          val cps = codePointSymbols(w)
+          nChars += cps.length
+          nPieces += unigramViterbi(w, m.counts, lnt, 4).length.toLong
+        }
+        (docId, wordsArr.length.toLong, nChars, nPieces,
+          if (wordsArr.isEmpty) 0.0 else nPieces.toDouble / wordsArr.length.toDouble)
+      }
+      .toDF("doc_id", "n_words", "n_chars", "n_pieces", "pieces_per_word")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language unigram fertility report — the [[bpeCoverage]] sibling:
+    * words, pieces, single-piece words, pieces-per-word and the
+    * single-piece fraction per `lang`, the table a multilingual
+    * tokenizer review reads (a language whose fertility is 2× the
+    * others is under-represented in the piece inventory). */
+  def unigramFertility(documents: DataFrame, model: UnigramModel): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val b = spark.sparkContext.broadcast(model)
+    val lnt = graft.functions.LnIntImpl.ln(model.total)
+    documents.select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) =>
+        val m = b.value
+        var nWords = 0L; var nPieces = 0L; var nSingle = 0L
+        text.split(" ", -1).filter(_.nonEmpty).foreach { w =>
+          val t = unigramViterbi(w, m.counts, lnt, 4).length.toLong
+          nWords += 1; nPieces += t; if (t == 1L) nSingle += 1
+        }
+        (lang, nWords, nPieces, nSingle)
+      }
+      .toDF("lang", "w", "t", "s")
+      .groupBy("lang")
+      .agg(sum("w").as("n_words"), sum("t").as("n_pieces"), sum("s").as("n_single"))
+      .filter(col("n_words") > 0)
+      .withColumn("pieces_per_word",
+        col("n_pieces").cast("double") / col("n_words").cast("double"))
+      .withColumn("single_frac",
+        col("n_single").cast("double") / col("n_words").cast("double"))
+      .orderBy("lang")
+  }
+
+  /** The trained piece table itself — (piece, count) after the final EM
+    * round, the direct hash-gate on the training loop (encode/fertility
+    * gate it only through segment counts). */
+  def unigramPieces(documents: DataFrame, model: UnigramModel): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    model.counts.toSeq.sortBy(_._1).toDF("piece", "c").orderBy("piece")
+  }
+
   /** Score documents against a FROZEN bigram LM (the model-apply half:
     * the scored docs need not be the training corpus). Unlike
     * [[lmScore]] — where the corpus scores itself so every bigram is in
