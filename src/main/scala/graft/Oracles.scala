@@ -3321,6 +3321,168 @@ GROUP BY t.lang
 ORDER BY t.lang"""
   }
 
+  /** One Viterbi pass as a RECURSIVE CTE — the SQL twin of
+    * `Search.unigramViterbi` run over every word of `src` at once. Each
+    * recursion step advances every word one position, carrying a
+    * 4-deep sliding window of dp scores (`d0..d3` = dp(j)..dp(j−3))
+    * and of best-path segmentations (`s0..s3`, pieces joined by single
+    * spaces), so the path never needs a backward decode. Candidates are
+    * the ≤4 trailing substrings ending at the new position; multi-cp
+    * pieces must LEFT-JOIN into the round's count table (`len = 1 OR
+    * piece IS NOT NULL` — the smoothed single-cp UNK path), scored
+    * `dp(j−len) + (lni(c+1) − lnt)` with [[lniSql]], and the argmax is
+    * a struct-max over (score DESC, −len ... shortest-wins) — exactly
+    * the Scala loop's ascending-len strict-`>` scan. DuckDB substring/
+    * length are code-point-based, matching `codePointSymbols`. */
+  private def unigramVit(
+      name: String, src: String, cnt: String, lntCte: String,
+      withFreq: Boolean): String = {
+    val fcol = if (withFreq) "freq, " else ""
+    val fsel = if (withFreq) "v.freq, " else ""
+    s"""$name AS (
+  SELECT w, ${fcol}length(w) AS n, 0 AS j,
+         CAST(0.0 AS DOUBLE) AS d0, CAST(0.0 AS DOUBLE) AS d1,
+         CAST(0.0 AS DOUBLE) AS d2, CAST(0.0 AS DOUBLE) AS d3,
+         '' AS s0, '' AS s1, '' AS s2, '' AS s3
+  FROM $src
+  UNION ALL
+  SELECT w, ${fcol}n, j + 1,
+         best.sc AS d0, d0 AS d1, d1 AS d2, d2 AS d3,
+         best.seg AS s0, s0 AS s1, s1 AS s2, s2 AS s3
+  FROM (
+    SELECT w, ${fcol}n, j, d0, d1, d2, d3, s0, s1, s2, s3,
+           max(struct_pack(sc := sc, negl := -l, seg := cseg)) AS best
+    FROM (
+      SELECT v.w, ${fsel}v.n, v.j, v.d0, v.d1, v.d2, v.d3, v.s0, v.s1, v.s2, v.s3,
+             CAST(ll.l AS INTEGER) AS l,
+             (CASE ll.l WHEN 1 THEN v.d0 WHEN 2 THEN v.d1 WHEN 3 THEN v.d2 ELSE v.d3 END)
+               + (${lniSql("COALESCE(c.c, 0) + 1")} - t.lnt) AS sc,
+             (CASE ll.l WHEN 1 THEN v.s0 WHEN 2 THEN v.s1 WHEN 3 THEN v.s2 ELSE v.s3 END)
+               || ' ' || substring(v.w, CAST(v.j + 2 - ll.l AS INTEGER), CAST(ll.l AS INTEGER)) AS cseg
+      FROM $name v
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS l) ll
+      CROSS JOIN $lntCte t
+      LEFT JOIN $cnt c
+        ON c.piece = substring(v.w, CAST(v.j + 2 - ll.l AS INTEGER), CAST(ll.l AS INTEGER))
+      WHERE v.j < v.n AND ll.l <= v.j + 1 AND (ll.l = 1 OR c.piece IS NOT NULL)
+    ) cand
+    GROUP BY ALL
+  ) ranked
+)"""
+  }
+
+  /** Unigram-LM (SentencePiece-family) tokenizer TRAINING, fully
+    * unrolled — the `Search.unigramLearn` twin, in lockstep: top-65536
+    * (freq DESC, w) vocabulary, seed counts from every 1..4-cp
+    * substring (ALL singles + top-200 multis by score DESC, piece ASC),
+    * then 2 hard-EM rounds each = one [[unigramVit]] Viterbi E-step
+    * over the vocabulary + an M-step re-count restricted to the FIXED
+    * inventory (`cnt0 LEFT JOIN m_r` keeps zero-count pieces alive).
+    * Round totals smooth as `Σc + |inventory|`; every ln is [[lniSql]],
+    * so each double reproduces the Scala side bit-for-bit. Ends with
+    * `cnt2` (the final model) and `lnt2` (its ln-total). */
+  private def unigramChain: String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH RECURSIVE vocab AS MATERIALIZED (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w ORDER BY freq DESC, w LIMIT 65536
+), seedsub AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT substring(w, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece, freq
+    FROM (SELECT w, freq, unnest(range(1, length(w) + 1)) AS i FROM vocab) a
+    CROSS JOIN (SELECT unnest(range(1, 5)) AS l) ll
+    WHERE CAST(i AS INTEGER) + CAST(l AS INTEGER) - 1 <= length(a.w)
+  ) GROUP BY piece
+), cnt0 AS MATERIALIZED (
+  SELECT piece, c FROM seedsub WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM seedsub WHERE length(piece) > 1
+    ORDER BY c DESC, piece LIMIT 200)
+)"""
+    for (r <- 1 to 2) {
+      val prev = s"cnt${r - 1}"
+      sb ++= s""", lnt${r - 1} AS (
+  SELECT ${lniSql("total")} AS lnt
+  FROM (SELECT CAST(SUM(c) + COUNT(*) AS BIGINT) AS total FROM $prev)
+), """
+      sb ++= unigramVit(s"vit$r", "vocab", prev, s"lnt${r - 1}", withFreq = true)
+      sb ++= s""", m$r AS (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(trim(s0), ' ')) AS piece, freq
+        FROM vit$r WHERE j = n)
+  GROUP BY piece
+), cnt$r AS MATERIALIZED (
+  SELECT i.piece, CAST(COALESCE(m.c, 0) AS BIGINT) AS c
+  FROM $prev i LEFT JOIN m$r m ON m.piece = i.piece
+)"""
+    }
+    sb ++= s""", lnt2 AS (
+  SELECT ${lniSql("total")} AS lnt
+  FROM (SELECT CAST(SUM(c) + COUNT(*) AS BIGINT) AS total FROM cnt2)
+)"""
+    sb.result()
+  }
+
+  /** Distinct corpus words + one encode-time Viterbi pass under the
+    * final model — shared by [[unigramEncode]] and [[unigramFertility]].
+    * Encode segments EVERY corpus word (not just the capped training
+    * vocabulary), exactly as `Search.unigramEncode` does. */
+  private def unigramEncodePass: String =
+    unigramChain + ", " + unigramVit(
+      "vite",
+      "(SELECT DISTINCT w FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> '')",
+      "cnt2", "lnt2", withFreq = false) + """
+, wpieces AS (
+  SELECT w, CAST(len(string_split(trim(s0), ' ')) AS BIGINT) AS n_pieces,
+         CAST(length(w) AS BIGINT) AS n_chr
+  FROM vite WHERE j = n
+)"""
+
+  /** Final trained piece table — lockstep with `Search.unigramPieces`. */
+  val unigramPieces: String =
+    unigramChain + "\nSELECT piece, c FROM cnt2 ORDER BY piece"
+
+  /** Per-doc unigram segmentation counts — lockstep with
+    * `Search.unigramEncode`. */
+  val unigramEncode: String = unigramEncodePass + """
+, tokd AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT d.doc_id,
+       CAST(COUNT(t.w) AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(wp.n_chr), 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(SUM(wp.n_pieces), 0) AS BIGINT) AS n_pieces,
+       CASE WHEN COUNT(t.w) = 0 THEN 0.0
+            ELSE CAST(COALESCE(SUM(wp.n_pieces), 0) AS DOUBLE) / CAST(COUNT(t.w) AS DOUBLE)
+       END AS pieces_per_word
+FROM documents d
+LEFT JOIN tokd t ON d.doc_id = t.doc_id
+LEFT JOIN wpieces wp ON t.w = wp.w
+GROUP BY d.doc_id
+ORDER BY d.doc_id"""
+
+  /** Per-language unigram fertility — lockstep with
+    * `Search.unigramFertility`. */
+  val unigramFertility: String = unigramEncodePass + """
+, tokd AS (
+  SELECT lang, w
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wp.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(COUNT(*) FILTER (WHERE wp.n_pieces = 1) AS BIGINT) AS n_single,
+       CAST(SUM(wp.n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pieces_per_word,
+       CAST(COUNT(*) FILTER (WHERE wp.n_pieces = 1) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS single_frac
+FROM tokd t JOIN wpieces wp ON t.w = wp.w
+GROUP BY t.lang
+ORDER BY t.lang"""
+
   val bpeTopMerges: String = """
 WITH tok AS (
   SELECT unnest(string_split(text, ' ')) AS w FROM documents

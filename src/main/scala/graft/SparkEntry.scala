@@ -606,6 +606,19 @@ object SparkEntry {
 
     "bpe_top_merges" -> ((s, dir) => Search.bpeTopMerges(Tables.documents(s, dir))),
 
+    "unigram_pieces" -> ((s, dir) =>
+      Search.unigramPieces(s, Search.unigramLearn(Tables.documents(s, dir)))),
+
+    "unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Search.unigramEncode(docs, Search.unigramLearn(docs))
+    }),
+
+    "unigram_fertility" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Search.unigramFertility(docs, Search.unigramLearn(docs))
+    }),
+
     "text_normalize" -> ((s, dir) => Search.normalize(Tables.documents(s, dir))),
 
     "top_ngrams" -> ((s, dir) => Dedup.topShingles(Tables.documents(s, dir))),
@@ -935,6 +948,9 @@ object SparkEntry {
     "bigram_kn_lm"              -> Oracles.bigramKnLm,
     "bpe_top_merges"            -> Oracles.bpeTopMerges,
     "bpe_encode"                -> Oracles.bpeEncode,
+    "unigram_pieces"            -> Oracles.unigramPieces,
+    "unigram_encode"            -> Oracles.unigramEncode,
+    "unigram_fertility"         -> Oracles.unigramFertility,
     "text_normalize"            -> Oracles.textNormalize,
     "ann_range_search"          -> Oracles.annRangeSearch,
     "ann_pq_topk"               -> Oracles.annPqTopK,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -543,10 +543,12 @@ object Search {
   }
 
   /** A trained unigram-LM tokenizer: the FIXED piece inventory with its
-    * final hard-EM counts, plus the smoothed total `Σ(c+1)` the Viterbi
-    * score normalizes by. Model metadata — |pieces| is bounded by the
-    * seed budget, never by the corpus. */
-  case class UnigramModel(counts: Map[String, Long], total: Long)
+    * final hard-EM counts, the smoothed total `Σ(c+1)` the Viterbi
+    * score normalizes by, and the `maxPieceLen` the model was trained
+    * with — encode MUST segment with the training-time window or
+    * segmentation silently diverges. Model metadata — |pieces| is
+    * bounded by the seed budget, never by the corpus. */
+  case class UnigramModel(counts: Map[String, Long], total: Long, maxPieceLen: Int)
 
   /** Unigram-LM (SentencePiece-family, Kudo 2018) tokenizer TRAINING via
     * hard (Viterbi) EM — the subword alternative to [[bpeLearn]] whose
@@ -616,7 +618,7 @@ object Search {
       }
       counts = counts.keysIterator.map(p => p -> next.getOrElse(p, 0L)).toMap
     }
-    UnigramModel(counts, counts.valuesIterator.sum + counts.size.toLong)
+    UnigramModel(counts, counts.valuesIterator.sum + counts.size.toLong, maxPieceLen)
   }
 
   /** Viterbi segmentation of one word under smoothed unigram counts:
@@ -680,7 +682,7 @@ object Search {
         wordsArr.foreach { w =>
           val cps = codePointSymbols(w)
           nChars += cps.length
-          nPieces += unigramViterbi(w, m.counts, lnt, 4).length.toLong
+          nPieces += unigramViterbi(w, m.counts, lnt, m.maxPieceLen).length.toLong
         }
         (docId, wordsArr.length.toLong, nChars, nPieces,
           if (wordsArr.isEmpty) 0.0 else nPieces.toDouble / wordsArr.length.toDouble)
@@ -704,7 +706,7 @@ object Search {
         val m = b.value
         var nWords = 0L; var nPieces = 0L; var nSingle = 0L
         text.split(" ", -1).filter(_.nonEmpty).foreach { w =>
-          val t = unigramViterbi(w, m.counts, lnt, 4).length.toLong
+          val t = unigramViterbi(w, m.counts, lnt, m.maxPieceLen).length.toLong
           nWords += 1; nPieces += t; if (t == 1L) nSingle += 1
         }
         (lang, nWords, nPieces, nSingle)
@@ -722,9 +724,9 @@ object Search {
 
   /** The trained piece table itself — (piece, count) after the final EM
     * round, the direct hash-gate on the training loop (encode/fertility
-    * gate it only through segment counts). */
-  def unigramPieces(documents: DataFrame, model: UnigramModel): DataFrame = {
-    val spark = documents.sparkSession
+    * gate it only through segment counts). Pure model metadata: no
+    * corpus input, the table is bounded by the seed budget. */
+  def unigramPieces(spark: SparkSession, model: UnigramModel): DataFrame = {
     import spark.implicits._
     model.counts.toSeq.sortBy(_._1).toDF("piece", "c").orderBy("piece")
   }

@@ -41,7 +41,7 @@ class QuerySweepSpec extends SparkSpec {
     "orders_abc_pareto",         // |parts| group rollup, rank window on group rows
     "journey_length_distribution", // ≤ max journey length buckets
     "user_purchase_histogram",   // ≤ max purchase-count buckets
-    "cluster_size_histogram",    // ≤ max cluster-size buckets
+    "dedup_cluster_sizes",       // ≤ max cluster-size buckets
     "shingle_df_histogram",      // ≤ log₂(max df) buckets
     "doc_len_histogram",         // ≤ log₂(max len) buckets
     "order_value_percentiles",   // interpolated-quartile summary rows
@@ -73,6 +73,10 @@ class QuerySweepSpec extends SparkSpec {
   test("every registered query plans without cartesian products or unwhitelisted global windows; no CacheManager pins survive") {
     assert(spark.sharedState.cacheManager.isEmpty,
       "sweep precondition: suite session starts with an empty CacheManager")
+    // dead whitelist entries fail fast: every exemption must name a
+    // registered query, or a rename silently re-arms the exemption
+    val unknown = unpartitionedWindowWhitelist -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"whitelist names unknown queries: $unknown")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df: DataFrame = fn(spark, sfDir)

@@ -177,4 +177,69 @@ class SearchSpec extends SparkSpec {
     val ln9170 = graft.functions.LnIntImpl.ln(9170L)
     assert(math.abs(ln9170 - math.log(9170.0)) <= math.ulp(math.log(9170.0)))
   }
+
+  test("unigram-LM golden: dominant word becomes one piece, OOV word segments via UNK singles") {
+    val d = Seq(
+      (1L, "abcd abcd abcd", "en", "s", 12L),
+      (2L, "abcd ab cd", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Search.unigramLearn(d)
+    assert(m.maxPieceLen === 4)
+    // inventory: all singles survive with their final EM counts; "abcd"
+    // is the Viterbi segmentation of the dominant word, so it carries
+    // its frequency after EM
+    val pieces = Search.unigramPieces(spark, m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Set("a", "b", "c", "d").subsetOf(pieces.keySet))
+    assert(pieces("abcd") === 4L) // 4 occurrences of word "abcd"
+    assert(pieces("ab") === 1L && pieces("cd") === 1L)
+    // model total = Σcounts + |inventory| (add-1 smoothing mass)
+    assert(m.total === pieces.values.sum + pieces.size)
+    val enc = Search.unigramEncode(d, m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(enc(1L) === ((3L, 12L, 3L))) // three words, one piece each
+    assert(enc(2L) === ((3L, 8L, 3L)))
+    // OOV: 'z' was never seen — every code point still segments through
+    // the smoothed single-cp UNK path, one piece per cp
+    val oov = Seq((9L, "zzzzz", "xx", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val encOov = Search.unigramEncode(oov, m).collect().head
+    assert(encOov.getLong(3) === 5L, "OOV word must segment cp-by-cp")
+    val fert = Search.unigramFertility(d, m).collect()
+    assert(fert.length === 1 && fert.head.getAs[String]("lang") === "en")
+    assert(fert.head.getAs[Long]("n_words") === 6L)
+    assert(fert.head.getAs[Long]("n_pieces") === 6L)
+    assert(fert.head.getAs[Double]("single_frac") === 1.0)
+  }
+
+  test("unigram-LM: maxPieceLen threads from training into encode (no hardcoded window)") {
+    // trained with maxPieceLen=6 the 6-cp word is a single piece; a
+    // hardcoded 4-cp encode window could never reproduce it
+    val d = Seq((1L, "abcdef abcdef", "en", "s", 12L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m6 = Search.unigramLearn(d, maxPieceLen = 6)
+    assert(m6.maxPieceLen === 6)
+    assert(Search.unigramEncode(d, m6).collect().head.getLong(3) === 2L)
+    // and a maxPieceLen=2 model can only tile 2-cp pieces
+    val m2 = Search.unigramLearn(d, maxPieceLen = 2)
+    assert(Search.unigramEncode(d, m2).collect().head.getLong(3) === 6L)
+  }
+
+  test("unigram-LM: multi-byte code points count as single symbols end-to-end") {
+    // é is 2 UTF-8 bytes / 1 UTF-16 unit; 👍 is a supplementary cp
+    // (2 UTF-16 units) — both must count as ONE char and ONE seed symbol
+    val d = Seq(
+      (1L, "héé héé", "fr", "s", 6L),
+      (2L, "👍x 👍x 👍x", "xx", "s", 6L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = Search.unigramLearn(d)
+    val pieces = Search.unigramPieces(spark, m).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pieces.contains("é") && pieces.contains("👍"))
+    assert(pieces("héé") === 2L && pieces("👍x") === 3L)
+    val enc = Search.unigramEncode(d, m).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(enc(1L) === ((6L, 2L))) // 3 cps per word, one piece per word
+    assert(enc(2L) === ((6L, 3L)))
+  }
 }
