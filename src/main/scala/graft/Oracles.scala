@@ -1577,50 +1577,16 @@ LEFT JOIN cc ON cc.doc_id = d.doc_id
 ORDER BY d.doc_id"""
 
   /** Hybrid clustering: MinHash candidate pairs ∪ embedding-cosine pairs
-    * (≥ 0.3, the dedup_embedding threshold) → recursive-CTE connected
-    * components (mirrors Dedup.hybridClusters). */
+    * (≥ 0.3, via the shared trained-quantizer cell blocking —
+    * dedup_embedding's candidate chain verbatim) → recursive-CTE
+    * connected components (mirrors Dedup.hybridClusters). */
   val dedupHybridClusters: String = {
-    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + s"""
-, enrm AS (
-  SELECT vec_id,
-         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
-  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
-  GROUP BY vec_id
-), efeat AS (
-  SELECT e.vec_id, e.embedding,
-         (${bandSql(0)}) AS b0, (${bandSql(1)}) AS b1,
-         (${bandSql(2)}) AS b2, (${bandSql(3)}) AS b3, n.nrm
-  FROM embeddings e JOIN enrm n ON e.vec_id = n.vec_id
-), ebanded0 AS (
-  SELECT vec_id, 0 AS band, b0 AS bval FROM efeat
-  UNION ALL SELECT vec_id, 1, b1 FROM efeat
-  UNION ALL SELECT vec_id, 2, b2 FROM efeat
-  UNION ALL SELECT vec_id, 3, b3 FROM efeat
-), ebanded AS (
-  -- hot-bucket guard, lockstep with Dedup.capBuckets
-  SELECT b.* FROM ebanded0 b
-  JOIN (SELECT band, bval FROM ebanded0
-        GROUP BY band, bval HAVING COUNT(*) <= 1000) w
-    ON b.band = w.band AND b.bval = w.bval
-), ecand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM ebanded a JOIN ebanded b ON a.band = b.band AND a.bval = b.bval
-  WHERE a.vec_id < b.vec_id
-), epairs AS (
-  SELECT c.vec_a, c.vec_b, fa.embedding AS ea, fb.embedding AS eb,
-         fa.nrm AS nrm_a, fb.nrm AS nrm_b
-  FROM ecand c
-  JOIN efeat fa ON fa.vec_id = c.vec_a
-  JOIN efeat fb ON fb.vec_id = c.vec_b
-), edots AS (
-  SELECT vec_a, vec_b, nrm_a, nrm_b,
-         CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-  FROM epairs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
-  GROUP BY vec_a, vec_b, nrm_a, nrm_b
-), allpairs AS (
+    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
+      featCore + quantCont(2, autoKExpr) + cellPairCont + s"""
+, allpairs AS (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
-  SELECT vec_a AS a, vec_b AS b FROM edots WHERE dot / (nrm_a * nrm_b) >= 0.3
+  SELECT vec_a AS a, vec_b AS b FROM sdots WHERE cosine >= 0.3
 ), sym AS (
   SELECT a, b FROM allpairs
   UNION ALL
@@ -1705,9 +1671,10 @@ ORDER BY s.doc_id"""
     .map(b => s"(CASE WHEN embedding[${band * 8 + b + 1}] > 0 THEN ${1L << b} ELSE 0 END)")
     .mkString(" + ")
 
-  /** Exact-norm + sign-band feature CTE over embeddings: `bucket` is the
-    * 8-bit LSH bucket (= band 0), b0..b3 the banded blocking keys. */
-  private val featBase: String = s"""WITH nrm AS (
+  /** Exact-norm + sign-band feature CTEs over embeddings (continuation
+    * form, no leading WITH): `bucket` is the 8-bit LSH bucket (= band 0),
+    * b0..b3 the banded blocking keys (used by the LSH index oracles). */
+  private def featCore: String = s"""nrm AS (
   SELECT vec_id,
          sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
   FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
@@ -1720,37 +1687,45 @@ ORDER BY s.doc_id"""
 )
 """
 
-  val dedupEmbedding: String = featBase + """
-, banded0 AS (
-  SELECT vec_id, 0 AS band, b0 AS bval FROM feat
-  UNION ALL SELECT vec_id, 1, b1 FROM feat
-  UNION ALL SELECT vec_id, 2, b2 FROM feat
-  UNION ALL SELECT vec_id, 3, b3 FROM feat
-), banded AS (
-  -- hot-bucket guard, lockstep with Dedup.capBuckets
-  SELECT b.* FROM banded0 b
-  JOIN (SELECT band, bval FROM banded0
-        GROUP BY band, bval HAVING COUNT(*) <= 1000) w
-    ON b.band = w.band AND b.bval = w.bval
-), cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
-  WHERE a.vec_id < b.vec_id
-), pairs AS (
-  SELECT c.vec_a, c.vec_b, fa.embedding AS ea, fb.embedding AS eb,
-         fa.nrm AS nrm_a, fb.nrm AS nrm_b
-  FROM cand c
+  private def featBase: String = "WITH " + featCore
+
+  /** Cell-blocked candidate pairs with decimal-exact cosine — the shared
+    * continuation behind dedup_embedding / dedup_semantic /
+    * dedup_hybrid_clusters: argmax cell assignment off `cdotF`, the
+    * within-cell id self-join, and the exact cosine per pair. */
+  private def cellPairCont: String = """
+, asgF AS (
+  SELECT vec_id, cid AS cell, cosc AS cos_centroid FROM (
+    SELECT vec_id, cid, dot / (nrm * cnrm) AS cosc,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), scand AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM asgF a JOIN asgF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+), sdots AS (
+  -- ordered double fold (≡ Spark dotFold), NOT the decimal-cast sum: at
+  -- within-cell pair volume the double→decimal half-up ambiguity band
+  -- is a statistical certainty (the knnPairsBase measurement: 2/2500)
+  SELECT c.vec_a, c.vec_b,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(fa.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (fa.nrm * fb.nrm) AS cosine
+  FROM scand c
   JOIN feat fa ON fa.vec_id = c.vec_a
   JOIN feat fb ON fb.vec_id = c.vec_b
-), dots AS (
-  SELECT vec_a, vec_b, nrm_a, nrm_b,
-         CAST(SUM(CAST(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
-  FROM pairs CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
-  GROUP BY vec_a, vec_b, nrm_a, nrm_b
-)
-SELECT vec_a, vec_b, dot / (nrm_a * nrm_b) AS cosine
-FROM dots
-WHERE dot / (nrm_a * nrm_b) >= 0.3
+)"""
+
+  /** Embedding near-dup pairs via the SELF-SCALING trained-quantizer
+    * blocking — lockstep with `Dedup.embeddingNearDup` (which shares
+    * `semanticScored`'s candidate machinery): the r10 fixed-1024-bucket
+    * sign-band LSH is gone on both sides. */
+  val dedupEmbedding: String =
+    trainedQuantBase(2, autoKExpr) + cellPairCont + """
+SELECT vec_a, vec_b, cosine
+FROM sdots
+WHERE cosine >= 0.3
 ORDER BY vec_a, vec_b"""
 
   val annBruteforceTopK: String = featBase + """
@@ -2096,7 +2071,13 @@ ORDER BY query_id, rnk"""
     * expression: the default 16 for the fixed-k consumers (C7d), or the
     * self-scaling `autoKExpr` mirroring `Similarity.autoCellCount` for
     * semantic dedup. */
-  private def trainedQuantBase(iters: Int, kExpr: String = "16"): String = featBase + """
+  private def trainedQuantBase(iters: Int, kExpr: String = "16"): String =
+    featBase + quantCont(iters, kExpr)
+
+  /** The quantizer chain in continuation form (no WITH, assumes `feat`
+    * is already defined) — so dedup_hybrid_clusters can append it to the
+    * MinHash chain. */
+  private def quantCont(iters: Int, kExpr: String = "16"): String = """
 , nvec AS (
   SELECT COUNT(*) AS n FROM embeddings
 ), cent0 AS (
@@ -2165,29 +2146,13 @@ ORDER BY query_id, rnk"""
     * keeps its (cos_centroid, vec_id)-minimal member — lockstep with
     * `Dedup.semanticDedup`. */
   /** ⌈n/1024⌉ clamped to [16, 256] — `Similarity.autoCellCount` verbatim. */
-  private val autoKExpr: String =
+  private def autoKExpr: String =
     "SELECT LEAST(256, GREATEST(16, CAST(ceil(n / 1024.0) AS BIGINT))) FROM nvec"
 
   val dedupSemantic: String =
-    trainedQuantBase(2, autoKExpr).replaceFirst("^WITH ", "WITH RECURSIVE ") + """
-, asgF AS (
-  SELECT vec_id, cid AS cell, cosc AS cos_centroid FROM (
-    SELECT vec_id, cid, dot / (nrm * cnrm) AS cosc,
-           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
-    FROM cdotF) x WHERE rn = 1
-), scand AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM asgF a JOIN asgF b ON a.cell = b.cell AND a.vec_id < b.vec_id
-), sdots AS (
-  SELECT c.vec_a, c.vec_b,
-         CAST(SUM(CAST(CAST(fa.embedding[i] AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
-           / (fa.nrm * fb.nrm) AS cosine
-  FROM scand c
-  JOIN feat fa ON fa.vec_id = c.vec_a
-  JOIN feat fb ON fb.vec_id = c.vec_b
-  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
-  GROUP BY c.vec_a, c.vec_b, fa.nrm, fb.nrm
-), spairs AS (
+    trainedQuantBase(2, autoKExpr).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+      cellPairCont + """
+, spairs AS (
   SELECT vec_a, vec_b FROM sdots WHERE cosine >= 0.3
 ), sym AS (
   SELECT vec_a AS a, vec_b AS b FROM spairs

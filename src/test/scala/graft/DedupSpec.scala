@@ -214,28 +214,33 @@ class DedupSpec extends SparkSpec {
     assert(star.toSeq === prop.toSeq)
   }
 
-  test("banded blocking pairs vectors that agree in only ONE band") {
-    // a and b agree in sign only on dims 16..23 (band 2); bands 0, 1, 3
-    // all differ, so a single 32-bit (or 16-bit) bucket would miss the
-    // pair. Dims 32..63 (outside every band) carry the cosine mass.
-    val a = Array.tabulate(64) {
-      case i if i < 16  => 0.01f
-      case i if i < 24  => 0.01f
-      case i if i < 32  => 0.01f
-      case _            => 1f
-    }
-    val b = Array.tabulate(64) {
-      case i if i < 16  => -0.01f  // bands 0,1 differ
-      case i if i < 24  => 0.01f   // band 2 matches
-      case i if i < 32  => -0.01f  // band 3 differs
-      case _            => 1f
-    }
-    val far = Array.fill(64)(-1f)
-    val emb = Seq((1L, a), (2L, b), (3L, far)).toDF("vec_id", "embedding")
-    val out = Dedup.embeddingNearDup(emb, threshold = 0.3).collect()
-    assert(out.length === 1)
-    assert((out.head.getAs[Long]("vec_a"), out.head.getAs[Long]("vec_b")) === (1L, 2L))
-    assert(out.head.getAs[Double]("cosine") > 0.9)
+  test("cell-blocked embedding near-dup: non-seed near-dups co-locate and pair; cross-cell pairs never considered") {
+    // two k-means seeds (vec 0 → dim-0 region, vec 1 → dim-1 region);
+    // vecs 4 and 5 are near-dups of each other living in seed 0's region
+    // (NEITHER is a seed — they must be found through shared-cell
+    // blocking), vec 6 lives in seed 1's region
+    def oneHotish(mainDim: Int, mainW: Float, sideDim: Int, sideW: Float) =
+      Array.tabulate(64) {
+        case d if d == mainDim => mainW
+        case d if d == sideDim => sideW
+        case _                 => 0f
+      }
+    val emb = Seq(
+      (0L, oneHotish(0, 1f, 0, 1f)),       // seed, cell 0
+      (1L, oneHotish(1, 1f, 1, 1f)),       // seed, cell 1
+      (4L, oneHotish(0, 0.9f, 2, 0.1f)),   // near-dup A, cell 0
+      (5L, oneHotish(0, 0.92f, 3, 0.08f)), // near-dup B, cell 0
+      (6L, oneHotish(1, 0.9f, 4, 0.1f))    // cell 1
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(emb, threshold = 0.3, nCentroids = 2).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) -> r.getAs[Double]("cosine"))
+      .toMap
+    // within-cell pairs all clear the 0.3 threshold
+    assert(out.keySet === Set((0L, 4L), (0L, 5L), (4L, 5L), (1L, 6L)))
+    assert(out((4L, 5L)) > 0.98, "the non-seed near-dup pair must be found")
+    // orthogonal cross-cell pairs (cosine 0) were never candidates — and
+    // would have failed the threshold anyway; the assertion above pins
+    // both exclusions at once
   }
 
   test("hot-span removal strips the shared boilerplate and keeps unique text in order") {
