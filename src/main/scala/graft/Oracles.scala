@@ -1728,9 +1728,11 @@ FROM sdots
 WHERE cosine >= 0.3
 ORDER BY vec_a, vec_b"""
 
-  val annBruteforceTopK: String = featBase + """
+  /** Exact brute-force top-k, parametrized — the shared truth side for
+    * the recall and nDCG/MRR eval oracles. */
+  private def bruteTopKSql(nQueries: Int, k: Int): String = featBase + s"""
 , q AS (
-  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < $nQueries
 ), c AS (
   SELECT vec_id AS neighbor_id, embedding AS ce, nrm AS c_nrm FROM feat
 ), dots AS (
@@ -1746,8 +1748,46 @@ ORDER BY vec_a, vec_b"""
   FROM dots
 )
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
-FROM scored WHERE rnk <= 10
+FROM scored WHERE rnk <= $k
 ORDER BY query_id, rnk"""
+
+  val annBruteforceTopK: String = bruteTopKSql(8, 10)
+
+  /** nDCG@k + MRR of an approximate ranking vs a ground-truth ranking,
+    * lockstep with `Similarity.rankedEval`: graded gain `k − t_rank + 1`
+    * from the exact list, discount `lni(p+1)` (the base cancels in the
+    * nDCG ratio so the cross-engine integer-ln tree serves), DCG/IDCG as
+    * position-ordered double folds, MRR = 1/p of the true top-1. */
+  private def rankedEvalSql(truthSql: String, approxSql: String, k: Int): String = s"""
+WITH tr AS (
+  SELECT query_id, neighbor_id, "rank" AS t_rank FROM ($truthSql) WHERE "rank" <= $k
+), ap AS (
+  SELECT query_id, neighbor_id, "rank" AS p FROM ($approxSql) WHERE "rank" <= $k
+), j AS (
+  SELECT a.query_id, a.p, COALESCE($k - t.t_rank + 1, 0) AS rel, t.t_rank
+  FROM ap a LEFT JOIN tr t
+    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+), d AS (
+  SELECT query_id,
+         CAST(COUNT(t_rank) AS BIGINT) AS n_hits,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST(rel AS DOUBLE) / ${lniSql("CAST(p + 1 AS BIGINT)")} ORDER BY p)),
+           (acc, v) -> acc + v) AS dcg,
+         MAX(CASE WHEN t_rank = 1 THEN CAST(1.0 AS DOUBLE) / CAST(p AS DOUBLE) END) AS mrr0
+  FROM j GROUP BY query_id
+), i AS (
+  SELECT query_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(CAST($k - t_rank + 1 AS DOUBLE) / ${lniSql("CAST(t_rank + 1 AS BIGINT)")} ORDER BY t_rank)),
+           (acc, v) -> acc + v) AS idcg
+  FROM tr GROUP BY query_id
+)
+SELECT d.query_id, d.n_hits, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg,
+       COALESCE(d.mrr0, CAST(0.0 AS DOUBLE)) AS mrr
+FROM d JOIN i ON i.query_id = d.query_id
+ORDER BY d.query_id"""
 
   /** One joint-subspace PQ Lloyd iteration: assignment of every SAMPLE
     * subvector to its nearest codebook entry under the ENCODE metric
@@ -3878,6 +3918,22 @@ LEFT JOIN ($annIvfTrainedTopK) l
   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id
 ORDER BY b.query_id"""
+
+  /** nDCG@10 + MRR of trained IVF vs brute force — mirrors
+    * Similarity.ivfTrainedNdcg. */
+  val annNdcgIvf: String = rankedEvalSql(annBruteforceTopK, annIvfTrainedTopK, 10)
+
+  /** nDCG@10 + MRR of the sign-LSH index vs brute force — mirrors
+    * Similarity.lshNdcg. */
+  val annNdcgLsh: String = rankedEvalSql(annBruteforceTopK, annLshTopK, 10)
+
+  /** nDCG@20 + MRR of the RRF-fused ranking vs the exact dense ranking —
+    * mirrors Search.rrfNdcg. */
+  val searchNdcgRrf: String = rankedEvalSql(
+    bruteTopKSql(1, 20),
+    s"""SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id, fused_rank AS "rank"
+FROM ($searchRrfFusion)""",
+    20)
 
   /** Shared cell-blocked pair chain (trained-quantizer assignment →
     * within-cell directed pairs → ordered-fold cosines) — the base of

@@ -552,6 +552,13 @@ object SparkEntry {
 
     "ann_recall_ivf" -> ((s, dir) => Similarity.ivfTrainedRecall(Tables.embeddings(s, dir))),
 
+    "ann_ndcg_ivf" -> ((s, dir) => Similarity.ivfTrainedNdcg(Tables.embeddings(s, dir))),
+
+    "ann_ndcg_lsh" -> ((s, dir) => Similarity.lshNdcg(Tables.embeddings(s, dir))),
+
+    "search_ndcg_rrf" -> ((s, dir) =>
+      Search.rrfNdcg(Tables.documents(s, dir), Tables.embeddings(s, dir))),
+
     "ann_knn_graph" -> ((s, dir) => Similarity.knnGraph(Tables.embeddings(s, dir))),
 
     "contrastive_pairs" -> ((s, dir) => Similarity.contrastivePairs(Tables.embeddings(s, dir))),
@@ -906,6 +913,9 @@ object SparkEntry {
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
     "ann_recall_lsh"            -> Oracles.annRecallLsh,
+    "ann_ndcg_ivf"              -> Oracles.annNdcgIvf,
+    "ann_ndcg_lsh"              -> Oracles.annNdcgLsh,
+    "search_ndcg_rrf"           -> Oracles.searchNdcgRrf,
     "search_rrf_fusion"         -> Oracles.searchRrfFusion,
     "search_mmr_rerank"         -> Oracles.searchMmrRerank,
     "ann_ivf_topk"              -> Oracles.annIvfTopK,

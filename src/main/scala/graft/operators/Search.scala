@@ -788,4 +788,16 @@ object Search {
       .select("doc_id", "r_lex", "r_dense", "rrf_score", "fused_rank")
       .orderBy("fused_rank")
   }
+
+  /** nDCG@k + MRR of the [[rrfFusion]] ranking against the exact dense
+    * ranking — what fusing BM25 into the dense list costs (or buys) in
+    * rank quality under exact-cosine graded relevance. Rides
+    * [[Similarity.rankedEval]]'s bounded |Q|·k shape. */
+  def rrfNdcg(documents: DataFrame, embeddings: DataFrame, k: Int = 20): DataFrame =
+    Similarity.rankedEval(
+      Similarity.bruteForceTopK(embeddings, nQueries = 1, k = k),
+      rrfFusion(documents, embeddings, k = k)
+        .select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"),
+          col("fused_rank").as("rank")),
+      k)
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -629,6 +629,76 @@ object Similarity {
         count(col("__hit")).as("n_hits"),
         (count(col("__hit")).cast("double") / count(lit(1)).cast("double")).as("recall"))
       .orderBy("query_id")
+
+  /** nDCG@k + MRR of an approximate ranking against a ground-truth
+    * ranking — the RANK-AWARE eval pair beside [[recallAtK]] (recall
+    * prices set overlap only; the number a retrieval stack actually
+    * tunes on is nDCG, and MRR is the first-hit latency a RAG answerer
+    * feels). Both inputs are (query_id, neighbor_id, rank) frames.
+    *
+    * Graded relevance comes from the EXACT ranking: a truth-rank-r
+    * neighbor carries gain `k − r + 1` (linear gain; items outside the
+    * true top-k carry 0), so DCG@k = Σ_p gain(approx_p) / ln(p+1) and
+    * nDCG = DCG / IDCG with IDCG the truth list's own DCG. The log base
+    * cancels in the ratio, so the discount uses `graft_lni(p+1)` — the
+    * cross-engine integer-ln tree — and NO platform log enters the
+    * gate. MRR = 1/position of the TRUE nearest neighbor in the
+    * approximate list (0 when absent).
+    *
+    * Determinism: per query the DCG is an ordered left-to-right double
+    * fold over positions (Spark `aggregate` over the position-sorted
+    * list ≡ the oracle's `list_reduce(... ORDER BY p)`), each term one
+    * IEEE division — the §3 ordered-fold discipline, no decimal bridge.
+    *
+    * Scale shape: identical to [[recallAtK]] — both sides are |Q|·k
+    * evaluation slices, one equi-join + one per-query agg; cost is flat
+    * in corpus size. */
+  def rankedEval(truth: DataFrame, approx: DataFrame, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(truth.sparkSession)
+    val lniOf = (p: Column) => call_function("graft_lni", p.cast("long"))
+    val t = truth
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("t_rank"))
+      .filter(col("t_rank") <= k)
+    val a = approx
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("int").as("p"))
+      .filter(col("p") <= k)
+    val d = a.join(t, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce(lit(k) - col("t_rank") + 1, lit(0)))
+      .groupBy("query_id")
+      .agg(
+        count(col("t_rank")).as("n_hits"),
+        aggregate(
+          array_sort(collect_list(struct(col("p"), col("rel")))),
+          lit(0.0),
+          (acc, x) => acc +
+            x.getField("rel").cast("double") / lniOf(x.getField("p") + 1)).as("dcg"),
+        max(when(col("t_rank") === 1, lit(1.0) / col("p").cast("double"))).as("mrr0"))
+    val i = t.groupBy("query_id")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("t_rank"), (lit(k) - col("t_rank") + 1).as("rel")))),
+        lit(0.0),
+        (acc, x) => acc +
+          x.getField("rel").cast("double") / lniOf(x.getField("t_rank") + 1)).as("idcg"))
+    d.join(i, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"), col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"),
+        coalesce(col("mrr0"), lit(0.0)).as("mrr"))
+      .orderBy("query_id")
+  }
+
+  /** nDCG@k + MRR of the trained-IVF index vs exact brute force — the
+    * oracle-gated rank-aware twin of [[ivfTrainedRecall]]. */
+  def ivfTrainedNdcg(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    rankedEval(
+      bruteForceTopK(embeddings, nQueries, k),
+      ivfTopKTrained(embeddings, nQueries = nQueries, k = k), k)
+
+  /** nDCG@k + MRR of the sign-LSH index vs exact brute force — the
+    * rank-aware twin of [[lshRecall]]. */
+  def lshNdcg(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    rankedEval(
+      bruteForceTopK(embeddings, nQueries, k),
+      lshTopK(embeddings, nQueries, k), k)
 
   /** Recall@k of the sign-LSH index vs exact brute force on the same
     * table — the oracle-gated instance of [[recallAtK]] (the spec-level

@@ -317,4 +317,43 @@ class SimilaritySpec extends SparkSpec {
     assert(meanPq >= meanComp,
       s"the probe only removes candidates: pq ($meanPq) >= ivf+pq ($meanComp)")
   }
+
+  test("rankedEval golden: perfect, reversed, and missing rankings hand-computed") {
+    import spark.implicits._
+    val lni = graft.functions.LnIntImpl.ln _
+    // truth@k=3 for one query: A > B > C ⇒ gains 3, 2, 1
+    val truth = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val idcg = 0.0 + 3.0 / lni(2) + 2.0 / lni(3) + 1.0 / lni(4)
+
+    // perfect ranking: ndcg 1, mrr 1, all hits
+    val perfect = Similarity.rankedEval(truth, truth, k = 3).collect().head
+    assert(perfect.getAs[Long]("n_hits") === 3L)
+    assert(perfect.getAs[Double]("idcg") === idcg)
+    assert(perfect.getAs[Double]("ndcg") === 1.0)
+    assert(perfect.getAs[Double]("mrr") === 1.0)
+
+    // reversed ranking C, B, A: dcg folds gains 1, 2, 3 in position order
+    val reversed = Seq((1L, 30L, 1), (1L, 20L, 2), (1L, 10L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val rev = Similarity.rankedEval(truth, reversed, k = 3).collect().head
+    val revDcg = 0.0 + 1.0 / lni(2) + 2.0 / lni(3) + 3.0 / lni(4)
+    assert(rev.getAs[Double]("dcg") === revDcg)
+    assert(rev.getAs[Double]("ndcg") === revDcg / idcg)
+    assert(rev.getAs[Double]("mrr") === 1.0 / 3.0, "true top-1 sits at position 3")
+
+    // ranking with an off-list intruder at p=1 and the true top-1 at p=2
+    val missing = Seq((1L, 99L, 1), (1L, 10L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    val mis = Similarity.rankedEval(truth, missing, k = 3).collect().head
+    assert(mis.getAs[Long]("n_hits") === 1L)
+    assert(mis.getAs[Double]("dcg") === 0.0 + 0.0 / lni(2) + 3.0 / lni(3))
+    assert(mis.getAs[Double]("mrr") === 0.5)
+
+    // a ranking that never finds the true top-1 has mrr 0
+    val noTop = Seq((1L, 20L, 1), (1L, 30L, 2))
+      .toDF("query_id", "neighbor_id", "rank")
+    assert(Similarity.rankedEval(truth, noTop, k = 3)
+      .collect().head.getAs[Double]("mrr") === 0.0)
+  }
 }
