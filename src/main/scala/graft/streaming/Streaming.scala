@@ -144,6 +144,28 @@ final case class NoveltyBufState(buffered: Vector[(Long, Long)], taken: Boolean)
   * occurrence of each distinct text. */
 final case class DedupAdmit(doc_id: Long, text_hash: String)
 
+/** One doc exploded to one of its 20 Manku band keys — the unit of the
+  * [[Streaming.simhashNearMarks]] admission stream. */
+final case class BandedSim(band: Int, band_key: Long, doc_id: Long, ts_us: Long, simhash: Long)
+
+/** Per-(band, band_key) membership carried by
+  * [[Streaming.simhashNearMarks]]: every (doc_id, simhash) this bucket
+  * has seen. Bucket populations are bounded by the 32–33-bit Manku keys
+  * (~20·n/2³² expected members per bucket), the same argument that keeps
+  * the batch candidate join linear. */
+final case class BandMembers(members: Vector[(Long, Long)])
+
+/** Reorder-buffer state for [[Streaming.simhashNearMarksOrdered]]:
+  * (ts_us, doc_id, simhash) triples wait until the watermark passes. */
+final case class BandBufState(
+    buffered: Vector[(Long, Long, Long)], members: Vector[(Long, Long)])
+
+/** One near-dup discovery emitted by [[Streaming.simhashNearMarks]]:
+  * the arriving doc collided with an already-seen member of one of its
+  * Manku band buckets within `hamming` ≤ 3. Distinct over
+  * (doc_a, doc_b, hamming) ≡ the batch `simhashNear` pair set. */
+final case class NearDupMark(doc_a: Long, doc_b: Long, band: Int, hamming: Int)
+
 /** Per-shingle novelty state carried by [[Streaming.noveltyMarks]]:
   * the first doc that introduced this shingle — one long per distinct
   * shingle, the fingerprint-store growth profile. */
@@ -1465,6 +1487,130 @@ object Streaming {
             keep.map(_._1).min / 1000L + 1L,
             state.getCurrentWatermarkMs() + 1L))
           out
+      }
+  }
+
+  /** The batch Manku C(6,3) block tables, replicated for the streaming
+    * gate: 6 blocks of widths 11/11/11/11/10/10 over the 64-bit simhash,
+    * every 3-subset packed into one ≤33-bit key — identical arithmetic
+    * to `Dedup.simhashNear`'s banding (`>>` then mask ≡ the Spark expr on
+    * BIGINT, sign bits masked away). */
+  private val mankuWidths = Vector(11, 11, 11, 11, 10, 10)
+  private val mankuOffsets = mankuWidths.scanLeft(0)(_ + _).init
+  private val mankuCombos: IndexedSeq[(Int, Int, Int)] =
+    for { i <- 0 until 6; j <- (i + 1) until 6; k <- (j + 1) until 6 } yield (i, j, k)
+
+  private def mankuBandKeys(sim: Long): IndexedSeq[(Int, Long)] = {
+    def blk(i: Int): Long = (sim >> mankuOffsets(i)) & ((1L << mankuWidths(i)) - 1)
+    mankuCombos.zipWithIndex.map { case ((i, j, k), ci) =>
+      (ci, blk(i) * (1L << 22) + blk(j) * (1L << 11) + blk(k))
+    }
+  }
+
+  private def bandedSim(d: Doc): IndexedSeq[BandedSim] = {
+    val sim = graft.functions.SimHashImpl.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(d.text))
+    mankuBandKeys(sim).map { case (band, key) =>
+      BandedSim(band, key, d.doc_id, d.ts_us, sim)
+    }
+  }
+
+  /** Streaming BANDED near-dup admission gate — the continuous twin of
+    * [[graft.operators.Dedup.simhashNear]] (the r9 verdict's missing
+    * D-surface capability): each arriving doc fans out to its 20 Manku
+    * band buckets; a bucket whose membership already holds a simhash
+    * within Hamming ≤ `maxHamming` emits a [[NearDupMark]] for the
+    * collision (the exact `bit_count(a ^ b)` verify the batch join
+    * runs). Distinct marks over (doc_a, doc_b, hamming) equal the batch
+    * pair set over any doc_id-ordered arrival (spec-pinned); a mark's
+    * presence is the REJECT signal an ingest admission gate consumes.
+    *
+    * Scale shape: keyed by (band, band_key) — 20·n state rows total, but
+    * per-BUCKET membership is bounded by the 32–33-bit keys exactly as
+    * in batch (~20·n²/2³² expected collisions), so no group concentrates;
+    * the simhash itself is the shared one-pass [[graft.functions
+    * .SimHashImpl]] (no shuffle before the keyed exchange). State is the
+    * D19 fingerprint-store growth profile — production bounds it the
+    * same way (TTL/compaction by content age). Unlike batch there is NO
+    * `capBuckets` drop: an online gate cannot know a bucket's final
+    * size, so a pathological hot bucket degrades to more comparisons,
+    * never to silently lost recall. */
+  def simhashNearMarks(docs: Dataset[Doc], maxHamming: Int = 3): Dataset[NearDupMark] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(bandedSim _)
+      .groupByKey(r => (r.band, r.band_key))
+      .flatMapGroupsWithState[BandMembers, NearDupMark](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), it: Iterator[BandedSim], state: GroupState[BandMembers]) =>
+          var members = state.getOption.map(_.members).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[NearDupMark]
+          // within-batch arrivals in doc_id order — the batch corpus order
+          it.toVector.sortBy(_.doc_id).foreach { r =>
+            members.foreach { case (mid, msim) =>
+              if (mid != r.doc_id) {
+                val h = java.lang.Long.bitCount(msim ^ r.simhash)
+                if (h <= maxHamming)
+                  out += NearDupMark(
+                    math.min(mid, r.doc_id), math.max(mid, r.doc_id), key._1, h)
+              }
+            }
+            members = members :+ ((r.doc_id, r.simhash))
+          }
+          state.update(BandMembers(members))
+          out.result().iterator
+      }
+  }
+
+  /** [[simhashNearMarks]] hardened with the [[attributeIhcOrdered]]
+    * reorder buffer (the D4b discipline): per band bucket, arrivals wait
+    * in state until the watermark passes their event time and are then
+    * compared/admitted in `(ts_us, doc_id)` order — so with event-time-
+    * ordered doc ids (the batch corpus invariant) the distinct mark set
+    * is bit-equal to batch [[graft.operators.Dedup.simhashNear]] under
+    * ANY cross-batch arrival order (spec-pinned with scrambled replay).
+    * Membership persists forever like the D19 fingerprint store;
+    * buffered rows flush via event-time timeout when a bucket's traffic
+    * stops. */
+  def simhashNearMarksOrdered(
+      docs: Dataset[Doc], maxHamming: Int = 3,
+      delay: String = "2 hours"): Dataset[NearDupMark] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(bandedSim _)
+      .withColumn("event_ts", timestamp_micros(col("ts_us")))
+      .withWatermark("event_ts", delay)
+      // event_ts must SURVIVE into the stateful operator's input — the
+      // analyzer requires the watermarked column for EventTimeTimeout
+      .as[(Int, Long, Long, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BandBufState, NearDupMark](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Long), it: Iterator[(Int, Long, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[BandBufState]) =>
+          val st = state.getOption.getOrElse(BandBufState(Vector.empty, Vector.empty))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val buf = st.buffered ++
+            it.filter(_._4 >= wmUs).map(r => (r._4, r._3, r._5)) // (ts, doc, sim)
+          val (ready, keep) = buf.partition(_._1 < wmUs)
+          var members = st.members
+          val out = Vector.newBuilder[NearDupMark]
+          ready.sortBy(r => (r._1, r._2)).foreach { case (_, docId, sim) =>
+            members.foreach { case (mid, msim) =>
+              if (mid != docId) {
+                val h = java.lang.Long.bitCount(msim ^ sim)
+                if (h <= maxHamming)
+                  out += NearDupMark(
+                    math.min(mid, docId), math.max(mid, docId), key._1, h)
+              }
+            }
+            members = members :+ ((docId, sim))
+          }
+          state.update(BandBufState(keep, members))
+          if (keep.nonEmpty) state.setTimeoutTimestamp(math.max(
+            keep.map(_._1).min / 1000L + 1L,
+            state.getCurrentWatermarkMs() + 1L))
+          out.result().iterator
       }
   }
 

@@ -1065,4 +1065,69 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batch)
     } finally jlQ.stop()
   }
+
+  test("streaming simhash near-dup marks equal the batch simhashNear pair set over ordered batches") {
+    import graft.streaming.{Doc, NearDupMark}
+    implicit val sqlCtx = spark.sqlContext
+    def text(seed: Int) =
+      (0 until 60).map(i => s"w${(seed * 61 + i * 7) % 1000}").mkString(" ")
+    val b1 = Seq(
+      Doc(1L, text(1), "en", "t", 0L), Doc(2L, text(2), "en", "t", 1L),
+      Doc(3L, text(1), "en", "t", 2L)) // 3 exact-dups 1 → hamming 0
+    val b2 = Seq(
+      Doc(10L, text(1) + " extra", "en", "t", 3L), // near-dup of 1 and 3
+      Doc(11L, text(3), "en", "t", 4L),
+      Doc(12L, text(2), "en", "t", 5L)) // cross-batch exact dup of 2
+    val mem = MemoryStream[Doc]
+    val q = Streaming.simhashNearMarks(mem.toDS())
+      .writeStream.format("memory").queryName("simnear_marks").outputMode("append").start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("simnear_marks").as[NearDupMark].collect()
+        .map(m => (m.doc_a, m.doc_b, m.hamming)).distinct.sorted.toSeq
+      val batch = graft.operators.Dedup.simhashNear(
+        (b1 ++ b2).map(d => (d.doc_id, d.text)).toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Number]("hamming").intValue())).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.contains((1L, 3L, 0)), "exact dup pair must surface")
+      assert(streamed.contains((2L, 12L, 0)), "cross-batch dup pair must surface")
+    } finally q.stop()
+  }
+
+  test("hardened simhash near-dup marks: reverse-order replay equals the batch pair set") {
+    import graft.streaming.{Doc, NearDupMark}
+    implicit val sqlCtx = spark.sqlContext
+    def text(seed: Int) =
+      (0 until 60).map(i => s"w${(seed * 61 + i * 7) % 1000}").mkString(" ")
+    val docs = Seq(
+      Doc(1L, text(1), "en", "t", 1 * H / 100),
+      Doc(2L, text(2), "en", "t", 2 * H / 100),
+      Doc(3L, text(1), "en", "t", 3 * H / 100),
+      Doc(4L, text(1) + " extra", "en", "t", 4 * H / 100),
+      Doc(5L, text(2), "en", "t", 5 * H / 100))
+    // worst-case arrival: exact reverse of event time, one doc per batch
+    val parts = docs.reverse.map(Seq(_))
+    val mem = MemoryStream[Doc]
+    val q = Streaming.simhashNearMarksOrdered(mem.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("simnear_ord").outputMode("append").start()
+    try {
+      parts.foreach { p => mem.addData(p); q.processAllAvailable() }
+      // fresh-text watermark advancers flush the buffers
+      mem.addData(Seq(Doc(900001L, text(7), "en", "t", 100 * H)))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(900002L, text(8), "en", "t", 101 * H)))
+      q.processAllAvailable()
+      val streamed = spark.table("simnear_ord").as[NearDupMark].collect()
+        .filter(_.doc_a < 900000L)
+        .map(m => (m.doc_a, m.doc_b, m.hamming)).distinct.sorted.toSeq
+      val batch = graft.operators.Dedup.simhashNear(
+        docs.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Number]("hamming").intValue())).sorted.toSeq
+      assert(streamed === batch)
+      assert(streamed.contains((1L, 3L, 0)))
+    } finally q.stop()
+  }
 }
