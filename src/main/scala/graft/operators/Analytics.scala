@@ -1284,7 +1284,7 @@ object Analytics {
         col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
       .groupBy("l_suppkey")
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
-      .localCheckpoint(true) // one materialization feeds the max and the probe
+      .transform(Materialize(_)) // one materialization feeds the max and the probe
     rev
       .crossJoin(broadcast(rev.agg(max(col("total_revenue")).as("__mx"))))
       .filter(col("total_revenue") === col("__mx"))

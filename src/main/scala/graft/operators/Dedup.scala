@@ -192,7 +192,7 @@ object Dedup {
     // localCheckpoint(eager), NOT cache(): blocks release via
     // ContextCleaner once the frame is unreachable instead of pinning the
     // shared CacheManager for the session lifetime (r9 ADVICE)
-    val sig = minhashSignature(documents).localCheckpoint(true)
+    val sig = Materialize(minhashSignature(documents))
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
@@ -465,9 +465,14 @@ object Dedup {
     * Scale shape: one simhash map pass, a 20× combo explode (linear), a
     * capped bucket self-join on ~2³²-way keys, a pair distinct. Nothing
     * quadratic in the corpus. */
-  def simhashNear(
-      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
-    require(maxHamming == 3, "block table layout is derived for maxHamming = 3")
+  /** The Manku C(6,3) banding of the 64-bit simhash, pre-cap: every
+    * 3-subset of the 6 blocks (widths 11/11/11/11/10/10) packed into one
+    * ≤33-bit key + the combo index as the table id — factored out so the
+    * capBuckets-never-fires spec can audit bucket populations directly
+    * (the oracle computes the EXACT all-pairs set: banding is lossless
+    * at Hamming ≤ 3 by pigeonhole, so the cap is the ONLY divergence
+    * risk, and the spec pins it dormant at oracle scale). */
+  private[graft] def mankuBanded(documents: DataFrame): DataFrame = {
     val widths = Seq(11, 11, 11, 11, 10, 10)
     val offsets = widths.scanLeft(0)(_ + _).init
     def blk(i: Int) =
@@ -482,12 +487,16 @@ object Dedup {
         lit(ci).as("band"),
         (blk(i) * lit(1L << 22) + blk(j) * lit(1L << 11) + blk(k)).as("band_key"))
     }
-    val banded = capBuckets(
-      simhash64(documents)
-        .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
-          col("bk.band").as("band"), col("bk.band_key").as("band_key")),
-      Seq("band", "band_key"), maxBucket)
+    simhash64(documents)
+      .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def simhashNear(
+      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+    require(maxHamming == 3, "block table layout is derived for maxHamming = 3")
+    val banded = capBuckets(mankuBanded(documents), Seq("band", "band_key"), maxBucket)
     val a = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -518,12 +527,12 @@ object Dedup {
     val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
     val shAll = shingles(documents)
       .select(col("doc_id"), sid)
-      .localCheckpoint(true) // releasable materialize, not a CacheManager pin
+      .transform(Materialize(_)) // releasable materialize, not a CacheManager pin
     val keep = shAll
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("sid")
-    val sh = shAll.join(keep, "sid").localCheckpoint(true)
+    val sh = Materialize(shAll.join(keep, "sid"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("sid"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
@@ -558,12 +567,12 @@ object Dedup {
     val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
     val shAll = shingles(documents)
       .select(col("doc_id"), sid)
-      .localCheckpoint(true) // one tokenize/window pass feeds both uses, releasable
+      .transform(Materialize(_)) // one tokenize/window pass feeds both uses, releasable
     val keep = shAll
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("sid")
-    val sh = shAll.join(keep, "sid").localCheckpoint(true)
+    val sh = Materialize(shAll.join(keep, "sid"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("sid"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sid")), "sid")
@@ -874,7 +883,7 @@ object Dedup {
     val assigned = feat.select(
       col("vec_id"), col("embedding"), col("nrm"),
       best.getField("cid").as("cell"),
-      (-best.getField("negcos")).as("cos_centroid")).localCheckpoint(true)
+      (-best.getField("negcos")).as("cos_centroid")).transform(Materialize(_))
     val ids = assigned.select(col("cell"), col("vec_id"))
     val cand = ids.select(col("cell"), col("vec_id").as("vec_a"))
       .join(ids.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))

@@ -72,7 +72,7 @@ object Quantiles {
     // axes would otherwise recompute their rollup exponentially), a net
     // loss for a plain column pruned scan (pass false there: re-reading
     // parquet beats writing a checkpoint of it).
-    val input = if (materialize) df.localCheckpoint(true) else df
+    val input = if (materialize) Materialize(df) else df
 
     // 1. Deterministic pseudo-random boundary sample: top-N by xxhash64 of
     // the (unique) composite key is a distributed TakeOrdered — no RNG, no
@@ -190,7 +190,7 @@ object Quantiles {
     val decW = DecimalType(38, 6)
     val fullKey: Seq[(String, Boolean)] = group.map((_, true)) ++ order
     val keyCols = fullKey.map { case (n, _) => col(n) }
-    val input = if (materialize) df.localCheckpoint(true) else df
+    val input = if (materialize) Materialize(df) else df
 
     val sampleN = nb * 64
     val sampled: Array[Row] = input

@@ -847,7 +847,7 @@ object Similarity {
     // knnGraph/contrastivePairs call (r8 ADVICE).
     val assigned = feat.select(
       col("vec_id"), col("embedding"), col("nrm"),
-      best.getField("cid").as("cell")).localCheckpoint(true)
+      best.getField("cid").as("cell")).transform(Materialize(_))
     val a = assigned.select(col("cell"), col("vec_id").as("src"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val b = assigned.select(col("cell"), col("vec_id").as("dst"),

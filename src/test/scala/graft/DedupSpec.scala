@@ -214,6 +214,23 @@ class DedupSpec extends SparkSpec {
     assert(star.toSeq === prop.toSeq)
   }
 
+  test("simhashNear's capBuckets guard stays dormant at oracle scale (gate and engine compute the same set)") {
+    // the DuckDB oracle computes the EXACT all-pairs Hamming<=3 set with
+    // no cap; banding is lossless at Hamming<=3 (pigeonhole over the 6
+    // blocks), so equality holds iff no (band, band_key) bucket exceeds
+    // maxBucket=1000 at the gate's scale factors — pin that here
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val docs = graft.sources.Tables.documents(spark, s"/root/testdata/$sf")
+      val maxBucket = Dedup.mankuBanded(docs)
+        .groupBy("band", "band_key").count()
+        .agg(max("count")).collect().head.getLong(0)
+      assert(maxBucket <= 1000L,
+        s"$sf: a Manku bucket holds $maxBucket docs — capBuckets would drop " +
+          "it while the exact oracle keeps its pairs; mirror the cap in the " +
+          "oracle SQL before shipping this corpus")
+    }
+  }
+
   test("cell-blocked embedding near-dup: non-seed near-dups co-locate and pair; cross-cell pairs never considered") {
     // two k-means seeds (vec 0 → dim-0 region, vec 1 → dim-1 region);
     // vecs 4 and 5 are near-dups of each other living in seed 0's region
