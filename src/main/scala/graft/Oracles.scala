@@ -1300,6 +1300,47 @@ SELECT doc_id,
 FROM isl2 GROUP BY doc_id, island
 ORDER BY doc_id, span_start"""
 
+  /** Verbatim run recovery (per-source refinement of C82): each k-gram
+    * joins its gid's corpus-wide first occurrence (lexicographic
+    * min (doc_id, pos) via struct_pack min), matches chain per
+    * (doc_id, src_doc, diag = pos − src_pos) with C82's q ≤ p + k
+    * stitch. Lockstep with Dedup.exactSubstringRuns. */
+  val dedupSubstringRuns: String = """
+WITH tokarr AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+), g0 AS (
+  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 19)) AS pos
+  FROM tokarr WHERE len(ts) >= 20
+), g AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 1, 15)) AS BIGINT) AS gid
+  FROM g0
+), fst AS (
+  SELECT gid, MIN(struct_pack(d := doc_id, p := pos)) AS f FROM g GROUP BY gid
+), fsrc AS (
+  SELECT gid, f.d AS src_doc, f.p AS src_pos FROM fst
+), m AS (
+  SELECT g.doc_id, g.pos, fsrc.src_doc, g.pos - fsrc.src_pos AS diag
+  FROM g JOIN fsrc USING (gid) WHERE g.doc_id > fsrc.src_doc
+), isl AS (
+  SELECT doc_id, pos, src_doc, diag,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 20
+              THEN 1 ELSE 0 END AS brk
+  FROM m WINDOW w AS (PARTITION BY doc_id, src_doc, diag ORDER BY pos)
+), isl2 AS (
+  SELECT doc_id, pos, src_doc, diag,
+         SUM(brk) OVER (PARTITION BY doc_id, src_doc, diag ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 19 AS span_end,
+       CAST(MAX(pos) + 19 - MIN(pos) + 1 AS BIGINT) AS n_tokens,
+       src_doc,
+       MIN(pos) - diag AS src_start
+FROM isl2 GROUP BY doc_id, src_doc, diag, island
+ORDER BY doc_id, span_start, src_doc, src_start"""
+
   /** Shared minhash chain through the LSH candidate pairs. */
   private val minhashCandBase: String = {
     def a(j: Int): Long = 1299721L + 104729L * j

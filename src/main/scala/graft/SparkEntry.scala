@@ -464,6 +464,9 @@ object SparkEntry {
     "dedup_exact_substring" -> ((s, dir) =>
       Dedup.exactSubstringSpans(Tables.documents(s, dir))),
 
+    "dedup_substring_runs" -> ((s, dir) =>
+      Dedup.exactSubstringRuns(Tables.documents(s, dir))),
+
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
     "dedup_clusters" -> ((s, dir) =>
@@ -882,6 +885,7 @@ object SparkEntry {
     "orders_enrich_denorm"      -> Oracles.ordersEnrichDenorm,
     "dedup_exact"               -> Oracles.dedupExact,
     "dedup_exact_substring"     -> Oracles.dedupExactSubstring,
+    "dedup_substring_runs"      -> Oracles.dedupSubstringRuns,
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
     "dedup_clusters"            -> Oracles.dedupClusters,
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,

@@ -323,6 +323,59 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Verbatim RUN recovery — the per-source refinement of
+    * [[exactSubstringSpans]]. C82's spans are the UNION of duplicated
+    * k-windows: one span may stitch windows matching DIFFERENT earlier
+    * documents, so the reported interval itself need not appear verbatim
+    * anywhere (k-token attribution granularity). Each row here is a
+    * single maximal run matching ONE earlier document contiguously at one
+    * alignment: doc[span_start..span_end] ==
+    * src_doc[src_start .. src_start+n_tokens−1] token-for-token.
+    *
+    * Mechanics: each k-gram joins its gid's corpus-wide FIRST occurrence
+    * (lexicographic min (doc_id, pos) — ONE row per gid, so the join-back
+    * stays linear; no df cap, hot boilerplate grams cost one agg row).
+    * Matches chain per (doc_id, src_doc, diag = pos − src_pos): flagged
+    * starts p < q on the same diagonal with q ≤ p + k have
+    * overlapping-or-touching windows verified against the same source
+    * alignment, so the merged interval [p, q+k−1] is itself verbatim —
+    * C82's gaps-and-islands stitch, per-diagonal. A run only splits when
+    * ≥ k consecutive gram starts are "stolen" by an even earlier
+    * occurrence in a third document; every emitted row stays
+    * verbatim-exact regardless.
+    *
+    * Scale shape: identical to C82 — one gram map, one gid-keyed min
+    * agg, one linear join-back, doc-partitioned windows. Nothing
+    * quadratic at any duplication profile. */
+  def exactSubstringRuns(documents: DataFrame, k: Int = 20): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gid"))
+    val first = grams
+      .groupBy("gid")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("gid"), col("f.doc_id").as("src_doc"), col("f.pos").as("src_pos"))
+    val w = Window.partitionBy("doc_id", "src_doc", "diag").orderBy("pos")
+    grams.join(first, "gid")
+      .filter(col("doc_id") > col("src_doc"))
+      .select(col("doc_id"), col("pos"), col("src_doc"),
+        (col("pos") - col("src_pos")).as("diag"))
+      .withColumn("prev", lag("pos", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") > col("prev") + k, 1L).otherwise(0L))
+      .withColumn("run", sum("brk").over(w))
+      .groupBy("doc_id", "src_doc", "diag", "run")
+      .agg(min("pos").as("span_start"), (max("pos") + lit(k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("n_tokens"),
+        col("src_doc"), (col("span_start") - col("diag")).as("src_start"))
+      .orderBy("doc_id", "span_start", "src_doc", "src_start")
+  }
+
   /** Chunk-granularity exact dedup (the C4/RefinedWeb recipe): documents
     * split into disjoint fixed-size word chunks ([[Corpus.chunkDocuments]]
     * with zero overlap), each chunk hashed, and only the corpus-wide FIRST

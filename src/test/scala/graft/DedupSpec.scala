@@ -419,6 +419,44 @@ class DedupSpec extends SparkSpec {
       s"expected two disjoint islands, got ${spans2.mkString(",")}")
   }
 
+  test("exactSubstringRuns: per-source verbatim runs with exact alignment; " +
+    "spans over-merge a two-source seam that runs keep attributed") {
+    import spark.implicits._
+    val as = (1 to 100).map(i => s"a$i")
+    val base = as.mkString(" ")                                   // doc 1: a1..a100
+    val shifted = ((1 to 7).map(i => s"junk$i") ++ as.take(50)).mkString(" ")
+    val d = Seq((1L, "en", base), (2L, "en", shifted)).toDF("doc_id", "lang", "text")
+    val runs = Dedup.exactSubstringRuns(d, k = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("src_doc"), r.getAs[Long]("src_start")))
+    // a1..a50 sits at doc-2 positions 8..57 and at doc-1 positions 1..50:
+    // one run, exact boundaries AND exact source alignment
+    assert(runs.toSeq === Seq((2L, 8L, 57L, 50L, 1L, 1L)),
+      s"expected the attributed run, got ${runs.mkString(",")}")
+
+    // Two-source seam: doc 3 = x11..x30 (from doc 1') ++ y1..y20 (from doc 2').
+    // Window starts 1 and 21 are each duplicated — from DIFFERENT sources.
+    // C82 spans stitch them into ONE [1,40] span (q=21 <= p+k=21) though the
+    // 40-token interval appears verbatim nowhere; runs keep two attributed
+    // 20-token rows, each a true verbatim match.
+    val xs = (1 to 30).map(i => s"x$i")
+    val ys = (1 to 30).map(i => s"y$i")
+    val seam = (xs.drop(10) ++ ys.take(20)).mkString(" ")
+    val d2 = Seq((1L, "en", xs.mkString(" ")), (2L, "en", ys.mkString(" ")),
+      (3L, "en", seam)).toDF("doc_id", "lang", "text")
+    val spans = Dedup.exactSubstringSpans(d2, k = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    assert(spans.toSeq === Seq((3L, 1L, 40L)),
+      s"C82 is expected to over-merge the seam into one span, got ${spans.mkString(",")}")
+    val runs2 = Dedup.exactSubstringRuns(d2, k = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("src_doc"), r.getAs[Long]("src_start")))
+    assert(runs2.toSeq === Seq((3L, 1L, 20L, 20L, 1L, 11L), (3L, 21L, 40L, 20L, 2L, 1L)),
+      s"expected two attributed verbatim runs, got ${runs2.mkString(",")}")
+  }
+
   test("ngramContainment flags a doc fully quoted inside a longer one") {
     val short = (1 to 30).map(i => s"tok$i").mkString(" ")
     val long = short + " " + (100 to 200).map(i => s"pad$i").mkString(" ")
