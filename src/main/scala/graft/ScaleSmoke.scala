@@ -409,6 +409,15 @@ object ScaleSmoke {
       println(s"[scale] substring spans at 10x = " +
         graft.operators.Dedup.exactSubstringSpans(docs10x).count()))
 
+    // r11: per-source run recovery shares the span shape exactly — the
+    // only deltas are a wider first-occurrence struct and the extra
+    // (src_doc, diag) window keys, both per-position-linear.
+    time(s"substring_runs nDocs=$nDocs")(println(s"[scale] substring runs = " +
+      graft.operators.Dedup.exactSubstringRuns(docs).count()))
+    time(s"substring_runs nDocs=${nDocs * 10} (linearity check)")(
+      println(s"[scale] substring runs at 10x = " +
+        graft.operators.Dedup.exactSubstringRuns(docs10x).count()))
+
     // Containment shares ngramJaccard's df-capped blocking, so its pair
     // volume is the same near-linear bound; the planted contained docs
     // (1% verbatim + extra token) must surface.
