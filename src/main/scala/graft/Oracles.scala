@@ -1425,6 +1425,66 @@ FROM exact
 ORDER BY doc_a, doc_b"""
   }
 
+  /** Incremental new-batch-vs-corpus admission: the symmetric candidate
+    * set XOR-filtered to cross-side pairs (new = doc_id % 5 = 0), best
+    * corpus match per new doc via struct-min argmax (max estimate, min
+    * corpus doc on ties), admit = best estimate < 0.5. The shared
+    * `cand` CTE's bucket cap counts both sides of every bucket — the
+    * exact population Dedup.minhashIncremental caps. Lockstep with
+    * Dedup.minhashIncremental. */
+  val dedupMinhashIncremental: String = {
+    val matchTerms = (0 until 16)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    minhashCandBase + s"""
+, xp AS (
+  SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+         CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS dup_of
+  FROM cand
+  WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+), est AS (
+  SELECT x.new_doc, x.dup_of,
+         CAST(($matchTerms) AS DOUBLE) / 16.0 AS ej
+  FROM xp x
+  JOIN sig a ON a.doc_id = x.new_doc
+  JOIN sig b ON b.doc_id = x.dup_of
+), best AS (
+  SELECT new_doc, MIN(struct_pack(ne := -ej, d := dup_of)) AS f
+  FROM est GROUP BY new_doc
+)
+SELECT d.doc_id AS new_doc, f.d AS dup_of, -f.ne AS est_jaccard,
+       (f.ne IS NULL OR -f.ne < 0.5) AS admit
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN best ON best.new_doc = d.doc_id
+ORDER BY new_doc"""
+  }
+
+  /** Leakage-free cluster-aware split: recursive-CTE CC labels over the
+    * LSH candidates, rep = coalesce(cluster min, own id), md5-bucket of
+    * the rep string → train (<8) / val. Lockstep with
+    * Dedup.leakageFreeSplit. */
+  val splitLeakageFree: String =
+    minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + """
+, sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM cand
+), r AS (
+  SELECT DISTINCT a AS node, a AS label FROM sym
+  UNION
+  SELECT s.a AS node, r.label AS label FROM sym s JOIN r ON r.node = s.b
+), cl AS (
+  SELECT node, CAST(MIN(label) AS BIGINT) AS cluster_id FROM r GROUP BY node
+), reps AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS rep
+  FROM documents d LEFT JOIN cl ON cl.node = d.doc_id
+)
+SELECT doc_id, rep,
+       CASE WHEN CAST(concat('0x', substring(md5(CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+            THEN 'train' ELSE 'val' END AS split
+FROM reps
+ORDER BY doc_id"""
+
   /** Chunk-granularity exact dedup: disjoint 64-word chunks, md5 per
     * chunk, corpus-wide first occurrence kept. Mirrors Dedup.chunkDedup
     * (same slicing: 1-based inclusive window of 64 words, clamped). */

@@ -469,6 +469,16 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.minhashIncremental(
+        d.filter(pmod(col("doc_id"), lit(5)) === 0),
+        d.filter(pmod(col("doc_id"), lit(5)) =!= 0))
+    }),
+
+    "split_leakage_free" -> ((s, dir) =>
+      Dedup.leakageFreeSplit(Tables.documents(s, dir))),
+
     "dedup_clusters" -> ((s, dir) =>
       Dedup.clustersStar(Dedup.minhashLsh(Tables.documents(s, dir)).select("doc_a", "doc_b"))),
 
@@ -887,6 +897,8 @@ object SparkEntry {
     "dedup_exact_substring"     -> Oracles.dedupExactSubstring,
     "dedup_substring_runs"      -> Oracles.dedupSubstringRuns,
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
+    "dedup_minhash_incremental" -> Oracles.dedupMinhashIncremental,
+    "split_leakage_free"        -> Oracles.splitLeakageFree,
     "dedup_clusters"            -> Oracles.dedupClusters,
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "dedup_semantic"            -> Oracles.dedupSemantic,

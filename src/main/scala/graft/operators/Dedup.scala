@@ -188,11 +188,11 @@ object Dedup {
     * near-dup signal, and true near-dups still meet in their other 7
     * bands (documented recall tradeoff; pair output is unchanged whenever
     * no bucket exceeds the cap — spec-pinned). */
-  def minhashLsh(documents: DataFrame, maxBucket: Long = 1000L): DataFrame = {
-    // localCheckpoint(eager), NOT cache(): blocks release via
-    // ContextCleaner once the frame is unreachable instead of pinning the
-    // shared CacheManager for the session lifetime (r9 ADVICE)
-    val sig = Materialize(minhashSignature(documents))
+  /** (doc_id, band, band_hash) rows for a 16-lane signature frame: 8
+    * bands of 2 order-normalized lanes, md5 band keys — the one banding
+    * every MinHash-LSH operator shares (lockstep with the oracles'
+    * `bands0` CTE). */
+  private def bandRows(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|",
@@ -200,9 +200,16 @@ object Dedup {
           greatest(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}")).cast("string")))
           .as("band_hash"))
     }
-    val allBands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_hash").as("band_hash"))
-    val bands = capBuckets(allBands, Seq("band", "band_hash"), maxBucket)
+  }
+
+  def minhashLsh(documents: DataFrame, maxBucket: Long = 1000L): DataFrame = {
+    // localCheckpoint(eager), NOT cache(): blocks release via
+    // ContextCleaner once the frame is unreachable instead of pinning the
+    // shared CacheManager for the session lifetime (r9 ADVICE)
+    val sig = Materialize(minhashSignature(documents))
+    val bands = capBuckets(bandRows(sig), Seq("band", "band_hash"), maxBucket)
     val a = bands.select(col("doc_id").as("doc_a"), col("band"), col("band_hash"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
     val cand = a.join(b, Seq("band", "band_hash"))
@@ -246,6 +253,61 @@ object Dedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
       .select("doc_a", "doc_b", "est_jaccard", "jaccard", "abs_err")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL near-dup admission: a new ingest batch deduped against
+    * an EXISTING corpus — the recurring-crawl-snapshot shape, where the
+    * question is never "which pairs exist" but "which of today's docs
+    * duplicate anything we already keep". One verdict row per new doc:
+    * its best corpus match (highest 16-lane estimate, smallest corpus
+    * doc_id on ties) and `admit` = no corpus candidate reaches
+    * `threshold`. Within-batch duplicates are deliberately NOT examined
+    * (run [[minhashLsh]] on the batch for that; the streaming admission
+    * twin is `Streaming.nearDupGate`).
+    *
+    * Scale shape: the candidate join is ASYMMETRIC — new-batch band rows
+    * (tiny: one day's crawl) against corpus band rows, so the join output
+    * is bounded by batch-side collisions, never corpus², and the corpus
+    * side never self-joins. The hot-bucket cap counts BOTH sides of each
+    * (band, band_hash) bucket — exactly the population [[minhashLsh]]
+    * caps when batch ∪ corpus is one table, so the guard (and the
+    * oracle's mirrored HAVING) is bit-lockstep with the symmetric
+    * operator. At 100 TB the corpus band rows are a write-once index the
+    * daily batch probes; signatures are one codegen map pass per side. */
+  def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
+    val sigN = Materialize(minhashSignature(newDocs))
+    val sigC = Materialize(minhashSignature(corpus))
+    val tagged = bandRows(sigN).withColumn("is_new", lit(true))
+      .unionByName(bandRows(sigC).withColumn("is_new", lit(false)))
+    val bands = capBuckets(tagged, Seq("band", "band_hash"), maxBucket)
+    val cand = bands.filter(col("is_new"))
+      .select(col("doc_id").as("new_doc"), col("band"), col("band_hash"))
+      .join(bands.filter(!col("is_new"))
+        .select(col("doc_id").as("dup_of"), col("band"), col("band_hash")),
+        Seq("band", "band_hash"))
+      .select("new_doc", "dup_of")
+      .distinct()
+    val sa = sigN.toDF(sigN.columns.map(c => if (c == "doc_id") "new_doc" else s"a_$c"): _*)
+    val sb = sigC.toDF(sigC.columns.map(c => if (c == "doc_id") "dup_of" else s"b_$c"): _*)
+    val matches = (0 until 16)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val scored = cand.join(sa, "new_doc").join(sb, "dup_of")
+      .select(col("new_doc"), col("dup_of"),
+        (matches.cast("double") / 16.0).as("est_jaccard"))
+    // argmax est (ties → min corpus doc) as one struct-min agg; candidate
+    // estimates are ≥ 2/16 (a shared band forces two equal lanes), so the
+    // double negation round-trips exactly with no −0.0 edge
+    val best = scored.groupBy("new_doc")
+      .agg(min(struct((-col("est_jaccard")).as("ne"), col("dup_of").as("d"))).as("f"))
+      .select(col("new_doc"), col("f.d").as("dup_of"),
+        (-col("f.ne")).as("est_jaccard"))
+    newDocs.select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"), col("dup_of"), col("est_jaccard"),
+        (col("est_jaccard").isNull || col("est_jaccard") < threshold).as("admit"))
+      .orderBy("new_doc")
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a document's shingles
@@ -1012,6 +1074,36 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         (col("rn") === 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** LEAKAGE-FREE train/validation split: documents are assigned to
+    * splits by their near-dup CLUSTER, never individually — a plain
+    * per-doc hash split leaks whenever two near-duplicates straddle the
+    * boundary (the validation copy "memorizes" its training twin and the
+    * eval number is fiction). Every doc hashes through its cluster
+    * representative (min reachable doc_id over the LSH candidate graph;
+    * singletons are their own rep), so a whole near-dup family lands in
+    * ONE split by construction. `trainBuckets` of 10 md5 buckets go to
+    * train (default 8 → 80/20).
+    *
+    * Scale shape: CC is the existing star machinery over candidate pairs
+    * only; the split itself is a pure codegen map over (doc_id, rep) —
+    * md5 bucketing, no extra shuffle beyond the CC join. The md5 bucket
+    * is engine-portable (same digest in the DuckDB oracle) and stable
+    * across re-runs, so yesterday's split assignment never flips when
+    * the corpus grows — only clusters that MERGE can move, which is
+    * exactly the leakage-repair a refresh should perform. */
+  def leakageFreeSplit(documents: DataFrame, trainBuckets: Int = 8): DataFrame = {
+    val cl = clustersStar(minhashLsh(documents).select("doc_a", "doc_b"))
+    documents.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("rep"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("rep").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(10)))
+      .select(col("doc_id"), col("rep"),
+        when(col("bucket") < trainBuckets, "train").otherwise("val").as("split"))
       .orderBy("doc_id")
   }
 

@@ -27,6 +27,45 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("doc_b") == 3L))
   }
 
+  test("minhashIncremental: batch verdicts are against the corpus only") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val corpus = docs(1L -> base, 2L -> (200 to 240).map(i => s"u$i").mkString(" "))
+    // 10 ≈ corpus doc 1 (reject); 11 unrelated (admit); 12 ≈ 13 are
+    // near-dups WITHIN the batch — both admitted: the operator's contract
+    // is corpus admission, not within-batch dedup
+    val batch = docs(10L -> nearDup, 11L -> other,
+      12L -> (300 to 340).map(i => s"p$i").mkString(" "),
+      13L -> (300 to 340).map(i => if (i == 340) "qq" else s"p$i").mkString(" "))
+    val out = Dedup.minhashIncremental(batch, corpus).collect()
+      .map(r => r.getAs[Long]("new_doc") ->
+        ((Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+          r.getAs[Boolean]("admit")))).toMap
+    assert(out.keySet === Set(10L, 11L, 12L, 13L))
+    assert(out(10L)._1 === Some(1L) && !out(10L)._2,
+      s"batch doc 10 must be rejected against corpus doc 1, got ${out(10L)}")
+    assert(out(11L) === ((None, true)))
+    assert(out(12L) === ((None, true)) && out(13L) === ((None, true)),
+      "within-batch near-dups must both be admitted")
+  }
+
+  test("leakageFreeSplit keeps near-dup families in one split") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val out = Dedup.leakageFreeSplit(docs(1L -> base, 2L -> nearDup, 3L -> other))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("rep"), r.getAs[String]("split")))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), "every doc gets a split row")
+    assert(out(1L)._1 === 1L && out(2L)._1 === 1L,
+      "near-dup family hashes through the shared min-id rep")
+    assert(out(1L)._2 === out(2L)._2, "family must land in ONE split")
+    assert(out(3L)._1 === 3L, "singleton is its own rep")
+    assert(Set("train", "val").contains(out(3L)._2))
+  }
+
   test("simhash is identical for identical docs, differs for unrelated docs") {
     val out = Dedup.simhash(docs(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "q r s t u v"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
