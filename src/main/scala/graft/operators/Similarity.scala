@@ -679,7 +679,11 @@ object Similarity {
         lit(0.0),
         (acc, x) => acc +
           x.getField("rel").cast("double") / lniOf(x.getField("t_rank") + 1)).as("idcg"))
-    d.join(i, Seq("query_id"))
+    // broadcast the IDCG side: it is |Q| rows by construction, and when
+    // a caller pins query_id to a literal (the single-query RRF eval)
+    // the equi-condition constant-folds away — without the hint that
+    // degenerate 1×1 join plans as a CartesianProduct
+    d.join(broadcast(i), Seq("query_id"))
       .select(col("query_id"), col("n_hits"), col("dcg"), col("idcg"),
         (col("dcg") / col("idcg")).as("ndcg"),
         coalesce(col("mrr0"), lit(0.0)).as("mrr"))
