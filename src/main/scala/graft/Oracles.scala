@@ -1264,12 +1264,12 @@ FROM documents
 GROUP BY md5(text)
 ORDER BY keep_doc_id"""
 
-  /** Exact substring dedup spans (Lee et al. ExactSubstr, k = 20):
-    * every token position whose 20-gram first occurs in an EARLIER doc
-    * is removable; flagged positions stitch gaps-and-islands into
-    * maximal [min p, max p + 19] spans. 60-bit md5-prefix gram ids,
-    * lockstep with Dedup.exactSubstringSpans. */
-  val dedupExactSubstring: String = """
+  /** Shared ExactSubstr span chain (k = 20): every token position whose
+    * 20-gram first occurs in an EARLIER doc is removable; flagged
+    * positions stitch gaps-and-islands into maximal [min p, max p + 19]
+    * spans (CTE `spans`). 60-bit md5-prefix gram ids, lockstep with
+    * Dedup.exactSubstringSpans. */
+  private def substringSpanChain: String = """
 WITH tokarr AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
 ), g0 AS (
@@ -1292,13 +1292,39 @@ WITH tokarr AS (
   SELECT doc_id, pos,
          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM isl
+), spans AS (
+  SELECT doc_id,
+         MIN(pos) AS span_start,
+         MAX(pos) + 19 AS span_end,
+         CAST(MAX(pos) + 19 - MIN(pos) + 1 AS BIGINT) AS n_tokens
+  FROM isl2 GROUP BY doc_id, island
+)"""
+
+  val dedupExactSubstring: String = substringSpanChain + """
+SELECT doc_id, span_start, span_end, n_tokens FROM spans
+ORDER BY doc_id, span_start"""
+
+  /** Substring SCRUB: the cleaned corpus after cutting every span out —
+    * per-token LEFT range-join against `spans` (disjoint per doc by the
+    * gap rule), survivors re-joined in position order. Lockstep with
+    * Dedup.exactSubstringScrub. */
+  val dedupSubstringScrub: String = substringSpanChain + """
+, tk AS (
+  SELECT doc_id, CAST(unnest(generate_series(1, len(ts))) AS BIGINT) AS pos,
+         ts FROM tokarr
+), tk2 AS (
+  SELECT doc_id, pos, ts[CAST(pos AS INTEGER)] AS tok FROM tk
+), mk AS (
+  SELECT t.doc_id, t.pos, t.tok, (s.doc_id IS NOT NULL) AS rm
+  FROM tk2 t LEFT JOIN spans s
+    ON s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
 )
 SELECT doc_id,
-       MIN(pos) AS span_start,
-       MAX(pos) + 19 AS span_end,
-       CAST(MAX(pos) + 19 - MIN(pos) + 1 AS BIGINT) AS n_tokens
-FROM isl2 GROUP BY doc_id, island
-ORDER BY doc_id, span_start"""
+       coalesce(array_to_string(list(tok ORDER BY pos) FILTER (WHERE NOT rm), ' '), '') AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+       CAST(COUNT(*) FILTER (WHERE rm) AS BIGINT) AS n_removed
+FROM mk GROUP BY doc_id
+ORDER BY doc_id"""
 
   /** Verbatim run recovery (per-source refinement of C82): each k-gram
     * joins its gid's corpus-wide first occurrence (lexicographic

@@ -467,6 +467,9 @@ object SparkEntry {
     "dedup_substring_runs" -> ((s, dir) =>
       Dedup.exactSubstringRuns(Tables.documents(s, dir))),
 
+    "dedup_substring_scrub" -> ((s, dir) =>
+      Dedup.exactSubstringScrub(Tables.documents(s, dir))),
+
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
 
     "dedup_minhash_incremental" -> ((s, dir) => {
@@ -896,6 +899,7 @@ object SparkEntry {
     "dedup_exact"               -> Oracles.dedupExact,
     "dedup_exact_substring"     -> Oracles.dedupExactSubstring,
     "dedup_substring_runs"      -> Oracles.dedupSubstringRuns,
+    "dedup_substring_scrub"     -> Oracles.dedupSubstringScrub,
     "dedup_minhash_lsh"         -> Oracles.dedupMinhashLsh,
     "dedup_minhash_incremental" -> Oracles.dedupMinhashIncremental,
     "split_leakage_free"        -> Oracles.splitLeakageFree,

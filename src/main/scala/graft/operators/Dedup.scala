@@ -438,6 +438,37 @@ object Dedup {
       .orderBy("doc_id", "span_start", "src_doc", "src_start")
   }
 
+  /** Substring SCRUB — the transform a pipeline actually ships: the
+    * corpus with every [[exactSubstringSpans]] interval CUT OUT, plus
+    * the removal accounting (the Lee et al. ExactSubstr treatment,
+    * applied rather than just reported). One output row per document,
+    * including untouched ones.
+    *
+    * Scale shape: spans aggregate to ONE array per affected doc
+    * (disjoint by the gap rule, so membership is unambiguous), then the
+    * cut is a row-local higher-order filter over token positions — the
+    * corpus is never exploded to token rows and never shuffled beyond
+    * the span computation itself; per-token work is O(spans-per-doc),
+    * tiny. */
+  def exactSubstringScrub(documents: DataFrame, k: Int = 20): DataFrame = {
+    val spanSets = exactSubstringSpans(documents, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    documents.select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .join(spanSets, Seq("doc_id"), "left")
+      // null sp (no spans) keeps every position; exists() over null is
+      // null, and filter() drops null verdicts, so coalesce to true
+      .withColumn("keep", expr(
+        "filter(sequence(1, size(ts)), p -> coalesce(NOT exists(sp, " +
+          "s -> p >= s.span_start AND p <= s.span_end), true))"))
+      .select(col("doc_id"),
+        expr("array_join(transform(keep, p -> element_at(ts, p)), ' ')")
+          .as("clean_text"),
+        size(col("ts")).cast("long").as("n_tokens_before"),
+        (size(col("ts")) - size(col("keep"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   /** Chunk-granularity exact dedup (the C4/RefinedWeb recipe): documents
     * split into disjoint fixed-size word chunks ([[Corpus.chunkDocuments]]
     * with zero overlap), each chunk hashed, and only the corpus-wide FIRST

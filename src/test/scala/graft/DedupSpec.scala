@@ -496,6 +496,26 @@ class DedupSpec extends SparkSpec {
       s"expected two attributed verbatim runs, got ${runs2.mkString(",")}")
   }
 
+  test("exactSubstringScrub cuts spans out, keeps clean docs verbatim, " +
+    "and empties a fully-duplicated doc") {
+    import spark.implicits._
+    val as = (1 to 100).map(i => s"a$i")
+    val base = as.mkString(" ")
+    val junk = (1 to 7).map(i => s"junk$i")
+    val shifted = (junk ++ as.take(50)).mkString(" ")
+    val sub = as.take(30).mkString(" ") // fully inside doc 1
+    val d = Seq((1L, "en", base), (2L, "en", shifted), (3L, "en", sub))
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.exactSubstringScrub(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_tokens_before"),
+          r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) === ((base, 100L, 0L)), "first occurrence is untouched")
+    assert(out(2L) === ((junk.mkString(" "), 57L, 50L)),
+      s"span [8,57] must be cut, got ${out(2L)}")
+    assert(out(3L) === (("", 30L, 30L)), "fully-duplicated doc scrubs to empty")
+  }
+
   test("ngramContainment flags a doc fully quoted inside a longer one") {
     val short = (1 to 30).map(i => s"tok$i").mkString(" ")
     val long = short + " " + (100 to 200).map(i => s"pad$i").mkString(" ")
