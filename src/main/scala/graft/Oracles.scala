@@ -1579,6 +1579,36 @@ SELECT doc_id, shard,
 FROM s
 ORDER BY shard, pos"""
 
+  /** Shard integrity manifest: per shard, doc count plus two mod-(2^61−1)
+    * checksums over 60-bit md5(text) prefixes — content (order-free sum)
+    * and order (pos-weighted, per-term mod). Exact HUGEINT arithmetic
+    * mirrors Spark's DECIMAL(38,0) sums term-for-term. Lockstep with
+    * Corpus.shardChecksums. */
+  val shardChecksums: String = """
+WITH k AS (
+  SELECT doc_id,
+         md5(CAST(0 AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), s AS (
+  SELECT doc_id, shuffle_key,
+         CAST(concat('0x', substring(shuffle_key, 1, 15)) AS BIGINT) % 8 AS shard
+  FROM k
+), sp AS (
+  SELECT doc_id, shard,
+         CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+  FROM s
+), h AS (
+  SELECT doc_id,
+         CAST(concat('0x', substring(md5(text), 1, 15)) AS BIGINT) AS h
+  FROM documents
+)
+SELECT sp.shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(h.h AS HUGEINT)) % 2305843009213693951 AS BIGINT) AS content_checksum,
+       CAST(SUM(CAST(sp.pos AS HUGEINT) * h.h % 2305843009213693951) % 2305843009213693951 AS BIGINT) AS order_checksum
+FROM sp JOIN h USING (doc_id)
+GROUP BY sp.shard
+ORDER BY shard"""
+
   /** LSH candidates CONFIRMED by Levenshtein over the 200-char prefix,
     * kept within 20 edits — mirrors Dedup.editVerified (same unit-cost
     * Levenshtein, same 1-based substring in both engines). */

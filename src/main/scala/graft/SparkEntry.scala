@@ -513,6 +513,8 @@ object SparkEntry {
 
     "training_shards" -> ((s, dir) => Corpus.trainingShards(Tables.documents(s, dir))),
 
+    "shard_checksums" -> ((s, dir) => Corpus.shardChecksums(Tables.documents(s, dir))),
+
     "dedup_keep_best" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir))),
 
     "corpus_datasheet" -> ((s, dir) => Corpus.corpusDatasheet(Tables.documents(s, dir))),
@@ -915,6 +917,7 @@ object SparkEntry {
     "nation_trade_balance"      -> Oracles.nationTradeBalance,
     "shingle_df_histogram"      -> Oracles.shingleDfHistogram,
     "training_shards"           -> Oracles.trainingShards,
+    "shard_checksums"           -> Oracles.shardChecksums,
     "dedup_keep_best"           -> Oracles.dedupKeepBest,
     "corpus_datasheet"          -> Oracles.corpusDatasheet,
     "embed_rp_project"          -> Oracles.embedRpProject,

@@ -767,6 +767,34 @@ object Corpus {
       .orderBy("shard", "pos")
   }
 
+  /** Shard INTEGRITY manifest over [[trainingShards]]' assignment: per
+    * shard, the doc count and two mod-(2^61−1) checksums over each doc's
+    * 60-bit md5(text) prefix — `content_checksum` (order-independent
+    * sum: do two exports hold the same documents?) and `order_checksum`
+    * (position-weighted: did the shuffle order reproduce too? — training
+    * runs replay shards sequentially, so order IS part of the contract).
+    *
+    * Scale shape: both checksums are plain distributive aggregates —
+    * per-term mod keeps every addend under 2^61, the running sums ride
+    * exact DECIMAL(38,0) (room for ~10^16 docs per shard), state is one
+    * number per shard per partition (map-side combined), and two 100 TB
+    * exports compare by diffing 8 rows. No giant string concat, no
+    * order-sensitive fold to serialize. */
+  def shardChecksums(documents: DataFrame, nShards: Int = 8, epoch: Long = 0L): DataFrame = {
+    val M = "2305843009213693951BD" // 2^61 − 1, prime; addends stay < 2^61
+    trainingShards(documents, nShards, epoch)
+      .join(documents.select(col("doc_id"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("h")), "doc_id")
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr(s"CAST(pmod(sum(CAST(h AS DECIMAL(38,0))), $M) AS BIGINT)")
+          .as("content_checksum"),
+        expr(s"CAST(pmod(sum(pmod(CAST(pos AS DECIMAL(19,0)) * CAST(h AS DECIMAL(19,0)), $M)), $M) AS BIGINT)")
+          .as("order_checksum"))
+      .orderBy("shard")
+  }
+
   /** Packing-efficiency report over [[sequencePacking]]'s bins: per
     * (lang, shard), bin count, packed tokens, capacity, and fill rate —
     * the utilization readout that tells a training pipeline how much GPU

@@ -210,6 +210,32 @@ class CurationSpec extends SparkSpec {
     assert(e0.count { case (id, sp) => e1(id) != sp } > n / 2)
   }
 
+  test("shard checksums: reproducible; order change flips only the order " +
+    "checksum, content change flips both") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, s"doc body number $i with words"))
+      .toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame, epoch: Long) =
+      Corpus.shardChecksums(d, nShards = 1, epoch = epoch).collect()
+        .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("content_checksum"),
+          r.getAs[Long]("order_checksum")))
+    val base = rows(docs, 0L)
+    assert(base.length === 1)
+    // bit-reproducible across runs — the manifest two exports diff
+    assert(rows(docs, 0L).toSeq === base.toSeq)
+    // a different epoch permutes positions within the single shard:
+    // same content sum, different order sum
+    val e1 = rows(docs, 1L)
+    assert(e1.head._1 === base.head._1)
+    assert(e1.head._2 === base.head._2, "content checksum is order-free")
+    assert(e1.head._3 !== base.head._3, "order checksum must see the permutation")
+    // editing one document flips the content checksum
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("edited body")).otherwise(col("text")))
+    val e = rows(edited, 0L)
+    assert(e.head._2 !== base.head._2)
+  }
+
   test("DSIR score survives counts whose long products would overflow") {
     import spark.implicits._
     // Real-corpus magnitudes: sum_t ~1e16 over nr ~1e12 grams makes the
