@@ -149,11 +149,22 @@ class LayoutSpec extends SparkSpec {
     Manifest.cleanStale(spark, state, Seq("documents", "fingerprints"))
     assert(!new java.io.File(s"$state/documents/b_inflight").exists())
     // a crashed writer's lease expires on its TTL and stops shielding
-    Manifest.acquireLease(spark, state, "writer-crashed", ttlMs = -1L)
+    val crashed = Manifest.acquireLease(spark, state, "writer-crashed", ttlMs = -1L)
     assert(Manifest.activeLeases(spark, state).isEmpty)
     Seq((60L, "crash leftover", "en", "t", 14L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$state/documents/b_crashed")
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints"))
+      .contains("documents/b_crashed"))
+    // heartbeat: renewing the expired lease re-shields the dir and keeps
+    // the ORIGINAL acquisition time (the vacuum cutoff must not slide)
+    val renewed = Manifest.renewLease(spark, state, crashed, ttlMs = 15 * 60 * 1000L)
+    assert(renewed.acquiredMs === crashed.acquiredMs,
+      "renew must preserve the acquisition time")
+    assert(renewed.expiresMs > crashed.expiresMs)
+    assert(Manifest.activeLeases(spark, state).map(_.owner) === Seq("writer-crashed"))
+    assert(Manifest.stale(spark, state, Seq("documents", "fingerprints")).isEmpty)
+    Manifest.releaseLease(spark, state, renewed)
     assert(Manifest.stale(spark, state, Seq("documents", "fingerprints"))
       .contains("documents/b_crashed"))
   }
