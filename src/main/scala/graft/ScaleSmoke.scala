@@ -418,6 +418,21 @@ object ScaleSmoke {
       println(s"[scale] substring runs at 10x = " +
         graft.operators.Dedup.exactSubstringRuns(docs10x).count()))
 
+    // r11: incremental batch-vs-corpus admission — the banded join is
+    // ASYMMETRIC (20% batch probes 80% corpus band rows), so candidate
+    // volume is bounded by batch-side collisions; verdict rows = batch
+    // size exactly, and wall clock must track the batch+corpus scan.
+    time(s"minhash_incremental nDocs=$nDocs")(
+      println(s"[scale] incremental verdicts = " +
+        graft.operators.Dedup.minhashIncremental(
+          docs.filter("pmod(doc_id, 5) = 0"),
+          docs.filter("pmod(doc_id, 5) != 0")).count()))
+    time(s"minhash_incremental nDocs=${nDocs * 10} (linearity check)")(
+      println(s"[scale] incremental verdicts at 10x = " +
+        graft.operators.Dedup.minhashIncremental(
+          docs10x.filter("pmod(doc_id, 5) = 0"),
+          docs10x.filter("pmod(doc_id, 5) != 0")).count()))
+
     // Containment shares ngramJaccard's df-capped blocking, so its pair
     // volume is the same near-linear bound; the planted contained docs
     // (1% verbatim + extra token) must surface.
