@@ -307,6 +307,94 @@ object Corpus {
     }
   }
 
+  /** Bring the persisted SIGNATURE INDEX in line with the committed
+    * corpus: one `signatures/<tag>` dir of 16-lane MinHash signatures per
+    * live `documents/<tag>` batch. Signatures are DERIVED state — this
+    * refresh (idempotent, incremental) computes them only for batches
+    * that lack one (O(new batches), not O(corpus)) and unlinks dirs
+    * whose document batch is gone (compaction/deletion rewrote it), so
+    * the index heals itself after any corpus rewrite and a deleted
+    * document's signature stops gating re-admission. Returns the number
+    * of batches (re)indexed.
+    *
+    * Scale shape: per new batch one codegen hash pass + one parquet
+    * write; the publish is manifest metadata. The full-corpus case is
+    * only ever paid right after a compaction — which already rewrote
+    * the corpus wholesale. */
+  def refreshSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): Long = {
+    import graft.sources.Manifest
+    val lease = Manifest.acquireLease(spark, stateDir,
+      s"sigidx_${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      Manifest.cleanStale(spark, stateDir, Seq("signatures"))
+      val snap = Manifest.snapshot(spark, stateDir)
+      val docTags = snap.live
+        .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
+        .toSet
+      val sigTags = snap.live
+        .collect { case s if s.startsWith("signatures/") => s.stripPrefix("signatures/") }
+        .toSet
+      val missing = docTags -- sigTags
+      val orphaned = sigTags -- docTags
+      if (missing.isEmpty && orphaned.isEmpty) return 0L
+      missing.foreach { t =>
+        Dedup.minhashSignature(spark.read.parquet(s"$stateDir/documents/$t"))
+          .write.mode("overwrite").parquet(s"$stateDir/signatures/$t")
+      }
+      Manifest.publishMerge(spark, stateDir) { cur =>
+        // re-derive against the CURRENT live set: only add signatures
+        // whose document batch is still live, drop any orphaned entry
+        val curDocs = cur.live
+          .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
+          .toSet
+        val keep = cur.live.filterNot(e =>
+          e.startsWith("signatures/") && !curDocs(e.stripPrefix("signatures/")))
+        val adds = missing.intersect(curDocs).toSeq.sorted.map(t => s"signatures/$t")
+        ((keep ++ adds).distinct, cur.meta)
+      }
+      missing.size.toLong
+    } finally Manifest.releaseLease(spark, stateDir, lease)
+  }
+
+  /** Incremental ingest with a NEAR-DUP admission gate in front of
+    * [[ingestIncremental]]'s exact-fingerprint transaction: batch docs
+    * whose best band-collision match against the persisted signature
+    * index reaches `threshold` are rejected before staging — the
+    * recurring-crawl admission shape ([[Dedup.minhashIncremental]])
+    * composed with the versioned store. The near-dup gate reads the
+    * lease-time index, so it is ADVISORY at race boundaries (two
+    * concurrent ingests can each admit the other's near-twin — the same
+    * eventual-consistency every production near-dup store accepts);
+    * EXACT duplicates stay transactional through the fingerprint CAS.
+    * Within-batch near-dups are deliberately not examined (run
+    * [[Dedup.minhashLsh]] on the batch first if that matters).
+    *
+    * Scale shape: the index probe is the asymmetric band join — batch
+    * band rows against the persisted index, candidates bounded by
+    * batch-side collisions; the corpus is re-hashed NEVER (signatures
+    * persist per batch and refresh incrementally). */
+  def ingestNearDup(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, stateDir: String, threshold: Double = 0.5,
+      maxLiveBatches: Int = 64): Long = {
+    import graft.sources.Manifest
+    refreshSignatureIndex(spark, stateDir)
+    val sigDirs = Manifest.live(spark, stateDir).filter(_.startsWith("signatures/"))
+    val keep =
+      if (sigDirs.isEmpty) batch
+      else {
+        val sigC = spark.read.parquet(sigDirs.map(d => s"$stateDir/$d"): _*)
+        val rejects = Dedup
+          .minhashIncrementalVerdicts(Dedup.minhashSignature(batch), sigC)
+          .filter(col("est_jaccard") >= threshold)
+          .select(col("new_doc").as("doc_id"))
+        batch.join(rejects, Seq("doc_id"), "left_anti")
+      }
+    val n = ingestIncremental(spark, keep, stateDir, maxLiveBatches)
+    refreshSignatureIndex(spark, stateDir) // index what just committed
+    n
+  }
+
   /** TARGETED DELETION (right-to-be-forgotten / takedown): remove the
     * given doc_ids from the committed corpus, rewriting ONLY the batches
     * that actually contain a target and purging the deleted documents'

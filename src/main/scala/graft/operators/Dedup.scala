@@ -276,8 +276,23 @@ object Dedup {
     * daily batch probes; signatures are one codegen map pass per side. */
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
       threshold: Double = 0.5, maxBucket: Long = 1000L): DataFrame = {
-    val sigN = Materialize(minhashSignature(newDocs))
-    val sigC = Materialize(minhashSignature(corpus))
+    val best = minhashIncrementalVerdicts(
+      Materialize(minhashSignature(newDocs)),
+      Materialize(minhashSignature(corpus)), maxBucket)
+    newDocs.select(col("doc_id").as("new_doc"))
+      .join(best, Seq("new_doc"), "left")
+      .select(col("new_doc"), col("dup_of"), col("est_jaccard"),
+        (col("est_jaccard").isNull || col("est_jaccard") < threshold).as("admit"))
+      .orderBy("new_doc")
+  }
+
+  /** [[minhashIncremental]]'s candidate core over PRE-COMPUTED signature
+    * frames (doc_id, mh0..mh15): best corpus match per new doc that has
+    * at least one band collision — (new_doc, dup_of, est_jaccard). The
+    * split lets a persisted signature index ([[Corpus.ingestNearDup]])
+    * skip re-hashing the corpus on every batch. */
+  private[graft] def minhashIncrementalVerdicts(
+      sigN: DataFrame, sigC: DataFrame, maxBucket: Long = 1000L): DataFrame = {
     val tagged = bandRows(sigN).withColumn("is_new", lit(true))
       .unionByName(bandRows(sigC).withColumn("is_new", lit(false)))
     val bands = capBuckets(tagged, Seq("band", "band_hash"), maxBucket)
@@ -299,15 +314,10 @@ object Dedup {
     // argmax est (ties → min corpus doc) as one struct-min agg; candidate
     // estimates are ≥ 2/16 (a shared band forces two equal lanes), so the
     // double negation round-trips exactly with no −0.0 edge
-    val best = scored.groupBy("new_doc")
+    scored.groupBy("new_doc")
       .agg(min(struct((-col("est_jaccard")).as("ne"), col("dup_of").as("d"))).as("f"))
       .select(col("new_doc"), col("f.d").as("dup_of"),
         (-col("f.ne")).as("est_jaccard"))
-    newDocs.select(col("doc_id").as("new_doc"))
-      .join(best, Seq("new_doc"), "left")
-      .select(col("new_doc"), col("dup_of"), col("est_jaccard"),
-        (col("est_jaccard").isNull || col("est_jaccard") < threshold).as("admit"))
-      .orderBy("new_doc")
   }
 
   /** Per-document n-gram NOVELTY: the fraction of a document's shingles

@@ -169,6 +169,46 @@ class LayoutSpec extends SparkSpec {
       .contains("documents/b_crashed"))
   }
 
+  test("near-dup ingest: persisted signature index gates admission; " +
+    "targeted delete heals the gate") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-neardup").toString
+    def doc(id: Long, text: String) = (id, text, "en", "t", text.length.toLong)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val third = (300 to 340).map(i => s"p$i").mkString(" ")
+
+    val b1 = Seq(doc(1L, base), doc(2L, other))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.ingestNearDup(spark, b1, state) === 2L)
+    // the index is live: one signatures/ dir per documents/ batch
+    val live1 = Manifest.live(spark, state)
+    assert(live1.count(_.startsWith("signatures/")) ===
+      live1.count(_.startsWith("documents/")))
+
+    // near-twin of committed doc 1 rejected, genuinely new doc admitted
+    val b2 = Seq(doc(10L, near), doc(11L, third))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.ingestNearDup(spark, b2, state) === 1L)
+    assert(Corpus.documents(spark, state).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 11L))
+
+    // right-to-be-forgotten: after deleting doc 1, its signature no
+    // longer gates — the near-twin is legitimately re-admittable
+    Corpus.deleteDocs(spark, state, Seq(1L))
+    val b3 = Seq(doc(20L, near)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.ingestNearDup(spark, b3, state) === 1L)
+    assert(Corpus.documents(spark, state).select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 11L, 20L))
+    // index realigned after the delete rewrite too
+    val live2 = Manifest.live(spark, state)
+    assert(live2.count(_.startsWith("signatures/")) ===
+      live2.count(_.startsWith("documents/")))
+  }
+
   test("manifest: torn version files are invisible to readers and skipped by allocation") {
     import graft.sources.Manifest
     val state = Files.createTempDirectory("graft-manifest-torn").toString
