@@ -4999,6 +4999,57 @@ ORDER BY dow"""
 
   /** Power-of-two token-length histogram per language (integer bit-length
     * buckets — no log2). Mirrors Corpus.docLenHistogram. */
+  /** Batch-vs-corpus length-distribution drift per power-of-two bucket:
+    * KS cumulative gaps as single IEEE ops over exact counts, PSI term
+    * via the [[lniSql]] integer-ln tree over integer products. Lockstep
+    * with Corpus.corpusDrift. */
+  def corpusDriftChain: String = s"""
+WITH t AS (
+  SELECT (doc_id % 5 = 0) AS is_new,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), b0 AS (
+  SELECT is_new, CAST(length(format('{:b}', n_tokens)) - 1 AS BIGINT) AS bucket
+  FROM t WHERE n_tokens > 0
+), b AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_ref
+  FROM b0 GROUP BY bucket
+), tot AS (
+  SELECT CAST(SUM(n_new) AS BIGINT) AS t_new, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM b
+), c AS (
+  SELECT bucket, n_new, n_ref, t_new, t_ref,
+         CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
+         CAST(SUM(n_ref) OVER (ORDER BY bucket) AS BIGINT) AS cum_ref,
+         CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE) AS p_new,
+         CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p_ref
+  FROM b, tot
+), drift AS (
+  SELECT bucket, n_new, n_ref, p_new, p_ref, cum_new, cum_ref,
+         abs(CAST(cum_new AS DOUBLE) / CAST(t_new AS DOUBLE)
+             - CAST(cum_ref AS DOUBLE) / CAST(t_ref AS DOUBLE)) AS ks_diff,
+         CASE WHEN n_new > 0 AND n_ref > 0
+              THEN (p_new - p_ref) * (${lniSql("CAST(n_new * t_ref AS BIGINT)")}
+                                      - ${lniSql("CAST(n_ref * t_new AS BIGINT)")})
+              ELSE 0.0 END AS psi_term
+  FROM c
+)"""
+
+  val corpusDrift: String = corpusDriftChain + """
+SELECT bucket, n_new, n_ref, p_new, p_ref, cum_new, cum_ref, ks_diff, psi_term
+FROM drift ORDER BY bucket"""
+
+  /** Scalar drift gate: KS max, ordered-fold PSI, bucket accounting.
+    * Mirrors Corpus.corpusDriftSummary. */
+  val corpusDriftSummary: String = corpusDriftChain + """
+SELECT max(ks_diff) AS ks,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(psi_term ORDER BY bucket)),
+                   (a, b) -> a + b) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(CASE WHEN n_new = 0 OR n_ref = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped
+FROM drift"""
+
   val docLenHistogram: String = """
 WITH t AS (
   SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents

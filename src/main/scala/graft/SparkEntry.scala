@@ -515,6 +515,11 @@ object SparkEntry {
 
     "shard_checksums" -> ((s, dir) => Corpus.shardChecksums(Tables.documents(s, dir))),
 
+    "corpus_drift" -> ((s, dir) => Corpus.corpusDrift(Tables.documents(s, dir))),
+
+    "corpus_drift_summary" -> ((s, dir) =>
+      Corpus.corpusDriftSummary(Tables.documents(s, dir))),
+
     "dedup_keep_best" -> ((s, dir) => Dedup.clusterRepresentatives(Tables.documents(s, dir))),
 
     "corpus_datasheet" -> ((s, dir) => Corpus.corpusDatasheet(Tables.documents(s, dir))),
@@ -918,6 +923,8 @@ object SparkEntry {
     "shingle_df_histogram"      -> Oracles.shingleDfHistogram,
     "training_shards"           -> Oracles.trainingShards,
     "shard_checksums"           -> Oracles.shardChecksums,
+    "corpus_drift"              -> Oracles.corpusDrift,
+    "corpus_drift_summary"      -> Oracles.corpusDriftSummary,
     "dedup_keep_best"           -> Oracles.dedupKeepBest,
     "corpus_datasheet"          -> Oracles.corpusDatasheet,
     "embed_rp_project"          -> Oracles.embedRpProject,

@@ -953,6 +953,76 @@ object Corpus {
       .select("lang", "bucket", "bucket_lo", "bucket_hi", "n_docs", "total_tokens")
       .orderBy("lang", "bucket")
 
+  /** Distribution DRIFT between an incoming batch and the standing
+    * corpus (batch = doc_id ≡ 0 mod 5, the C86 admission split): per
+    * power-of-two token-length bucket, both sides' counts and shares,
+    * the cumulative-share gap (the KS component) and the PSI term
+    * (p_new − p_ref)·ln(p_new/p_ref) — the monitoring readout a
+    * recurring-crawl pipeline checks before admitting a batch whose
+    * length profile silently shifted (truncation bugs, a new boilerplate
+    * family, a crawler that started keeping nav pages).
+    *
+    * Determinism: shares and KS gaps are single IEEE divisions/
+    * subtractions of exactly-representable integer counts (< 2^53);
+    * the PSI log is `graft_lni(n_new·t_ref) − graft_lni(n_ref·t_new)` —
+    * the §3 integer-ln tree over integer PRODUCTS (the token-PMI move),
+    * valid while each product stays under 2^63 (≈3·10^9 docs per side;
+    * past that, rescale counts by their gcd or fold the ≤64-row frame
+    * driver-side). Zero-sided buckets carry psi_term = 0 and are
+    * reported via the summary's `n_skipped` (the standard PSI
+    * convention made explicit rather than epsilon-fudged).
+    *
+    * Scale shape: one map + one ≤64-row groupBy; the cumulative window
+    * is unpartitioned BY CONSTRUCTION over ≤64 bucket rows (whitelisted
+    * in the plan sweep); totals are a one-row broadcast. */
+  def corpusDrift(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val b = documents
+      .select((pmod(col("doc_id"), lit(5)) === 0).as("is_new"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", (length(conv(col("n_tokens"), 10, 2)) - 1).cast("long"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_ref"))
+    val tot = b.agg(sum("n_new").as("t_new"), sum("n_ref").as("t_ref"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.crossJoin(broadcast(tot))
+      .withColumn("cum_new", sum("n_new").over(w))
+      .withColumn("cum_ref", sum("n_ref").over(w))
+      .withColumn("p_new", col("n_new").cast("double") / col("t_new").cast("double"))
+      .withColumn("p_ref", col("n_ref").cast("double") / col("t_ref").cast("double"))
+      .withColumn("ks_diff", abs(
+        col("cum_new").cast("double") / col("t_new").cast("double") -
+          col("cum_ref").cast("double") / col("t_ref").cast("double")))
+      .withColumn("psi_term",
+        when(col("n_new") > 0 && col("n_ref") > 0,
+          (col("p_new") - col("p_ref")) *
+            (expr("graft_lni(n_new * t_ref)") - expr("graft_lni(n_ref * t_new)")))
+          .otherwise(lit(0.0)))
+      .select("bucket", "n_new", "n_ref", "p_new", "p_ref",
+        "cum_new", "cum_ref", "ks_diff", "psi_term")
+      .orderBy("bucket")
+  }
+
+  /** The scalar gate over [[corpusDrift]]: KS statistic (max cumulative
+    * gap), total PSI (position-ordered double fold over bucket terms —
+    * the §3 ordered-fold discipline), bucket count and how many buckets
+    * were zero-sided (PSI-undefined, skipped). One row; the number pair
+    * an ingest SLO alerts on (PSI > 0.2 = investigate, > 0.25 = block,
+    * the standard credit-scoring thresholds). */
+  def corpusDriftSummary(documents: DataFrame): DataFrame =
+    corpusDrift(documents).agg(
+      max("ks_diff").as("ks"),
+      aggregate(
+        array_sort(collect_list(struct(col("bucket"), col("psi_term")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("psi_term")).as("psi"),
+      count(lit(1)).as("n_buckets"),
+      sum(when(col("n_new") === 0 || col("n_ref") === 0, 1L).otherwise(0L))
+        .as("n_skipped"))
+
   /** Per-source exact-duplication rate: documents vs distinct texts per
     * source — the one-line provenance health check (a crawl source whose
     * dup rate jumps is re-serving cached pages) that decides where the

@@ -236,6 +236,40 @@ class CurationSpec extends SparkSpec {
     assert(e.head._2 !== base.head._2)
   }
 
+  test("corpus drift: identical profiles are silent; a one-sided bucket " +
+    "is skipped from PSI and moves KS") {
+    import spark.implicits._
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // ids ≡ 0 mod 5 are the batch; both sides get one doc in bucket 2
+    // (4-7 tokens) and one in bucket 3 (8-15) → identical shape
+    val same = Seq(doc(5L, 4), doc(10L, 8), doc(1L, 5), doc(2L, 9))
+      .toDF("doc_id", "text")
+    val s1 = Corpus.corpusDriftSummary(same).head()
+    assert(s1.getAs[Double]("ks") === 0.0)
+    assert(s1.getAs[Double]("psi") === 0.0)
+    assert(s1.getAs[Long]("n_skipped") === 0L)
+
+    // batch gains a bucket-4 doc the corpus lacks: that bucket is
+    // PSI-skipped (zero-sided) but the cumulative gap must register
+    val drifted = Seq(doc(5L, 4), doc(10L, 16), doc(1L, 5), doc(2L, 9))
+      .toDF("doc_id", "text")
+    val rows = Corpus.corpusDrift(drifted).collect()
+    val byBucket = rows.map(r => r.getAs[Long]("bucket") -> r).toMap
+    assert(byBucket(4L).getAs[Long]("n_ref") === 0L)
+    assert(byBucket(4L).getAs[Double]("psi_term") === 0.0)
+    val s2 = Corpus.corpusDriftSummary(drifted).head()
+    assert(s2.getAs[Double]("ks") > 0.0)
+    assert(s2.getAs[Long]("n_skipped") === 2L,
+      "bucket 3 (ref-only) and bucket 4 (batch-only) are both one-sided")
+    // both CDFs end at 1 → the last bucket's gap is exactly zero
+    val last = rows.maxBy(_.getAs[Long]("bucket"))
+    assert(last.getAs[Double]("ks_diff") === 0.0)
+    // a shared-bucket imbalance yields a strictly positive PSI
+    val skewed = Seq(doc(5L, 4), doc(10L, 4), doc(15L, 8),
+      doc(1L, 5), doc(2L, 9), doc(3L, 9)).toDF("doc_id", "text")
+    assert(Corpus.corpusDriftSummary(skewed).head().getAs[Double]("psi") > 0.0)
+  }
+
   test("DSIR score survives counts whose long products would overflow") {
     import spark.implicits._
     // Real-corpus magnitudes: sum_t ~1e16 over nr ~1e12 grams makes the

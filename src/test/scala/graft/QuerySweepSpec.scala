@@ -46,7 +46,9 @@ class QuerySweepSpec extends SparkSpec {
     "doc_len_histogram",         // ≤ log₂(max len) buckets
     "order_value_percentiles",   // interpolated-quartile summary rows
     "vocab_growth",              // ≤ |vocab slice| rows (bounded slice)
-    "events_funnel"              // ≤ |funnel steps| rows
+    "events_funnel",             // ≤ |funnel steps| rows
+    "corpus_drift",              // ≤ 63 power-of-two length buckets
+    "corpus_drift_summary"       // same bounded bucket frame, aggregated
   )
 
   /** A subtree containing any LIMIT variant feeds the node above it a
