@@ -5019,12 +5019,14 @@ WITH t AS (
 ), tot AS (
   SELECT CAST(SUM(n_new) AS BIGINT) AS t_new, CAST(SUM(n_ref) AS BIGINT) AS t_ref FROM b
 ), c AS (
+  -- zero-doc side => empty output, never NaN shares (lockstep guard)
   SELECT bucket, n_new, n_ref, t_new, t_ref,
          CAST(SUM(n_new) OVER (ORDER BY bucket) AS BIGINT) AS cum_new,
          CAST(SUM(n_ref) OVER (ORDER BY bucket) AS BIGINT) AS cum_ref,
          CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE) AS p_new,
          CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS p_ref
   FROM b, tot
+  WHERE t_new > 0 AND t_ref > 0
 ), drift AS (
   SELECT bucket, n_new, n_ref, p_new, p_ref, cum_new, cum_ref,
          abs(CAST(cum_new AS DOUBLE) / CAST(t_new AS DOUBLE)

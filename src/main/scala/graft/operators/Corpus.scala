@@ -989,6 +989,9 @@ object Corpus {
     val w = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     b.crossJoin(broadcast(tot))
+      // a zero-doc side means there is nothing to compare — empty
+      // output, never NaN shares (degenerate-input contract)
+      .filter(col("t_new") > 0 && col("t_ref") > 0)
       .withColumn("cum_new", sum("n_new").over(w))
       .withColumn("cum_ref", sum("n_ref").over(w))
       .withColumn("p_new", col("n_new").cast("double") / col("t_new").cast("double"))

@@ -131,4 +131,48 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Corpus.textEntropy(
       Seq.empty[(Long, String)].toDF("doc_id", "text")).count() === 0)
   }
+
+  test("round-11 operators on degenerate inputs: empty/verbatim out, no NaN rows") {
+    import spark.implicits._
+    import graft.operators.{Corpus, Dedup}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val short = Seq((1L, "just five tokens in here")).toDF("doc_id", "text")
+
+    // substring family: empty corpus and sub-k docs produce no spans/runs;
+    // the scrub returns sub-k docs verbatim with zero removals
+    assert(Dedup.exactSubstringSpans(emptyDocs).count() === 0)
+    assert(Dedup.exactSubstringRuns(emptyDocs).count() === 0)
+    assert(Dedup.exactSubstringScrub(emptyDocs).count() === 0)
+    assert(Dedup.exactSubstringRuns(short).count() === 0)
+    val sc = Dedup.exactSubstringScrub(short).head()
+    assert(sc.getAs[String]("clean_text") === "just five tokens in here"
+      && sc.getAs[Long]("n_removed") === 0L)
+
+    // incremental admission: empty corpus admits everything with null
+    // attribution; an empty batch yields no verdict rows
+    val batch = Seq((10L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val inc = Dedup.minhashIncremental(batch, emptyDocs).collect()
+    assert(inc.length === 1 && inc.head.getAs[Boolean]("admit")
+      && inc.head.isNullAt(inc.head.fieldIndex("dup_of")))
+    assert(Dedup.minhashIncremental(emptyDocs, batch).count() === 0)
+
+    // split: empty corpus -> empty; singleton is its own rep with a
+    // valid split value
+    assert(Dedup.leakageFreeSplit(emptyDocs).count() === 0)
+    val sp = Dedup.leakageFreeSplit(short).head()
+    assert(sp.getAs[Long]("rep") === 1L
+      && Set("train", "val").contains(sp.getAs[String]("split")))
+
+    // shard checksums: empty corpus -> no shard rows (not zero rows)
+    assert(Corpus.shardChecksums(emptyDocs).count() === 0)
+
+    // drift: a corpus whose batch side (doc_id % 5 == 0) is empty has
+    // nothing to compare -> EMPTY output, never NaN shares
+    val refOnly = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    assert(Corpus.corpusDrift(refOnly).count() === 0)
+    assert(Corpus.corpusDrift(emptyDocs).count() === 0)
+    val ds = Corpus.corpusDriftSummary(refOnly).head()
+    assert(ds.getAs[Long]("n_buckets") === 0L)
+  }
 }
