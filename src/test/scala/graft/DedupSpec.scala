@@ -516,6 +516,39 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) === (("", 30L, 30L)), "fully-duplicated doc scrubs to empty")
   }
 
+  test("substring runs and spans cover identical positions on real data " +
+    "(finer attribution, same flagged set)") {
+    // Both operators flag the same gram starts (first occurrence is the
+    // lexicographic-min doc either way) and both report intervals equal
+    // to the union of their flagged k-windows — runs just group the
+    // windows per (source, diagonal). So per doc, covered positions must
+    // match EXACTLY; runs may only split intervals, never shrink or grow
+    // coverage.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    def covered(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.groupBy(_.getAs[Long]("doc_id")).map { case (d, rs) =>
+        d -> rs.flatMap(r =>
+          r.getAs[Long]("span_start") to r.getAs[Long]("span_end")).toSet
+      }
+    val spanCov = covered(Dedup.exactSubstringSpans(docs).collect())
+    val runRows = Dedup.exactSubstringRuns(docs).collect()
+    val runCov = covered(runRows)
+    assert(spanCov.nonEmpty, "fixture must contain cross-doc duplication")
+    assert(runCov === spanCov)
+    // and every run is genuinely attributed: a positive-length source
+    // window inside the claimed source doc
+    val lens = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split(" ").length.toLong).toMap
+    runRows.foreach { r =>
+      val src = r.getAs[Long]("src_doc")
+      val s0 = r.getAs[Long]("src_start")
+      val n = r.getAs[Long]("n_tokens")
+      assert(s0 >= 1L && s0 + n - 1 <= lens(src),
+        s"run claims source window [$s0, ${s0 + n - 1}] outside doc $src of ${lens(src)} tokens")
+    }
+  }
+
   test("ngramContainment flags a doc fully quoted inside a longer one") {
     val short = (1 to 30).map(i => s"tok$i").mkString(" ")
     val long = short + " " + (100 to 200).map(i => s"pad$i").mkString(" ")
