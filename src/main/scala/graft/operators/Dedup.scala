@@ -263,7 +263,7 @@ object Dedup {
     * doc_id on ties) and `admit` = no corpus candidate reaches
     * `threshold`. Within-batch duplicates are deliberately NOT examined
     * (run [[minhashLsh]] on the batch for that; the streaming admission
-    * twin is `Streaming.nearDupGate`).
+    * twin is [[graft.streaming.Streaming.simhashNearMarks]]).
     *
     * Scale shape: the candidate join is ASYMMETRIC — new-batch band rows
     * (tiny: one day's crawl) against corpus band rows, so the join output
