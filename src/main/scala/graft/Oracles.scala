@@ -2300,7 +2300,10 @@ ORDER BY query_id, rnk"""
   GROUP BY f.vec_id, f.nrm, c.cid, n.cnrm
 )"""
 
-  val annIvfTrainedTopK: String = {
+  /** Trained-IVF top-k at a given probe budget — the fixed-nProbe=2
+    * consumer keeps its exact former text via [[annIvfTrainedTopK]];
+    * the sweep instantiates 1/2/4. */
+  private def ivfTrainedTopKSql(nProbe: Int): String = {
     trainedQuantBase(2) + s"""
 , assigned AS (
   SELECT vec_id, cid AS cell FROM (
@@ -2312,7 +2315,7 @@ ORDER BY query_id, rnk"""
     SELECT vec_id AS query_id, cid AS cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
     FROM cdotF WHERE vec_id < 8) t
-  WHERE qrn <= 2
+  WHERE qrn <= $nProbe
 ), cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assigned a ON p.cell = a.cell
@@ -2335,6 +2338,24 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
+
+  val annIvfTrainedTopK: String = ivfTrainedTopKSql(2)
+
+  /** Recall@10 per (nprobe, query) for nprobe ∈ {1,2,4} — the trained-IVF
+    * tuning table. Mirrors Similarity.ivfNprobeSweep (quantizer chain is
+    * deterministic, so re-instantiating it per branch is value-identical
+    * to the Spark side's train-once). */
+  def annNprobeSweep: String =
+    Seq(1, 2, 4).map { np =>
+      s"""
+SELECT $np AS nprobe, b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN (${ivfTrainedTopKSql(np)}) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"
 
   /** SemDeDup oracle: the shared trained-quantizer chain assigns every
     * vector to its cell (keeping the cosine to its own centroid),

@@ -577,6 +577,8 @@ object SparkEntry {
 
     "ann_ndcg_ivf" -> ((s, dir) => Similarity.ivfTrainedNdcg(Tables.embeddings(s, dir))),
 
+    "ann_nprobe_sweep" -> ((s, dir) => Similarity.ivfNprobeSweep(Tables.embeddings(s, dir))),
+
     "ann_ndcg_lsh" -> ((s, dir) => Similarity.lshNdcg(Tables.embeddings(s, dir))),
 
     "search_ndcg_rrf" -> ((s, dir) =>
@@ -944,6 +946,7 @@ object SparkEntry {
     "ann_lsh_topk"              -> Oracles.annLshTopK,
     "ann_recall_lsh"            -> Oracles.annRecallLsh,
     "ann_ndcg_ivf"              -> Oracles.annNdcgIvf,
+    "ann_nprobe_sweep"          -> Oracles.annNprobeSweep,
     "ann_ndcg_lsh"              -> Oracles.annNdcgLsh,
     "search_ndcg_rrf"           -> Oracles.searchNdcgRrf,
     "search_rrf_fusion"         -> Oracles.searchRrfFusion,

@@ -712,6 +712,26 @@ object Similarity {
       bruteForceTopK(embeddings, nQueries, k),
       lshTopK(embeddings, nQueries, k))
 
+  /** Recall@k vs nProbe SWEEP for the trained-IVF index — the tuning
+    * TABLE behind [[ivfTrainedRecall]]'s single point (the ANN analogue
+    * of `dedup_threshold_sweep`): one row per (nprobe, query), so the
+    * operator that ships at 100 TB picks its probe budget from measured
+    * recall, not folklore. The quantizer trains ONCE (driver-side over
+    * the bounded sample, bit-equal across probes); each probe setting
+    * re-runs only the cell-pruned scan, and every side stays the same
+    * |Q|·k bounded evaluation shape as [[recallAtK]]. */
+  def ivfNprobeSweep(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    val cent = trainCentroids(embeddings)
+    val truth = bruteForceTopK(embeddings, nQueries, k)
+    probes.map { np =>
+      recallAtK(truth, probeTopK(embeddings, cent, nQueries, np, k))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+      .select("nprobe", "query_id", "n_hits", "recall")
+      .orderBy("nprobe", "query_id")
+  }
+
   /** Recall@k of the TRAINED-quantizer IVF index ([[ivfTopKTrained]]) vs
     * exact brute force — the quality gate for the index family that
     * actually ships at 100 TB (brute force is the small-corpus baseline;

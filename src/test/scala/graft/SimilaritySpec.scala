@@ -356,4 +356,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.rankedEval(truth, noTop, k = 3)
       .collect().head.getAs[Double]("mrr") === 0.0)
   }
+
+  test("nprobe sweep: recall is monotone in the probe budget and the " +
+    "nprobe=2 slice equals the single-point recall query") {
+    val embTable = graft.sources.Tables.embeddings(spark, sfDir)
+    val sweep = Similarity.ivfNprobeSweep(embTable).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id")) ->
+        r.getAs[Double]("recall")).toMap
+    val queries = sweep.keys.map(_._2).toSet
+    assert(sweep.size === 3 * queries.size)
+    // more probes can only add candidates -> per-query recall monotone
+    queries.foreach { q =>
+      assert(sweep((1, q)) <= sweep((2, q)) && sweep((2, q)) <= sweep((4, q)),
+        s"query $q: recall must not drop as nprobe grows")
+    }
+    // the table's nprobe=2 column IS ivfTrainedRecall
+    val single = Similarity.ivfTrainedRecall(embTable).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    queries.foreach(q => assert(sweep((2, q)) === single(q)))
+  }
 }
