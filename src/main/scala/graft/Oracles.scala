@@ -1267,8 +1267,10 @@ ORDER BY keep_doc_id"""
   /** Shared ExactSubstr span chain (k = 20): every token position whose
     * 20-gram first occurs in an EARLIER doc is removable; flagged
     * positions stitch gaps-and-islands into maximal [min p, max p + 19]
-    * spans (CTE `spans`). 60-bit md5-prefix gram ids, lockstep with
-    * Dedup.exactSubstringSpans. */
+    * spans (CTE `spans`). 120-bit dual-60-bit md5-segment gram ids
+    * (hex chars [1,15] + [16,30]), lockstep with
+    * Dedup.exactSubstringSpans / Dedup.gramIds — a single 60-bit prefix
+    * is birthday-collision-prone at 10^12-gram corpus scale. */
   private def substringSpanChain: String = """
 WITH tokarr AS (
   SELECT doc_id, string_split(text, ' ') AS ts FROM documents
@@ -1277,12 +1279,13 @@ WITH tokarr AS (
   FROM tokarr WHERE len(ts) >= 20
 ), g AS (
   SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 1, 15)) AS BIGINT) AS gid
+         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 1, 15)) AS BIGINT) AS gid_hi,
+         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 16, 15)) AS BIGINT) AS gid_lo
   FROM g0
 ), fst AS (
-  SELECT gid, MIN(doc_id) AS first_doc FROM g GROUP BY gid
+  SELECT gid_hi, gid_lo, MIN(doc_id) AS first_doc FROM g GROUP BY gid_hi, gid_lo
 ), flagged AS (
-  SELECT g.doc_id, g.pos FROM g JOIN fst USING (gid) WHERE g.doc_id > fst.first_doc
+  SELECT g.doc_id, g.pos FROM g JOIN fst USING (gid_hi, gid_lo) WHERE g.doc_id > fst.first_doc
 ), isl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 20
@@ -1339,15 +1342,17 @@ WITH tokarr AS (
   FROM tokarr WHERE len(ts) >= 20
 ), g AS (
   SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 1, 15)) AS BIGINT) AS gid
+         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 1, 15)) AS BIGINT) AS gid_hi,
+         CAST(concat('0x', substring(md5(array_to_string(ts[pos:pos+19], ' ')), 16, 15)) AS BIGINT) AS gid_lo
   FROM g0
 ), fst AS (
-  SELECT gid, MIN(struct_pack(d := doc_id, p := pos)) AS f FROM g GROUP BY gid
+  SELECT gid_hi, gid_lo, MIN(struct_pack(d := doc_id, p := pos)) AS f
+  FROM g GROUP BY gid_hi, gid_lo
 ), fsrc AS (
-  SELECT gid, f.d AS src_doc, f.p AS src_pos FROM fst
+  SELECT gid_hi, gid_lo, f.d AS src_doc, f.p AS src_pos FROM fst
 ), m AS (
   SELECT g.doc_id, g.pos, fsrc.src_doc, g.pos - fsrc.src_pos AS diag
-  FROM g JOIN fsrc USING (gid) WHERE g.doc_id > fsrc.src_doc
+  FROM g JOIN fsrc USING (gid_hi, gid_lo) WHERE g.doc_id > fsrc.src_doc
 ), isl AS (
   SELECT doc_id, pos, src_doc, diag,
          CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 20

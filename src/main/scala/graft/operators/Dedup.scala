@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -354,9 +354,9 @@ object Dedup {
     * offset-shifted duplicates), every cross-document k-token repeat is
     * found at any offset.
     *
-    * Mechanics: every token position opens a k-gram (md5-prefix 60-bit
-    * id, the [[ngramJaccard]] shuffle-narrowing projection — identical
-    * in both engines); a position is REMOVABLE iff its gram's corpus-wide
+    * Mechanics: every token position opens a k-gram (120-bit dual-md5
+    * id via [[gramIds]] — identical in both engines); a position is
+    * REMOVABLE iff its gram's corpus-wide
     * first-occurrence doc (min doc_id) is an earlier document — the
     * gram-keyed first-occurrence rule, so the earliest copy always
     * survives intact. Removable positions stitch into maximal spans via
@@ -370,16 +370,38 @@ object Dedup {
     * then doc-partitioned lag/sum windows and a bounded rollup. Nothing
     * quadratic at any duplication profile — hot boilerplate grams cost
     * one agg row, not a self-join bucket. */
-  def exactSubstringSpans(documents: DataFrame, k: Int = 20): DataFrame = {
+  def exactSubstringSpans(documents: DataFrame, k: Int = 20): DataFrame =
+    exactSubstringSpansAt(documents, k, hexLen = 15, dualKey = true)
+
+  /** k-gram identity for the EXACT-substring family (C82/C82b/C82c): TWO
+    * 60-bit md5 segments (hex chars [1,15] and [16,30]) — 120 id bits.
+    * A single 60-bit prefix (the pre-r12 scheme) breaks the family's
+    * *exact* contract at corpus scale: at 10^12–10^13 grams the birthday
+    * count n²/2^61 is 10^5–10^7 colliding pairs, each one a k-token
+    * "verbatim" match that never existed — spans would report it and
+    * scrub would CUT real text from a clean document. At 120 bits the
+    * same count is ~1e-10 pairs: immaterial. Kept numeric (two longs,
+    * 16 bytes) rather than the 32-byte md5 hex string to halve the
+    * gram-shuffle key width. `hexLen` exists ONLY so the collision spec
+    * can force clashes at tiny widths (production is always 15); the
+    * probabilistic families (MinHash/SimHash sids) stay single-prefix by
+    * design — their candidates are verified downstream. */
+  private[graft] def gramIds(gram: Column, hexLen: Int): Seq[Column] = Seq(
+    conv(substring(md5(gram), 1, hexLen), 16, 10).cast("long").as("gid_hi"),
+    conv(substring(md5(gram), 1 + hexLen, hexLen), 16, 10).cast("long").as("gid_lo"))
+
+  private[graft] def exactSubstringSpansAt(documents: DataFrame, k: Int,
+      hexLen: Int, dualKey: Boolean): DataFrame = {
+    val gramKey = if (dualKey) Seq("gid_hi", "gid_lo") else Seq("gid_hi")
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gid"))
-    val firstDoc = grams.groupBy("gid").agg(min("doc_id").as("first_doc"))
-    val flagged = grams.join(firstDoc, "gid")
+      .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
+        gramIds(col("col"), hexLen): _*)
+    val firstDoc = grams.groupBy(gramKey.map(col): _*).agg(min("doc_id").as("first_doc"))
+    val flagged = grams.join(firstDoc, gramKey)
       .filter(col("doc_id") > col("first_doc"))
       .select("doc_id", "pos")
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -418,21 +440,25 @@ object Dedup {
     *
     * Scale shape: identical to C82 — one gram map, one gid-keyed min
     * agg, one linear join-back, doc-partitioned windows. Nothing
-    * quadratic at any duplication profile. */
+    * quadratic at any duplication profile. Gram identity is the 120-bit
+    * [[gramIds]] dual key — the "verbatim" contract here is even more
+    * exposed to id collisions than C82's (each row names a specific
+    * src_doc alignment), so the same widening applies. */
   def exactSubstringRuns(documents: DataFrame, k: Int = 20): DataFrame = {
     val grams = documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        conv(substring(md5(col("col")), 1, 15), 16, 10).cast("long").as("gid"))
+      .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
+        gramIds(col("col"), 15): _*)
     val first = grams
-      .groupBy("gid")
+      .groupBy("gid_hi", "gid_lo")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
-      .select(col("gid"), col("f.doc_id").as("src_doc"), col("f.pos").as("src_pos"))
+      .select(col("gid_hi"), col("gid_lo"),
+        col("f.doc_id").as("src_doc"), col("f.pos").as("src_pos"))
     val w = Window.partitionBy("doc_id", "src_doc", "diag").orderBy("pos")
-    grams.join(first, "gid")
+    grams.join(first, Seq("gid_hi", "gid_lo"))
       .filter(col("doc_id") > col("src_doc"))
       .select(col("doc_id"), col("pos"), col("src_doc"),
         (col("pos") - col("src_pos")).as("diag"))

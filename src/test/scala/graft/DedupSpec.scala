@@ -458,6 +458,41 @@ class DedupSpec extends SparkSpec {
       s"expected two disjoint islands, got ${spans2.mkString(",")}")
   }
 
+  test("exactSubstring gram ids: the 120-bit dual key separates distinct grams " +
+    "a single-prefix key conflates into a false verbatim span") {
+    import spark.implicits._
+    // Two DISTINCT 20-token grams whose md5 collides on the first hex
+    // char but differs on the second, mined by brute force at 4-bit
+    // width. A genuine 60-bit-prefix collision can't be mined, but the
+    // key STRUCTURE under test is identical: gid_hi alone (the pre-r12
+    // scheme, scaled down) vs the (gid_hi, gid_lo) production pair —
+    // whatever the width, the single-prefix key merges colliding grams
+    // and the dual key separates them.
+    def gram(tag: String): String = (1 to 19).map(i => s"w$i").mkString(" ") + s" $tag"
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val g1 = gram("x0")
+    val h1 = md5hex(g1)
+    val g2 = (1 to 10000).iterator.map(n => gram(s"y$n"))
+      .find { g => val h = md5hex(g); h(0) == h1(0) && h(1) != h1(1) }.get
+    val d = Seq((1L, "en", g1), (2L, "en", g2)).toDF("doc_id", "lang", "text")
+    // Narrow single-prefix key: the two distinct grams share an id, so
+    // doc 2 is reported as containing a verbatim span it does NOT
+    // contain — the false positive scrub would then CUT from clean text.
+    val narrow = Dedup.exactSubstringSpansAt(d, 20, hexLen = 1, dualKey = false).collect()
+    assert(narrow.map(_.getAs[Long]("doc_id")).toSeq === Seq(2L),
+      "fixture must reproduce the narrow-key false positive")
+    // The dual key at the SAME tiny width separates them: no spans.
+    assert(Dedup.exactSubstringSpansAt(d, 20, hexLen = 1, dualKey = true).collect().isEmpty,
+      "dual key must separate the colliding grams")
+    // And the production path still catches a genuine verbatim copy.
+    val d2 = Seq((1L, "en", g1), (2L, "en", g2), (3L, "en", g1))
+      .toDF("doc_id", "lang", "text")
+    val spans = Dedup.exactSubstringSpans(d2, 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens")))
+    assert(spans.toSeq === Seq((3L, 20L)))
+  }
+
   test("exactSubstringRuns: per-source verbatim runs with exact alignment; " +
     "spans over-merge a two-source seam that runs keep attributed") {
     import spark.implicits._
