@@ -1946,10 +1946,13 @@ WITH tr AS (
            (acc, v) -> acc + v) AS idcg
   FROM tr GROUP BY query_id
 )
-SELECT d.query_id, d.n_hits, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg,
+SELECT i.query_id,
+       COALESCE(d.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+       COALESCE(d.dcg, CAST(0.0 AS DOUBLE)) AS dcg, i.idcg,
+       COALESCE(d.dcg / i.idcg, CAST(0.0 AS DOUBLE)) AS ndcg,
        COALESCE(d.mrr0, CAST(0.0 AS DOUBLE)) AS mrr
-FROM d JOIN i ON i.query_id = d.query_id
-ORDER BY d.query_id"""
+FROM i LEFT JOIN d ON i.query_id = d.query_id
+ORDER BY i.query_id"""
 
   /** One joint-subspace PQ Lloyd iteration: assignment of every SAMPLE
     * subvector to its nearest codebook entry under the ENCODE metric

@@ -968,13 +968,29 @@ object Corpus {
     * the §3 integer-ln tree over integer PRODUCTS (the token-PMI move),
     * valid while each product stays under 2^63 (≈3·10^9 docs per side;
     * past that, rescale counts by their gcd or fold the ≤64-row frame
-    * driver-side). Zero-sided buckets carry psi_term = 0 and are
+    * driver-side). The limit is ENFORCED, not just documented: each
+    * product is pre-checked in DECIMAL(38,0) and overflow raises — a
+    * raw long multiply would wrap silently and feed a negative product
+    * into the ln, turning the drift gate into a silent wrong answer
+    * (DuckDB's HUGEINT side raises natively; now both engines fail
+    * loudly). Zero-sided buckets carry psi_term = 0 and are
     * reported via the summary's `n_skipped` (the standard PSI
     * convention made explicit rather than epsilon-fudged).
     *
     * Scale shape: one map + one ≤64-row groupBy; the cumulative window
     * is unpartitioned BY CONSTRUCTION over ≤64 bucket rows (whitelisted
     * in the plan sweep); totals are a one-row broadcast. */
+  /** `graft_lni(a*b)` with an int64-overflow guard: the product is
+    * pre-checked in DECIMAL (exact for any pair of longs — max product
+    * ~8.5e37 < 10^38) and raises loudly instead of wrapping. ≤64 bucket
+    * rows pay the decimal compare — free. */
+  private[graft] def lniCheckedProduct(a: String, b: String): Column = expr(
+    s"""graft_lni(CASE
+       WHEN CAST($a AS DECIMAL(20,0)) * CAST($b AS DECIMAL(20,0)) >
+            CAST(9223372036854775807 AS DECIMAL(38,0))
+       THEN CAST(raise_error('corpusDrift: $a*$b overflows int64 (>~3e9 docs per side); rescale bucket counts by their gcd or fold the <=64-row frame driver-side') AS BIGINT)
+       ELSE $a * $b END)""")
+
   def corpusDrift(documents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
     val b = documents
@@ -1002,7 +1018,7 @@ object Corpus {
       .withColumn("psi_term",
         when(col("n_new") > 0 && col("n_ref") > 0,
           (col("p_new") - col("p_ref")) *
-            (expr("graft_lni(n_new * t_ref)") - expr("graft_lni(n_ref * t_new)")))
+            (lniCheckedProduct("n_new", "t_ref") - lniCheckedProduct("n_ref", "t_new")))
           .otherwise(lit(0.0)))
       .select("bucket", "n_new", "n_ref", "p_new", "p_ref",
         "cum_new", "cum_ref", "ks_diff", "psi_term")

@@ -679,13 +679,20 @@ object Similarity {
         lit(0.0),
         (acc, x) => acc +
           x.getField("rel").cast("double") / lniOf(x.getField("t_rank") + 1)).as("idcg"))
-    // broadcast the IDCG side: it is |Q| rows by construction, and when
-    // a caller pins query_id to a literal (the single-query RRF eval)
-    // the equi-condition constant-folds away — without the hint that
-    // degenerate 1×1 join plans as a CartesianProduct
-    d.join(broadcast(i), Seq("query_id"))
-      .select(col("query_id"), col("n_hits"), col("dcg"), col("idcg"),
-        (col("dcg") / col("idcg")).as("ndcg"),
+    // Drive the output from the TRUTH side's query_ids (left join): a
+    // query whose approximate list comes back empty must score
+    // n_hits=0 / dcg=0 / ndcg=0 / mrr=0, not vanish from the output —
+    // an inner join here made a downstream mean over the returned rows
+    // silently overstate index quality. Broadcast the approx aggregate:
+    // it is ≤|Q| rows by construction, and when a caller pins query_id
+    // to a literal (the single-query RRF eval) the equi-condition
+    // constant-folds away — without the hint that degenerate 1×1 join
+    // plans as a CartesianProduct.
+    i.join(broadcast(d), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        coalesce(col("dcg") / col("idcg"), lit(0.0)).as("ndcg"),
         coalesce(col("mrr0"), lit(0.0)).as("mrr"))
       .orderBy("query_id")
   }

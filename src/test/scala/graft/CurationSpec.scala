@@ -270,6 +270,24 @@ class CurationSpec extends SparkSpec {
     assert(Corpus.corpusDriftSummary(skewed).head().getAs[Double]("psi") > 0.0)
   }
 
+  test("corpusDrift PSI product guard raises on int64 overflow instead of wrapping") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // The guard itself, on planted counts: 4e9 * 4e9 wraps a raw long
+    // multiply to a NEGATIVE value, which graft_lni would silently turn
+    // into a wrong drift verdict — the checked product must raise.
+    val big = Seq((4000000000L, 4000000000L)).toDF("n_new", "t_ref")
+    val ex = intercept[Exception] {
+      big.select(Corpus.lniCheckedProduct("n_new", "t_ref")).collect()
+    }
+    assert(ex.getMessage.contains("overflows int64"),
+      s"expected the loud overflow error, got: ${ex.getMessage}")
+    // In-range products evaluate exactly as the unchecked path
+    val ok = Seq((3000000L, 2000000L)).toDF("n_new", "t_ref")
+    assert(ok.select(Corpus.lniCheckedProduct("n_new", "t_ref")).head().getDouble(0) ===
+      ok.selectExpr("graft_lni(n_new * t_ref)").head().getDouble(0))
+  }
+
   test("DSIR score survives counts whose long products would overflow") {
     import spark.implicits._
     // Real-corpus magnitudes: sum_t ~1e16 over nr ~1e12 grams makes the

@@ -355,6 +355,18 @@ class SimilaritySpec extends SparkSpec {
       .toDF("query_id", "neighbor_id", "rank")
     assert(Similarity.rankedEval(truth, noTop, k = 3)
       .collect().head.getAs[Double]("mrr") === 0.0)
+
+    // a query whose approximate list is EMPTY must still appear, scoring
+    // all-zero — driven from the truth side's query_ids. Dropping it (the
+    // pre-r12 inner join) made a downstream mean silently overstate index
+    // quality.
+    val truth2 = truth.union(
+      Seq((2L, 40L, 1), (2L, 50L, 2)).toDF("query_id", "neighbor_id", "rank"))
+    val out = Similarity.rankedEval(truth2, noTop, k = 3).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("ndcg"), r.getAs[Double]("mrr")))).toMap
+    assert(out.keySet === Set(1L, 2L), "empty-approx query must not vanish")
+    assert(out(2L) === ((0L, 0.0, 0.0)))
   }
 
   test("nprobe sweep: recall is monotone in the probe budget and the " +
