@@ -488,6 +488,109 @@ object VectorStore {
       .orderBy("query_id", "rank")
   }
 
+  /** Takedown parity for the vector side — the [[Corpus.deleteDocs]]
+    * twin: purge `vecIds` from BOTH the raw vectors layout and the
+    * committed PQ codes in ONE atomic publish, so neither [[query]]
+    * (raw rerank) nor [[queryAdc]] (codes + on-the-fly) can return a
+    * deleted id afterwards. Before this, right-to-be-forgotten purged
+    * the text ([[Corpus.deleteDocs]]) but left its embedding queryable.
+    *
+    * Covered-set bookkeeping is the subtle part: survivors of a touched
+    * raw batch that was already ENCODED are rewritten as a batch that is
+    * itself marked covered (their rewritten codes stay authoritative),
+    * while survivors of a not-yet-encoded batch stay uncovered.
+    * Collapsing the two would either serve the covered survivors twice
+    * (codes + on-the-fly) or drop the fresh ones from ADC reads.
+    *
+    * OCC: the [[Corpus.deleteDocs]] protocol — touch detection is a
+    * vec_id-only In-filter scan (pushed to parquet) naming the hit
+    * FILES, only touched dirs are rewritten, the publish is a snapshot
+    * CAS under a vacuum-shield lease, and any concurrent commit (a
+    * racing ingest or encode pass) drops the staged dirs and re-derives
+    * from the winner's snapshot. Cost is O(touched dirs), not O(store);
+    * superseded dirs are physically erased by the next
+    * [[graft.sources.Manifest.cleanStale]] sweep.
+    *
+    * @param beforePublish test seam, called between staging and each
+    *                      publish attempt
+    * @return number of raw vectors actually deleted */
+  def deleteVectors(spark: SparkSession, stateDir: String, vecIds: Seq[Long],
+      nFiles: Int = 4, beforePublish: () => Unit = () => ()): Long = {
+    if (vecIds.isEmpty) return 0L
+    val f = new org.apache.hadoop.fs.Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lease = Manifest.acquireLease(spark, stateDir,
+      s"vdelete_${java.util.UUID.randomUUID().toString.take(12)}")
+    try {
+      var staged: Seq[String] = Nil
+      def dropStaged(): Unit = {
+        staged.foreach(rel =>
+          f.delete(new org.apache.hadoop.fs.Path(s"$stateDir/$rel"), true))
+        staged = Nil
+      }
+      var attempts = 0
+      while (true) {
+        val snap = Manifest.snapshot(spark, stateDir)
+        def hitDirs(dirs: Seq[String]): Seq[String] =
+          if (dirs.isEmpty) Nil
+          else {
+            val hits = spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
+              .filter(col("vec_id").isInCollection(vecIds))
+              .select(input_file_name().as("fname"))
+              .distinct().collect().map(_.getString(0))
+            dirs.filter(d => hits.exists(_.contains(s"/$d/")))
+          }
+        val covered = coveredTags(snap.meta)
+        val touchedRaw = hitDirs(snap.live.filter(_.startsWith("vectors/")))
+        val touchedCodes = hitDirs(snap.live.filter(_.startsWith("codes/")))
+        if (touchedRaw.isEmpty && touchedCodes.isEmpty) return 0L
+        val (tCov, tFresh) = touchedRaw.partition(d =>
+          covered.contains(d.stripPrefix("vectors/")))
+        var newLive = snap.live.filterNot((touchedRaw ++ touchedCodes).toSet)
+        var newCovered = covered -- tCov.map(_.stripPrefix("vectors/"))
+        var nDeleted = 0L
+        val tag = s"d${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+        Seq((tCov, s"${tag}c", true), (tFresh, s"${tag}f", false)).foreach {
+          case (dirs, outTag, markCovered) =>
+            if (dirs.nonEmpty) {
+              val all = spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
+              nDeleted += all.filter(col("vec_id").isInCollection(vecIds)).count()
+              val surv = all.filter(!col("vec_id").isInCollection(vecIds))
+              if (surv.limit(1).count() > 0) {
+                val rel = s"vectors/$outTag"
+                Layout.writeClustered(surv, s"$stateDir/$rel", Seq("cell"), nFiles)
+                staged = staged :+ rel
+                newLive = newLive :+ rel
+                if (markCovered) newCovered = newCovered + outTag
+              }
+            }
+        }
+        if (touchedCodes.nonEmpty) {
+          val surv = spark.read.parquet(touchedCodes.map(d => s"$stateDir/$d"): _*)
+            .filter(!col("vec_id").isInCollection(vecIds))
+          if (surv.limit(1).count() > 0) {
+            val rel = s"codes/$tag"
+            Layout.writeClustered(surv, s"$stateDir/$rel", Seq("cell"), nFiles)
+            staged = staged :+ rel
+            newLive = newLive :+ rel
+          }
+        }
+        beforePublish()
+        Manifest.tryPublish(spark, stateDir, snap, newLive,
+          snap.meta + (CoveredKey -> newCovered.toSeq.sorted.mkString(","))) match {
+          case Some(_) => return nDeleted
+          case None =>
+            dropStaged() // any concurrent commit → full re-derive
+            attempts += 1
+            if (attempts >= 16)
+              throw new java.io.IOException(
+                s"deleteVectors lost $attempts consecutive publish races at $stateDir")
+        }
+      }
+      0L // unreachable
+    } finally Manifest.releaseLease(spark, stateDir, lease)
+  }
+
   /** Fold all committed vector batches into ONE cell-clustered batch via
     * an OCC merge (a racing ingest's concurrent commit survives). */
   def compact(spark: SparkSession, stateDir: String, nFiles: Int = 4): Unit = {

@@ -268,4 +268,87 @@ class VectorStoreSpec extends SparkSpec {
     assert(VectorStore.ingest(spark, stateDir, batchA) === 0L)
     assert(VectorStore.ingest(spark, stateDir, batchB) === 0L)
   }
+
+  test("deleteVectors: takedown purges raw AND codes paths, covered survivors " +
+    "stay covered, no double-serving") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-del").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    // batch 1 encoded (covered), batch 2 fresh (raw-only)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 2))
+    VectorStore.encodeCompact(spark, stateDir)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= n / 2))
+    // delete ids from BOTH the covered batch and the fresh one
+    val doomed = Seq(1L, 2L, n / 2, n / 2 + 1)
+    assert(VectorStore.deleteVectors(spark, stateDir, doomed) === doomed.length)
+    // raw layout: deleted gone, survivors complete
+    val stored = VectorStore.vectors(spark, stateDir)
+    assert(stored.count() === n - doomed.length)
+    assert(stored.filter(col("vec_id").isInCollection(doomed)).count() === 0)
+    // neither query path ever returns a deleted id; ADC serves each
+    // survivor at most once (covered bookkeeping: no codes+on-the-fly
+    // double-serve, no dropped covered survivors)
+    val queries = emb.filter(col("vec_id") === 4 || col("vec_id") === 5)
+    val raw = VectorStore.query(spark, stateDir, queries, nProbe = 16, k = 64).collect()
+    assert(!raw.exists(r => doomed.contains(r.getAs[Long]("neighbor_id"))))
+    val adc = VectorStore.queryAdc(spark, stateDir, queries, nProbe = 16, k = 1000).collect()
+    assert(!adc.exists(r => doomed.contains(r.getAs[Long]("neighbor_id"))))
+    adc.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, "neighbor served twice after delete")
+      assert(ids.length === n - doomed.length - 1, // minus the query itself
+        "ADC must still serve every survivor exactly once")
+    }
+    // an already-deleted id is a no-op; deleting nothing publishes nothing
+    assert(VectorStore.deleteVectors(spark, stateDir, Seq(1L)) === 0L)
+    // a follow-up incremental encode pass stays consistent (covered
+    // survivors were NOT reclassified as fresh)
+    assert(VectorStore.encodeCompactIncremental(spark, stateDir) === 1)
+    val adc2 = VectorStore.queryAdc(spark, stateDir, queries, nProbe = 16, k = 1000).collect()
+    adc2.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length)
+      assert(ids.length === n - doomed.length - 1)
+    }
+  }
+
+  test("deleteVectors racing encodeCompactIncremental: delete re-derives and wins") {
+    // the C20d self-heal interleaving: delete stages its rewrites, then an
+    // incremental encode pass commits first (folding codes + covering the
+    // fresh batch). The delete must lose the CAS, drop its staged dirs,
+    // re-derive against the NEW snapshot (where the formerly-fresh batch
+    // is now covered), and still purge every target from every path.
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-delrace").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 2))
+    VectorStore.encodeCompact(spark, stateDir)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= n / 2))
+    val doomed = Seq(3L, n / 2 + 2)
+    var raced = false
+    val deleted = VectorStore.deleteVectors(spark, stateDir, doomed,
+      beforePublish = () => {
+        if (!raced) { raced = true; VectorStore.encodeCompactIncremental(spark, stateDir) }
+      })
+    assert(raced)
+    assert(deleted === doomed.length)
+    val stored = VectorStore.vectors(spark, stateDir)
+    assert(stored.count() === n - doomed.length)
+    val queries = emb.filter(col("vec_id") === 4)
+    val adc = VectorStore.queryAdc(spark, stateDir, queries, nProbe = 16, k = 1000).collect()
+    assert(!adc.exists(r => doomed.contains(r.getAs[Long]("neighbor_id"))))
+    val ids = adc.map(_.getAs[Long]("neighbor_id"))
+    assert(ids.distinct.length === ids.length)
+    assert(ids.length === n - doomed.length - 1,
+      "every survivor served exactly once after the raced delete")
+    // no orphan staged dirs from the losing first attempt
+    val orphans = new java.io.File(s"$stateDir/vectors").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("d") &&
+        !graft.sources.Manifest.live(spark, stateDir).contains(s"vectors/${d.getName}"))
+    assert(orphans.isEmpty, s"orphan staged delete dirs: ${orphans.mkString(",")}")
+  }
 }
