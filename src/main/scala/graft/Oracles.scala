@@ -2900,6 +2900,78 @@ CROSS JOIN (SELECT unnest(range(0, 4)) AS k) f
 WHERE k*128 < length(text)
 ORDER BY doc_id, frame_idx"""
 
+  /** Shared per-doc 64-bit perceptual average-hash chain (CTE `ah`),
+    * lockstep with [[graft.functions.AHashImpl.ahash64]]: format-aware
+    * body offset (WAV 44 / BMP pixel-array field / PPM header end / raw
+    * 0), 64 equal-share cells over the body bytes, bit c =
+    * [sum_c·n >= total·cnt_c] — an all-integer compare (the sums run in
+    * DuckDB's HUGEINT, exact), bit 63's addend spelled as BIGINT.MIN.
+    * Bodies under 64 bytes are excluded on both sides. */
+  private def aHashChain: String = {
+    def byteAt(i: Int) = s"CAST(concat('0x', substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    def le32(off: Int) =
+      s"""(CASE WHEN ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
+               + 16777216 * ${byteAt(off + 3)} >= 2147483648
+           THEN ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
+               + 16777216 * ${byteAt(off + 3)} - 4294967296
+           ELSE ${byteAt(off)} + 256 * ${byteAt(off + 1)} + 65536 * ${byteAt(off + 2)}
+               + 16777216 * ${byteAt(off + 3)} END)"""
+    val ppmMatch =
+      """regexp_matches(text, '^P6[ \t-\r]+[0-9]{1,9}[ \t-\r]+[0-9]{1,9}[ \t-\r]')"""
+    val ppmHdrLen =
+      """length(regexp_extract(text, '^P6[ \t-\r]+[0-9]{1,9}[ \t-\r]+[0-9]{1,9}[ \t-\r]', 0))"""
+    val wavMatch = "byte_len >= 44 AND substr(hx, 1, 8) = '52494646'" +
+      " AND substr(hx, 17, 8) = '57415645' AND substr(hx, 25, 8) = '666D7420'" +
+      " AND substr(hx, 73, 8) = '64617461'"
+    s"""
+WITH meta AS (
+  SELECT doc_id, text, CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+         hex(encode(text)) AS hx
+  FROM documents
+), offs AS (
+  SELECT doc_id, byte_len, hx,
+         CAST(CASE WHEN $wavMatch THEN 44
+              WHEN byte_len >= 26 AND substr(hx, 1, 4) = '424D'
+                THEN GREATEST(0, LEAST(byte_len, ${le32(10)}))
+              WHEN $ppmMatch THEN $ppmHdrLen
+              ELSE 0 END AS INTEGER) AS off
+  FROM meta
+), bidx AS (
+  SELECT doc_id, hx, off, byte_len - off AS n,
+         unnest(range(0, byte_len - off)) AS i
+  FROM offs WHERE byte_len - off >= 64
+), body AS (
+  SELECT doc_id, n, CAST((i * 64) // n AS INTEGER) AS cell,
+         CAST(concat('0x', substr(hx, CAST(2 * (off + i) + 1 AS INTEGER), 2)) AS BIGINT) AS v
+  FROM bidx
+), cells AS (
+  SELECT doc_id, n, cell, SUM(v) AS s, COUNT(*) AS c
+  FROM body GROUP BY doc_id, n, cell
+), tot AS (
+  SELECT doc_id, SUM(s) AS total FROM cells GROUP BY doc_id
+), ah AS (
+  SELECT c.doc_id,
+         CAST(SUM(CASE WHEN c.s * c.n < t.total * c.c THEN 0
+                       WHEN c.cell = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << c.cell) END) AS BIGINT) AS ahash
+  FROM cells c JOIN tot t USING (doc_id)
+  GROUP BY c.doc_id
+)"""
+  }
+
+  val multimodalAhash: String = aHashChain + """
+SELECT doc_id, ahash FROM ah ORDER BY doc_id"""
+
+  /** Perceptual near-dup image pairs — all-pairs verify at oracle scale
+    * (the Spark side blocks by the Manku C(6,3) tables; pigeonhole makes
+    * the band join lossless at Hamming ≤ 3, so the SETS agree). */
+  val multimodalPhashNeardup: String = aHashChain + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY doc_a, doc_b"""
+
   val streamWindowedCounts: String = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(COUNT(*) AS BIGINT) AS n,

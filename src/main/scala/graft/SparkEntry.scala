@@ -730,6 +730,11 @@ object SparkEntry {
 
     "multimodal_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir))),
 
+    "multimodal_ahash" -> ((s, dir) => Multimodal.aHashes(Tables.documents(s, dir))),
+
+    "multimodal_phash_neardup" -> ((s, dir) =>
+      Multimodal.imageNearDup(Tables.documents(s, dir))),
+
     "multimodal_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(Tables.documents(s, dir))),
 
@@ -1005,6 +1010,8 @@ object SparkEntry {
     "label_centroids"           -> Oracles.labelCentroids,
     "topic_assign"              -> Oracles.topicAssign,
     "multimodal_meta"           -> Oracles.multimodalMeta,
+    "multimodal_ahash"          -> Oracles.multimodalAhash,
+    "multimodal_phash_neardup"  -> Oracles.multimodalPhashNeardup,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "multimodal_features"       -> Oracles.multimodalFeatures,
     "events_session_window"     -> Oracles.eventsSessionWindow,

@@ -654,7 +654,14 @@ object Dedup {
     * (the oracle computes the EXACT all-pairs set: banding is lossless
     * at Hamming ≤ 3 by pigeonhole, so the cap is the ONLY divergence
     * risk, and the spec pins it dormant at oracle scale). */
-  private[graft] def mankuBanded(documents: DataFrame): DataFrame = {
+  private[graft] def mankuBanded(documents: DataFrame): DataFrame =
+    mankuBandedHashes(simhash64(documents))
+
+  /** [[mankuBanded]] over an arbitrary (doc_id, simhash) frame — the
+    * banding is a property of the 64-bit hash, not of where it came
+    * from, so the text simhash and the multimodal perceptual aHash
+    * ([[Multimodal.imageNearDup]]) share one implementation. */
+  private[graft] def mankuBandedHashes(hashes: DataFrame): DataFrame = {
     val widths = Seq(11, 11, 11, 11, 10, 10)
     val offsets = widths.scanLeft(0)(_ + _).init
     def blk(i: Int) =
@@ -669,16 +676,22 @@ object Dedup {
         lit(ci).as("band"),
         (blk(i) * lit(1L << 22) + blk(j) * lit(1L << 11) + blk(k)).as("band_key"))
     }
-    simhash64(documents)
+    hashes
       .select(col("doc_id"), col("simhash"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  def simhashNear(
-      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
+  /** Hamming-≤3 near-dup pairs over an arbitrary (doc_id, simhash)
+    * 64-bit hash frame via the Manku block-combination tables — the
+    * generic core of [[simhashNear]], reused by the perceptual image
+    * hash path. Same scale shape: 20× combo explode (linear), capped
+    * ~2³²-way bucket self-join, codegen'd `bit_count` verify on
+    * candidates only. */
+  private[graft] def hammingNearPairs(
+      hashes: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame = {
     require(maxHamming == 3, "block table layout is derived for maxHamming = 3")
-    val banded = capBuckets(mankuBanded(documents), Seq("band", "band_key"), maxBucket)
+    val banded = capBuckets(mankuBandedHashes(hashes), Seq("band", "band_key"), maxBucket)
     val a = banded.select(col("band"), col("band_key"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("band_key"),
@@ -691,6 +704,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  def simhashNear(
+      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+    hammingNearPairs(simhash64(documents), maxHamming, maxBucket)
 
   /** Asymmetric n-gram CONTAINMENT over the df-capped discriminative
     * shingles — the doc-inside-doc detector Jaccard misses: a short

@@ -162,4 +162,32 @@ object Multimodal {
   def features(spark: SparkSession, documents: DataFrame): Dataset[MediaFeature] =
     featuresBinary(spark,
       documents.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Per-document 64-bit perceptual average-hash over the payload BODY —
+    * the [[graft.functions.AHash64]] native expression (format-aware
+    * body offset, integer cell-vs-global mean compare, invariant under a
+    * uniform brightness shift). One codegen-resident map pass, zero
+    * shuffles; payloads whose body is under 64 bytes hash to NULL and
+    * are excluded (they are not images). */
+  def aHashes(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        expr("graft_ahash64(CAST(text AS BINARY))").as("ahash"))
+      .filter(col("ahash").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  /** Perceptual NEAR-dup image pairs: aHash within Hamming distance
+    * `maxHamming`, found via the same Manku C(6,3) banded join the text
+    * simhash family uses ([[Dedup.hammingNearPairs]]) — never all-pairs.
+    * This is the near-dup the md5 frame fingerprints (C17) cannot see: a
+    * brightness-shifted or lightly-requantized copy of an image keeps
+    * its aHash (the cell-vs-global mean compare is shift-invariant) but
+    * changes every cryptographic hash. */
+  def imageNearDup(
+      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+    Dedup.hammingNearPairs(
+      aHashes(documents).select(col("doc_id"), col("ahash").as("simhash")),
+      maxHamming, maxBucket)
 }

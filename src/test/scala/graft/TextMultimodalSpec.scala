@@ -140,6 +140,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert((img.sample_rate, img.n_channels, img.bit_depth, img.pcm_peak) === ((0, 0, 0, 0)))
   }
 
+  test("perceptual aHash: brightness-shifted BMP matches its original through " +
+    "the banded near-dup join; header bytes don't contaminate the hash") {
+    import spark.implicits._
+    import graft.functions.AHashImpl
+    // BMP with ASCII-safe bytes (< 0x80) so the payload round-trips
+    // through the string column the documents table carries
+    def bmp(pixels: Array[Byte], headerTweak: Int = 0): Array[Byte] = {
+      val b = new Array[Byte](54 + pixels.length)
+      b(0) = 'B'; b(1) = 'M'
+      b(10) = 54 // pixel-array offset field (le32 @10)
+      b(18) = 8; b(22) = 8
+      b(30) = headerTweak.toByte
+      pixels.copyToArray(b, 54)
+      b
+    }
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill[Byte](256)((40 + rnd.nextInt(60)).toByte) // 40..99
+    val bright = base.map(v => (v + 5).toByte) // uniform brightness shift
+    val other = Array.fill[Byte](256)((40 + rnd.nextInt(60)).toByte)
+    // the integer cell-vs-global-mean compare is EXACTLY invariant under
+    // a uniform shift: +d adds d*cnt_c*n to both sides
+    assert(AHashImpl.ahash64(bmp(base)) === AHashImpl.ahash64(bmp(bright)))
+    // ...while the bytes differ everywhere, so every cryptographic frame
+    // fingerprint (C17's md5) changes — the gap this operator closes
+    assert(!java.util.Arrays.equals(bmp(base), bmp(bright)))
+    val docs = Seq(
+      (1L, new String(bmp(base), "UTF-8")),
+      (2L, new String(bmp(bright), "UTF-8")),
+      (3L, new String(bmp(other), "UTF-8")),
+      // same pixels as doc 1 but a different HEADER byte: the body
+      // offset must keep the header out of the hash entirely
+      (4L, new String(bmp(base, headerTweak = 99), "UTF-8")),
+      (5L, "tiny")) // body under 64 bytes: not an image, excluded
+      .toDF("doc_id", "text")
+    assert(!Multimodal.aHashes(docs).collect().map(_.getLong(0)).contains(5L))
+    val pairs = Multimodal.imageNearDup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(pairs.toSeq === Seq((1L, 2L, 0), (1L, 4L, 0), (2L, 4L, 0)),
+      s"expected the brightness pair + header-tweak clones, got ${pairs.mkString(",")}")
+  }
+
   test("textEntropy: analytic entropies for uniform and degenerate alphabets") {
     val d = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd")).toDF("doc_id", "text")
     val out = graft.operators.Corpus.textEntropy(d).collect()
