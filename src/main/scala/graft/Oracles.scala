@@ -2076,8 +2076,13 @@ ORDER BY query_id, rnk"""
     * shared PQ encode chain supplies each candidate's reconstruction,
     * and probed candidates are scored by the same decimal-exact ADC
     * cosine — lockstep with `Similarity.ivfPqTopK`. */
-  val annIvfPqTopK: String = {
-    trainedQuantBase(2) + pqEncodeChain(2) + """
+  val annIvfPqTopK: String = ivfPqTopKSql(2)
+
+  /** [[annIvfPqTopK]] parameterized by probe budget — the quantizer and
+    * codebook chains are deterministic, so re-instantiating them per
+    * branch is value-identical to the Spark side's train-once. */
+  private def ivfPqTopKSql(np: Int): String = {
+    trainedQuantBase(2) + pqEncodeChain(2) + s"""
 , asgC AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT vec_id, cid,
@@ -2088,7 +2093,7 @@ ORDER BY query_id, rnk"""
     SELECT vec_id AS query_id, cid AS cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
     FROM cdotF WHERE vec_id < 8) t
-  WHERE qrn <= 2
+  WHERE qrn <= $np
 ), cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN asgC a ON p.cell = a.cell
@@ -4690,6 +4695,23 @@ LEFT JOIN ($annIvfPqTopK) l
   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id
 ORDER BY b.query_id"""
+
+  /** Recall@10 per (nprobe, query) for the COMPOSED IVF+PQ index,
+    * nprobe ∈ {1,2,4} — the tuning table for the index a deployment
+    * actually serves. Mirrors Similarity.ivfPqNprobeSweep (the quantizer
+    * and codebook chains are deterministic, so per-branch
+    * re-instantiation is value-identical to the Spark train-once). */
+  def annNprobeSweepIvfPq: String =
+    Seq(1, 2, 4).map { np =>
+      s"""
+SELECT $np AS nprobe, b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN (${ivfPqTopKSql(np)}) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"
 
   /** Recall@k of the scalar-quantized index vs exact brute force — the
     * [[annRecallLsh]]/[[annRecallPq]] composition. Mirrors

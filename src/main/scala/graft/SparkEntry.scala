@@ -579,6 +579,9 @@ object SparkEntry {
 
     "ann_nprobe_sweep" -> ((s, dir) => Similarity.ivfNprobeSweep(Tables.embeddings(s, dir))),
 
+    "ann_nprobe_sweep_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqNprobeSweep(Tables.embeddings(s, dir))),
+
     "ann_ndcg_lsh" -> ((s, dir) => Similarity.lshNdcg(Tables.embeddings(s, dir))),
 
     "search_ndcg_rrf" -> ((s, dir) =>
@@ -952,6 +955,7 @@ object SparkEntry {
     "ann_recall_lsh"            -> Oracles.annRecallLsh,
     "ann_ndcg_ivf"              -> Oracles.annNdcgIvf,
     "ann_nprobe_sweep"          -> Oracles.annNprobeSweep,
+    "ann_nprobe_sweep_ivfpq"    -> Oracles.annNprobeSweepIvfPq,
     "ann_ndcg_lsh"              -> Oracles.annNdcgLsh,
     "search_ndcg_rrf"           -> Oracles.searchNdcgRrf,
     "search_rrf_fusion"         -> Oracles.searchRrfFusion,

@@ -431,6 +431,17 @@ object Similarity {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cents = trainCentroids(embeddings, nCentroids, iters)
     val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub, codebookSize, iters)
+    ivfPqTopKWith(embeddings, cents, cb, cbSumsq, nQueries, nProbe, k)
+  }
+
+  /** [[ivfPqTopK]] against an ALREADY-trained quantizer + codebooks — the
+    * shared scan so [[ivfPqNprobeSweep]] trains once and re-runs only the
+    * cell-pruned ADC scan per probe budget. */
+  private def ivfPqTopKWith(
+      embeddings: DataFrame, cents: Array[(Long, Array[Float], Double)],
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]],
+      nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+    val nSub = cb.length
     val dims = cb.length * cb.head.head.length
     val sub = dims / nSub
     val feat = embeddings.select(
@@ -1211,6 +1222,28 @@ object Similarity {
     * IVF+PQ stacks the cell-probe loss on the ADC loss, so neither
     * component's recall alone prices the composition a 100 TB deployment
     * actually runs. Same bounded |Q|·k eval shape as the siblings. */
+  /** Recall@k vs nProbe SWEEP for the COMPOSED IVF+PQ index — C47b's
+    * tuning table for the index a deployment actually serves (trained
+    * IVF routes, PQ codes score; this is the configuration whose probe
+    * budget gets picked from measured recall). Quantizer and codebooks
+    * train ONCE (driver-side over the bounded sample, bit-equal across
+    * probes); each probe setting re-runs only the cell-pruned ADC scan,
+    * and every side stays the same |Q|·k bounded evaluation shape as
+    * [[recallAtK]]. */
+  def ivfPqNprobeSweep(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+      probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = trainCentroids(embeddings)
+    val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub = 8, codebookSize = 16, iters = 2)
+    val truth = bruteForceTopK(embeddings, nQueries, k)
+    probes.map { np =>
+      recallAtK(truth, ivfPqTopKWith(embeddings, cents, cb, cbSumsq, nQueries, np, k))
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
+      .select("nprobe", "query_id", "n_hits", "recall")
+      .orderBy("nprobe", "query_id")
+  }
+
   def ivfPqRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
     recallAtK(
       bruteForceTopK(embeddings, nQueries, k),

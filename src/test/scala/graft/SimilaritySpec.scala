@@ -387,4 +387,35 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
     queries.foreach(q => assert(sweep((2, q)) === single(q)))
   }
+
+  test("IVF+PQ nprobe sweep: nprobe=2 slice equals the single-point recall " +
+    "query; the full-probe budget converges to the exhaustive PQ scan") {
+    val embTable = graft.sources.Tables.embeddings(spark, sfDir)
+    val sweep = Similarity.ivfPqNprobeSweep(embTable).collect()
+      .map(r => (r.getAs[Int]("nprobe"), r.getAs[Long]("query_id")) ->
+        r.getAs[Double]("recall")).toMap
+    val queries = sweep.keys.map(_._2).toSet
+    assert(sweep.size === 3 * queries.size)
+    sweep.values.foreach(r => assert(r >= 0.0 && r <= 1.0))
+    // Unlike the trained-IVF sweep, per-query recall is NOT monotone in
+    // the probe budget here and the spec must not pretend it is: ADC
+    // scores rank by RECONSTRUCTION cosine, so a newly-probed candidate
+    // can out-score a true neighbor without being one, displacing a real
+    // hit from the approx top-k (on this fixture total hits actually
+    // DECREASE 40→35→33 across 1/2/4 probes — the sweep exists precisely
+    // because the trade-off must be measured, not assumed).
+    // The structural guarantees that DO hold:
+    // 1. the table's nprobe=2 column IS ivfPqRecall (shared trained state)
+    val single = Similarity.ivfPqRecall(embTable).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    queries.foreach(q => assert(sweep((2, q)) === single(q)))
+    // 2. probing EVERY cell is exactly the exhaustive PQ scan: same ADC
+    //    scoring, same tiebreak, candidate pruning gone
+    val full = Similarity.ivfPqNprobeSweep(embTable, probes = Seq(16)).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    val exhaustive = Similarity.pqRecall(embTable).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("recall")).toMap
+    queries.foreach(q => assert(full(q) === exhaustive(q),
+      s"query $q: all-cells probe must equal the exhaustive PQ scan"))
+  }
 }
