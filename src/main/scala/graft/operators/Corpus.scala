@@ -321,11 +321,42 @@ object Corpus {
     * write; the publish is manifest metadata. The full-corpus case is
     * only ever paid right after a compaction — which already rewrote
     * the corpus wholesale. */
-  def refreshSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String): Long = {
+  /** FIXED-owner exclusive-create lease as the signature-refresh MUTEX,
+    * not just a vacuum shield: signature batches publish at
+    * DETERMINISTIC paths (`signatures/<docTag>`), so two concurrent
+    * refreshers that both see the same missing tag would interleave
+    * `mode("overwrite")`'s delete/write on the same directory, and
+    * publishMerge would then register a mixed or torn dir as live —
+    * corrupting the persisted index (an index-integrity hazard, beyond
+    * the documented advisory admission semantics). The exclusive create
+    * makes refreshers serialize; expired/crashed holders are reaped by
+    * the activeLeases sweep inside the retry loop, and a live holder
+    * past `mutexWaitMs` fails loudly rather than proceeding
+    * unserialized. */
+  private def acquireRefreshMutex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, mutexWaitMs: Long): graft.sources.Manifest.Lease = {
     import graft.sources.Manifest
-    val lease = Manifest.acquireLease(spark, stateDir,
-      s"sigidx_${java.util.UUID.randomUUID().toString.take(12)}")
+    val deadline = System.currentTimeMillis() + mutexWaitMs
+    while (true) {
+      try return Manifest.acquireLease(spark, stateDir, "sigidx_refresh",
+        ttlMs = 5 * 60 * 1000L)
+      catch {
+        case _: java.io.IOException =>
+          Manifest.activeLeases(spark, stateDir) // reaps expired lease files
+          if (System.currentTimeMillis() > deadline)
+            throw new java.io.IOException(
+              s"timed out after ${mutexWaitMs}ms waiting for the " +
+                s"sigidx_refresh lease at $stateDir (held by a live refresher)")
+          Thread.sleep(50L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def refreshSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, mutexWaitMs: Long = 60 * 1000L): Long = {
+    import graft.sources.Manifest
+    val lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs)
     try {
       Manifest.cleanStale(spark, stateDir, Seq("signatures"))
       val snap = Manifest.snapshot(spark, stateDir)
@@ -374,10 +405,41 @@ object Corpus {
     * band rows against the persisted index, candidates bounded by
     * batch-side collisions; the corpus is re-hashed NEVER (signatures
     * persist per batch and refresh incrementally). */
+  /** Loud rejection from [[ingestNearDup]]'s drift gate. Thrown BEFORE
+    * anything stages, so the manifest never sees a partial commit: the
+    * caller catches it and routes the whole batch to quarantine. */
+  final case class DriftRejected(ks: Double, psi: Double, maxKs: Double, maxPsi: Double)
+    extends RuntimeException(
+      f"batch rejected by drift gate: ks=$ks%.4f (max $maxKs%.4f), " +
+        f"psi=$psi%.4f (max $maxPsi%.4f); nothing was committed")
+
   def ingestNearDup(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, stateDir: String, threshold: Double = 0.5,
-      maxLiveBatches: Int = 64): Long = {
+      maxLiveBatches: Int = 64,
+      maxKs: Double = Double.PositiveInfinity,
+      maxPsi: Double = Double.PositiveInfinity): Long = {
     import graft.sources.Manifest
+    // DRIFT GATE (optional; off at the +Inf defaults): compare the whole
+    // batch's token-length profile against the committed corpus with the
+    // C88b KS/PSI verdict and REJECT the batch — atomically, before any
+    // staging — when either statistic exceeds its threshold. This turns
+    // the drift monitor into an admission control: a crawler that started
+    // truncating documents or keeping nav pages fails loudly instead of
+    // silently polluting the corpus. Per-doc near-dup/exact gates below
+    // still apply to an admitted batch.
+    if (!maxKs.isInfinite || !maxPsi.isInfinite) {
+      val docDirs = Manifest.live(spark, stateDir).filter(_.startsWith("documents/"))
+      if (docDirs.nonEmpty) {
+        corpusDriftSummaryBetween(batch, documents(spark, stateDir))
+          .collect().headOption.foreach { r =>
+            // ks NULL = one side empty after tokenization → nothing to compare
+            val ks = Option(r.getAs[java.lang.Double]("ks")).map(_.toDouble)
+            val psi = r.getAs[Double]("psi")
+            if (ks.exists(_ > maxKs) || psi > maxPsi)
+              throw DriftRejected(ks.getOrElse(0.0), psi, maxKs, maxPsi)
+          }
+      }
+    }
     refreshSignatureIndex(spark, stateDir)
     val sigDirs = Manifest.live(spark, stateDir).filter(_.startsWith("signatures/"))
     val keep =
@@ -991,10 +1053,22 @@ object Corpus {
        THEN CAST(raise_error('corpusDrift: $a*$b overflows int64 (>~3e9 docs per side); rescale bucket counts by their gcd or fold the <=64-row frame driver-side') AS BIGINT)
        ELSE $a * $b END)""")
 
-  def corpusDrift(documents: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(documents.sparkSession)
-    val b = documents
-      .select((pmod(col("doc_id"), lit(5)) === 0).as("is_new"),
+  def corpusDrift(documents: DataFrame): DataFrame =
+    corpusDriftTagged(documents.select(
+      (pmod(col("doc_id"), lit(5)) === 0).as("is_new"), col("text")))
+
+  /** [[corpusDrift]] between an EXPLICIT batch and reference frame — the
+    * admission-gate form: the candidate batch is the `new` side, the
+    * committed corpus the reference. Same buckets, same KS/PSI terms. */
+  def corpusDriftBetween(newDocs: DataFrame, refDocs: DataFrame): DataFrame =
+    corpusDriftTagged(
+      newDocs.select(lit(true).as("is_new"), col("text"))
+        .unionByName(refDocs.select(lit(false).as("is_new"), col("text"))))
+
+  private def corpusDriftTagged(tagged: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(tagged.sparkSession)
+    val b = tagged
+      .select(col("is_new"),
         graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .withColumn("bucket", (length(conv(col("n_tokens"), 10, 2)) - 1).cast("long"))
@@ -1032,7 +1106,14 @@ object Corpus {
     * an ingest SLO alerts on (PSI > 0.2 = investigate, > 0.25 = block,
     * the standard credit-scoring thresholds). */
   def corpusDriftSummary(documents: DataFrame): DataFrame =
-    corpusDrift(documents).agg(
+    driftSummaryOf(corpusDrift(documents))
+
+  /** [[corpusDriftSummary]] over the explicit batch-vs-corpus form. */
+  def corpusDriftSummaryBetween(newDocs: DataFrame, refDocs: DataFrame): DataFrame =
+    driftSummaryOf(corpusDriftBetween(newDocs, refDocs))
+
+  private def driftSummaryOf(drift: DataFrame): DataFrame =
+    drift.agg(
       max("ks_diff").as("ks"),
       aggregate(
         array_sort(collect_list(struct(col("bucket"), col("psi_term")))),

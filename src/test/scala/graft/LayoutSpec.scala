@@ -209,6 +209,55 @@ class LayoutSpec extends SparkSpec {
       live2.count(_.startsWith("documents/")))
   }
 
+  test("drift-gated admission: a drifted batch is rejected atomically, " +
+    "a same-profile batch admits; refresh mutex serializes loudly") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-driftgate").toString
+    def doc(id: Long, text: String) = (id, text, "en", "t", text.length.toLong)
+    // committed corpus: docs of ~40 tokens (length bucket ~5)
+    val corpus = (1 to 8).map(d =>
+      doc(d.toLong, (1 to 40).map(i => s"c${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.ingestNearDup(spark, corpus, state) === 8L)
+    val versionsBefore = Manifest.history(spark, state).size
+    val liveBefore = Manifest.live(spark, state).toSet
+
+    // drifted batch: 2-token docs — every length lands in a bucket the
+    // corpus doesn't occupy → KS gap and PSI skip both move hard
+    val drifted = (100 to 107).map(d => doc(d.toLong, s"a$d b$d"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ex = intercept[Corpus.DriftRejected] {
+      Corpus.ingestNearDup(spark, drifted, state, maxKs = 0.5, maxPsi = 0.25)
+    }
+    assert(ex.ks > 0.5)
+    // ATOMIC rejection: no partial commit, no version bump, live set
+    // byte-identical (the gate fires before anything stages)
+    assert(Manifest.history(spark, state).size === versionsBefore)
+    assert(Manifest.live(spark, state).toSet === liveBefore)
+
+    // a batch with the corpus's own length profile admits under the
+    // same thresholds
+    val normal = (200 to 203).map(d =>
+      doc(d.toLong, (1 to 40).map(i => s"n${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.ingestNearDup(spark, normal, state,
+      maxKs = 0.5, maxPsi = 0.25) === 4L)
+
+    // refresh mutex: while a live refresher holds the fixed-owner lease,
+    // a second refresher must wait — and past its deadline fail loudly
+    // instead of proceeding unserialized
+    val held = Manifest.acquireLease(spark, state, "sigidx_refresh")
+    val ex2 = intercept[java.io.IOException] {
+      Corpus.refreshSignatureIndex(spark, state, mutexWaitMs = 300L)
+    }
+    assert(ex2.getMessage.contains("sigidx_refresh"))
+    Manifest.releaseLease(spark, state, held)
+    // released → the refresher proceeds (idempotent no-op here)
+    assert(Corpus.refreshSignatureIndex(spark, state) === 0L)
+  }
+
   test("manifest: torn version files are invisible to readers and skipped by allocation") {
     import graft.sources.Manifest
     val state = Files.createTempDirectory("graft-manifest-torn").toString
