@@ -232,12 +232,19 @@ final case class HistQEstimate(
     p50_cents_est: Long, p90_cents_est: Long, p99_cents_est: Long)
 
 /** One state-store operator's health snapshot from a streaming query's
-  * last progress — the observability surface for stateful streams. */
+  * last progress — the observability surface for stateful streams.
+  * `num_rows_dropped_by_watermark` counts arrivals whose event time was
+  * already below the watermark (disorder beyond the declared `delay`):
+  * the exec discards those BEFORE the stateful function sees them, so
+  * any `...Ordered` twin's bit-equality guarantee degrades exactly when
+  * this counter moves — a monitoring sink alerting on it is the
+  * required production signal, not an optional nicety. */
 final case class StateMetrics(
     operator: String,
     num_rows_total: Long,
     num_rows_updated: Long,
-    memory_used_bytes: Long)
+    memory_used_bytes: Long,
+    num_rows_dropped_by_watermark: Long)
 
 /** Structured Streaming surface (SURVEY §2.D).
   *
@@ -1270,8 +1277,21 @@ object Streaming {
     * the first progress. */
   def stateMetrics(query: org.apache.spark.sql.streaming.StreamingQuery): Seq[StateMetrics] =
     Option(query.lastProgress).toSeq.flatMap(_.stateOperators.toSeq).map { op =>
-      StateMetrics(op.operatorName, op.numRowsTotal, op.numRowsUpdated, op.memoryUsedBytes)
+      StateMetrics(op.operatorName, op.numRowsTotal, op.numRowsUpdated,
+        op.memoryUsedBytes, op.numRowsDroppedByWatermark)
     }
+
+  /** Total arrivals discarded as late (event time below the watermark)
+    * across ALL completed progress entries of `query` — the cumulative
+    * form of [[StateMetrics.num_rows_dropped_by_watermark]], which only
+    * reflects the last micro-batch. Nonzero means some input exceeded
+    * the declared disorder bound, and every `...Ordered` operator's
+    * batch-equality guarantee is void for the dropped rows: a dropped
+    * doc never enters band membership / journey state, so its marks are
+    * suppressed, not merely reordered. */
+  def droppedLateRows(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    query.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsDroppedByWatermark).sum
 
   /** Streaming exact dedup — the continuous twin of
     * [[graft.operators.Dedup.exact]]: each distinct text is admitted
@@ -1571,7 +1591,18 @@ object Streaming {
     * ANY cross-batch arrival order (spec-pinned with scrambled replay).
     * Membership persists forever like the D19 fingerprint store;
     * buffered rows flush via event-time timeout when a bucket's traffic
-    * stops. */
+    * stops.
+    *
+    * DEGRADED MODE, stated: an arrival whose event time is already
+    * below the watermark (disorder beyond `delay`) is discarded by the
+    * exec before this function runs — the doc never joins band
+    * membership, so ALL its future near-dup marks are suppressed, not
+    * reordered. That is the standard watermark contract, but it must
+    * never be silent: [[stateMetrics]] /
+    * [[StateMetrics.num_rows_dropped_by_watermark]] and the cumulative
+    * [[droppedLateRows]] count exactly these rows (spec-pinned), and a
+    * production gate alerts on them / re-feeds the stragglers through a
+    * batch `simhashNear` pass over the affected window. */
   def simhashNearMarksOrdered(
       docs: Dataset[Doc], maxHamming: Int = 3,
       delay: String = "2 hours"): Dataset[NearDupMark] = {

@@ -1130,4 +1130,37 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.contains((1L, 3L, 0)))
     } finally q.stop()
   }
+
+  test("disorder beyond delay is dropped VISIBLY: droppedLateRows counts the straggler") {
+    import graft.streaming.{Doc, NearDupMark}
+    implicit val sqlCtx = spark.sqlContext
+    def text(seed: Int) =
+      (0 until 60).map(i => s"w${(seed * 61 + i * 7) % 1000}").mkString(" ")
+    val mem = MemoryStream[Doc]
+    val q = Streaming.simhashNearMarksOrdered(mem.toDS(), delay = "1 hour")
+      .writeStream.format("memory").queryName("simnear_late").outputMode("append").start()
+    try {
+      // advance the watermark far past hour 2...
+      mem.addData(Seq(Doc(1L, text(1), "en", "t", 100 * H)))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(2L, text(7), "en", "t", 101 * H)))
+      q.processAllAvailable()
+      assert(Streaming.droppedLateRows(q) === 0L)
+      // ...then deliver an exact dup of doc 1 whose event time (hour 2)
+      // is ~98 h behind the watermark: out of contract, dropped by the
+      // exec before the stateful function runs
+      mem.addData(Seq(Doc(3L, text(1), "en", "t", 2 * H)))
+      q.processAllAvailable()
+      mem.addData(Seq(Doc(900001L, text(8), "en", "t", 200 * H)))
+      q.processAllAvailable()
+      val marks = spark.table("simnear_late").as[NearDupMark].collect()
+      // the suppression is real (no (1,3) mark despite identical text)...
+      assert(!marks.exists(m => m.doc_a == 1L && m.doc_b == 3L))
+      // ...and it is NOT silent: every banded row of doc 3 is counted
+      val dropped = Streaming.droppedLateRows(q)
+      assert(dropped > 0L, "late straggler must surface in the drop metric")
+      val last = Streaming.stateMetrics(q)
+      assert(last.forall(_.num_rows_dropped_by_watermark >= 0L))
+    } finally q.stop()
+  }
 }
