@@ -5236,6 +5236,133 @@ SELECT q_decile, len_bucket,
 FROM b GROUP BY q_decile, len_bucket
 ORDER BY q_decile, len_bucket"""
 
+  /** The C9 quality score as a SQL fragment over a `text` column —
+    * identical IEEE tree to `TextFunctions.qualityScore` (shared by the
+    * grid, ablation, and cap oracles). */
+  private def qualitySql(text: String): String =
+    s"""least(CAST(len(string_split($text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+           + CAST(len(list_distinct(string_split($text, ' '))) AS DOUBLE)
+             / CAST(len(string_split($text, ' ')) AS DOUBLE) * 0.3
+           + (1.0 - CAST(len(list_filter(string_split($text, ' '), w -> w IN ($stopList))) AS DOUBLE)
+                    / CAST(len(string_split($text, ' ')) AS DOUBLE)) * 0.3"""
+
+  /** Temperature-scaled source mixing weights. Mirrors
+    * Corpus.mixtureTemperature: sqrt is correctly rounded by IEEE
+    * standard in both engines; denominators are source-ordered folds. */
+  val mixtureTemperature: String = """
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_docs, n_tokens,
+         sqrt(CAST(n_tokens AS DOUBLE)) AS s2,
+         sqrt(sqrt(CAST(n_tokens AS DOUBLE))) AS s4
+  FROM per
+), t AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s2 ORDER BY source)),
+                     (a, b) -> a + b) AS t2,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(s4 ORDER BY source)),
+                     (a, b) -> a + b) AS t4,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_total
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       s2 / t2 AS w_t2,
+       s4 / t4 AS w_t4,
+       s2 / t2 * CAST(n_total AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS boost_t2
+FROM s CROSS JOIN t
+ORDER BY source"""
+
+  /** Per-source quality-capped keepers. Mirrors Corpus.domainCapSample. */
+  val domainCapSample: String = s"""
+WITH q AS (
+  SELECT source, doc_id, ${qualitySql("text")} AS q
+  FROM documents
+), r AS (
+  SELECT source, doc_id, q,
+         row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rk
+  FROM q
+)
+SELECT source, doc_id, q, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= 5
+ORDER BY source, rk"""
+
+  /** Quality-threshold retention curve. Mirrors Corpus.qualityAblation. */
+  val qualityAblation: String = s"""
+WITH b AS (
+  SELECT CAST(floor((${qualitySql("text")}) * 10.0) AS BIGINT) AS q_decile,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents
+), d AS (
+  SELECT q_decile, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(t) AS BIGINT) AS toks
+  FROM b GROUP BY q_decile
+), c AS (
+  SELECT q_decile,
+         CAST(SUM(docs) OVER (ORDER BY q_decile DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS docs_kept,
+         CAST(SUM(toks) OVER (ORDER BY q_decile DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tokens_kept
+  FROM d
+), tt AS (
+  SELECT CAST(SUM(docs) AS BIGINT) AS t_docs, CAST(SUM(toks) AS BIGINT) AS t_toks FROM d
+)
+SELECT q_decile, CAST(q_decile AS DOUBLE) / 10.0 AS threshold,
+       docs_kept, tokens_kept,
+       CAST(docs_kept AS DOUBLE) / CAST(t_docs AS DOUBLE) AS doc_share,
+       CAST(tokens_kept AS DOUBLE) / CAST(t_toks AS DOUBLE) AS token_share
+FROM c CROSS JOIN tt
+ORDER BY q_decile"""
+
+  /** Multinomial NB language classifier, add-one smoothing. Mirrors
+    * Search.nbClassify: every ln is [[lniSql]] over exact integers, the
+    * per-doc likelihood is a position-ordered fold, and the final score
+    * tree is the identical IEEE shape, so the argmax compares identical
+    * doubles. */
+  val nbClassify: String = s"""
+WITH tok AS (
+  SELECT doc_id, lang, term, pos FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text, ' ')) AS term,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents) t
+  WHERE term <> ''
+), cc AS (
+  SELECT lang AS cls, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), mm AS (
+  SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS m FROM tok GROUP BY 1
+), pr AS (
+  SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs_c FROM documents GROUP BY 1
+), nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), vv AS (
+  SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tok
+), cls AS (
+  SELECT pr.cls, pr.n_docs_c, mm.m, nn.n_docs, vv.v
+  FROM pr JOIN mm ON mm.cls = pr.cls CROSS JOIN nn CROSS JOIN vv
+), sc AS (
+  SELECT t.doc_id, t.lang, c.cls, c.n_docs_c, c.m, c.n_docs, c.v,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(${lniSql("CAST(COALESCE(x.c, 0) + 1 AS BIGINT)")} ORDER BY t.pos)),
+           (a, b) -> a + b) AS sum_ll,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok t
+  CROSS JOIN cls c
+  LEFT JOIN cc x ON x.cls = c.cls AND x.term = t.term
+  GROUP BY t.doc_id, t.lang, c.cls, c.n_docs_c, c.m, c.n_docs, c.v
+), fin AS (
+  SELECT doc_id, lang, cls,
+         ${lniSql("n_docs_c")} - ${lniSql("n_docs")} + sum_ll
+           - CAST(n_tok AS DOUBLE) * ${lniSql("CAST(m + v AS BIGINT)")} AS score,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY (${lniSql("n_docs_c")} - ${lniSql("n_docs")} + sum_ll
+             - CAST(n_tok AS DOUBLE) * ${lniSql("CAST(m + v AS BIGINT)")}) DESC, cls) AS rk
+  FROM sc
+)
+SELECT doc_id, lang, cls AS pred_lang, cls = lang AS correct, score
+FROM fin WHERE rk = 1
+ORDER BY doc_id"""
+
   /** Channel opener/closer/middle position shares. Mirrors
     * Journeys.channelPositionBias. */
   val channelPositionBias: String = attrBase + """

@@ -292,6 +292,17 @@ object SparkEntry {
     "dedup_threshold_sweep" -> ((s, dir) =>
       Corpus.dedupThresholdSweep(Tables.documents(s, dir))),
 
+    "mixture_temperature" -> ((s, dir) =>
+      Corpus.mixtureTemperature(Tables.documents(s, dir))),
+
+    "domain_cap_sample" -> ((s, dir) =>
+      Corpus.domainCapSample(Tables.documents(s, dir))),
+
+    "quality_ablation" -> ((s, dir) =>
+      Corpus.qualityAblation(Tables.documents(s, dir))),
+
+    "nb_lang_classify" -> ((s, dir) => Search.nbClassify(Tables.documents(s, dir))),
+
     "customer_ltv_deciles" -> ((s, dir) =>
       Analytics.customerLtvDeciles(Tables.orders(s, dir))),
 
@@ -861,6 +872,10 @@ object SparkEntry {
     "lang_confusion"            -> Oracles.langConfusion,
     "corpus_mixture_entropy"    -> Oracles.corpusMixtureEntropy,
     "dedup_threshold_sweep"     -> Oracles.dedupThresholdSweep,
+    "mixture_temperature"       -> Oracles.mixtureTemperature,
+    "domain_cap_sample"         -> Oracles.domainCapSample,
+    "quality_ablation"          -> Oracles.qualityAblation,
+    "nb_lang_classify"          -> Oracles.nbClassify,
     "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,

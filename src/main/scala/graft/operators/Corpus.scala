@@ -1488,6 +1488,107 @@ object Corpus {
       .orderBy(col("lang"), col("quality").desc, col("doc_id"))
   }
 
+  /** Temperature-scaled source sampling weights — the data-mixing table
+    * a multi-source training run is configured from (the T-sampling of
+    * multilingual/multi-corpus recipes: raising small sources, damping
+    * the giant ones). Per source: doc/token mass, and the sampling
+    * weight at temperature T ∈ {2, 4}, `w_i = n_i^(1/T) / Σ_j n_j^(1/T)`,
+    * plus the T=2 boost over the natural share (>1 ⇒ upsampled).
+    *
+    * Cross-engine determinism: n^(1/2) and n^(1/4) are one and two IEEE
+    * `sqrt` steps — correctly rounded BY STANDARD in every engine, so no
+    * `pow`/`exp` enters the gate; the weight denominators are ordered
+    * folds over the per-source rows (§3 discipline), and every remaining
+    * step is a single IEEE op on identical operands.
+    *
+    * Scale shape: one partial-agg groupBy to ≤|sources| metadata rows;
+    * the folds and the broadcast join run on that bounded frame. */
+  def mixtureTemperature(documents: DataFrame): DataFrame = {
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val per = documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+      .withColumn("__s2", sqrt(col("n_tokens").cast("double")))
+      .withColumn("__s4", sqrt(sqrt(col("n_tokens").cast("double"))))
+    def foldBySource(c: String): Column =
+      aggregate(
+        transform(sort_array(collect_list(struct(col("source"), col(c)))),
+          s => s.getField(c)),
+        lit(0.0), (acc, v) => acc + v)
+    val tot = per.agg(
+      foldBySource("__s2").as("__t2"),
+      foldBySource("__s4").as("__t4"),
+      sum("n_tokens").as("__n_total"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("__s2") / col("__t2")).as("w_t2"),
+        (col("__s4") / col("__t4")).as("w_t4"),
+        (col("__s2") / col("__t2") * col("__n_total").cast("double") /
+          col("n_tokens").cast("double")).as("boost_t2"))
+      .orderBy("source")
+  }
+
+  /** Per-source document cap — the web-curation rule that no single
+    * domain dominates the corpus (crawl dumps are power-law by host):
+    * keep each source's top `cap` documents by the C9 quality score
+    * (ties by doc_id), emitting the kept rows with their rank. The
+    * inverse of C15's proportional sampling: an ABSOLUTE per-group
+    * ceiling, insensitive to how big the source is.
+    *
+    * Scale shape: one window partitioned BY SOURCE (the natural shuffle
+    * key; no global ordering anywhere) and an early `rk ≤ cap` filter —
+    * rank state never exceeds the partition, output is ≤ cap·|sources|.
+    * A pathologically hot source is one partition's sort, the usual
+    * skew-salting candidates apply. */
+  def domainCapSample(documents: DataFrame, cap: Int = 5): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
+    val w = Window.partitionBy("source").orderBy(col("q").desc, col("doc_id"))
+    documents
+      .select(col("source"), col("doc_id"), q.as("q"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .orderBy("source", "rk")
+  }
+
+  /** Quality-threshold ablation table — what each candidate C9 cutoff
+    * KEEPS (docs, tokens, shares), in one pass: the tuning readout for
+    * picking a filter threshold without re-running the filter per
+    * candidate (the C76 sweep idea applied to the quality gate; C73
+    * shows the quality×length joint, this shows the retention curve).
+    * One row per OCCUPIED quality decile: keeping every doc with
+    * `floor(q·10) ≥ d` retains `docs_kept`/`tokens_kept`.
+    *
+    * Determinism: counts/token sums are exact integers; the shares are
+    * single IEEE divisions of exact-integer doubles. Scale shape: one
+    * map + partial agg to ≤11 rows; the descending cumulative runs on
+    * that metadata frame (sweep-whitelisted, row-bounded). */
+  def qualityAblation(documents: DataFrame): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    val byDecile = documents
+      .select(floor(q * 10.0).cast("long").as("q_decile"), nTok.as("__t"))
+      .groupBy("q_decile")
+      .agg(count(lit(1)).as("__docs"), sum("__t").as("__toks"))
+    val w = Window.orderBy(col("q_decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = byDecile.agg(
+      sum("__docs").as("__t_docs"), sum("__toks").as("__t_toks"))
+    byDecile
+      // ≤11-row frame: the unpartitioned cumulative is metadata-sized
+      .withColumn("docs_kept", sum("__docs").over(w))
+      .withColumn("tokens_kept", sum("__toks").over(w))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("q_decile"),
+        (col("q_decile").cast("double") / 10.0).as("threshold"),
+        col("docs_kept"), col("tokens_kept"),
+        (col("docs_kept").cast("double") / col("__t_docs").cast("double"))
+          .as("doc_share"),
+        (col("tokens_kept").cast("double") / col("__t_toks").cast("double"))
+          .as("token_share"))
+      .orderBy("q_decile")
+  }
+
   /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile
     * window) — spec-pinned semantic oracle, not the scale path. */
   def qualityCurriculumSingleTask(documents: DataFrame, stages: Int = 4): DataFrame = {

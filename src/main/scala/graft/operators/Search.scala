@@ -800,4 +800,68 @@ object Search {
         .select(lit(0L).as("query_id"), col("doc_id").as("neighbor_id"),
           col("fused_rank").as("rank")),
       k)
+
+  /** Multinomial Naive Bayes language classifier, trained on the corpus's
+    * own `lang` labels and applied back to every document — the MODEL-BASED
+    * classification step of a curation pipeline (the fastText-style filter
+    * family), where C8's langid is a fixed heuristic: per class c,
+    * `score(d,c) = ln P(c) + Σ_t ln P(t|c)` with add-one smoothing
+    * (`P(t|c) = (count(t,c)+1)/(m_c+V)`), predicting the argmax (ties →
+    * lexicographically first class). A doc with zero non-empty tokens has
+    * no likelihood and is omitted, as in the oracle.
+    *
+    * Cross-engine determinism: every ln is `graft_lni` over an exact
+    * integer (token-class counts, class priors, smoothing denominators —
+    * never a platform log), the per-doc likelihood Σ is an ordered fold
+    * by token POSITION (§3 discipline 3), and the remaining arithmetic is
+    * the same fixed IEEE expression tree on both engines, so the argmax
+    * compares identical doubles.
+    *
+    * Scale shape: training is two partial-agg groupBys (token×class,
+    * class totals — map-side combine does the mass); scoring joins the
+    * token stream against the count table keyed by (class, term) — an
+    * inverted-index equi-join, linear in corpus tokens — after a
+    * broadcast fan-out over the ≤|classes| metadata rows; the argmax
+    * window partitions by doc_id. Nothing global, nothing all-pairs; a
+    * production variant caps the vocabulary (the C31/C55b `limit` move)
+    * to make the count table broadcastable. */
+  def nbClassify(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val tokCounts = toks.groupBy(col("lang").as("cls"), col("term"))
+      .agg(count(lit(1)).as("c"))
+    val clsTotals = toks.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("m"))
+    val priors = documents.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("n_docs_c"))
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val vocab = toks.agg(count_distinct(col("term")).as("v"))
+    val classes = priors.join(clsTotals, "cls")
+      .crossJoin(broadcast(nDocs)).crossJoin(broadcast(vocab))
+    val scored = toks.select("doc_id", "lang", "pos", "term")
+      .crossJoin(broadcast(classes))
+      .join(tokCounts, Seq("cls", "term"), "left")
+      .withColumn("__ll", expr("graft_lni(coalesce(c, 0L) + 1L)"))
+    val perCls = scored
+      .groupBy("doc_id", "lang", "cls", "n_docs_c", "m", "n_docs", "v")
+      .agg(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("pos"), col("__ll")))),
+            s => s.getField("__ll")),
+          lit(0.0), (acc, x) => acc + x).as("__sum_ll"),
+        count(lit(1)).as("__n_tok"))
+      .withColumn("score",
+        expr("graft_lni(n_docs_c)") - expr("graft_lni(n_docs)") + col("__sum_ll")
+          - col("__n_tok").cast("double") * expr("graft_lni(m + v)"))
+    val wd = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cls"))
+    perCls
+      .withColumn("__rk", row_number().over(wd))
+      .filter(col("__rk") === 1)
+      .select(col("doc_id"), col("lang"), col("cls").as("pred_lang"),
+        (col("cls") === col("lang")).as("correct"), col("score"))
+      .orderBy("doc_id")
+  }
 }

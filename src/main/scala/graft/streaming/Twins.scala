@@ -70,7 +70,9 @@ object Twins {
     "corpusIngestSink" ->
       "foreachBatch wiring of ingestMicroBatch into a running query",
     "stateMetrics" ->
-      "state-store observability over a running query; no batch counterpart")
+      "state-store observability over a running query; no batch counterpart",
+    "droppedLateRows" ->
+      "cumulative watermark-drop count — the degraded-mode signal for every Ordered twin; no batch counterpart")
 
   private def group(reason: String)(keys: String*): Seq[(String, String)] =
     keys.map(_ -> reason)
@@ -143,7 +145,8 @@ object Twins {
       "bigram_lm", "bigram_kn_lm", "bpe_top_merges", "bpe_encode",
       "bpe_coverage", "unigram_pieces", "unigram_encode", "unigram_fertility",
       "tfidf_top_terms", "bm25_search", "bm25_search_indexed", "token_pmi",
-      "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams") ++
+      "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams",
+      "nb_lang_classify") ++
     group("stateless per-document map, directly applicable inside any stream (admitDocuments applies quality+fingerprint); gated as batch scoring")(
       "text_langid", "text_quality", "text_normalize", "text_pii_scrub",
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",
@@ -155,7 +158,8 @@ object Twins {
       "quality_curriculum", "dsir_select", "corpus_budget_select",
       "corpus_budget_by_lang", "corpus_datasheet", "corpus_mixture_entropy",
       "sequence_packing", "packing_efficiency", "training_shards",
-      "shard_skew", "shard_checksums") ++
+      "shard_skew", "shard_checksums", "mixture_temperature",
+      "domain_cap_sample", "quality_ablation") ++
     group("batch drift diagnostic; its admission-control form is Corpus.ingestNearDup's drift gate")(
       "corpus_drift", "corpus_drift_summary")
   ).toMap

@@ -442,6 +442,109 @@ class CurationSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (lo, hi) => lo >= hi })
   }
 
+  test("mixtureTemperature: sqrt weights, flattening direction, exact masses") {
+    import spark.implicits._
+    // token masses 1 / 4 / 16 -> s2 = 1,2,4 (t2=7); s4 = 1,sqrt2,2
+    val docs = Seq(
+      (1L, "a", "s1"),
+      (2L, "a b c d", "s2"),
+      (3L, (1 to 16).map(i => s"w$i").mkString(" "), "s3"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.mixtureTemperature(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.keySet === Set("s1", "s2", "s3"))
+    assert(out("s1").getAs[Long]("n_tokens") === 1L)
+    assert(out("s2").getAs[Long]("n_tokens") === 4L)
+    assert(out("s3").getAs[Long]("n_tokens") === 16L)
+    // T=2 weights are exactly s2/t2 in source-ordered fold order
+    assert(out("s1").getAs[Double]("w_t2") === 1.0 / 7.0)
+    assert(out("s2").getAs[Double]("w_t2") === 2.0 / 7.0)
+    assert(out("s3").getAs[Double]("w_t2") === 4.0 / 7.0)
+    // higher temperature flattens: the smallest source gains share, the
+    // largest loses it
+    assert(out("s1").getAs[Double]("w_t4") > out("s1").getAs[Double]("w_t2"))
+    assert(out("s3").getAs[Double]("w_t4") < out("s3").getAs[Double]("w_t2"))
+    // boost > 1 iff the source is upsampled vs its natural share
+    assert(out("s1").getAs[Double]("boost_t2") > 1.0)
+    assert(out("s3").getAs[Double]("boost_t2") < 1.0)
+    // weights form a distribution (fold order fixed, so this is exact
+    // up to the final additions)
+    val sum2 = Seq("s1", "s2", "s3").map(out(_).getAs[Double]("w_t2")).sum
+    assert(math.abs(sum2 - 1.0) < 1e-12)
+  }
+
+  test("domainCapSample: per-source ceiling, quality order, doc_id ties") {
+    import spark.implicits._
+    val hi = (1 to 80).map(i => s"t$i").mkString(" ") // high quality: long+unique
+    val lo = "the the the the the the the the"        // stopword soup
+    val docs = (
+      (1L to 7L).map(i => (i, if (i <= 3) hi else lo, "big")) ++ // 7 docs, cap 5
+        Seq((10L, hi, "small"), (11L, hi, "small"))              // tie on identical text
+      ).toDF("doc_id", "text", "source")
+    val out = Corpus.domainCapSample(docs, cap = 5).collect()
+    val big = out.filter(_.getAs[String]("source") == "big")
+    assert(big.length === 5, "cap must bind for the 7-doc source")
+    assert(big.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to 5))
+    // the three hi-quality docs outrank the lo ones
+    assert(big.filter(_.getAs[Int]("rk") <= 3).map(_.getAs[Long]("doc_id")).toSet
+      === Set(1L, 2L, 3L))
+    // identical quality -> doc_id breaks the tie
+    val small = out.filter(_.getAs[String]("source") == "small")
+      .sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("doc_id")).toSeq
+    assert(small === Seq(10L, 11L))
+  }
+
+  test("qualityAblation: retention curve partitions the corpus and is monotone") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val out = Corpus.qualityAblation(docs).collect()
+    assert(out.nonEmpty && out.length <= 11)
+    val total = docs.count()
+    val nTok = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .head.getLong(0)
+    // the lowest occupied decile keeps everything
+    val first = out.minBy(_.getAs[Long]("q_decile"))
+    assert(first.getAs[Long]("docs_kept") === total)
+    assert(first.getAs[Long]("tokens_kept") === nTok)
+    assert(first.getAs[Double]("doc_share") === 1.0)
+    // kept counts are nonincreasing in the threshold
+    val sorted = out.sortBy(_.getAs[Long]("q_decile"))
+    val docsKept = sorted.map(_.getAs[Long]("docs_kept"))
+    assert(docsKept.zip(docsKept.tail).forall { case (a, b) => a >= b })
+    val toksKept = sorted.map(_.getAs[Long]("tokens_kept"))
+    assert(toksKept.zip(toksKept.tail).forall { case (a, b) => a >= b })
+    // threshold is the decile boundary
+    sorted.foreach { r =>
+      assert(r.getAs[Double]("threshold")
+        === r.getAs[Long]("q_decile").toDouble / 10.0)
+    }
+  }
+
+  test("nbClassify: separable vocab learned, zero-token doc omitted, tie to first class") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa cc", "en"),
+      (2L, "aa bb bb", "en"),
+      (3L, "xx yy zz", "de"),
+      (4L, "yy zz zz xx", "de"),
+      (5L, "", "en") // zero tokens: no likelihood, omitted
+    ).toDF("doc_id", "text", "lang")
+    val out = Search.nbClassify(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "empty doc must be omitted")
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[Boolean]("correct"), s"doc $id misclassified")
+      assert(out(id).getAs[String]("pred_lang") === out(id).getAs[String]("lang"))
+    }
+    // exactly symmetric classes -> equal scores -> lexicographically
+    // first class wins
+    val sym = Seq(
+      (1L, "p q", "aa"), (2L, "p q", "bb"), (3L, "p q", "aa"), (4L, "p q", "bb"))
+      .toDF("doc_id", "text", "lang")
+    val preds = Search.nbClassify(sym).collect()
+    assert(preds.forall(_.getAs[String]("pred_lang") === "aa"))
+  }
+
   test("mixtureEntropy: analytic uniform and degenerate mixtures") {
     import spark.implicits._
     // 4 langs x 2 docs each -> exactly 2 bits; single lang -> 0

@@ -48,7 +48,8 @@ class QuerySweepSpec extends SparkSpec {
     "vocab_growth",              // ≤ |vocab slice| rows (bounded slice)
     "events_funnel",             // ≤ |funnel steps| rows
     "corpus_drift",              // ≤ 63 power-of-two length buckets
-    "corpus_drift_summary"       // same bounded bucket frame, aggregated
+    "corpus_drift_summary",      // same bounded bucket frame, aggregated
+    "quality_ablation"           // ≤ 11 quality-decile buckets
   )
 
   /** A subtree containing any LIMIT variant feeds the node above it a
