@@ -1915,6 +1915,40 @@ ORDER BY query_id, rnk"""
 
   val annBruteforceTopK: String = bruteTopKSql(8, 10)
 
+  /** Exact top-k under a metadata predicate (label = 0). Mirrors
+    * Similarity.filteredTopK: the candidate set is filtered BEFORE any
+    * distance arithmetic, so results are the true top-k of the filtered
+    * corpus. */
+  val annFilteredTopK: String = """
+WITH nrm AS (
+  SELECT vec_id,
+         sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) ux
+  GROUP BY vec_id
+), feat AS (
+  SELECT e.vec_id, e.embedding, e.label, n.nrm
+  FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, label, embedding AS ce, nrm AS c_nrm
+  FROM feat WHERE label = 0
+), dots AS (
+  SELECT query_id, neighbor_id, label, q_nrm, c_nrm,
+         CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM q JOIN c ON query_id <> neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY query_id, neighbor_id, label, q_nrm, c_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, label, dot / (q_nrm * c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, label, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
   /** nDCG@k + MRR of an approximate ranking vs a ground-truth ranking,
     * lockstep with `Similarity.rankedEval`: graded gain `k − t_rank + 1`
     * from the exact list, discount `lni(p+1)` (the base cancels in the
@@ -3195,6 +3229,47 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM bi JOIN probs USING (w1, w2)
 GROUP BY doc_id
 ORDER BY doc_id"""
+
+  /** Per-language LM-likelihood tiles (CCNet head/middle/tail). Mirrors
+    * Search.lmPplBuckets: C30's score CTEs, then ntile per lang (the
+    * exact SQL ntile Quantiles.ntileFromRank reproduces), then the
+    * bounded cell agg — no mean of the full-mantissa avg_lik. */
+  val lmPplBuckets: String = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bi AS MATERIALIZED (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1, LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) t
+  WHERE w2 IS NOT NULL
+), cbi AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2
+), cw1 AS (
+  SELECT w1, COUNT(*) AS cw FROM bi GROUP BY w1
+), probs AS MATERIALIZED (
+  SELECT w1, w2, CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE) AS p
+  FROM cbi JOIN cw1 USING (w1)
+), sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(p AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lik
+  FROM bi JOIN probs USING (w1, w2)
+  GROUP BY doc_id
+), j AS (
+  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_lik
+  FROM sc s JOIN documents d USING (doc_id)
+), r AS (
+  SELECT lang,
+         CAST(ntile(3) OVER (PARTITION BY lang ORDER BY avg_lik DESC, doc_id) AS INTEGER) AS bucket,
+         n_bigrams, avg_lik
+  FROM j
+)
+SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       MIN(avg_lik) AS min_lik, MAX(avg_lik) AS max_lik
+FROM r GROUP BY lang, bucket
+ORDER BY lang, bucket"""
 
   val sampleStratified: String = """
 SELECT doc_id, lang, source FROM (

@@ -571,6 +571,10 @@ object SparkEntry {
 
     "ann_bruteforce_topk" -> ((s, dir) => Similarity.bruteForceTopK(Tables.embeddings(s, dir))),
 
+    "ann_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(Tables.embeddings(s, dir))),
+
+    "lm_ppl_buckets" -> ((s, dir) => Search.lmPplBuckets(Tables.documents(s, dir))),
+
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
 
     "ann_recall_lsh" -> ((s, dir) => Similarity.lshRecall(Tables.embeddings(s, dir))),
@@ -966,6 +970,8 @@ object SparkEntry {
     "dedup_ngram_jaccard"       -> Oracles.dedupNgramJaccard,
     "dedup_embedding"           -> Oracles.dedupEmbedding,
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
+    "ann_filtered_topk"         -> Oracles.annFilteredTopK,
+    "lm_ppl_buckets"            -> Oracles.lmPplBuckets,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
     "ann_recall_lsh"            -> Oracles.annRecallLsh,
     "ann_ndcg_ivf"              -> Oracles.annNdcgIvf,

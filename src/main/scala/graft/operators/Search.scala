@@ -801,6 +801,39 @@ object Search {
           col("fused_rank").as("rank")),
       k)
 
+  /** Per-language LM-likelihood buckets — the CCNet-style perplexity
+    * partition: rank each language's documents by their C30 bigram-LM
+    * score and cut into `buckets` equal tiles (1 = head / most
+    * in-distribution, `buckets` = tail), reporting each cell's doc and
+    * bigram mass and its score range. The head/middle/tail split is the
+    * standard web-corpus curation move (keep head+middle, sample tail).
+    *
+    * Scale shape: scoring is C30's linear model-join; ranking uses the
+    * `Quantiles.withExactRank` prefix-sum machinery (NOT a per-language
+    * ntile window — a language is a data-sized partition at 100 TB),
+    * then one partial agg to ≤ `buckets`·|langs| metadata rows. Bucket
+    * boundaries follow the exact SQL ntile definition, spec-pinned via
+    * the shared `ntileFromRank`. Means of `avg_lik` are deliberately NOT
+    * emitted: avg_lik is a full-mantissa double and the double→decimal
+    * bridge is engine-internal (§3 discipline); min/max are pure
+    * comparisons. */
+  def lmPplBuckets(documents: DataFrame, buckets: Int = 3): DataFrame = {
+    val scored = lmScore(documents)
+      .join(documents.select(col("doc_id"), col("lang")), "doc_id")
+    Quantiles
+      .withExactRank(scored, Seq("lang"),
+        Seq(("avg_lik", false), ("doc_id", true)), "__rk", "__nn")
+      .withColumn("bucket",
+        Quantiles.ntileFromRank(col("__rk"), col("__nn"), buckets).cast("int"))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        min("avg_lik").as("min_lik"),
+        max("avg_lik").as("max_lik"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Multinomial Naive Bayes language classifier, trained on the corpus's
     * own `lang` labels and applied back to every document — the MODEL-BASED
     * classification step of a curation pipeline (the fastText-style filter

@@ -41,6 +41,43 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED exact top-k — vector search under a metadata predicate
+    * (here `label = targetLabel`), the serving shape every production
+    * vector store needs (tenant/language/licence filters): candidates
+    * are pruned by the predicate BEFORE any distance arithmetic runs,
+    * so the scan cost is the filtered corpus, not the full one. This is
+    * the post-filter-free formulation: results are exactly the top-k of
+    * the filtered set (no recall loss from filtering an unfiltered
+    * top-k' downstream).
+    *
+    * At scale the predicate reaches the parquet scan as a pushed filter
+    * (and with label/tenant-partitioned layout, partition pruning skips
+    * whole directories); the query side stays a broadcast. The IVF
+    * composition (probe cells, then apply the predicate inside each
+    * cell) keeps the same plan shape — this exact form is its oracle. */
+  def filteredTopK(
+      embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+      targetLabel: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"), col("label"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val q = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"))
+    val c = feat.filter(col("label") === targetLabel)
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("ce"), col("nrm").as("c_nrm"))
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", VectorFunctions.dotExact(col("qe"), col("ce")))
+      .withColumn("cosine", col("dot") / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "label", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest coarse centroid (the "inverted file" cells); a query probes
     * its `nProbe` nearest cells and ranks only those candidates. Centroids

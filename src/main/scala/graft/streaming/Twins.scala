@@ -137,6 +137,7 @@ object Twins {
       "ann_range_search", "ann_knn_graph", "ann_recall_lsh", "ann_recall_ivf",
       "ann_recall_pq", "ann_recall_sq", "ann_recall_ivfpq", "ann_ndcg_ivf",
       "ann_ndcg_lsh", "ann_nprobe_sweep", "ann_nprobe_sweep_ivfpq",
+      "ann_filtered_topk",
       "search_rrf_fusion", "search_mmr_rerank", "search_ndcg_rrf",
       "knn_classify", "label_centroids", "topic_assign", "contrastive_pairs",
       "embed_rp_project", "embed_center_norm", "embed_dim_stats",
@@ -146,7 +147,7 @@ object Twins {
       "bpe_coverage", "unigram_pieces", "unigram_encode", "unigram_fertility",
       "tfidf_top_terms", "bm25_search", "bm25_search_indexed", "token_pmi",
       "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams",
-      "nb_lang_classify") ++
+      "nb_lang_classify", "lm_ppl_buckets") ++
     group("stateless per-document map, directly applicable inside any stream (admitDocuments applies quality+fingerprint); gated as batch scoring")(
       "text_langid", "text_quality", "text_normalize", "text_pii_scrub",
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",

@@ -242,4 +242,29 @@ class SearchSpec extends SparkSpec {
     assert(enc(1L) === ((6L, 2L))) // 3 cps per word, one piece per word
     assert(enc(2L) === ((6L, 3L)))
   }
+
+  test("lmPplBuckets: tiles partition each language, sizes within 1, ranges ordered") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val out = Search.lmPplBuckets(docs).collect()
+    val perLang = out.groupBy(_.getAs[String]("lang"))
+    assert(perLang.nonEmpty)
+    val scoredPerLang = Search.lmScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    perLang.foreach { case (lang, rows) =>
+      val byBucket = rows.sortBy(_.getAs[Int]("bucket"))
+      assert(byBucket.map(_.getAs[Int]("bucket")).toSeq === (1 to byBucket.length))
+      // tiles partition the scored docs of the language
+      assert(byBucket.map(_.getAs[Long]("n_docs")).sum === scoredPerLang(lang))
+      // ntile balance: sizes differ by at most one, never increasing
+      val sizes = byBucket.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1L && sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+      // head scores dominate the tail: bucket b's min >= bucket b+1's max
+      byBucket.zip(byBucket.tail).foreach { case (hi, lo) =>
+        assert(hi.getAs[Double]("min_lik") >= lo.getAs[Double]("max_lik"),
+          s"$lang: bucket ranges out of order")
+      }
+    }
+  }
 }

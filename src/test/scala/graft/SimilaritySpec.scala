@@ -418,4 +418,32 @@ class SimilaritySpec extends SparkSpec {
     queries.foreach(q => assert(full(q) === exhaustive(q),
       s"query $q: all-cells probe must equal the exhaustive PQ scan"))
   }
+
+  test("filteredTopK: predicate prunes before distance, exact top-k of the filtered set") {
+    // query 0 = [1,0,0,...]; vec 1 (label 0) identical direction,
+    // vec 2 (label 1) nearly identical but FILTERED OUT,
+    // vec 3 (label 0) orthogonal
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    val emb = Seq(
+      (0L, v(0 -> 1.0f), 5),
+      (1L, v(0 -> 2.0f), 0),
+      (2L, v(0 -> 1.0f, 1 -> 0.01f), 1),
+      (3L, v(1 -> 1.0f), 0),
+      (4L, v(0 -> -1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.filteredTopK(emb, nQueries = 1, k = 10).collect()
+    assert(out.forall(_.getAs[Int]("label") === 0), "every neighbor honors the filter")
+    val order = out.sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSeq
+    // vec 2 (cosine ~0.99995) would be rank 2 unfiltered — it must be absent
+    assert(order.map(_._1) === Seq(1L, 3L, 4L))
+    assert(order(0)._2 === 1.0 && order(1)._2 === 0.0 && order(2)._2 === -1.0)
+    // a filtered-label query still gets neighbors (the filter is on
+    // candidates, not on who may ask)
+    val q2 = Similarity.filteredTopK(emb, nQueries = 3, k = 10).collect()
+      .filter(_.getAs[Long]("query_id") === 2L)
+    assert(q2.nonEmpty && q2.forall(_.getAs[Int]("label") === 0))
+  }
 }
