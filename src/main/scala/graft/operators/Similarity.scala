@@ -239,6 +239,55 @@ object Similarity {
     new java.math.BigDecimal(java.lang.Float.toString(x))
       .setScale(12, java.math.RoundingMode.HALF_UP)
 
+  /** FULL-CORPUS distributed Lloyd — the scale escape hatch for
+    * [[trainCentroids]] (the `Markov.attributionDistributed` move): when
+    * the bounded md5 sample is NOT a sufficient sketch of the
+    * distribution (pathological multimodality, adversarial skew), train
+    * on everything. Per iteration: one codegen'd map pass assigns every
+    * vector to its argmax-cosine cell (the probe path's `cellRank`
+    * literal-centroid expression — no crossJoin), then ONE (cell, dim)
+    * aggregation reduces the corpus to K·dims rows (the only collect —
+    * index metadata, not data). Cost is `iters` linear passes instead of
+    * the sampled path's flat cost; the output feeds the same probe/PQ
+    * machinery unchanged.
+    *
+    * Arithmetic is bit-identical to [[trainCentroids]]: the same
+    * float→string→DECIMAL(38,12) term bridge, exact decimal sums, one
+    * double division, float narrowing, empty cells keeping their
+    * previous centroid — spec-pinned equal to the driver Lloyd on a
+    * corpus small enough that the sample IS the corpus. */
+  def kmeansDistributed(
+      embeddings: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2): Array[(Long, Array[Float], Double)] = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val feat = embeddings.select(
+      col("embedding"), VectorFunctions.normExact(col("embedding")).as("nrm"))
+    var cents = initialCentroids(embeddings, nCentroids)
+    (1 to iters).foreach { _ =>
+      val rows = feat
+        .withColumn("cell",
+          element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x").cast("string")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("s"))
+        .collect() // K×dims rows — index metadata, not data
+      val sums = rows.map(r => (r.getAs[Long]("cell"), r.getAs[Int]("pos")) ->
+        r.getAs[java.math.BigDecimal]("s")).toMap
+      val counts = rows.map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n")).toMap
+      cents = cents.map { case (cid, prev, _) =>
+        counts.get(cid) match {
+          case None => withNorm(cid, prev) // empty cell keeps its centroid
+          case Some(c) => withNorm(cid, Array.tabulate(prev.length)(i =>
+            (sums((cid, i)).doubleValue() / c.toDouble).toFloat))
+        }
+      }
+    }
+    cents
+  }
+
   private def driverDot(a: Array[Float], b: Array[Float]): Double =
     graft.functions.DotDecimalImpl.dot(
       new org.apache.spark.sql.catalyst.util.GenericArrayData(a),

@@ -446,4 +446,24 @@ class SimilaritySpec extends SparkSpec {
       .filter(_.getAs[Long]("query_id") === 2L)
     assert(q2.nonEmpty && q2.forall(_.getAs[Int]("label") === 0))
   }
+
+  test("kmeansDistributed: full-corpus Lloyd is bit-equal to the sampled driver Lloyd when the sample is the corpus") {
+    // sf0.001: 500 vectors < the 4096 sample target, so trainCentroids's
+    // md5 threshold clamps and BOTH paths train on the whole corpus —
+    // identical algorithm, so identical floats, or one of the two
+    // arithmetic chains is lying.
+    val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assert(embTable.count() <= 4096L)
+    val driver = Similarity.trainCentroids(embTable, nCentroids = 8, iters = 2)
+    val dist = Similarity.kmeansDistributed(embTable, nCentroids = 8, iters = 2)
+    assert(dist.map(_._1).toSeq === driver.map(_._1).toSeq)
+    driver.zip(dist).foreach { case ((cid, dv, dn), (_, xv, xn)) =>
+      assert(java.util.Arrays.equals(dv, xv), s"cell $cid centroid differs")
+      assert(dn === xn, s"cell $cid norm differs")
+    }
+    // and the refinement actually moved the init (this is training, not a copy)
+    val init = Similarity.initialCentroids(embTable, 8)
+    assert(init.zip(dist).exists { case ((_, iv, _), (_, xv, _)) =>
+      !java.util.Arrays.equals(iv, xv) })
+  }
 }
