@@ -2272,6 +2272,65 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
+  /** Filtered IVF probe: the annIvfTopK chain with the label predicate
+    * applied to the candidate side before the probe join (assignment is
+    * per-vector, so filtering first cannot change a survivor's cell).
+    * Mirrors Similarity.filteredIvfTopK. */
+  val annFilteredIvfTopK: String = featBase + """
+, cdots AS (
+  SELECT f.vec_id, f.nrm, c.cid, c.cent_nrm,
+         CAST(SUM(CAST(CAST(f.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat f
+  CROSS JOIN (SELECT vec_id AS cid, embedding, nrm AS cent_nrm FROM feat WHERE vec_id < 16) c
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY f.vec_id, f.nrm, c.cid, c.cent_nrm
+), assigned AS (
+  SELECT t.vec_id, t.cell, lb.label FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cent_nrm) DESC, cid) AS crn
+    FROM cdots) t
+  JOIN embeddings lb ON lb.vec_id = t.vec_id AND lb.label = 0
+  WHERE crn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cent_nrm) DESC, cid) AS qrn
+    FROM cdots WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.label
+  FROM probes p JOIN assigned a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+), dots AS (
+  SELECT cd.query_id, cd.neighbor_id, cd.label, qf.nrm AS q_nrm, nf.nrm AS c_nrm,
+         CAST(SUM(CAST(CAST(qf.embedding[i] AS DOUBLE) * CAST(nf.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN feat qf ON qf.vec_id = cd.query_id
+  JOIN feat nf ON nf.vec_id = cd.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.neighbor_id, cd.label, qf.nrm, nf.nrm
+), scored AS (
+  SELECT query_id, neighbor_id, label, dot / (q_nrm * c_nrm) AS cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, label, cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
+  /** Recall of the filtered probe vs filtered exact search. Mirrors
+    * Similarity.filteredIvfRecall. */
+  val annRecallFiltered: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annFilteredTopK) b
+LEFT JOIN ($annFilteredIvfTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
   /** Trained-IVF oracle: the same unrolled Lloyd iterations as
     * [[graft.operators.Similarity.trainCentroids]], in pure SQL over the
     * unnested centroid representation (cid, i, v). Every arithmetic step

@@ -486,6 +486,50 @@ object ScaleSmoke {
     time("customer_ltv_deciles orders=2M customers=200k")(
       println(s"[scale] ltv deciles = " +
         graft.operators.Analytics.customerLtvDeciles(ltvOrders).count()))
+
+    // r12 stages.
+
+    // NB classification: training is two partial-agg groupBys, scoring
+    // an inverted-index (class, term) equi-join — both linear in corpus
+    // tokens, so 10× docs must scale wall clock ~10×, never pair-square.
+    Seq(nDocs / 4, nDocs * 10 / 4).foreach { nd =>
+      val cDocs = spark.range(nd).selectExpr(
+        "id AS doc_id",
+        "concat('l', pmod(id, 5)) AS lang",
+        """array_join(transform(sequence(1, 30),
+             i -> concat('w', pmod(hash(id * 61 + i) + pmod(id, 5) * 7, 1000))), ' ') AS text""")
+      time(s"nb_classify nDocs=$nd")(println(s"[scale] nb predictions = " +
+        graft.operators.Search.nbClassify(cDocs).count()))
+    }
+
+    // Full-corpus distributed Lloyd (the kmeansDistributed escape hatch):
+    // each iteration is one assignment map pass + one K×dims agg, so 10×
+    // vectors must scale ~10× — and the only collect stays K×dims rows.
+    Seq(20000L, 200000L).foreach { nv =>
+      val v = spark.range(nv).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(0, 63),
+             i -> CAST(CAST(pmod(hash(id * 67 + i), 1999) - 999 AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+      time(s"kmeans_distributed nVecs=$nv iters=2")(println(s"[scale] centroids = " +
+        graft.operators.Similarity.kmeansDistributed(v, nCentroids = 16, iters = 2).length))
+    }
+
+    // Perceptual near-dup over binary payloads: banded-Hamming blocking
+    // must keep pair work at the planted-dup rate (1% brightness-shifted
+    // copies — aHash-invariant), never the frame-pair square.
+    Seq(nDocs / 4, nDocs * 10 / 4).foreach { nd =>
+      val frames = spark.range(nd).selectExpr(
+        "id AS doc_id",
+        // 64-byte pseudo-pixel payload (single-byte code points); every
+        // 100th doc is the previous doc's payload with a uniform +16
+        // brightness shift — invisible to aHash, so it MUST pair up
+        """array_join(transform(sequence(1, 64),
+             i -> chr(32 + pmod(hash((CASE WHEN pmod(id, 100) = 1 THEN id - 1 ELSE id END) * 53 + i), 64)
+                         + (CASE WHEN pmod(id, 100) = 1 THEN 16 ELSE 0 END))),
+           '') AS text""")
+      time(s"phash_neardup nDocs=$nd")(println(s"[scale] perceptual pairs = " +
+        graft.operators.Multimodal.imageNearDup(frames).count()))
+    }
     spark.stop()
   }
 }

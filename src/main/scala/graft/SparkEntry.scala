@@ -573,6 +573,12 @@ object SparkEntry {
 
     "ann_filtered_topk" -> ((s, dir) => Similarity.filteredTopK(Tables.embeddings(s, dir))),
 
+    "ann_filtered_ivf_topk" -> ((s, dir) =>
+      Similarity.filteredIvfTopK(Tables.embeddings(s, dir))),
+
+    "ann_recall_filtered" -> ((s, dir) =>
+      Similarity.filteredIvfRecall(Tables.embeddings(s, dir))),
+
     "lm_ppl_buckets" -> ((s, dir) => Search.lmPplBuckets(Tables.documents(s, dir))),
 
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
@@ -971,6 +977,8 @@ object SparkEntry {
     "dedup_embedding"           -> Oracles.dedupEmbedding,
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_filtered_topk"         -> Oracles.annFilteredTopK,
+    "ann_filtered_ivf_topk"     -> Oracles.annFilteredIvfTopK,
+    "ann_recall_filtered"       -> Oracles.annRecallFiltered,
     "lm_ppl_buckets"            -> Oracles.lmPplBuckets,
     "ann_lsh_topk"              -> Oracles.annLshTopK,
     "ann_recall_lsh"            -> Oracles.annRecallLsh,

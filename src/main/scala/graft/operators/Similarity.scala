@@ -78,6 +78,60 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** FILTERED IVF search — [[filteredTopK]]'s predicate composed into
+    * the [[ivfTopK]] probe path: the candidate side applies the metadata
+    * predicate BEFORE the probe join (cell assignment depends only on
+    * the vector itself, so filtering first cannot change a survivor's
+    * cell), then the usual cell-pruned exact re-rank runs over the
+    * filtered cells. This is how a production store serves a tenant/
+    * language/licence filter without post-filter recall loss beyond the
+    * probe budget itself; [[filteredTopK]] is its exact oracle and
+    * `ann_recall_filtered` measures the gap.
+    *
+    * Scale shape identical to the probe path: literal centroids, pure
+    * map assignment, a broadcast |Q|·nProbe probe side, one per-query
+    * rank — plus the pushed predicate shrinking the candidate scan. */
+  def filteredIvfTopK(
+      embeddings: DataFrame, nCentroids: Int = 16, nQueries: Int = 8,
+      nProbe: Int = 2, k: Int = 10, targetLabel: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val cents = initialCentroids(embeddings, nCentroids)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"), col("label"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val assigned = feat
+      .filter(col("label") === targetLabel) // predicate before the probe join
+      .withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        col("embedding").as("ce"), col("nrm").as("c_nrm"), col("cell"))
+    val probes = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"),
+        explode(transform(
+          slice(cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dotExact(col("qe"), col("ce")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "label", "cosine", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of [[filteredIvfTopK]] against the exact [[filteredTopK]]
+    * — what the probe budget costs UNDER the predicate (filtered cells
+    * are sparser, so fixed nProbe can miss more than unfiltered recall
+    * suggests). The |Q|·k bounded evaluation shape of `recallAtK`. */
+  def filteredIvfRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      filteredTopK(embeddings, nQueries, k),
+      filteredIvfTopK(embeddings, nQueries = nQueries, k = k))
+
   /** IVF-style approximate top-k: corpus vectors are assigned to their
     * nearest coarse centroid (the "inverted file" cells); a query probes
     * its `nProbe` nearest cells and ranks only those candidates. Centroids

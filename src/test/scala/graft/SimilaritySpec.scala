@@ -447,6 +447,27 @@ class SimilaritySpec extends SparkSpec {
     assert(q2.nonEmpty && q2.forall(_.getAs[Int]("label") === 0))
   }
 
+  test("filteredIvfTopK: honors the predicate, recall bounded, all-cells probe = exact filtered search") {
+    val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = Similarity.filteredIvfTopK(embTable).collect()
+    assert(ivf.nonEmpty && ivf.forall(_.getAs[Int]("label") === 0))
+    val rec = Similarity.filteredIvfRecall(embTable).collect()
+    assert(rec.length === 8)
+    rec.foreach { r =>
+      val v = r.getAs[Double]("recall")
+      assert(v >= 0.0 && v <= 1.0)
+    }
+    // probing EVERY cell scans the whole filtered corpus: the probe path
+    // must collapse to the exact filtered search, same tiebreaks
+    val full = Similarity.filteredIvfTopK(embTable, nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val exact = Similarity.filteredTopK(embTable)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    assert(full === exact)
+  }
+
   test("kmeansDistributed: full-corpus Lloyd is bit-equal to the sampled driver Lloyd when the sample is the corpus") {
     // sf0.001: 500 vectors < the 4096 sample target, so trainCentroids's
     // md5 threshold clamps and BOTH paths train on the whole corpus —
