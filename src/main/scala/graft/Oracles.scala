@@ -3330,6 +3330,73 @@ SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM r GROUP BY lang, bucket
 ORDER BY lang, bucket"""
 
+  /** Held-out LM scoring: the lmDocScore chain with the model trained on
+    * even doc_ids only and applied to the odd half (unseen bigrams
+    * contribute 0). Mirrors Search.lmHeldoutScore. */
+  val lmHeldoutScore: String = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), bi AS MATERIALIZED (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1, LEAD(w,1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok) t
+  WHERE w2 IS NOT NULL
+), cbi AS (
+  SELECT w1, w2, COUNT(*) AS cb FROM bi WHERE doc_id % 2 = 0 GROUP BY w1, w2
+), cw1 AS (
+  SELECT w1, COUNT(*) AS cw FROM bi WHERE doc_id % 2 = 0 GROUP BY w1
+), probs AS MATERIALIZED (
+  SELECT w1, w2, CAST(cb AS DOUBLE) / CAST(cw AS DOUBLE) AS p
+  FROM cbi JOIN cw1 USING (w1))
+SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(COALESCE(p.p, 0.0) AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_lik
+FROM bi b LEFT JOIN probs p ON p.w1 = b.w1 AND p.w2 = b.w2
+WHERE b.doc_id % 2 = 1
+GROUP BY b.doc_id
+ORDER BY b.doc_id"""
+
+  /** The implementation's LSH S-curve (8 bands × 2 rows): explicit
+    * square-multiply power tree, sqrt threshold. Mirrors
+    * Dedup.minhashSCurve. */
+  val minhashSCurve: String = """
+WITH s AS (
+  SELECT CAST(i AS DOUBLE) / 20.0 AS jaccard
+  FROM (SELECT unnest(range(1, 20)) AS i)
+), c AS (
+  SELECT jaccard, jaccard * jaccard AS s2 FROM s
+), q AS (
+  SELECT jaccard, 1.0 - s2 AS q FROM c
+), e AS (
+  SELECT jaccard, q * q AS q2 FROM q
+), e2 AS (
+  SELECT jaccard, q2 * q2 AS q4 FROM e
+)
+SELECT jaccard, 1.0 - q4 * q4 AS p_candidate, sqrt(0.125) AS threshold_s
+FROM e2
+ORDER BY jaccard"""
+
+  /** Quality-decile × exact-dup cells with within-decile shares. Mirrors
+    * Corpus.qualityDupGrid. */
+  val qualityDupGrid: String = s"""
+WITH scored AS (
+  SELECT doc_id, md5(text) AS h, ${qualitySql("text")} AS q
+  FROM documents
+), groups AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY h
+), cells AS (
+  SELECT CAST(floor(s.q * 10.0) AS BIGINT) AS q_decile, g.n > 1 AS is_dup,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM scored s JOIN groups g ON g.h = s.h
+  GROUP BY 1, 2
+)
+SELECT q_decile, is_dup, n_docs,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY q_decile) AS DOUBLE) AS decile_share
+FROM cells
+ORDER BY q_decile, is_dup"""
+
   val sampleStratified: String = """
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,

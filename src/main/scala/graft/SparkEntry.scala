@@ -295,6 +295,14 @@ object SparkEntry {
     "mixture_temperature" -> ((s, dir) =>
       Corpus.mixtureTemperature(Tables.documents(s, dir))),
 
+    "quality_dup_grid" -> ((s, dir) =>
+      Corpus.qualityDupGrid(Tables.documents(s, dir))),
+
+    "minhash_s_curve" -> ((s, _) => Dedup.minhashSCurve(s)),
+
+    "lm_heldout_score" -> ((s, dir) =>
+      Search.lmHeldoutScore(Tables.documents(s, dir))),
+
     "domain_cap_sample" -> ((s, dir) =>
       Corpus.domainCapSample(Tables.documents(s, dir))),
 
@@ -883,6 +891,9 @@ object SparkEntry {
     "corpus_mixture_entropy"    -> Oracles.corpusMixtureEntropy,
     "dedup_threshold_sweep"     -> Oracles.dedupThresholdSweep,
     "mixture_temperature"       -> Oracles.mixtureTemperature,
+    "quality_dup_grid"          -> Oracles.qualityDupGrid,
+    "minhash_s_curve"           -> Oracles.minhashSCurve,
+    "lm_heldout_score"          -> Oracles.lmHeldoutScore,
     "domain_cap_sample"         -> Oracles.domainCapSample,
     "quality_ablation"          -> Oracles.qualityAblation,
     "nb_lang_classify"          -> Oracles.nbClassify,

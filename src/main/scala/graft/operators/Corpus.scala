@@ -1589,6 +1589,37 @@ object Corpus {
       .orderBy("q_decile")
   }
 
+  /** Quality × duplication joint — do exact duplicates concentrate in a
+    * quality band? Each doc lands in its C9 quality decile and is
+    * flagged `is_dup` iff its md5 text group (the C1 identity) has more
+    * than one member; output cells carry counts plus each cell's share
+    * WITHIN its decile. Boilerplate dups clustering in low deciles means
+    * the quality gate already removes most of what dedup would; dups in
+    * the top deciles mean dedup must run regardless — the grid is the
+    * evidence either way (the C73 move applied to the dedup axis).
+    *
+    * Scale shape: one md5-group count (C1's own agg), a linear
+    * join-back, one partial agg to ≤22 cells; the share window runs
+    * partitioned by decile over that metadata frame. Shares are single
+    * IEEE divisions of exact ints. */
+  def qualityDupGrid(documents: DataFrame): DataFrame = {
+    val scored = documents.select(
+      col("doc_id"), md5(col("text")).as("__h"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("__q"))
+    val groups = scored.groupBy("__h").agg(count(lit(1)).as("__n"))
+    val cells = scored.join(groups, "__h")
+      .select(
+        floor(col("__q") * 10.0).cast("long").as("q_decile"),
+        (col("__n") > 1L).as("is_dup"))
+      .groupBy("q_decile", "is_dup")
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("q_decile")
+    cells
+      .withColumn("decile_share",
+        col("n_docs").cast("double") / sum("n_docs").over(w).cast("double"))
+      .orderBy("q_decile", "is_dup")
+  }
+
   /** Single-task reference form of [[qualityCurriculum]] (per-lang ntile
     * window) — spec-pinned semantic oracle, not the scale path. */
   def qualityCurriculumSingleTask(documents: DataFrame, stages: Int = 4): DataFrame = {

@@ -1285,4 +1285,31 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
       .orderBy("doc_id")
   }
+
+  /** The S-curve of THIS implementation's MinHash banding (8 bands × 2
+    * rows over the 16-lane signature): candidate probability
+    * `p(s) = 1 − (1 − s²)^8` per true Jaccard s, plus the analytic
+    * threshold `(1/b)^(1/r) = √(1/8) ≈ 0.354` where the curve crosses
+    * steepness — the tuning-THEORY table beside C50's empirical
+    * calibration and C76's measured sweep (theory says what the banding
+    * CAN catch, C50 says what it DID). 19 metadata rows, no corpus
+    * access.
+    *
+    * Cross-engine determinism: the power is an explicit square-multiply
+    * tree (s², q = 1−s², q², q⁴, q⁸ — each a single IEEE op), the
+    * threshold one `sqrt` — correctly rounded by standard; no `pow`
+    * enters the gate. */
+  def minhashSCurve(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    spark.range(1, 20)
+      .select((col("id").cast("double") / 20.0).as("jaccard"))
+      .withColumn("__s2", col("jaccard") * col("jaccard"))
+      .withColumn("__q", lit(1.0) - col("__s2"))
+      .withColumn("__q2", col("__q") * col("__q"))
+      .withColumn("__q4", col("__q2") * col("__q2"))
+      .select(
+        col("jaccard"),
+        (lit(1.0) - col("__q4") * col("__q4")).as("p_candidate"),
+        sqrt(lit(0.125)).as("threshold_s"))
+      .orderBy("jaccard")
+  }
 }

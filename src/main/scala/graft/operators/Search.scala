@@ -801,6 +801,19 @@ object Search {
           col("fused_rank").as("rank")),
       k)
 
+  /** Held-out LM scoring — the generalization check the in-corpus score
+    * C30 cannot give: train the bigram LM on the EVEN doc_ids only,
+    * score the ODD half against the frozen model ([[lmScoreAgainst]],
+    * unseen bigrams scoring 0 exactly as the streaming filter treats
+    * OOD text). In-corpus scores are inflated by memorized bigrams; the
+    * held-out distribution is what an ingest threshold should be
+    * calibrated on. Same linear model-join shape as C30; the split is a
+    * pure map predicate. */
+  def lmHeldoutScore(documents: DataFrame): DataFrame =
+    lmScoreAgainst(
+      documents.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+      lmModel(documents.filter(col("doc_id") % 2 === 0)))
+
   /** Per-language LM-likelihood buckets — the CCNet-style perplexity
     * partition: rank each language's documents by their C30 bigram-LM
     * score and cut into `buckets` equal tiles (1 = head / most

@@ -130,7 +130,7 @@ object Twins {
       "dedup_substring_scrub", "dedup_threshold_sweep",
       "shingle_df_histogram", "dup_rate_by_source", "winnow_fingerprints",
       "winnow_overlap", "contamination_check", "split_leakage_free",
-      "multimodal_phash_neardup") ++
+      "multimodal_phash_neardup", "quality_dup_grid", "minhash_s_curve") ++
     group("index build/evaluation over a frozen embedding snapshot; online serving is the VectorStore API, not a stream transform")(
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
       "ann_ivf_trained_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_sq_topk",
@@ -147,7 +147,7 @@ object Twins {
       "bpe_coverage", "unigram_pieces", "unigram_encode", "unigram_fertility",
       "tfidf_top_terms", "bm25_search", "bm25_search_indexed", "token_pmi",
       "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams",
-      "nb_lang_classify", "lm_ppl_buckets") ++
+      "nb_lang_classify", "lm_ppl_buckets", "lm_heldout_score") ++
     group("stateless per-document map, directly applicable inside any stream (admitDocuments applies quality+fingerprint); gated as batch scoring")(
       "text_langid", "text_quality", "text_normalize", "text_pii_scrub",
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",

@@ -545,6 +545,53 @@ class CurationSpec extends SparkSpec {
     assert(preds.forall(_.getAs[String]("pred_lang") === "aa"))
   }
 
+  test("qualityDupGrid: cells partition the corpus, shares sum per decile, dup mass matches C1") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Corpus.qualityDupGrid(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.groupBy(_.getAs[Long]("q_decile")).foreach { case (d, rows) =>
+      val s = rows.map(_.getAs[Double]("decile_share")).sum
+      assert(math.abs(s - 1.0) < 1e-12, s"decile $d shares sum to $s")
+    }
+    val dupDocs = graft.operators.Dedup.exact(docs)
+      .filter(col("n_copies") > 1)
+      .agg(coalesce(sum("n_copies"), lit(0L))).head.getLong(0)
+    assert(out.filter(_.getAs[Boolean]("is_dup")).map(_.getAs[Long]("n_docs")).sum
+      === dupDocs)
+  }
+
+  test("minhashSCurve: analytic S-curve of the 8x2 banding") {
+    val curve = graft.operators.Dedup.minhashSCurve(spark).collect()
+      .map(r => r.getAs[Double]("jaccard") ->
+        (r.getAs[Double]("p_candidate"), r.getAs[Double]("threshold_s"))).toMap
+    assert(curve.size === 19)
+    // the exact IEEE tree at s = 0.5, replayed here step for step
+    val s2 = 0.5 * 0.5; val q = 1.0 - s2; val q2 = q * q; val q4 = q2 * q2
+    assert(curve(0.5)._1 === 1.0 - q4 * q4)
+    assert(curve(0.5)._2 === math.sqrt(0.125))
+    // monotone, with the right tails (banding passes near-exact dups,
+    // rejects low-similarity pairs)
+    val ordered = curve.toSeq.sortBy(_._1).map(_._2._1)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => a < b })
+    // 1 − (1 − 0.05²)^8 ≈ 0.0198: the banding passes ~2% of J=0.05 pairs
+    assert(curve(0.05)._1 < 0.02 && curve(0.95)._1 > 0.99)
+  }
+
+  test("lmHeldoutScore: odd half only, and memorization inflates the in-corpus score") {
+    val docs = Tables.documents(spark, sfDir)
+    val held = Search.lmHeldoutScore(docs).collect()
+    assert(held.nonEmpty && held.forall(_.getAs[Long]("doc_id") % 2 === 1))
+    val meanHeld = held.map(_.getAs[Double]("avg_lik")).sum / held.length
+    // the full-corpus model has SEEN the odd docs; scoring them under it
+    // must beat the held-out score on average, or memorization isn't real
+    val full = Search.lmScoreAgainst(
+        docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text"),
+        Search.lmModel(docs)).collect()
+    val meanFull = full.map(_.getAs[Double]("avg_lik")).sum / full.length
+    assert(meanHeld < meanFull,
+      s"held-out $meanHeld should be below in-corpus $meanFull")
+  }
+
   test("mixtureEntropy: analytic uniform and degenerate mixtures") {
     import spark.implicits._
     // 4 langs x 2 docs each -> exactly 2 bits; single lang -> 0
