@@ -3397,6 +3397,47 @@ SELECT q_decile, is_dup, n_docs,
 FROM cells
 ORDER BY q_decile, is_dup"""
 
+  /** AMS sign-sketch join-size estimate vs truth. Mirrors
+    * Sketches.amsJoinSize (bitwise sign bit, HUGEINT sign-sum products
+    * ≡ the Spark DECIMAL(38,0) accumulation, exact-integer median over
+    * the 5 rows). */
+  val sketchJoinSize: String = """
+WITH ca AS (
+  SELECT d.r, h % 256 AS bucket,
+         CASE WHEN (h & 256) = 0 THEN 1 ELSE -1 END AS sign
+  FROM (
+    SELECT d.r AS r,
+           CAST(concat('0x', substring(md5(concat(CAST(d.r AS VARCHAR), ':',
+                CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM orders CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
+), ga AS (
+  SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS s FROM ca GROUP BY r, bucket
+), cb AS (
+  SELECT d.r, h % 256 AS bucket,
+         CASE WHEN (h & 256) = 0 THEN 1 ELSE -1 END AS sign
+  FROM (
+    SELECT d.r AS r,
+           CAST(concat('0x', substring(md5(concat(CAST(d.r AS VARCHAR), ':',
+                CAST(l_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM lineitem CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
+), gb AS (
+  SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS s_b FROM cb GROUP BY r, bucket
+), per AS (
+  SELECT a.r, SUM(CAST(a.s AS HUGEINT) * b.s_b) AS est
+  FROM ga a JOIN gb b ON b.r = a.r AND b.bucket = a.bucket
+  GROUP BY a.r
+), est AS (
+  SELECT CAST(list_sort(list(est))[3] AS BIGINT) AS est_join_size FROM per
+), tru AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS true_join_size
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT est_join_size, true_join_size,
+       CASE WHEN true_join_size = 0 THEN NULL
+            ELSE CAST(est_join_size - true_join_size AS DOUBLE)
+                   / CAST(true_join_size AS DOUBLE) END AS rel_error
+FROM est CROSS JOIN tru"""
+
   val sampleStratified: String = """
 SELECT doc_id, lang, source FROM (
   SELECT doc_id, lang, source,

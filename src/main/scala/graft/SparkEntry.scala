@@ -364,6 +364,10 @@ object SparkEntry {
       graft.operators.Sketches.bloomSemiPrune(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
 
+    "sketch_join_size" -> ((s, dir) =>
+      graft.operators.Sketches.amsJoinSize(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+
     "sketch_bloom_merged" -> ((s, dir) =>
       graft.operators.Sketches.bloomSemiPruneMerged(
         Tables.lineitem(s, dir), Tables.orders(s, dir))),
@@ -916,6 +920,7 @@ object SparkEntry {
     // counts-only replay of the deterministic md5 position sets: the
     // false-positive overshoot is part of the checked row
     "sketch_bloom_prune"        -> Oracles.sketchBloomPrune,
+    "sketch_join_size"          -> Oracles.sketchJoinSize,
     // the FULL-data Bloom oracle: position-set union (bitwise OR) must
     // reproduce the full filter exactly, so the hash match IS the proof
     "sketch_bloom_merged"       -> Oracles.sketchBloomPrune,

@@ -480,4 +480,58 @@ object Sketches {
       .select(col("n_fact"), col("n_bloom_pass"), col("n_exact"),
         (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
   }
+
+  /** AMS/count-sketch join-SIZE estimation: |A ⋈ B| on a key equals the
+    * inner product of the two key-frequency vectors, estimated UNBIASED
+    * from two tiny sign-sketch grids over shared hashes —
+    * `sX[r][b] = Σ_rows sign_r(key)` (each key's ±1 sign from a hash
+    * bit), `est_r = Σ_b sA[r][b]·sB[r][b]`, median over the d rows.
+    * Collisions cancel in expectation (signs are independent), so the
+    * error is ~√(F₂(A)·F₂(B)/w) — unlike a counter-CMS inner product,
+    * whose +nA·nB/w collision BIAS swamps any FK join at this
+    * cardinality (measured 2343× here before the sign trick; the reason
+    * AMS exists). This is what a distributed planner sizes a join with
+    * (broadcast vs shuffle, partition count) from two O(d·w) sketches
+    * without touching either table again; the grids are mergeable
+    * across shards like the rest of the sketch family.
+    *
+    * Scale shape: one pass per side to a d·w-cell grid (map-side
+    * combine), a d·w-row join + d-row agg — metadata from there. Sign
+    * sums accumulate in DECIMAL(38,0) (the C88 overflow discipline —
+    * at 10^12-row sides the products exceed int64); the median over d
+    * exact integers is a deterministic sort of a 5-element array. The
+    * sign bit is taken bitwise (`h & w`), never via an h/w double
+    * division — h is 60 bits, beyond double's exact-integer range. */
+  def amsJoinSize(
+      orders: DataFrame, lineitem: DataFrame, d: Int = 5, w: Int = 256): DataFrame = {
+    require((w & (w - 1)) == 0, "w must be a power of two (bucket/sign bit masks)")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def grid(df: DataFrame, key: String): DataFrame = {
+      val cells = array((0 until d).map { r =>
+        val h = h60(concat(lit(s"$r:"), col(key).cast("string")))
+        struct(lit(r).as("r"), (h % w).as("bucket"),
+          when(h.bitwiseAND(lit(w.toLong)) === 0L, 1L).otherwise(-1L).as("sign"))
+      }: _*)
+      df.select(explode(cells).as("c"))
+        .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
+        .agg(sum(col("c.sign")).as("s"))
+    }
+    val a = grid(orders, "o_orderkey")
+    val b = grid(lineitem, "l_orderkey").withColumnRenamed("s", "s_b")
+    val per = a.join(b, Seq("r", "bucket"))
+      .groupBy("r")
+      .agg(sum(col("s").cast(dec) * col("s_b").cast(dec)).as("__est"))
+    val est = per.agg(
+      element_at(sort_array(collect_list(col("__est"))), (d + 1) / 2)
+        .cast("long").as("est_join_size"))
+    val truth = orders.select(col("o_orderkey").as("k"))
+      .join(lineitem.select(col("l_orderkey").as("k")), "k")
+      .agg(count(lit(1)).as("true_join_size"))
+    est.crossJoin(broadcast(truth))
+      .select(col("est_join_size"), col("true_join_size"),
+        // a zero-size join has no relative error (ANSI divide-by-zero)
+        when(col("true_join_size") === 0L, lit(null).cast("double"))
+          .otherwise((col("est_join_size") - col("true_join_size")).cast("double") /
+            col("true_join_size").cast("double")).as("rel_error"))
+  }
 }

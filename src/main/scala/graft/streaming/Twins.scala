@@ -119,7 +119,7 @@ object Twins {
     group("merge/eval form of a sketch whose streaming accumulation twin is registered (kmv/hll/hist) or whose merge is a batch reduce")(
       "sketch_kmv_merged", "sketch_kmv_intersection", "sketch_cms_frequency",
       "sketch_cms_merged", "sketch_hll_merged", "sketch_hist_merged",
-      "sketch_bloom_prune", "sketch_bloom_merged") ++
+      "sketch_bloom_prune", "sketch_bloom_merged", "sketch_join_size") ++
     group("global pairwise/cluster dedup over the full corpus; the online forms are the registered admission gates (dedupExactOrdered, simhashNearMarksOrdered, noveltyMarksOrdered, Corpus.ingestNearDup)")(
       "dedup_minhash_lsh", "dedup_minhash_eval", "dedup_minhash_incremental",
       "dedup_clusters", "dedup_hybrid_clusters", "dedup_semantic",

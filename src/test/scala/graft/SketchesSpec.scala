@@ -174,4 +174,24 @@ class SketchesSpec extends SparkSpec {
       assert(twice(k) === ((2 * exact, 2 * est)), s"not linear at $k")
     }
   }
+
+  test("amsJoinSize: unbiased sign-sketch estimate lands near the true join size") {
+    import spark.implicits._
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+    val lineitem = graft.sources.Tables.lineitem(spark, sfDir)
+    val row = graft.operators.Sketches.amsJoinSize(orders, lineitem).head()
+    val est = row.getAs[Long]("est_join_size")
+    val truth = row.getAs[Long]("true_join_size")
+    assert(truth === lineitem.count(), "FK join: every lineitem matches exactly once")
+    // AMS error ~ sqrt(F2a*F2b/w): ±15% is ~3 sigma headroom at this SF
+    assert(math.abs(row.getAs[Double]("rel_error")) < 0.15,
+      s"est $est vs true $truth")
+    // sign cancellation is the whole point: a known disjoint-key join
+    // must estimate near ZERO relative to the table mass, not at nA*nB/w
+    val shifted = orders.select((col("o_orderkey") + 100000000L).as("o_orderkey"))
+    val zero = graft.operators.Sketches.amsJoinSize(shifted, lineitem).head()
+    assert(zero.getAs[Long]("true_join_size") === 0L)
+    assert(math.abs(zero.getAs[Long]("est_join_size")) < lineitem.count() / 10,
+      "disjoint keys must cancel, not accumulate collision mass")
+  }
 }
