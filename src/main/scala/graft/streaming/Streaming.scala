@@ -191,6 +191,10 @@ final case class FunnelOut(
 /** One hashed observation feeding [[Streaming.kmvCounts]]. */
 final case class KmvObs(channel: String, h: Long)
 
+/** One AMS sign-grid cell observation / state row: the per-(channel,
+  * row, bucket) running sign sum of [[Streaming.amsGrid]]. */
+final case class AmsCell(channel: String, r: Int, bucket: Long, s: Long)
+
 /** Per-channel bottom-k hash state — BOUNDED: at most k longs per
   * channel forever. */
 final case class KmvState(hashes: Vector[Long])
@@ -1059,6 +1063,42 @@ object Streaming {
             // division first, (k−1) scaling second
             else (k - 1).toDouble * (1152921504606846976.0 / merged.last.toDouble)
           KmvEstimate(channel, merged.length.toLong, est)
+      }
+  }
+
+  /** Streaming AMS sign grid — the live accumulation half of the B76
+    * join-size estimator: per channel, the d×w grid of ±1-sign sums
+    * over arriving user_ids, maintained as ONE long per touched cell
+    * (state ≤ channels·d·w longs FOREVER — the D11/D13/D15 bounded-
+    * state family). Two live grids (or a live grid against a committed
+    * batch grid — sign sums are plain integers, so merging is addition)
+    * estimate the size of the join between their key streams without
+    * storing either stream: the continuously-maintained input a planner
+    * consults before scheduling a join against a live feed.
+    *
+    * Sign/bucket derive from the SAME md5 form as the batch side
+    * (`conv(substring(md5('r:key'),1,15),16,10)`, bucket `h % w`, sign
+    * bit `h & w`), computed JVM-side per row; increments are integer
+    * addition — commutative and replay-order-free, so the grid is
+    * bit-equal to the batch grid under ANY arrival order (the twin
+    * sweep pins this against a Spark-expression recomputation, which
+    * also proves the JVM md5 path ≡ the SQL conv path). */
+  def amsGrid(events: DataFrame, d: Int = 5, w: Int = 256): Dataset[AmsCell] = {
+    import events.sparkSession.implicits._
+    events.select(col("event_type").cast("string"), col("user_id").cast("long"))
+      .as[(String, Long)]
+      .flatMap { case (ch, uid) =>
+        (0 until d).map { r =>
+          val h = java.lang.Long.parseLong(md5Hex(s"$r:$uid").substring(0, 15), 16)
+          AmsCell(ch, r, h % w, if ((h & w) == 0L) 1L else -1L)
+        }
+      }
+      .groupByKey(c => (c.channel, c.r, c.bucket))
+      .mapGroupsWithState[Long, AmsCell](GroupStateTimeout.NoTimeout) {
+        (key: (String, Int, Long), it: Iterator[AmsCell], state: GroupState[Long]) =>
+          val s = state.getOption.getOrElse(0L) + it.map(_.s).sum
+          state.update(s)
+          AmsCell(key._1, key._2, key._3, s)
       }
   }
 

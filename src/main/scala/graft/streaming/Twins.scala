@@ -45,7 +45,8 @@ object Twins {
     "dedup_exact"                 -> "dedupExactOrdered",
     "ngram_novelty"               -> "noveltyMarksOrdered",
     "dedup_simhash_near"          -> "simhashNearMarksOrdered",
-    "corpus_curation"             -> "admitDocuments")
+    "corpus_curation"             -> "admitDocuments",
+    "sketch_join_size"            -> "amsGrid")
 
   /** Streaming methods that are arrival-contract VARIANTS of a
     * registered twin (in-order base form of a hardened `Ordered`
@@ -119,7 +120,7 @@ object Twins {
     group("merge/eval form of a sketch whose streaming accumulation twin is registered (kmv/hll/hist) or whose merge is a batch reduce")(
       "sketch_kmv_merged", "sketch_kmv_intersection", "sketch_cms_frequency",
       "sketch_cms_merged", "sketch_hll_merged", "sketch_hist_merged",
-      "sketch_bloom_prune", "sketch_bloom_merged", "sketch_join_size") ++
+      "sketch_bloom_prune", "sketch_bloom_merged") ++
     group("global pairwise/cluster dedup over the full corpus; the online forms are the registered admission gates (dedupExactOrdered, simhashNearMarksOrdered, noveltyMarksOrdered, Corpus.ingestNearDup)")(
       "dedup_minhash_lsh", "dedup_minhash_eval", "dedup_minhash_incremental",
       "dedup_clusters", "dedup_hybrid_clusters", "dedup_semantic",

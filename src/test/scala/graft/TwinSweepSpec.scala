@@ -563,6 +563,47 @@ class TwinSweepSpec extends SparkSpec {
       assert(got.contains((1L, 3L, 0)), "the exact-dup pair must surface")
     },
 
+    "amsGrid" -> { () =>
+      val got = runStream(partsShuffled, "update", "tw_ams")(m =>
+        Streaming.amsGrid(m.toDF()).toDF())
+        .collect()
+        .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)), r.getLong(3))).toSet
+      // prefix simulation with the same md5 form: the emitted set must be
+      // exactly each touched cell's running sum after each batch
+      def md5Hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      def cellsOf(e: Event): Seq[((String, Int, Long), Long)] =
+        (0 until 5).map { r =>
+          val h = java.lang.Long.parseLong(md5Hex(s"$r:${e.user_id}").substring(0, 15), 16)
+          ((e.event_type, r, h % 256), if ((h & 256) == 0L) 1L else -1L)
+        }
+      val sums = scala.collection.mutable.Map.empty[(String, Int, Long), Long]
+      val want = scala.collection.mutable.Set.empty[((String, Int, Long), Long)]
+      partsShuffled.foreach { batch =>
+        val touched = batch.flatMap(cellsOf)
+        touched.groupBy(_._1).foreach { case (cell, incs) =>
+          sums(cell) = sums.getOrElse(cell, 0L) + incs.map(_._2).sum
+        }
+        touched.map(_._1).distinct.foreach(c => want += ((c, sums(c))))
+      }
+      assert(got === want.toSet)
+      // ...and the JVM md5 path equals the SQL conv path the batch
+      // estimator (B76) is built from
+      val cellsExpr = (0 until 5).map(r =>
+        s"named_struct('r', $r, 'h', CAST(conv(substring(md5(concat('$r:', " +
+          s"CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT))")
+        .mkString("array(", ",", ")")
+      val batchWant = fixEventsDF
+        .selectExpr("event_type AS channel", s"inline($cellsExpr)")
+        .selectExpr("channel", "r", "h % 256 AS bucket",
+          "CASE WHEN (h & 256) = 0 THEN 1L ELSE -1L END AS sign")
+        .groupBy("channel", "r", "bucket")
+        .agg(sum("sign").as("s")).collect()
+        .map(r => ((r.getString(0), r.getInt(1), r.getLong(2)), r.getLong(3))).toMap
+      assert(sums.toMap === batchWant)
+    },
+
     "admitDocuments" -> { () =>
       val got = runStream(Seq(fixDocs.take(5), fixDocs.drop(5)), "append", "tw_admit")(
         m => Streaming.admitDocuments(m.toDF()))
