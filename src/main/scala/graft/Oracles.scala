@@ -1204,6 +1204,33 @@ SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
 FROM orders
 ORDER BY o_custkey, o_orderkey"""
 
+  /** One-pass session-count sweep over gap thresholds. Mirrors
+    * Analytics.sessionizeGapSweep. */
+  val sessionizeGapSweep: String = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+), g AS (
+  SELECT user_id,
+         ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap
+  FROM ev
+), a AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+         CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+         CAST(SUM(CASE WHEN gap > 7200000000 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
+         CAST(SUM(CASE WHEN gap > 14400000000 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+  FROM g
+)
+SELECT gap_us, n_sessions, n_events,
+       CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS events_per_session
+FROM (
+  SELECT CAST(1800000000 AS BIGINT) AS gap_us, u + b0 AS n_sessions, n AS n_events FROM a
+  UNION ALL SELECT CAST(3600000000 AS BIGINT), u + b1, n FROM a
+  UNION ALL SELECT CAST(7200000000 AS BIGINT), u + b2, n FROM a
+  UNION ALL SELECT CAST(14400000000 AS BIGINT), u + b3, n FROM a)
+ORDER BY gap_us"""
+
   val eventsSessionize: String = """
 WITH ev AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
@@ -3376,6 +3403,19 @@ WITH s AS (
 SELECT jaccard, 1.0 - q4 * q4 AS p_candidate, sqrt(0.125) AS threshold_s
 FROM e2
 ORDER BY jaccard"""
+
+  /** Per-source quality profile. Mirrors Corpus.sourceQualityProfile. */
+  val sourceQualityProfile: String = s"""
+WITH q AS (
+  SELECT source, ${qualitySql("text")} AS q,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens,
+       MIN(q) AS min_quality, MAX(q) AS max_quality,
+       CAST(SUM(CAST(q AS DECIMAL(27,9))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_quality
+FROM q GROUP BY source
+ORDER BY source"""
 
   /** Quality-decile × exact-dup cells with within-decile shares. Mirrors
     * Corpus.qualityDupGrid. */

@@ -298,6 +298,12 @@ object SparkEntry {
     "quality_dup_grid" -> ((s, dir) =>
       Corpus.qualityDupGrid(Tables.documents(s, dir))),
 
+    "source_quality_profile" -> ((s, dir) =>
+      Corpus.sourceQualityProfile(Tables.documents(s, dir))),
+
+    "sessionize_gap_sweep" -> ((s, dir) =>
+      Analytics.sessionizeGapSweep(Tables.events(s, dir))),
+
     "minhash_s_curve" -> ((s, _) => Dedup.minhashSCurve(s)),
 
     "lm_heldout_score" -> ((s, dir) =>
@@ -896,6 +902,8 @@ object SparkEntry {
     "dedup_threshold_sweep"     -> Oracles.dedupThresholdSweep,
     "mixture_temperature"       -> Oracles.mixtureTemperature,
     "quality_dup_grid"          -> Oracles.qualityDupGrid,
+    "source_quality_profile"    -> Oracles.sourceQualityProfile,
+    "sessionize_gap_sweep"      -> Oracles.sessionizeGapSweep,
     "minhash_s_curve"           -> Oracles.minhashSCurve,
     "lm_heldout_score"          -> Oracles.lmHeldoutScore,
     "domain_cap_sample"         -> Oracles.domainCapSample,

@@ -89,6 +89,42 @@ object Analytics {
   /** Gap-based sessionization (2 h inactivity gap) — the batch twin of the
     * streaming sessionizer in [[graft.streaming]]. lag → flag → cumulative
     * sum → per-session aggregate; all integer arithmetic, fully exact. */
+  /** Gap-threshold sweep for sessionization — session counts at SEVERAL
+    * inactivity thresholds from ONE pass over the per-user gaps (the
+    * C76/C91 one-pass-sweep move applied to B6): choosing a session gap
+    * is a tuning decision, and re-running sessionization per candidate
+    * is the naive cost this avoids. A user's session count at threshold
+    * T is `1 + #(gap > T)`, so each threshold is one conditional sum
+    * over the same lag frame; `n_sessions` is exactly what B6 yields at
+    * that gap (spec-pinned at the 2 h default).
+    *
+    * Scale shape: one user-partitioned lag window (B6's own shuffle),
+    * one global agg computing all thresholds' sums map-side, a 4-row
+    * unpivot. events/session is a single IEEE division of exact ints. */
+  def sessionizeGapSweep(
+      events: DataFrame,
+      gapsUs: Seq[Long] = Seq(1800000000L, 3600000000L, 7200000000L, 14400000000L))
+      : DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val g = events.select("event_id", "user_id", "ts_us")
+      .withColumn("__gap", col("ts_us") - lag("ts_us", 1).over(byUser))
+    val sums = gapsUs.zipWithIndex.map { case (t, i) =>
+      sum(when(col("__gap") > t, 1L).otherwise(0L)).as(s"__b$i")
+    }
+    val base = g.agg(
+      countDistinct(col("user_id")).as("__u"),
+      (count(lit(1)).as("__n") +: sums.map(c => c: Column)): _*)
+    val rows = gapsUs.zipWithIndex.map { case (t, i) =>
+      struct(lit(t).as("gap_us"), (col("__u") + col(s"__b$i")).as("n_sessions"))
+    }
+    base.select(col("__n"), explode(array(rows: _*)).as("r"))
+      .select(
+        col("r.gap_us"), col("r.n_sessions"), col("__n").as("n_events"),
+        (col("__n").cast("double") / col("r.n_sessions").cast("double"))
+          .as("events_per_session"))
+      .orderBy("gap_us")
+  }
+
   def sessionize(events: DataFrame, gapUs: Long = 7200000000L): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)

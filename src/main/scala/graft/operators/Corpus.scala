@@ -1589,6 +1589,28 @@ object Corpus {
       .orderBy("q_decile")
   }
 
+  /** Per-source curation dashboard: doc/token mass and the quality
+    * range+mean of every source — the table a curation run ranks
+    * domains with before setting C90 caps or C56 budgets (C71 gives
+    * each source's dup rate, this its quality profile; together they
+    * are the drop/keep/cap decision inputs). One partial-agg groupBy to
+    * ≤|sources| rows; the mean is the C73 decimal-exact pattern. */
+  def sourceQualityProfile(documents: DataFrame): DataFrame = {
+    val q = graft.functions.TextFunctions.qualityScore(col("text"))
+    val nTok = graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+    documents
+      .select(col("source"), q.as("__q"), nTok.as("__t"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__t").as("n_tokens"),
+        min("__q").as("min_quality"),
+        max("__q").as("max_quality"),
+        (graft.functions.Exact.dsum9(col("__q")) / count(lit(1)).cast("double"))
+          .as("mean_quality"))
+      .orderBy("source")
+  }
+
   /** Quality × duplication joint — do exact duplicates concentrate in a
     * quality band? Each doc lands in its C9 quality decile and is
     * flagged `is_dup` iff its md5 text group (the C1 identity) has more

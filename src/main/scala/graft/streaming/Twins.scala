@@ -103,7 +103,7 @@ object Twins {
       "events_json_extract", "events_latest_per_user", "events_quality_audit",
       "events_funnel", "events_session_window", "clickers_no_purchase",
       "clickers_who_purchased", "channel_conversion_rate",
-      "touch_gap_quantiles") ++
+      "touch_gap_quantiles", "sessionize_gap_sweep") ++
     group("iterative graph computation over the full edge set; converges per snapshot")(
       "channel_pagerank", "channel_communities", "channel_triangles") ++
     group("batch stage/model variant of the attribution pipeline; its streaming path is the registered IHC and journey twins")(
@@ -131,7 +131,8 @@ object Twins {
       "dedup_substring_scrub", "dedup_threshold_sweep",
       "shingle_df_histogram", "dup_rate_by_source", "winnow_fingerprints",
       "winnow_overlap", "contamination_check", "split_leakage_free",
-      "multimodal_phash_neardup", "quality_dup_grid", "minhash_s_curve") ++
+      "multimodal_phash_neardup", "quality_dup_grid", "minhash_s_curve",
+      "source_quality_profile") ++
     group("index build/evaluation over a frozen embedding snapshot; online serving is the VectorStore API, not a stream transform")(
       "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
       "ann_ivf_trained_topk", "ann_ivfpq_topk", "ann_pq_topk", "ann_sq_topk",

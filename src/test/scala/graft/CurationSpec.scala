@@ -592,6 +592,36 @@ class CurationSpec extends SparkSpec {
       s"held-out $meanHeld should be below in-corpus $meanFull")
   }
 
+  test("sourceQualityProfile: partitions the corpus, range brackets the mean") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Corpus.sourceQualityProfile(docs).collect()
+    assert(out.length.toLong ===
+      docs.select("source").distinct().count())
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    out.foreach { r =>
+      val (lo, mean, hi) = (r.getAs[Double]("min_quality"),
+        r.getAs[Double]("mean_quality"), r.getAs[Double]("max_quality"))
+      assert(lo <= mean && mean <= hi, s"${r.getAs[String]("source")}")
+    }
+  }
+
+  test("sessionizeGapSweep: one pass reproduces B6 at the 2h point, monotone in the gap") {
+    val events = Tables.events(spark, sfDir)
+    val out = graft.operators.Analytics.sessionizeGapSweep(events).collect()
+      .sortBy(_.getAs[Long]("gap_us"))
+    assert(out.map(_.getAs[Long]("gap_us")).toSeq ===
+      Seq(1800000000L, 3600000000L, 7200000000L, 14400000000L))
+    // every threshold sees the same event mass
+    assert(out.map(_.getAs[Long]("n_events")).distinct.length === 1)
+    // a larger gap can only merge sessions
+    val ns = out.map(_.getAs[Long]("n_sessions"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // the 2h row IS the B6 sessionization's session count
+    val b6 = graft.operators.Analytics.sessionize(events).count()
+    assert(out.find(_.getAs[Long]("gap_us") === 7200000000L).get
+      .getAs[Long]("n_sessions") === b6)
+  }
+
   test("mixtureEntropy: analytic uniform and degenerate mixtures") {
     import spark.implicits._
     // 4 langs x 2 docs each -> exactly 2 bits; single lang -> 0
