@@ -1216,14 +1216,16 @@ WITH ev AS (
 ), a AS (
   SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u,
          CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
-         CAST(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
-         CAST(SUM(CASE WHEN gap > 7200000000 THEN 1 ELSE 0 END) AS BIGINT) AS b2,
-         CAST(SUM(CASE WHEN gap > 14400000000 THEN 1 ELSE 0 END) AS BIGINT) AS b3
+         CAST(COALESCE(SUM(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS b0,
+         CAST(COALESCE(SUM(CASE WHEN gap > 3600000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS b1,
+         CAST(COALESCE(SUM(CASE WHEN gap > 7200000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS b2,
+         CAST(COALESCE(SUM(CASE WHEN gap > 14400000000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS b3
   FROM g
 )
 SELECT gap_us, n_sessions, n_events,
-       CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE) AS events_per_session
+       CASE WHEN n_sessions = 0 THEN NULL
+            ELSE CAST(n_events AS DOUBLE) / CAST(n_sessions AS DOUBLE) END
+         AS events_per_session
 FROM (
   SELECT CAST(1800000000 AS BIGINT) AS gap_us, u + b0 AS n_sessions, n AS n_events FROM a
   UNION ALL SELECT CAST(3600000000 AS BIGINT), u + b1, n FROM a

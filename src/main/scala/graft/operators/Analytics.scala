@@ -109,7 +109,9 @@ object Analytics {
     val g = events.select("event_id", "user_id", "ts_us")
       .withColumn("__gap", col("ts_us") - lag("ts_us", 1).over(byUser))
     val sums = gapsUs.zipWithIndex.map { case (t, i) =>
-      sum(when(col("__gap") > t, 1L).otherwise(0L)).as(s"__b$i")
+      // coalesce: SUM over an empty stream is null, and 0 + null would
+      // silently null the session count
+      coalesce(sum(when(col("__gap") > t, 1L).otherwise(0L)), lit(0L)).as(s"__b$i")
     }
     val base = g.agg(
       countDistinct(col("user_id")).as("__u"),
@@ -120,7 +122,9 @@ object Analytics {
     base.select(col("__n"), explode(array(rows: _*)).as("r"))
       .select(
         col("r.gap_us"), col("r.n_sessions"), col("__n").as("n_events"),
-        (col("__n").cast("double") / col("r.n_sessions").cast("double"))
+        // an empty stream has no sessions to divide by (ANSI)
+        when(col("r.n_sessions") === 0L, lit(null).cast("double"))
+          .otherwise(col("__n").cast("double") / col("r.n_sessions").cast("double"))
           .as("events_per_session"))
       .orderBy("gap_us")
   }

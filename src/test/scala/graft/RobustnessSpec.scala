@@ -175,4 +175,57 @@ class RobustnessSpec extends SparkSpec {
     val ds = Corpus.corpusDriftSummary(refOnly).head()
     assert(ds.getAs[Long]("n_buckets") === 0L)
   }
+
+  test("round-12 operators on degenerate inputs: empty/null out, no ANSI errors") {
+    import spark.implicits._
+    import graft.operators.{Analytics, Corpus, Search, Similarity, Sketches}
+    val emptyDocs = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val emptyEmb = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+
+    // curation wave: empty corpus -> empty frames, never a division error
+    assert(Corpus.mixtureTemperature(emptyDocs).count() === 0)
+    assert(Corpus.domainCapSample(emptyDocs).count() === 0)
+    assert(Corpus.qualityAblation(emptyDocs).count() === 0)
+    assert(Corpus.qualityDupGrid(emptyDocs).count() === 0)
+    assert(Corpus.sourceQualityProfile(emptyDocs).count() === 0)
+    assert(Search.nbClassify(emptyDocs).count() === 0)
+    assert(Search.lmPplBuckets(emptyDocs).count() === 0)
+    assert(Search.lmHeldoutScore(emptyDocs).count() === 0)
+
+    // a one-doc corpus: NB still predicts (its own class), ppl buckets
+    // place the doc in tile 1 when it has bigrams
+    val one = Seq((1L, "a b a b", "en", "s")).toDF("doc_id", "text", "lang", "source")
+    val nb = Search.nbClassify(one).head()
+    assert(nb.getAs[String]("pred_lang") === "en" && nb.getAs[Boolean]("correct"))
+
+    // filtered search: empty corpus and a predicate that filters
+    // EVERYTHING both yield empty results, not errors
+    assert(Similarity.filteredTopK(emptyEmb).count() === 0)
+    val noLabel = Seq((0L, Array.fill(64)(1.0f), 7))
+      .toDF("vec_id", "embedding", "label")
+    assert(Similarity.filteredTopK(noLabel).count() === 0)
+    assert(Similarity.filteredIvfTopK(noLabel, nCentroids = 1).count() === 0)
+
+    // join-size sketch: empty sides -> null estimate + null rel_error,
+    // one row, no ANSI element_at/divide errors
+    val emptyOrders = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
+    val emptyLines = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
+    val js = Sketches.amsJoinSize(emptyOrders, emptyLines).head()
+    assert(js.isNullAt(js.fieldIndex("est_join_size")))
+    assert(js.getAs[Long]("true_join_size") === 0L)
+    assert(js.isNullAt(js.fieldIndex("rel_error")))
+
+    // gap sweep: an empty stream reports 0 sessions and NULL
+    // events/session for every threshold
+    val gs = Analytics.sessionizeGapSweep(emptyEvents).collect()
+    assert(gs.length === 4)
+    gs.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") === 0L
+        && r.isNullAt(r.fieldIndex("events_per_session")))
+    }
+  }
 }
