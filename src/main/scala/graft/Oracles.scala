@@ -3444,26 +3444,30 @@ ORDER BY q_decile, is_dup"""
     * ≡ the Spark DECIMAL(38,0) accumulation, exact-integer median over
     * the 5 rows). */
   val sketchJoinSize: String = """
-WITH ca AS (
+WITH ka AS (
+  SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS f FROM orders GROUP BY 1
+), ca AS (
   SELECT d.r, h % 256 AS bucket,
-         CASE WHEN (h & 256) = 0 THEN 1 ELSE -1 END AS sign
+         CASE WHEN (h & 256) = 0 THEN f ELSE -f END AS sf
   FROM (
-    SELECT d.r AS r,
+    SELECT d.r AS r, f,
            CAST(concat('0x', substring(md5(concat(CAST(d.r AS VARCHAR), ':',
-                CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-    FROM orders CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
+                CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM ka CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
 ), ga AS (
-  SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS s FROM ca GROUP BY r, bucket
+  SELECT r, bucket, CAST(SUM(sf) AS BIGINT) AS s FROM ca GROUP BY r, bucket
+), kb AS (
+  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS f FROM lineitem GROUP BY 1
 ), cb AS (
   SELECT d.r, h % 256 AS bucket,
-         CASE WHEN (h & 256) = 0 THEN 1 ELSE -1 END AS sign
+         CASE WHEN (h & 256) = 0 THEN f ELSE -f END AS sf
   FROM (
-    SELECT d.r AS r,
+    SELECT d.r AS r, f,
            CAST(concat('0x', substring(md5(concat(CAST(d.r AS VARCHAR), ':',
-                CAST(l_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) AS h
-    FROM lineitem CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
+                CAST(k AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+    FROM kb CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
 ), gb AS (
-  SELECT r, bucket, CAST(SUM(sign) AS BIGINT) AS s_b FROM cb GROUP BY r, bucket
+  SELECT r, bucket, CAST(SUM(sf) AS BIGINT) AS s_b FROM cb GROUP BY r, bucket
 ), per AS (
   SELECT a.r, SUM(CAST(a.s AS HUGEINT) * b.s_b) AS est
   FROM ga a JOIN gb b ON b.r = a.r AND b.bucket = a.bucket

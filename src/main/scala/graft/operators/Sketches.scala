@@ -506,15 +506,22 @@ object Sketches {
       orders: DataFrame, lineitem: DataFrame, d: Int = 5, w: Int = 256): DataFrame = {
     require((w & (w - 1)) == 0, "w must be a power of two (bucket/sign bit masks)")
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Each grid cell needs Σ_keys f(key)·sign(key), so reduce to the
+    // per-KEY frequency table first and hash each distinct key once —
+    // d·|keys| md5s instead of d·|rows| (4× fewer on the FK side here;
+    // the win grows with the fan-out). |Σ sign·f| ≤ n_rows, so the
+    // weighted sign sums stay in int64 at any gate scale.
     def grid(df: DataFrame, key: String): DataFrame = {
+      val keyed = df.groupBy(col(key).as("__k")).agg(count(lit(1)).as("__f"))
       val cells = array((0 until d).map { r =>
-        val h = h60(concat(lit(s"$r:"), col(key).cast("string")))
+        val h = h60(concat(lit(s"$r:"), col("__k").cast("string")))
         struct(lit(r).as("r"), (h % w).as("bucket"),
-          when(h.bitwiseAND(lit(w.toLong)) === 0L, 1L).otherwise(-1L).as("sign"))
+          when(h.bitwiseAND(lit(w.toLong)) === 0L, col("__f"))
+            .otherwise(-col("__f")).as("sf"))
       }: _*)
-      df.select(explode(cells).as("c"))
+      keyed.select(explode(cells).as("c"))
         .groupBy(col("c.r").as("r"), col("c.bucket").as("bucket"))
-        .agg(sum(col("c.sign")).as("s"))
+        .agg(sum(col("c.sf")).as("s"))
     }
     val a = grid(orders, "o_orderkey")
     val b = grid(lineitem, "l_orderkey").withColumnRenamed("s", "s_b")
