@@ -6032,4 +6032,20 @@ SELECT source,
        1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
 FROM documents GROUP BY source
 ORDER BY source"""
+
+  /** Index-selection dashboard: each approximate index's overall
+    * recall@10 vs brute force, aggregated from the SAME per-query
+    * recall chains the gated rows run. Mirrors Similarity.indexCompare. */
+  val annIndexCompare: String = {
+    def one(name: String, sql: String) = s"""
+SELECT '$name' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
+FROM ($sql)"""
+    Seq(
+      "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
+      "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq)
+      .map { case (n, s) => one(n, s) }
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"index\"")
+  }
 }

@@ -647,6 +647,8 @@ object SparkEntry {
 
     "ann_recall_ivfpq" -> ((s, dir) => Similarity.ivfPqRecall(Tables.embeddings(s, dir))),
 
+    "ann_index_compare" -> ((s, dir) => Similarity.indexCompare(Tables.embeddings(s, dir))),
+
     "knn_classify" -> ((s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir))),
 
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -1063,6 +1065,7 @@ object SparkEntry {
     "ann_sq_topk"               -> Oracles.annSqTopK,
     "ann_recall_sq"             -> Oracles.annRecallSq,
     "ann_recall_ivfpq"          -> Oracles.annRecallIvfPq,
+    "ann_index_compare"         -> Oracles.annIndexCompare,
     "knn_classify"              -> Oracles.knnClassify,
     "label_centroids"           -> Oracles.labelCentroids,
     "topic_assign"              -> Oracles.topicAssign,

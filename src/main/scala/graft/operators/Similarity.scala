@@ -123,6 +123,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** The index-selection dashboard: every approximate index's
+    * corpus-wide recall@k against the same brute-force truth, one row
+    * per index — the table that answers "which index do we deploy"
+    * before the per-index nprobe tuning (C47b/C47c) answers "at what
+    * setting". Overall recall is Σ n_hits / (|Q|·k) over the per-query
+    * recall frames the gated C43/C47/C52/C62/C78 rows already compute,
+    * so this is pure composition: every index trains/scans exactly as
+    * its own gated query does, and the final agg is |Q| metadata rows
+    * per index. The division is a single IEEE op on exact ints. */
+  def indexCompare(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    val frames: Seq[(String, DataFrame)] = Seq(
+      "lsh"    -> lshRecall(embeddings, nQueries, k),
+      "ivf"    -> ivfTrainedRecall(embeddings, nQueries, k),
+      "pq"     -> pqRecall(embeddings, nQueries, k),
+      "sq"     -> sqRecall(embeddings, nQueries, k),
+      "ivf_pq" -> ivfPqRecall(embeddings, nQueries, k))
+    frames.map { case (name, df) =>
+      df.agg(
+        lit(name).as("index"),
+        count(lit(1)).as("n_queries"),
+        sum("n_hits").as("n_hits"),
+        (sum("n_hits").cast("double") /
+          (count(lit(1)) * k).cast("double")).as("recall_at_k"))
+    }.reduce(_ unionByName _)
+      .select("index", "n_queries", "n_hits", "recall_at_k")
+      .orderBy("index")
+  }
+
   /** Recall@k of [[filteredIvfTopK]] against the exact [[filteredTopK]]
     * — what the probe budget costs UNDER the predicate (filtered cells
     * are sparser, so fixed nProbe can miss more than unfiltered recall

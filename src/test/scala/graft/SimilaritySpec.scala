@@ -468,6 +468,25 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("indexCompare: each dashboard row aggregates its standalone recall query exactly") {
+    val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.indexCompare(embTable).collect()
+      .map(r => r.getAs[String]("index") -> r).toMap
+    assert(out.keySet === Set("lsh", "ivf", "pq", "sq", "ivf_pq"))
+    val slices = Map(
+      "lsh" -> Similarity.lshRecall(embTable),
+      "ivf" -> Similarity.ivfTrainedRecall(embTable),
+      "pq" -> Similarity.pqRecall(embTable),
+      "sq" -> Similarity.sqRecall(embTable),
+      "ivf_pq" -> Similarity.ivfPqRecall(embTable))
+    slices.foreach { case (name, df) =>
+      val hits = df.agg(org.apache.spark.sql.functions.sum("n_hits")).head.getLong(0)
+      assert(out(name).getAs[Long]("n_hits") === hits, s"index $name")
+      assert(out(name).getAs[Long]("n_queries") === 8L)
+      assert(out(name).getAs[Double]("recall_at_k") === hits.toDouble / 80.0)
+    }
+  }
+
   test("kmeansDistributed: full-corpus Lloyd is bit-equal to the sampled driver Lloyd when the sample is the corpus") {
     // sf0.001: 500 vectors < the 4096 sample target, so trainCentroids's
     // md5 threshold clamps and BOTH paths train on the whole corpus —
