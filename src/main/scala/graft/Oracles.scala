@@ -6033,6 +6033,30 @@ SELECT source,
 FROM documents GROUP BY source
 ORDER BY source"""
 
+  /** Token-balanced epoch shards: a shard boundary every total/n tokens
+    * along the md5 shuffle order, exclusive prefix sum, integer
+    * arithmetic end to end. Mirrors Corpus.trainingShardsBalanced. */
+  val trainingShardsBalanced: String = """
+WITH k AS (
+  SELECT doc_id,
+         md5(CAST(0 AS VARCHAR) || '_' || CAST(doc_id AS VARCHAR)) AS sk,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t,
+         SUM(t) OVER (ORDER BY sk, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS cum_ex,
+         SUM(t) OVER () AS tot
+  FROM k
+), a AS (
+  SELECT (cum_ex * 8) // tot AS shard, t FROM c
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS n_tokens
+FROM a GROUP BY shard
+ORDER BY shard"""
+
   /** Index-selection dashboard: each approximate index's overall
     * recall@10 vs brute force, aggregated from the SAME per-query
     * recall chains the gated rows run. Mirrors Similarity.indexCompare. */

@@ -304,6 +304,9 @@ object SparkEntry {
     "sessionize_gap_sweep" -> ((s, dir) =>
       Analytics.sessionizeGapSweep(Tables.events(s, dir))),
 
+    "training_shards_balanced" -> ((s, dir) =>
+      Corpus.trainingShardsBalanced(Tables.documents(s, dir))),
+
     "minhash_s_curve" -> ((s, _) => Dedup.minhashSCurve(s)),
 
     "lm_heldout_score" -> ((s, dir) =>
@@ -906,6 +909,7 @@ object SparkEntry {
     "quality_dup_grid"          -> Oracles.qualityDupGrid,
     "source_quality_profile"    -> Oracles.sourceQualityProfile,
     "sessionize_gap_sweep"      -> Oracles.sessionizeGapSweep,
+    "training_shards_balanced"  -> Oracles.trainingShardsBalanced,
     "minhash_s_curve"           -> Oracles.minhashSCurve,
     "lm_heldout_score"          -> Oracles.lmHeldoutScore,
     "domain_cap_sample"         -> Oracles.domainCapSample,

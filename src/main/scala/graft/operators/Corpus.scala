@@ -917,6 +917,38 @@ object Corpus {
       .orderBy("shard", "pos")
   }
 
+  /** TOKEN-balanced epoch shards — the fix for what C69 `shard_skew`
+    * measures: hash sharding (C40) balances DOC counts, but a training
+    * step's cost is TOKEN mass, so a long-doc-heavy shard straggles
+    * every epoch. Here docs stream in the same md5 shuffle order and a
+    * shard boundary falls every `total/nShards` tokens
+    * (`shard = (tokens_before · n) div total` — exclusive prefix sum,
+    * integer arithmetic end to end), so each shard's token mass is
+    * within one document of the ideal — the provable bound the spec
+    * pins. Output: per shard, doc and token mass.
+    *
+    * Scale shape: the exclusive running sum comes from the
+    * range-bucketed `Quantiles.withExactPrefixSum` machinery (every
+    * sort partition ~n/buckets rows — no single-task global sort, the
+    * C56 path), then one partial agg to nShards rows. The
+    * `tokens_before · n` product stays under 2^63 up to ~10^18/n
+    * corpus tokens. */
+  def trainingShardsBalanced(
+      documents: DataFrame, nShards: Int = 8, epoch: Long = 0L): DataFrame = {
+    val key = md5(concat_ws("_", lit(epoch), col("doc_id")))
+    val base = documents.select(
+      col("doc_id"), key.as("__sk"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("__t"))
+    Quantiles.withExactPrefixSum(base, Nil,
+        Seq(("__sk", true), ("doc_id", true)), "__t", "__cum", "__tot")
+      .withColumn("__cum_ex", col("__cum").cast("long") - col("__t"))
+      .withColumn("shard",
+        expr(s"(__cum_ex * ${nShards}L) div CAST(__tot AS BIGINT)"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+      .orderBy("shard")
+  }
+
   /** Shard INTEGRITY manifest over [[trainingShards]]' assignment: per
     * shard, the doc count and two mod-(2^61−1) checksums over each doc's
     * 60-bit md5(text) prefix — `content_checksum` (order-independent

@@ -162,6 +162,7 @@ object Twins {
       "quality_curriculum", "dsir_select", "corpus_budget_select",
       "corpus_budget_by_lang", "corpus_datasheet", "corpus_mixture_entropy",
       "sequence_packing", "packing_efficiency", "training_shards",
+      "training_shards_balanced",
       "shard_skew", "shard_checksums", "mixture_temperature",
       "domain_cap_sample", "quality_ablation") ++
     group("batch drift diagnostic; its admission-control form is Corpus.ingestNearDup's drift gate")(

@@ -622,6 +622,28 @@ class CurationSpec extends SparkSpec {
       .getAs[Long]("n_sessions") === b6)
   }
 
+  test("trainingShardsBalanced: token masses within one doc of ideal, beating hash shards") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Corpus.trainingShardsBalanced(docs).collect()
+    assert(out.map(_.getAs[Long]("shard")).sorted.toSeq === (0L until 8L))
+    assert(out.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val toks = out.map(_.getAs[Long]("n_tokens"))
+    val maxDoc = docs
+      .select(max(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    // the prefix-boundary guarantee: every shard within one document of
+    // the ideal mass, so the spread is bounded by 2 max-doc lengths
+    assert(toks.max - toks.min <= 2 * maxDoc,
+      s"spread ${toks.max - toks.min} exceeds 2x max doc $maxDoc")
+    // and it strictly beats hash sharding's token skew (the C69 finding)
+    val hashSpread = Corpus.trainingShards(docs)
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("t")), "doc_id")
+      .groupBy("shard").agg(sum("t").as("tok"))
+      .agg(max("tok") - min("tok")).head.getLong(0)
+    assert(toks.max - toks.min < hashSpread,
+      s"balanced ${toks.max - toks.min} should beat hash $hashSpread")
+  }
+
   test("mixtureEntropy: analytic uniform and degenerate mixtures") {
     import spark.implicits._
     // 4 langs x 2 docs each -> exactly 2 bits; single lang -> 0
