@@ -96,6 +96,13 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"detail":$detail,"pipeline_daily":$pipelineDaily,"sf":"$sfDir","load_avg":$load,"reps":$reps}"""
     println(json)
+    // Self-describing trailer: the full JSON line above has outgrown the
+    // driver's ~2 KB stdout-tail capture three rounds running (BENCH_r10/
+    // r11/r12 all record "parsed": null), so a reader of the official
+    // artifact lost the headline total. This compact LAST line always fits
+    // in the tail; the BENCH_SUMMARY prefix keeps strict one-JSON-line
+    // parsers from seeing two candidate lines.
+    println(f"""BENCH_SUMMARY {"total_sec":$total%.3f,"n":${results.size},"sf":"$sfDir","load_avg":$load%.2f,"reps":$reps}""")
     // also persisted to a file — the driver's stdout tail truncated 9 of 67
     // per-query timings in round 2. ONLY the full (unfiltered) run may
     // write a file, and only SPARK_GRAFT_BENCH_COMMIT=1 may touch the

@@ -3468,10 +3468,15 @@ WITH ka AS (
     FROM kb CROSS JOIN (SELECT unnest(range(0, 5)) AS r) d) d
 ), gb AS (
   SELECT r, bucket, CAST(SUM(sf) AS BIGINT) AS s_b FROM cb GROUP BY r, bucket
-), per AS (
+), per0 AS (
   SELECT a.r, SUM(CAST(a.s AS HUGEINT) * b.s_b) AS est
   FROM ga a JOIN gb b ON b.r = a.r AND b.bucket = a.bucket
   GROUP BY a.r
+), per AS (
+  -- d-row spine: a sketch row sharing no occupied bucket with the other
+  -- side has inner product exactly 0, and the median needs all d rows
+  SELECT COALESCE(p.est, 0) AS est
+  FROM (SELECT unnest(range(0, 5)) AS r) d LEFT JOIN per0 p ON p.r = d.r
 ), est AS (
   SELECT CAST(list_sort(list(est))[3] AS BIGINT) AS est_join_size FROM per
 ), tru AS (

@@ -825,6 +825,26 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus"))
   )
 
+  /** Non-vacuity floor per query at the sf0.01 gate: a hash gate that
+    * compares two EMPTY results proves nothing — a filter bug that eats
+    * every row on both sides would stay green. Default floor is 1 row;
+    * the explicit-0 entries are the queries whose sf0.01 result is
+    * GENUINELY empty on the driver-owned testdata (verified at sf0.1
+    * where both produce real rows, and each has a golden spec covering
+    * the non-empty semantics). `Verify` records a floor violation in
+    * errors.json so the scoreboard distinguishes "correct empty" from
+    * "silently emptied". */
+  def minRows(name: String): Long = name match {
+    // 30-day click window vs purchase set: no sf0.01 user clicks without
+    // purchasing inside the window (4 real rows at sf0.1).
+    case "clickers_no_purchase" => 0L
+    // 64-bit perceptual-hash near-dup pairs: the sf0.01 image slice has
+    // no pair within the Hamming radius (7 real pairs at sf0.1); the
+    // brightness-perturbed golden spec pins the matching semantics.
+    case "multimodal_phash_neardup" => 0L
+    case _ => 1L
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(

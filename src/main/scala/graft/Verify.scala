@@ -27,8 +27,18 @@ object Verify {
     // failed is machine-distinguishable.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Non-vacuity floor: an empty-vs-empty hash match is a vacuous
+        // gate. Count the WRITTEN parquet (footer-metadata count — no
+        // recompute) against the declared floor; a shortfall is a
+        // recorded error, not a silent green.
+        val n = spark.read.parquet(s"$outDir/$name").count()
+        val floor = SparkEntry.minRows(name)
+        if (n < floor)
+          errors(name) = s"vacuous: $n rows < declared min_rows floor $floor"
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(2000)}"

@@ -525,9 +525,18 @@ object Sketches {
     }
     val a = grid(orders, "o_orderkey")
     val b = grid(lineitem, "l_orderkey").withColumnRenamed("s", "s_b")
-    val per = a.join(b, Seq("r", "bucket"))
+    val inner = a.join(b, Seq("r", "bucket"))
       .groupBy("r")
-      .agg(sum(col("s").cast(dec) * col("s_b").cast(dec)).as("__est"))
+      .agg(sum(col("s").cast(dec) * col("s_b").cast(dec)).as("__est0"))
+    // All d estimator rows must exist before the middle element is taken:
+    // the (r,bucket) inner join drops an entire sketch ROW when that row
+    // shares no occupied bucket with the other side (tiny/disjoint
+    // inputs), and element (d+1)/2 of <d rows is not their median. A
+    // row with zero shared buckets has inner product exactly 0, so the
+    // d-row spine left-joins the inner products and coalesces to 0.
+    val spine = orders.sparkSession.range(d).select(col("id").cast("int").as("r"))
+    val per = spine.join(inner, Seq("r"), "left")
+      .select(coalesce(col("__est0"), lit(0).cast(dec)).as("__est"))
     val est = per.agg(
       // try_element_at: an EMPTY side produces no grid rows, and the
       // median of nothing is null, not an ANSI index error

@@ -210,12 +210,13 @@ class RobustnessSpec extends SparkSpec {
     assert(Similarity.filteredTopK(noLabel).count() === 0)
     assert(Similarity.filteredIvfTopK(noLabel, nCentroids = 1).count() === 0)
 
-    // join-size sketch: empty sides -> null estimate + null rel_error,
-    // one row, no ANSI element_at/divide errors
+    // join-size sketch: empty sides -> the d-row spine yields the exact
+    // answer 0 (an empty join HAS size zero), null rel_error, one row,
+    // no ANSI element_at/divide errors
     val emptyOrders = Seq.empty[(Long, Long)].toDF("o_orderkey", "o_custkey")
     val emptyLines = Seq.empty[(Long, Long)].toDF("l_orderkey", "l_partkey")
     val js = Sketches.amsJoinSize(emptyOrders, emptyLines).head()
-    assert(js.isNullAt(js.fieldIndex("est_join_size")))
+    assert(js.getAs[Long]("est_join_size") === 0L)
     assert(js.getAs[Long]("true_join_size") === 0L)
     assert(js.isNullAt(js.fieldIndex("rel_error")))
 

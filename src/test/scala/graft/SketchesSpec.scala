@@ -194,4 +194,20 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(zero.getAs[Long]("est_join_size")) < lineitem.count() / 10,
       "disjoint keys must cancel, not accumulate collision mass")
   }
+
+  test("amsJoinSize: median survives sketch rows with zero shared buckets") {
+    import spark.implicits._
+    // Single-key sides on different keys: most of the d sketch rows land
+    // the two keys in DIFFERENT buckets, so the (r,bucket) inner join
+    // drops those rows entirely. Without the d-row spine the "median"
+    // index (d+1)/2 then reads past the middle of the surviving rows (or
+    // an empty list); with it, missing inner products are exact 0s and
+    // the median of a disjoint single-key join is pinned to |est| <= 1.
+    val a = Seq((1L, 0L)).toDF("o_orderkey", "o_custkey")
+    val b = Seq((2L, 0L)).toDF("l_orderkey", "l_partkey")
+    val r = Sketches.amsJoinSize(a, b).head()
+    assert(!r.isNullAt(r.fieldIndex("est_join_size")), "all d rows must exist")
+    assert(math.abs(r.getAs[Long]("est_join_size")) <= 1L)
+    assert(r.getAs[Long]("true_join_size") === 0L)
+  }
 }
