@@ -3089,6 +3089,39 @@ WITH meta AS (
   val multimodalAhash: String = aHashChain + """
 SELECT doc_id, ahash FROM ah ORDER BY doc_id"""
 
+  /** Per-doc 64-bit perceptual DIFFERENCE-hash, lockstep with
+    * [[graft.functions.DHashImpl.dhash64]]: same format-aware body
+    * offset as the aHash chain, 65 equal-share cells, bit c (0..63) =
+    * [s(c+1)·cnt(c) > s(c)·cnt(c+1)] — an all-integer adjacent-cell
+    * compare; bodies under 65 bytes excluded. */
+  val multimodalDhash: String = {
+    // reuse the aHash chain's meta/offs CTEs verbatim; only the cell
+    // count (65) and the compare (adjacent, strict) differ
+    val common = aHashChain
+    val upToOffs = common.substring(0, common.indexOf("), bidx AS ("))
+    upToOffs + """
+), bidx65 AS (
+  SELECT doc_id, hx, off, byte_len - off AS n,
+         unnest(range(0, byte_len - off)) AS i
+  FROM offs WHERE byte_len - off >= 65
+), body65 AS (
+  SELECT doc_id, CAST((i * 65) // n AS INTEGER) AS cell,
+         CAST(concat('0x', substr(hx, CAST(2 * (off + i) + 1 AS INTEGER), 2)) AS BIGINT) AS v
+  FROM bidx65
+), cells65 AS (
+  SELECT doc_id, cell, SUM(v) AS s, COUNT(*) AS c
+  FROM body65 GROUP BY doc_id, cell
+), dh AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.s * a.c <= a.s * b.c THEN 0
+                       WHEN a.cell = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << a.cell) END) AS BIGINT) AS dhash
+  FROM cells65 a JOIN cells65 b ON b.doc_id = a.doc_id AND b.cell = a.cell + 1
+  GROUP BY a.doc_id
+)
+SELECT doc_id, dhash FROM dh ORDER BY doc_id"""
+  }
+
   /** Perceptual near-dup image pairs — all-pairs verify at oracle scale
     * (the Spark side blocks by the Manku C(6,3) tables; pigeonhole makes
     * the band join lossless at Hamming ≤ 3, so the SETS agree). */

@@ -779,6 +779,8 @@ object SparkEntry {
 
     "multimodal_ahash" -> ((s, dir) => Multimodal.aHashes(Tables.documents(s, dir))),
 
+    "multimodal_dhash" -> ((s, dir) => Multimodal.dHashes(Tables.documents(s, dir))),
+
     "multimodal_phash_neardup" -> ((s, dir) =>
       Multimodal.imageNearDup(Tables.documents(s, dir))),
 
@@ -1095,6 +1097,7 @@ object SparkEntry {
     "topic_assign"              -> Oracles.topicAssign,
     "multimodal_meta"           -> Oracles.multimodalMeta,
     "multimodal_ahash"          -> Oracles.multimodalAhash,
+    "multimodal_dhash"          -> Oracles.multimodalDhash,
     "multimodal_phash_neardup"  -> Oracles.multimodalPhashNeardup,
     "multimodal_frame_sample"   -> Oracles.multimodalFrameSample,
     "multimodal_features"       -> Oracles.multimodalFeatures,

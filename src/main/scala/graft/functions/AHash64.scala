@@ -109,3 +109,76 @@ case class AHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): AHash64 =
     copy(child = newChild)
 }
+
+/** Runtime for [[DHash64]] — the 64-bit DIFFERENCE (gradient) perceptual
+  * hash over the same decoded body bytes as [[AHashImpl.ahash64]]. Must
+  * stay bit-identical to the SQL oracle in
+  * [[graft.Oracles.multimodalDhash]].
+  *
+  * Definition (all-integer — no rounding bridge between engines):
+  *  - same format-aware body offset as aHash ([[AHashImpl.bodyOffset]]);
+  *    bodies under 65 bytes hash to NULL (65 cells need 65 bytes).
+  *  - body byte i falls in cell `i*65/n` — 65 contiguous equal-share
+  *    cells, the 1-D analogue of dHash's 9-wide pixel rows.
+  *  - bit c (0..63) = [mean(cell c+1) > mean(cell c)], evaluated as the
+  *    exact integer cross-multiplication `s(c+1)·cnt(c) > s(c)·cnt(c+1)`.
+  *
+  * The ADJACENT-cell compare is the point: aHash compares each cell to
+  * the GLOBAL mean, so a clamped contrast scale (v' = min(255, a·v + b))
+  * moves the global mean relative to mid-tone cells and flips every cell
+  * whose mean sits near it, while the LOCAL gradient direction between
+  * neighbouring cells survives — the standard aHash/dHash complement.
+  * Overflow bound: s·cnt <= 255n·(n/65+1), safe in a signed long for any
+  * document-table payload. */
+object DHashImpl {
+  def dhash64(p: Array[Byte]): java.lang.Long = {
+    val off = AHashImpl.bodyOffset(p)
+    val n = p.length - off
+    if (n < 65) return null
+    val sums = new Array[Long](65)
+    val cnts = new Array[Long](65)
+    var i = 0
+    while (i < n) {
+      val c = ((i.toLong * 65L) / n).toInt
+      sums(c) += (p(off + i) & 0xff).toLong
+      cnts(c) += 1
+      i += 1
+    }
+    var out = 0L
+    var c = 0
+    while (c < 64) {
+      if (sums(c + 1) * cnts(c) > sums(c) * cnts(c + 1)) out |= (1L << c)
+      c += 1
+    }
+    out
+  }
+}
+
+/** Native Catalyst expression: one-pass 64-bit perceptual gradient-hash
+  * (dHash) over a binary payload — codegen-resident, zero shuffles,
+  * feeding the same Manku banded-Hamming join as [[AHash64]]. NULL for
+  * payloads whose body is under 65 bytes. */
+case class DHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_dhash64 requires BINARY input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    DHashImpl.dhash64(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.DHashImpl.dhash64($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): DHash64 =
+    copy(child = newChild)
+}

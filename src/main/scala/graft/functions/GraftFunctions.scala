@@ -44,6 +44,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_ahash64", exprs => AHash64(exprs.head), "scala_udf")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_dhash64"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_dhash64", exprs => DHash64(exprs.head), "scala_udf")
+    }
     if (!reg.functionExists(FunctionIdentifier("graft_lni"))) {
       reg.createOrReplaceTempFunction(
         "graft_lni", exprs => LnInt(exprs.head), "scala_udf")

@@ -190,4 +190,30 @@ object Multimodal {
     Dedup.hammingNearPairs(
       aHashes(documents).select(col("doc_id"), col("ahash").as("simhash")),
       maxHamming, maxBucket)
+
+  /** Per-document 64-bit perceptual DIFFERENCE-hash (dHash) over the
+    * payload body — [[graft.functions.DHash64]]: 65 equal-share cells,
+    * bit c = [mean(cell c+1) > mean(cell c)]. The gradient compare is
+    * LOCAL where aHash's is global, so a clamped contrast scale
+    * (v' = min(255, a·v + b)) that drags mid-tone cells across the
+    * global mean — flipping aHash bits — leaves the neighbouring-cell
+    * gradient directions (and so the dHash) intact. Same one-pass
+    * codegen shape as [[aHashes]]; bodies under 65 bytes are excluded. */
+  def dHashes(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        expr("graft_dhash64(CAST(text AS BINARY))").as("dhash"))
+      .filter(col("dhash").isNotNull)
+      .orderBy("doc_id")
+  }
+
+  /** dHash near-dup pairs via the same Manku banded-Hamming join as
+    * [[imageNearDup]] — the contrast-robust complement to the aHash
+    * path (run both; union the pair sets). */
+  def dHashNearDup(
+      documents: DataFrame, maxHamming: Int = 3, maxBucket: Long = 1000L): DataFrame =
+    Dedup.hammingNearPairs(
+      dHashes(documents).select(col("doc_id"), col("dhash").as("simhash")),
+      maxHamming, maxBucket)
 }

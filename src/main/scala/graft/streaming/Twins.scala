@@ -156,7 +156,7 @@ object Twins {
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",
       "doc_chunking", "doc_len_histogram", "quality_length_grid",
       "multimodal_meta", "multimodal_features", "multimodal_frame_sample",
-      "multimodal_ahash") ++
+      "multimodal_ahash", "multimodal_dhash") ++
     group("epoch-level global selection/packing/sharding; materialized per training run, not streamed")(
       "sample_stratified", "sample_priority", "data_mixture_sample",
       "quality_curriculum", "dsir_select", "corpus_budget_select",

@@ -181,6 +181,48 @@ class TextMultimodalSpec extends SparkSpec {
       s"expected the brightness pair + header-tweak clones, got ${pairs.mkString(",")}")
   }
 
+  test("perceptual dHash: clamped contrast scale that aHash provably misses " +
+    "is caught by the gradient hash through the banded near-dup join") {
+    import spark.implicits._
+    import graft.functions.{AHashImpl, DHashImpl}
+    def bmp(pixels: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](54 + pixels.length)
+      b(0) = 'B'; b(1) = 'M'; b(10) = 54
+      pixels.copyToArray(b, 54)
+      b
+    }
+    // Three constant regions over a 4160-byte body (64·65, so both the
+    // 64-cell aHash and 65-cell dHash grids tile it): 16 aHash-cells of
+    // dark (2), 16 of bright (68), 32 of mid (30). Global mean 32.5 sits
+    // ABOVE the mid level, so every mid cell's aHash bit is 0.
+    val base = (Array.fill(16 * 65)(2.toByte) ++ Array.fill(16 * 65)(68.toByte)
+      ++ Array.fill(32 * 65)(30.toByte))
+    // Clamped contrast scale v' = min(127, 3v): dark→6, mid→90, bright
+    // SATURATES 204→127. The saturation eats the bright region's excess,
+    // dragging the global mean (78.25) BELOW the scaled mid level (90):
+    // all 32 mid cells flip 0→1 in aHash. Every ADJACENT-cell gradient
+    // keeps its sign (regions stay ordered dark < mid < bright,
+    // within-region diffs stay zero), so the dHash is bit-identical.
+    val contrast = base.map(v => math.min(127, 3 * v).toByte)
+    val aBase = AHashImpl.ahash64(bmp(base)).longValue()
+    val aCon = AHashImpl.ahash64(bmp(contrast)).longValue()
+    assert(java.lang.Long.bitCount(aBase ^ aCon) > 3,
+      s"aHash must MISS this pair (got hamming ${java.lang.Long.bitCount(aBase ^ aCon)})")
+    assert(DHashImpl.dhash64(bmp(base)) === DHashImpl.dhash64(bmp(contrast)))
+    val docs = Seq(
+      (1L, new String(bmp(base), "UTF-8")),
+      (2L, new String(bmp(contrast), "UTF-8")),
+      (3L, "tiny")) // body under 65 bytes: not an image, excluded
+      .toDF("doc_id", "text")
+    assert(!Multimodal.dHashes(docs).collect().map(_.getLong(0)).contains(3L))
+    // non-vacuity both ways: the dHash join finds the pair, aHash's doesn't
+    val dPairs = Multimodal.dHashNearDup(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Int]("hamming")))
+    assert(dPairs.toSeq === Seq((1L, 2L, 0)), s"got ${dPairs.mkString(",")}")
+    assert(Multimodal.imageNearDup(docs).count() === 0L,
+      "the aHash path must provably miss the contrast pair")
+  }
+
   test("textEntropy: analytic entropies for uniform and degenerate alphabets") {
     val d = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd")).toDF("doc_id", "text")
     val out = graft.operators.Corpus.textEntropy(d).collect()
