@@ -4369,6 +4369,83 @@ SELECT w.doc_id, w.lang, CAST(w.n AS BIGINT) AS n_words,
 FROM w LEFT JOIN agg a USING (doc_id)
 ORDER BY doc_id"""
 
+  /** Trained quality classifier — FULL REPLAY of Corpus.qualityClassifier:
+    * hashed-unigram features (md5 % 32, length-normalized, +bias), the
+    * deterministic md5-ranked <=2048 training sample, and THREE unrolled
+    * full-batch logistic-GD iterations with the rational sigmoid
+    * p = 1/2 + z/(2(1+|z|)) and lr 0.25 on the mean gradient — every sum
+    * an ordered left fold (`list_reduce(list_prepend(0.0, …))`: z over
+    * bucket order, gradients over doc_id order), so the SQL executes the
+    * identical IEEE op sequence as the Spark/driver trainer. */
+  val qualityClassifierScore: String = {
+    val B = 32
+    val dims = B + 1
+    val zeros = Seq.fill(dims)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
+    def iter(t: Int): String = {
+      val prevW = if (t == 1) "w0" else s"w${t - 1}"
+      s"""
+z$t AS (
+  SELECT s.doc_id, s.y, s.x,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, ${dims + 1}), j -> s.x[j] * w.w[j])),
+           (a, b) -> a + b) AS z
+  FROM samp s CROSS JOIN $prevW w
+), r$t AS (
+  SELECT doc_id, x, y - (0.5 + z / (2.0 * (1.0 + abs(z)))) AS r FROM z$t
+), g$t AS (
+  SELECT jj.j AS j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(r.r * r.x[jj.j] ORDER BY r.doc_id)), (a, b) -> a + b) AS gj
+  FROM r$t r CROSS JOIN (SELECT unnest(range(1, ${dims + 1})) AS j) jj
+  GROUP BY jj.j
+), w$t AS (
+  SELECT list(wv ORDER BY j) AS w FROM (
+    SELECT g.j AS j, w.w[g.j] + 0.25 * (g.gj / n.n) AS wv
+    FROM g$t g CROSS JOIN $prevW w CROSS JOIN nn n) t
+)"""
+    }
+    s"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+              THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+         string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS doclen
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substring(md5(w), 1, 15)) AS BIGINT) % $B AS INTEGER) AS bucket
+  FROM (SELECT doc_id, unnest(ws) AS w FROM base) t
+), cnts AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS cnt FROM toks GROUP BY 1, 2
+), feats AS (
+  SELECT b.doc_id, b.y,
+         list(COALESCE(c.cnt, CAST(0.0 AS DOUBLE)) / b.doclen ORDER BY g.j)
+           || [CAST(1.0 AS DOUBLE)] AS x
+  FROM base b
+  CROSS JOIN (SELECT unnest(range(0, $B)) AS j) g
+  LEFT JOIN cnts c ON c.doc_id = b.doc_id AND c.bucket = g.j
+  GROUP BY b.doc_id, b.y, b.doclen
+), samp0 AS (
+  SELECT doc_id, y, x,
+         row_number() OVER (
+           ORDER BY md5(concat('qc:', CAST(doc_id AS VARCHAR))), doc_id) AS rnk
+  FROM feats
+), samp AS (
+  SELECT doc_id, y, x FROM samp0 WHERE rnk <= 2048
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM samp
+), w0 AS (
+  SELECT $zeros AS w
+), ${iter(1)}, ${iter(2)}, ${iter(3)}
+SELECT f.doc_id, CAST(f.y AS INTEGER) AS is_positive,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range(1, ${dims + 1}), j -> f.x[j] * w.w[j])),
+         (a, b) -> a + b) AS score
+FROM feats f CROSS JOIN w3 w
+ORDER BY f.doc_id"""
+  }
+
   /** DSIR importance selection: hashed-bigram buckets (md5 % 256),
     * add-one smoothed target ('en') vs raw bucket masses, rational score
     * = (sum_t * (Nr+B)) / (sum_r * (Nt+B)), global top-100. Mirrors

@@ -320,6 +320,9 @@ object SparkEntry {
 
     "nb_lang_classify" -> ((s, dir) => Search.nbClassify(Tables.documents(s, dir))),
 
+    "quality_classifier_score" -> ((s, dir) =>
+      Corpus.qualityClassifier(Tables.documents(s, dir))),
+
     "customer_ltv_deciles" -> ((s, dir) =>
       Analytics.customerLtvDeciles(Tables.orders(s, dir))),
 
@@ -937,6 +940,7 @@ object SparkEntry {
     "domain_cap_sample"         -> Oracles.domainCapSample,
     "quality_ablation"          -> Oracles.qualityAblation,
     "nb_lang_classify"          -> Oracles.nbClassify,
+    "quality_classifier_score"  -> Oracles.qualityClassifierScore,
     "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,

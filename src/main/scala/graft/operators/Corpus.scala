@@ -1692,4 +1692,94 @@ object Corpus {
           count(lit(1)).cast("double")).as("avg_quality"))
       .orderBy("lang", "stage")
   }
+
+  /** TRAINED quality filter — the fastText-class binary classifier every
+    * production curation pipeline gates on (GPT-3/CCNet/RefinedWeb style:
+    * positives = a curated reference slice, negatives = the rest of the
+    * crawl), as opposed to the HEURISTIC scores of `text_quality` and the
+    * class-conditional language model of `nb_lang_classify`.
+    *
+    * Model: a logistic probe over hashed word-unigram features —
+    * x_j = (count of words hashing to bucket j) / doc_len for j < B,
+    * plus a bias feature x_B = 1 — trained by `iters` UNROLLED full-batch
+    * gradient steps on a deterministic md5-ranked sample of at most
+    * `sampleCap` docs, then scored over EVERY document as the logit
+    * z = w·x.
+    *
+    * Cross-engine determinism (the DuckDB oracle REPLAYS the training,
+    * not just the scoring): no transcendentals anywhere — the sigmoid is
+    * the rational  p = 1/2 + z / (2(1+|z|))  (abs/add/mul/div are all
+    * IEEE correctly-rounded in both engines), the learning rate 0.25 is
+    * a power of two (exact scaling), and every sum is an ORDERED LEFT
+    * FOLD pinned on both sides: z folds the B+1 products in bucket
+    * order, each gradient component folds r·x_j in doc_id order
+    * (`aggregate`/`list_reduce(list_prepend(0.0, …))` — the SURVEY §3
+    * ordered-double-fold discipline), so Spark and DuckDB execute the
+    * same IEEE op sequence bit-for-bit.
+    *
+    * Scale shape: feature extraction is a map + one (doc,bucket) partial
+    * agg; training touches only the bounded sample (collected driver-side
+    * like the ANN quantizer samples — B·sampleCap doubles); scoring is a
+    * broadcast-weights map over the corpus at scan speed. At 100 TB only
+    * the scoring pass sees the full corpus, and it is embarrassingly
+    * parallel. */
+  def qualityClassifier(
+      documents: DataFrame,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2", "src3"),
+      buckets: Int = 32,
+      iters: Int = 3,
+      sampleCap: Int = 2048): DataFrame = {
+    val dims = buckets + 1 // + bias
+    val base = documents.select(
+      col("doc_id"),
+      when(col("source").isin(positiveSources: _*), 1.0).otherwise(0.0).as("y"),
+      split(col("text"), " ").as("ws"))
+    val cnts = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
+          .cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).cast("double").as("cnt"))
+    val bucketMap = cnts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+    val feats = base
+      .select(col("doc_id"), col("y"), size(col("ws")).cast("double").as("len"))
+      .join(bucketMap, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(sequence(lit(0), lit(buckets - 1)),
+            j => coalesce(try_element_at(col("m"), j), lit(0.0)) / col("len")),
+          array(lit(1.0))).as("x"))
+    // deterministic bounded training sample, then doc_id fold order
+    val sample = feats
+      .withColumn("__h", md5(concat(lit("qc:"), col("doc_id").cast("string"))))
+      .orderBy(col("__h"), col("doc_id")).limit(sampleCap)
+      .select("doc_id", "y", "x").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Double]("y"), r.getSeq[Double](r.fieldIndex("x")).toArray))
+    val n = sample.length.toDouble
+    val w = new Array[Double](dims)
+    var t = 0
+    while (t < iters) {
+      val g = new Array[Double](dims)
+      sample.foreach { case (y, x) =>
+        var z = 0.0
+        var j = 0
+        while (j < dims) { z += w(j) * x(j); j += 1 }
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val r = y - p
+        var k = 0
+        while (k < dims) { g(k) += r * x(k); k += 1 }
+      }
+      var j = 0
+      while (j < dims) { w(j) += 0.25 * (g(j) / n); j += 1 }
+      t += 1
+    }
+    val wLit = array(w.map(lit(_)): _*)
+    feats
+      .select(col("doc_id"), col("y").cast("int").as("is_positive"),
+        aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v).as("score"))
+      .orderBy("doc_id")
+  }
 }

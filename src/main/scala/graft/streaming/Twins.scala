@@ -150,7 +150,8 @@ object Twins {
       "bpe_coverage", "unigram_pieces", "unigram_encode", "unigram_fertility",
       "tfidf_top_terms", "bm25_search", "bm25_search_indexed", "token_pmi",
       "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams",
-      "nb_lang_classify", "lm_ppl_buckets", "lm_heldout_score") ++
+      "nb_lang_classify", "lm_ppl_buckets", "lm_heldout_score",
+      "quality_classifier_score") ++
     group("stateless per-document map, directly applicable inside any stream (admitDocuments applies quality+fingerprint); gated as batch scoring")(
       "text_langid", "text_quality", "text_normalize", "text_pii_scrub",
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",

@@ -545,6 +545,42 @@ class CurationSpec extends SparkSpec {
     assert(preds.forall(_.getAs[String]("pred_lang") === "aa"))
   }
 
+  test("qualityClassifier: planted target-like doc outranks boilerplate, and the " +
+    "NB classifier agrees on the separation") {
+    import spark.implicits._
+    // 8 curated-slice docs (source src0 -> label 1) with target vocabulary,
+    // 8 crawl boilerplate docs (label 0), and ONE HELD-OUT doc (100) that
+    // carries the target vocabulary but sits in the crawl slice — so the
+    // trainer sees it as a NEGATIVE and the only way it can outrank the
+    // boilerplate is the learned n-gram profile, not its label.
+    val target = "alpha beta gamma delta epsilon zeta"
+    val boiler = "click here buy now cheap offer today"
+    val docs =
+      (1L to 8L).map(i => (i, target, "pos", "src0")) ++
+        (11L to 18L).map(i => (i, boiler, "neg", "crawl")) ++
+        Seq((100L, target, "neg", "crawl"))
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.qualityClassifier(df).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("is_positive"), r.getAs[Double]("score")))).toMap
+    assert(out.keySet.size === 17)
+    assert((1L to 8L).forall(out(_)._1 === 1) &&
+      (11L to 18L).forall(out(_)._1 === 0) && out(100L)._1 === 0)
+    val boilerMax = (11L to 18L).map(out(_)._2).max
+    assert(out(100L)._2 > boilerMax,
+      s"held-out target-like doc must outrank boilerplate: ${out(100L)._2} vs $boilerMax")
+    assert((1L to 8L).forall(out(_)._2 > boilerMax),
+      "curated-slice docs must outrank boilerplate")
+    // ranking agreement with the class-conditional NB model (C92) on the
+    // same separable fixture: NB, trained on the lang labels, must pull
+    // the held-out doc to the 'pos' class and keep boilerplate at 'neg' —
+    // the same separation the logistic probe expressed as score order.
+    val nb = Search.nbClassify(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(nb(100L) === "pos", "NB must agree the held-out doc is target-like")
+    assert((11L to 18L).forall(nb(_) === "neg"))
+  }
+
   test("qualityDupGrid: cells partition the corpus, shares sum per decile, dup mass matches C1") {
     val docs = Tables.documents(spark, sfDir)
     val out = Corpus.qualityDupGrid(docs).collect()
