@@ -2348,6 +2348,92 @@ SELECT query_id, neighbor_id, label, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
+  /** Per-filter adaptive probe budget, lockstep with
+    * Similarity.adaptiveProbeBudget: full-corpus cell assignment, per
+    * (label, cell) occupancy, the dense (query × label × p) cumulative
+    * covered mass, the exact-integer target compare
+    * (100·Σ covered ≥ 90·8·n_label, fallback 16), and the achieved
+    * filtered recall at the chosen budget vs the exact filtered truth. */
+  val annAdaptiveProbe: String = featBase + """
+, cdots AS (
+  SELECT f.vec_id, f.nrm, c.cid, c.cent_nrm,
+         CAST(SUM(CAST(CAST(f.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat f
+  CROSS JOIN (SELECT vec_id AS cid, embedding, nrm AS cent_nrm FROM feat WHERE vec_id < 16) c
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY f.vec_id, f.nrm, c.cid, c.cent_nrm
+), cellrank AS (
+  SELECT vec_id, cid AS cell,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dot / (nrm * cent_nrm) DESC, cid) AS INTEGER) AS p
+  FROM cdots
+), assigned AS (
+  SELECT cr.vec_id, cr.cell, e.label
+  FROM cellrank cr JOIN embeddings e ON e.vec_id = cr.vec_id
+  WHERE cr.p = 1
+), occ AS (
+  SELECT label, cell, CAST(COUNT(*) AS BIGINT) AS o FROM assigned GROUP BY 1, 2
+), nl AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors FROM assigned GROUP BY 1
+), cum AS (
+  SELECT g.query_id, g.label, g.p,
+         SUM(COALESCE(o.o, 0)) OVER (PARTITION BY g.query_id, g.label ORDER BY g.p) AS cum_o
+  FROM (SELECT cr.vec_id AS query_id, cr.cell, cr.p, l.label
+        FROM cellrank cr CROSS JOIN nl l
+        WHERE cr.vec_id < 8) g
+  LEFT JOIN occ o ON o.cell = g.cell AND o.label = g.label
+), mass AS (
+  SELECT label, p, SUM(cum_o) AS s FROM cum GROUP BY 1, 2
+), chosen AS (
+  SELECT n.label, n.n_vectors,
+         COALESCE(MIN(CASE WHEN 100 * m.s >= 90 * 8 * n.n_vectors THEN m.p END), 16) AS chosen_nprobe
+  FROM nl n LEFT JOIN mass m ON m.label = n.label
+  GROUP BY n.label, n.n_vectors
+), pmass AS (
+  SELECT c.label, c.n_vectors, c.chosen_nprobe,
+         CAST(m.s AS DOUBLE) / CAST(8 * c.n_vectors AS DOUBLE) AS predicted_mass
+  FROM chosen c JOIN mass m ON m.label = c.label AND m.p = c.chosen_nprobe
+), tdots AS (
+  SELECT qf.vec_id AS query_id, nf.vec_id AS neighbor_id, a.label,
+         qf.nrm AS q_nrm, nf.nrm AS c_nrm,
+         CAST(SUM(CAST(CAST(qf.embedding[i] AS DOUBLE) * CAST(nf.embedding[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM feat qf
+  CROSS JOIN feat nf
+  JOIN assigned a ON a.vec_id = nf.vec_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  WHERE qf.vec_id < 8 AND nf.vec_id <> qf.vec_id
+  GROUP BY qf.vec_id, nf.vec_id, a.label, qf.nrm, nf.nrm
+), truth AS (
+  SELECT query_id, label, neighbor_id FROM (
+    SELECT query_id, label, neighbor_id,
+           row_number() OVER (PARTITION BY query_id, label
+                              ORDER BY dot / (q_nrm * c_nrm) DESC, neighbor_id) AS rnk
+    FROM tdots) t
+  WHERE rnk <= 10
+), approx AS (
+  SELECT query_id, label, neighbor_id FROM (
+    SELECT td.query_id, td.label, td.neighbor_id,
+           row_number() OVER (PARTITION BY td.query_id, td.label
+                              ORDER BY td.dot / (td.q_nrm * td.c_nrm) DESC, td.neighbor_id) AS rnk
+    FROM tdots td
+    JOIN assigned a ON a.vec_id = td.neighbor_id
+    JOIN cellrank cr ON cr.vec_id = td.query_id AND cr.cell = a.cell
+    JOIN chosen c ON c.label = td.label AND cr.p <= c.chosen_nprobe) t
+  WHERE rnk <= 10
+), rec AS (
+  SELECT t.label,
+         CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
+         CAST(COUNT(ap.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS achieved_recall
+  FROM truth t LEFT JOIN approx ap
+    ON ap.query_id = t.query_id AND ap.label = t.label AND ap.neighbor_id = t.neighbor_id
+  GROUP BY t.label
+)
+SELECT p.label, p.n_vectors, CAST(p.chosen_nprobe AS INTEGER) AS chosen_nprobe,
+       p.predicted_mass, r.n_truth, r.n_hits, r.achieved_recall
+FROM pmass p JOIN rec r ON r.label = p.label
+ORDER BY p.label"""
+
   /** Recall of the filtered probe vs filtered exact search. Mirrors
     * Similarity.filteredIvfRecall. */
   val annRecallFiltered: String = s"""

@@ -603,6 +603,9 @@ object SparkEntry {
     "ann_recall_filtered" -> ((s, dir) =>
       Similarity.filteredIvfRecall(Tables.embeddings(s, dir))),
 
+    "ann_adaptive_probe" -> ((s, dir) =>
+      Similarity.adaptiveProbeBudget(Tables.embeddings(s, dir))),
+
     "lm_ppl_buckets" -> ((s, dir) => Search.lmPplBuckets(Tables.documents(s, dir))),
 
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
@@ -1034,6 +1037,7 @@ object SparkEntry {
     "ann_bruteforce_topk"       -> Oracles.annBruteforceTopK,
     "ann_filtered_topk"         -> Oracles.annFilteredTopK,
     "ann_filtered_ivf_topk"     -> Oracles.annFilteredIvfTopK,
+    "ann_adaptive_probe"        -> Oracles.annAdaptiveProbe,
     "ann_recall_filtered"       -> Oracles.annRecallFiltered,
     "lm_ppl_buckets"            -> Oracles.lmPplBuckets,
     "ann_lsh_topk"              -> Oracles.annLshTopK,

@@ -140,7 +140,7 @@ object Twins {
       "ann_recall_pq", "ann_recall_sq", "ann_recall_ivfpq", "ann_ndcg_ivf",
       "ann_ndcg_lsh", "ann_nprobe_sweep", "ann_nprobe_sweep_ivfpq",
       "ann_filtered_topk", "ann_filtered_ivf_topk", "ann_recall_filtered",
-      "ann_index_compare",
+      "ann_index_compare", "ann_adaptive_probe",
       "search_rrf_fusion", "search_mmr_rerank", "search_ndcg_rrf",
       "knn_classify", "label_centroids", "topic_assign", "contrastive_pairs",
       "embed_rp_project", "embed_center_norm", "embed_dim_stats",

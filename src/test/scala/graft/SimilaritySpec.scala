@@ -468,6 +468,36 @@ class SimilaritySpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("adaptiveProbeBudget: chosen budget restores filtered recall to at least " +
+    "the unfiltered level the fixed nProbe was tuned for") {
+    val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val rows = Similarity.adaptiveProbeBudget(embTable).collect()
+    assert(rows.nonEmpty)
+    // the C97 collapse this operator exists to fix: fixed nProbe=2 under
+    // the label-0 predicate
+    val fixedFiltered = Similarity.filteredIvfRecall(embTable).collect()
+      .map(_.getAs[Double]("recall"))
+    val fixedFilteredMean = fixedFiltered.sum / fixedFiltered.length
+    // the unfiltered level the budget must restore (same untrained
+    // quantizer, default nProbe=2 — the C47-style baseline)
+    val unfiltered = Similarity.recallAtK(
+        Similarity.bruteForceTopK(embTable), Similarity.ivfTopK(embTable))
+      .collect().map(_.getAs[Double]("recall"))
+    val unfilteredMean = unfiltered.sum / unfiltered.length
+    rows.foreach { r =>
+      val chosen = r.getAs[Int]("chosen_nprobe")
+      val achieved = r.getAs[Double]("achieved_recall")
+      assert(chosen > 2, s"budget must adapt beyond the fixed default: $chosen")
+      assert(achieved >= unfilteredMean,
+        s"label ${r.getAs[Int]("label")}: achieved $achieved < unfiltered $unfilteredMean")
+      assert(achieved > fixedFilteredMean,
+        s"label ${r.getAs[Int]("label")}: no improvement over the fixed budget")
+      // the predicted mass that justified the choice must clear the target
+      // whenever a budget under the K fallback existed
+      if (chosen < 16) assert(r.getAs[Double]("predicted_mass") >= 0.9)
+    }
+  }
+
   test("indexCompare: each dashboard row aggregates its standalone recall query exactly") {
     val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.indexCompare(embTable).collect()
