@@ -2611,6 +2611,51 @@ SELECT c.vec_id, g.cell, c.cluster_id, g.cos_centroid,
 FROM comp c JOIN asgF g ON g.vec_id = c.vec_id
 ORDER BY c.vec_id"""
 
+  /** Embedding-space decontamination, lockstep with
+    * Dedup.semanticContamination: the trained self-scaling quantizer,
+    * train side in its single best cell, the `vec_id % 97 = 0` benchmark
+    * slice probing its 2 nearest cells, ordered-fold cosines, pairs at
+    * >= 0.3, then per train doc the count + closest benchmark item. */
+  val contaminationSemantic: String =
+    trainedQuantBase(2, autoKExpr) + """
+, asgT AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x
+  WHERE rn = 1 AND vec_id % 97 <> 0
+), probeB AS (
+  SELECT vec_id AS bench_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF WHERE vec_id % 97 = 0) t
+  WHERE rn <= 2
+), cpairs AS (
+  SELECT t.vec_id, p.bench_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(ft.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (ft.nrm * fb.nrm) AS cosine
+  FROM asgT t
+  JOIN probeB p ON p.cell = t.cell
+  JOIN feat ft ON ft.vec_id = t.vec_id
+  JOIN feat fb ON fb.vec_id = p.bench_id
+), hits AS (
+  SELECT vec_id, bench_id, cosine FROM cpairs WHERE cosine >= 0.3
+), counts AS (
+  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_bench_near FROM hits GROUP BY vec_id
+), top AS (
+  SELECT vec_id, bench_id AS nearest_bench, cosine AS max_cosine FROM (
+    SELECT vec_id, bench_id, cosine,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, bench_id) AS rn
+    FROM hits) t
+  WHERE rn = 1
+)
+SELECT c.vec_id, c.n_bench_near, t.nearest_bench, t.max_cosine
+FROM counts c JOIN top t ON t.vec_id = c.vec_id
+ORDER BY c.vec_id"""
+
   /** Built-in session_window semantics: new session at gap >= 30 min,
     * session end = last event + gap. */
   val eventsSessionWindow: String = """

@@ -259,6 +259,9 @@ object SparkEntry {
     "winnow_fingerprints" -> ((s, dir) =>
       Corpus.winnowFingerprints(Tables.documents(s, dir))),
 
+    "contamination_semantic" -> ((s, dir) =>
+      Dedup.semanticContamination(Tables.embeddings(s, dir))),
+
     "contamination_check" -> ((s, dir) =>
       Corpus.contaminationCheck(Tables.documents(s, dir))),
 
@@ -918,6 +921,7 @@ object SparkEntry {
     "range_session_count"       -> Oracles.rangeSessionCount,
     "winnow_fingerprints"       -> Oracles.winnowFingerprints,
     "contamination_check"       -> Oracles.contaminationCheck,
+    "contamination_semantic"    -> Oracles.contaminationSemantic,
     "text_pii_scrub"            -> Oracles.textPiiScrub,
     "sample_stratified"         -> Oracles.sampleStratified,
     "sample_priority"           -> Oracles.samplePriority,

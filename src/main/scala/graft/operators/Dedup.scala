@@ -1102,6 +1102,65 @@ object Dedup {
     (assigned, pairs)
   }
 
+  /** EMBEDDING-SPACE DECONTAMINATION — the semantic twin of
+    * [[graft.operators.Corpus.contaminationCheck]]: that pass catches
+    * verbatim/n-gram benchmark leakage (shared winnowing fingerprints);
+    * a PARAPHRASED benchmark item shares no surface form at all and
+    * only the embedding can see it. Here every training document is
+    * checked for near-duplicates of the held-out benchmark stratum
+    * (the same deterministic `vec_id % holdoutMod == 0` slice standing
+    * in for an external benchmark table) in embedding space.
+    *
+    * Blocking is the [[semanticScored]] trained-quantizer machinery,
+    * used ASYMMETRICALLY (the `dedup_minhash_incremental` probe shape):
+    * the train side sits in its single best cell (the index at rest,
+    * one map pass, never self-joined), while the tiny benchmark side
+    * probes its `nProbe` nearest cells — candidate volume is
+    * |bench|·nProbe·cell-size, never |train|·|bench|. Pair cosines use
+    * the ordered double fold (`dotFold`) like every within-cell scorer.
+    *
+    * @return one row per CONTAMINATED training doc:
+    *         (vec_id, n_bench_near, nearest_bench, max_cosine) —
+    *         benchmark-near docs with their closest benchmark item
+    *         (ties: lowest bench id), ready to feed a removal list. */
+  def semanticContamination(
+      embeddings: DataFrame, holdoutMod: Long = 97, nCentroids: Int = 0,
+      iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val k =
+      if (nCentroids > 0) nCentroids
+      else Similarity.autoCellCount(embeddings.count())
+    val cents = Similarity.trainCentroids(embeddings, k, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val train = feat.filter(col("vec_id") % holdoutMod =!= 0)
+      .withColumn("cell",
+        element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+          .getField("cid"))
+    val bench = feat.filter(col("vec_id") % holdoutMod === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("be"),
+        col("nrm").as("b_nrm"),
+        explode(transform(
+          slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
+    val pairs = broadcast(bench).join(train, "cell")
+      .withColumn("cosine",
+        VectorFunctions.dotFold(col("embedding"), col("be")) /
+          (col("nrm") * col("b_nrm")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_id", "bench_id", "cosine")
+    val counts = pairs.groupBy("vec_id").agg(count(lit(1)).as("n_bench_near"))
+    val wTop = Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("bench_id"))
+    val top = pairs.withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("bench_id").as("nearest_bench"),
+        col("cosine").as("max_cosine"))
+    counts.join(top, Seq("vec_id"))
+      .select("vec_id", "n_bench_near", "nearest_bench", "max_cosine")
+      .orderBy("vec_id")
+  }
+
   /** Edit-distance-VERIFIED near-dup pairs — the exact-verification stage
     * a production dedup pipeline runs after probabilistic blocking
     * (MinHash estimates Jaccard on shingle SETS; two docs can share every

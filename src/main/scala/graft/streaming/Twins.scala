@@ -130,7 +130,8 @@ object Twins {
       "dedup_hot_spans", "dedup_exact_substring", "dedup_substring_runs",
       "dedup_substring_scrub", "dedup_threshold_sweep",
       "shingle_df_histogram", "dup_rate_by_source", "winnow_fingerprints",
-      "winnow_overlap", "contamination_check", "split_leakage_free",
+      "winnow_overlap", "contamination_check", "contamination_semantic",
+      "split_leakage_free",
       "multimodal_phash_neardup", "quality_dup_grid", "minhash_s_curve",
       "source_quality_profile") ++
     group("index build/evaluation over a frozen embedding snapshot; online serving is the VectorStore API, not a stream transform")(

@@ -136,6 +136,26 @@ class DedupSpec extends SparkSpec {
     assert(out.find(_.getAs[Boolean]("kept")).get.getAs[Long]("vec_id") === 30L)
   }
 
+  test("semanticContamination: planted near-paraphrase crossing the split is " +
+    "flagged; orthogonal train docs are not") {
+    // ids stay under 97, so the benchmark stratum (vec_id % 97 == 0) is
+    // exactly {0}. Vec 5 is a PARAPHRASE of the benchmark item — the same
+    // direction with a small perturbation, sharing no surface form a
+    // winnowing fingerprint could catch — every other train vector is a
+    // one-hot orthogonal to it.
+    val benchVec = Array.tabulate(64)(i => if (i == 60) 1f else if (i == 61) 0.1f else 0f)
+    val paraVec = Array.tabulate(64)(i => if (i == 60) 1f else if (i == 61) 0.12f else 0f)
+    val rows = Seq((0L, benchVec), (5L, paraVec)) ++
+      (1L until 40L).filter(_ != 5L).map(id => (id, Array.tabulate(64)(i => if (i == id.toInt) 1f else 0f)))
+    val out = Dedup.semanticContamination(rows.toDF("vec_id", "embedding")).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(5L),
+      s"exactly the planted paraphrase must be flagged, got ${out.mkString(",")}")
+    val hit = out.head
+    assert(hit.getAs[Long]("n_bench_near") === 1L)
+    assert(hit.getAs[Long]("nearest_bench") === 0L)
+    assert(hit.getAs[Double]("max_cosine") > 0.95)
+  }
+
   test("semantic dedup invariants on real embeddings: per-cluster keep rule, cells agree") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val out = Dedup.semanticDedup(emb).collect()
