@@ -181,7 +181,8 @@ object Corpus {
       batch: DataFrame, stateDir: String, maxLiveBatches: Int = 64,
       staleGraceMs: Long = 0L,
       beforePublish: () => Unit = () => (),
-      extraMeta: Map[String, String] = Map.empty): Long = {
+      extraMeta: Map[String, String] = Map.empty,
+      admissionGate: graft.sources.Manifest.Snapshot => Unit = _ => ()): Long = {
     import graft.sources.Manifest
     // vacuum lease held across staging+publish: a concurrent writer's
     // recovery sweep skips everything this ingest stages (acquired BEFORE
@@ -189,7 +190,7 @@ object Corpus {
     val lease = Manifest.acquireLease(spark, stateDir,
       s"ingest_${java.util.UUID.randomUUID().toString.take(12)}")
     try ingestLeased(spark, batch, stateDir, maxLiveBatches, staleGraceMs,
-      beforePublish, extraMeta)
+      beforePublish, extraMeta, admissionGate)
     finally Manifest.releaseLease(spark, stateDir, lease)
   }
 
@@ -207,11 +208,20 @@ object Corpus {
       batch: DataFrame, stateDir: String, maxLiveBatches: Int,
       staleGraceMs: Long,
       beforePublish: () => Unit,
-      extraMeta: Map[String, String]): Long = {
+      extraMeta: Map[String, String],
+      admissionGate: graft.sources.Manifest.Snapshot => Unit = _ => ()): Long = {
     import graft.sources.Manifest
     // crash recovery: delete staged dirs no manifest version references
     Manifest.cleanStale(spark, stateDir, IngestTables, staleGraceMs)
     var snap = Manifest.snapshot(spark, stateDir)
+    // admission judged against the SAME snapshot the publish CAS is based
+    // on — and re-judged on every retry against the race winner's
+    // snapshot (below) — so a batch can never be admitted on the
+    // strength of a reference corpus that a concurrent commit replaced
+    // (the drift-gate TOCTOU). Throwing here aborts before staging; the
+    // staged dirs of a retry-path abort are reaped by the next
+    // cleanStale.
+    admissionGate(snap)
     val seenDirs = snap.live.filter(_.startsWith("fingerprints/"))
     val seen =
       if (seenDirs.nonEmpty) spark.read.parquet(seenDirs.map(d => s"$stateDir/$d"): _*)
@@ -251,6 +261,9 @@ object Corpus {
             throw new java.io.IOException(
               s"ingest lost $attempts consecutive publish races at $stateDir")
           val next = Manifest.snapshot(spark, stateDir)
+          // the reference corpus just changed under us: re-run the
+          // admission gate against the snapshot this retry will CAS on
+          admissionGate(next)
           val prior = snap.live.toSet
           val newFpDirs = next.live.filter(e => e.startsWith("fingerprints/") && !prior(e))
           if (newFpDirs.nonEmpty) {
@@ -356,7 +369,8 @@ object Corpus {
   def refreshSignatureIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, mutexWaitMs: Long = 60 * 1000L): Long = {
     import graft.sources.Manifest
-    val lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs)
+    val ttlMs = 5 * 60 * 1000L
+    var lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs)
     try {
       Manifest.cleanStale(spark, stateDir, Seq("signatures"))
       val snap = Manifest.snapshot(spark, stateDir)
@@ -370,9 +384,26 @@ object Corpus {
       val orphaned = sigTags -- docTags
       if (missing.isEmpty && orphaned.isEmpty) return 0L
       missing.foreach { t =>
+        // HEARTBEAT per batch: a refresh spanning many batches can outlive
+        // the fixed TTL, after which a waiting refresher's activeLeases
+        // sweep would reap this lease and both would interleave
+        // mode(overwrite) on the same deterministic paths — the exact
+        // corruption the mutex exists to prevent. Renewing before each
+        // write keeps the lease live for however long the refresh runs.
+        lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
         Dedup.minhashSignature(spark.read.parquet(s"$stateDir/documents/$t"))
           .write.mode("overwrite").parquet(s"$stateDir/signatures/$t")
       }
+      // FENCE before publish: if the lease file no longer records this
+      // acquisition (it expired anyway and a waiting refresher reaped +
+      // re-acquired), a second refresher may already be rewriting the
+      // same signature dirs — publishing now could register a torn dir
+      // as live. Abort; the usurper owns the refresh.
+      if (!Manifest.holdsLease(spark, stateDir, lease))
+        throw new java.io.IOException(
+          s"sigidx_refresh lease at $stateDir was reaped mid-refresh " +
+            "(holder overran its TTL and a waiting refresher took over); " +
+            "aborting without publishing")
       Manifest.publishMerge(spark, stateDir) { cur =>
         // re-derive against the CURRENT live set: only add signatures
         // whose document batch is still live, drop any orphaned entry
@@ -385,7 +416,12 @@ object Corpus {
         ((keep ++ adds).distinct, cur.meta)
       }
       missing.size.toLong
-    } finally Manifest.releaseLease(spark, stateDir, lease)
+    } finally {
+      // never delete a usurper's lease file: release only what is still
+      // OUR acquisition
+      if (Manifest.holdsLease(spark, stateDir, lease))
+        Manifest.releaseLease(spark, stateDir, lease)
+    }
   }
 
   /** Incremental ingest with a NEAR-DUP admission gate in front of
@@ -427,19 +463,33 @@ object Corpus {
     // truncating documents or keeping nav pages fails loudly instead of
     // silently polluting the corpus. Per-doc near-dup/exact gates below
     // still apply to an admitted batch.
-    if (!maxKs.isInfinite || !maxPsi.isInfinite) {
-      val docDirs = Manifest.live(spark, stateDir).filter(_.startsWith("documents/"))
-      if (docDirs.nonEmpty) {
-        corpusDriftSummaryBetween(batch, documents(spark, stateDir))
-          .collect().headOption.foreach { r =>
-            // ks NULL = one side empty after tokenization → nothing to compare
-            val ks = Option(r.getAs[java.lang.Double]("ks")).map(_.toDouble)
-            val psi = r.getAs[Double]("psi")
-            if (ks.exists(_ > maxKs) || psi > maxPsi)
-              throw DriftRejected(ks.getOrElse(0.0), psi, maxKs, maxPsi)
-          }
+    //
+    // The gate is SNAPSHOT-COUPLED, not check-then-act: it evaluates
+    // against the exact snapshot the ingest's publish CAS is based on
+    // (and re-evaluates on every lost race inside ingestIncremental's
+    // retry loop), so a concurrent ingest committing between "gate
+    // passed" and "this batch published" can no longer let two
+    // simultaneously drifting batches each pass against the pre-drift
+    // corpus. The call here is the same gate run once against the
+    // current snapshot — a fast-fail before the signature refresh does
+    // any derived-state work.
+    val driftGate: Manifest.Snapshot => Unit =
+      if (maxKs.isInfinite && maxPsi.isInfinite) _ => ()
+      else snap => {
+        val docDirs = snap.live.filter(_.startsWith("documents/"))
+        if (docDirs.nonEmpty) {
+          val ref = spark.read.parquet(docDirs.map(d => s"$stateDir/$d"): _*)
+          corpusDriftSummaryBetween(batch, ref)
+            .collect().headOption.foreach { r =>
+              // ks NULL = one side empty after tokenization → nothing to compare
+              val ks = Option(r.getAs[java.lang.Double]("ks")).map(_.toDouble)
+              val psi = r.getAs[Double]("psi")
+              if (ks.exists(_ > maxKs) || psi > maxPsi)
+                throw DriftRejected(ks.getOrElse(0.0), psi, maxKs, maxPsi)
+            }
+        }
       }
-    }
+    driftGate(Manifest.snapshot(spark, stateDir))
     refreshSignatureIndex(spark, stateDir)
     val sigDirs = Manifest.live(spark, stateDir).filter(_.startsWith("signatures/"))
     val keep =
@@ -452,7 +502,8 @@ object Corpus {
           .select(col("new_doc").as("doc_id"))
         batch.join(rejects, Seq("doc_id"), "left_anti")
       }
-    val n = ingestIncremental(spark, keep, stateDir, maxLiveBatches)
+    val n = ingestIncremental(spark, keep, stateDir, maxLiveBatches,
+      admissionGate = driftGate)
     refreshSignatureIndex(spark, stateDir) // index what just committed
     n
   }

@@ -288,6 +288,24 @@ object Manifest {
   def releaseLease(spark: SparkSession, base: String, lease: Lease): Unit =
     fs(spark, base).delete(new Path(leaseDir(base), s"${lease.owner}.txt"), false)
 
+  /** FENCING check: does the lease file at `base` still record THIS
+    * acquisition? `acquiredMs` is the fencing token — [[renewLease]]
+    * preserves it, while a usurper that reaped an expired file and
+    * re-acquired the same owner tag writes its OWN acquisition time — so
+    * a holder that may have overrun its TTL calls this immediately
+    * before its commit/publish and ABORTS on false instead of
+    * interleaving writes with the new holder. A torn/unparseable file
+    * reads as not-held (abort is the safe side of that race). */
+  def holdsLease(spark: SparkSession, base: String, lease: Lease): Boolean = {
+    val f = fs(spark, base)
+    val p = new Path(leaseDir(base), s"${lease.owner}.txt")
+    if (!f.exists(p)) return false
+    try parse(readFile(f, p)).exists { case (_, meta) =>
+      meta.get("acquired").map(_.toLong).contains(lease.acquiredMs)
+    }
+    catch { case _: java.io.IOException => false }
+  }
+
   /** Unexpired leases at `base`; expired lease files are deleted lazily
     * here (torn/unparseable ones count as active until their file ages
     * past an hour — a half-written heartbeat must not unshield a live

@@ -250,6 +250,48 @@ final case class StateMetrics(
     memory_used_bytes: Long,
     num_rows_dropped_by_watermark: Long)
 
+/** Listener-accumulated cumulative watermark-drop counter — the
+  * production form of [[Streaming.droppedLateRows]]. That helper sums
+  * `recentProgress`, a BOUNDED ring buffer (default 100 entries), so a
+  * long-running query's drop total silently loses everything older than
+  * the retention window — the degraded-mode alert the `Ordered` twins
+  * rely on could read 0 after real drops aged out. This listener
+  * receives every completed micro-batch's progress event EXACTLY ONCE
+  * (delivery is per-event, independent of the ring's retention) and
+  * accumulates per query id, so the total is exact for the lifetime of
+  * the attachment however long the query runs.
+  *
+  * Attach via [[Streaming.dropCounter]] BEFORE the first micro-batch
+  * (events before attachment are not replayed). Events arrive on the
+  * async listener bus — readers needing batch-exact totals should poll.
+  * Totals survive query restarts that keep the same query id
+  * (checkpoint resume) and are keyed apart for distinct queries. */
+final class DropCounter
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  private val drops = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val d = event.progress.stateOperators.map(_.numRowsDroppedByWatermark).sum
+    if (d > 0)
+      drops.merge(event.progress.id, java.lang.Long.valueOf(d),
+        (a, b) => java.lang.Long.valueOf(a.longValue() + b.longValue()))
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+  /** Exact cumulative drops observed for `query` since attachment. */
+  def dropped(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(drops.get(query.id)).map(_.longValue()).getOrElse(0L)
+
+  /** Remove this listener from `spark`'s streams bus. */
+  def detach(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.streams.removeListener(this)
+}
+
 /** Structured Streaming surface (SURVEY §2.D).
   *
   * The same logical operators as the batch twins (`stream_windowed_counts`,
@@ -1322,16 +1364,40 @@ object Streaming {
     }
 
   /** Total arrivals discarded as late (event time below the watermark)
-    * across ALL completed progress entries of `query` — the cumulative
+    * across the RETAINED progress entries of `query` — the cumulative
     * form of [[StateMetrics.num_rows_dropped_by_watermark]], which only
     * reflects the last micro-batch. Nonzero means some input exceeded
     * the declared disorder bound, and every `...Ordered` operator's
     * batch-equality guarantee is void for the dropped rows: a dropped
     * doc never enters band membership / journey state, so its marks are
-    * suppressed, not merely reordered. */
+    * suppressed, not merely reordered.
+    *
+    * RETENTION BOUND: `recentProgress` is a ring buffer
+    * (`spark.sql.streaming.numRecentProgressUpdates`, default 100
+    * entries), so on a long-running query this sum silently FORGETS
+    * drops older than the retention window — it can read 0 after real
+    * drops have aged out. It stays exact only for short-lived queries
+    * (tests, bounded replays). A production deployment must count drops
+    * as they happen: attach a [[dropCounter]] listener at query start
+    * and read its total instead. */
   def droppedLateRows(query: org.apache.spark.sql.streaming.StreamingQuery): Long =
     query.recentProgress.flatMap(_.stateOperators)
       .map(_.numRowsDroppedByWatermark).sum
+
+  /** Attach a [[DropCounter]] to `spark`'s streams bus and return it —
+    * the UNBOUNDED cumulative watermark-drop counter. Every completed
+    * micro-batch's progress event is delivered to the listener exactly
+    * once regardless of the `recentProgress` ring-buffer retention, so
+    * the total never under-counts on a long-running query (the
+    * [[droppedLateRows]] caveat). Call `counter.detach(spark)` when the
+    * consuming monitor shuts down. Progress events arrive on the async
+    * listener bus: a reader that needs up-to-the-batch exactness (tests)
+    * should poll until the counter catches up with the last progress. */
+  def dropCounter(spark: org.apache.spark.sql.SparkSession): DropCounter = {
+    val c = new DropCounter
+    spark.streams.addListener(c)
+    c
+  }
 
   /** Streaming exact dedup — the continuous twin of
     * [[graft.operators.Dedup.exact]]: each distinct text is admitted

@@ -73,7 +73,9 @@ object Twins {
     "stateMetrics" ->
       "state-store observability over a running query; no batch counterpart",
     "droppedLateRows" ->
-      "cumulative watermark-drop count — the degraded-mode signal for every Ordered twin; no batch counterpart")
+      "cumulative watermark-drop count — the degraded-mode signal for every Ordered twin; no batch counterpart",
+    "dropCounter" ->
+      "listener-accumulated EXACT drop total (DropCounter) — the unbounded form of droppedLateRows, immune to the recentProgress ring-buffer retention")
 
   private def group(reason: String)(keys: String*): Seq[(String, String)] =
     keys.map(_ -> reason)

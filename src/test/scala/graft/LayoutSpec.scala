@@ -258,6 +258,74 @@ class LayoutSpec extends SparkSpec {
     assert(Corpus.refreshSignatureIndex(spark, state) === 0L)
   }
 
+  test("lease fencing: holdsLease tracks the acquisition, not just the owner tag") {
+    import graft.sources.Manifest
+    val state = Files.createTempDirectory("graft-fence").toString
+    val l1 = Manifest.acquireLease(spark, state, "sigidx_refresh", ttlMs = 60000L)
+    assert(Manifest.holdsLease(spark, state, l1))
+    // heartbeats preserve the acquisition token: still held after renew
+    val l1r = Manifest.renewLease(spark, state, l1, 60000L)
+    assert(Manifest.holdsLease(spark, state, l1))
+    assert(Manifest.holdsLease(spark, state, l1r))
+    // USURPATION: the lease is reaped (expiry path) and the same fixed
+    // owner tag re-acquired by a waiting refresher — a DIFFERENT
+    // acquisition. The overrun holder must read not-held and abort
+    // before publishing; holdsLease is exactly that fence.
+    Manifest.releaseLease(spark, state, l1r)
+    Thread.sleep(2L) // acquiredMs is the token: force a distinct tick
+    val l2 = Manifest.acquireLease(spark, state, "sigidx_refresh", ttlMs = 60000L)
+    assert(l2.acquiredMs != l1.acquiredMs)
+    assert(!Manifest.holdsLease(spark, state, l1),
+      "the usurped holder must see its lease gone")
+    assert(Manifest.holdsLease(spark, state, l2))
+    Manifest.releaseLease(spark, state, l2)
+    assert(!Manifest.holdsLease(spark, state, l2))
+  }
+
+  test("admission gate re-judges against the race winner's snapshot (drift TOCTOU closed)") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-toctou").toString
+    def doc(id: Long, text: String) = (id, text, "en", "t", text.length.toLong)
+    def docs(ids: Range) = ids.map(d =>
+      doc(d.toLong, (1 to 40).map(i => s"c${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Corpus.ingestIncremental(spark, docs(1 to 4), state) === 4L)
+    // a gate that passes against the 1-batch corpus and rejects once a
+    // second batch is live — the check-then-act shape of the drift gate,
+    // reduced to its observable: WHICH snapshot is it judged against?
+    val gate: Manifest.Snapshot => Unit = snap =>
+      if (snap.live.count(_.startsWith("documents/")) > 1)
+        throw Corpus.DriftRejected(1.0, 1.0, 0.5, 0.25)
+    // competing ingest commits BETWEEN this batch's gate check and its
+    // publish: pre-fix, the stale gate verdict would let the batch land
+    var injected = false
+    val ex = intercept[Corpus.DriftRejected] {
+      Corpus.ingestIncremental(spark, docs(100 to 103), state,
+        beforePublish = () => if (!injected) {
+          injected = true
+          assert(Corpus.ingestIncremental(spark, docs(50 to 53), state) === 4L)
+        },
+        admissionGate = gate)
+    }
+    assert(ex.ks === 1.0)
+    // the rejected batch is fully absent; the race winner survives
+    val ids = Corpus.documents(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((100 to 103).forall(d => !ids(d.toLong)), "rejected batch must not land")
+    assert((50 to 53).forall(d => ids(d.toLong)))
+    // and the same call without the race admits cleanly (the gate only
+    // fires when the reference corpus actually changed)
+    val state2 = Files.createTempDirectory("graft-toctou2").toString
+    assert(Corpus.ingestIncremental(spark, docs(1 to 4), state2) === 4L)
+    val gate2: Manifest.Snapshot => Unit = snap =>
+      if (snap.live.count(_.startsWith("documents/")) > 1)
+        throw Corpus.DriftRejected(1.0, 1.0, 0.5, 0.25)
+    assert(Corpus.ingestIncremental(spark, docs(100 to 103), state2,
+      admissionGate = gate2) === 4L)
+  }
+
   test("manifest: torn version files are invisible to readers and skipped by allocation") {
     import graft.sources.Manifest
     val state = Files.createTempDirectory("graft-manifest-torn").toString

@@ -1137,6 +1137,9 @@ class StreamingSpec extends SparkSpec {
     def text(seed: Int) =
       (0 until 60).map(i => s"w${(seed * 61 + i * 7) % 1000}").mkString(" ")
     val mem = MemoryStream[Doc]
+    // the listener attaches BEFORE the first micro-batch, so its total is
+    // exact however many progress entries the ring buffer later evicts
+    val counter = Streaming.dropCounter(spark)
     val q = Streaming.simhashNearMarksOrdered(mem.toDS(), delay = "1 hour")
       .writeStream.format("memory").queryName("simnear_late").outputMode("append").start()
     try {
@@ -1161,6 +1164,15 @@ class StreamingSpec extends SparkSpec {
       assert(dropped > 0L, "late straggler must surface in the drop metric")
       val last = Streaming.stateMetrics(q)
       assert(last.forall(_.num_rows_dropped_by_watermark >= 0L))
-    } finally q.stop()
+      // the DropCounter listener must converge on the SAME exact total —
+      // it counts per progress EVENT, not from the bounded recentProgress
+      // ring, so on a long-running query it is the one that stays right.
+      // Events ride the async listener bus: poll until delivery.
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (counter.dropped(q) < dropped && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(counter.dropped(q) === dropped,
+        s"listener total ${counter.dropped(q)} != ring-buffer total $dropped")
+    } finally { q.stop(); counter.detach(spark) }
   }
 }
