@@ -530,6 +530,62 @@ object ScaleSmoke {
       time(s"phash_neardup nDocs=$nd")(println(s"[scale] perceptual pairs = " +
         graft.operators.Multimodal.imageNearDup(frames).count()))
     }
+
+    // r13: SECOND-DECADE slope ASSERTIONS (not just printed timings) for
+    // the flagship and one dedup family. The 10× stages above can hide a
+    // Σ-occupancy²/bucket effect that only bites at the next decade (a
+    // fixed bucket space keeps per-bucket occupancy² growth quadratic);
+    // these stages measure decade-over-decade wall clock and REQUIRE the
+    // slope near-linear — <30× time for 10× data, far under the ~100× a
+    // quadratic term would show, with 3× headroom for shuffle constants
+    // and shared-box noise. Skipped below 1M events, where absolute
+    // times are noise-dominated.
+    def slope(name: String, sizes: Seq[Long])(run: Long => Long): Unit = {
+      val ts = sizes.map { m =>
+        val t0 = System.nanoTime()
+        val rows = run(m)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] $name 2nd-decade size=$m rows=$rows t=$dt%.1f s")
+        dt
+      }
+      val ratio = ts(1) / ts(0)
+      println(f"[scale] SLOPE $name: 10x data -> $ratio%.1f x time")
+      require(ratio < 30.0,
+        f"$name second decade is superlinear: $ratio%.1f x time for 10x data")
+    }
+    if (n >= 1000000L) {
+      // flagship journey assignment: 10M → 100M events (100M fits the
+      // 128 GiB box; the union+running-window as-of join shuffles each
+      // row once, so the decade must cost ~a decade)
+      def eventsOf(m: Long) = spark.range(m).selectExpr(
+        "id AS event_id",
+        "CAST(pmod(hash(id + 3), 100000) AS BIGINT) AS user_id",
+        "CAST(pmod(hash(id), 2592000) AS BIGINT) * 1000000 AS ts_us",
+        """CASE pmod(hash(id + 7), 5) WHEN 0 THEN 'purchase' WHEN 1 THEN 'click'
+           WHEN 2 THEN 'view' WHEN 3 THEN 'signup' ELSE 'error' END AS event_type""",
+        "CAST(pmod(hash(id + 13), 10000) AS DOUBLE) / 100.0 AS value")
+        .withColumn("event_date", expr("CAST(timestamp_micros(ts_us) AS DATE)"))
+      slope("journey_assign", Seq(n, n * 10)) { m =>
+        val ev = eventsOf(m)
+        Journeys.assign(
+          Tables.deriveSessions(ev), Tables.deriveConversions(ev)).count()
+      }
+      // simhash near-dup: 2M → 20M docs. The Manku band keys are 32-bit
+      // (3-block combos of the 64-bit simhash), so random-hash bucket
+      // occupancy stays <<1 through this decade and pair work must keep
+      // tracking the planted-dup rate, with the maxBucket cap as the
+      // pathological backstop.
+      slope("simhash_near", Seq(nDocs * 10, nDocs * 100)) { m =>
+        val d = spark.range(m).selectExpr(
+          "id AS doc_id",
+          """array_join(transform(sequence(1, 60),
+               i -> concat('w', pmod(hash((CASE WHEN pmod(id, 100) = 1 THEN id - 1 ELSE id END) * 61 + i), 1000))),
+             ' ') AS text""")
+          .selectExpr("doc_id",
+            "CASE WHEN pmod(doc_id, 100) = 1 THEN concat(text, ' extra') ELSE text END AS text")
+        graft.operators.Dedup.simhashNear(d).count()
+      }
+    }
     spark.stop()
   }
 }
