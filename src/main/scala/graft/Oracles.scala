@@ -4508,7 +4508,7 @@ ORDER BY doc_id"""
     * an ordered left fold (`list_reduce(list_prepend(0.0, …))`: z over
     * bucket order, gradients over doc_id order), so the SQL executes the
     * identical IEEE op sequence as the Spark/driver trainer. */
-  val qualityClassifierScore: String = {
+  private def qcChain: String = {
     val B = 32
     val dims = B + 1
     val zeros = Seq.fill(dims)("CAST(0.0 AS DOUBLE)").mkString("[", ", ", "]")
@@ -4568,14 +4568,43 @@ WITH base AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM samp
 ), w0 AS (
   SELECT $zeros AS w
-), ${iter(1)}, ${iter(2)}, ${iter(3)}
-SELECT f.doc_id, CAST(f.y AS INTEGER) AS is_positive,
-       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         list_transform(range(1, ${dims + 1}), j -> f.x[j] * w.w[j])),
-         (a, b) -> a + b) AS score
-FROM feats f CROSS JOIN w3 w
-ORDER BY f.doc_id"""
+), ${iter(1)}, ${iter(2)}, ${iter(3)}, qcscored AS (
+  SELECT f.doc_id, CAST(f.y AS INTEGER) AS is_positive,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(1, ${dims + 1}), j -> f.x[j] * w.w[j])),
+           (a, b) -> a + b) AS score
+  FROM feats f CROSS JOIN w3 w
+)"""
   }
+
+  val qualityClassifierScore: String = qcChain + """
+SELECT doc_id, is_positive, score FROM qcscored ORDER BY doc_id"""
+
+  /** Calibration table for the trained classifier, lockstep with
+    * Corpus.qualityClassifierEval: score deciles (NTILE over score ASC,
+    * doc_id) × the curated-slice label — per decile the positive count
+    * and rate, plus the cumulative precision reading from the TOP
+    * decile down (what a pipeline thresholds on). */
+  val qualityClassifierEval: String = qcChain + """
+, ranked AS (
+  SELECT is_positive, score,
+         CAST(ntile(10) OVER (ORDER BY score, doc_id) AS INTEGER) AS decile
+  FROM qcscored
+), cells AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(is_positive) AS BIGINT) AS n_positive,
+         MIN(score) AS min_score, MAX(score) AS max_score
+  FROM ranked GROUP BY decile
+)
+SELECT decile, n_docs, n_positive,
+       CAST(n_positive AS DOUBLE) / CAST(n_docs AS DOUBLE) AS positive_rate,
+       min_score, max_score,
+       CAST(SUM(n_positive) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_positive,
+       CAST(SUM(n_docs) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_docs,
+       CAST(SUM(n_positive) OVER (ORDER BY decile DESC) AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (ORDER BY decile DESC) AS DOUBLE) AS cum_precision
+FROM cells
+ORDER BY decile"""
 
   /** DSIR importance selection: hashed-bigram buckets (md5 % 256),
     * add-one smoothed target ('en') vs raw bucket masses, rational score
@@ -4772,6 +4801,80 @@ FROM ($searchRrfFusion)""",
 SELECT src AS vec_id, dst AS neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM kranked WHERE rnk <= 5
 ORDER BY vec_id, rnk"""
+
+  /** Greedy beam search over the kNN proximity graph, lockstep with
+    * Similarity.graphSearch: entry node 0, beam 4, 3 unrolled hops over
+    * the top-5 cell-blocked edge set, ordered-fold query cosines,
+    * (cosine DESC, node) ties, top-10 of everything evaluated. */
+  val annGraphSearch: String = {
+    // every hop CTE is MATERIALIZED: e_t is referenced twice (directly
+    // and through f_t), so plain CTEs would inline the whole chain
+    // exponentially — 2^hops copies of the quantizer+graph subtree blew
+    // DuckDB past 100 GiB at sf0.1 before this
+    def hop(t: Int): String = s"""
+, e$t AS MATERIALIZED (
+  SELECT query_id, node FROM e${t - 1}
+  UNION
+  SELECT f.query_id, g.dst AS node
+  FROM f${t - 1} f JOIN gedges g ON g.src = f.node
+), f$t AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT e.query_id, e.node,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY q.cosine DESC, e.node) AS rnk
+    FROM e$t e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
+  WHERE rnk <= 4
+)"""
+    knnPairsBase + """
+, gedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) DESC, dst) AS rnk
+    FROM kdots) t WHERE rnk <= 5
+), qd AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, f.vec_id AS node,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(q.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(f.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (q.nrm * f.nrm) AS cosine
+  FROM feat q CROSS JOIN feat f
+  WHERE q.vec_id < 8
+), e0 AS MATERIALIZED (
+  -- per-cell medoid stand-ins (each cell's min vec_id) as entry points,
+  -- from the same asgK assignment the graph build uses
+  SELECT qq.query_id, m.node
+  FROM (SELECT MIN(vec_id) AS node FROM asgK GROUP BY cell) m
+  CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM feat WHERE vec_id < 8) qq
+), f0 AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT e.query_id, e.node,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY q.cosine DESC, e.node) AS rnk
+    FROM e0 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
+  WHERE rnk <= 4
+)""" + hop(1) + hop(2) + hop(3) + """
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank" FROM (
+  SELECT e.query_id, e.node AS neighbor_id, q.cosine,
+         row_number() OVER (PARTITION BY e.query_id
+                            ORDER BY q.cosine DESC, e.node) AS rnk
+  FROM e3 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node
+  WHERE e.node <> e.query_id) t
+WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
+  /** Recall of the graph beam search vs brute force — mirrors
+    * Similarity.graphRecall. */
+  val annRecallGraph: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annGraphSearch) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
 
   /** Contrastive-triplet mining: per anchor, nearest within-cell
     * neighbor at cosine ≥ 0.3 as positive, farthest within-cell

@@ -326,6 +326,9 @@ object SparkEntry {
     "quality_classifier_score" -> ((s, dir) =>
       Corpus.qualityClassifier(Tables.documents(s, dir))),
 
+    "quality_classifier_eval" -> ((s, dir) =>
+      Corpus.qualityClassifierEval(Tables.documents(s, dir))),
+
     "customer_ltv_deciles" -> ((s, dir) =>
       Analytics.customerLtvDeciles(Tables.orders(s, dir))),
 
@@ -608,6 +611,12 @@ object SparkEntry {
 
     "ann_adaptive_probe" -> ((s, dir) =>
       Similarity.adaptiveProbeBudget(Tables.embeddings(s, dir))),
+
+    "ann_graph_search" -> ((s, dir) =>
+      Similarity.graphSearch(Tables.embeddings(s, dir))),
+
+    "ann_recall_graph" -> ((s, dir) =>
+      Similarity.graphRecall(Tables.embeddings(s, dir))),
 
     "lm_ppl_buckets" -> ((s, dir) => Search.lmPplBuckets(Tables.documents(s, dir))),
 
@@ -948,6 +957,7 @@ object SparkEntry {
     "quality_ablation"          -> Oracles.qualityAblation,
     "nb_lang_classify"          -> Oracles.nbClassify,
     "quality_classifier_score"  -> Oracles.qualityClassifierScore,
+    "quality_classifier_eval"   -> Oracles.qualityClassifierEval,
     "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,
@@ -1042,6 +1052,8 @@ object SparkEntry {
     "ann_filtered_topk"         -> Oracles.annFilteredTopK,
     "ann_filtered_ivf_topk"     -> Oracles.annFilteredIvfTopK,
     "ann_adaptive_probe"        -> Oracles.annAdaptiveProbe,
+    "ann_graph_search"          -> Oracles.annGraphSearch,
+    "ann_recall_graph"          -> Oracles.annRecallGraph,
     "ann_recall_filtered"       -> Oracles.annRecallFiltered,
     "lm_ppl_buckets"            -> Oracles.lmPplBuckets,
     "ann_lsh_topk"              -> Oracles.annLshTopK,

@@ -1833,4 +1833,50 @@ object Corpus {
           lit(0.0), (acc, v) => acc + v).as("score"))
       .orderBy("doc_id")
   }
+
+  /** Calibration table for [[qualityClassifier]] — the reading a curation
+    * pipeline actually thresholds on: score deciles (exact distributed
+    * rank, the C29 NTILE discipline) × the curated-slice label, with per
+    * decile positive rate and, reading from the TOP decile down, the
+    * cumulative precision of "keep everything above this cut". On a
+    * separable corpus the positive rate must climb with the decile —
+    * the monotonicity IS the calibration check, and a flat table says
+    * the probe learned nothing (spec-pinned on the golden fixture).
+    *
+    * Determinism: deciles come from exact integer ranks over
+    * (score, doc_id) — score is the already-deterministic logit, the
+    * rank is the range-bucketed `Quantiles` machinery (no single-task
+    * sort); every output number is integer counts plus one IEEE
+    * division. Scale shape: scoring is the classifier's own map pass;
+    * the rollup is one partial agg to 10 rows plus a 10-row window. */
+  def qualityClassifierEval(
+      documents: DataFrame,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2", "src3"),
+      buckets: Int = 32,
+      iters: Int = 3,
+      sampleCap: Int = 2048,
+      deciles: Int = 10): DataFrame = {
+    val scored = qualityClassifier(documents, positiveSources, buckets, iters, sampleCap)
+    val ranked = Quantiles
+      .withExactRank(scored, Nil, Seq(("score", true), ("doc_id", true)), "__rk", "__nn")
+      .withColumn("decile",
+        Quantiles.ntileFromRank(col("__rk"), col("__nn"), deciles).cast("int"))
+    val cells = ranked.groupBy("decile").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("is_positive").cast("long")).as("n_positive"),
+      min("score").as("min_score"),
+      max("score").as("max_score"))
+    val wTop = Window.orderBy(col("decile").desc)
+    cells
+      .withColumn("positive_rate",
+        col("n_positive").cast("double") / col("n_docs").cast("double"))
+      .withColumn("cum_positive", sum(col("n_positive")).over(wTop))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wTop))
+      .withColumn("cum_precision",
+        sum(col("n_positive")).over(wTop).cast("double") /
+          sum(col("n_docs")).over(wTop).cast("double"))
+      .select("decile", "n_docs", "n_positive", "positive_rate",
+        "min_score", "max_score", "cum_positive", "cum_docs", "cum_precision")
+      .orderBy("decile")
+  }
 }

@@ -1143,6 +1143,97 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** GRAPH-BASED approximate search (the DiskANN/NSG/HNSW-layer-0 search
+    * shape) — greedy BEAM SEARCH over the [[knnGraph]] proximity graph:
+    * start at a fixed entry node, repeatedly expand the current beam's
+    * out-neighbors, score only the newly visited nodes against the
+    * query, and keep the `beam` best; after `hops` rounds the answer is
+    * the top-k of everything evaluated. This is the one index family the
+    * C102 dashboard lacks (LSH/IVF/PQ/SQ are all partition-or-quantize;
+    * graph search navigates), and like every approximate row its recall
+    * is measured honestly against brute force (`ann_recall_graph`).
+    *
+    * Determinism: the graph is the deterministic [[knnGraph]]; per hop
+    * the beam rank ties on (cosine DESC, node ASC); query–node cosines
+    * are the ordered double fold. The DuckDB oracle unrolls the hops as
+    * CTEs over the same edge set, so the whole navigation is
+    * hash-checked, not just sampled.
+    *
+    * Entry points are the PER-CELL MEDOID STAND-INS (each cell's min
+    * vec_id): the cell-blocked graph has no cross-cell edges, so a
+    * single global entry would trap the beam inside one cell (measured:
+    * recall 0.075); seeding one representative per cell lets the beam
+    * pick the right neighborhoods and then navigate within them — the
+    * same coarse-then-navigate split DiskANN's medoid entry plays.
+    *
+    * Scale shape: evaluation volume is bounded by construction —
+    * ≤ K + hops·beam·graphK nodes per query are ever scored (the whole
+    * point of graph ANN: per-query work independent of corpus size once
+    * the graph exists); each hop is one broadcast-able frontier join
+    * against the edge list plus a per-query rank over ≤ that many rows.
+    * The graph build is [[knnGraph]]'s near-linear cell-blocked pass;
+    * a deployment persists graph + entry table once per index build. */
+  def graphSearch(
+      embeddings: DataFrame, graphK: Int = 5, nCentroids: Int = 0,
+      iters: Int = 2, nQueries: Int = 8, beam: Int = 4, hops: Int = 3,
+      k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
+    val cents = trainCentroids(embeddings, kc, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val q = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"))
+    val edges = knnGraph(embeddings, graphK, nCentroids, iters)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .transform(Materialize(_))
+    // per-cell entry representatives, from the SAME deterministic
+    // quantizer the graph build assigns with
+    val entries = feat
+      .withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      .groupBy("cell").agg(min(col("vec_id")).as("node"))
+      .select("node")
+    val nodes = feat.select(col("vec_id").as("node"),
+      col("embedding").as("ne"), col("nrm").as("n_nrm"))
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(broadcast(q), Seq("query_id"))
+        .join(nodes, Seq("node"))
+        .select(col("query_id"), col("node"),
+          (VectorFunctions.dotFold(col("qe"), col("ne")) /
+            (col("q_nrm") * col("n_nrm"))).as("cosine"))
+    val wBeam = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node"))
+    var eval = scored(q.select(col("query_id")).crossJoin(broadcast(entries)))
+      .transform(Materialize(_))
+    var frontier = eval.withColumn("__rn", row_number().over(wBeam))
+      .filter(col("__rn") <= beam).drop("__rn")
+    (1 to hops).foreach { _ =>
+      val nbrs = frontier.select("query_id", "node")
+        .join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      val fresh = nbrs.join(eval.select("query_id", "node"),
+        Seq("query_id", "node"), "left_anti")
+      eval = eval.unionByName(scored(fresh)).transform(Materialize(_))
+      frontier = eval.withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= beam).drop("__rn")
+    }
+    eval.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of [[graphSearch]] against brute force — the honest number
+    * beside every other index family's recall row. */
+  def graphRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      bruteForceTopK(embeddings, nQueries, k),
+      graphSearch(embeddings, nQueries = nQueries, k = k))
+
   /** The cell-blocked (src, dst, cosine) pair frame [[knnGraph]] and
     * [[contrastivePairs]] rank over: trained-quantizer cell assignment
     * (pure map vs inlined centroid literals), within-cell directed pairs

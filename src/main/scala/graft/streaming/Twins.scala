@@ -144,6 +144,7 @@ object Twins {
       "ann_ndcg_lsh", "ann_nprobe_sweep", "ann_nprobe_sweep_ivfpq",
       "ann_filtered_topk", "ann_filtered_ivf_topk", "ann_recall_filtered",
       "ann_index_compare", "ann_adaptive_probe",
+      "ann_graph_search", "ann_recall_graph",
       "search_rrf_fusion", "search_mmr_rerank", "search_ndcg_rrf",
       "knn_classify", "label_centroids", "topic_assign", "contrastive_pairs",
       "embed_rp_project", "embed_center_norm", "embed_dim_stats",
@@ -154,7 +155,7 @@ object Twins {
       "tfidf_top_terms", "bm25_search", "bm25_search_indexed", "token_pmi",
       "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams",
       "nb_lang_classify", "lm_ppl_buckets", "lm_heldout_score",
-      "quality_classifier_score") ++
+      "quality_classifier_score", "quality_classifier_eval") ++
     group("stateless per-document map, directly applicable inside any stream (admitDocuments applies quality+fingerprint); gated as batch scoring")(
       "text_langid", "text_quality", "text_normalize", "text_pii_scrub",
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",

@@ -579,6 +579,25 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
     assert(nb(100L) === "pos", "NB must agree the held-out doc is target-like")
     assert((11L to 18L).forall(nb(_) === "neg"))
+    // calibration table on the same separable fixture: the 9 target-
+    // vocabulary docs (8 labeled positive + the held-out doc 100, which
+    // ties their score and out-sorts them by doc_id) fill the top
+    // deciles, boilerplate the bottom — so the cut covering exactly the
+    // top 9 docs has precision 8/9, the bottom decile is pure negative,
+    // scores separate cleanly between the regions, and the loosest cut
+    // recovers the corpus-wide base rate.
+    val ev = Corpus.qualityClassifierEval(df).collect().sortBy(_.getAs[Int]("decile"))
+    assert(ev.map(_.getAs[Long]("n_docs")).sum === 17L)
+    assert(ev.map(_.getAs[Long]("n_positive")).sum === 8L)
+    assert(ev.head.getAs[Double]("positive_rate") === 0.0)
+    assert(ev.head.getAs[Double]("max_score") < ev.last.getAs[Double]("min_score"),
+      "boilerplate scores must sit strictly below the target-vocab scores")
+    val at9 = ev.find(_.getAs[Long]("cum_docs") === 9L).getOrElse(
+      fail(s"no decile cut covers exactly the 9 target-vocab docs: ${ev.mkString(",")}"))
+    assert(at9.getAs[Long]("cum_positive") === 8L)
+    assert(math.abs(at9.getAs[Double]("cum_precision") - 8.0 / 9.0) < 1e-12)
+    assert(ev.head.getAs[Long]("cum_docs") === 17L, "loosest cut covers the corpus")
+    assert(math.abs(ev.head.getAs[Double]("cum_precision") - 8.0 / 17.0) < 1e-12)
   }
 
   test("qualityDupGrid: cells partition the corpus, shares sum per decile, dup mass matches C1") {

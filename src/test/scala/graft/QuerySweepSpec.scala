@@ -49,7 +49,8 @@ class QuerySweepSpec extends SparkSpec {
     "events_funnel",             // ≤ |funnel steps| rows
     "corpus_drift",              // ≤ 63 power-of-two length buckets
     "corpus_drift_summary",      // same bounded bucket frame, aggregated
-    "quality_ablation"           // ≤ 11 quality-decile buckets
+    "quality_ablation",          // ≤ 11 quality-decile buckets
+    "quality_classifier_eval"    // ≤ 10 score-decile buckets (cum window)
   )
 
   /** A subtree containing any LIMIT variant feeds the node above it a

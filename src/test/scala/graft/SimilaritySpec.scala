@@ -498,6 +498,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graphSearch: beam navigation on a 1-D manifold reaches each query's true neighbors") {
+    import spark.implicits._
+    // 40 unit vectors on a circle arc (θ_i = 0.05·i): the kNN graph links
+    // arc-adjacent nodes, so the beam must WALK to each query's true
+    // nearest neighbors rather than scan the corpus.
+    val rows = (0L until 40L).map { i =>
+      val th = 0.05 * i
+      (i, Array.tabulate(64)(d =>
+        if (d == 0) math.cos(th).toFloat
+        else if (d == 1) math.sin(th).toFloat else 0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.graphSearch(df, nCentroids = 4, hops = 6, k = 3).collect()
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet === (0L until 8L).toSet)
+    byQuery.foreach { case (q, rs) =>
+      val top1 = rs.minBy(_.getAs[Int]("rank")).getAs[Long]("neighbor_id")
+      assert(top1 == q - 1 || top1 == q + 1,
+        s"query $q: top-1 must be arc-adjacent, got $top1")
+      assert(rs.forall(_.getAs[Long]("neighbor_id") != q), "never self")
+    }
+    // and the recall eval agrees the navigation works on this manifold
+    val rec = Similarity.recallAtK(
+      Similarity.bruteForceTopK(df, nQueries = 8, k = 3),
+      Similarity.graphSearch(df, nCentroids = 4, hops = 6, k = 3))
+      .collect().map(_.getAs[Double]("recall"))
+    assert(rec.sum / rec.length >= 0.8, s"manifold recall too low: ${rec.mkString(",")}")
+  }
+
   test("indexCompare: each dashboard row aggregates its standalone recall query exactly") {
     val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.indexCompare(embTable).collect()
