@@ -6416,6 +6416,7 @@ SELECT '$name' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
 FROM ($sql)"""
     Seq(
+      "graph" -> annRecallGraph,
       "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
       "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq)
       .map { case (n, s) => one(n, s) }

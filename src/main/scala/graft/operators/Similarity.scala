@@ -134,6 +134,7 @@ object Similarity {
     * per index. The division is a single IEEE op on exact ints. */
   def indexCompare(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
     val frames: Seq[(String, DataFrame)] = Seq(
+      "graph"  -> graphRecall(embeddings, nQueries, k),
       "lsh"    -> lshRecall(embeddings, nQueries, k),
       "ivf"    -> ivfTrainedRecall(embeddings, nQueries, k),
       "pq"     -> pqRecall(embeddings, nQueries, k),

@@ -531,8 +531,9 @@ class SimilaritySpec extends SparkSpec {
     val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.indexCompare(embTable).collect()
       .map(r => r.getAs[String]("index") -> r).toMap
-    assert(out.keySet === Set("lsh", "ivf", "pq", "sq", "ivf_pq"))
+    assert(out.keySet === Set("graph", "lsh", "ivf", "pq", "sq", "ivf_pq"))
     val slices = Map(
+      "graph" -> Similarity.graphRecall(embTable),
       "lsh" -> Similarity.lshRecall(embTable),
       "ivf" -> Similarity.ivfTrainedRecall(embTable),
       "pq" -> Similarity.pqRecall(embTable),
