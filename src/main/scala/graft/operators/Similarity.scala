@@ -133,13 +133,21 @@ object Similarity {
     * its own gated query does, and the final agg is |Q| metadata rows
     * per index. The division is a single IEEE op on exact ints. */
   def indexCompare(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    // ONE brute-force truth, materialized and shared by all six recall
+    // frames — the standalone recall rows each build their own truth
+    // (their cost is their honest standalone price), but inside the
+    // dashboard six identical |Q|·n exact scans would be pure recompute
+    // (measured ~1.5 s of the dashboard's 4.3 s). Same truth values, so
+    // every row still equals its standalone query's aggregate
+    // (spec-pinned).
+    val truth = Materialize(bruteForceTopK(embeddings, nQueries, k))
     val frames: Seq[(String, DataFrame)] = Seq(
-      "graph"  -> graphRecall(embeddings, nQueries, k),
-      "lsh"    -> lshRecall(embeddings, nQueries, k),
-      "ivf"    -> ivfTrainedRecall(embeddings, nQueries, k),
-      "pq"     -> pqRecall(embeddings, nQueries, k),
-      "sq"     -> sqRecall(embeddings, nQueries, k),
-      "ivf_pq" -> ivfPqRecall(embeddings, nQueries, k))
+      "graph"  -> recallAtK(truth, graphSearch(embeddings, nQueries = nQueries, k = k)),
+      "lsh"    -> recallAtK(truth, lshTopK(embeddings, nQueries, k)),
+      "ivf"    -> recallAtK(truth, ivfTopKTrained(embeddings, nQueries = nQueries, k = k)),
+      "pq"     -> recallAtK(truth, pqTopK(embeddings, nQueries = nQueries, k = k)),
+      "sq"     -> recallAtK(truth, sqTopK(embeddings, nQueries, k)),
+      "ivf_pq" -> recallAtK(truth, ivfPqTopK(embeddings, nQueries = nQueries, k = k)))
     frames.map { case (name, df) =>
       df.agg(
         lit(name).as("index"),
@@ -1134,9 +1142,10 @@ object Similarity {
       embeddings: DataFrame,
       k: Int = 5,
       nCentroids: Int = 0,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cosine").desc, col("dst"))
-    cellScoredPairs(embeddings, nCentroids, iters)
+    cellScoredPairs(embeddings, nCentroids, iters, centsPre)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("src").as("vec_id"), col("dst").as("neighbor_id"),
@@ -1187,7 +1196,10 @@ object Similarity {
     val q = feat.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("q_nrm"))
-    val edges = knnGraph(embeddings, graphK, nCentroids, iters)
+    // the graph build reuses THIS training run's centroids (the same
+    // deterministic Lloyd result — passing them just skips a second
+    // training pass per query)
+    val edges = knnGraph(embeddings, graphK, nCentroids, iters, Some(cents))
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .transform(Materialize(_))
     // per-cell entry representatives, from the SAME deterministic
@@ -1240,10 +1252,13 @@ object Similarity {
     * (pure map vs inlined centroid literals), within-cell directed pairs
     * via one `cell` equi-join, ordered-fold cosine per pair. */
   private def cellScoredPairs(
-      embeddings: DataFrame, nCentroids: Int, iters: Int): DataFrame = {
+      embeddings: DataFrame, nCentroids: Int, iters: Int,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
-    val cents = trainCentroids(embeddings, kc, iters)
+    val cents = centsPre.getOrElse {
+      val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
+      trainCentroids(embeddings, kc, iters)
+    }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
