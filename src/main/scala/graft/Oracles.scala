@@ -4606,6 +4606,26 @@ SELECT decile, n_docs, n_positive,
 FROM cells
 ORDER BY decile"""
 
+  /** Token-budget selection ordered by the trained classifier score —
+    * the C56 running-sum cut along C105's learned ranking. Mirrors
+    * Corpus.classifierBudgetSelect (same DECIMAL(27,6) accumulation as
+    * corpusBudgetSelect). */
+  val classifierBudgetSelect: String = qcChain + """
+, ctok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cjoin AS (
+  SELECT s.doc_id, s.score, t.n_tokens,
+         SUM(CAST(t.n_tokens AS DECIMAL(27,6))) OVER (
+           ORDER BY s.score DESC, s.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM qcscored s JOIN ctok t ON t.doc_id = s.doc_id
+)
+SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+       (CAST(cum AS BIGINT) <= 20000) AS selected
+FROM cjoin
+ORDER BY score DESC, doc_id"""
+
   /** DSIR importance selection: hashed-bigram buckets (md5 % 256),
     * add-one smoothed target ('en') vs raw bucket masses, rational score
     * = (sum_t * (Nr+B)) / (sum_r * (Nt+B)), global top-100. Mirrors

@@ -329,6 +329,9 @@ object SparkEntry {
     "quality_classifier_eval" -> ((s, dir) =>
       Corpus.qualityClassifierEval(Tables.documents(s, dir))),
 
+    "classifier_budget_select" -> ((s, dir) =>
+      Corpus.classifierBudgetSelect(Tables.documents(s, dir))),
+
     "customer_ltv_deciles" -> ((s, dir) =>
       Analytics.customerLtvDeciles(Tables.orders(s, dir))),
 
@@ -958,6 +961,7 @@ object SparkEntry {
     "nb_lang_classify"          -> Oracles.nbClassify,
     "quality_classifier_score"  -> Oracles.qualityClassifierScore,
     "quality_classifier_eval"   -> Oracles.qualityClassifierEval,
+    "classifier_budget_select"  -> Oracles.classifierBudgetSelect,
     "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,

@@ -1879,4 +1879,31 @@ object Corpus {
         "min_score", "max_score", "cum_positive", "cum_docs", "cum_precision")
       .orderBy("decile")
   }
+
+  /** Token-budget selection ordered by the TRAINED classifier score —
+    * [[budgetSelect]]'s "take the best N tokens" cut with
+    * [[qualityClassifier]]'s learned logit replacing the fixed heuristic
+    * (the GPT-3/FineWeb shape: the trained filter IS the ranking the
+    * budget is spent along, not a side scoreboard). Same distributed
+    * exact prefix sum, so no single task sorts the corpus; scoring is
+    * the classifier's broadcast-weights map pass. */
+  def classifierBudgetSelect(
+      documents: DataFrame,
+      tokenBudget: Long = 20000L,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2", "src3"),
+      buckets: Int = 32,
+      iters: Int = 3,
+      sampleCap: Int = 2048): DataFrame = {
+    val scored = qualityClassifier(documents, positiveSources, buckets, iters, sampleCap)
+      .select("doc_id", "score")
+    val toks = documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Quantiles.withExactPrefixSum(scored.join(toks, Seq("doc_id")), Nil,
+        Seq(("score", false), ("doc_id", true)), "n_tokens", "__cum", "__tot")
+      .withColumn("cum_tokens", col("__cum").cast("long"))
+      .withColumn("selected", col("cum_tokens") <= tokenBudget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"), col("selected"))
+      .orderBy(col("score").desc, col("doc_id"))
+  }
 }

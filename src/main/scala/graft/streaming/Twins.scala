@@ -165,7 +165,8 @@ object Twins {
     group("epoch-level global selection/packing/sharding; materialized per training run, not streamed")(
       "sample_stratified", "sample_priority", "data_mixture_sample",
       "quality_curriculum", "dsir_select", "corpus_budget_select",
-      "corpus_budget_by_lang", "corpus_datasheet", "corpus_mixture_entropy",
+      "corpus_budget_by_lang", "classifier_budget_select",
+      "corpus_datasheet", "corpus_mixture_entropy",
       "sequence_packing", "packing_efficiency", "training_shards",
       "training_shards_balanced",
       "shard_skew", "shard_checksums", "mixture_temperature",

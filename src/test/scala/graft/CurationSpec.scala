@@ -598,6 +598,15 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(at9.getAs[Double]("cum_precision") - 8.0 / 9.0) < 1e-12)
     assert(ev.head.getAs[Long]("cum_docs") === 17L, "loosest cut covers the corpus")
     assert(math.abs(ev.head.getAs[Double]("cum_precision") - 8.0 / 17.0) < 1e-12)
+    // the budget cut spends along the LEARNED ranking: the 9 target-vocab
+    // docs are 6 tokens each, so a 54-token budget selects exactly them
+    // (boilerplate never enters, whatever its doc ids)
+    val sel = Corpus.classifierBudgetSelect(df, tokenBudget = 54L).collect()
+    assert(sel.count(_.getAs[Boolean]("selected")) === 9)
+    assert(sel.filter(_.getAs[Boolean]("selected")).map(_.getAs[Long]("doc_id")).toSet
+      === ((1L to 8L).toSet + 100L))
+    assert(sel.filter(_.getAs[Boolean]("selected"))
+      .forall(_.getAs[Long]("cum_tokens") <= 54L))
   }
 
   test("qualityDupGrid: cells partition the corpus, shares sum per decile, dup mass matches C1") {
