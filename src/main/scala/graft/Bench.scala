@@ -102,7 +102,19 @@ object Bench {
     // artifact lost the headline total. This compact LAST line always fits
     // in the tail; the BENCH_SUMMARY prefix keeps strict one-JSON-line
     // parsers from seeing two candidate lines.
-    println(f"""BENCH_SUMMARY {"total_sec":$total%.3f,"n":${results.size},"sf":"$sfDir","load_avg":$load%.2f,"reps":$reps}""")
+    val bareSummary =
+      f"""{"total_sec":$total%.3f,"n":${results.size},"sf":"$sfDir","load_avg":$load%.2f,"reps":$reps}"""
+    println("BENCH_SUMMARY " + bareSummary)
+    // BENCH_r10-r13 all record "parsed": null: sbt's in-process run
+    // redirects System.out through its logger, so every println above
+    // reaches the driver prefixed with "[info] " and never parses as
+    // bare JSON. FileDescriptor.out is the real process fd 1, untouched
+    // by System.setOut — writing the summary there lands it as a bare
+    // final JSON line in the driver's stdout tail. Deliberately not
+    // closed (it IS the process stdout); autoflush instead.
+    new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+      .println(bareSummary)
     // also persisted to a file — the driver's stdout tail truncated 9 of 67
     // per-query timings in round 2. ONLY the full (unfiltered) run may
     // write a file, and only SPARK_GRAFT_BENCH_COMMIT=1 may touch the

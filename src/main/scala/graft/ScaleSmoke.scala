@@ -541,17 +541,27 @@ object ScaleSmoke {
     // and shared-box noise. Skipped below 1M events, where absolute
     // times are noise-dominated.
     def slope(name: String, sizes: Seq[Long])(run: Long => Long): Unit = {
+      // One UNTIMED warm-up at the smaller size first: without it the
+      // first timed run absorbs residual JIT/shuffle-service warm-up,
+      // inflating ts(0) and partially masking a quadratic term. load_avg
+      // is recorded per measurement so a require() trip on a noisy
+      // shared box is distinguishable from real superlinearity.
+      run(sizes.head)
+      def loadAvg: Double = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
       val ts = sizes.map { m =>
         val t0 = System.nanoTime()
         val rows = run(m)
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] $name 2nd-decade size=$m rows=$rows t=$dt%.1f s")
+        println(
+          f"[scale] $name 2nd-decade size=$m rows=$rows t=$dt%.1f s load_avg=$loadAvg%.2f")
         dt
       }
       val ratio = ts(1) / ts(0)
       println(f"[scale] SLOPE $name: 10x data -> $ratio%.1f x time")
       require(ratio < 30.0,
-        f"$name second decade is superlinear: $ratio%.1f x time for 10x data")
+        f"$name second decade is superlinear: $ratio%.1f x time for 10x data " +
+          f"(end load_avg=$loadAvg%.2f - rule out box noise before blaming the plan)")
     }
     if (n >= 1000000L) {
       // flagship journey assignment: 10M → 100M events (100M fits the

@@ -276,10 +276,34 @@ object Manifest {
   }
 
   /** Heartbeat: extend the lease's expiry by `ttlMs` from now, keeping the
-    * original acquisition time (the vacuum cutoff). */
+    * original acquisition time (the vacuum cutoff).
+    *
+    * HEARTBEAT FENCING: the write replaces whatever file is there, so an
+    * overrunning holder whose expired lease was already reaped and
+    * re-acquired by a waiting peer would otherwise write its own
+    * `acquiredMs` token back over the usurper's — re-arming its own
+    * [[holdsLease]] fence while both interleave writes on the same staged
+    * dirs. The renew therefore refuses to overwrite a DIFFERENT
+    * acquisition (throws `IOException`; the caller aborts like a failed
+    * pre-publish fence). A missing file — reaped on expiry but not yet
+    * re-acquired — is safely re-created with the original token: there is
+    * no competing acquisition to steal from. A torn/unparseable file is
+    * not provably ours, so it also aborts (safe side). */
   def renewLease(spark: SparkSession, base: String, lease: Lease, ttlMs: Long): Lease = {
+    val f = fs(spark, base)
+    val p = new Path(leaseDir(base), s"${lease.owner}.txt")
+    val usurped =
+      try f.exists(p) && !parse(readFile(f, p)).exists { case (_, meta) =>
+        meta.get("acquired").map(_.toLong).contains(lease.acquiredMs)
+      }
+      catch { case scala.util.control.NonFatal(_) => true }
+    if (usurped)
+      throw new java.io.IOException(
+        s"lease ${lease.owner} at $base was reaped and re-acquired by " +
+          "another holder mid-run; aborting heartbeat instead of stealing " +
+          "the lease back")
     val renewed = lease.copy(expiresMs = System.currentTimeMillis() + ttlMs)
-    writeLease(fs(spark, base), base, renewed, exclusive = false)
+    writeLease(f, base, renewed, exclusive = false)
     renewed
   }
 
@@ -303,7 +327,12 @@ object Manifest {
     try parse(readFile(f, p)).exists { case (_, meta) =>
       meta.get("acquired").map(_.toLong).contains(lease.acquiredMs)
     }
-    catch { case _: java.io.IOException => false }
+    // NonFatal, not just IOException: a #end-terminated file with a
+    // non-numeric #acquired throws NumberFormatException from .toLong —
+    // the documented torn-file contract (reads as not-held) must cover it
+    // too, or the throw masks the caller's original failure when
+    // holdsLease runs inside a finally block.
+    catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Unexpired leases at `base`; expired lease files are deleted lazily
@@ -324,7 +353,9 @@ object Manifest {
                 meta.get("acquired").map(_.toLong).getOrElse(s.getModificationTime),
                 meta.get("expires").map(_.toLong).getOrElse(Long.MaxValue))
             }
-            catch { case _: java.io.IOException => None }
+            // NonFatal: a non-numeric #acquired/#expires value must take
+            // the torn-file branch below, not propagate from .toLong
+            catch { case scala.util.control.NonFatal(_) => None }
           parsed match {
             case Some(l) if l.expiresMs > now => Some(l)
             case Some(_)                      => f.delete(s.getPath, false); None

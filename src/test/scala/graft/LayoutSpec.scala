@@ -282,6 +282,45 @@ class LayoutSpec extends SparkSpec {
     assert(!Manifest.holdsLease(spark, state, l2))
   }
 
+  test("heartbeat fencing: renewLease refuses to steal back a usurped lease; " +
+    "torn lease files read as not-held") {
+    import graft.sources.Manifest
+    val state = Files.createTempDirectory("graft-renew-fence").toString
+    // Usurpation mid-run: holder l1's file is reaped (expiry path) and the
+    // owner tag re-acquired by a waiting peer. l1's next heartbeat used to
+    // writeLease(exclusive=false) unconditionally — silently rewriting its
+    // own acquiredMs token over the usurper's, re-arming l1's holdsLease
+    // fence while BOTH publish into the same deterministic dirs. The renew
+    // itself must now abort instead.
+    val l1 = Manifest.acquireLease(spark, state, "sigidx_refresh", ttlMs = 60000L)
+    Manifest.releaseLease(spark, state, l1)
+    Thread.sleep(2L)
+    val l2 = Manifest.acquireLease(spark, state, "sigidx_refresh", ttlMs = 60000L)
+    val ex = intercept[java.io.IOException](
+      Manifest.renewLease(spark, state, l1, 60000L))
+    assert(ex.getMessage.contains("re-acquired"))
+    // ...and the usurper's acquisition must be untouched by the attempt
+    assert(Manifest.holdsLease(spark, state, l2))
+    assert(!Manifest.holdsLease(spark, state, l1))
+    // The usurper itself renews fine (same token)
+    val l2r = Manifest.renewLease(spark, state, l2, 60000L)
+    assert(l2r.acquiredMs === l2.acquiredMs)
+    // Torn-file contract: a #end-terminated file with a non-numeric
+    // #acquired must read as not-held (NumberFormatException swallowed),
+    // not propagate out of a finally block and mask the original failure.
+    val leaseFile = new java.io.File(s"$state/_manifest/leases/sigidx_refresh.txt")
+    java.nio.file.Files.writeString(leaseFile.toPath,
+      "#acquired=corrupt\n#expires=also-corrupt\n#end\n")
+    assert(!Manifest.holdsLease(spark, state, l2))
+    // activeLeases takes the torn branch (recent file => active-for-an-hour
+    // stand-in), not a NumberFormatException
+    val active = Manifest.activeLeases(spark, state)
+    assert(active.map(_.owner) === Seq("sigidx_refresh"))
+    // and a renew against the torn file aborts (not provably ours)
+    intercept[java.io.IOException](Manifest.renewLease(spark, state, l2r, 60000L))
+    leaseFile.delete()
+  }
+
   test("admission gate re-judges against the race winner's snapshot (drift TOCTOU closed)") {
     import graft.operators.Corpus
     import graft.sources.Manifest
