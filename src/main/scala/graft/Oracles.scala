@@ -4626,6 +4626,44 @@ SELECT doc_id, score, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
 FROM cjoin
 ORDER BY score DESC, doc_id"""
 
+  /** Deployable threshold cut over the trained classifier scores,
+    * lockstep with Corpus.classifierThresholdSelect: every doc is a
+    * candidate cut in (score DESC, doc_id) order; TP/FP/FN from exact
+    * integer running counts; `max_f1` picks the F1 argmax (ties → the
+    * smaller kept set), `precision_floor_90` the largest kept set with
+    * TP·100 ≥ kept·90 (exact integer compare — no rounding in the
+    * decision; every reported ratio is one IEEE division of exact
+    * integers). */
+  val classifierThresholdSelect: String = qcChain + """
+, rankedc AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk,
+         CAST(SUM(is_positive) OVER (ORDER BY score DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+         CAST(SUM(is_positive) OVER () AS BIGINT) AS totpos
+  FROM qcscored
+), cand AS (
+  SELECT score AS threshold_score, doc_id AS cut_doc_id, rk AS kept_docs,
+         cp AS tp, rk - cp AS fp, totpos - cp AS fn,
+         CAST(cp AS DOUBLE) / CAST(rk AS DOUBLE) AS "precision",
+         CAST(cp AS DOUBLE) / CAST(totpos AS DOUBLE) AS recall,
+         2.0 * CAST(cp AS DOUBLE) / CAST(rk + totpos AS DOUBLE) AS f1
+  FROM rankedc
+)
+SELECT * FROM (
+  SELECT 'max_f1' AS criterion, threshold_score, cut_doc_id, kept_docs,
+         tp, fp, fn, "precision", recall, f1
+  FROM cand ORDER BY f1 DESC, kept_docs LIMIT 1
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'precision_floor_90' AS criterion, threshold_score, cut_doc_id,
+         kept_docs, tp, fp, fn, "precision", recall, f1
+  FROM cand WHERE tp * 100 >= kept_docs * 90
+  ORDER BY kept_docs DESC LIMIT 1
+)
+ORDER BY criterion"""
+
   /** DSIR importance selection: hashed-bigram buckets (md5 % 256),
     * add-one smoothed target ('en') vs raw bucket masses, rational score
     * = (sum_t * (Nr+B)) / (sum_r * (Nt+B)), global top-100. Mirrors
@@ -4823,8 +4861,10 @@ FROM kranked WHERE rnk <= 5
 ORDER BY vec_id, rnk"""
 
   /** Greedy beam search over the kNN proximity graph, lockstep with
-    * Similarity.graphSearch: entry node 0, beam 4, 3 unrolled hops over
-    * the top-5 cell-blocked edge set, ordered-fold query cosines,
+    * Similarity.graphSearch: per-cell medoid entry points (each cell's
+    * min vec_id — a single fixed entry measured recall 0.075 before the
+    * medoid seeding, see the e0 CTE), beam 4, 3 unrolled hops over the
+    * top-5 cell-blocked edge set, ordered-fold query cosines,
     * (cosine DESC, node) ties, top-10 of everything evaluated. */
   val annGraphSearch: String = {
     // every hop CTE is MATERIALIZED: e_t is referenced twice (directly

@@ -332,6 +332,9 @@ object SparkEntry {
     "classifier_budget_select" -> ((s, dir) =>
       Corpus.classifierBudgetSelect(Tables.documents(s, dir))),
 
+    "classifier_threshold_select" -> ((s, dir) =>
+      Corpus.classifierThresholdSelect(Tables.documents(s, dir))),
+
     "customer_ltv_deciles" -> ((s, dir) =>
       Analytics.customerLtvDeciles(Tables.orders(s, dir))),
 
@@ -962,6 +965,7 @@ object SparkEntry {
     "quality_classifier_score"  -> Oracles.qualityClassifierScore,
     "quality_classifier_eval"   -> Oracles.qualityClassifierEval,
     "classifier_budget_select"  -> Oracles.classifierBudgetSelect,
+    "classifier_threshold_select" -> Oracles.classifierThresholdSelect,
     "customer_ltv_deciles"      -> Oracles.customerLtvDeciles,
     "data_mixture_sample"       -> Oracles.dataMixtureSample,
     "quality_curriculum"        -> Oracles.qualityCurriculum,

@@ -1906,4 +1906,68 @@ object Corpus {
         col("cum_tokens"), col("selected"))
       .orderBy(col("score").desc, col("doc_id"))
   }
+
+  /** Deployable THRESHOLD selection over [[qualityClassifier]]'s scores —
+    * the step that turns the trained filter plus its calibration table
+    * ([[qualityClassifierEval]]) into a shippable cut. Every scored doc
+    * is a candidate threshold ("keep everything at-or-above me" in
+    * (score DESC, doc_id) order); its confusion counts come from EXACT
+    * integer machinery — distributed rank for the kept-set size,
+    * distributed prefix sum of the label for true positives — and two
+    * deployment criteria are read off the candidate table:
+    *
+    *  - `max_f1`: the cut maximizing F1 = 2·TP/(kept + totalPos). The
+    *    argmax compares doubles, but each is ONE IEEE division of exact
+    *    integers (< 2^53), so the comparison is engine-exact; ties break
+    *    on the smaller kept set.
+    *  - `precision_floor_<pct>`: the LARGEST kept set whose cumulative
+    *    precision still clears pct% — decided by the exact integer
+    *    compare TP·100 ≥ kept·pct, no rounding anywhere in the decision.
+    *
+    * Scale shape: scoring is the classifier's broadcast-weights map;
+    * rank/prefix are the range-bucketed exact machinery (no single-task
+    * sort); each criterion is a TakeOrdered top-1 over the candidate
+    * frame, never a full global sort. */
+  def classifierThresholdSelect(
+      documents: DataFrame,
+      precisionFloorPct: Int = 90,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2", "src3"),
+      buckets: Int = 32,
+      iters: Int = 3,
+      sampleCap: Int = 2048): DataFrame = {
+    val scored = qualityClassifier(documents, positiveSources, buckets, iters, sampleCap)
+    val ranked = Quantiles.withExactRank(
+      scored, Nil, Seq(("score", false), ("doc_id", true)), "__rk", "__nn")
+    val pre = Quantiles.withExactPrefixSum(
+      ranked, Nil, Seq(("score", false), ("doc_id", true)),
+      "is_positive", "__cp", "__tp")
+    val cand = pre
+      .select(
+        col("score").as("threshold_score"),
+        col("doc_id").as("cut_doc_id"),
+        col("__rk").as("kept_docs"),
+        col("__cp").cast("long").as("tp"),
+        (col("__rk") - col("__cp").cast("long")).as("fp"),
+        (col("__tp") - col("__cp")).cast("long").as("fn"),
+        col("__tp").cast("long").as("__totpos"))
+      .withColumn("precision",
+        col("tp").cast("double") / col("kept_docs").cast("double"))
+      .withColumn("recall",
+        col("tp").cast("double") / col("__totpos").cast("double"))
+      .withColumn("f1",
+        lit(2.0) * col("tp").cast("double") /
+          (col("kept_docs") + col("__totpos")).cast("double"))
+    val outCols = Seq("threshold_score", "cut_doc_id", "kept_docs",
+      "tp", "fp", "fn", "precision", "recall", "f1").map(col)
+    val maxF1 = cand
+      .orderBy(col("f1").desc, col("kept_docs").asc)
+      .limit(1)
+      .select(lit("max_f1").as("criterion") +: outCols: _*)
+    val floor = cand
+      .filter(col("tp") * lit(100L) >= col("kept_docs") * lit(precisionFloorPct.toLong))
+      .orderBy(col("kept_docs").desc)
+      .limit(1)
+      .select(lit(s"precision_floor_$precisionFloorPct").as("criterion") +: outCols: _*)
+    maxF1.unionAll(floor).orderBy("criterion")
+  }
 }

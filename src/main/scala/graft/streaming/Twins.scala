@@ -166,6 +166,7 @@ object Twins {
       "sample_stratified", "sample_priority", "data_mixture_sample",
       "quality_curriculum", "dsir_select", "corpus_budget_select",
       "corpus_budget_by_lang", "classifier_budget_select",
+      "classifier_threshold_select",
       "corpus_datasheet", "corpus_mixture_entropy",
       "sequence_packing", "packing_efficiency", "training_shards",
       "training_shards_balanced",

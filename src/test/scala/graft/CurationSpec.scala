@@ -609,6 +609,53 @@ class CurationSpec extends SparkSpec {
       .forall(_.getAs[Long]("cum_tokens") <= 54L))
   }
 
+  test("classifierThresholdSelect: max-F1 recovers the planted positives exactly; " +
+    "the precision floor is an exact integer boundary") {
+    import spark.implicits._
+    // Same separable fixture as the qualityClassifier golden spec: 8
+    // positives (src0, target vocab), 8 boilerplate negatives, one
+    // held-out target-vocab doc (100) labeled negative. Candidate order
+    // (score DESC, doc_id): 1..8, 100, 11..18.
+    val target = "alpha beta gamma delta epsilon zeta"
+    val boiler = "click here buy now cheap offer today"
+    val docs =
+      (1L to 8L).map(i => (i, target, "pos", "src0")) ++
+        (11L to 18L).map(i => (i, boiler, "neg", "crawl")) ++
+        Seq((100L, target, "neg", "crawl"))
+    val df = docs.toDF("doc_id", "text", "lang", "source")
+    val out = Corpus.classifierThresholdSelect(df).collect()
+      .map(r => r.getAs[String]("criterion") -> r).toMap
+    assert(out.keySet === Set("max_f1", "precision_floor_90"))
+    // max-F1: cut after rank 8 = exactly the labeled positives -> F1 = 1
+    val mf = out("max_f1")
+    assert(mf.getAs[Long]("kept_docs") === 8L)
+    assert(mf.getAs[Long]("cut_doc_id") === 8L)
+    assert(mf.getAs[Long]("tp") === 8L && mf.getAs[Long]("fp") === 0L &&
+      mf.getAs[Long]("fn") === 0L)
+    assert(mf.getAs[Double]("precision") === 1.0 &&
+      mf.getAs[Double]("recall") === 1.0 && mf.getAs[Double]("f1") === 1.0)
+    // floor 90: rank 9 (doc 100) would be 800 >= 810 -> fails, so the
+    // largest qualifying cut is the same rank-8 set
+    val pf = out("precision_floor_90")
+    assert(pf.getAs[Long]("kept_docs") === 8L && pf.getAs[Long]("fp") === 0L)
+    // floor 80 hits the EXACT integer boundary: rank 10 keeps tp=8 of 10
+    // docs, and 800 >= 800 qualifies (no rounding in the decision) while
+    // rank 11 (800 >= 880) does not — the cut lands on the first
+    // boilerplate doc and its lower score becomes the threshold.
+    val out80 = Corpus.classifierThresholdSelect(df, precisionFloorPct = 80)
+      .collect().map(r => r.getAs[String]("criterion") -> r).toMap
+    assert(out80.keySet === Set("max_f1", "precision_floor_80"))
+    val p80 = out80("precision_floor_80")
+    assert(p80.getAs[Long]("kept_docs") === 10L)
+    assert(p80.getAs[Long]("cut_doc_id") === 11L)
+    assert(p80.getAs[Long]("tp") === 8L && p80.getAs[Long]("fp") === 2L)
+    assert(p80.getAs[Double]("precision") === 0.8 &&
+      p80.getAs[Double]("recall") === 1.0)
+    assert(p80.getAs[Double]("threshold_score") <
+      mf.getAs[Double]("threshold_score"),
+      "the floor-80 cut must sit at the boilerplate score level")
+  }
+
   test("qualityDupGrid: cells partition the corpus, shares sum per decile, dup mass matches C1") {
     val docs = Tables.documents(spark, sfDir)
     val out = Corpus.qualityDupGrid(docs).collect()
