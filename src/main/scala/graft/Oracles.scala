@@ -4936,6 +4936,103 @@ LEFT JOIN ($annGraphSearch) l
 GROUP BY b.query_id
 ORDER BY b.query_id"""
 
+  /** FILTERED beam search over the kNN proximity graph (ACORN-1
+    * navigation), lockstep with Similarity.filteredGraphSearch: the beam
+    * holds only label-0 nodes; a frontier node's non-matching neighbor
+    * contributes ITS out-neighbors (filtered to matching) instead of
+    * itself; entries are the 2 smallest matching vec_ids per quantizer
+    * cell; graph degree 16, beam 32, 3 unrolled hops, ordered-fold query
+    * cosines, (cosine DESC, node) ties, top-10 of everything evaluated.
+    * Every hop CTE is MATERIALIZED (plain CTEs inline the quantizer
+    * subtree exponentially — the annGraphSearch lesson). */
+  val annFilteredGraph: String = {
+    def hop(t: Int): String = s"""
+, n$t AS MATERIALIZED (
+  SELECT DISTINCT f.query_id, g.dst AS node
+  FROM f${t - 1} f JOIN gedges g ON g.src = f.node
+), c$t AS MATERIALIZED (
+  -- ACORN-1 expansion: matching 1-hop neighbors, plus matching 2-hop
+  -- neighbors reached THROUGH a non-matching intermediate
+  SELECT n.query_id, n.node FROM n$t n JOIN mnodes m ON m.vec_id = n.node
+  UNION
+  SELECT n.query_id, g2.dst AS node
+  FROM n$t n JOIN gedges g2 ON g2.src = n.node
+  JOIN mnodes m2 ON m2.vec_id = g2.dst
+  WHERE n.node NOT IN (SELECT vec_id FROM mnodes)
+), e$t AS MATERIALIZED (
+  SELECT query_id, node FROM e${t - 1}
+  UNION
+  SELECT query_id, node FROM c$t
+), f$t AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT e.query_id, e.node,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY q.cosine DESC, e.node) AS rnk
+    FROM e$t e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
+  WHERE rnk <= 32
+)"""
+    knnPairsBase + """
+, gedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) DESC, dst) AS rnk
+    FROM kdots) t WHERE rnk <= 16
+), mnodes AS MATERIALIZED (
+  SELECT vec_id FROM embeddings WHERE label = 0
+), qd AS MATERIALIZED (
+  -- only matching nodes are ever scored (the beam holds matching nodes
+  -- exclusively), so the query-cosine frame is |Q| x |matching|
+  SELECT q.vec_id AS query_id, f.vec_id AS node,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(q.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(f.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (q.nrm * f.nrm) AS cosine
+  FROM feat q CROSS JOIN feat f
+  JOIN mnodes m ON m.vec_id = f.vec_id
+  WHERE q.vec_id < 8
+), e0 AS MATERIALIZED (
+  -- per-(cell x label-present) entry stand-ins: the 2 smallest matching
+  -- vec_ids of every cell that holds any matching node, from the same
+  -- asgK assignment the graph build uses
+  SELECT qq.query_id, m.node
+  FROM (SELECT node FROM (
+          SELECT a.vec_id AS node,
+                 row_number() OVER (PARTITION BY a.cell ORDER BY a.vec_id) AS er
+          FROM asgK a JOIN mnodes mm ON mm.vec_id = a.vec_id) t
+        WHERE er <= 2) m
+  CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM feat WHERE vec_id < 8) qq
+), f0 AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT e.query_id, e.node,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY q.cosine DESC, e.node) AS rnk
+    FROM e0 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
+  WHERE rnk <= 32
+)""" + hop(1) + hop(2) + hop(3) + """
+SELECT query_id, neighbor_id, CAST(0 AS INTEGER) AS label, cosine,
+       CAST(rnk AS INTEGER) AS "rank" FROM (
+  SELECT e.query_id, e.node AS neighbor_id, q.cosine,
+         row_number() OVER (PARTITION BY e.query_id
+                            ORDER BY q.cosine DESC, e.node) AS rnk
+  FROM e3 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node
+  WHERE e.node <> e.query_id) t
+WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
+  /** Recall of the filtered graph beam search vs the exact filtered
+    * truth — mirrors Similarity.filteredGraphRecall. */
+  val annRecallFilteredGraph: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annFilteredTopK) b
+LEFT JOIN ($annFilteredGraph) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
+
   /** Contrastive-triplet mining: per anchor, nearest within-cell
     * neighbor at cosine ≥ 0.3 as positive, farthest within-cell
     * neighbor as the semi-hard negative. Mirrors

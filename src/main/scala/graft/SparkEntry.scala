@@ -624,6 +624,12 @@ object SparkEntry {
     "ann_recall_graph" -> ((s, dir) =>
       Similarity.graphRecall(Tables.embeddings(s, dir))),
 
+    "ann_filtered_graph" -> ((s, dir) =>
+      Similarity.filteredGraphSearch(Tables.embeddings(s, dir))),
+
+    "ann_recall_filtered_graph" -> ((s, dir) =>
+      Similarity.filteredGraphRecall(Tables.embeddings(s, dir))),
+
     "lm_ppl_buckets" -> ((s, dir) => Search.lmPplBuckets(Tables.documents(s, dir))),
 
     "ann_lsh_topk" -> ((s, dir) => Similarity.lshTopK(Tables.embeddings(s, dir))),
@@ -1062,6 +1068,8 @@ object SparkEntry {
     "ann_adaptive_probe"        -> Oracles.annAdaptiveProbe,
     "ann_graph_search"          -> Oracles.annGraphSearch,
     "ann_recall_graph"          -> Oracles.annRecallGraph,
+    "ann_filtered_graph"        -> Oracles.annFilteredGraph,
+    "ann_recall_filtered_graph" -> Oracles.annRecallFilteredGraph,
     "ann_recall_filtered"       -> Oracles.annRecallFiltered,
     "lm_ppl_buckets"            -> Oracles.lmPplBuckets,
     "ann_lsh_topk"              -> Oracles.annLshTopK,

@@ -1247,6 +1247,124 @@ object Similarity {
       bruteForceTopK(embeddings, nQueries, k),
       graphSearch(embeddings, nQueries = nQueries, k = k))
 
+  /** FILTERED graph search — [[graphSearch]] under a metadata predicate,
+    * the ACORN-1 navigation shape: the beam holds ONLY predicate-matching
+    * nodes (they are the only ones ever scored against the query), and
+    * non-matching nodes are navigated THROUGH — a frontier node's
+    * neighbor that fails the predicate contributes its own out-neighbors
+    * (filtered to matching) to the candidate set instead of itself. This
+    * keeps the effective degree of the matching subgraph high under a
+    * selective filter, where naive post-filtering of the unfiltered beam
+    * would strand whole matching regions behind non-matching hubs.
+    *
+    * Entry points are the per-(cell × label-present) medoid stand-ins:
+    * the `entriesPerCell` smallest matching vec_ids of every quantizer
+    * cell that holds any matching node — the filtered twin of
+    * [[graphSearch]]'s per-cell medoids, built from the same
+    * deterministic assignment (this is the occupancy metadata
+    * [[adaptiveProbeBudget]] aggregates, used as a seed table instead of
+    * a probe budget).
+    *
+    * Defaults are deliberately WIDER than [[graphSearch]]'s
+    * (graphK 16, beam 32, 2 entries/cell): a selective predicate thins
+    * the matching subgraph, so the filtered beam needs the denser graph
+    * and broader frontier to clear the adaptive-IVF recall bar
+    * (measured: graphK=5/beam=4 → 0.26–0.54 filtered recall vs
+    * C104's 0.975+; these defaults reach 1.0 at both test SFs, where
+    * the bounded budget covers the whole label slice — the honest
+    * caveat being that recall saturates on small fixtures and the
+    * per-query bound is what holds at 100 TB).
+    *
+    * Determinism: the graph is the deterministic [[knnGraph]]; per hop
+    * the candidate set is an exact relational expansion (1-hop matching
+    * union 2-hop-through-non-matching matching), the beam ranks on
+    * (cosine DESC, node), and query–node cosines are the ordered double
+    * fold — the DuckDB oracle unrolls the identical hops.
+    *
+    * Scale shape: per query ≤ entries + hops·beam·graphK·(1 + graphK)
+    * nodes are ever touched and only the matching subset scored — per-
+    * query work independent of corpus size once graph + entry table
+    * exist (both persist per index build in a deployment; the entry
+    * table is K·|labels| rows of metadata). */
+  def filteredGraphSearch(
+      embeddings: DataFrame, graphK: Int = 16, nCentroids: Int = 0,
+      iters: Int = 2, nQueries: Int = 8, beam: Int = 32, hops: Int = 3,
+      k: Int = 10, targetLabel: Int = 0, entriesPerCell: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
+    val cents = trainCentroids(embeddings, kc, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"), col("label"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val q = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"))
+    val edges = knnGraph(embeddings, graphK, nCentroids, iters, Some(cents))
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      .transform(Materialize(_))
+    // the matching-node set: one filtered id column, broadcast-joined at
+    // every hop (at scale: the predicate's posting list / id index)
+    val matching = feat.filter(col("label") === targetLabel)
+      .select(col("vec_id").as("node")).transform(Materialize(_))
+    // per-(cell × label-present) entry medoids, from the SAME
+    // deterministic quantizer the graph build assigns with
+    val wEntry = Window.partitionBy("cell").orderBy(col("vec_id").asc)
+    val entries = feat.filter(col("label") === targetLabel)
+      .withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      .withColumn("__er", row_number().over(wEntry))
+      .filter(col("__er") <= entriesPerCell)
+      .select(col("vec_id").as("node"))
+    val nodes = feat.select(col("vec_id").as("node"),
+      col("embedding").as("ne"), col("nrm").as("n_nrm"))
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(broadcast(q), Seq("query_id"))
+        .join(nodes, Seq("node"))
+        .select(col("query_id"), col("node"),
+          (VectorFunctions.dotFold(col("qe"), col("ne")) /
+            (col("q_nrm") * col("n_nrm"))).as("cosine"))
+    val wBeam = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node"))
+    var eval = scored(q.select(col("query_id")).crossJoin(broadcast(entries)))
+      .transform(Materialize(_))
+    var frontier = eval.withColumn("__rn", row_number().over(wBeam))
+      .filter(col("__rn") <= beam).drop("__rn")
+    (1 to hops).foreach { _ =>
+      val nbrs = frontier.select("query_id", "node")
+        .join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+      // ACORN-1 expansion: matching neighbors join directly; each
+      // NON-matching neighbor is traversed through — its out-neighbors,
+      // filtered to matching, become candidates in its place
+      val oneHop = nbrs.join(broadcast(matching), Seq("node"), "left_semi")
+      val through = nbrs.join(broadcast(matching), Seq("node"), "left_anti")
+        .join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .join(broadcast(matching), Seq("node"), "left_semi")
+      val cand = oneHop.unionByName(through).distinct()
+      val fresh = cand.join(eval.select("query_id", "node"),
+        Seq("query_id", "node"), "left_anti")
+      eval = eval.unionByName(scored(fresh)).transform(Materialize(_))
+      frontier = eval.withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= beam).drop("__rn")
+    }
+    eval.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        lit(targetLabel).as("label"), col("cosine"),
+        col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k of [[filteredGraphSearch]] against the exact filtered
+    * truth ([[filteredTopK]]) — completes the filtered family's honest
+    * measurement symmetry (C97 measures the IVF probe path, this the
+    * graph path). */
+  def filteredGraphRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =
+    recallAtK(
+      filteredTopK(embeddings, nQueries, k),
+      filteredGraphSearch(embeddings, nQueries = nQueries, k = k))
+
   /** The cell-blocked (src, dst, cosine) pair frame [[knnGraph]] and
     * [[contrastivePairs]] rank over: trained-quantizer cell assignment
     * (pure map vs inlined centroid literals), within-cell directed pairs

@@ -527,6 +527,49 @@ class SimilaritySpec extends SparkSpec {
     assert(rec.sum / rec.length >= 0.8, s"manifold recall too low: ${rec.mkString(",")}")
   }
 
+  test("filteredGraphSearch: ACORN beam clears the adaptive-IVF recall bar, " +
+    "honors the predicate, and navigates through non-matching nodes") {
+    val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Similarity.filteredGraphSearch(embTable).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Int]("label") === 0),
+      "every result must satisfy the predicate")
+    assert(out.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+    // the r13 verdict bar: achieved filtered recall >= the adaptive-IVF
+    // level (C104) for the same predicate on the same fixture
+    val graphRec = Similarity.filteredGraphRecall(embTable).collect()
+      .map(_.getAs[Double]("recall"))
+    val graphMean = graphRec.sum / graphRec.length
+    val adaptive = Similarity.adaptiveProbeBudget(embTable).collect()
+      .filter(_.getAs[Int]("label") === 0)
+      .map(_.getAs[Double]("achieved_recall")).head
+    assert(graphMean >= adaptive,
+      s"filtered graph recall $graphMean below the adaptive-IVF level $adaptive")
+    // navigation THROUGH non-matching nodes: a matching island reachable
+    // only via a non-matching bridge must still be found. 1-D arc as in
+    // the graphSearch manifold spec, labels alternating so arc-adjacent
+    // nodes are mostly non-matching; with graphK=2 each node links only
+    // to its arc neighbors, so reaching the next matching node REQUIRES
+    // the 2-hop expansion through the non-matching one between them.
+    import spark.implicits._
+    val rows = (0L until 24L).map { i =>
+      val th = 0.12 * i
+      (i, Array.tabulate(64)(d =>
+        if (d == 0) math.cos(th).toFloat
+        else if (d == 1) math.sin(th).toFloat else 0f),
+        if (i % 2 == 0) 0 else 1)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val found = Similarity.filteredGraphSearch(df, graphK = 2, nCentroids = 4,
+      nQueries = 2, beam = 4, hops = 8, k = 5, entriesPerCell = 1).collect()
+      .filter(_.getAs[Long]("query_id") === 0L)
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    // query 0's nearest matching nodes on the arc are 2, 4, 6, ... —
+    // every one sits behind an odd (non-matching) bridge node
+    assert(Set(2L, 4L).subsetOf(found),
+      s"beam failed to bridge non-matching nodes: found $found")
+    assert(found.forall(_ % 2 == 0), "predicate violated on the manifold")
+  }
+
   test("indexCompare: each dashboard row aggregates its standalone recall query exactly") {
     val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.indexCompare(embTable).collect()
