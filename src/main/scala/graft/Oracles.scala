@@ -2489,25 +2489,31 @@ ORDER BY b.query_id"""
     * expression: the default 16 for the fixed-k consumers (C7d), or the
     * self-scaling `autoKExpr` mirroring `Similarity.autoCellCount` for
     * semantic dedup. */
-  private def trainedQuantBase(iters: Int, kExpr: String = "16"): String =
-    featBase + quantCont(iters, kExpr)
+  private def trainedQuantBase(iters: Int, kExpr: String = "16",
+      trainPred: String = "TRUE"): String =
+    featBase + quantCont(iters, kExpr, trainPred)
 
   /** The quantizer chain in continuation form (no WITH, assumes `feat`
     * is already defined) — so dedup_hybrid_clusters can append it to the
     * MinHash chain. */
-  private def quantCont(iters: Int, kExpr: String = "16"): String = """
+  private def quantCont(iters: Int, kExpr: String = "16",
+      trainPred: String = "TRUE"): String = s"""
 , nvec AS (
-  SELECT COUNT(*) AS n FROM embeddings
+  SELECT COUNT(*) AS n FROM embeddings WHERE ($trainPred)
 ), cent0 AS (
   SELECT vec_id AS cid, ix.i, embedding[ix.i] AS v
   FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
-  WHERE vec_id < (""" + kExpr + """)
+  WHERE vec_id < (""" + kExpr + s""") AND ($trainPred)
 ), train AS MATERIALIZED (
   -- deterministic md5-bucket training sample, lockstep with
-  -- Similarity.trainCentroids: bucket < ceil(10000*4096/N), clamped
+  -- Similarity.trainCentroids: bucket < ceil(10000*4096/N), clamped.
+  -- trainPred restricts the trainable universe (the at-rest index side
+  -- for the incremental probe; TRUE everywhere else) — N above is the
+  -- same restricted count, matching trainCentroids(idx, …).
   SELECT f.* FROM feat f, nvec
   WHERE CAST(concat('0x', substring(md5(CAST(f.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
         < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
+    AND ($trainPred)
 )""" +
     (0 until iters).map(ivfIteration).mkString +
     s"""
@@ -2655,6 +2661,54 @@ ORDER BY c.vec_id"""
 SELECT c.vec_id, c.n_bench_near, t.nearest_bench, t.max_cosine
 FROM counts c JOIN top t ON t.vec_id = c.vec_id
 ORDER BY c.vec_id"""
+
+  /** Incremental embedding-index probe, lockstep with
+    * `Dedup.embeddingIncremental`: the quantizer chain trains on the
+    * INDEX side only (`vec_id % 10 <> 0` — the at-rest corpus; nvec and
+    * the md5 sample are the restricted count, matching
+    * `trainCentroids(idx, …)`), the index side sits in its single best
+    * cell, the batch side (`vec_id % 10 = 0`) probes its 2 nearest
+    * cells, pair cosines are the ordered double fold, and the verdict
+    * is the best match per batch vector (ties: lowest index id) with
+    * `admit` = no candidate or best cosine < 0.3. cdotF spans BOTH
+    * sides (assignment reads the index slice, probes the batch slice). */
+  val dedupEmbeddingIncremental: String =
+    trainedQuantBase(2, autoKExpr, "vec_id % 10 <> 0") + """
+, asgI AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x
+  WHERE rn = 1 AND vec_id % 10 <> 0
+), probeN AS (
+  SELECT vec_id AS new_vec, cell FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF WHERE vec_id % 10 = 0) t
+  WHERE rn <= 2
+), epairs AS (
+  SELECT p.new_vec, a.vec_id AS dup_of,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(fa.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (fa.nrm * fb.nrm) AS cosine
+  FROM probeN p
+  JOIN asgI a ON a.cell = p.cell
+  JOIN feat fa ON fa.vec_id = a.vec_id
+  JOIN feat fb ON fb.vec_id = p.new_vec
+), bestE AS (
+  SELECT new_vec, dup_of, cosine AS max_cosine FROM (
+    SELECT new_vec, dup_of, cosine,
+           row_number() OVER (PARTITION BY new_vec ORDER BY cosine DESC, dup_of) AS rn
+    FROM epairs) t
+  WHERE rn = 1
+)
+SELECT b.vec_id AS new_vec, e.dup_of, e.max_cosine,
+       (e.max_cosine IS NULL OR e.max_cosine < 0.3) AS admit
+FROM embeddings b LEFT JOIN bestE e ON e.new_vec = b.vec_id
+WHERE b.vec_id % 10 = 0
+ORDER BY new_vec"""
 
   /** Built-in session_window semantics: new session at gap >= 30 min,
     * session end = last event + gap. */

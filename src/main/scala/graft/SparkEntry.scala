@@ -538,6 +538,9 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) =>
       Dedup.semanticDedup(Tables.embeddings(s, dir))),
 
+    "dedup_embedding_incremental" -> ((s, dir) =>
+      Dedup.embeddingIncremental(Tables.embeddings(s, dir))),
+
     "dedup_edit_verified" -> ((s, dir) => Dedup.editVerified(Tables.documents(s, dir))),
 
     "dedup_minhash_eval" -> ((s, dir) => Dedup.minhashEval(Tables.documents(s, dir))),
@@ -1035,6 +1038,7 @@ object SparkEntry {
     "dedup_clusters"            -> Oracles.dedupClusters,
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "dedup_semantic"            -> Oracles.dedupSemantic,
+    "dedup_embedding_incremental" -> Oracles.dedupEmbeddingIncremental,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
     "dedup_minhash_eval"        -> Oracles.dedupMinhashEval,
     "ngram_novelty"             -> Oracles.ngramNovelty,

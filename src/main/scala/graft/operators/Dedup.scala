@@ -1161,6 +1161,73 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL embedding near-dup probe — the embedding twin of
+    * [[minhashIncremental]]'s recurring-crawl admission shape: an
+    * embedding index AT REST (the corpus already ingested: quantizer
+    * trained on it, every vector sitting in its single best cell) is
+    * probed ASYMMETRICALLY by a new batch (the deterministic
+    * `vec_id % batchMod == 0` slice standing in for today's crawl).
+    * Each batch vector probes its `nProbe` nearest cells and takes its
+    * best cosine match from the index (ties: lowest index vec_id);
+    * `admit` is the verdict an ingest gate acts on (no candidate, or
+    * best cosine under `threshold`).
+    *
+    * The quantizer trains on the INDEX side only — production
+    * semantics: the index (and its quantizer) existed before the batch
+    * arrived, so the batch can never shift the cells it is judged
+    * against. This is the probe [[graft.operators.Corpus
+    * .ingestSemanticNearDup]] runs against its persisted manifest
+    * state; the equivalence is spec-pinned.
+    *
+    * Scale shape: the index is never self-joined — one map pass assigns
+    * it (persisted per batch in the stateful form); candidate volume is
+    * |batch|·nProbe·cell-size, never |corpus|·|batch|; the corpus is
+    * re-embedded/re-assigned NEVER. Pair cosines are the ordered double
+    * fold like every within-cell scorer.
+    *
+    * @return one row per batch vector:
+    *         (new_vec, dup_of, max_cosine, admit) — dup_of/max_cosine
+    *         NULL when no probed cell held any index vector. */
+  def embeddingIncremental(
+      embeddings: DataFrame, batchMod: Long = 10, nCentroids: Int = 0,
+      iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val idx = embeddings.filter(col("vec_id") % batchMod =!= 0)
+    val k =
+      if (nCentroids > 0) nCentroids
+      else Similarity.autoCellCount(idx.count())
+    val cents = Similarity.trainCentroids(idx, k, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val assigned = feat.filter(col("vec_id") % batchMod =!= 0)
+      .withColumn("cell",
+        element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+          .getField("cid"))
+    val batch = feat.filter(col("vec_id") % batchMod === 0)
+    val probes = batch
+      .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
+        col("nrm").as("b_nrm"),
+        explode(transform(
+          slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+          s => s.getField("cid"))).as("cell"))
+    val scored = broadcast(probes).join(assigned, "cell")
+      .withColumn("cosine",
+        VectorFunctions.dotFold(col("embedding"), col("be")) /
+          (col("nrm") * col("b_nrm")))
+      .select(col("new_vec"), col("vec_id").as("dup_of"), col("cosine"))
+    val wBest = Window.partitionBy("new_vec").orderBy(col("cosine").desc, col("dup_of"))
+    val best = scored.withColumn("__rn", row_number().over(wBest))
+      .filter(col("__rn") === 1)
+      .select(col("new_vec"), col("dup_of"), col("cosine").as("max_cosine"))
+    batch.select(col("vec_id").as("new_vec"))
+      .join(best, Seq("new_vec"), "left")
+      .withColumn("admit",
+        col("max_cosine").isNull || col("max_cosine") < threshold)
+      .select("new_vec", "dup_of", "max_cosine", "admit")
+      .orderBy("new_vec")
+  }
+
   /** Edit-distance-VERIFIED near-dup pairs — the exact-verification stage
     * a production dedup pipeline runs after probabilistic blocking
     * (MinHash estimates Jaccard on shingle SETS; two docs can share every

@@ -141,13 +141,31 @@ object Similarity {
     // every row still equals its standalone query's aggregate
     // (spec-pinned).
     val truth = Materialize(bruteForceTopK(embeddings, nQueries, k))
+    // ONE coarse-quantizer training, shared by every family whose
+    // standalone row trains with IDENTICAL hyperparameters: ivf and
+    // ivf_pq both run Lloyd at (K=16, iters=2); graph runs it at
+    // (autoCellCount(n), iters=2), which coincides at K=16 until the
+    // corpus passes 16·1024 vectors — share only when it does, so each
+    // dashboard row stays bit-equal to its standalone query
+    // (spec-pinned). Likewise ONE PQ-codebook training feeds both pq
+    // and ivf_pq (both train at nSub=8, cbSize=16, iters=2). Training
+    // is deterministic, so sharing changes cost, never values.
+    val cents16 = trainCentroids(embeddings, 16, 2)
+    val kcGraph = autoCellCount(embeddings.count())
+    val centsGraph =
+      if (kcGraph == 16) cents16 else trainCentroids(embeddings, kcGraph, 2)
+    val cb = trainPqCodebooks(embeddings, 8, 16, 2)
     val frames: Seq[(String, DataFrame)] = Seq(
-      "graph"  -> recallAtK(truth, graphSearch(embeddings, nQueries = nQueries, k = k)),
+      "graph"  -> recallAtK(truth,
+        graphSearch(embeddings, nQueries = nQueries, k = k, centsPre = Some(centsGraph))),
       "lsh"    -> recallAtK(truth, lshTopK(embeddings, nQueries, k)),
-      "ivf"    -> recallAtK(truth, ivfTopKTrained(embeddings, nQueries = nQueries, k = k)),
-      "pq"     -> recallAtK(truth, pqTopK(embeddings, nQueries = nQueries, k = k)),
+      "ivf"    -> recallAtK(truth,
+        ivfTopKTrained(embeddings, nQueries = nQueries, k = k, centsPre = Some(cents16))),
+      "pq"     -> recallAtK(truth,
+        pqTopK(embeddings, nQueries = nQueries, k = k, cbPre = Some(cb))),
       "sq"     -> recallAtK(truth, sqTopK(embeddings, nQueries, k)),
-      "ivf_pq" -> recallAtK(truth, ivfPqTopK(embeddings, nQueries = nQueries, k = k)))
+      "ivf_pq" -> recallAtK(truth, ivfPqTopK(embeddings, nQueries = nQueries, k = k,
+        centsPre = Some(cents16), cbPre = Some(cb))))
     frames.map { case (name, df) =>
       df.agg(
         lit(name).as("index"),
@@ -303,8 +321,11 @@ object Similarity {
   def ivfTopKTrained(
       embeddings: DataFrame,
       nCentroids: Int = 16, iters: Int = 2,
-      nQueries: Int = 8, nProbe: Int = 2, k: Int = 10): DataFrame =
-    probeTopK(embeddings, trainCentroids(embeddings, nCentroids, iters), nQueries, nProbe, k)
+      nQueries: Int = 8, nProbe: Int = 2, k: Int = 10,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame =
+    probeTopK(embeddings,
+      centsPre.getOrElse(trainCentroids(embeddings, nCentroids, iters)),
+      nQueries, nProbe, k)
 
   /** Target vectors per coarse-quantizer cell when the cell count is
     * auto-derived ([[autoCellCount]]). */
@@ -331,7 +352,7 @@ object Similarity {
       .map { r => withNorm(r.getLong(0), r.getSeq[Float](1).toArray) }
       .sortBy(_._1)
 
-  private def withNorm(cid: Long, vec: Array[Float]): (Long, Array[Float], Double) = {
+  private[graft] def withNorm(cid: Long, vec: Array[Float]): (Long, Array[Float], Double) = {
     val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       vec.map(java.lang.Float.valueOf))
     (cid, vec, math.sqrt(graft.functions.DotDecimalImpl.dot(ad, ad).doubleValue()))
@@ -657,9 +678,11 @@ object Similarity {
   def pqTopK(
       embeddings: DataFrame,
       nQueries: Int = 8, k: Int = 10,
-      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      cbPre: Option[(Array[Array[Array[Float]]], Array[Array[Double]])] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub, codebookSize, iters)
+    val (cb, cbSumsq) =
+      cbPre.getOrElse(trainPqCodebooks(embeddings, nSub, codebookSize, iters))
     val dims = cb.length * cb.head.head.length
     val sub = dims / nSub
     val feat = embeddings.select(
@@ -710,10 +733,13 @@ object Similarity {
   def ivfPqTopK(
       embeddings: DataFrame,
       nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10,
-      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None,
+      cbPre: Option[(Array[Array[Array[Float]]], Array[Array[Double]])] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = trainCentroids(embeddings, nCentroids, iters)
-    val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub, codebookSize, iters)
+    val cents = centsPre.getOrElse(trainCentroids(embeddings, nCentroids, iters))
+    val (cb, cbSumsq) =
+      cbPre.getOrElse(trainPqCodebooks(embeddings, nSub, codebookSize, iters))
     ivfPqTopKWith(embeddings, cents, cb, cbSumsq, nQueries, nProbe, k)
   }
 
@@ -1186,10 +1212,13 @@ object Similarity {
   def graphSearch(
       embeddings: DataFrame, graphK: Int = 5, nCentroids: Int = 0,
       iters: Int = 2, nQueries: Int = 8, beam: Int = 4, hops: Int = 3,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
-    val cents = trainCentroids(embeddings, kc, iters)
+    val cents = centsPre.getOrElse {
+      val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
+      trainCentroids(embeddings, kc, iters)
+    }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))

@@ -156,6 +156,31 @@ class DedupSpec extends SparkSpec {
     assert(hit.getAs[Double]("max_cosine") > 0.95)
   }
 
+  test("embeddingIncremental: planted batch near-dups of the index are rejected, " +
+    "novel batch vectors admit") {
+    // index side (vec_id % 10 != 0): one-hot directions e_id. Batch side:
+    // 0 = near-paraphrase of index 7 (perturbed in an unused dim), 20 =
+    // exact duplicate of index 5, 10 = novel direction no index vector
+    // occupies.
+    val idx = ((1L to 9L) ++ (11L to 19L)).map(id =>
+      (id, Array.tabulate(64)(i => if (i == id.toInt) 1f else 0f)))
+    val nearOf7 = Array.tabulate(64)(i => if (i == 7) 1f else if (i == 50) 0.1f else 0f)
+    val exactOf5 = Array.tabulate(64)(i => if (i == 5) 1f else 0f)
+    val novel = Array.tabulate(64)(i => if (i == 40) 1f else 0f)
+    val rows = idx ++ Seq((0L, nearOf7), (10L, novel), (20L, exactOf5))
+    val out = Dedup.embeddingIncremental(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[Long]("new_vec") -> r).toMap
+    assert(out.keySet === Set(0L, 10L, 20L))
+    assert(!out(0L).getAs[Boolean]("admit"))
+    assert(out(0L).getAs[Long]("dup_of") === 7L)
+    assert(out(0L).getAs[Double]("max_cosine") > 0.95)
+    assert(!out(20L).getAs[Boolean]("admit"))
+    assert(out(20L).getAs[Long]("dup_of") === 5L)
+    assert(out(20L).getAs[Double]("max_cosine") > 0.999)
+    assert(out(10L).getAs[Boolean]("admit"),
+      s"novel vector must admit, got ${out(10L)}")
+  }
+
   test("semantic dedup invariants on real embeddings: per-cluster keep rule, cells agree") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val out = Dedup.semanticDedup(emb).collect()
