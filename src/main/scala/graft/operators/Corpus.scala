@@ -347,11 +347,12 @@ object Corpus {
     * past `mutexWaitMs` fails loudly rather than proceeding
     * unserialized. */
   private def acquireRefreshMutex(spark: org.apache.spark.sql.SparkSession,
-      stateDir: String, mutexWaitMs: Long): graft.sources.Manifest.Lease = {
+      stateDir: String, mutexWaitMs: Long,
+      name: String = "sigidx_refresh"): graft.sources.Manifest.Lease = {
     import graft.sources.Manifest
     val deadline = System.currentTimeMillis() + mutexWaitMs
     while (true) {
-      try return Manifest.acquireLease(spark, stateDir, "sigidx_refresh",
+      try return Manifest.acquireLease(spark, stateDir, name,
         ttlMs = 5 * 60 * 1000L)
       catch {
         case _: java.io.IOException =>
@@ -359,7 +360,7 @@ object Corpus {
           if (System.currentTimeMillis() > deadline)
             throw new java.io.IOException(
               s"timed out after ${mutexWaitMs}ms waiting for the " +
-                s"sigidx_refresh lease at $stateDir (held by a live refresher)")
+                s"$name lease at $stateDir (held by a live refresher)")
           Thread.sleep(50L)
       }
     }
@@ -505,6 +506,217 @@ object Corpus {
     val n = ingestIncremental(spark, keep, stateDir, maxLiveBatches,
       admissionGate = driftGate)
     refreshSignatureIndex(spark, stateDir) // index what just committed
+    n
+  }
+
+  /** Read the persisted coarse quantizer back as the in-memory centroid
+    * array [[graft.operators.Similarity.cellRank]] consumes. Norms are
+    * recomputed from the stored floats with the identical decimal
+    * arithmetic training used — floats round-trip parquet exactly, so
+    * the read-back quantizer is bit-equal to the trained one. */
+  private def readQuantizer(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, qTag: String): Array[(Long, Array[Float], Double)] =
+    spark.read.parquet(s"$stateDir/$qTag").collect()
+      .map(r => Similarity.withNorm(
+        r.getAs[Long]("cid"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
+      .sortBy(_._1)
+
+  /** Cell assignment for one document batch against a fixed quantizer —
+    * the persisted IVF index shape: (doc_id, cell, embedding, nrm), one
+    * codegen'd map pass, no shuffle. */
+  private def assignCells(docs: org.apache.spark.sql.DataFrame,
+      cents: Array[(Long, Array[Float], Double)]): org.apache.spark.sql.DataFrame = {
+    val feat = docs.select(
+      col("doc_id"), col("embedding"),
+      graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+    feat.withColumn("cell",
+      element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+        .getField("cid"))
+      .select("doc_id", "cell", "embedding", "nrm")
+  }
+
+  /** Bring the persisted EMBEDDING index (coarse quantizer + per-batch
+    * cell assignments) up to date with the committed corpus — the
+    * embedding twin of [[refreshSignatureIndex]], and the maintenance
+    * pass behind [[ingestSemanticNearDup]]. Two regimes:
+    *
+    *  - **Assign** (steady state): batches committed since the last
+    *    refresh get their cells computed against the quantizer AT REST
+    *    (one map pass per batch — the corpus is never re-assigned), each
+    *    written to a fresh `embcells/<docTag>__<qTag>` dir, made live by
+    *    one manifest merge.
+    *  - **Retrain** (when the corpus has grown past `retrainFactor` ×
+    *    the count the current quantizer was trained on, or no quantizer
+    *    exists yet): a new quantizer trains on the committed corpus
+    *    ([[graft.operators.Similarity.trainCentroids]] — bounded sample,
+    *    flat cost in corpus size, self-scaling cell count), EVERY live
+    *    batch is re-assigned against it into new generation-suffixed
+    *    dirs, and one merge swaps quantizer + all cells atomically.
+    *    Readers never see a torn index: old dirs stay live until the
+    *    swap and are reaped by the next recovery sweep.
+    *
+    * Concurrency mirrors the signature refresh: an `embidx_refresh`
+    * lease serializes refreshers (per-batch heartbeat with the
+    * anti-usurpation fence; abort unpublished if the lease was reaped
+    * mid-refresh), and the publish is a [[graft.sources.Manifest
+    * .publishMerge]] that re-derives against the winner's live set.
+    *
+    * @return number of batch dirs (re)assigned */
+  def refreshEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, mutexWaitMs: Long = 60 * 1000L,
+      retrainFactor: Double = 2.0): Long = {
+    import graft.sources.Manifest
+    val ttlMs = 5 * 60 * 1000L
+    var lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs, "embidx_refresh")
+    try {
+      Manifest.cleanStale(spark, stateDir, Seq("embcells", "quantizer"))
+      val snap = Manifest.snapshot(spark, stateDir)
+      val docTags = snap.live
+        .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
+        .toSet
+      if (docTags.isEmpty) return 0L
+      val curQ = snap.live.find(_.startsWith("quantizer/"))
+      val trainedN = snap.meta.get("emb_quantizer_n").map(_.toLong)
+      val corpus = spark.read
+        .parquet(docTags.toSeq.sorted.map(t => s"$stateDir/documents/$t"): _*)
+      val n = corpus.count()
+      val retrain = curQ.isEmpty ||
+        trainedN.forall(q => n.toDouble >= retrainFactor * q)
+      def cellTag(docTag: String, qTag: String): String =
+        s"embcells/${docTag}__${qTag.stripPrefix("quantizer/")}"
+      if (retrain) {
+        val k = Similarity.autoCellCount(n)
+        val cents = Similarity.trainCentroids(
+          corpus.select(col("doc_id").as("vec_id"), col("embedding")), k)
+        val qTag =
+          s"quantizer/q${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+        import spark.implicits._
+        cents.toSeq.map { case (cid, vec, _) => (cid, vec.toSeq) }
+          .toDF("cid", "embedding").coalesce(1).write.parquet(s"$stateDir/$qTag")
+        docTags.toSeq.sorted.foreach { t =>
+          lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
+          assignCells(spark.read.parquet(s"$stateDir/documents/$t"), cents)
+            .write.mode("overwrite").parquet(s"$stateDir/${cellTag(t, qTag)}")
+        }
+        if (!Manifest.holdsLease(spark, stateDir, lease))
+          throw new java.io.IOException(
+            s"embidx_refresh lease at $stateDir was reaped mid-refresh; " +
+              "aborting without publishing")
+        Manifest.publishMerge(spark, stateDir) { cur =>
+          val curDocs = cur.live
+            .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
+            .toSet
+          // the whole embedding index swaps to the new generation; cells
+          // exist only for the doc tags re-assigned above — a batch a
+          // concurrent ingest committed meanwhile is picked up by the
+          // next refresh (same eventual shape as the signature index)
+          val keep = cur.live.filterNot(e =>
+            e.startsWith("embcells/") || e.startsWith("quantizer/"))
+          val adds = qTag +: docTags.intersect(curDocs).toSeq.sorted.map(cellTag(_, qTag))
+          ((keep ++ adds).distinct, cur.meta + ("emb_quantizer_n" -> n.toString))
+        }
+        docTags.size.toLong
+      } else {
+        val qTag = curQ.get
+        val suffix = "__" + qTag.stripPrefix("quantizer/")
+        val celled = snap.live.collect {
+          case c if c.startsWith("embcells/") && c.endsWith(suffix) =>
+            c.stripPrefix("embcells/").stripSuffix(suffix)
+        }.toSet
+        val missing = docTags -- celled
+        val orphaned = snap.live.exists(c => c.startsWith("embcells/") &&
+          (!c.endsWith(suffix) ||
+            !docTags(c.stripPrefix("embcells/").stripSuffix(suffix))))
+        if (missing.isEmpty && !orphaned) return 0L
+        val cents = readQuantizer(spark, stateDir, qTag)
+        missing.toSeq.sorted.foreach { t =>
+          lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
+          assignCells(spark.read.parquet(s"$stateDir/documents/$t"), cents)
+            .write.mode("overwrite").parquet(s"$stateDir/${cellTag(t, qTag)}")
+        }
+        if (!Manifest.holdsLease(spark, stateDir, lease))
+          throw new java.io.IOException(
+            s"embidx_refresh lease at $stateDir was reaped mid-refresh; " +
+              "aborting without publishing")
+        Manifest.publishMerge(spark, stateDir) { cur =>
+          val curDocs = cur.live
+            .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
+            .toSet
+          val keep = cur.live.filterNot(e => e.startsWith("embcells/") &&
+            (!e.endsWith(suffix) ||
+              !curDocs(e.stripPrefix("embcells/").stripSuffix(suffix))))
+          val adds = missing.intersect(curDocs).toSeq.sorted.map(cellTag(_, qTag))
+          ((keep ++ adds).distinct, cur.meta)
+        }
+        missing.size.toLong
+      }
+    } finally {
+      if (Manifest.holdsLease(spark, stateDir, lease))
+        Manifest.releaseLease(spark, stateDir, lease)
+    }
+  }
+
+  /** Incremental ingest with a SEMANTIC (embedding) near-dup admission
+    * gate in front of [[ingestIncremental]]'s exact-fingerprint
+    * transaction — the embedding twin of [[ingestNearDup]], and the
+    * stateful production form of [[graft.operators.Dedup
+    * .embeddingIncremental]] (the equivalence is spec-pinned): batch
+    * docs whose best cosine match against the PERSISTED embedding index
+    * reaches `threshold` are rejected before staging. The batch probes
+    * its `nProbe` nearest cells of the index at rest asymmetrically —
+    * candidate volume |batch|·nProbe·cell-size, the corpus is never
+    * re-assigned, and quantizer retraining happens only on the
+    * [[refreshEmbeddingIndex]] growth trigger (bounded-sample Lloyd).
+    * That is the shape a daily-ingest 100 TB corpus needs: per-day cost
+    * scales with the day's batch, not the corpus.
+    *
+    * Like the MinHash gate, the semantic verdict is ADVISORY at race
+    * boundaries (two concurrent ingests can each admit the other's
+    * near-twin — the eventual consistency every production near-dup
+    * store accepts; spec-pinned); EXACT duplicates stay transactional
+    * through the fingerprint CAS. Batch docs must carry an `embedding`
+    * column alongside doc_id/text; it persists with the documents, so
+    * the trailing refresh indexes what just committed.
+    *
+    * @return number of newly admitted documents */
+  def ingestSemanticNearDup(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, stateDir: String, threshold: Double = 0.3,
+      nProbe: Int = 2, maxLiveBatches: Int = 64,
+      beforePublish: () => Unit = () => ()): Long = {
+    import graft.sources.Manifest
+    graft.functions.GraftFunctions.register(spark)
+    refreshEmbeddingIndex(spark, stateDir)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val keep = snap.live.find(_.startsWith("quantizer/")) match {
+      case None => batch // empty corpus: nothing to probe
+      case Some(qTag) =>
+        val suffix = "__" + qTag.stripPrefix("quantizer/")
+        val cellDirs = snap.live.filter(c =>
+          c.startsWith("embcells/") && c.endsWith(suffix))
+        if (cellDirs.isEmpty) batch
+        else {
+          val cents = readQuantizer(spark, stateDir, qTag)
+          val index = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
+          val featB = batch.select(
+            col("doc_id"), col("embedding"),
+            graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+          val probes = featB.select(
+            col("doc_id").as("new_doc"), col("embedding").as("be"),
+            col("nrm").as("b_nrm"),
+            explode(transform(
+              slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+              s => s.getField("cid"))).as("cell"))
+          val rejects = broadcast(probes).join(index, "cell")
+            .filter(
+              graft.functions.VectorFunctions.dotFold(col("embedding"), col("be")) /
+                (col("nrm") * col("b_nrm")) >= threshold)
+            .select(col("new_doc").as("doc_id")).distinct()
+          batch.join(rejects, Seq("doc_id"), "left_anti")
+        }
+    }
+    val n = ingestIncremental(spark, keep, stateDir, maxLiveBatches,
+      beforePublish = beforePublish)
+    refreshEmbeddingIndex(spark, stateDir) // index what just committed
     n
   }
 

@@ -567,6 +567,152 @@ class LayoutSpec extends SparkSpec {
       s"z point lookup ${touched(zdir)} files vs plain ${touched(plain)}")
   }
 
+  test("semantic ingest: persisted embedding index gates admission; marks equal " +
+    "the pure embeddingIncremental probe on the same split") {
+    import graft.operators.{Corpus, Dedup}
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-semingest").toString
+    // the Dedup.embeddingIncremental fixture, as documents: index side =
+    // ids % 10 != 0 (one-hot directions e_id), batch side = {0, 10, 20}
+    // with 0 a near-paraphrase of index 7, 20 an exact twin of index 5,
+    // 10 a novel direction
+    def onehot(d: Int, extra: (Int, Float)*) =
+      Array.tabulate(64)(i => extra.toMap.getOrElse(i, if (i == d) 1f else 0f))
+    def doc(id: Long, vec: Array[Float]) =
+      (id, s"unique text $id", "en", "t", 14L, vec.toSeq)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    val idxRows = ((1L to 9L) ++ (11L to 19L)).map(id => doc(id, onehot(id.toInt)))
+    val batchRows = Seq(
+      doc(0L, onehot(7, 50 -> 0.1f)), // near-dup of index 7
+      doc(10L, onehot(40)),           // novel
+      doc(20L, onehot(5)))            // exact embedding twin of index 5
+    val b1 = idxRows.toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, b1, state) === idxRows.size.toLong)
+    // index live: quantizer + one embcells dir per documents batch
+    val live1 = graft.sources.Manifest.live(spark, state)
+    assert(live1.count(_.startsWith("quantizer/")) === 1)
+    assert(live1.count(_.startsWith("embcells/")) ===
+      live1.count(_.startsWith("documents/")))
+
+    // the stateful gate must mark exactly what the pure probe marks on
+    // the equivalent split (same vectors, same quantizer training side)
+    val probe = Dedup.embeddingIncremental(
+      (idxRows ++ batchRows).map(r => (r._1, r._6)).toDF("vec_id", "embedding"))
+      .collect()
+    val expectReject = probe.filter(!_.getAs[Boolean]("admit"))
+      .map(_.getAs[Long]("new_vec")).toSet
+    val expectAdmit = probe.filter(_.getAs[Boolean]("admit"))
+      .map(_.getAs[Long]("new_vec")).toSet
+    assert(expectReject === Set(0L, 20L) && expectAdmit === Set(10L),
+      s"fixture sanity: got reject=$expectReject admit=$expectAdmit")
+    val b2 = batchRows.toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, b2, state) === expectAdmit.size.toLong)
+    val docsAfter = Corpus.documents(spark, state).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(docsAfter === idxRows.map(_._1).toSet ++ expectAdmit)
+
+    // refresh mutex fails loudly under a held lease, like the sig index
+    val held = graft.sources.Manifest.acquireLease(spark, state, "embidx_refresh")
+    val ex = intercept[java.io.IOException] {
+      Corpus.refreshEmbeddingIndex(spark, state, mutexWaitMs = 300L)
+    }
+    assert(ex.getMessage.contains("embidx_refresh"))
+    graft.sources.Manifest.releaseLease(spark, state, held)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 0L)
+  }
+
+  test("semantic ingest: quantizer retrains when the corpus doubles and the " +
+    "whole index swaps generations atomically") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-semretrain").toString
+    def doc(id: Long, vec: Seq[Float]) =
+      (id, s"text $id", "en", "t", 7L, vec)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    // one-hot directions must stay DISTINCT across batches (64 dims) or
+    // the gate correctly rejects the "novel" docs as exact twins
+    def vec(dim: Int) = Array.tabulate(64)(i => if (i == dim) 1f else 0f).toSeq
+    val b1 = (1L to 10L).map(id => doc(id, vec(id.toInt))).toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, b1, state) === 10L)
+    val q1 = Manifest.live(spark, state).find(_.startsWith("quantizer/")).get
+    assert(Manifest.meta(spark, state)("emb_quantizer_n") === "10")
+
+    // +5 novel docs: corpus 15 < 2×10 → same quantizer generation, the
+    // new batch's cells simply append
+    val b2 = (21L to 25L).map(id => doc(id, vec(id.toInt))).toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, b2, state) === 5L)
+    assert(Manifest.live(spark, state).find(_.startsWith("quantizer/")).get === q1)
+    assert(Manifest.meta(spark, state)("emb_quantizer_n") === "10",
+      "no retrain below the growth factor: trained-count records the TRAINING corpus")
+
+    // +15 novel docs: corpus 30 ≥ 2×10 → the trailing refresh retrains;
+    // quantizer swaps, trained-count updates, and EVERY live batch's
+    // cells carry the new generation suffix
+    val b3 = (30L to 44L).map(id => doc(id, vec(id.toInt))).toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, b3, state) === 15L)
+    val live = Manifest.live(spark, state)
+    val q2 = live.find(_.startsWith("quantizer/")).get
+    assert(q2 !== q1, "quantizer generation must swap on the growth trigger")
+    assert(Manifest.meta(spark, state)("emb_quantizer_n") === "30")
+    val suffix = "__" + q2.stripPrefix("quantizer/")
+    val cellDirs = live.filter(_.startsWith("embcells/"))
+    assert(cellDirs.nonEmpty && cellDirs.forall(_.endsWith(suffix)),
+      s"stale-generation cells must not stay live: $cellDirs")
+    assert(cellDirs.size === live.count(_.startsWith("documents/")))
+    // the swapped index covers the whole corpus exactly once
+    val indexed = spark.read
+      .parquet(cellDirs.map(d => s"$state/$d"): _*)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Corpus.documents(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("semantic ingest race: exact duplicates stay transactional through the " +
+    "fingerprint CAS; the semantic verdict is advisory at the race boundary") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-semrace").toString
+    def onehot(d: Int, extra: (Int, Float)*) =
+      Array.tabulate(64)(i => extra.toMap.getOrElse(i, if (i == d) 1f else 0f)).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    val base = (1L to 9L).map(id =>
+      (id, s"base text $id", "en", "t", 11L, onehot(id.toInt))).toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, base, state) === 9L)
+
+    // competing writer commits BETWEEN this ingest's staging and publish:
+    // doc 100 shares doc 31's exact TEXT; doc 101 is an embedding
+    // near-twin of doc 32 (different text)
+    val competing = Seq(
+      (100L, "torn text", "en", "t", 9L, onehot(45)),
+      (101L, "competitor twin", "en", "t", 15L, onehot(33, 50 -> 0.1f)))
+      .toDF(cols: _*)
+    val b = Seq(
+      (31L, "torn text", "en", "t", 9L, onehot(40)),
+      (32L, "victim twin", "en", "t", 11L, onehot(33)))
+      .toDF(cols: _*)
+    var fired = false
+    val n = Corpus.ingestSemanticNearDup(spark, b, state, beforePublish = () => {
+      if (!fired) { // the seam re-fires on retry; inject exactly once
+        fired = true
+        assert(Corpus.ingestSemanticNearDup(spark, competing, state) === 2L)
+      }
+    })
+    // doc 31 lost the exact-fingerprint race to doc 100 (transactional);
+    // doc 32 still landed: its semantic verdict predates the competitor's
+    // near-twin 101 — the documented advisory admission semantics
+    assert(n === 1L)
+    val ids = Corpus.documents(spark, state).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids === (1L to 9L).toSet ++ Set(100L, 101L, 32L))
+    // both near-twins coexist (eventual consistency); a FOLLOWING ingest
+    // of another twin of the same direction is rejected by the now-live
+    // index
+    val late = Seq((200L, "late twin", "en", "t", 9L, onehot(33, 51 -> 0.1f)))
+      .toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, late, state) === 0L)
+  }
+
   test("mortonCode interleaves bits exactly") {
     import spark.implicits._
     val out = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L)).toDF("a", "b")
