@@ -1956,6 +1956,81 @@ object Corpus {
       .orderBy("lang", "stage")
   }
 
+  /** The hashed-unigram feature frame behind [[qualityClassifier]]:
+    * (doc_id, y, x) with x = length-normalized bucket counts + bias. */
+  private def classifierFeats(
+      documents: DataFrame, positiveSources: Seq[String], buckets: Int): DataFrame = {
+    val base = documents.select(
+      col("doc_id"),
+      when(col("source").isin(positiveSources: _*), 1.0).otherwise(0.0).as("y"),
+      split(col("text"), " ").as("ws"))
+    val cnts = base
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
+          .cast("int").as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).cast("double").as("cnt"))
+    val bucketMap = cnts.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+    base
+      .select(col("doc_id"), col("y"), size(col("ws")).cast("double").as("len"))
+      .join(bucketMap, Seq("doc_id"))
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(sequence(lit(0), lit(buckets - 1)),
+            j => coalesce(try_element_at(col("m"), j), lit(0.0)) / col("len")),
+          array(lit(1.0))).as("x"))
+  }
+
+  /** Train the logistic probe on an already-built feature frame — the
+    * deterministic unrolled-GD steps of [[qualityClassifier]], factored
+    * so training happens once per frame. */
+  private def weightsFrom(
+      feats: DataFrame, dims: Int, iters: Int, sampleCap: Int): Array[Double] = {
+    // deterministic bounded training sample, then doc_id fold order
+    val sample = feats
+      .withColumn("__h", md5(concat(lit("qc:"), col("doc_id").cast("string"))))
+      .orderBy(col("__h"), col("doc_id")).limit(sampleCap)
+      .select("doc_id", "y", "x").orderBy("doc_id")
+      .collect()
+      .map(r => (r.getAs[Double]("y"), r.getSeq[Double](r.fieldIndex("x")).toArray))
+    val n = sample.length.toDouble
+    val w = new Array[Double](dims)
+    var t = 0
+    while (t < iters) {
+      val g = new Array[Double](dims)
+      sample.foreach { case (y, x) =>
+        var z = 0.0
+        var j = 0
+        while (j < dims) { z += w(j) * x(j); j += 1 }
+        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
+        val r = y - p
+        var k = 0
+        while (k < dims) { g(k) += r * x(k); k += 1 }
+      }
+      var j = 0
+      while (j < dims) { w(j) += 0.25 * (g(j) / n); j += 1 }
+      t += 1
+    }
+    w
+  }
+
+  /** The trained probe's weights as a deployable artifact (B bucket
+    * weights + bias) — what [[graft.streaming.Streaming.qualityScores]]
+    * broadcasts to score documents AT INGEST with the exact same
+    * arithmetic [[qualityClassifier]] scores batches with (bit-equality
+    * spec-pinned): train once on the committed corpus, filter the
+    * stream before it lands. */
+  def classifierWeights(
+      documents: DataFrame,
+      positiveSources: Seq[String] = Seq("src0", "src1", "src2", "src3"),
+      buckets: Int = 32,
+      iters: Int = 3,
+      sampleCap: Int = 2048): Array[Double] =
+    weightsFrom(
+      classifierFeats(documents, positiveSources, buckets),
+      buckets + 1, iters, sampleCap)
+
   /** TRAINED quality filter — the fastText-class binary classifier every
     * production curation pipeline gates on (GPT-3/CCNet/RefinedWeb style:
     * positives = a curated reference slice, negatives = the rest of the
@@ -1992,52 +2067,8 @@ object Corpus {
       buckets: Int = 32,
       iters: Int = 3,
       sampleCap: Int = 2048): DataFrame = {
-    val dims = buckets + 1 // + bias
-    val base = documents.select(
-      col("doc_id"),
-      when(col("source").isin(positiveSources: _*), 1.0).otherwise(0.0).as("y"),
-      split(col("text"), " ").as("ws"))
-    val cnts = base
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .select(col("doc_id"),
-        (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long") % buckets)
-          .cast("int").as("bucket"))
-      .groupBy("doc_id", "bucket").agg(count(lit(1)).cast("double").as("cnt"))
-    val bucketMap = cnts.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
-    val feats = base
-      .select(col("doc_id"), col("y"), size(col("ws")).cast("double").as("len"))
-      .join(bucketMap, Seq("doc_id"))
-      .select(col("doc_id"), col("y"),
-        concat(
-          transform(sequence(lit(0), lit(buckets - 1)),
-            j => coalesce(try_element_at(col("m"), j), lit(0.0)) / col("len")),
-          array(lit(1.0))).as("x"))
-    // deterministic bounded training sample, then doc_id fold order
-    val sample = feats
-      .withColumn("__h", md5(concat(lit("qc:"), col("doc_id").cast("string"))))
-      .orderBy(col("__h"), col("doc_id")).limit(sampleCap)
-      .select("doc_id", "y", "x").orderBy("doc_id")
-      .collect()
-      .map(r => (r.getAs[Double]("y"), r.getSeq[Double](r.fieldIndex("x")).toArray))
-    val n = sample.length.toDouble
-    val w = new Array[Double](dims)
-    var t = 0
-    while (t < iters) {
-      val g = new Array[Double](dims)
-      sample.foreach { case (y, x) =>
-        var z = 0.0
-        var j = 0
-        while (j < dims) { z += w(j) * x(j); j += 1 }
-        val p = 0.5 + z / (2.0 * (1.0 + math.abs(z)))
-        val r = y - p
-        var k = 0
-        while (k < dims) { g(k) += r * x(k); k += 1 }
-      }
-      var j = 0
-      while (j < dims) { w(j) += 0.25 * (g(j) / n); j += 1 }
-      t += 1
-    }
+    val feats = classifierFeats(documents, positiveSources, buckets)
+    val w = weightsFrom(feats, buckets + 1, iters, sampleCap)
     val wLit = array(w.map(lit(_)): _*)
     feats
       .select(col("doc_id"), col("y").cast("int").as("is_positive"),

@@ -1027,6 +1027,41 @@ object Streaming {
         "n_tokens", "fingerprint")
   }
 
+  /** Streaming TRAINED-classifier scoring (SURVEY §2.D30) — the
+    * filter-before-land stage of a production curation pipeline: the
+    * logistic probe trained batch-side on the committed corpus
+    * ([[graft.operators.Corpus.classifierWeights]]) scores every
+    * arriving document AT INGEST as one broadcast-weights map — no
+    * state, no watermark, no shuffle; at cluster scale it runs at
+    * source parallelism, and a threshold filter composes behind it
+    * (the C110 cut).
+    *
+    * BIT-EQUAL to the batch scorer by construction, not approximately:
+    * the per-bucket counts are computed map-side (`filter`+`size` over
+    * the split words instead of the batch explode+groupBy — identical
+    * exact integers), the length normalization is the same single
+    * division, and the logit folds the B+1 products in the identical
+    * bucket order with the identical `aggregate` left fold
+    * (TwinSweepSpec pins stream scores == `qualityClassifier` scores
+    * under scrambled replay). */
+  def qualityScores(docs: DataFrame, weights: Array[Double],
+      buckets: Int = 32): DataFrame = {
+    require(weights.length == buckets + 1,
+      s"weights must be buckets+1 long (got ${weights.length} for $buckets buckets)")
+    val ws = split(col("text"), " ")
+    val len = size(ws).cast("double")
+    def bucketOf(w: org.apache.spark.sql.Column) =
+      (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % buckets).cast("int")
+    val x = concat(
+      transform(sequence(lit(0), lit(buckets - 1)),
+        j => size(filter(ws, w => bucketOf(w) === j)).cast("double") / len),
+      array(lit(1.0)))
+    val wLit = array(weights.map(lit(_)): _*)
+    docs.select(col("doc_id"),
+      aggregate(zip_with(x, wLit, (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v).as("score"))
+  }
+
   /** Streaming windowed ordered funnel (SURVEY §2.D12) — the live-
     * dashboard twin of [[graft.operators.Analytics.windowFunnel]]: per
     * user, the greedy view→click→signup→purchase chain (each later step

@@ -46,6 +46,7 @@ object Twins {
     "ngram_novelty"               -> "noveltyMarksOrdered",
     "dedup_simhash_near"          -> "simhashNearMarksOrdered",
     "corpus_curation"             -> "admitDocuments",
+    "quality_classifier_score"    -> "qualityScores",
     "sketch_join_size"            -> "amsGrid")
 
   /** Streaming methods that are arrival-contract VARIANTS of a
@@ -157,7 +158,7 @@ object Twins {
       "tfidf_top_terms", "bm25_search", "bm25_search_indexed", "token_pmi",
       "token_zipf", "vocab_growth", "lang_confusion", "top_ngrams",
       "nb_lang_classify", "lm_ppl_buckets", "lm_heldout_score",
-      "quality_classifier_score", "quality_classifier_eval") ++
+      "quality_classifier_eval") ++
     group("stateless per-document map, directly applicable inside any stream (admitDocuments applies quality+fingerprint); gated as batch scoring")(
       "text_langid", "text_quality", "text_normalize", "text_pii_scrub",
       "text_repetition", "text_entropy", "token_count", "doc_fingerprint",

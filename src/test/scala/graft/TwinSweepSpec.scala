@@ -522,6 +522,19 @@ class TwinSweepSpec extends SparkSpec {
       } finally model.unpersist()
     },
 
+    "qualityScores" -> { () =>
+      // weights train batch-side on the same corpus; the stream is pure
+      // scoring, so worst-case (reversed) arrival must not move a bit
+      val w = graft.operators.Corpus.classifierWeights(fixDocsDF)
+      val got = runStream(docsReversed, "append", "tw_qscore")(m =>
+        Streaming.qualityScores(m.toDF(), w))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      val want = graft.operators.Corpus.qualityClassifier(fixDocsDF).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+      assert(want.nonEmpty && got === want,
+        s"stream scores must be bit-equal to the batch scorer")
+    },
+
     "dedupExactOrdered" -> { () =>
       val parts = fixDocs.sortBy(d => scrambleKey(d.doc_id))
         .grouped(3).map(_.toSeq).toSeq
