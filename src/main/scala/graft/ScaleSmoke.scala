@@ -595,6 +595,21 @@ object ScaleSmoke {
             "CASE WHEN pmod(doc_id, 100) = 1 THEN concat(text, ' extra') ELSE text END AS text")
         graft.operators.Dedup.simhashNear(d).count()
       }
+      // r14 stage: the graph-ANN family — knnGraph build + medoid-seeded
+      // beam search (ann_graph_search's whole path). Pair volume in the
+      // cell-blocked build is Σ cell² ≈ n·TargetCellSize while
+      // autoCellCount scales cells with n (20k → 20 cells, 200k → 196,
+      // both under its 256 cap — the decade exercises the SELF-SCALING
+      // regime, which is what keeps the build near-linear); the beam's
+      // per-query work is corpus-size-independent by construction, so
+      // build cost dominates and the decade must cost ~a decade.
+      def vecsOf(m: Long) = spark.range(m).selectExpr(
+        "id AS vec_id",
+        """transform(sequence(1, 64),
+             i -> CAST(CAST(pmod(hash(id * 67 + i), 1000) AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+      slope("graph_ann", Seq(20000L, 200000L)) { m =>
+        graft.operators.Similarity.graphSearch(vecsOf(m)).count()
+      }
     }
     spark.stop()
   }
