@@ -4920,7 +4920,13 @@ ORDER BY vec_id, rnk"""
     * medoid seeding, see the e0 CTE), beam 4, 3 unrolled hops over the
     * top-5 cell-blocked edge set, ordered-fold query cosines,
     * (cosine DESC, node) ties, top-10 of everything evaluated. */
-  val annGraphSearch: String = {
+  val annGraphSearch: String = graphSearchSql(4)
+
+  /** The graph beam search at a given BEAM width — annGraphSearch keeps
+    * its exact former text at beam=4; annBeamSweep instantiates 2/4/8
+    * (the quantizer+graph chain is deterministic, so re-instantiating it
+    * per branch is value-identical to the Spark side's build-once). */
+  private def graphSearchSql(beam: Int): String = {
     // every hop CTE is MATERIALIZED: e_t is referenced twice (directly
     // and through f_t), so plain CTEs would inline the whole chain
     // exponentially — 2^hops copies of the quantizer+graph subtree blew
@@ -4937,7 +4943,7 @@ ORDER BY vec_id, rnk"""
            row_number() OVER (PARTITION BY e.query_id
                               ORDER BY q.cosine DESC, e.node) AS rnk
     FROM e$t e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
-  WHERE rnk <= 4
+  WHERE rnk <= $beam
 )"""
     knnPairsBase + """
 , gedges AS MATERIALIZED (
@@ -4966,8 +4972,7 @@ ORDER BY vec_id, rnk"""
            row_number() OVER (PARTITION BY e.query_id
                               ORDER BY q.cosine DESC, e.node) AS rnk
     FROM e0 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
-  WHERE rnk <= 4
-)""" + hop(1) + hop(2) + hop(3) + """
+  WHERE rnk <= """ + beam + ")" + hop(1) + hop(2) + hop(3) + """
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank" FROM (
   SELECT e.query_id, e.node AS neighbor_id, q.cosine,
          row_number() OVER (PARTITION BY e.query_id
@@ -4989,6 +4994,21 @@ LEFT JOIN ($annGraphSearch) l
   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id
 ORDER BY b.query_id"""
+
+  /** Recall@10 per (beam, query) for beam ∈ {2,4,8} — the graph family's
+    * tuning table, mirroring Similarity.graphBeamSweep (build-once on the
+    * Spark side; the deterministic chain re-instantiates per branch). */
+  def annBeamSweep: String =
+    Seq(2, 4, 8).map { b =>
+      s"""
+SELECT $b AS beam, bt.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) bt
+LEFT JOIN (${graphSearchSql(b)}) l
+  ON bt.query_id = l.query_id AND bt.neighbor_id = l.neighbor_id
+GROUP BY bt.query_id"""
+    }.mkString("\nUNION ALL\n") + "\nORDER BY beam, query_id"
 
   /** FILTERED beam search over the kNN proximity graph (ACORN-1
     * navigation), lockstep with Similarity.filteredGraphSearch: the beam

@@ -624,6 +624,9 @@ object SparkEntry {
     "ann_graph_search" -> ((s, dir) =>
       Similarity.graphSearch(Tables.embeddings(s, dir))),
 
+    "ann_beam_sweep" -> ((s, dir) =>
+      Similarity.graphBeamSweep(Tables.embeddings(s, dir))),
+
     "ann_recall_graph" -> ((s, dir) =>
       Similarity.graphRecall(Tables.embeddings(s, dir))),
 
@@ -1071,6 +1074,7 @@ object SparkEntry {
     "ann_filtered_ivf_topk"     -> Oracles.annFilteredIvfTopK,
     "ann_adaptive_probe"        -> Oracles.annAdaptiveProbe,
     "ann_graph_search"          -> Oracles.annGraphSearch,
+    "ann_beam_sweep"            -> Oracles.annBeamSweep,
     "ann_recall_graph"          -> Oracles.annRecallGraph,
     "ann_filtered_graph"        -> Oracles.annFilteredGraph,
     "ann_recall_filtered_graph" -> Oracles.annRecallFilteredGraph,

@@ -1214,6 +1214,18 @@ object Similarity {
       iters: Int = 2, nQueries: Int = 8, beam: Int = 4, hops: Int = 3,
       k: Int = 10,
       centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
+    val (q, edges, entries, nodes) =
+      graphSearchParts(embeddings, graphK, nCentroids, iters, nQueries, centsPre)
+    beamSearchFrom(q, edges, entries, nodes, beam, hops, k)
+  }
+
+  /** The shared index-at-rest of [[graphSearch]] — (queries, edge list,
+    * entry nodes, scored-node side), built ONCE so [[graphBeamSweep]]
+    * re-runs only the navigation per beam width. */
+  private def graphSearchParts(
+      embeddings: DataFrame, graphK: Int, nCentroids: Int, iters: Int,
+      nQueries: Int, centsPre: Option[Array[(Long, Array[Float], Double)]])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cents = centsPre.getOrElse {
       val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
@@ -1240,6 +1252,15 @@ object Similarity {
       .select("node")
     val nodes = feat.select(col("vec_id").as("node"),
       col("embedding").as("ne"), col("nrm").as("n_nrm"))
+    (q, edges, entries, nodes)
+  }
+
+  /** The navigation loop of [[graphSearch]] against an already-built
+    * graph: `hops` rounds of frontier expansion, scoring only
+    * newly-visited nodes, beam-ranked per query. */
+  private def beamSearchFrom(
+      q: DataFrame, edges: DataFrame, entries: DataFrame, nodes: DataFrame,
+      beam: Int, hops: Int, k: Int): DataFrame = {
     def scored(ids: DataFrame): DataFrame =
       ids.join(broadcast(q), Seq("query_id"))
         .join(nodes, Seq("node"))
@@ -1267,6 +1288,28 @@ object Similarity {
       .select(col("query_id"), col("node").as("neighbor_id"),
         col("cosine"), col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Recall@k per BEAM WIDTH for the graph search — the graph family's
+    * tuning table, completing the symmetry with the IVF family's nprobe
+    * sweeps (C47b/C47c): beam width is graph ANN's recall-vs-work knob
+    * exactly as nProbe is IVF's, and a deployment reads this table to
+    * pick it. The quantizer, kNN graph, entry nodes, and brute-force
+    * truth are all built ONCE; each beam width re-runs only the
+    * navigation (per-query work ≤ K + hops·beam·graphK by construction,
+    * so the sweep's total cost is the build plus three bounded
+    * navigations, not three index builds). */
+  def graphBeamSweep(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
+      beams: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    val (q, edges, entries, nodes) =
+      graphSearchParts(embeddings, 5, 0, 2, nQueries, None)
+    val truth = bruteForceTopK(embeddings, nQueries, k)
+    beams.map { b =>
+      recallAtK(truth, beamSearchFrom(q, edges, entries, nodes, b, 3, k))
+        .withColumn("beam", lit(b))
+    }.reduce(_ unionByName _)
+      .select("beam", "query_id", "n_hits", "recall")
+      .orderBy("beam", "query_id")
   }
 
   /** Recall@k of [[graphSearch]] against brute force — the honest number

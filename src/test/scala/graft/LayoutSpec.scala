@@ -668,6 +668,44 @@ class LayoutSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("semantic ingest: targeted delete heals the embedding gate") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-semdelete").toString
+    def onehot(d: Int, extra: (Int, Float)*) =
+      Array.tabulate(64)(i => extra.toMap.getOrElse(i, if (i == d) 1f else 0f)).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    val base = (1L to 8L).map(id =>
+      (id, s"base text $id", "en", "t", 11L, onehot(id.toInt))).toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, base, state) === 8L)
+    // a near-twin of doc 3 is gated out
+    val twin = Seq((20L, "twin text", "en", "t", 9L, onehot(3, 50 -> 0.1f)))
+      .toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, twin, state) === 0L)
+    // right-to-be-forgotten: delete doc 3 → its vector leaves the index
+    // (the delete rewrites the touched batch under a new tag; the next
+    // refresh drops the orphaned cells and assigns the rewrite), so the
+    // same twin legitimately re-admits
+    Corpus.deleteDocs(spark, state, Seq(3L))
+    val twin2 = Seq((21L, "twin text again", "en", "t", 15L, onehot(3, 50 -> 0.1f)))
+      .toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, twin2, state) === 1L)
+    // index realigned: one embcells dir per documents dir, all on the
+    // live quantizer generation, covering exactly the live corpus
+    val live = Manifest.live(spark, state)
+    val suffix = "__" + live.find(_.startsWith("quantizer/")).get
+      .stripPrefix("quantizer/")
+    val cellDirs = live.filter(_.startsWith("embcells/"))
+    assert(cellDirs.forall(_.endsWith(suffix)))
+    assert(cellDirs.size === live.count(_.startsWith("documents/")))
+    val indexed = spark.read.parquet(cellDirs.map(d => s"$state/$d"): _*)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Corpus.documents(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    assert(!indexed.contains(3L))
+  }
+
   test("semantic ingest race: exact duplicates stay transactional through the " +
     "fingerprint CAS; the semantic verdict is advisory at the race boundary") {
     import graft.operators.Corpus

@@ -570,6 +570,26 @@ class SimilaritySpec extends SparkSpec {
     assert(found.forall(_ % 2 == 0), "predicate violated on the manifold")
   }
 
+  test("beam sweep: beam=4 slice equals the single-point graph recall; " +
+    "a wider beam does not lose aggregate recall") {
+    val embTable = graft.sources.Tables.embeddings(spark, sfDir)
+    val sweep = Similarity.graphBeamSweep(embTable).collect()
+      .map(r => (r.getAs[Int]("beam"), r.getAs[Long]("query_id")) ->
+        r.getAs[Long]("n_hits")).toMap
+    val queries = sweep.keys.map(_._2).toSet
+    assert(sweep.size === 3 * queries.size)
+    // the table's beam=4 column IS graphRecall (same build, same beam)
+    val single = Similarity.graphRecall(embTable).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("n_hits")).toMap
+    queries.foreach(q => assert(sweep((4, q)) === single(q), s"query $q"))
+    // per-query beam monotonicity is NOT guaranteed (a wider beam can
+    // expand different nodes and miss a narrow run's lucky neighbor),
+    // but the AGGREGATE must not lose recall across a 4x budget
+    def total(b: Int) = queries.toSeq.map(q => sweep((b, q))).sum
+    assert(total(8) >= total(2),
+      s"beam 8 aggregate ${total(8)} < beam 2 ${total(2)}")
+  }
+
   test("indexCompare: each dashboard row aggregates its standalone recall query exactly") {
     val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.indexCompare(embTable).collect()
