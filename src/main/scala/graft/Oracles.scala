@@ -2710,6 +2710,31 @@ FROM embeddings b LEFT JOIN bestE e ON e.new_vec = b.vec_id
 WHERE b.vec_id % 10 = 0
 ORDER BY new_vec"""
 
+  /** Probe-miss evaluation for the incremental embedding gate, lockstep
+    * with `Dedup.embeddingIncrementalEval`: the probe verdict (the full
+    * dedupEmbeddingIncremental statement as a subquery — DuckDB scopes
+    * its WITH chain locally) joined to the exact best cosine over the
+    * whole index per batch vector. */
+  val dedupEmbeddingEval: String = s"""
+SELECT p.new_vec, p.max_cosine AS probe_max, e.exact_max,
+       (p.max_cosine IS NOT NULL AND p.max_cosine >= 0.3) AS probe_reject,
+       (e.exact_max >= 0.3) AS exact_reject,
+       ((e.exact_max >= 0.3) AND NOT (p.max_cosine IS NOT NULL AND p.max_cosine >= 0.3)) AS missed
+FROM ($dedupEmbeddingIncremental) p
+JOIN (
+  $featBase
+  SELECT fb.vec_id AS new_vec,
+         MAX(list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(fa.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(fb.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (fa.nrm * fb.nrm)) AS exact_max
+  FROM feat fa JOIN feat fb
+    ON fa.vec_id % 10 <> 0 AND fb.vec_id % 10 = 0
+  GROUP BY fb.vec_id
+) e ON e.new_vec = p.new_vec
+ORDER BY p.new_vec"""
+
   /** Built-in session_window semantics: new session at gap >= 30 min,
     * session end = last event + gap. */
   val eventsSessionWindow: String = """

@@ -541,6 +541,9 @@ object SparkEntry {
     "dedup_embedding_incremental" -> ((s, dir) =>
       Dedup.embeddingIncremental(Tables.embeddings(s, dir))),
 
+    "dedup_embedding_eval" -> ((s, dir) =>
+      Dedup.embeddingIncrementalEval(Tables.embeddings(s, dir))),
+
     "dedup_edit_verified" -> ((s, dir) => Dedup.editVerified(Tables.documents(s, dir))),
 
     "dedup_minhash_eval" -> ((s, dir) => Dedup.minhashEval(Tables.documents(s, dir))),
@@ -1042,6 +1045,7 @@ object SparkEntry {
     "dedup_hybrid_clusters"     -> Oracles.dedupHybridClusters,
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "dedup_embedding_incremental" -> Oracles.dedupEmbeddingIncremental,
+    "dedup_embedding_eval"      -> Oracles.dedupEmbeddingEval,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
     "dedup_minhash_eval"        -> Oracles.dedupMinhashEval,
     "ngram_novelty"             -> Oracles.ngramNovelty,

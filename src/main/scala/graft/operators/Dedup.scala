@@ -1228,6 +1228,52 @@ object Dedup {
       .orderBy("new_vec")
   }
 
+  /** Empirical probe-miss measurement for [[embeddingIncremental]] — the
+    * dedup_minhash_eval move applied to the embedding gate: per batch
+    * vector, the probe verdict (best cosine within the nProbe probed
+    * cells) NEXT TO the exact verdict (best cosine over the WHOLE
+    * index), with `missed` marking dups the probe budget failed to see
+    * (exact says reject, probe said admit). This is the table that says
+    * what nProbe actually costs in gate recall — the measurement an
+    * operator reads before trusting the admission gate at a threshold.
+    *
+    * Scale shape: the probe side is [[embeddingIncremental]]'s bounded
+    * asymmetric probe; the exact side is a |batch|·|index| scan — an
+    * EVALUATION diagnostic exactly like the brute-force truth in every
+    * recall row (run on a sampled batch at 100 TB, never a serving
+    * path), and the batch side is small by definition.
+    *
+    * @return one row per batch vector: (new_vec, probe_max, exact_max,
+    *         probe_reject, exact_reject, missed) */
+  def embeddingIncrementalEval(
+      embeddings: DataFrame, batchMod: Long = 10, nCentroids: Int = 0,
+      iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3): DataFrame = {
+    val probe = embeddingIncremental(
+      embeddings, batchMod, nCentroids, iters, nProbe, threshold)
+      .select(col("new_vec"), col("max_cosine").as("probe_max"))
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val idx = feat.filter(col("vec_id") % batchMod =!= 0)
+      .select(col("embedding").as("ie"), col("nrm").as("i_nrm"))
+    val exact = feat.filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
+        col("nrm").as("b_nrm"))
+      .crossJoin(idx)
+      .withColumn("cosine",
+        VectorFunctions.dotFold(col("ie"), col("be")) /
+          (col("i_nrm") * col("b_nrm")))
+      .groupBy("new_vec").agg(max("cosine").as("exact_max"))
+    probe.join(exact, Seq("new_vec"))
+      .withColumn("probe_reject",
+        col("probe_max").isNotNull && col("probe_max") >= threshold)
+      .withColumn("exact_reject", col("exact_max") >= threshold)
+      .withColumn("missed", col("exact_reject") && !col("probe_reject"))
+      .select("new_vec", "probe_max", "exact_max",
+        "probe_reject", "exact_reject", "missed")
+      .orderBy("new_vec")
+  }
+
   /** Edit-distance-VERIFIED near-dup pairs — the exact-verification stage
     * a production dedup pipeline runs after probabilistic blocking
     * (MinHash estimates Jaccard on shingle SETS; two docs can share every

@@ -179,6 +179,20 @@ class DedupSpec extends SparkSpec {
     assert(out(20L).getAs[Double]("max_cosine") > 0.999)
     assert(out(10L).getAs[Boolean]("admit"),
       s"novel vector must admit, got ${out(10L)}")
+
+    // the eval twin agrees with exact on this fixture (probe budget
+    // covers the planted dups' cells) and flags no misses
+    val ev = Dedup.embeddingIncrementalEval(rows.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getAs[Long]("new_vec") -> r).toMap
+    assert(ev.keySet === Set(0L, 10L, 20L))
+    Seq(0L, 20L).foreach { v =>
+      assert(ev(v).getAs[Boolean]("probe_reject") &&
+        ev(v).getAs[Boolean]("exact_reject") && !ev(v).getAs[Boolean]("missed"))
+      assert(ev(v).getAs[Double]("probe_max") === ev(v).getAs[Double]("exact_max"),
+        s"probe found $v's true nearest — the maxima must agree bit-for-bit")
+    }
+    assert(!ev(10L).getAs[Boolean]("probe_reject") &&
+      !ev(10L).getAs[Boolean]("exact_reject") && !ev(10L).getAs[Boolean]("missed"))
   }
 
   test("semantic dedup invariants on real embeddings: per-cluster keep rule, cells agree") {
