@@ -124,6 +124,9 @@ final case class JourneyLen(conv_id: Long, n_touches: Long, revenue: Double)
   * shape plus the ingest event time that drives the dedup watermark). */
 final case class Doc(doc_id: Long, text: String, lang: String, source: String, ts_us: Long)
 
+/** A streamed embedding row for [[Streaming.semanticNearMarks]]. */
+final case class Vec(vec_id: Long, ts_us: Long, embedding: Seq[Float])
+
 /** Per-text-hash dedup state carried by [[Streaming.dedupExact]] —
   * BOUNDED per group: one long. Group count is distinct-text
   * cardinality, the same growth the batch fingerprint store pays. */
@@ -1025,6 +1028,64 @@ object Streaming {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("doc_id", "lang", "source", "quality_score", "pred_lang",
         "n_tokens", "fingerprint")
+  }
+
+  /** Streaming EMBEDDING near-dup marks (SURVEY §2.D31) — the
+    * filter-before-land form of the incremental embedding gate
+    * ([[graft.operators.Dedup.embeddingIncremental]] /
+    * [[graft.operators.Corpus.ingestSemanticNearDup]]): each arriving
+    * vector probes its `nProbe` nearest cells of the embedding index AT
+    * REST and emits its best match + admit verdict once the watermark
+    * passes its event time.
+    *
+    * The index is a STATIC frame (the committed `embcells` dirs of the
+    * corpus state — re-read per run, exactly how Structured Streaming
+    * ships dimension data), so the candidate join is a STREAM-STATIC
+    * equi-join on `cell`: no stream state, no broadcast of the corpus;
+    * at 100 TB each micro-batch joins against only the probed cells'
+    * partitions. The per-vector verdict is one watermarked
+    * (vec_id, event_ts) aggregate — bounded state, append output.
+    *
+    * Determinism: same quantizer literals ([[graft.operators.Similarity
+    * .cellRank]]), same ordered-fold cosine, and the argmax is a
+    * struct-MIN over (−cosine, dup_of) — value-identical to the batch
+    * probe's (cosine DESC, dup_of ASC) rank (TwinSweep pins marks equal
+    * to `dedup_embedding_incremental` on the shared split). */
+  def semanticNearMarks(
+      vecs: DataFrame,
+      cents: Array[(Long, Array[Float], Double)],
+      index: DataFrame,
+      nProbe: Int = 2, threshold: Double = 0.3,
+      delay: String = "1 hour"): DataFrame = {
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    import graft.functions.VectorFunctions
+    val feat = vecs.select(
+      col("vec_id"), timestamp_micros(col("ts_us")).as("event_ts"),
+      col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val probes = feat.select(
+      col("vec_id").as("new_vec"), col("event_ts"),
+      col("embedding").as("be"), col("nrm").as("b_nrm"),
+      explode(transform(
+        slice(graft.operators.Similarity.cellRank(
+          cents, col("embedding"), col("nrm")), 1, nProbe),
+        s => s.getField("cid"))).as("cell"))
+    val idx = index.select(col("cell"), col("doc_id").as("dup_of"),
+      col("embedding").as("ie"), col("nrm").as("i_nrm"))
+    val scored = probes.join(idx, Seq("cell"), "left_outer")
+      .withColumn("cosine",
+        when(col("ie").isNotNull,
+          VectorFunctions.dotFold(col("ie"), col("be")) /
+            (col("i_nrm") * col("b_nrm"))))
+    scored
+      .withWatermark("event_ts", delay)
+      .groupBy(col("new_vec"), col("event_ts"))
+      .agg(min(when(col("cosine").isNotNull,
+        struct((-col("cosine")).as("nc"), col("dup_of").as("d")))).as("best"))
+      .select(col("new_vec"),
+        col("best.d").as("dup_of"),
+        (-col("best.nc")).as("max_cosine"),
+        (col("best").isNull || (-col("best.nc")) < threshold).as("admit"))
   }
 
   /** Streaming TRAINED-classifier scoring (SURVEY §2.D30) — the

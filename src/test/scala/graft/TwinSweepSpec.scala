@@ -522,6 +522,42 @@ class TwinSweepSpec extends SparkSpec {
       } finally model.unpersist()
     },
 
+    "semanticNearMarks" -> { () =>
+      import graft.operators.{Dedup, Similarity}
+      import org.apache.spark.sql.functions.{col, element_at}
+      // the C113 fixture: index = one-hot e_id at vec_id % 10 != 0;
+      // batch = {0: near-dup of 7, 10: novel, 20: exact twin of 5}
+      def onehot(d: Int, extra: (Int, Float)*) = Array.tabulate(64)(i =>
+        extra.toMap.getOrElse(i, if (i == d) 1f else 0f)).toSeq
+      val idxRows = ((1L to 9L) ++ (11L to 19L)).map(id => (id, onehot(id.toInt)))
+      val batchRows = Seq(
+        (0L, onehot(7, 50 -> 0.1f)), (10L, onehot(40)), (20L, onehot(5)))
+      val all = (idxRows ++ batchRows).toDF("vec_id", "embedding")
+      val want = Dedup.embeddingIncremental(all).collect()
+        .map(r => r.getAs[Long]("new_vec") ->
+          (Option(r.get(r.fieldIndex("dup_of"))), r.getAs[Boolean]("admit"))).toMap
+      // the index at rest: same quantizer training side the batch probe uses
+      val idxDF = all.filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.trainCentroids(
+        idxDF, Similarity.autoCellCount(idxDF.count()), 2)
+      val feat = idxDF.select(col("vec_id").as("doc_id"), col("embedding"),
+        graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+      val index = feat.withColumn("cell",
+        element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
+          .getField("cid"))
+      // worst-case reversed arrival + a late sentinel to pass the watermark
+      val stream = batchRows.reverse.zipWithIndex.map { case ((id, e), i) =>
+        Seq(Vec(id, H + i * H / 100, e))
+      } :+ Seq(Vec(900000L, 100 * H, onehot(63)))
+      val got = runStream(stream, "append", "tw_semnear")(m =>
+        Streaming.semanticNearMarks(m.toDF(), cents, index))
+        .collect().filter(_.getAs[Long]("new_vec") < 900000L)
+        .map(r => r.getAs[Long]("new_vec") ->
+          (Option(r.get(r.fieldIndex("dup_of"))), r.getAs[Boolean]("admit"))).toMap
+      assert(want.nonEmpty && got === want,
+        s"stream marks must equal the batch probe: got $got want $want")
+    },
+
     "qualityScores" -> { () =>
       // weights train batch-side on the same corpus; the stream is pure
       // scoring, so worst-case (reversed) arrival must not move a bit
