@@ -2672,8 +2672,14 @@ ORDER BY c.vec_id"""
     * is the best match per batch vector (ties: lowest index id) with
     * `admit` = no candidate or best cosine < 0.3. cdotF spans BOTH
     * sides (assignment reads the index slice, probes the batch slice). */
-  val dedupEmbeddingIncremental: String =
-    trainedQuantBase(2, autoKExpr, "vec_id % 10 <> 0") + """
+  val dedupEmbeddingIncremental: String = embIncSql(2)
+
+  /** The incremental probe at a given nProbe — dedupEmbeddingIncremental
+    * keeps its exact former text at 2; dedupGateProbeSweep instantiates
+    * 1/2/4 (the chain is deterministic, so re-instantiating per branch
+    * is value-identical to the Spark side's train-once). */
+  private def embIncSql(nProbe: Int): String =
+    trainedQuantBase(2, autoKExpr, "vec_id % 10 <> 0") + s"""
 , asgI AS (
   SELECT vec_id, cell FROM (
     SELECT vec_id, cid AS cell,
@@ -2685,7 +2691,7 @@ ORDER BY c.vec_id"""
     SELECT vec_id, cid AS cell,
            row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
     FROM cdotF WHERE vec_id % 10 = 0) t
-  WHERE rn <= 2
+  WHERE rn <= $nProbe
 ), epairs AS (
   SELECT p.new_vec, a.vec_id AS dup_of,
          list_reduce(
@@ -2715,13 +2721,9 @@ ORDER BY new_vec"""
     * dedupEmbeddingIncremental statement as a subquery — DuckDB scopes
     * its WITH chain locally) joined to the exact best cosine over the
     * whole index per batch vector. */
-  val dedupEmbeddingEval: String = s"""
-SELECT p.new_vec, p.max_cosine AS probe_max, e.exact_max,
-       (p.max_cosine IS NOT NULL AND p.max_cosine >= 0.3) AS probe_reject,
-       (e.exact_max >= 0.3) AS exact_reject,
-       ((e.exact_max >= 0.3) AND NOT (p.max_cosine IS NOT NULL AND p.max_cosine >= 0.3)) AS missed
-FROM ($dedupEmbeddingIncremental) p
-JOIN (
+  /** Exact whole-index best cosine per batch vector — the evaluation
+    * truth side shared by dedupEmbeddingEval and dedupGateProbeSweep. */
+  private def embExactSql: String = s"""
   $featBase
   SELECT fb.vec_id AS new_vec,
          MAX(list_reduce(
@@ -2731,9 +2733,37 @@ JOIN (
            (acc, v) -> acc + v) / (fa.nrm * fb.nrm)) AS exact_max
   FROM feat fa JOIN feat fb
     ON fa.vec_id % 10 <> 0 AND fb.vec_id % 10 = 0
-  GROUP BY fb.vec_id
-) e ON e.new_vec = p.new_vec
+  GROUP BY fb.vec_id"""
+
+  val dedupEmbeddingEval: String = s"""
+SELECT p.new_vec, p.max_cosine AS probe_max, e.exact_max,
+       (p.max_cosine IS NOT NULL AND p.max_cosine >= 0.3) AS probe_reject,
+       (e.exact_max >= 0.3) AS exact_reject,
+       ((e.exact_max >= 0.3) AND NOT (p.max_cosine IS NOT NULL AND p.max_cosine >= 0.3)) AS missed
+FROM ($dedupEmbeddingIncremental) p
+JOIN ($embExactSql) e ON e.new_vec = p.new_vec
 ORDER BY p.new_vec"""
+
+  /** Gate recall per probe budget, lockstep with
+    * `Dedup.embeddingGateProbeSweep`: each branch re-instantiates the
+    * deterministic probe chain at its nProbe and aggregates against the
+    * shared exact truth. */
+  def dedupGateProbeSweep: String = {
+    val branches = Seq(1, 2, 4).map { np =>
+      s"""
+SELECT $np AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN e.exact_max >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dups,
+       CAST(SUM(CASE WHEN e.exact_max >= 0.3 AND NOT p.admit THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+FROM (${embIncSql(np)}) p
+JOIN ($embExactSql) e ON e.new_vec = p.new_vec"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+SELECT nprobe, n_batch, n_exact_dups, n_caught,
+       CAST(n_caught AS DOUBLE) / CAST(n_exact_dups AS DOUBLE) AS gate_recall
+FROM ($branches)
+ORDER BY nprobe"""
+  }
 
   /** Built-in session_window semantics: new session at gap >= 30 min,
     * session end = last event + gap. */

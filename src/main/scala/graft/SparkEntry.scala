@@ -544,6 +544,9 @@ object SparkEntry {
     "dedup_embedding_eval" -> ((s, dir) =>
       Dedup.embeddingIncrementalEval(Tables.embeddings(s, dir))),
 
+    "dedup_gate_probe_sweep" -> ((s, dir) =>
+      Dedup.embeddingGateProbeSweep(Tables.embeddings(s, dir))),
+
     "dedup_edit_verified" -> ((s, dir) => Dedup.editVerified(Tables.documents(s, dir))),
 
     "dedup_minhash_eval" -> ((s, dir) => Dedup.minhashEval(Tables.documents(s, dir))),
@@ -1046,6 +1049,7 @@ object SparkEntry {
     "dedup_semantic"            -> Oracles.dedupSemantic,
     "dedup_embedding_incremental" -> Oracles.dedupEmbeddingIncremental,
     "dedup_embedding_eval"      -> Oracles.dedupEmbeddingEval,
+    "dedup_gate_probe_sweep"    -> Oracles.dedupGateProbeSweep,
     "dedup_edit_verified"       -> Oracles.dedupEditVerified,
     "dedup_minhash_eval"        -> Oracles.dedupMinhashEval,
     "ngram_novelty"             -> Oracles.ngramNovelty,

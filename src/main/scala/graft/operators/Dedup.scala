@@ -1190,13 +1190,16 @@ object Dedup {
     *         NULL when no probed cell held any index vector. */
   def embeddingIncremental(
       embeddings: DataFrame, batchMod: Long = 10, nCentroids: Int = 0,
-      iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3): DataFrame = {
+      iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val idx = embeddings.filter(col("vec_id") % batchMod =!= 0)
-    val k =
-      if (nCentroids > 0) nCentroids
-      else Similarity.autoCellCount(idx.count())
-    val cents = Similarity.trainCentroids(idx, k, iters)
+    val cents = centsPre.getOrElse {
+      val k =
+        if (nCentroids > 0) nCentroids
+        else Similarity.autoCellCount(idx.count())
+      Similarity.trainCentroids(idx, k, iters)
+    }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -1272,6 +1275,57 @@ object Dedup {
       .select("new_vec", "probe_max", "exact_max",
         "probe_reject", "exact_reject", "missed")
       .orderBy("new_vec")
+  }
+
+  /** Gate recall per PROBE budget — the tuning table the C115 miss
+    * measurement calls for: for nProbe ∈ `probes`, how many of the exact
+    * whole-index rejects the probed gate actually catches
+    * (gate_recall = caught / exact_dups). The quantizer trains ONCE and
+    * the exact side computes once; each budget re-runs only the bounded
+    * asymmetric probe — so the sweep costs one training + one
+    * evaluation scan + three probes, mirroring the IVF family's nprobe
+    * sweeps (C47b/C47c) on the admission-gate axis.
+    *
+    * @return one row per probe budget:
+    *         (nprobe, n_batch, n_exact_dups, n_caught, gate_recall) */
+  def embeddingGateProbeSweep(
+      embeddings: DataFrame, batchMod: Long = 10, nCentroids: Int = 0,
+      iters: Int = 2, probes: Seq[Int] = Seq(1, 2, 4),
+      threshold: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
+    val idx = embeddings.filter(col("vec_id") % batchMod =!= 0)
+    val k =
+      if (nCentroids > 0) nCentroids
+      else Similarity.autoCellCount(idx.count())
+    val cents = Similarity.trainCentroids(idx, k, iters)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val exact = feat.filter(col("vec_id") % batchMod === 0)
+      .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
+        col("nrm").as("b_nrm"))
+      .crossJoin(feat.filter(col("vec_id") % batchMod =!= 0)
+        .select(col("embedding").as("ie"), col("nrm").as("i_nrm")))
+      .withColumn("cosine",
+        VectorFunctions.dotFold(col("ie"), col("be")) /
+          (col("i_nrm") * col("b_nrm")))
+      .groupBy("new_vec").agg(max("cosine").as("exact_max"))
+    probes.map { np =>
+      embeddingIncremental(embeddings, batchMod, nCentroids, iters, np,
+        threshold, Some(cents))
+        .join(exact, Seq("new_vec"))
+        .agg(
+          lit(np).as("nprobe"),
+          count(lit(1)).as("n_batch"),
+          sum(when(col("exact_max") >= threshold, 1L).otherwise(0L))
+            .as("n_exact_dups"),
+          sum(when(col("exact_max") >= threshold && !col("admit"), 1L)
+            .otherwise(0L)).as("n_caught"))
+    }.reduce(_ unionByName _)
+      .withColumn("gate_recall",
+        col("n_caught").cast("double") / col("n_exact_dups").cast("double"))
+      .select("nprobe", "n_batch", "n_exact_dups", "n_caught", "gate_recall")
+      .orderBy("nprobe")
   }
 
   /** Edit-distance-VERIFIED near-dup pairs — the exact-verification stage

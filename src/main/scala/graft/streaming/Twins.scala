@@ -127,7 +127,7 @@ object Twins {
       "sketch_bloom_prune", "sketch_bloom_merged") ++
     group("global pairwise/cluster dedup over the full corpus; the online forms are the registered admission gates (dedupExactOrdered, simhashNearMarksOrdered, noveltyMarksOrdered, Corpus.ingestNearDup)")(
       "dedup_minhash_lsh", "dedup_minhash_eval", "dedup_minhash_incremental",
-      "dedup_embedding_eval",
+      "dedup_embedding_eval", "dedup_gate_probe_sweep",
       "dedup_clusters", "dedup_hybrid_clusters", "dedup_semantic",
       "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding",
       "dedup_containment", "dedup_edit_verified", "dedup_keep_best",

@@ -195,6 +195,26 @@ class DedupSpec extends SparkSpec {
       !ev(10L).getAs[Boolean]("exact_reject") && !ev(10L).getAs[Boolean]("missed"))
   }
 
+  test("embeddingGateProbeSweep: gate recall is monotone in the probe budget " +
+    "and the nprobe=2 row aggregates the eval table") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val sweep = Dedup.embeddingGateProbeSweep(emb).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r).toMap
+    assert(sweep.keySet === Set(1, 2, 4))
+    // a wider probe can only ADD candidates per batch vector, so caught
+    // counts are monotone (unlike beam search, no path dependence)
+    def caught(np: Int) = sweep(np).getAs[Long]("n_caught")
+    assert(caught(1) <= caught(2) && caught(2) <= caught(4),
+      s"gate recall must not drop as nprobe grows: ${sweep.values.toSeq}")
+    val ev = Dedup.embeddingIncrementalEval(emb).collect()
+    assert(sweep(2).getAs[Long]("n_batch") === ev.length.toLong)
+    assert(sweep(2).getAs[Long]("n_exact_dups") ===
+      ev.count(_.getAs[Boolean]("exact_reject")).toLong)
+    assert(sweep(2).getAs[Long]("n_caught") ===
+      ev.count(r => r.getAs[Boolean]("exact_reject") &&
+        r.getAs[Boolean]("probe_reject")).toLong)
+  }
+
   test("semantic dedup invariants on real embeddings: per-cluster keep rule, cells agree") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val out = Dedup.semanticDedup(emb).collect()
