@@ -2023,7 +2023,8 @@ ORDER BY i.query_id"""
     * exact mean per (subspace, code, dim) rounded to REAL, empty cells
     * keeping their previous entry — lockstep with
     * `Similarity.trainPqCodebooks`. */
-  private def pqIteration(t: Int): String = s"""
+  private def pqIteration(t: Int, src: String = "embeddings",
+      srcCol: String = "embedding"): String = s"""
 , psq$t AS (
   SELECT j, code,
          CAST(SUM(CAST(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
@@ -2041,9 +2042,9 @@ ORDER BY i.query_id"""
     FROM pdot$t) x WHERE rn = 1
 ), pmean${t + 1} AS (
   SELECT a.j, a.code, ix.i,
-         CAST(CAST(SUM(CAST(CAST(e.embedding[a.j*8 + ix.i] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
+         CAST(CAST(SUM(CAST(CAST(e.$srcCol[a.j*8 + ix.i] AS VARCHAR) AS DECIMAL(38,12))) AS DOUBLE)
               / CAST(COUNT(*) AS DOUBLE) AS REAL) AS v
-  FROM pasg$t a JOIN embeddings e ON e.vec_id = a.vec_id
+  FROM pasg$t a JOIN $src e ON e.vec_id = a.vec_id
   CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
   GROUP BY a.j, a.code, ix.i
 ), pcb${t + 1} AS MATERIALIZED (
@@ -2076,7 +2077,7 @@ ORDER BY i.query_id"""
   WHERE CAST(concat('0x', substring(md5(CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
         < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
 )""" +
-    (0 until iters).map(pqIteration).mkString +
+    (0 until iters).map(t => pqIteration(t)).mkString +
     s"""
 , cbs AS MATERIALIZED (
   SELECT j, code, list(v ORDER BY i) AS sub
@@ -2181,6 +2182,126 @@ SELECT query_id, neighbor_id, adc_cosine, CAST(rnk AS INTEGER) AS "rank"
 FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
+
+  /** RESIDUAL PQ encode chain — lockstep with
+    * `Similarity.trainPqCodebooksResidual` + the residual encoding of
+    * `ivfPqResidualTopK`: every vector's cell from the trained-quantizer
+    * argmax (asgR off cdotF), residual r[i] = float32(emb[i] − cent[i])
+    * (exact in double, one rounding — the labelCentroids bridge), then
+    * the SAME pq init/training/encoding over residual slices
+    * ([[pqIteration]] with the mean source switched to resv), and the
+    * reconstruction centroid + r̂ (float add, same bridge). */
+  private def pqResEncodeChain(iters: Int): String = """
+, asgR AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), resv AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         list(CAST(CAST(e.embedding[c.i] AS DOUBLE) - CAST(c.v AS DOUBLE) AS REAL) ORDER BY c.i) AS res,
+         list(c.v ORDER BY c.i) AS cvec
+  FROM asgR a JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN cent""" + iters + """ c ON c.cid = a.cell
+  GROUP BY a.vec_id, a.cell
+), js AS (SELECT unnest(range(0, 8)) AS j)
+, pcb0 AS MATERIALIZED (
+  SELECT j, r.vec_id AS code, ix.i, r.res[j*8 + ix.i] AS v
+  FROM resv r CROSS JOIN js CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  WHERE r.vec_id < 16
+), ptrain AS MATERIALIZED (
+  -- deterministic md5-bucket training sample over the RESIDUALS
+  SELECT r.vec_id, r.res AS embedding FROM resv r, nvec
+  WHERE CAST(concat('0x', substring(md5(CAST(r.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+        < LEAST(10000, CAST(ceil(10000.0 * 4096 / n) AS BIGINT))
+)""" +
+    (0 until iters).map(t => pqIteration(t, "resv", "res")).mkString +
+    s"""
+, cbs AS MATERIALIZED (
+  SELECT j, code, list(v ORDER BY i) AS sub
+  FROM pcb$iters GROUP BY j, code
+), cbq AS MATERIALIZED (
+  SELECT j, code, sub,
+         CAST(SUM(CAST(CAST(sub[i] AS DOUBLE) * CAST(sub[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sumsq
+  FROM cbs CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  GROUP BY j, code, sub
+), dist AS (
+  SELECT r.vec_id, c.j, c.code,
+         -2 * CAST(SUM(CAST(CAST(r.res[c.j*8 + i] AS DOUBLE) * CAST(c.sub[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)
+           + c.sumsq AS d
+  FROM resv r CROSS JOIN cbq c
+  CROSS JOIN (SELECT unnest(range(1, 9)) AS i) ix
+  GROUP BY r.vec_id, c.j, c.code, c.sumsq
+), enc AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rn
+    FROM dist) t
+  WHERE rn = 1
+), rhat AS MATERIALIZED (
+  SELECT en.vec_id, flatten(list(c.sub ORDER BY en.j)) AS rh
+  FROM enc en JOIN cbs c ON c.j = en.j AND c.code = en.code
+  GROUP BY en.vec_id
+), recn AS MATERIALIZED (
+  SELECT t.neighbor_id, t.recon,
+         sqrt(CAST(SUM(CAST(CAST(t.recon[i] AS DOUBLE) * CAST(t.recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE)) AS recon_nrm
+  FROM (
+    SELECT r.vec_id AS neighbor_id,
+           list_transform(r.cvec,
+             (x, i) -> CAST(CAST(x AS DOUBLE) + CAST(h.rh[i] AS DOUBLE) AS REAL)) AS recon
+    FROM resv r JOIN rhat h ON h.vec_id = r.vec_id) t
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+  GROUP BY t.neighbor_id, t.recon
+)"""
+
+  /** Residual-encoded IVF+PQ, lockstep with
+    * `Similarity.ivfPqResidualTopK`: the residual encode chain supplies
+    * centroid + r̂ reconstructions; probing and ADC are the plain-IVFPQ
+    * shapes. */
+  val annIvfPqResidualTopK: String = {
+    trainedQuantBase(2) + pqResEncodeChain(2) + s"""
+, probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
+    FROM cdotF WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN asgR a ON p.cell = a.cell
+  WHERE a.vec_id <> p.query_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), dots AS (
+  SELECT cd.query_id, cd.neighbor_id, q.q_nrm, r.recon_nrm,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(r.recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN recn r ON r.neighbor_id = cd.neighbor_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.neighbor_id, q.q_nrm, r.recon_nrm
+), scored AS (
+  SELECT query_id, neighbor_id, dot / (q_nrm * recon_nrm) AS adc_cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot / (q_nrm * recon_nrm) DESC, neighbor_id) AS rnk
+  FROM dots
+)
+SELECT query_id, neighbor_id, adc_cosine, CAST(rnk AS INTEGER) AS "rank"
+FROM scored WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
+  /** Recall of the residual-encoded IVF+PQ vs brute force — mirrors
+    * Similarity.ivfPqResidualRecall. */
+  val annRecallIvfpqResidual: String = s"""
+SELECT b.query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM ($annBruteforceTopK) b
+LEFT JOIN ($annIvfPqResidualTopK) l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id"""
 
   val annSqTopK: String = featBase + """
 , dmm AS MATERIALIZED (

@@ -633,6 +633,12 @@ object SparkEntry {
     "ann_beam_sweep" -> ((s, dir) =>
       Similarity.graphBeamSweep(Tables.embeddings(s, dir))),
 
+    "ann_ivfpq_residual_topk" -> ((s, dir) =>
+      Similarity.ivfPqResidualTopK(Tables.embeddings(s, dir))),
+
+    "ann_recall_ivfpq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualRecall(Tables.embeddings(s, dir))),
+
     "ann_recall_graph" -> ((s, dir) =>
       Similarity.graphRecall(Tables.embeddings(s, dir))),
 
@@ -1083,6 +1089,8 @@ object SparkEntry {
     "ann_adaptive_probe"        -> Oracles.annAdaptiveProbe,
     "ann_graph_search"          -> Oracles.annGraphSearch,
     "ann_beam_sweep"            -> Oracles.annBeamSweep,
+    "ann_ivfpq_residual_topk"   -> Oracles.annIvfPqResidualTopK,
+    "ann_recall_ivfpq_residual" -> Oracles.annRecallIvfpqResidual,
     "ann_recall_graph"          -> Oracles.annRecallGraph,
     "ann_filtered_graph"        -> Oracles.annFilteredGraph,
     "ann_recall_filtered_graph" -> Oracles.annRecallFilteredGraph,

@@ -1259,10 +1259,13 @@ object Dedup {
       VectorFunctions.normExact(col("embedding")).as("nrm"))
     val idx = feat.filter(col("vec_id") % batchMod =!= 0)
       .select(col("embedding").as("ie"), col("nrm").as("i_nrm"))
-    val exact = feat.filter(col("vec_id") % batchMod === 0)
-      .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
-        col("nrm").as("b_nrm"))
-      .crossJoin(idx)
+    // the exact truth scans index×batch with the BATCH side broadcast —
+    // the bruteForceTopK shape (at 100 TB the eval runs on a sampled
+    // batch; the index side streams, one partial max per batch vector)
+    val exact = idx
+      .crossJoin(broadcast(feat.filter(col("vec_id") % batchMod === 0)
+        .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
+          col("nrm").as("b_nrm"))))
       .withColumn("cosine",
         VectorFunctions.dotFold(col("ie"), col("be")) /
           (col("i_nrm") * col("b_nrm")))
@@ -1301,11 +1304,12 @@ object Dedup {
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
-    val exact = feat.filter(col("vec_id") % batchMod === 0)
-      .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
-        col("nrm").as("b_nrm"))
-      .crossJoin(feat.filter(col("vec_id") % batchMod =!= 0)
-        .select(col("embedding").as("ie"), col("nrm").as("i_nrm")))
+    // batch side broadcast, index side streams (the C115 exact shape)
+    val exact = feat.filter(col("vec_id") % batchMod =!= 0)
+      .select(col("embedding").as("ie"), col("nrm").as("i_nrm"))
+      .crossJoin(broadcast(feat.filter(col("vec_id") % batchMod === 0)
+        .select(col("vec_id").as("new_vec"), col("embedding").as("be"),
+          col("nrm").as("b_nrm"))))
       .withColumn("cosine",
         VectorFunctions.dotFold(col("ie"), col("be")) /
           (col("i_nrm") * col("b_nrm")))

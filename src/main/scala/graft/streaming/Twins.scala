@@ -148,6 +148,7 @@ object Twins {
       "ann_filtered_topk", "ann_filtered_ivf_topk", "ann_recall_filtered",
       "ann_index_compare", "ann_adaptive_probe",
       "ann_graph_search", "ann_recall_graph", "ann_beam_sweep",
+      "ann_ivfpq_residual_topk", "ann_recall_ivfpq_residual",
       "ann_filtered_graph", "ann_recall_filtered_graph",
       "search_rrf_fusion", "search_mmr_rerank", "search_ndcg_rrf",
       "knn_classify", "label_centroids", "topic_assign", "contrastive_pairs",

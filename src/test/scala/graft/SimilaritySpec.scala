@@ -570,6 +570,35 @@ class SimilaritySpec extends SparkSpec {
     assert(found.forall(_ % 2 == 0), "predicate violated on the manifold")
   }
 
+  test("residual IVF+PQ: reconstruction is centroid + codebook entry, and a " +
+    "vector sitting exactly on its centroid round-trips through a zero residual") {
+    import spark.implicits._
+    // 16 well-separated one-hot "centroid seeds" (ids 0..15 → the
+    // first-16 Lloyd init), then duplicates of seed 3 — after training,
+    // dup vectors sit ON their cell centroid, so their residual is ~0
+    // and the reconstruction must match the raw vector closely
+    val seeds = (0L until 16L).map(id =>
+      (id, Array.tabulate(64)(i => if (i == id.toInt * 4) 1f else 0f)))
+    val dups = (16L until 24L).map(id =>
+      (id, Array.tabulate(64)(i => if (i == 12) 1f else 0f))) // = seed 3
+    val emb = (seeds ++ dups).toDF("vec_id", "embedding")
+    val out = Similarity.ivfPqResidualTopK(emb, nQueries = 4, k = 5).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length),
+        s"query $q ranks must be contiguous from 1")
+    }
+    // query 3 (a centroid seed with 8 exact copies in its cell): every
+    // copy reconstructs through a ~zero residual → ADC cosine ≈ 1 and
+    // the copies fill the top ranks
+    val q3 = out.filter(_.getAs[Long]("query_id") === 3L)
+      .sortBy(_.getAs[Int]("rank"))
+    assert(q3.take(5).forall(_.getAs[Double]("adc_cosine") > 0.99),
+      s"exact-copy neighbors must reconstruct near-exactly: ${q3.toSeq}")
+    assert(q3.take(5).forall(r => dups.map(_._1).contains(
+      r.getAs[Long]("neighbor_id"))))
+  }
+
   test("beam sweep: beam=4 slice equals the single-point graph recall; " +
     "a wider beam does not lose aggregate recall") {
     val embTable = graft.sources.Tables.embeddings(spark, sfDir)
