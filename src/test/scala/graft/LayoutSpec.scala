@@ -706,6 +706,38 @@ class LayoutSpec extends SparkSpec {
     assert(!indexed.contains(3L))
   }
 
+  test("semantic ingest: the embedding index survives corpus compaction") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-semcompact").toString
+    def vec(dim: Int) = Array.tabulate(64)(i => if (i == dim) 1f else 0f).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    (0 until 3).foreach { b =>
+      val batch = (1L to 4L).map(i => b * 10L + i)
+        .map(id => (id, s"text $id", "en", "t", 7L, vec(id.toInt)))
+        .toDF(cols: _*)
+      assert(Corpus.ingestSemanticNearDup(spark, batch, state) === 4L)
+    }
+    assert(Manifest.live(spark, state).count(_.startsWith("embcells/")) === 3)
+    // compaction folds the three batches into one clustered dir; the
+    // per-batch cell dirs orphan and the next refresh re-derives the
+    // index from the folded corpus under the SAME quantizer
+    Corpus.compactCorpus(spark, state)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) >= 1L)
+    val live = Manifest.live(spark, state)
+    val cellDirs = live.filter(_.startsWith("embcells/"))
+    assert(cellDirs.size === live.count(_.startsWith("documents/")))
+    val indexed = spark.read.parquet(cellDirs.map(d => s"$state/$d"): _*)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(indexed === Corpus.documents(spark, state).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq)
+    // and the healed index still gates: a twin of a compacted doc rejects
+    val twin = Seq((99L, "twin", "en", "t", 4L, vec(21)))
+      .toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, twin, state) === 0L)
+  }
+
   test("semantic ingest race: exact duplicates stay transactional through the " +
     "fingerprint CAS; the semantic verdict is advisory at the race boundary") {
     import graft.operators.Corpus
