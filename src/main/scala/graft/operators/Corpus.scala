@@ -656,6 +656,52 @@ object Corpus {
     }
   }
 
+  /** Top-k SEMANTIC SEARCH against the committed corpus's embedding
+    * index AT REST — the query path that makes the [[refreshEmbeddingIndex]]
+    * state a serving surface, not just an admission gate: each query
+    * vector probes its `nProbe` nearest cells of the persisted index
+    * (quantizer + embcells dirs) and ranks candidates by exact cosine.
+    * The IVF serving shape on manifest state: a query touches
+    * nProbe/K of the corpus, the quantizer is bounded metadata, nothing
+    * retrains or re-assigns at query time.
+    *
+    * @param queries (query_id, embedding) — typically a small batch;
+    *                broadcast against the probed cells
+    * @return (query_id, doc_id, cosine, rank), top `k` per query */
+  def semanticTopK(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, stateDir: String,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    import graft.sources.Manifest
+    graft.functions.GraftFunctions.register(spark)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
+      throw new java.io.IOException(
+        s"no embedding index at $stateDir — run refreshEmbeddingIndex first"))
+    val suffix = "__" + qTag.stripPrefix("quantizer/")
+    val cellDirs = snap.live.filter(c =>
+      c.startsWith("embcells/") && c.endsWith(suffix))
+    val cents = readQuantizer(spark, stateDir, qTag)
+    val index = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
+    val featQ = queries.select(
+      col("query_id"), col("embedding"),
+      graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val probes = featQ.select(
+      col("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
+      explode(transform(
+        slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+        s => s.getField("cid"))).as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    broadcast(probes).join(index, "cell")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotFold(col("embedding"), col("qe")) /
+          (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Incremental ingest with a SEMANTIC (embedding) near-dup admission
     * gate in front of [[ingestIncremental]]'s exact-fingerprint
     * transaction — the embedding twin of [[ingestNearDup]], and the

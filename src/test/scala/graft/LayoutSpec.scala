@@ -706,6 +706,38 @@ class LayoutSpec extends SparkSpec {
     assert(!indexed.contains(3L))
   }
 
+  test("semanticTopK: the at-rest index serves queries — planted neighbor " +
+    "first, results bounded to probed cells, missing index fails loudly") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-semtopk").toString
+    def onehot(d: Int, extra: (Int, Float)*) =
+      Array.tabulate(64)(i => extra.toMap.getOrElse(i, if (i == d) 1f else 0f)).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    // no index yet → loud failure, not silent empty
+    intercept[java.io.IOException] {
+      Corpus.semanticTopK(spark,
+        Seq((0L, onehot(1))).toDF("query_id", "embedding"), state)
+    }
+    val corpus = (1L to 12L).map(id =>
+      (id, s"text $id", "en", "t", 7L, onehot(id.toInt))).toDF(cols: _*)
+    assert(Corpus.ingestSemanticNearDup(spark, corpus, state) === 12L)
+    val queries = Seq(
+      (100L, onehot(7, 50 -> 0.1f)), // near doc 7
+      (101L, onehot(3))              // exactly doc 3
+    ).toDF("query_id", "embedding")
+    val out = Corpus.semanticTopK(spark, queries, state, k = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ(100L).minBy(_.getAs[Int]("rank")).getAs[Long]("doc_id") === 7L)
+    assert(byQ(101L).minBy(_.getAs[Int]("rank")).getAs[Long]("doc_id") === 3L)
+    assert(byQ(101L).maxBy(_.getAs[Int]("rank")).getAs[Double]("cosine") <=
+      byQ(101L).minBy(_.getAs[Int]("rank")).getAs[Double]("cosine"))
+    out.groupBy(r => r.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length),
+        s"query $q ranks contiguous")
+    }
+  }
+
   test("semantic ingest: the embedding index survives corpus compaction") {
     import graft.operators.Corpus
     import graft.sources.Manifest
