@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally pipes through sbt's logger, which prefixes
+// every line with "[info] " — that's what kept BENCH_r10–r13's summary
+// line from parsing as bare JSON driver-side. StdoutOutput forwards the
+// child's stdout verbatim, so Bench's final summary line lands bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
