@@ -6825,7 +6825,8 @@ FROM ($sql)"""
     Seq(
       "graph" -> annRecallGraph,
       "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
-      "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq)
+      "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq,
+      "ivf_pq_res" -> annRecallIvfpqResidual)
       .map { case (n, s) => one(n, s) }
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"index\"")
   }

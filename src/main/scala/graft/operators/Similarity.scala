@@ -165,7 +165,12 @@ object Similarity {
         pqTopK(embeddings, nQueries = nQueries, k = k, cbPre = Some(cb))),
       "sq"     -> recallAtK(truth, sqTopK(embeddings, nQueries, k)),
       "ivf_pq" -> recallAtK(truth, ivfPqTopK(embeddings, nQueries = nQueries, k = k,
-        centsPre = Some(cents16), cbPre = Some(cb))))
+        centsPre = Some(cents16), cbPre = Some(cb))),
+      // the residual family trains RESIDUAL-space codebooks (not the raw
+      // cb) but shares the coarse quantizer
+      "ivf_pq_res" -> recallAtK(truth,
+        ivfPqResidualTopK(embeddings, nQueries = nQueries, k = k,
+          centsPre = Some(cents16))))
     frames.map { case (name, df) =>
       df.agg(
         lit(name).as("index"),
@@ -858,9 +863,10 @@ object Similarity {
   def ivfPqResidualTopK(
       embeddings: DataFrame,
       nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10,
-      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): DataFrame = {
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = trainCentroids(embeddings, nCentroids, iters)
+    val cents = centsPre.getOrElse(trainCentroids(embeddings, nCentroids, iters))
     val (cb, cbSumsq) =
       trainPqCodebooksResidual(embeddings, cents, nSub, codebookSize, iters)
     val dims = cb.length * cb.head.head.length

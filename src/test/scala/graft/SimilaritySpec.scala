@@ -623,14 +623,16 @@ class SimilaritySpec extends SparkSpec {
     val embTable = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val out = Similarity.indexCompare(embTable).collect()
       .map(r => r.getAs[String]("index") -> r).toMap
-    assert(out.keySet === Set("graph", "lsh", "ivf", "pq", "sq", "ivf_pq"))
+    assert(out.keySet ===
+      Set("graph", "lsh", "ivf", "pq", "sq", "ivf_pq", "ivf_pq_res"))
     val slices = Map(
       "graph" -> Similarity.graphRecall(embTable),
       "lsh" -> Similarity.lshRecall(embTable),
       "ivf" -> Similarity.ivfTrainedRecall(embTable),
       "pq" -> Similarity.pqRecall(embTable),
       "sq" -> Similarity.sqRecall(embTable),
-      "ivf_pq" -> Similarity.ivfPqRecall(embTable))
+      "ivf_pq" -> Similarity.ivfPqRecall(embTable),
+      "ivf_pq_res" -> Similarity.ivfPqResidualRecall(embTable))
     slices.foreach { case (name, df) =>
       val hits = df.agg(org.apache.spark.sql.functions.sum("n_hits")).head.getLong(0)
       assert(out(name).getAs[Long]("n_hits") === hits, s"index $name")
