@@ -626,23 +626,34 @@ object Similarity {
       : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val centOf = cents.map { case (cid, v, _) => cid -> v }.toMap
-    def residual(v: Array[Float]): Array[Float] = {
-      val nv = driverNorm(v)
-      val cell = cents.map { case (cid, cv, cn) =>
-        (-(driverDot(v, cv) / (nv * cn)), cid)
-      }.min(Ordering.fromLessThan[(Double, Long)] { (p, q) =>
-        val c = java.lang.Double.compare(p._1, q._1)
-        c < 0 || (c == 0 && p._2 < q._2)
-      })._2
-      val cv = centOf(cell)
+    // cell assignment rides the SAME collect jobs as the vectors, via
+    // the executor cellRank expression (bit-equal to the driver argmax —
+    // the kmeansDistributed-pinned arithmetic equivalence), so training
+    // collects bounded metadata without 10⁶-scale driver decimal ops
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val withCell = feat.withColumn("cell",
+      element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+    def residualOf(r: org.apache.spark.sql.Row): Array[Float] = {
+      val v = r.getSeq[Float](r.fieldIndex("embedding")).toArray
+      val cv = centOf(r.getAs[Long]("cell"))
       Array.tabulate(v.length)(i => v(i) - cv(i))
     }
-    val cbVecs = embeddings.filter(col("vec_id") < codebookSize)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val init = withCell.filter(col("vec_id") < codebookSize)
+      .select("vec_id", "embedding", "cell").collect()
+      .sortBy(_.getAs[Long]("vec_id")).map(residualOf)
     val sample: Array[Array[Float]] =
-      if (iters > 0) pqSample(embeddings, sampleTarget).map(residual) else Array.empty
-    pqLloyd(cbVecs.map(v => residual(v._2)), sample, nSub, codebookSize, iters)
+      if (iters > 0) {
+        val n = embeddings.count()
+        val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
+        withCell
+          .filter(
+            conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+              % 10000 < threshold)
+          .select("embedding", "cell").collect().map(residualOf)
+      } else Array.empty
+    pqLloyd(init, sample, nSub, codebookSize, iters)
   }
 
   /** The deterministic md5-bucket PQ training sample (lockstep with the
