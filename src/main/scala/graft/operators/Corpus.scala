@@ -680,6 +680,12 @@ object Corpus {
     val suffix = "__" + qTag.stripPrefix("quantizer/")
     val cellDirs = snap.live.filter(c =>
       c.startsWith("embcells/") && c.endsWith(suffix))
+    // quantizer live with zero cell dirs (e.g. every doc deleted, then
+    // refreshed): an empty parquet path list throws an opaque
+    // schema-inference error — fail with the same descriptive message
+    if (cellDirs.isEmpty)
+      throw new java.io.IOException(
+        s"no embedding index cells at $stateDir — run refreshEmbeddingIndex first")
     val cents = readQuantizer(spark, stateDir, qTag)
     val index = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
     val featQ = queries.select(

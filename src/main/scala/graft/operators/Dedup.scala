@@ -1191,13 +1191,26 @@ object Dedup {
   def embeddingIncremental(
       embeddings: DataFrame, batchMod: Long = 10, nCentroids: Int = 0,
       iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3,
-      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None,
+      broadcastCap: Long = Broadcasts.DefaultCap): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val idx = embeddings.filter(col("vec_id") % batchMod =!= 0)
+    // empty index side (no vec_id % batchMod != 0 rows): nothing to judge
+    // against — short-circuit to all-admit with null dup_of/max_cosine
+    // instead of letting trainCentroids fail opaquely on an empty frame
+    // (the ingestSemanticNearDup empty-corpus behavior, spec-pinned)
+    val idxN = if (centsPre.isDefined) -1L else idx.count()
+    if (centsPre.isEmpty && idxN == 0)
+      return embeddings.filter(col("vec_id") % batchMod === 0)
+        .select(col("vec_id").as("new_vec"),
+          lit(null).cast("long").as("dup_of"),
+          lit(null).cast("double").as("max_cosine"),
+          lit(true).as("admit"))
+        .orderBy("new_vec")
     val cents = centsPre.getOrElse {
       val k =
         if (nCentroids > 0) nCentroids
-        else Similarity.autoCellCount(idx.count())
+        else Similarity.autoCellCount(idxN)
       Similarity.trainCentroids(idx, k, iters)
     }
     val feat = embeddings.select(
@@ -1214,7 +1227,13 @@ object Dedup {
         explode(transform(
           slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
           s => s.getField("cid"))).as("cell"))
-    val scored = broadcast(probes).join(assigned, "cell")
+    // GUARDED broadcast: a day-batch broadcasts (the fast asymmetric
+    // probe); an unbounded batch is past the cap and must shuffle-join
+    // on cell instead of shipping batch·nProbe embedding rows to the
+    // driver (row-equal either way, spec-pinned)
+    val probesB = Broadcasts.upTo(
+      probes, batch.count() * nProbe, broadcastCap)
+    val scored = probesB.join(assigned, "cell")
       .withColumn("cosine",
         VectorFunctions.dotFold(col("embedding"), col("be")) /
           (col("nrm") * col("b_nrm")))
@@ -1270,10 +1289,13 @@ object Dedup {
         VectorFunctions.dotFold(col("ie"), col("be")) /
           (col("i_nrm") * col("b_nrm")))
       .groupBy("new_vec").agg(max("cosine").as("exact_max"))
-    probe.join(exact, Seq("new_vec"))
+    // left join: batch rows must survive an EMPTY exact side (empty
+    // index → no exact candidates), mirroring the probe's all-admit
+    probe.join(exact, Seq("new_vec"), "left")
       .withColumn("probe_reject",
         col("probe_max").isNotNull && col("probe_max") >= threshold)
-      .withColumn("exact_reject", col("exact_max") >= threshold)
+      .withColumn("exact_reject",
+        col("exact_max").isNotNull && col("exact_max") >= threshold)
       .withColumn("missed", col("exact_reject") && !col("probe_reject"))
       .select("new_vec", "probe_max", "exact_max",
         "probe_reject", "exact_reject", "missed")

@@ -1408,7 +1408,16 @@ object Similarity {
     * newly-visited nodes, beam-ranked per query. */
   private def beamSearchFrom(
       q: DataFrame, edges: DataFrame, entries: DataFrame, nodes: DataFrame,
-      beam: Int, hops: Int, k: Int): DataFrame = {
+      beam: Int, hops: Int, k: Int): DataFrame =
+    rankBeamEval(beamEval(q, edges, entries, nodes, beam, hops), k)
+
+  /** The full SCORED eval set of the beam navigation — every
+    * (query_id, node, cosine) the search ever touched. Split out so the
+    * dashboard ([[indexCompare]]) derives top-k AND the honest
+    * candidates-scanned count from ONE navigation. */
+  private def beamEval(
+      q: DataFrame, edges: DataFrame, entries: DataFrame, nodes: DataFrame,
+      beam: Int, hops: Int): DataFrame = {
     def scored(ids: DataFrame): DataFrame =
       ids.join(broadcast(q), Seq("query_id"))
         .join(nodes, Seq("node"))
@@ -1430,6 +1439,13 @@ object Similarity {
       frontier = eval.withColumn("__rn", row_number().over(wBeam))
         .filter(col("__rn") <= beam).drop("__rn")
     }
+    eval
+  }
+
+  /** Rank a [[beamEval]] set to the final (query_id, neighbor_id,
+    * cosine, rank) top-k contract. */
+  private def rankBeamEval(eval: DataFrame, k: Int): DataFrame = {
+    val wBeam = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("node"))
     eval.filter(col("node") =!= col("query_id"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
@@ -1509,7 +1525,8 @@ object Similarity {
   def filteredGraphSearch(
       embeddings: DataFrame, graphK: Int = 16, nCentroids: Int = 0,
       iters: Int = 2, nQueries: Int = 8, beam: Int = 32, hops: Int = 3,
-      k: Int = 10, targetLabel: Int = 0, entriesPerCell: Int = 2): DataFrame = {
+      k: Int = 10, targetLabel: Int = 0, entriesPerCell: Int = 2,
+      broadcastCap: Long = Broadcasts.DefaultCap): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
     val cents = trainCentroids(embeddings, kc, iters)
@@ -1522,10 +1539,15 @@ object Similarity {
     val edges = knnGraph(embeddings, graphK, nCentroids, iters, Some(cents))
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       .transform(Materialize(_))
-    // the matching-node set: one filtered id column, broadcast-joined at
-    // every hop (at scale: the predicate's posting list / id index)
-    val matching = feat.filter(col("label") === targetLabel)
+    // the matching-node set: one filtered id column, joined at every hop
+    // (at scale: the predicate's posting list / id index). GUARDED
+    // broadcast: a selective predicate broadcasts (the fast path); a
+    // non-selective one is corpus-sized — past `broadcastCap` the per-hop
+    // semi/anti joins fall back to shuffle joins instead of shipping the
+    // whole slice to the driver (row-equal either way, spec-pinned)
+    val matching0 = feat.filter(col("label") === targetLabel)
       .select(col("vec_id").as("node")).transform(Materialize(_))
+    val matching = Broadcasts.upTo(matching0, matching0.count(), broadcastCap)
     // per-(cell × label-present) entry medoids, from the SAME
     // deterministic quantizer the graph build assigns with
     val wEntry = Window.partitionBy("cell").orderBy(col("vec_id").asc)
@@ -1555,11 +1577,11 @@ object Similarity {
       // ACORN-1 expansion: matching neighbors join directly; each
       // NON-matching neighbor is traversed through — its out-neighbors,
       // filtered to matching, become candidates in its place
-      val oneHop = nbrs.join(broadcast(matching), Seq("node"), "left_semi")
-      val through = nbrs.join(broadcast(matching), Seq("node"), "left_anti")
+      val oneHop = nbrs.join(matching, Seq("node"), "left_semi")
+      val through = nbrs.join(matching, Seq("node"), "left_anti")
         .join(edges, col("node") === col("src"))
         .select(col("query_id"), col("dst").as("node"))
-        .join(broadcast(matching), Seq("node"), "left_semi")
+        .join(matching, Seq("node"), "left_semi")
       val cand = oneHop.unionByName(through).distinct()
       val fresh = cand.join(eval.select("query_id", "node"),
         Seq("query_id", "node"), "left_anti")

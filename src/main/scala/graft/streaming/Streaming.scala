@@ -1110,17 +1110,23 @@ object Streaming {
     require(weights.length == buckets + 1,
       s"weights must be buckets+1 long (got ${weights.length} for $buckets buckets)")
     val ws = split(col("text"), " ")
-    val len = size(ws).cast("double")
     def bucketOf(w: org.apache.spark.sql.Column) =
       (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % buckets).cast("int")
-    val x = concat(
-      transform(sequence(lit(0), lit(buckets - 1)),
-        j => size(filter(ws, w => bucketOf(w) === j)).cast("double") / len),
-      array(lit(1.0)))
+    // hash each word ONCE (|words| md5 calls, not buckets·|words|): the
+    // bucket array materializes in its own projection so the 32 per-bucket
+    // counts read a bound column instead of re-inlining the md5 transform —
+    // identical exact integers, ~32× less hashing on the ingest path
     val wLit = array(weights.map(lit(_)): _*)
-    docs.select(col("doc_id"),
-      aggregate(zip_with(x, wLit, (a, b) => a * b),
-        lit(0.0), (acc, v) => acc + v).as("score"))
+    docs.select(col("doc_id"), transform(ws, w => bucketOf(w)).as("bs"))
+      .select(col("doc_id"),
+        concat(
+          transform(sequence(lit(0), lit(buckets - 1)),
+            j => size(filter(col("bs"), b => b === j)).cast("double") /
+              size(col("bs")).cast("double")),
+          array(lit(1.0))).as("x"))
+      .select(col("doc_id"),
+        aggregate(zip_with(col("x"), wLit, (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v).as("score"))
   }
 
   /** Streaming windowed ordered funnel (SURVEY §2.D12) — the live-
