@@ -172,12 +172,28 @@ object VectorStore {
     * cost in corpus size) and commit them as frozen index metadata under
     * `pq/<tag>` — the second index structure of a FAISS-style IVF+PQ
     * store. Frozen for the same reason the coarse quantizer is: every
-    * vector, whenever encoded, gets codes from the same codebooks. */
+    * vector, whenever encoded, gets codes from the same codebooks.
+    *
+    * `byResidual = true` trains the codebooks on RESIDUALS
+    * r = x − centroid(cell(x)) against the store's frozen quantizer —
+    * FAISS `by_residual=true`, the encoding production IVFPQ actually
+    * ships ([[graft.operators.Similarity.ivfPqResidualTopK]] is the
+    * ephemeral twin; the store's ADC serving is spec-pinned equal to
+    * it, so the `ann_recall_ivfpq_residual` row measures THIS store's
+    * serving recall). The flag persists in manifest metadata
+    * (`pq_residual`), so every later encode/serve pass — including ones
+    * from a different process — reconstructs the same way. Requires
+    * [[init]] first: residuals are defined by the frozen quantizer. */
   def initPq(
       spark: SparkSession, stateDir: String, corpus: DataFrame,
-      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2): Unit = {
+      nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2,
+      byResidual: Boolean = false): Unit = {
     import spark.implicits._
-    val (cb, cbSumsq) = Similarity.trainPqCodebooks(corpus, nSub, codebookSize, iters)
+    val (cb, cbSumsq) =
+      if (byResidual)
+        Similarity.trainPqCodebooksResidual(
+          corpus, centroids(spark, stateDir), nSub, codebookSize, iters)
+      else Similarity.trainPqCodebooks(corpus, nSub, codebookSize, iters)
     val rows = for {
       j <- cb.indices; c <- cb(j).indices
     } yield (j, c, cb(j)(c).toSeq, cbSumsq(j)(c))
@@ -192,7 +208,8 @@ object VectorStore {
     try Manifest.publishMerge(spark, stateDir) { cur =>
       require(!cur.live.exists(_.startsWith("pq/")),
         s"vector store at $stateDir already has PQ codebooks")
-      (cur.live :+ s"pq/$tag", cur.meta)
+      (cur.live :+ s"pq/$tag",
+        cur.meta + (ResidualKey -> (if (byResidual) "1" else "0")))
     }
     catch {
       case e: Throwable =>
@@ -203,10 +220,22 @@ object VectorStore {
     }
   }
 
-  private def pqCodebooks(
-      spark: SparkSession, stateDir: String)
-      : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
-    val dirs = Manifest.live(spark, stateDir).filter(_.startsWith("pq/"))
+  /** Whether the committed codebooks quantize residuals ([[initPq]]'s
+    * `byResidual` flag) — persisted metadata, so every encode/serve pass
+    * agrees on the reconstruction arithmetic. */
+  private val ResidualKey = "pq_residual"
+
+  /** The committed PQ index: codebooks + the residual flag + (when
+    * residual) the frozen quantizer the residuals are defined against. */
+  private final case class PqIndex(
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]],
+      residualCents: Option[Array[(Long, Array[Float], Double)]]) {
+    def residual: Boolean = residualCents.isDefined
+  }
+
+  private def pqIndex(spark: SparkSession, stateDir: String): PqIndex = {
+    val snap = Manifest.snapshot(spark, stateDir)
+    val dirs = snap.live.filter(_.startsWith("pq/"))
     require(dirs.nonEmpty, s"vector store at $stateDir has no PQ codebooks (run initPq)")
     val rows = spark.read.parquet(dirs.map(d => s"$stateDir/$d"): _*)
       .orderBy("j", "code").collect()
@@ -216,7 +245,9 @@ object VectorStore {
         .map(_.getAs[scala.collection.Seq[Float]]("sub").toArray))
     val sumsq = Array.tabulate(bySub.size)(j =>
       bySub(j).sortBy(_.getAs[Int]("code")).map(_.getAs[Double]("sumsq")))
-    (cb, sumsq)
+    val residual = snap.meta.get(ResidualKey).contains("1")
+    PqIndex(cb, sumsq,
+      if (residual) Some(centroids(spark, stateDir)) else None)
   }
 
   /** The markers separating encoded history from not-yet-encoded raw
@@ -242,7 +273,7 @@ object VectorStore {
     * write path stay raw. */
   def encodeCompact(spark: SparkSession, stateDir: String, nFiles: Int = 4): Unit = {
     graft.functions.GraftFunctions.register(spark)
-    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val pq = pqIndex(spark, stateDir)
     val snap = Manifest.snapshot(spark, stateDir)
     val dirs = snap.live.filter(_.startsWith("vectors/"))
     if (dirs.isEmpty) return
@@ -250,7 +281,7 @@ object VectorStore {
     val tag = s"e${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
     Layout.writeClustered(all, s"$stateDir/vectors/$tag", Seq("cell"), nFiles)
     Layout.writeClustered(
-      encodeFrame(all, cb, cbSumsq), s"$stateDir/codes/$tag", Seq("cell"), nFiles)
+      encodeFrame(all, pq), s"$stateDir/codes/$tag", Seq("cell"), nFiles)
     val inputs = dirs.toSet
     Manifest.publishMerge(spark, stateDir) { cur =>
       val keptCodes = cur.live.filterNot(_.startsWith("codes/"))
@@ -269,7 +300,7 @@ object VectorStore {
   def encodeFresh(spark: SparkSession, stateDir: String, nFiles: Int = 4,
       beforePublish: () => Unit = () => ()): Int = {
     graft.functions.GraftFunctions.register(spark)
-    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val pq = pqIndex(spark, stateDir)
     val f = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // OCC loop pinned to the SNAPSHOT the codes were encoded from — a
@@ -303,8 +334,7 @@ object VectorStore {
           }
           val t = s"f${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
           Layout.writeClustered(
-            encodeFrame(spark.read.parquet(fresh.map(d => s"$stateDir/$d"): _*),
-              cb, cbSumsq),
+            encodeFrame(spark.read.parquet(fresh.map(d => s"$stateDir/$d"): _*), pq),
             s"$stateDir/codes/$t", Seq("cell"), nFiles)
           staged = Some((t, freshTags))
           t
@@ -352,7 +382,7 @@ object VectorStore {
   def encodeCompactIncremental(spark: SparkSession, stateDir: String,
       nFiles: Int = 4, beforePublish: () => Unit = () => ()): Int = {
     graft.functions.GraftFunctions.register(spark)
-    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val pq = pqIndex(spark, stateDir)
     val f = new org.apache.hadoop.fs.Path(stateDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // staged merged dir + the snapshot facts it was derived from
@@ -383,7 +413,7 @@ object VectorStore {
           val freshCodes =
             if (fresh.isEmpty) None
             else Some(encodeFrame(spark.read.parquet(
-              fresh.toSeq.sorted.map(g => s"$stateDir/vectors/$g"): _*), cb, cbSumsq))
+              fresh.toSeq.sorted.map(g => s"$stateDir/vectors/$g"): _*), pq))
           val oldCodes =
             if (codeDirs.isEmpty) None
             else Some(spark.read.parquet(codeDirs.toSeq.sorted.map(d => s"$stateDir/$d"): _*))
@@ -415,15 +445,41 @@ object VectorStore {
   }
 
   /** (cell, vec_id, codes) for a raw vectors frame — a pure map against
-    * the literal codebooks. */
-  private def encodeFrame(
-      vecs: DataFrame,
-      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]): DataFrame = {
-    val nSub = cb.length
-    val sub = cb.head.head.length
+    * the literal codebooks. Residual stores code r = x − centroid(cell)
+    * (the cell column is already assigned, so the subtraction is one
+    * literal-map lookup — still a pure map stage). */
+  private def encodeFrame(vecs: DataFrame, pq: PqIndex): DataFrame = {
+    val nSub = pq.cb.length
+    val sub = pq.cb.head.head.length
+    val target = pq.residualCents match {
+      case Some(cents) =>
+        val centMap = typedlit(cents.map { case (cid, v, _) => cid -> v.toSeq }.toMap)
+        zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b)
+      case None => col("embedding")
+    }
     vecs.select(col("cell"), col("vec_id"),
       array((0 until nSub).map(j =>
-        Similarity.pqCodeFor(j, sub, cb, cbSumsq, col("embedding"))): _*).as("codes"))
+        Similarity.pqCodeFor(j, sub, pq.cb, pq.cbSumsq, target)): _*).as("codes"))
+  }
+
+  /** Reconstruction columns for a codes frame: `recon` is the ordered
+    * concat of the chosen codebook entries (plain PQ) or
+    * centroid + r̂ (residual), `recon_nrm` its exact norm — the shared
+    * ADC candidate shape. */
+  private def withRecon(codes: DataFrame, pq: PqIndex): DataFrame = {
+    val rhat = concat((0 until pq.cb.length).map { j =>
+      element_at(typedlit(pq.cb(j)), element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val recon = pq.residualCents match {
+      case Some(cents) =>
+        val centMap = typedlit(cents.map { case (cid, v, _) => cid -> v.toSeq }.toMap)
+        zip_with(element_at(centMap, col("cell")), rhat, (a, b) => a + b)
+      case None => rhat
+    }
+    codes
+      .withColumn("recon", recon)
+      .withColumn("recon_nrm",
+        sqrt(VectorFunctions.dotExact(col("recon"), col("recon"))))
   }
 
   /** ADC top-k against the committed store: probe `nProbe` cells, score
@@ -438,7 +494,7 @@ object VectorStore {
       nProbe: Int = 2, k: Int = 10): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val cents = centroids(spark, stateDir)
-    val (cb, cbSumsq) = pqCodebooks(spark, stateDir)
+    val pq = pqIndex(spark, stateDir)
     val snap = Manifest.snapshot(spark, stateDir)
     val covered = coveredTags(snap.meta)
     val codeDirs = snap.live.filter(_.startsWith("codes/"))
@@ -451,7 +507,7 @@ object VectorStore {
     val fresh =
       if (rawDirs.nonEmpty)
         Some(encodeFrame(
-          spark.read.parquet(rawDirs.map(d => s"$stateDir/$d"): _*), cb, cbSumsq))
+          spark.read.parquet(rawDirs.map(d => s"$stateDir/$d"): _*), pq))
       else None
     val codes = (encoded, fresh) match {
       case (Some(a), Some(b)) => a.unionByName(b)
@@ -461,12 +517,7 @@ object VectorStore {
         .select(lit(0L).as("query_id"), lit(0L).as("neighbor_id"),
           lit(0.0).as("adc_cosine"), lit(0).as("rank")).limit(0)
     }
-    val cand = codes
-      .withColumn("recon", concat((0 until cb.length).map { j =>
-        element_at(typedlit(cb(j)), element_at(col("codes"), j + 1) + 1)
-      }: _*))
-      .withColumn("recon_nrm",
-        sqrt(VectorFunctions.dotExact(col("recon"), col("recon"))))
+    val cand = withRecon(codes, pq)
       .select(col("cell"), col("vec_id").as("neighbor_id"),
         col("recon"), col("recon_nrm"))
     val probes = queries

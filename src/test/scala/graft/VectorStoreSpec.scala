@@ -114,6 +114,58 @@ class VectorStoreSpec extends SparkSpec {
     }
   }
 
+  test("residual PQ store: mixed encoded/hot ≡ never-encoded ≡ the ephemeral " +
+    "ivfPqResidualTopK operator; delete parity holds under the flag") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val n = emb.count()
+    val stateDir = Files.createTempDirectory("graft-vstore-res").toString
+    VectorStore.init(spark, stateDir, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, stateDir, Tables.embeddings(spark, sfDir),
+      byResidual = true)
+    assert(graft.sources.Manifest.meta(spark, stateDir)("pq_residual") === "1")
+    // cold batch encoded at rest, hot batch raw — the covered/fresh split
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") < n / 2))
+    VectorStore.encodeCompact(spark, stateDir)
+    VectorStore.ingest(spark, stateDir, emb.filter(col("vec_id") >= n / 2))
+    val queries = emb.filter(col("vec_id") < 8)
+    def adc(dir: String) = VectorStore.queryAdc(spark, dir, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cosine"))).toMap
+    val mixed = adc(stateDir)
+    assert(mixed.nonEmpty)
+    // never-encoded residual store: codes must be a pure representation change
+    val rawStore = Files.createTempDirectory("graft-vstore-res-raw").toString
+    VectorStore.init(spark, rawStore, Tables.embeddings(spark, sfDir))
+    VectorStore.initPq(spark, rawStore, Tables.embeddings(spark, sfDir),
+      byResidual = true)
+    VectorStore.ingest(spark, rawStore, emb)
+    assert(mixed === adc(rawStore))
+    // the at-rest serving path IS the C117/C118 operator: same quantizer
+    // training (trainCentroids 16×2), same residual codebooks, same probe
+    // and ADC arithmetic — so ann_recall_ivfpq_residual measures THIS
+    // store's serving recall, not a lookalike
+    val ephemeral = Similarity.ivfPqResidualTopK(
+      Tables.embeddings(spark, sfDir)).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc_cosine"))).toMap
+    assert(mixed === ephemeral)
+    // incremental encode under the flag: results unchanged
+    assert(VectorStore.encodeFresh(spark, stateDir) === 1)
+    assert(adc(stateDir) === mixed)
+    // delete parity: purge from both the covered and the fresh side,
+    // neither serving path returns a deleted id, survivors served once
+    val doomed = Seq(11L, n / 2 + 3)
+    assert(VectorStore.deleteVectors(spark, stateDir, doomed) === doomed.length)
+    val after = VectorStore.queryAdc(spark, stateDir, queries,
+      nProbe = 16, k = n.toInt).collect()
+    assert(!after.exists(r => doomed.contains(r.getAs[Long]("neighbor_id"))))
+    after.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val ids = rows.map(_.getAs[Long]("neighbor_id"))
+      assert(ids.distinct.length === ids.length, "neighbor served twice")
+      assert(ids.length === n - doomed.length - 1)
+    }
+  }
+
   test("incremental encode-compaction: one codes dir, no re-encode of history, refold-equal") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val n = emb.count()
