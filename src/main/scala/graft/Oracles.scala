@@ -2183,6 +2183,153 @@ FROM scored WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
 
+  /** ADC-vs-exact agreement of the corpus embedding index's two at-rest
+    * serving paths, lockstep with the `corpus_semantic_adc` entry: the
+    * state ingests the embeddings table as documents whole, so the
+    * at-rest quantizer is `trainCentroids(corpus, autoCellCount(n), 2)`
+    * (the autoKExpr chain) and the frozen codebooks are
+    * `trainPqCodebooks(corpus, 8, 16, 2)` (the pq encode chain). Both
+    * serving paths probe each query's 2 nearest cells WITHOUT self-
+    * exclusion (serving treats queries as external vectors): the ADC
+    * path scores candidates against their PQ reconstruction
+    * (decimal-exact cosine), keeps the top 32, re-ranks those by the
+    * exact ordered-fold cosine and serves the top 10; the exact path
+    * ranks the same candidates by the ordered-fold cosine directly.
+    * Output: per query, how many of the exact top-10 the ADC-served
+    * top-10 recovered. */
+  val corpusSemanticAdc: String = {
+    trainedQuantBase(2, autoKExpr) + pqEncodeChain(2) + s"""
+, asgA AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), probesA AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
+    FROM cdotF WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), candA AS (
+  SELECT p.query_id, a.vec_id AS doc_id
+  FROM probesA p JOIN asgA a ON p.cell = a.cell
+), qA AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), adots AS (
+  SELECT cd.query_id, cd.doc_id, q.q_nrm, r.recon_nrm,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(r.recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM candA cd
+  JOIN qA q ON q.query_id = cd.query_id
+  JOIN recn r ON r.neighbor_id = cd.doc_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.doc_id, q.q_nrm, r.recon_nrm
+), short AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (q_nrm * recon_nrm) DESC, doc_id) AS arn
+    FROM adots) t
+  WHERE arn <= 32
+), served AS (
+  SELECT query_id, doc_id FROM (
+    SELECT s.query_id, s.doc_id,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(fc.embedding,
+                 (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+               (acc, v) -> acc + v) / (fc.nrm * fq.nrm) DESC, s.doc_id) AS rnk
+    FROM short s
+    JOIN feat fq ON fq.vec_id = s.query_id
+    JOIN feat fc ON fc.vec_id = s.doc_id) t
+  WHERE rnk <= 10
+), exactS AS (
+  SELECT query_id, doc_id FROM (
+    SELECT c.query_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(fc.embedding,
+                 (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+               (acc, v) -> acc + v) / (fc.nrm * fq.nrm) DESC, c.doc_id) AS rnk
+    FROM candA c
+    JOIN feat fq ON fq.vec_id = c.query_id
+    JOIN feat fc ON fc.vec_id = c.doc_id) t
+  WHERE rnk <= 10
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         CAST(COUNT(*) AS DOUBLE) AS agreement
+FROM exactS e
+LEFT JOIN served s ON s.query_id = e.query_id AND s.doc_id = e.doc_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+  }
+
+  /** Metadata-filtered at-rest serving with the per-query adaptive probe
+    * budget, lockstep with `Corpus.semanticTopKFiltered` on the
+    * `corpus_filtered_topk` state (the embeddings table ingested whole):
+    * occupancy is the per-cell count of label-0 vectors under the
+    * trained autoK quantizer, each query ranks ALL K cells, the budget
+    * is the smallest prefix whose cumulative label mass clears 90%
+    * (exact integers; K if none), candidates are the label-0 vectors of
+    * the budgeted cells, and the ordered-fold cosine ranks the top 10. */
+  val corpusFilteredTopK: String = {
+    trainedQuantBase(2, autoKExpr) + s"""
+, kcells AS (
+  SELECT LEAST(256, GREATEST(16, CAST(ceil(n / 1024.0) AS BIGINT))) AS kc FROM nvec
+), asgL AS (
+  SELECT x.vec_id, x.cell, e.label FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x
+  JOIN embeddings e ON e.vec_id = x.vec_id
+  WHERE x.rn = 1
+), occF AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS o FROM asgL WHERE label = 0 GROUP BY cell
+), nlab AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM embeddings WHERE label = 0
+), rankedQ AS (
+  SELECT vec_id AS query_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS p
+  FROM cdotF WHERE vec_id < 8
+), cumQ AS (
+  SELECT r.query_id, r.cell, r.p,
+         SUM(COALESCE(o.o, 0)) OVER (PARTITION BY r.query_id ORDER BY r.p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o
+  FROM rankedQ r LEFT JOIN occF o ON o.cell = r.cell
+), chosen AS (
+  SELECT query_id,
+         CAST(COALESCE(MIN(CASE WHEN 100 * cum_o >= 90 * nl THEN p END),
+           (SELECT kc FROM kcells)) AS INTEGER) AS chosen_nprobe
+  FROM cumQ, nlab GROUP BY query_id
+), probesF AS (
+  SELECT c.query_id, ch.chosen_nprobe, c.cell
+  FROM cumQ c JOIN chosen ch ON ch.query_id = c.query_id
+  WHERE c.p <= ch.chosen_nprobe
+), candF AS (
+  SELECT p.query_id, p.chosen_nprobe, a.vec_id AS doc_id, a.label
+  FROM probesF p JOIN asgL a ON a.cell = p.cell
+  WHERE a.label = 0
+), scoredF AS (
+  SELECT c.query_id, c.chosen_nprobe, c.doc_id, c.label,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(fc.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (fc.nrm * fq.nrm) AS cosine
+  FROM candF c
+  JOIN feat fq ON fq.vec_id = c.query_id
+  JOIN feat fc ON fc.vec_id = c.doc_id
+), rankedF AS (
+  SELECT query_id, chosen_nprobe, doc_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+  FROM scoredF
+)
+SELECT query_id, chosen_nprobe, doc_id, label, cosine,
+       CAST(rnk AS INTEGER) AS "rank"
+FROM rankedF WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
   /** RESIDUAL PQ encode chain — lockstep with
     * `Similarity.trainPqCodebooksResidual` + the residual encoding of
     * `ivfPqResidualTopK`: every vector's cell from the trained-quantizer
@@ -5102,7 +5249,28 @@ ORDER BY vec_id, rnk"""
     * its exact former text at beam=4; annBeamSweep instantiates 2/4/8
     * (the quantizer+graph chain is deterministic, so re-instantiating it
     * per branch is value-identical to the Spark side's build-once). */
-  private def graphSearchSql(beam: Int): String = {
+  private def graphSearchSql(beam: Int): String =
+    graphChainSql(beam) + """
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank" FROM (
+  SELECT e.query_id, e.node AS neighbor_id, q.cosine,
+         row_number() OVER (PARTITION BY e.query_id
+                            ORDER BY q.cosine DESC, e.node) AS rnk
+  FROM e3 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node
+  WHERE e.node <> e.query_id) t
+WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+
+  /** Every (query, node) the beam navigation ever SCORED — e3 is the
+    * visited set after the three hops, so its cardinality is the graph
+    * family's candidates-scanned, lockstep with the count of
+    * `Similarity.beamEval`'s rows inside `indexCompare`. */
+  private def graphVisitedCountSql(beam: Int): String =
+    graphChainSql(beam) + """
+SELECT CAST(COUNT(*) AS BIGINT) FROM e3"""
+
+  /** The quantizer + kNN-graph + beam-navigation chain through e3 (the
+    * full visited set), shared by the top-k and visited-count finals. */
+  private def graphChainSql(beam: Int): String = {
     // every hop CTE is MATERIALIZED: e_t is referenced twice (directly
     // and through f_t), so plain CTEs would inline the whole chain
     // exponentially — 2^hops copies of the quantizer+graph subtree blew
@@ -5148,15 +5316,7 @@ ORDER BY vec_id, rnk"""
            row_number() OVER (PARTITION BY e.query_id
                               ORDER BY q.cosine DESC, e.node) AS rnk
     FROM e0 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
-  WHERE rnk <= """ + beam + ")" + hop(1) + hop(2) + hop(3) + """
-SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank" FROM (
-  SELECT e.query_id, e.node AS neighbor_id, q.cosine,
-         row_number() OVER (PARTITION BY e.query_id
-                            ORDER BY q.cosine DESC, e.node) AS rnk
-  FROM e3 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node
-  WHERE e.node <> e.query_id) t
-WHERE rnk <= 10
-ORDER BY query_id, rnk"""
+  WHERE rnk <= """ + beam + ")" + hop(1) + hop(2) + hop(3)
   }
 
   /** Recall of the graph beam search vs brute force — mirrors
@@ -6816,18 +6976,65 @@ ORDER BY shard"""
   /** Index-selection dashboard: each approximate index's overall
     * recall@10 vs brute force, aggregated from the SAME per-query
     * recall chains the gated rows run. Mirrors Similarity.indexCompare. */
+  /** The pq/sq full ADC scan: every query scores the whole corpus minus
+    * itself. */
+  private def fullScanCountSql: String =
+    "SELECT CAST(8 * (COUNT(*) - 1) AS BIGINT) FROM embeddings"
+
+  /** Candidates the trained-IVF probe join scores (shared by ivf,
+    * ivf_pq and ivf_pq_res — same quantizer, same probe budget):
+    * |probes ⋈ assigned| minus self rows, lockstep with
+    * `Similarity.probeCandidates(…, cents16, 8, 2).count()`. */
+  private def ivfCandCountSql: String = trainedQuantBase(2) + s"""
+, asgC AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
+    FROM cdotF WHERE vec_id < 8) t
+  WHERE qrn <= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT)
+FROM probes p JOIN asgC a ON p.cell = a.cell
+WHERE a.vec_id <> p.query_id"""
+
+  /** Candidates the LSH multi-probe bucket join scores — the capped
+    * bucket pairs minus self, lockstep with
+    * `Similarity.lshCandidates(…, 8).count()`. */
+  private def lshCandCountSql: String = featBase + """
+, masks AS (
+  SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m
+), q AS (
+  SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+  FROM feat CROSS JOIN masks WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, bucket FROM feat
+  WHERE bucket IN (SELECT bucket FROM feat GROUP BY bucket HAVING COUNT(*) <= 1000)
+)
+SELECT CAST(COUNT(*) AS BIGINT)
+FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id"""
+
   val annIndexCompare: String = {
-    def one(name: String, sql: String) = s"""
+    def one(name: String, sql: String, candSql: String) = s"""
 SELECT '$name' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(n_hits) AS BIGINT) AS n_hits,
-       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
+       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k,
+       CAST(($candSql) AS BIGINT) AS candidates,
+       CAST(($candSql) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cand_per_query
 FROM ($sql)"""
     Seq(
-      "graph" -> annRecallGraph,
-      "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
-      "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq,
-      "ivf_pq_res" -> annRecallIvfpqResidual)
-      .map { case (n, s) => one(n, s) }
+      ("graph", annRecallGraph, graphVisitedCountSql(4)),
+      ("lsh", annRecallLsh, lshCandCountSql),
+      ("ivf", annRecallIvfTrained, ivfCandCountSql),
+      ("pq", annRecallPq, fullScanCountSql),
+      ("sq", annRecallSq, fullScanCountSql),
+      ("ivf_pq", annRecallIvfPq, ivfCandCountSql),
+      ("ivf_pq_res", annRecallIvfpqResidual, ivfCandCountSql))
+      .map { case (n, s, c) => one(n, s, c) }
       .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"index\"")
   }
 }

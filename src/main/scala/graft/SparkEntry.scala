@@ -34,6 +34,31 @@ object SparkEntry {
       Tables.sessionCosts(s, dir),
       Tables.conversions(s, dir))
 
+  /** One committed corpus-embedding-index state per (JVM, sf dir): the
+    * embeddings table ingested as documents (texts unique per id, so the
+    * exact-fingerprint gate admits everything), the embedding index
+    * refreshed (quantizer trained at autoCellCount, every batch's cells
+    * assigned), codebooks trained and all cells dirs PQ-encoded at rest.
+    * Every build step is deterministic in the table values — the cache
+    * only saves Verify/Bench from rebuilding identical state per gated
+    * key, it never changes a served result. */
+  private val corpusIdxStates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def corpusIndexState(s: SparkSession, dir: String): String =
+    corpusIdxStates.computeIfAbsent(dir, _ => {
+      val state = java.nio.file.Files.createTempDirectory("graft_embidx").toString
+      val docs = Tables.embeddings(s, dir).select(
+        col("vec_id").as("doc_id"),
+        concat(lit("embedding doc "), col("vec_id").cast("string")).as("text"),
+        lit("en").as("lang"), lit("synthetic").as("source"),
+        lit(24L).as("n_chars"), col("embedding"), col("label"))
+      Corpus.ingestIncremental(s, docs, state)
+      Corpus.refreshEmbeddingIndex(s, state)
+      Corpus.initEmbeddingCodebooks(s, state)
+      Corpus.encodeEmbeddingIndex(s, state)
+      state
+    })
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "conversions_extract" -> ((s, dir) =>
@@ -700,6 +725,37 @@ object SparkEntry {
 
     "ann_index_compare" -> ((s, dir) => Similarity.indexCompare(Tables.embeddings(s, dir))),
 
+    // ADC-vs-exact agreement of the CORPUS embedding index's two serving
+    // paths on the SAME committed state: the PQ-codes ADC read with exact
+    // re-rank (semanticTopKAdc) against the raw-float exact probe
+    // (semanticTopK), per query over the served top-k
+    "corpus_semantic_adc" -> ((s, dir) => {
+      val state = corpusIndexState(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val served = Corpus.semanticTopKAdc(s, q, state)
+        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      Corpus.semanticTopK(s, q, state)
+        .select("query_id", "doc_id")
+        .join(served, Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+          (sum(coalesce(col("hit"), lit(0))).cast("double") /
+            count(lit(1)).cast("double")).as("agreement"))
+        .orderBy("query_id")
+    }),
+
+    // metadata-filtered serving on the SAME at-rest index: per-query
+    // adaptive probe budget from the persisted occupancy sidecars,
+    // predicate-first candidate scan, exact cosine rank
+    "corpus_filtered_topk" -> ((s, dir) => {
+      val state = corpusIndexState(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Corpus.semanticTopKFiltered(s, q, state)
+    }),
+
     "knn_classify" -> ((s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir))),
 
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -1156,6 +1212,8 @@ object SparkEntry {
     "ann_recall_sq"             -> Oracles.annRecallSq,
     "ann_recall_ivfpq"          -> Oracles.annRecallIvfPq,
     "ann_index_compare"         -> Oracles.annIndexCompare,
+    "corpus_semantic_adc"       -> Oracles.corpusSemanticAdc,
+    "corpus_filtered_topk"      -> Oracles.corpusFilteredTopK,
     "knn_classify"              -> Oracles.knnClassify,
     "label_centroids"           -> Oracles.labelCentroids,
     "topic_assign"              -> Oracles.topicAssign,

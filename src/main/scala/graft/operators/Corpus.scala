@@ -523,16 +523,41 @@ object Corpus {
 
   /** Cell assignment for one document batch against a fixed quantizer —
     * the persisted IVF index shape: (doc_id, cell, embedding, nrm), one
-    * codegen'd map pass, no shuffle. */
+    * codegen'd map pass, no shuffle. A `label` column on the batch rides
+    * along (the metadata-filtered serving of [[semanticTopKFiltered]]
+    * needs it inside the cells AND aggregated into the per-batch
+    * occupancy table). */
   private def assignCells(docs: org.apache.spark.sql.DataFrame,
       cents: Array[(Long, Array[Float], Double)]): org.apache.spark.sql.DataFrame = {
+    val labelCols =
+      if (docs.columns.contains("label")) Seq(col("label")) else Seq.empty
     val feat = docs.select(
-      col("doc_id"), col("embedding"),
-      graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+      (Seq(col("doc_id"), col("embedding"),
+        graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm")) ++
+        labelCols): _*)
     feat.withColumn("cell",
       element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
         .getField("cid"))
-      .select("doc_id", "cell", "embedding", "nrm")
+      .select((Seq(col("doc_id"), col("cell"), col("embedding"), col("nrm")) ++
+        labelCols): _*)
+  }
+
+  /** Write one batch's cell assignments and, when the batch is labeled,
+    * its OCCUPANCY sidecar (label, cell, n) — K·|labels| metadata rows
+    * aggregated from the just-written cells, so a refresh costs
+    * O(batch) however large the at-rest corpus is. Returns whether the
+    * sidecar was written. */
+  private def writeCellsAndOcc(spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      cents: Array[(Long, Array[Float], Double)],
+      cellPath: String, occPath: String): Boolean = {
+    assignCells(docs, cents).write.mode("overwrite").parquet(cellPath)
+    val labeled = docs.columns.contains("label")
+    if (labeled)
+      spark.read.parquet(cellPath)
+        .groupBy("label", "cell").agg(count(lit(1)).as("n"))
+        .coalesce(1).write.mode("overwrite").parquet(occPath)
+    labeled
   }
 
   /** Bring the persisted EMBEDDING index (coarse quantizer + per-batch
@@ -569,7 +594,7 @@ object Corpus {
     val ttlMs = 5 * 60 * 1000L
     var lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs, "embidx_refresh")
     try {
-      Manifest.cleanStale(spark, stateDir, Seq("embcells", "quantizer"))
+      Manifest.cleanStale(spark, stateDir, Seq("embcells", "embocc", "quantizer"))
       val snap = Manifest.snapshot(spark, stateDir)
       val docTags = snap.live
         .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
@@ -584,6 +609,8 @@ object Corpus {
         trainedN.forall(q => n.toDouble >= retrainFactor * q)
       def cellTag(docTag: String, qTag: String): String =
         s"embcells/${docTag}__${qTag.stripPrefix("quantizer/")}"
+      def occTag(docTag: String, qTag: String): String =
+        s"embocc/${docTag}__${qTag.stripPrefix("quantizer/")}"
       if (retrain) {
         val k = Similarity.autoCellCount(n)
         val cents = Similarity.trainCentroids(
@@ -593,10 +620,12 @@ object Corpus {
         import spark.implicits._
         cents.toSeq.map { case (cid, vec, _) => (cid, vec.toSeq) }
           .toDF("cid", "embedding").coalesce(1).write.parquet(s"$stateDir/$qTag")
+        val occd = scala.collection.mutable.Set.empty[String]
         docTags.toSeq.sorted.foreach { t =>
           lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
-          assignCells(spark.read.parquet(s"$stateDir/documents/$t"), cents)
-            .write.mode("overwrite").parquet(s"$stateDir/${cellTag(t, qTag)}")
+          if (writeCellsAndOcc(spark, spark.read.parquet(s"$stateDir/documents/$t"),
+              cents, s"$stateDir/${cellTag(t, qTag)}", s"$stateDir/${occTag(t, qTag)}"))
+            occd += t
         }
         if (!Manifest.holdsLease(spark, stateDir, lease))
           throw new java.io.IOException(
@@ -611,8 +640,10 @@ object Corpus {
           // concurrent ingest committed meanwhile is picked up by the
           // next refresh (same eventual shape as the signature index)
           val keep = cur.live.filterNot(e =>
-            e.startsWith("embcells/") || e.startsWith("quantizer/"))
-          val adds = qTag +: docTags.intersect(curDocs).toSeq.sorted.map(cellTag(_, qTag))
+            e.startsWith("embcells/") || e.startsWith("embocc/") ||
+              e.startsWith("quantizer/"))
+          val adds = qTag +: docTags.intersect(curDocs).toSeq.sorted.flatMap(t =>
+            cellTag(t, qTag) +: (if (occd(t)) Seq(occTag(t, qTag)) else Nil))
           ((keep ++ adds).distinct, cur.meta + ("emb_quantizer_n" -> n.toString))
         }
         docTags.size.toLong
@@ -624,15 +655,18 @@ object Corpus {
             c.stripPrefix("embcells/").stripSuffix(suffix)
         }.toSet
         val missing = docTags -- celled
-        val orphaned = snap.live.exists(c => c.startsWith("embcells/") &&
+        def idxOrphan(prefix: String) = snap.live.exists(c => c.startsWith(prefix) &&
           (!c.endsWith(suffix) ||
-            !docTags(c.stripPrefix("embcells/").stripSuffix(suffix))))
+            !docTags(c.stripPrefix(prefix).stripSuffix(suffix))))
+        val orphaned = idxOrphan("embcells/") || idxOrphan("embocc/")
         if (missing.isEmpty && !orphaned) return 0L
         val cents = readQuantizer(spark, stateDir, qTag)
+        val occd = scala.collection.mutable.Set.empty[String]
         missing.toSeq.sorted.foreach { t =>
           lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
-          assignCells(spark.read.parquet(s"$stateDir/documents/$t"), cents)
-            .write.mode("overwrite").parquet(s"$stateDir/${cellTag(t, qTag)}")
+          if (writeCellsAndOcc(spark, spark.read.parquet(s"$stateDir/documents/$t"),
+              cents, s"$stateDir/${cellTag(t, qTag)}", s"$stateDir/${occTag(t, qTag)}"))
+            occd += t
         }
         if (!Manifest.holdsLease(spark, stateDir, lease))
           throw new java.io.IOException(
@@ -642,10 +676,13 @@ object Corpus {
           val curDocs = cur.live
             .collect { case d if d.startsWith("documents/") => d.stripPrefix("documents/") }
             .toSet
-          val keep = cur.live.filterNot(e => e.startsWith("embcells/") &&
+          def dead(prefix: String)(e: String) = e.startsWith(prefix) &&
             (!e.endsWith(suffix) ||
-              !curDocs(e.stripPrefix("embcells/").stripSuffix(suffix))))
-          val adds = missing.intersect(curDocs).toSeq.sorted.map(cellTag(_, qTag))
+              !curDocs(e.stripPrefix(prefix).stripSuffix(suffix)))
+          val keep = cur.live.filterNot(e =>
+            dead("embcells/")(e) || dead("embocc/")(e))
+          val adds = missing.intersect(curDocs).toSeq.sorted.flatMap(t =>
+            cellTag(t, qTag) +: (if (occd(t)) Seq(occTag(t, qTag)) else Nil))
           ((keep ++ adds).distinct, cur.meta)
         }
         missing.size.toLong
@@ -654,6 +691,36 @@ object Corpus {
       if (Manifest.holdsLease(spark, stateDir, lease))
         Manifest.releaseLease(spark, stateDir, lease)
     }
+  }
+
+  /** The committed embedding index AT REST, pinned to ONE manifest
+    * snapshot: the live quantizer (bounded metadata, collected as
+    * literals) and its generation's cell assignments as one DataFrame
+    * (doc_id, cell, embedding, nrm). The shared read behind
+    * [[semanticTopK]] and [[graft.streaming.Streaming
+    * .semanticNearMarksFromState]] — reading quantizer and cells from
+    * the same snapshot is what makes a concurrent generation swap
+    * (quantizer retrain) invisible mid-query: readers see either the
+    * old index whole or the new one whole, never a torn mix. */
+  private[graft] def embeddingIndexAtRest(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String)
+    : (Array[(Long, Array[Float], Double)], DataFrame) = {
+    import graft.sources.Manifest
+    val snap = Manifest.snapshot(spark, stateDir)
+    val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
+      throw new java.io.IOException(
+        s"no embedding index at $stateDir — run refreshEmbeddingIndex first"))
+    val suffix = "__" + qTag.stripPrefix("quantizer/")
+    val cellDirs = snap.live.filter(c =>
+      c.startsWith("embcells/") && c.endsWith(suffix))
+    // quantizer live with zero cell dirs (e.g. every doc deleted, then
+    // refreshed): an empty parquet path list throws an opaque
+    // schema-inference error — fail with the same descriptive message
+    if (cellDirs.isEmpty)
+      throw new java.io.IOException(
+        s"no embedding index cells at $stateDir — run refreshEmbeddingIndex first")
+    (readQuantizer(spark, stateDir, qTag),
+      spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*))
   }
 
   /** Top-k SEMANTIC SEARCH against the committed corpus's embedding
@@ -671,23 +738,8 @@ object Corpus {
   def semanticTopK(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, stateDir: String,
       nProbe: Int = 2, k: Int = 10): DataFrame = {
-    import graft.sources.Manifest
     graft.functions.GraftFunctions.register(spark)
-    val snap = Manifest.snapshot(spark, stateDir)
-    val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
-      throw new java.io.IOException(
-        s"no embedding index at $stateDir — run refreshEmbeddingIndex first"))
-    val suffix = "__" + qTag.stripPrefix("quantizer/")
-    val cellDirs = snap.live.filter(c =>
-      c.startsWith("embcells/") && c.endsWith(suffix))
-    // quantizer live with zero cell dirs (e.g. every doc deleted, then
-    // refreshed): an empty parquet path list throws an opaque
-    // schema-inference error — fail with the same descriptive message
-    if (cellDirs.isEmpty)
-      throw new java.io.IOException(
-        s"no embedding index cells at $stateDir — run refreshEmbeddingIndex first")
-    val cents = readQuantizer(spark, stateDir, qTag)
-    val index = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
+    val (cents, index) = embeddingIndexAtRest(spark, stateDir)
     val featQ = queries.select(
       col("query_id"), col("embedding"),
       graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -705,6 +757,358 @@ object Corpus {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"),
         col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Train PQ codebooks on the COMMITTED corpus and freeze them as index
+    * metadata under `embpq/<tag>` — the [[graft.operators.VectorStore
+    * .initPq]] move applied to the corpus's embedding index: codebooks
+    * train once (sampled joint-subspace Lloyd,
+    * [[graft.operators.Similarity.trainPqCodebooks]] — flat cost in
+    * corpus size) and every later encode pass, whichever process runs
+    * it, produces codes from the same entries. PLAIN PQ deliberately,
+    * not residual: the corpus index's coarse quantizer SWAPS generations
+    * on retrain ([[refreshEmbeddingIndex]]), and residual codes are
+    * defined against a specific quantizer — plain codes survive a
+    * generation swap unchanged (only the cell routing moves), so a
+    * retrain re-assigns cells without invalidating the code arithmetic.
+    *
+    * OCC mirrors `initPq`: stage the codebook dir, publish via merge, a
+    * REAL duplicate aborts (and removes the staged orphan); an unrelated
+    * concurrent commit is retried by the merge. */
+  def initEmbeddingCodebooks(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, nSub: Int = 8, codebookSize: Int = 16,
+      iters: Int = 2): Unit = {
+    import graft.sources.Manifest
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val snap0 = Manifest.snapshot(spark, stateDir)
+    val docTags = snap0.live.filter(_.startsWith("documents/"))
+    require(docTags.nonEmpty,
+      s"no committed corpus at $stateDir — ingest before training codebooks")
+    val corpus = spark.read
+      .parquet(docTags.sorted.map(t => s"$stateDir/$t"): _*)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    // the deterministic Lloyd init is the first `codebookSize` ids —
+    // fail descriptively instead of an index error inside the trainer
+    val nInit = corpus.filter(col("vec_id") < codebookSize).count()
+    require(nInit == codebookSize,
+      s"codebook init needs doc_ids 0..${codebookSize - 1} committed " +
+        s"(found $nInit of $codebookSize at $stateDir)")
+    val (cb, cbSumsq) =
+      Similarity.trainPqCodebooks(corpus, nSub, codebookSize, iters)
+    val rows = for { j <- cb.indices; c <- cb(j).indices }
+      yield (j, c, cb(j)(c).toSeq, cbSumsq(j)(c))
+    val tag = s"embpq/p${snap0.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+    rows.toDF("j", "code", "sub", "sumsq")
+      .coalesce(1).write.parquet(s"$stateDir/$tag")
+    try Manifest.publishMerge(spark, stateDir) { cur =>
+      require(!cur.live.exists(_.startsWith("embpq/")),
+        s"corpus at $stateDir already has embedding codebooks")
+      (cur.live :+ tag, cur.meta)
+    }
+    catch {
+      case e: Throwable =>
+        new org.apache.hadoop.fs.Path(s"$stateDir/$tag")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(new org.apache.hadoop.fs.Path(s"$stateDir/$tag"), true)
+        throw e
+    }
+  }
+
+  /** The frozen embedding-index codebooks ([[initEmbeddingCodebooks]]):
+    * (codebooks, decimal-exact |entry|² per entry) — bounded metadata. */
+  private def readEmbCodebooks(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, pqTag: String)
+    : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
+    val rows = spark.read.parquet(s"$stateDir/$pqTag").orderBy("j", "code").collect()
+    val bySub = rows.groupBy(_.getAs[Int]("j"))
+    val cb = Array.tabulate(bySub.size)(j =>
+      bySub(j).sortBy(_.getAs[Int]("code"))
+        .map(_.getAs[scala.collection.Seq[Float]]("sub").toArray))
+    val sumsq = Array.tabulate(bySub.size)(j =>
+      bySub(j).sortBy(_.getAs[Int]("code")).map(_.getAs[Double]("sumsq")))
+    (cb, sumsq)
+  }
+
+  /** (doc_id, cell, codes) for one embcells frame — a pure map against
+    * the literal codebooks, the encode arithmetic shared by the at-rest
+    * pass and [[semanticTopKAdc]]'s on-the-fly path. */
+  private def encodeCellCodes(cells: DataFrame,
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]): DataFrame = {
+    val sub = cb.head.head.length
+    cells.select(col("doc_id"), col("cell"),
+      array(cb.indices.map(j =>
+        Similarity.pqCodeFor(j, sub, cb, cbSumsq, col("embedding"))): _*).as("codes"))
+  }
+
+  /** ENCODE-AT-REST pass for the corpus embedding index — the background
+    * cadence that turns the raw-float `embcells` dirs into PQ CODES
+    * twins (`embcodes/<docTag>__<qTag>`, generation-suffixed like the
+    * cells they encode), so [[semanticTopKAdc]] serves the encoded
+    * majority from 8-int codes instead of 64-float vectors — at 100 TB
+    * the memory bill the PQ family exists to cut. Each pass encodes only
+    * live cells dirs LACKING a codes twin (O(new data), the
+    * [[graft.operators.VectorStore.encodeFresh]] cadence); a quantizer
+    * retrain swaps cell dirs to a new generation whose codes twins are
+    * simply missing until the next pass (the frozen PLAIN-PQ codebooks
+    * stay valid across the swap — see [[initEmbeddingCodebooks]]).
+    *
+    * Concurrency: runs under the same `embidx_refresh` mutex as
+    * [[refreshEmbeddingIndex]] (so encode and refresh serialize), and
+    * publishes via OCC merge — a concurrent ingest's commit survives
+    * (its batch just stays un-encoded and is served from the hot path);
+    * codes twins whose cells died are pruned at publish.
+    *
+    * @param beforePublish test seam, called between staging and publish
+    * @return number of cells dirs encoded this pass */
+  def encodeEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, mutexWaitMs: Long = 60 * 1000L,
+      beforePublish: () => Unit = () => ()): Long = {
+    import graft.sources.Manifest
+    graft.functions.GraftFunctions.register(spark)
+    val ttlMs = 5 * 60 * 1000L
+    var lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs, "embidx_refresh")
+    try {
+      Manifest.cleanStale(spark, stateDir, Seq("embcodes"))
+      val snap = Manifest.snapshot(spark, stateDir)
+      val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
+        throw new java.io.IOException(
+          s"no embedding index at $stateDir — run refreshEmbeddingIndex first"))
+      val pqTag = snap.live.find(_.startsWith("embpq/")).getOrElse(
+        throw new java.io.IOException(
+          s"no embedding codebooks at $stateDir — run initEmbeddingCodebooks first"))
+      val suffix = "__" + qTag.stripPrefix("quantizer/")
+      val cellDirs = snap.live.filter(c =>
+        c.startsWith("embcells/") && c.endsWith(suffix))
+      def codeTag(cellTag: String): String =
+        "embcodes/" + cellTag.stripPrefix("embcells/")
+      val codesLive = snap.live.filter(_.startsWith("embcodes/")).toSet
+      val missing = cellDirs.filterNot(c => codesLive.contains(codeTag(c))).sorted
+      val orphaned = snap.live.exists(e => e.startsWith("embcodes/") &&
+        !cellDirs.contains("embcells/" + e.stripPrefix("embcodes/")))
+      if (missing.isEmpty && !orphaned) return 0L
+      val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
+      missing.foreach { c =>
+        lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
+        encodeCellCodes(spark.read.parquet(s"$stateDir/$c"), cb, cbSumsq)
+          .write.mode("overwrite").parquet(s"$stateDir/${codeTag(c)}")
+      }
+      if (!Manifest.holdsLease(spark, stateDir, lease))
+        throw new java.io.IOException(
+          s"embidx_refresh lease at $stateDir was reaped mid-encode; " +
+            "aborting without publishing")
+      beforePublish()
+      Manifest.publishMerge(spark, stateDir) { cur =>
+        // prune codes whose cells died (old generation / deleted docs);
+        // add codes only for cells still live in the winner's snapshot
+        val curCells = cur.live.filter(_.startsWith("embcells/")).toSet
+        val keep = cur.live.filterNot(e => e.startsWith("embcodes/") &&
+          !curCells.contains("embcells/" + e.stripPrefix("embcodes/")))
+        val adds = missing.filter(curCells.contains).map(codeTag)
+        ((keep ++ adds).distinct, cur.meta)
+      }
+      missing.size.toLong
+    } finally {
+      if (Manifest.holdsLease(spark, stateDir, lease))
+        Manifest.releaseLease(spark, stateDir, lease)
+    }
+  }
+
+  /** ADC top-k SEMANTIC SEARCH against the corpus embedding index AT
+    * REST — [[semanticTopK]]'s serving shape with the candidate scan
+    * moved onto the PQ codes ([[encodeEmbeddingIndex]]'s output): probed
+    * candidates are scored against their PQ RECONSTRUCTION (decimal-
+    * exact ADC cosine, the [[graft.operators.VectorStore.queryAdc]]
+    * arithmetic), the per-query top `rerank` survivors are re-ranked by
+    * the EXACT ordered-fold cosine on their raw vectors, and the final
+    * top `k` ships. Encoded cells dirs are served from their codes twin
+    * — the raw 64-float embeddings never load for candidate scoring;
+    * cells ingested since the last encode pass encode on the fly (the
+    * hot/cold split every production IVF+PQ store runs).
+    *
+    * The exact re-rank reads raw vectors for ONLY the shortlist: the
+    * |Q|·rerank doc_ids (bounded serving metadata — the collect is the
+    * boundary-table class) push into the parquet scan as an In filter,
+    * so on a [[graft.sources.Layout]]-clustered store row-group stats
+    * skip everything outside the shortlist's key ranges.
+    *
+    * @param queries (query_id, embedding) — a small batch, broadcast
+    * @return (query_id, doc_id, adc_cosine, cosine, rank), top `k` per
+    *         query by exact cosine */
+  def semanticTopKAdc(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, stateDir: String,
+      nProbe: Int = 2, k: Int = 10, rerank: Int = 32): DataFrame = {
+    import graft.sources.Manifest
+    graft.functions.GraftFunctions.register(spark)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
+      throw new java.io.IOException(
+        s"no embedding index at $stateDir — run refreshEmbeddingIndex first"))
+    val pqTag = snap.live.find(_.startsWith("embpq/")).getOrElse(
+      throw new java.io.IOException(
+        s"no embedding codebooks at $stateDir — run initEmbeddingCodebooks first"))
+    val suffix = "__" + qTag.stripPrefix("quantizer/")
+    val cellDirs = snap.live.filter(c =>
+      c.startsWith("embcells/") && c.endsWith(suffix))
+    if (cellDirs.isEmpty)
+      throw new java.io.IOException(
+        s"no embedding index cells at $stateDir — run refreshEmbeddingIndex first")
+    val cents = readQuantizer(spark, stateDir, qTag)
+    val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
+    def codeTag(cellTag: String): String =
+      "embcodes/" + cellTag.stripPrefix("embcells/")
+    val (cold, hot) = cellDirs.partition(c => snap.live.contains(codeTag(c)))
+    val coldCodes =
+      if (cold.nonEmpty)
+        Some(spark.read.parquet(cold.map(c => s"$stateDir/${codeTag(c)}"): _*))
+      else None
+    val hotCodes =
+      if (hot.nonEmpty)
+        Some(encodeCellCodes(
+          spark.read.parquet(hot.map(c => s"$stateDir/$c"): _*), cb, cbSumsq))
+      else None
+    val codes = (coldCodes, hotCodes) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    // reconstruction = ordered concat of the chosen codebook entries
+    val rhat = concat(cb.indices.map { j =>
+      element_at(typedlit(cb(j)), element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val cand = codes
+      .withColumn("recon", rhat)
+      .withColumn("recon_nrm", sqrt(
+        graft.functions.VectorFunctions.dotExact(col("recon"), col("recon"))))
+      .select("cell", "doc_id", "recon", "recon_nrm")
+    val featQ = queries.select(
+      col("query_id"), col("embedding"),
+      graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val probes = featQ.select(
+      col("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
+      explode(transform(
+        slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
+        s => s.getField("cid"))).as("cell"))
+    val aw = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("doc_id"))
+    val short = Materialize(broadcast(probes).join(cand, "cell")
+      .withColumn("adc_cosine",
+        graft.functions.VectorFunctions.dotExact(col("recon"), col("qe")) /
+          (col("recon_nrm") * col("q_nrm")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= rerank)
+      .select("query_id", "doc_id", "qe", "q_nrm", "adc_cosine"))
+    // bounded |Q|·rerank shortlist → In-pushed raw read for the re-rank
+    val ids = short.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val raw = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(col("doc_id").isInCollection(ids))
+      .select("doc_id", "embedding", "nrm")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    broadcast(short).join(raw, "doc_id")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotFold(col("embedding"), col("qe")) /
+          (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("adc_cosine"),
+        col("cosine"), col("rank").cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** METADATA-FILTERED top-k semantic search on the corpus embedding
+    * index AT REST, with a PER-QUERY ADAPTIVE probe budget from the
+    * PERSISTED occupancy table — the ephemeral filtered probe
+    * ([[graft.operators.Similarity.filteredIvfTopK]]) and adaptive
+    * budget ([[graft.operators.Similarity.adaptiveProbeBudget]])
+    * composed onto manifest state: [[refreshEmbeddingIndex]] persists a
+    * (label, cell, n) occupancy sidecar per labeled batch (`embocc/…`,
+    * K·|labels| metadata rows each, generation-suffixed with its
+    * cells), and at query time the merged occupancy — bounded index
+    * metadata, collected as literals — prices each query's ranked
+    * cells: the probe budget is the smallest prefix whose covered
+    * label mass clears `targetPct` percent (exact integer comparison;
+    * all K cells when none does). Candidates apply `label ===
+    * targetLabel` BEFORE any distance arithmetic (predicate-first — the
+    * scan is the filtered slice of the probed cells), then the exact
+    * ordered-fold cosine ranks the top `k`.
+    *
+    * At `targetPct = 100` the budget covers EVERY cell holding the
+    * label, so the result EQUALS the exact filtered search over the
+    * committed corpus (spec-pinned) — no post-filter recall loss.
+    *
+    * @return (query_id, chosen_nprobe, doc_id, label, cosine, rank) */
+  def semanticTopKFiltered(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, stateDir: String, targetLabel: Int = 0,
+      k: Int = 10, targetPct: Int = 90): DataFrame = {
+    import graft.sources.Manifest
+    graft.functions.GraftFunctions.register(spark)
+    val snap = Manifest.snapshot(spark, stateDir)
+    val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
+      throw new java.io.IOException(
+        s"no embedding index at $stateDir — run refreshEmbeddingIndex first"))
+    val suffix = "__" + qTag.stripPrefix("quantizer/")
+    val cellDirs = snap.live.filter(c =>
+      c.startsWith("embcells/") && c.endsWith(suffix))
+    if (cellDirs.isEmpty)
+      throw new java.io.IOException(
+        s"no embedding index cells at $stateDir — run refreshEmbeddingIndex first")
+    val occDirs = snap.live.filter(c =>
+      c.startsWith("embocc/") && c.endsWith(suffix))
+    if (occDirs.isEmpty)
+      throw new java.io.IOException(
+        s"no occupancy table at $stateDir — ingest labeled documents and " +
+          "refreshEmbeddingIndex first")
+    // a partially-labeled corpus has cells with no label column at all —
+    // the predicate would silently misread them; refuse instead
+    if (occDirs.size != cellDirs.size)
+      throw new java.io.IOException(
+        s"only ${occDirs.size} of ${cellDirs.size} batches at $stateDir carry " +
+          "labels — filtered serving needs every ingested batch labeled")
+    val cents = readQuantizer(spark, stateDir, qTag)
+    val index = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
+    // merged target-label occupancy: ≤K rows of index metadata
+    val occRows = spark.read.parquet(occDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(col("label") === targetLabel)
+      .groupBy("cell").agg(sum("n").as("o"))
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("o")))
+    val nLabel = occRows.map(_._2).sum
+    val occL = typedlit(occRows.toMap)
+    val featQ = queries.select(
+      col("query_id"), col("embedding"),
+      graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val ranked = featQ.select(
+      col("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
+      posexplode(transform(
+        Similarity.cellRank(cents, col("embedding"), col("nrm")),
+        s => s.getField("cid"))).as(Seq("p0", "cell")))
+      .withColumn("p", (col("p0") + 1).cast("int"))
+    val cw = Window.partitionBy("query_id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ranked.withColumn("cum_o",
+      sum(coalesce(element_at(occL, col("cell")), lit(0L))).over(cw))
+    val chosen = cum.groupBy("query_id").agg(
+      coalesce(
+        min(when(lit(100L) * col("cum_o") >=
+          lit(targetPct.toLong) * lit(nLabel), col("p"))),
+        lit(cents.length)).cast("int").as("chosen_nprobe"))
+    val probes = cum.join(chosen, "query_id")
+      .filter(col("p") <= col("chosen_nprobe"))
+      .select("query_id", "chosen_nprobe", "qe", "q_nrm", "cell")
+    val cand = index.filter(col("label") === targetLabel)
+      .select(col("cell"), col("doc_id"), col("label"),
+        col("embedding").as("ce"), col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    broadcast(probes).join(cand, "cell")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotFold(col("ce"), col("qe")) /
+          (col("c_nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("chosen_nprobe"), col("doc_id"),
+        col("label"), col("cosine"), col("rank").cast("int").as("rank"))
       .orderBy("query_id", "rank")
   }
 

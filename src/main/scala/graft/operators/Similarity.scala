@@ -133,6 +133,7 @@ object Similarity {
     * its own gated query does, and the final agg is |Q| metadata rows
     * per index. The division is a single IEEE op on exact ints. */
   def indexCompare(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(embeddings.sparkSession)
     // ONE brute-force truth, materialized and shared by all six recall
     // frames — the standalone recall rows each build their own truth
     // (their cost is their honest standalone price), but inside the
@@ -150,36 +151,61 @@ object Similarity {
     // (spec-pinned). Likewise ONE PQ-codebook training feeds both pq
     // and ivf_pq (both train at nSub=8, cbSize=16, iters=2). Training
     // is deterministic, so sharing changes cost, never values.
+    val n = embeddings.count()
     val cents16 = trainCentroids(embeddings, 16, 2)
-    val kcGraph = autoCellCount(embeddings.count())
+    val kcGraph = autoCellCount(n)
     val centsGraph =
       if (kcGraph == 16) cents16 else trainCentroids(embeddings, kcGraph, 2)
     val cb = trainPqCodebooks(embeddings, 8, 16, 2)
-    val frames: Seq[(String, DataFrame)] = Seq(
-      "graph"  -> recallAtK(truth,
-        graphSearch(embeddings, nQueries = nQueries, k = k, centsPre = Some(centsGraph))),
-      "lsh"    -> recallAtK(truth, lshTopK(embeddings, nQueries, k)),
-      "ivf"    -> recallAtK(truth,
-        ivfTopKTrained(embeddings, nQueries = nQueries, k = k, centsPre = Some(cents16))),
-      "pq"     -> recallAtK(truth,
-        pqTopK(embeddings, nQueries = nQueries, k = k, cbPre = Some(cb))),
-      "sq"     -> recallAtK(truth, sqTopK(embeddings, nQueries, k)),
-      "ivf_pq" -> recallAtK(truth, ivfPqTopK(embeddings, nQueries = nQueries, k = k,
-        centsPre = Some(cents16), cbPre = Some(cb))),
+    // ---- CANDIDATES SCANNED per family: the work column that prices
+    // recall (a 0.06-recall index that scans 40 vectors/query and a
+    // 0.95-recall one that scans 600 are different deploy decisions).
+    // Each count is the EXACT number of (query, candidate) pairs the
+    // family's own scoring stage evaluates, from the same structures:
+    //  - pq/sq re-rank the WHOLE corpus minus self (full ADC/SQ scan);
+    //  - the three IVF paths share one probe set (same quantizer, same
+    //    nProbe), so their scan is the same probed-cells join;
+    //  - lsh scans its capped multi-probe buckets;
+    //  - graph counts every node the beam navigation ever scored, from
+    //    the SAME navigation that serves the top-k (beamEval is built
+    //    once, ranked AND counted).
+    val fullScan = nQueries.toLong * (n - 1)
+    val candIvf = probeCandidates(embeddings, cents16, nQueries, 2).count()
+    val candLsh = lshCandidates(embeddings, nQueries).count()
+    val (gq, gEdges, gEntries, gNodes) =
+      graphSearchParts(embeddings, 5, 0, 2, nQueries, Some(centsGraph))
+    val gEval = Materialize(beamEval(gq, gEdges, gEntries, gNodes, 4, 3))
+    val candGraph = gEval.count()
+    val frames: Seq[(String, DataFrame, Long)] = Seq(
+      ("graph",  recallAtK(truth, rankBeamEval(gEval, k)), candGraph),
+      ("lsh",    recallAtK(truth, lshTopK(embeddings, nQueries, k)), candLsh),
+      ("ivf",    recallAtK(truth,
+        ivfTopKTrained(embeddings, nQueries = nQueries, k = k,
+          centsPre = Some(cents16))), candIvf),
+      ("pq",     recallAtK(truth,
+        pqTopK(embeddings, nQueries = nQueries, k = k, cbPre = Some(cb))), fullScan),
+      ("sq",     recallAtK(truth, sqTopK(embeddings, nQueries, k)), fullScan),
+      ("ivf_pq", recallAtK(truth, ivfPqTopK(embeddings, nQueries = nQueries, k = k,
+        centsPre = Some(cents16), cbPre = Some(cb))), candIvf),
       // the residual family trains RESIDUAL-space codebooks (not the raw
-      // cb) but shares the coarse quantizer
-      "ivf_pq_res" -> recallAtK(truth,
+      // cb) but shares the coarse quantizer — and therefore the probe
+      // set, so its scan cost equals ivf_pq's (same cells, better codes)
+      ("ivf_pq_res", recallAtK(truth,
         ivfPqResidualTopK(embeddings, nQueries = nQueries, k = k,
-          centsPre = Some(cents16))))
-    frames.map { case (name, df) =>
+          centsPre = Some(cents16))), candIvf))
+    frames.map { case (name, df, cand) =>
       df.agg(
         lit(name).as("index"),
         count(lit(1)).as("n_queries"),
         sum("n_hits").as("n_hits"),
         (sum("n_hits").cast("double") /
-          (count(lit(1)) * k).cast("double")).as("recall_at_k"))
+          (count(lit(1)) * k).cast("double")).as("recall_at_k"),
+        lit(cand).as("candidates"),
+        (lit(cand).cast("double") /
+          count(lit(1)).cast("double")).as("cand_per_query"))
     }.reduce(_ unionByName _)
-      .select("index", "n_queries", "n_hits", "recall_at_k")
+      .select("index", "n_queries", "n_hits", "recall_at_k",
+        "candidates", "cand_per_query")
       .orderBy("index")
   }
 
@@ -528,10 +554,14 @@ object Similarity {
     * only shuffles left are the candidate join (probe side is |Q|·nProbe
     * rows — broadcast) and the final per-query top-k rank. Tie rules match
     * the relational oracle: max cosine, then min centroid id. */
-  private def probeTopK(
+  /** The (query, candidate) join a probe query actually scores —
+    * [[probeTopK]]'s candidate set BEFORE any distance arithmetic,
+    * split out so [[indexCompare]] prices the scan the IVF family pays
+    * (the count of these rows is the candidates-scanned column). */
+  private def probeCandidates(
       embeddings: DataFrame,
       cents: Array[(Long, Array[Float], Double)],
-      nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+      nQueries: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
@@ -546,10 +576,17 @@ object Similarity {
         explode(transform(
           slice(cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
           s => s.getField("cid"))).as("cell"))
-    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(probes)
       .join(assigned, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
+  }
+
+  private def probeTopK(
+      embeddings: DataFrame,
+      cents: Array[(Long, Array[Float], Double)],
+      nQueries: Int, nProbe: Int, k: Int): DataFrame = {
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    probeCandidates(embeddings, cents, nQueries, nProbe)
       .withColumn("cosine",
         VectorFunctions.dotExact(col("qe"), col("ce")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(rk))
@@ -942,10 +979,11 @@ object Similarity {
     * join, never all-pairs. Probe buckets of one query are pairwise
     * distinct (XOR with distinct masks), so a (query, neighbor) pair can
     * match at most one probe and needs no distinct. */
-  def lshTopK(
-      embeddings: DataFrame,
-      nQueries: Int = 8, k: Int = 10, nBits: Int = 8, multiProbe: Boolean = true,
-      maxBucket: Long = 1000L): DataFrame = {
+  /** The (query, candidate) pairs the LSH multi-probe bucket join feeds
+    * to scoring — split out so [[indexCompare]] prices the LSH scan. */
+  private def lshCandidates(
+      embeddings: DataFrame, nQueries: Int, nBits: Int = 8,
+      multiProbe: Boolean = true, maxBucket: Long = 1000L): DataFrame = {
     val feat = withFeat(embeddings, nBits)
     val masks = if (multiProbe) 0L +: (0 until nBits).map(1L << _).toSeq else Seq(0L)
     val q = feat.filter(col("vec_id") < nQueries)
@@ -959,9 +997,16 @@ object Similarity {
       feat.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("nrm").as("c_nrm"), col("bucket")),
       Seq("bucket"), maxBucket)
-    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     broadcast(q).join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+  }
+
+  def lshTopK(
+      embeddings: DataFrame,
+      nQueries: Int = 8, k: Int = 10, nBits: Int = 8, multiProbe: Boolean = true,
+      maxBucket: Long = 1000L): DataFrame = {
+    val rk = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    lshCandidates(embeddings, nQueries, nBits, multiProbe, maxBucket)
       .withColumn("dot", VectorFunctions.dotExact(col("qe"), col("ce")))
       .withColumn("cosine", col("dot") / (col("q_nrm") * col("c_nrm")))
       .withColumn("rank", row_number().over(rk))

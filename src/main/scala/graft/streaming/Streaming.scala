@@ -1088,6 +1088,29 @@ object Streaming {
         (col("best").isNull || (-col("best.nc")) < threshold).as("admit"))
   }
 
+  /** [[semanticNearMarks]] wired to the CORPUS STATE it gates for — the
+    * production entry point of the D31 streaming gate: quantizer and
+    * cell assignments come from ONE committed manifest snapshot of
+    * `stateDir` ([[graft.operators.Corpus.refreshEmbeddingIndex]]'s
+    * output, read via [[graft.operators.Corpus.embeddingIndexAtRest]]),
+    * so the streaming gate and the batch ingest gate
+    * ([[graft.operators.Corpus.ingestSemanticNearDup]]) provably consume
+    * the SAME committed generation — no caller-assembled frames that
+    * could mix an old quantizer with new cells. The quantizer is bounded
+    * metadata (collected as literals); the cells stay a static DataFrame,
+    * the stream-static dimension-read shape. A stream started before a
+    * generation swap keeps serving its pinned snapshot (like any static
+    * dimension side); restarting picks up the new generation — the spec
+    * pins both halves against the frame-fed twin. */
+  def semanticNearMarksFromState(
+      vecs: DataFrame, stateDir: String,
+      nProbe: Int = 2, threshold: Double = 0.3,
+      delay: String = "1 hour"): DataFrame = {
+    val (cents, index) =
+      graft.operators.Corpus.embeddingIndexAtRest(vecs.sparkSession, stateDir)
+    semanticNearMarks(vecs, cents, index, nProbe, threshold, delay)
+  }
+
   /** Streaming TRAINED-classifier scoring (SURVEY §2.D30) — the
     * filter-before-land stage of a production curation pipeline: the
     * logistic probe trained batch-side on the committed corpus

@@ -61,7 +61,10 @@ object Twins {
     "scd2State"          -> "scd2StateOrdered",
     "dedupExact"         -> "dedupExactOrdered",
     "noveltyMarks"       -> "noveltyMarksOrdered",
-    "simhashNearMarks"   -> "simhashNearMarksOrdered")
+    "simhashNearMarks"   -> "simhashNearMarksOrdered",
+    // the state-fed production entry point: same gate, quantizer+cells
+    // read from one committed manifest snapshot instead of caller frames
+    "semanticNearMarksFromState" -> "semanticNearMarks")
 
   /** Streaming surface with no single gated batch key: infrastructure
     * and API-level twins, spec-gated directly. */
@@ -150,6 +153,7 @@ object Twins {
       "ann_graph_search", "ann_recall_graph", "ann_beam_sweep",
       "ann_ivfpq_residual_topk", "ann_recall_ivfpq_residual",
       "ann_filtered_graph", "ann_recall_filtered_graph",
+      "corpus_semantic_adc", "corpus_filtered_topk",
       "search_rrf_fusion", "search_mmr_rerank", "search_ndcg_rrf",
       "knn_classify", "label_centroids", "topic_assign", "contrastive_pairs",
       "embed_rp_project", "embed_center_norm", "embed_dim_stats",

@@ -738,6 +738,192 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("encode-at-rest embedding index: mixed encoded/hot ADC serving equals " +
+    "the never-encoded twin and the fully-encoded state") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    // dense direction vectors (0.05 floor): an all-zero subspace slice
+    // would train a zero codebook entry and a zero-norm reconstruction —
+    // ADC cosine is undefined there, as in the ephemeral pqTopK
+    def onehot(d: Int, extra: (Int, Float)*) =
+      Array.tabulate(64)(i =>
+        extra.toMap.getOrElse(i, if (i == d) 1f else 0f) + 0.05f).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    def doc(id: Long) = (id, s"text $id", "en", "t", 7L, onehot(id.toInt))
+    // ids 0..15 present: the deterministic codebook init is the first 16
+    val b1 = (0L to 15L).map(doc).toDF(cols: _*)
+    val b2 = (20L to 27L).map(doc).toDF(cols: _*)
+    val queries = Seq(
+      (100L, onehot(7, 50 -> 0.1f)), (101L, onehot(22))).toDF("query_id", "embedding")
+
+    def build(name: String, encodeAfterB1: Boolean): String = {
+      val state = Files.createTempDirectory(name).toString
+      assert(Corpus.ingestIncremental(spark, b1, state) === 16L)
+      assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+      // serving before codebooks exist fails loudly, not silently raw
+      intercept[java.io.IOException] {
+        Corpus.semanticTopKAdc(spark, queries, state).collect()
+      }
+      Corpus.initEmbeddingCodebooks(spark, state)
+      if (encodeAfterB1) assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+      assert(Corpus.ingestIncremental(spark, b2, state) === 8L)
+      assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+      state
+    }
+    // mixed: b1 served from its codes twin, b2 encoded on the fly
+    val mixed = build("graft-adcmixed", encodeAfterB1 = true)
+    // never-encoded: identical corpus and codebooks (both train on b1),
+    // every cell encoded on the fly
+    val never = build("graft-adcnever", encodeAfterB1 = false)
+    def serve(state: String) =
+      Corpus.semanticTopKAdc(spark, queries, state).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("adc_cosine"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("rank"))).toSeq
+    val gotMixed = serve(mixed)
+    assert(gotMixed.nonEmpty && gotMixed === serve(never),
+      "mixed encoded/hot ADC serving must equal the never-encoded twin")
+    // fully encoded: the second pass covers b2's cells; served bits equal
+    assert(Corpus.encodeEmbeddingIndex(spark, mixed) === 1L)
+    assert(serve(mixed) === gotMixed,
+      "fully-encoded serving must equal the mixed state's")
+    assert(Corpus.encodeEmbeddingIndex(spark, mixed) === 0L, "idempotent")
+    // with the shortlist wider than every candidate set, the exact
+    // re-rank makes ADC serving EQUAL the raw exact probe
+    val exact = Corpus.semanticTopK(spark, queries, mixed).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSeq
+    val wide = Corpus.semanticTopKAdc(spark, queries, mixed, rerank = 1000)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSeq
+    assert(wide === exact,
+      "rerank >= candidates: ADC serving must equal the exact probe")
+  }
+
+  test("encode-at-rest embedding index: a racing ingest survives the encode " +
+    "publish and stays served from the hot path until the next pass") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    // dense (0.05 floor) — see the mixed encoded/hot spec
+    def onehot(d: Int) =
+      Array.tabulate(64)(i => (if (i == d) 1f else 0f) + 0.05f).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    def doc(id: Long) = (id, s"text $id", "en", "t", 7L, onehot(id.toInt))
+    val state = Files.createTempDirectory("graft-adcrace").toString
+    assert(Corpus.ingestIncremental(spark, (0L to 15L).map(doc).toDF(cols: _*),
+      state) === 16L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    Corpus.initEmbeddingCodebooks(spark, state)
+    // the seam commits a whole ingest between staging and publish — the
+    // OCC merge must keep the raced commit AND the staged codes
+    val b3 = (30L to 34L).map(doc).toDF(cols: _*)
+    assert(Corpus.encodeEmbeddingIndex(spark, state,
+      beforePublish = () =>
+        assert(Corpus.ingestIncremental(spark, b3, state) === 5L)) === 1L)
+    val live = Manifest.live(spark, state)
+    assert(live.count(_.startsWith("documents/")) === 2, "raced ingest survives")
+    assert(live.count(_.startsWith("embcodes/")) === 1)
+    // the raced batch has no cells yet; refresh + encode cover it
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+    val served = Corpus.semanticTopKAdc(spark,
+      Seq((200L, onehot(32))).toDF("query_id", "embedding"), state, k = 1)
+      .collect()
+    assert(served.head.getAs[Long]("doc_id") === 32L,
+      "the raced batch's docs must be served once covered")
+  }
+
+  test("filtered at-rest serving: refresh persists occupancy sidecars, the " +
+    "all-cells budget equals exact filtered search, neighbors honor the " +
+    "predicate, and unlabeled states fail loudly") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    def onehot(d: Int, extra: (Int, Float)*) =
+      Array.tabulate(64)(i => extra.toMap.getOrElse(i, if (i == d) 1f else 0f)).toSeq
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding", "label")
+    def doc(id: Long) = (id, s"text $id", "en", "t", 7L, onehot(id.toInt), (id % 2).toInt)
+    val state = Files.createTempDirectory("graft-filtsrv").toString
+    val b1 = (1L to 16L).map(doc).toDF(cols: _*)
+    assert(Corpus.ingestIncremental(spark, b1, state) === 16L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    // one occupancy sidecar per labeled batch, counts = the corpus truth
+    def mergedOcc(): Map[(Int, Long), Long] = {
+      val live = Manifest.live(spark, state)
+      val occDirs = live.filter(_.startsWith("embocc/"))
+      assert(occDirs.size === live.count(_.startsWith("documents/")),
+        "every labeled batch carries an occupancy sidecar")
+      spark.read.parquet(occDirs.map(d => s"$state/$d"): _*)
+        .groupBy("label", "cell").agg(sum("n").as("n")).collect()
+        .map(r => (r.getAs[Int]("label"), r.getAs[Long]("cell")) ->
+          r.getAs[Long]("n")).toMap
+    }
+    def truthOcc(): Map[(Int, Long), Long] = {
+      val live = Manifest.live(spark, state)
+      val cellDirs = live.filter(_.startsWith("embcells/"))
+      spark.read.parquet(cellDirs.map(d => s"$state/$d"): _*)
+        .groupBy("label", "cell").agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getAs[Int]("label"), r.getAs[Long]("cell")) ->
+          r.getAs[Long]("n")).toMap
+    }
+    assert(mergedOcc() === truthOcc())
+    // a second labeled ingest + refresh UPDATES the occupancy table
+    val b2 = (20L to 29L).map(doc).toDF(cols: _*)
+    assert(Corpus.ingestIncremental(spark, b2, state) === 10L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    assert(mergedOcc() === truthOcc())
+    assert(mergedOcc().map(_._2).sum === 26L)
+
+    val queries = Seq(
+      (100L, onehot(7, 50 -> 0.1f)), (101L, onehot(22))).toDF("query_id", "embedding")
+    // targetPct=100 probes every cell holding the label → EXACT filtered
+    // search over the committed corpus
+    val got = Corpus.semanticTopKFiltered(
+      spark, queries, state, targetLabel = 1, k = 5, targetPct = 100).collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Int]("label") === 1),
+      "every served neighbor must honor the predicate")
+    val corpus = Corpus.documents(spark, state)
+    val featC = corpus.filter(col("label") === 1).select(
+      col("doc_id"), col("label"), col("embedding").as("ce"),
+      graft.functions.VectorFunctions.normExact(col("embedding")).as("c_nrm"))
+    val featQ = queries.select(col("query_id"), col("embedding").as("qe"),
+      graft.functions.VectorFunctions.normExact(col("embedding")).as("q_nrm"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    val want = featQ.crossJoin(featC)
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotFold(col("ce"), col("qe")) /
+          (col("c_nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= 5)
+      .select("query_id", "doc_id", "cosine", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    assert(got.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+      r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet === want,
+      "all-cells budget must equal the exact filtered search")
+    // a tighter budget still never leaks the predicate and stays within
+    // the chosen prefix's candidates (subset of the exact result's pool)
+    val tight = Corpus.semanticTopKFiltered(
+      spark, queries, state, targetLabel = 1, k = 5, targetPct = 50).collect()
+    assert(tight.forall(_.getAs[Int]("label") === 1))
+    assert(tight.forall(r => r.getAs[Int]("chosen_nprobe") >= 1))
+
+    // unlabeled corpus → descriptive failure, not an opaque plan error
+    val plain = Files.createTempDirectory("graft-filtplain").toString
+    val cols0 = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    val u = (1L to 8L).map(id => (id, s"t $id", "en", "t", 4L, onehot(id.toInt)))
+      .toDF(cols0: _*)
+    assert(Corpus.ingestIncremental(spark, u, plain) === 8L)
+    assert(Corpus.refreshEmbeddingIndex(spark, plain) === 1L)
+    val ex = intercept[java.io.IOException] {
+      Corpus.semanticTopKFiltered(spark, queries, plain).collect()
+    }
+    assert(ex.getMessage.contains("occupancy"))
+  }
+
   test("semantic ingest: the embedding index survives corpus compaction") {
     import graft.operators.Corpus
     import graft.sources.Manifest

@@ -639,6 +639,28 @@ class SimilaritySpec extends SparkSpec {
       assert(out(name).getAs[Long]("n_queries") === 8L)
       assert(out(name).getAs[Double]("recall_at_k") === hits.toDouble / 80.0)
     }
+    // the COST column prices each family's scan against the fixture:
+    // pq/sq re-rank everything but self; the three IVF paths share one
+    // probe set (strictly less than the full scan); graph touches its
+    // 16 per-cell entries plus at most hops*beam*graphK expansions
+    val n = embTable.count()
+    val full = 8L * (n - 1)
+    assert(out("pq").getAs[Long]("candidates") === full)
+    assert(out("sq").getAs[Long]("candidates") === full)
+    val ivfCand = out("ivf").getAs[Long]("candidates")
+    assert(ivfCand > 0L && ivfCand < full,
+      s"probing must scan less than the full corpus ($ivfCand vs $full)")
+    assert(out("ivf_pq").getAs[Long]("candidates") === ivfCand)
+    assert(out("ivf_pq_res").getAs[Long]("candidates") === ivfCand)
+    val g = out("graph").getAs[Long]("candidates")
+    assert(g >= 8L * 16L && g <= 8L * (16L + 3L * 4L * 5L),
+      s"graph visited count $g outside [entries, entries+hops*beam*graphK]")
+    val lsh = out("lsh").getAs[Long]("candidates")
+    assert(lsh > 0L && lsh < full, s"capped multi-probe LSH scan $lsh")
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("cand_per_query") ===
+        r.getAs[Long]("candidates").toDouble / 8.0)
+    }
   }
 
   test("kmeansDistributed: full-corpus Lloyd is bit-equal to the sampled driver Lloyd when the sample is the corpus") {

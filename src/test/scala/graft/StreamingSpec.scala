@@ -1175,4 +1175,69 @@ class StreamingSpec extends SparkSpec {
         s"listener total ${counter.dropped(q)} != ring-buffer total $dropped")
     } finally { q.stop(); counter.detach(spark) }
   }
+
+  test("semanticNearMarksFromState: marks over a stateDir equal the frame-fed " +
+    "twin on the same snapshot, including across a generation swap") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Corpus
+    import graft.streaming.Vec
+    val state = java.nio.file.Files.createTempDirectory("graft-semstate").toString
+    def onehot(d: Int, extra: (Int, Float)*) = Array.tabulate(64)(i =>
+      extra.toMap.getOrElse(i, if (i == d) 1f else 0f)).toSeq
+    def doc(id: Long, vec: Seq[Float]) = (id, s"unique text $id", "en", "t", 14L, vec)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars", "embedding")
+    val idx = ((1L to 9L) ++ (11L to 19L)).map(id => doc(id, onehot(id.toInt)))
+    assert(Corpus.ingestSemanticNearDup(spark, idx.toDF(cols: _*), state) === idx.size.toLong)
+
+    def run(name: String, batch: Seq[Vec])(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Map[Long, (Option[Any], Boolean)] = {
+      val mem = MemoryStream[Vec]
+      val q = mk(mem.toDF()).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      // the late sentinel arrives in its own micro-batch so the watermark
+      // passes the fixture events and the append-mode aggregate emits
+      try Seq(batch, Seq(Vec(900000L, 100 * H, onehot(63)))).foreach { p =>
+        mem.addData(p); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).collect()
+        .filter(_.getAs[Long]("new_vec") < 900000L)
+        .map(r => r.getAs[Long]("new_vec") ->
+          (Option(r.get(r.fieldIndex("dup_of"))), r.getAs[Boolean]("admit"))).toMap
+    }
+
+    // the C113 fixture batch: 0 near-dups index doc 7, 10 is novel, 20
+    // exactly twins index doc 5 — the state-fed gate must mark like the
+    // frame-fed twin reading the SAME committed snapshot
+    val batch1 = Seq(
+      Vec(0L, H, onehot(7, 50 -> 0.1f)), Vec(10L, H, onehot(40)), Vec(20L, H, onehot(5)))
+    val got1 = run("semstate1", batch1)(
+      Streaming.semanticNearMarksFromState(_, state))
+    val (cents1, index1) = Corpus.embeddingIndexAtRest(spark, state)
+    val want1 = run("semstate1f", batch1)(
+      Streaming.semanticNearMarks(_, cents1, index1))
+    assert(got1 === want1, s"state-fed marks $got1 != frame-fed twin $want1")
+    assert(!got1(0L)._2 && got1(10L)._2 && !got1(20L)._2, s"fixture sanity: $got1")
+    val q1 = graft.sources.Manifest.live(spark, state)
+      .find(_.startsWith("quantizer/")).get
+
+    // generation swap: doubling the corpus trips the retrain trigger; a
+    // stream started AFTER the swap must consult the new generation's
+    // quantizer + cells (docs the old snapshot had no cells for)
+    val more = (30L to 55L).map(id => doc(id, onehot(id.toInt)))
+    assert(Corpus.ingestSemanticNearDup(spark, more.toDF(cols: _*), state) ===
+      more.size.toLong)
+    val q2 = graft.sources.Manifest.live(spark, state)
+      .find(_.startsWith("quantizer/")).get
+    assert(q2 !== q1, "corpus doubled: the quantizer must have swapped generations")
+    val batch2 = Seq(Vec(100L, H, onehot(42)), Vec(101L, H, onehot(60)))
+    val got2 = run("semstate2", batch2)(
+      Streaming.semanticNearMarksFromState(_, state))
+    val (cents2, index2) = Corpus.embeddingIndexAtRest(spark, state)
+    val want2 = run("semstate2f", batch2)(
+      Streaming.semanticNearMarks(_, cents2, index2))
+    assert(got2 === want2, s"post-swap marks $got2 != frame-fed twin $want2")
+    assert(!got2(100L)._2, "onehot(42) exactly twins new-generation doc 42")
+    assert(got2(101L)._2, "onehot(60) is novel in the new generation")
+  }
 }
