@@ -7019,22 +7019,41 @@ SELECT CAST(COUNT(*) AS BIGINT)
 FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id"""
 
   val annIndexCompare: String = {
-    def one(name: String, sql: String, candSql: String) = s"""
+    // Every candidate chain MATERIALIZES EXACTLY ONCE as a top-level
+    // 1-row CTE, and the per-family rows join the scalar back in. The
+    // naive form — inlining the cand subquery into each row's SELECT —
+    // instantiates the quantizer chain per reference (the r13
+    // plain-CTE lesson), which blew DuckDB past its 100 GiB cap at
+    // sf0.1 (the graph chain alone ran 3×: once for recall, twice for
+    // the two cand columns).
+    def one(name: String, sql: String) = s"""
 SELECT '$name' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(n_hits) AS BIGINT) AS n_hits,
-       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k,
-       CAST(($candSql) AS BIGINT) AS candidates,
-       CAST(($candSql) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS cand_per_query
+       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
 FROM ($sql)"""
-    Seq(
-      ("graph", annRecallGraph, graphVisitedCountSql(4)),
-      ("lsh", annRecallLsh, lshCandCountSql),
-      ("ivf", annRecallIvfTrained, ivfCandCountSql),
-      ("pq", annRecallPq, fullScanCountSql),
-      ("sq", annRecallSq, fullScanCountSql),
-      ("ivf_pq", annRecallIvfPq, ivfCandCountSql),
-      ("ivf_pq_res", annRecallIvfpqResidual, ivfCandCountSql))
-      .map { case (n, s, c) => one(n, s, c) }
-      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY \"index\"")
+    val recalls = Seq(
+      "graph" -> annRecallGraph,
+      "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
+      "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq,
+      "ivf_pq_res" -> annRecallIvfpqResidual)
+      .map { case (n, s) => one(n, s) }
+      .mkString("(", " UNION ALL ", ")")
+    s"""WITH ivf_cand AS MATERIALIZED (SELECT ($ivfCandCountSql) AS c),
+lsh_cand AS MATERIALIZED (SELECT ($lshCandCountSql) AS c),
+graph_cand AS MATERIALIZED (SELECT (${graphVisitedCountSql(4)}) AS c),
+full_cand AS MATERIALIZED (SELECT ($fullScanCountSql) AS c),
+cands AS (
+  SELECT 'graph' AS idx, c FROM graph_cand UNION ALL
+  SELECT 'lsh', c FROM lsh_cand UNION ALL
+  SELECT 'ivf', c FROM ivf_cand UNION ALL
+  SELECT 'pq', c FROM full_cand UNION ALL
+  SELECT 'sq', c FROM full_cand UNION ALL
+  SELECT 'ivf_pq', c FROM ivf_cand UNION ALL
+  SELECT 'ivf_pq_res', c FROM ivf_cand)
+SELECT r."index", r.n_queries, r.n_hits, r.recall_at_k,
+       CAST(c.c AS BIGINT) AS candidates,
+       CAST(c.c AS DOUBLE) / CAST(r.n_queries AS DOUBLE) AS cand_per_query
+FROM $recalls r JOIN cands c ON c.idx = r."index"
+ORDER BY r."index""""
   }
 }
