@@ -383,11 +383,11 @@ LIMIT 100"""
     * `s_t = (0.3·x_t) + ((1−0.3)·s_{t−1})` replayed by a recursive CTE —
     * the identical IEEE tree the driver fold applies per step. */
   val ordersEwma: String = """
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT CAST(o_orderdate AS DATE) AS day,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
   FROM orders GROUP BY 1
-), rk AS (
+), rk AS MATERIALIZED (
   SELECT day, revenue, row_number() OVER (ORDER BY day) AS rn FROM daily
 ), ew AS (
   SELECT rn, day, revenue, revenue AS ewma FROM rk WHERE rn = 1
@@ -1525,7 +1525,7 @@ ORDER BY new_doc"""
     * Dedup.leakageFreeSplit. */
   val splitLeakageFree: String =
     minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + """
-, sym AS (
+, sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM cand
@@ -1688,7 +1688,7 @@ ORDER BY vec_id, out_dim"""
     * label = min doc_id reachable (mirrors Dedup.clusters' fixpoint). */
   val dedupClusters: String =
     minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + """
-, sym AS (
+, sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM cand
@@ -1706,7 +1706,7 @@ ORDER BY doc_id"""
     * two buckets). Mirrors Dedup.clusterSizeHistogram. */
   val dedupClusterSizes: String =
     minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + """
-, sym AS (
+, sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM cand
@@ -1735,7 +1735,7 @@ ORDER BY bucket"""
     * Mirrors Dedup.clusterRepresentatives. */
   val dedupKeepBest: String =
     minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + s"""
-, sym AS (
+, sym AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM cand
@@ -1774,11 +1774,11 @@ ORDER BY d.doc_id"""
   val dedupHybridClusters: String = {
     minhashCandBase.replaceFirst("^WITH ", "WITH RECURSIVE ") + ", " +
       featCore + quantCont(2, autoKExpr) + cellPairCont + s"""
-, allpairs AS (
+, allpairs AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM cand
   UNION ALL
   SELECT vec_a AS a, vec_b AS b FROM sdots WHERE cosine >= 0.3
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT a, b FROM allpairs
   UNION ALL
   SELECT b AS a, a AS b FROM allpairs
@@ -2330,6 +2330,150 @@ FROM rankedF WHERE rnk <= 10
 ORDER BY query_id, rnk"""
   }
 
+  /** Two-column predicate conjunction on the declared (label, src)
+    * occupancy — lockstep with `Corpus.semanticTopKFilteredOn(label=0,
+    * src=1)` on the corpus index state (src = vec_id mod 3 declared at
+    * ingest): occupancy and candidates slice on BOTH columns, the
+    * budget math is the single-predicate form over the sliced counts. */
+  val corpusFilteredTwoCol: String = {
+    trainedQuantBase(2, autoKExpr) + s"""
+, kcells AS (
+  SELECT LEAST(256, GREATEST(16, CAST(ceil(n / 1024.0) AS BIGINT))) AS kc FROM nvec
+), asgL AS (
+  SELECT x.vec_id, x.cell, e.label, CAST(e.vec_id % 3 AS INTEGER) AS src FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x
+  JOIN embeddings e ON e.vec_id = x.vec_id
+  WHERE x.rn = 1
+), occF AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS o FROM asgL
+  WHERE label = 0 AND src = 1 GROUP BY cell
+), nlab AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM embeddings
+  WHERE label = 0 AND vec_id % 3 = 1
+), rankedQ AS (
+  SELECT vec_id AS query_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS p
+  FROM cdotF WHERE vec_id < 8
+), cumQ AS (
+  SELECT r.query_id, r.cell, r.p,
+         SUM(COALESCE(o.o, 0)) OVER (PARTITION BY r.query_id ORDER BY r.p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o
+  FROM rankedQ r LEFT JOIN occF o ON o.cell = r.cell
+), chosen AS (
+  SELECT query_id,
+         CAST(COALESCE(MIN(CASE WHEN 100 * cum_o >= 90 * nl THEN p END),
+           (SELECT kc FROM kcells)) AS INTEGER) AS chosen_nprobe
+  FROM cumQ, nlab GROUP BY query_id
+), probesF AS (
+  SELECT c.query_id, ch.chosen_nprobe, c.cell
+  FROM cumQ c JOIN chosen ch ON ch.query_id = c.query_id
+  WHERE c.p <= ch.chosen_nprobe
+), candF AS (
+  SELECT p.query_id, p.chosen_nprobe, a.vec_id AS doc_id, a.label, a.src
+  FROM probesF p JOIN asgL a ON a.cell = p.cell
+  WHERE a.label = 0 AND a.src = 1
+), scoredF AS (
+  SELECT c.query_id, c.chosen_nprobe, c.doc_id, c.label, c.src,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(fc.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (fc.nrm * fq.nrm) AS cosine
+  FROM candF c
+  JOIN feat fq ON fq.vec_id = c.query_id
+  JOIN feat fc ON fc.vec_id = c.doc_id
+), rankedF AS (
+  SELECT query_id, chosen_nprobe, doc_id, label, src, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+  FROM scoredF
+)
+SELECT query_id, chosen_nprobe, doc_id, label, src, cosine,
+       CAST(rnk AS INTEGER) AS "rank"
+FROM rankedF WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
+  /** Filtered + encoded serving in one path, lockstep with
+    * `Corpus.semanticTopKFilteredAdc(label=0, targetPct=90, rerank=32,
+    * k=10)`: the occupancy budget prices each query's cells on the
+    * label-0 slice, candidates of the budgeted cells score against
+    * their PQ RECONSTRUCTION (the frozen plain-PQ chain), the per-query
+    * top 32 ADC survivors re-rank by the exact ordered-fold cosine, and
+    * the top 10 ship with both scores. */
+  val corpusFilteredAdc: String = {
+    trainedQuantBase(2, autoKExpr) + pqEncodeChain(2) + s"""
+, kcells AS (
+  SELECT LEAST(256, GREATEST(16, CAST(ceil(n / 1024.0) AS BIGINT))) AS kc FROM nvec
+), asgL AS (
+  SELECT x.vec_id, x.cell, e.label FROM (
+    SELECT vec_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS rn
+    FROM cdotF) x
+  JOIN embeddings e ON e.vec_id = x.vec_id
+  WHERE x.rn = 1
+), occF AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS o FROM asgL WHERE label = 0 GROUP BY cell
+), nlab AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nl FROM embeddings WHERE label = 0
+), rankedQ AS (
+  SELECT vec_id AS query_id, cid AS cell,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS p
+  FROM cdotF WHERE vec_id < 8
+), cumQ AS (
+  SELECT r.query_id, r.cell, r.p,
+         SUM(COALESCE(o.o, 0)) OVER (PARTITION BY r.query_id ORDER BY r.p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_o
+  FROM rankedQ r LEFT JOIN occF o ON o.cell = r.cell
+), chosen AS (
+  SELECT query_id,
+         CAST(COALESCE(MIN(CASE WHEN 100 * cum_o >= 90 * nl THEN p END),
+           (SELECT kc FROM kcells)) AS INTEGER) AS chosen_nprobe
+  FROM cumQ, nlab GROUP BY query_id
+), probesF AS (
+  SELECT c.query_id, ch.chosen_nprobe, c.cell
+  FROM cumQ c JOIN chosen ch ON ch.query_id = c.query_id
+  WHERE c.p <= ch.chosen_nprobe
+), candF AS (
+  SELECT p.query_id, p.chosen_nprobe, a.vec_id AS doc_id, a.label
+  FROM probesF p JOIN asgL a ON a.cell = p.cell
+  WHERE a.label = 0
+), adots AS (
+  SELECT cd.query_id, cd.chosen_nprobe, cd.doc_id, cd.label, q.nrm AS q_nrm, r.recon_nrm,
+         CAST(SUM(CAST(CAST(q.embedding[i] AS DOUBLE) * CAST(r.recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM candF cd
+  JOIN feat q ON q.vec_id = cd.query_id
+  JOIN recn r ON r.neighbor_id = cd.doc_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.chosen_nprobe, cd.doc_id, cd.label, q.nrm, r.recon_nrm
+), short AS (
+  SELECT query_id, chosen_nprobe, doc_id, label, adc_cosine FROM (
+    SELECT query_id, chosen_nprobe, doc_id, label,
+           dot / (q_nrm * recon_nrm) AS adc_cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (q_nrm * recon_nrm) DESC, doc_id) AS arn
+    FROM adots) t
+  WHERE arn <= 32
+), rer AS (
+  SELECT s.query_id, s.chosen_nprobe, s.doc_id, s.label, s.adc_cosine,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(fc.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (fc.nrm * fq.nrm) AS cosine
+  FROM short s
+  JOIN feat fq ON fq.vec_id = s.query_id
+  JOIN feat fc ON fc.vec_id = s.doc_id
+), rankedR AS (
+  SELECT query_id, chosen_nprobe, doc_id, label, adc_cosine, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rnk
+  FROM rer
+)
+SELECT query_id, chosen_nprobe, doc_id, label, adc_cosine, cosine,
+       CAST(rnk AS INTEGER) AS "rank"
+FROM rankedR WHERE rnk <= 10
+ORDER BY query_id, rnk"""
+  }
+
   /** RESIDUAL PQ encode chain — lockstep with
     * `Similarity.trainPqCodebooksResidual` + the residual encoding of
     * `ivfPqResidualTopK`: every vector's cell from the trained-quantizer
@@ -2449,6 +2593,77 @@ LEFT JOIN ($annIvfPqResidualTopK) l
   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id
 ORDER BY b.query_id"""
+
+  /** Residual-codebook twin of [[corpusSemanticAdc]] on the residual
+    * corpus index state: the RESIDUAL encode chain (asgR off the autoK
+    * trained quantizer, codebooks on residual slices, reconstruction
+    * centroid + r̂) supplies the ADC candidates; serving probes 2 cells
+    * per query without self-exclusion, re-ranks the top-32 ADC
+    * shortlist exactly, and the output is per-query agreement with the
+    * exact probe's top 10 — read next to corpus_semantic_adc, the
+    * agreement delta is the residual gain at the same code budget. */
+  val corpusAdcResidual: String = {
+    trainedQuantBase(2, autoKExpr) + pqResEncodeChain(2) + s"""
+, probesA AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot / (nrm * cnrm) DESC, cid) AS qrn
+    FROM cdotF WHERE vec_id < 8) t
+  WHERE qrn <= 2
+), candA AS (
+  SELECT p.query_id, a.vec_id AS doc_id
+  FROM probesA p JOIN asgR a ON p.cell = a.cell
+), qA AS (
+  SELECT vec_id AS query_id, embedding AS qe, nrm AS q_nrm FROM feat WHERE vec_id < 8
+), adots AS (
+  SELECT cd.query_id, cd.doc_id, q.q_nrm, r.recon_nrm,
+         CAST(SUM(CAST(CAST(q.qe[i] AS DOUBLE) * CAST(r.recon[i] AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS dot
+  FROM candA cd
+  JOIN qA q ON q.query_id = cd.query_id
+  JOIN recn r ON r.neighbor_id = cd.doc_id
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) idx
+  GROUP BY cd.query_id, cd.doc_id, q.q_nrm, r.recon_nrm
+), short AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot / (q_nrm * recon_nrm) DESC, doc_id) AS arn
+    FROM adots) t
+  WHERE arn <= 32
+), served AS (
+  SELECT query_id, doc_id FROM (
+    SELECT s.query_id, s.doc_id,
+           row_number() OVER (PARTITION BY s.query_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(fc.embedding,
+                 (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+               (acc, v) -> acc + v) / (fc.nrm * fq.nrm) DESC, s.doc_id) AS rnk
+    FROM short s
+    JOIN feat fq ON fq.vec_id = s.query_id
+    JOIN feat fc ON fc.vec_id = s.doc_id) t
+  WHERE rnk <= 10
+), exactS AS (
+  SELECT query_id, doc_id FROM (
+    SELECT c.query_id, c.doc_id,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(fc.embedding,
+                 (x, i) -> CAST(x AS DOUBLE) * CAST(fq.embedding[i] AS DOUBLE))),
+               (acc, v) -> acc + v) / (fc.nrm * fq.nrm) DESC, c.doc_id) AS rnk
+    FROM candA c
+    JOIN feat fq ON fq.vec_id = c.query_id
+    JOIN feat fc ON fc.vec_id = c.doc_id) t
+  WHERE rnk <= 10
+)
+SELECT e.query_id,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         CAST(COUNT(*) AS DOUBLE) AS agreement
+FROM exactS e
+LEFT JOIN served s ON s.query_id = e.query_id AND s.doc_id = e.doc_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+  }
 
   val annSqTopK: String = featBase + """
 , dmm AS MATERIALIZED (
@@ -2840,7 +3055,7 @@ ORDER BY query_id, rnk"""
     * tuning table. Mirrors Similarity.ivfNprobeSweep (quantizer chain is
     * deterministic, so re-instantiating it per branch is value-identical
     * to the Spark side's train-once). */
-  def annNprobeSweep: String =
+  def annNprobeSweep: String = hoistedUnion(
     Seq(1, 2, 4).map { np =>
       s"""
 SELECT $np AS nprobe, b.query_id,
@@ -2850,7 +3065,22 @@ FROM ($annBruteforceTopK) b
 LEFT JOIN (${ivfTrainedTopKSql(np)}) l
   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id"""
-    }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"
+    }, "nprobe, query_id")
+
+  /** Hoist each UNION ALL branch into its own top-level MATERIALIZED
+    * CTE. A branch nested directly inside a UNION loses its inner
+    * MATERIALIZED hints to the planner and re-inlines its training
+    * chains per reference (measured: the ann_index_compare branches ran
+    * 10–20× their standalone cost composed; sf0.1 once blew DuckDB's
+    * 100 GiB cap this way). Values are identical — the hint only pins
+    * evaluation order. */
+  private def hoistedUnion(branches: Seq[String], orderBy: String): String = {
+    val ctes = branches.indices
+      .map(i => s"hb_$i AS MATERIALIZED (${branches(i)})")
+      .mkString("WITH ", ",\n", "")
+    val sel = branches.indices.map(i => s"SELECT * FROM hb_$i").mkString(" UNION ALL ")
+    s"$ctes\nSELECT * FROM ($sel)\nORDER BY $orderBy"
+  }
 
   /** SemDeDup oracle: the shared trained-quantizer chain assigns every
     * vector to its cell (keeping the cosine to its own centroid),
@@ -2865,9 +3095,9 @@ GROUP BY b.query_id"""
   val dedupSemantic: String =
     trainedQuantBase(2, autoKExpr).replaceFirst("^WITH ", "WITH RECURSIVE ") +
       cellPairCont + """
-, spairs AS (
+, spairs AS MATERIALIZED (
   SELECT vec_a, vec_b FROM sdots WHERE cosine >= 0.3
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT vec_a AS a, vec_b AS b FROM spairs
   UNION ALL
   SELECT vec_b AS a, vec_a AS b FROM spairs
@@ -3025,11 +3255,16 @@ SELECT $np AS nprobe,
        CAST(SUM(CASE WHEN e.exact_max >= 0.3 AND NOT p.admit THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
 FROM (${embIncSql(np)}) p
 JOIN ($embExactSql) e ON e.new_vec = p.new_vec"""
-    }.mkString("\nUNION ALL\n")
-    s"""
+    }
+    // hoistedUnion shape, with the recall division applied over the union
+    val ctes = branches.indices
+      .map(i => s"hb_$i AS MATERIALIZED (${branches(i)})")
+      .mkString("WITH ", ",\n", "")
+    val sel = branches.indices.map(i => s"SELECT * FROM hb_$i").mkString(" UNION ALL ")
+    s"""$ctes
 SELECT nprobe, n_batch, n_exact_dups, n_caught,
        CAST(n_caught AS DOUBLE) / CAST(n_exact_dups AS DOUBLE) AS gate_recall
-FROM ($branches)
+FROM ($sel)
 ORDER BY nprobe"""
   }
 
@@ -5332,19 +5567,82 @@ GROUP BY b.query_id
 ORDER BY b.query_id"""
 
   /** Recall@10 per (beam, query) for beam ∈ {2,4,8} — the graph family's
-    * tuning table, mirroring Similarity.graphBeamSweep (build-once on the
-    * Spark side; the deterministic chain re-instantiates per branch). */
-  def annBeamSweep: String =
-    Seq(2, 4, 8).map { b =>
+    * tuning table, mirroring Similarity.graphBeamSweep. SHARED-CHAIN
+    * form (r16): the quantizer + kNN-graph + query-cosine + entry CTEs
+    * and the brute-force truth each materialize ONCE at top level; only
+    * the beam-dependent navigation (f0→e3, ~|visited| rows) and its
+    * top-10 instantiate per width — the Spark side's build-once shape.
+    * The former per-branch `graphSearchSql(b)` instantiation rebuilt
+    * the whole graph chain three times AND (nested inside a UNION ALL)
+    * lost its inner MATERIALIZED hints to the planner — the
+    * ann_index_compare lesson; this was the suite's #4 DuckDB cost. */
+  def annBeamSweep: String = {
+    def nav(b: Int): String = {
+      def hop(t: Int): String = s"""
+, e${t}_$b AS MATERIALIZED (
+  SELECT query_id, node FROM e${if (t == 1) "0" else s"${t - 1}_$b"}
+  UNION
+  SELECT f.query_id, g.dst AS node
+  FROM f${t - 1}_$b f JOIN gedges g ON g.src = f.node
+), f${t}_$b AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT e.query_id, e.node,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY q.cosine DESC, e.node) AS rnk
+    FROM e${t}_$b e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
+  WHERE rnk <= $b
+)"""
       s"""
-SELECT $b AS beam, bt.query_id,
-       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
-       CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
-FROM ($annBruteforceTopK) bt
-LEFT JOIN (${graphSearchSql(b)}) l
+, f0_$b AS MATERIALIZED (
+  SELECT query_id, node FROM (
+    SELECT e.query_id, e.node,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY q.cosine DESC, e.node) AS rnk
+    FROM e0 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node) t
+  WHERE rnk <= $b
+)""" + hop(1) + hop(2) + hop(3) + s"""
+, s_$b AS MATERIALIZED (
+  SELECT $b AS beam, bt.query_id,
+         CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+         CAST(COUNT(l.neighbor_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+  FROM bf bt
+  LEFT JOIN (
+    SELECT query_id, neighbor_id FROM (
+      SELECT e.query_id, e.node AS neighbor_id,
+             row_number() OVER (PARTITION BY e.query_id
+                                ORDER BY q.cosine DESC, e.node) AS rnk
+      FROM e3_$b e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node
+      WHERE e.node <> e.query_id) t
+    WHERE rnk <= 10) l
   ON bt.query_id = l.query_id AND bt.neighbor_id = l.neighbor_id
-GROUP BY bt.query_id"""
-    }.mkString("\nUNION ALL\n") + "\nORDER BY beam, query_id"
+  GROUP BY bt.query_id
+)"""
+    }
+    knnPairsBase + """
+, gedges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dot / (na * nb) DESC, dst) AS rnk
+    FROM kdots) t WHERE rnk <= 5
+), qd AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, f.vec_id AS node,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(q.embedding,
+               (x, i) -> CAST(x AS DOUBLE) * CAST(f.embedding[i] AS DOUBLE))),
+           (acc, v) -> acc + v) / (q.nrm * f.nrm) AS cosine
+  FROM feat q CROSS JOIN feat f
+  WHERE q.vec_id < 8
+), e0 AS MATERIALIZED (
+  SELECT qq.query_id, m.node
+  FROM (SELECT MIN(vec_id) AS node FROM asgK GROUP BY cell) m
+  CROSS JOIN (SELECT DISTINCT vec_id AS query_id FROM feat WHERE vec_id < 8) qq
+), bf AS MATERIALIZED (""" + annBruteforceTopK + ")" +
+      Seq(2, 4, 8).map(nav).mkString + """
+SELECT * FROM (
+  SELECT * FROM s_2 UNION ALL SELECT * FROM s_4 UNION ALL SELECT * FROM s_8)
+ORDER BY beam, query_id"""
+  }
 
   /** FILTERED beam search over the kNN proximity graph (ACORN-1
     * navigation), lockstep with Similarity.filteredGraphSearch: the beam
@@ -5905,7 +6203,7 @@ ORDER BY b.query_id"""
     * actually serves. Mirrors Similarity.ivfPqNprobeSweep (the quantizer
     * and codebook chains are deterministic, so per-branch
     * re-instantiation is value-identical to the Spark train-once). */
-  def annNprobeSweepIvfPq: String =
+  def annNprobeSweepIvfPq: String = hoistedUnion(
     Seq(1, 2, 4).map { np =>
       s"""
 SELECT $np AS nprobe, b.query_id,
@@ -5915,7 +6213,7 @@ FROM ($annBruteforceTopK) b
 LEFT JOIN (${ivfPqTopKSql(np)}) l
   ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
 GROUP BY b.query_id"""
-    }.mkString("\nUNION ALL\n") + "\nORDER BY nprobe, query_id"
+    }, "nprobe, query_id")
 
   /** Recall@k of the scalar-quantized index vs exact brute force — the
     * [[annRecallLsh]]/[[annRecallPq]] composition. Mirrors
@@ -7026,22 +7324,38 @@ FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id"""
     // plain-CTE lesson), which blew DuckDB past its 100 GiB cap at
     // sf0.1 (the graph chain alone ran 3×: once for recall, twice for
     // the two cand columns).
-    def one(name: String, sql: String) = s"""
-SELECT '$name' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
-       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
-       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
-FROM ($sql)"""
-    val recalls = Seq(
+    //
+    // The RECALL branches get the same treatment (r16): each branch is
+    // its own top-level MATERIALIZED CTE, not a subquery inside the
+    // UNION ALL. Nested inside the union, DuckDB's planner stops
+    // honoring the branches' inner MATERIALIZED hints and re-inlines
+    // their training chains per reference — measured at sf0.01, the
+    // ivf_pq branch ran 29 s composed vs 3.3 s standalone and the
+    // residual branch 97 s vs 4.6 s (the whole dashboard 160 s); with
+    // the branches hoisted the identical values compute in ~1/4 the
+    // wall. This oracle is the suite's #1 DuckDB cost — the r15 empty
+    // driver artifact is plausibly a timeout-killed gate, so its cost
+    // is a correctness-process concern, not vanity (ORACLE_COST.json
+    // tracks it per round).
+    val families = Seq(
       "graph" -> annRecallGraph,
       "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
       "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq,
       "ivf_pq_res" -> annRecallIvfpqResidual)
-      .map { case (n, s) => one(n, s) }
+    val recallCtes = families.map { case (n, s) =>
+      s"""r_$n AS MATERIALIZED (
+SELECT '$n' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
+FROM ($s))"""
+    }.mkString(",\n")
+    val recalls = families.map { case (n, _) => s"SELECT * FROM r_$n" }
       .mkString("(", " UNION ALL ", ")")
     s"""WITH ivf_cand AS MATERIALIZED (SELECT ($ivfCandCountSql) AS c),
 lsh_cand AS MATERIALIZED (SELECT ($lshCandCountSql) AS c),
 graph_cand AS MATERIALIZED (SELECT (${graphVisitedCountSql(4)}) AS c),
 full_cand AS MATERIALIZED (SELECT ($fullScanCountSql) AS c),
+$recallCtes,
 cands AS (
   SELECT 'graph' AS idx, c FROM graph_cand UNION ALL
   SELECT 'lsh', c FROM lsh_cand UNION ALL

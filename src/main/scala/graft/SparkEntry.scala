@@ -34,30 +34,51 @@ object SparkEntry {
       Tables.sessionCosts(s, dir),
       Tables.conversions(s, dir))
 
-  /** One committed corpus-embedding-index state per (JVM, sf dir): the
-    * embeddings table ingested as documents (texts unique per id, so the
-    * exact-fingerprint gate admits everything), the embedding index
-    * refreshed (quantizer trained at autoCellCount, every batch's cells
-    * assigned), codebooks trained and all cells dirs PQ-encoded at rest.
-    * Every build step is deterministic in the table values — the cache
-    * only saves Verify/Bench from rebuilding identical state per gated
-    * key, it never changes a served result. */
+  /** One committed corpus-embedding-index state per (JVM, sf dir,
+    * residual flag): the embeddings table ingested as documents (texts
+    * unique per id, so the exact-fingerprint gate admits everything)
+    * with TWO declared predicate columns — `label` from the table and
+    * `src` = vec_id mod 3, the two-column occupancy surface — the
+    * embedding index refreshed (quantizer trained at autoCellCount,
+    * every batch's cells assigned), codebooks trained (plain or
+    * residual) and all cells dirs PQ-encoded at rest. Every build step
+    * is deterministic in the table values — the cache only saves
+    * Verify/Bench from rebuilding identical state per gated key, it
+    * never changes a served result.
+    *
+    * The minutes-of-Spark build runs OUTSIDE the map's bin lock (the
+    * memo holder is cheap to create; its lazy val synchronizes build on
+    * the holder, not the map), and each temp state registers a
+    * shutdown-hook cleanup so repeated JVMs don't leak tmpdirs. */
+  private final class CorpusStateMemo(build: () => String) {
+    lazy val value: String = build()
+  }
   private val corpusIdxStates =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def corpusIndexState(s: SparkSession, dir: String): String =
-    corpusIdxStates.computeIfAbsent(dir, _ => {
-      val state = java.nio.file.Files.createTempDirectory("graft_embidx").toString
-      val docs = Tables.embeddings(s, dir).select(
-        col("vec_id").as("doc_id"),
-        concat(lit("embedding doc "), col("vec_id").cast("string")).as("text"),
-        lit("en").as("lang"), lit("synthetic").as("source"),
-        lit(24L).as("n_chars"), col("embedding"), col("label"))
-      Corpus.ingestIncremental(s, docs, state)
-      Corpus.refreshEmbeddingIndex(s, state)
-      Corpus.initEmbeddingCodebooks(s, state)
-      Corpus.encodeEmbeddingIndex(s, state)
-      state
-    })
+    new java.util.concurrent.ConcurrentHashMap[String, CorpusStateMemo]()
+  private def corpusIndexState(s: SparkSession, dir: String,
+      residual: Boolean = false): String =
+    corpusIdxStates.computeIfAbsent(s"$dir#res=$residual",
+      _ => new CorpusStateMemo(() => {
+        val state = java.nio.file.Files.createTempDirectory("graft_embidx")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(state).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: Throwable => () }))
+        val docs = Tables.embeddings(s, dir).select(
+          col("vec_id").as("doc_id"),
+          concat(lit("embedding doc "), col("vec_id").cast("string")).as("text"),
+          lit("en").as("lang"), lit("synthetic").as("source"),
+          lit(24L).as("n_chars"), col("embedding"), col("label"),
+          pmod(col("vec_id"), lit(3)).cast("int").as("src"))
+        Corpus.ingestIncremental(s, docs, state.toString)
+        Corpus.refreshEmbeddingIndex(s, state.toString,
+          predicateCols = Seq("label", "src"))
+        Corpus.initEmbeddingCodebooks(s, state.toString, byResidual = residual)
+        Corpus.encodeEmbeddingIndex(s, state.toString)
+        state.toString
+      })).value
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -756,6 +777,46 @@ object SparkEntry {
       Corpus.semanticTopKFiltered(s, q, state)
     }),
 
+    // filtered AND code-served in one path: occupancy-budgeted probe,
+    // candidates from the PQ codes (predicate via a column-pruned
+    // cells read — no raw floats), exact re-rank on the shortlist only
+    "corpus_filtered_adc" -> ((s, dir) => {
+      val state = corpusIndexState(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Corpus.semanticTopKFilteredAdc(s, q, state)
+    }),
+
+    // two-column predicate conjunction on the declared (label, src)
+    // occupancy — the multi-attribute filter real corpora serve
+    "corpus_filtered_two_col" -> ((s, dir) => {
+      val state = corpusIndexState(s, dir)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Corpus.semanticTopKFilteredOn(s, q, state, Map("label" -> 0, "src" -> 1))
+    }),
+
+    // the residual-codebook twin of corpus_semantic_adc on its own
+    // at-rest state: per-query agreement of residual-ADC serving with
+    // the exact probe — read next to corpus_semantic_adc's row, the
+    // agreement delta IS the residual gain at the same code budget
+    "corpus_adc_residual" -> ((s, dir) => {
+      val state = corpusIndexState(s, dir, residual = true)
+      val q = Tables.embeddings(s, dir).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val served = Corpus.semanticTopKAdc(s, q, state)
+        .select(col("query_id"), col("doc_id"), lit(1).as("hit"))
+      Corpus.semanticTopK(s, q, state)
+        .select("query_id", "doc_id")
+        .join(served, Seq("query_id", "doc_id"), "left")
+        .groupBy("query_id")
+        .agg(
+          sum(coalesce(col("hit"), lit(0))).cast("bigint").as("n_hits"),
+          (sum(coalesce(col("hit"), lit(0))).cast("double") /
+            count(lit(1)).cast("double")).as("agreement"))
+        .orderBy("query_id")
+    }),
+
     "knn_classify" -> ((s, dir) => Similarity.knnClassify(Tables.embeddings(s, dir))),
 
     "label_centroids" -> ((s, dir) => Similarity.labelCentroids(Tables.embeddings(s, dir))),
@@ -1214,6 +1275,9 @@ object SparkEntry {
     "ann_index_compare"         -> Oracles.annIndexCompare,
     "corpus_semantic_adc"       -> Oracles.corpusSemanticAdc,
     "corpus_filtered_topk"      -> Oracles.corpusFilteredTopK,
+    "corpus_filtered_adc"       -> Oracles.corpusFilteredAdc,
+    "corpus_filtered_two_col"   -> Oracles.corpusFilteredTwoCol,
+    "corpus_adc_residual"       -> Oracles.corpusAdcResidual,
     "knn_classify"              -> Oracles.knnClassify,
     "label_centroids"           -> Oracles.labelCentroids,
     "topic_assign"              -> Oracles.topicAssign,

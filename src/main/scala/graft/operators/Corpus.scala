@@ -521,43 +521,60 @@ object Corpus {
         r.getAs[Long]("cid"), r.getSeq[Float](r.fieldIndex("embedding")).toArray))
       .sortBy(_._1)
 
+  /** The DECLARED predicate columns of a corpus embedding index — the
+    * set the occupancy sidecars are keyed by and the only columns
+    * [[semanticTopKFilteredOn]] may filter on. Persisted as manifest
+    * metadata (`embocc_cols`) at refresh publish; absent on states built
+    * before multi-column occupancy → the historical single `label`. */
+  private[graft] def declaredPredCols(meta: Map[String, String]): Seq[String] =
+    meta.get("embocc_cols")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq("label"))
+
   /** Cell assignment for one document batch against a fixed quantizer —
     * the persisted IVF index shape: (doc_id, cell, embedding, nrm), one
-    * codegen'd map pass, no shuffle. A `label` column on the batch rides
-    * along (the metadata-filtered serving of [[semanticTopKFiltered]]
-    * needs it inside the cells AND aggregated into the per-batch
-    * occupancy table). */
+    * codegen'd map pass, no shuffle. Declared predicate columns present
+    * on the batch ride along (the metadata-filtered serving of
+    * [[semanticTopKFilteredOn]] needs them inside the cells AND
+    * aggregated into the per-batch occupancy table). */
   private def assignCells(docs: org.apache.spark.sql.DataFrame,
-      cents: Array[(Long, Array[Float], Double)]): org.apache.spark.sql.DataFrame = {
-    val labelCols =
-      if (docs.columns.contains("label")) Seq(col("label")) else Seq.empty
+      cents: Array[(Long, Array[Float], Double)],
+      predCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val ride = predCols.filter(docs.columns.contains).map(col)
     val feat = docs.select(
       (Seq(col("doc_id"), col("embedding"),
         graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm")) ++
-        labelCols): _*)
+        ride): _*)
     feat.withColumn("cell",
       element_at(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1)
         .getField("cid"))
       .select((Seq(col("doc_id"), col("cell"), col("embedding"), col("nrm")) ++
-        labelCols): _*)
+        ride): _*)
   }
 
-  /** Write one batch's cell assignments and, when the batch is labeled,
-    * its OCCUPANCY sidecar (label, cell, n) — K·|labels| metadata rows
-    * aggregated from the just-written cells, so a refresh costs
-    * O(batch) however large the at-rest corpus is. Returns whether the
-    * sidecar was written. */
+  /** Aggregate one cells dir into its occupancy sidecar: (predCols…,
+    * cell, n) — K·Π|col-cardinalities| metadata rows. Shared by the
+    * refresh write path and the missing-twin backfill. */
+  private def writeOccFromCells(spark: org.apache.spark.sql.SparkSession,
+      cellPath: String, occPath: String, predCols: Seq[String]): Unit =
+    spark.read.parquet(cellPath)
+      .groupBy(predCols.map(col) :+ col("cell"): _*).agg(count(lit(1)).as("n"))
+      .coalesce(1).write.mode("overwrite").parquet(occPath)
+
+  /** Write one batch's cell assignments and, when the batch carries ALL
+    * declared predicate columns, its OCCUPANCY sidecar (predCols…, cell,
+    * n) — bounded metadata rows aggregated from the just-written cells,
+    * so a refresh costs O(batch) however large the at-rest corpus is.
+    * Returns whether the sidecar was written. */
   private def writeCellsAndOcc(spark: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame,
       cents: Array[(Long, Array[Float], Double)],
-      cellPath: String, occPath: String): Boolean = {
-    assignCells(docs, cents).write.mode("overwrite").parquet(cellPath)
-    val labeled = docs.columns.contains("label")
-    if (labeled)
-      spark.read.parquet(cellPath)
-        .groupBy("label", "cell").agg(count(lit(1)).as("n"))
-        .coalesce(1).write.mode("overwrite").parquet(occPath)
-    labeled
+      cellPath: String, occPath: String,
+      predCols: Seq[String]): Boolean = {
+    assignCells(docs, cents, predCols).write.mode("overwrite").parquet(cellPath)
+    val covered = predCols.forall(docs.columns.contains)
+    if (covered) writeOccFromCells(spark, cellPath, occPath, predCols)
+    covered
   }
 
   /** Bring the persisted EMBEDDING index (coarse quantizer + per-batch
@@ -586,10 +603,19 @@ object Corpus {
     * mid-refresh), and the publish is a [[graft.sources.Manifest
     * .publishMerge]] that re-derives against the winner's live set.
     *
+    * `predicateCols` DECLARES the occupancy key for metadata-filtered
+    * serving ([[semanticTopKFilteredOn]]): sidecars aggregate (predCols…,
+    * cell, n). The declaration is persisted (`embocc_cols` meta) on the
+    * retrain/first-index publish; later assign-only refreshes follow the
+    * PERSISTED declaration (a different param is ignored until the next
+    * retrain, so one index never mixes sidecar schemas). Existing states
+    * without the meta key keep the historical single-`label` key.
+    *
     * @return number of batch dirs (re)assigned */
   def refreshEmbeddingIndex(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, mutexWaitMs: Long = 60 * 1000L,
-      retrainFactor: Double = 2.0): Long = {
+      retrainFactor: Double = 2.0,
+      predicateCols: Seq[String] = Seq("label")): Long = {
     import graft.sources.Manifest
     val ttlMs = 5 * 60 * 1000L
     var lease = acquireRefreshMutex(spark, stateDir, mutexWaitMs, "embidx_refresh")
@@ -624,7 +650,8 @@ object Corpus {
         docTags.toSeq.sorted.foreach { t =>
           lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
           if (writeCellsAndOcc(spark, spark.read.parquet(s"$stateDir/documents/$t"),
-              cents, s"$stateDir/${cellTag(t, qTag)}", s"$stateDir/${occTag(t, qTag)}"))
+              cents, s"$stateDir/${cellTag(t, qTag)}", s"$stateDir/${occTag(t, qTag)}",
+              predicateCols))
             occd += t
         }
         if (!Manifest.holdsLease(spark, stateDir, lease))
@@ -644,29 +671,55 @@ object Corpus {
               e.startsWith("quantizer/"))
           val adds = qTag +: docTags.intersect(curDocs).toSeq.sorted.flatMap(t =>
             cellTag(t, qTag) +: (if (occd(t)) Seq(occTag(t, qTag)) else Nil))
-          ((keep ++ adds).distinct, cur.meta + ("emb_quantizer_n" -> n.toString))
+          ((keep ++ adds).distinct, cur.meta +
+            ("emb_quantizer_n" -> n.toString) +
+            ("embocc_cols" -> predicateCols.mkString(",")))
         }
         docTags.size.toLong
       } else {
         val qTag = curQ.get
+        // assign-only refreshes follow the PERSISTED declaration — a
+        // caller passing a different predicateCols set cannot mix
+        // sidecar schemas inside one index generation
+        val declared = declaredPredCols(snap.meta)
         val suffix = "__" + qTag.stripPrefix("quantizer/")
         val celled = snap.live.collect {
           case c if c.startsWith("embcells/") && c.endsWith(suffix) =>
             c.stripPrefix("embcells/").stripSuffix(suffix)
         }.toSet
+        val occed = snap.live.collect {
+          case c if c.startsWith("embocc/") && c.endsWith(suffix) =>
+            c.stripPrefix("embocc/").stripSuffix(suffix)
+        }.toSet
         val missing = docTags -- celled
+        // a cells dir that predates occupancy sidecars (or whose sidecar
+        // was lost) would otherwise never be backfilled, permanently
+        // refusing filtered serving on a fully-covered corpus — treat
+        // covered cell dirs lacking an occ twin as work too, aggregating
+        // the sidecar from the existing cells (no re-assignment)
+        val occMissing = (celled -- occed -- missing).toSeq.sorted.filter { t =>
+          val cols = spark.read.parquet(s"$stateDir/${cellTag(t, qTag)}").columns
+          declared.forall(cols.contains)
+        }
         def idxOrphan(prefix: String) = snap.live.exists(c => c.startsWith(prefix) &&
           (!c.endsWith(suffix) ||
             !docTags(c.stripPrefix(prefix).stripSuffix(suffix))))
         val orphaned = idxOrphan("embcells/") || idxOrphan("embocc/")
-        if (missing.isEmpty && !orphaned) return 0L
+        if (missing.isEmpty && occMissing.isEmpty && !orphaned) return 0L
         val cents = readQuantizer(spark, stateDir, qTag)
         val occd = scala.collection.mutable.Set.empty[String]
         missing.toSeq.sorted.foreach { t =>
           lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
           if (writeCellsAndOcc(spark, spark.read.parquet(s"$stateDir/documents/$t"),
-              cents, s"$stateDir/${cellTag(t, qTag)}", s"$stateDir/${occTag(t, qTag)}"))
+              cents, s"$stateDir/${cellTag(t, qTag)}", s"$stateDir/${occTag(t, qTag)}",
+              declared))
             occd += t
+        }
+        occMissing.foreach { t =>
+          lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
+          writeOccFromCells(spark, s"$stateDir/${cellTag(t, qTag)}",
+            s"$stateDir/${occTag(t, qTag)}", declared)
+          occd += t
         }
         if (!Manifest.holdsLease(spark, stateDir, lease))
           throw new java.io.IOException(
@@ -682,10 +735,11 @@ object Corpus {
           val keep = cur.live.filterNot(e =>
             dead("embcells/")(e) || dead("embocc/")(e))
           val adds = missing.intersect(curDocs).toSeq.sorted.flatMap(t =>
-            cellTag(t, qTag) +: (if (occd(t)) Seq(occTag(t, qTag)) else Nil))
+            cellTag(t, qTag) +: (if (occd(t)) Seq(occTag(t, qTag)) else Nil)) ++
+            occMissing.filter(curDocs.contains).map(t => occTag(t, qTag))
           ((keep ++ adds).distinct, cur.meta)
         }
-        missing.size.toLong
+        missing.size.toLong + occMissing.size.toLong
       }
     } finally {
       if (Manifest.holdsLease(spark, stateDir, lease))
@@ -773,12 +827,28 @@ object Corpus {
     * generation swap unchanged (only the cell routing moves), so a
     * retrain re-assigns cells without invalidating the code arithmetic.
     *
+    * `byResidual = true` trains the codebooks on RESIDUALS r = x −
+    * centroid(cell(x)) against the LIVE quantizer generation
+    * ([[graft.operators.Similarity.trainPqCodebooksResidual]] — the
+    * FAISS `by_residual=true` move the persisted [[VectorStore]]
+    * already offers): residuals cluster far tighter than raw vectors,
+    * so the same 8-byte code budget reconstructs closer and ADC serving
+    * recalls more. The flag persists as manifest metadata
+    * (`embpq_residual`), so every encode/serve pass agrees. Residual
+    * codes are defined against the CURRENT generation's centroids — a
+    * quantizer retrain swaps the cell dirs to a new generation whose
+    * codes twins are simply missing, and the next
+    * [[encodeEmbeddingIndex]] cadence RE-ENCODES them against the new
+    * centroids (the frozen residual codebooks stay the quantization
+    * lattice; only the per-vector anchor moves). Requires a live index:
+    * run [[refreshEmbeddingIndex]] first.
+    *
     * OCC mirrors `initPq`: stage the codebook dir, publish via merge, a
     * REAL duplicate aborts (and removes the staged orphan); an unrelated
     * concurrent commit is retried by the merge. */
   def initEmbeddingCodebooks(spark: org.apache.spark.sql.SparkSession,
       stateDir: String, nSub: Int = 8, codebookSize: Int = 16,
-      iters: Int = 2): Unit = {
+      iters: Int = 2, byResidual: Boolean = false): Unit = {
     import graft.sources.Manifest
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -796,7 +866,14 @@ object Corpus {
       s"codebook init needs doc_ids 0..${codebookSize - 1} committed " +
         s"(found $nInit of $codebookSize at $stateDir)")
     val (cb, cbSumsq) =
-      Similarity.trainPqCodebooks(corpus, nSub, codebookSize, iters)
+      if (byResidual) {
+        val qTag = snap0.live.find(_.startsWith("quantizer/")).getOrElse(
+          throw new java.io.IOException(
+            s"residual codebooks need a live quantizer at $stateDir — " +
+              "run refreshEmbeddingIndex first"))
+        Similarity.trainPqCodebooksResidual(
+          corpus, readQuantizer(spark, stateDir, qTag), nSub, codebookSize, iters)
+      } else Similarity.trainPqCodebooks(corpus, nSub, codebookSize, iters)
     val rows = for { j <- cb.indices; c <- cb(j).indices }
       yield (j, c, cb(j)(c).toSeq, cbSumsq(j)(c))
     val tag = s"embpq/p${snap0.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -805,7 +882,8 @@ object Corpus {
     try Manifest.publishMerge(spark, stateDir) { cur =>
       require(!cur.live.exists(_.startsWith("embpq/")),
         s"corpus at $stateDir already has embedding codebooks")
-      (cur.live :+ tag, cur.meta)
+      (cur.live :+ tag,
+        cur.meta + (EmbResidualKey -> (if (byResidual) "1" else "0")))
     }
     catch {
       case e: Throwable =>
@@ -815,6 +893,14 @@ object Corpus {
         throw e
     }
   }
+
+  /** Whether the committed embedding-index codebooks quantize residuals
+    * ([[initEmbeddingCodebooks]]'s `byResidual`) — persisted metadata,
+    * mirroring [[VectorStore]]'s `pq_residual`. */
+  private val EmbResidualKey = "embpq_residual"
+
+  private def embResidual(meta: Map[String, String]): Boolean =
+    meta.get(EmbResidualKey).contains("1")
 
   /** The frozen embedding-index codebooks ([[initEmbeddingCodebooks]]):
     * (codebooks, decimal-exact |entry|² per entry) — bounded metadata. */
@@ -833,13 +919,44 @@ object Corpus {
 
   /** (doc_id, cell, codes) for one embcells frame — a pure map against
     * the literal codebooks, the encode arithmetic shared by the at-rest
-    * pass and [[semanticTopKAdc]]'s on-the-fly path. */
+    * pass and [[semanticTopKAdc]]'s on-the-fly path. Residual indexes
+    * encode r = x − centroid(cell) — the cell column is already
+    * assigned, so the subtraction is one literal-map lookup, still a
+    * pure map stage (the [[VectorStore]] encodeFrame shape). */
   private def encodeCellCodes(cells: DataFrame,
-      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]]): DataFrame = {
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]],
+      residualCents: Option[Array[(Long, Array[Float], Double)]]): DataFrame = {
     val sub = cb.head.head.length
+    val target = residualCents match {
+      case Some(cents) =>
+        val centMap = typedlit(cents.map { case (cid, v, _) => cid -> v.toSeq }.toMap)
+        zip_with(col("embedding"), element_at(centMap, col("cell")), (a, b) => a - b)
+      case None => col("embedding")
+    }
     cells.select(col("doc_id"), col("cell"),
       array(cb.indices.map(j =>
-        Similarity.pqCodeFor(j, sub, cb, cbSumsq, col("embedding"))): _*).as("codes"))
+        Similarity.pqCodeFor(j, sub, cb, cbSumsq, target)): _*).as("codes"))
+  }
+
+  /** `recon` + `recon_nrm` for a codes frame: the ordered concat of the
+    * chosen codebook entries (plain PQ) or centroid + r̂ (residual) —
+    * the shared ADC candidate shape ([[VectorStore]].withRecon). */
+  private def withEmbRecon(codes: DataFrame,
+      cb: Array[Array[Array[Float]]],
+      residualCents: Option[Array[(Long, Array[Float], Double)]]): DataFrame = {
+    val rhat = concat(cb.indices.map { j =>
+      element_at(typedlit(cb(j)), element_at(col("codes"), j + 1) + 1)
+    }: _*)
+    val recon = residualCents match {
+      case Some(cents) =>
+        val centMap = typedlit(cents.map { case (cid, v, _) => cid -> v.toSeq }.toMap)
+        zip_with(element_at(centMap, col("cell")), rhat, (a, b) => a + b)
+      case None => rhat
+    }
+    codes
+      .withColumn("recon", recon)
+      .withColumn("recon_nrm", sqrt(
+        graft.functions.VectorFunctions.dotExact(col("recon"), col("recon"))))
   }
 
   /** ENCODE-AT-REST pass for the corpus embedding index — the background
@@ -889,9 +1006,12 @@ object Corpus {
         !cellDirs.contains("embcells/" + e.stripPrefix("embcodes/")))
       if (missing.isEmpty && !orphaned) return 0L
       val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
+      val residCents =
+        if (embResidual(snap.meta)) Some(readQuantizer(spark, stateDir, qTag))
+        else None
       missing.foreach { c =>
         lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
-        encodeCellCodes(spark.read.parquet(s"$stateDir/$c"), cb, cbSumsq)
+        encodeCellCodes(spark.read.parquet(s"$stateDir/$c"), cb, cbSumsq, residCents)
           .write.mode("overwrite").parquet(s"$stateDir/${codeTag(c)}")
       }
       if (!Manifest.holdsLease(spark, stateDir, lease))
@@ -912,6 +1032,36 @@ object Corpus {
     } finally {
       if (Manifest.holdsLease(spark, stateDir, lease))
         Manifest.releaseLease(spark, stateDir, lease)
+    }
+  }
+
+  /** The committed corpus's PQ codes, cold/hot split: encoded cells
+    * dirs serve from their `embcodes` twin (8-int codes — the raw
+    * floats never load), cells ingested since the last encode pass
+    * encode on the fly. The shared candidate source behind
+    * [[semanticTopKAdc]] and [[semanticTopKFilteredAdc]]. */
+  private def atRestCodes(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, live: Seq[String], cellDirs: Seq[String],
+      cb: Array[Array[Array[Float]]], cbSumsq: Array[Array[Double]],
+      residCents: Option[Array[(Long, Array[Float], Double)]]): DataFrame = {
+    def codeTag(cellTag: String): String =
+      "embcodes/" + cellTag.stripPrefix("embcells/")
+    val (cold, hot) = cellDirs.partition(c => live.contains(codeTag(c)))
+    val coldCodes =
+      if (cold.nonEmpty)
+        Some(spark.read.parquet(cold.map(c => s"$stateDir/${codeTag(c)}"): _*))
+      else None
+    val hotCodes =
+      if (hot.nonEmpty)
+        Some(encodeCellCodes(
+          spark.read.parquet(hot.map(c => s"$stateDir/$c"): _*), cb, cbSumsq,
+          residCents))
+      else None
+    (coldCodes, hotCodes) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => throw new IllegalStateException("unreachable")
     }
   }
 
@@ -956,32 +1106,9 @@ object Corpus {
         s"no embedding index cells at $stateDir — run refreshEmbeddingIndex first")
     val cents = readQuantizer(spark, stateDir, qTag)
     val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
-    def codeTag(cellTag: String): String =
-      "embcodes/" + cellTag.stripPrefix("embcells/")
-    val (cold, hot) = cellDirs.partition(c => snap.live.contains(codeTag(c)))
-    val coldCodes =
-      if (cold.nonEmpty)
-        Some(spark.read.parquet(cold.map(c => s"$stateDir/${codeTag(c)}"): _*))
-      else None
-    val hotCodes =
-      if (hot.nonEmpty)
-        Some(encodeCellCodes(
-          spark.read.parquet(hot.map(c => s"$stateDir/$c"): _*), cb, cbSumsq))
-      else None
-    val codes = (coldCodes, hotCodes) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => throw new IllegalStateException("unreachable")
-    }
-    // reconstruction = ordered concat of the chosen codebook entries
-    val rhat = concat(cb.indices.map { j =>
-      element_at(typedlit(cb(j)), element_at(col("codes"), j + 1) + 1)
-    }: _*)
-    val cand = codes
-      .withColumn("recon", rhat)
-      .withColumn("recon_nrm", sqrt(
-        graft.functions.VectorFunctions.dotExact(col("recon"), col("recon"))))
+    val residCents = if (embResidual(snap.meta)) Some(cents) else None
+    val codes = atRestCodes(spark, stateDir, snap.live, cellDirs, cb, cbSumsq, residCents)
+    val cand = withEmbRecon(codes, cb, residCents)
       .select("cell", "doc_id", "recon", "recon_nrm")
     val featQ = queries.select(
       col("query_id"), col("embedding"),
@@ -1042,9 +1169,24 @@ object Corpus {
     * @return (query_id, chosen_nprobe, doc_id, label, cosine, rank) */
   def semanticTopKFiltered(spark: org.apache.spark.sql.SparkSession,
       queries: DataFrame, stateDir: String, targetLabel: Int = 0,
-      k: Int = 10, targetPct: Int = 90): DataFrame = {
+      k: Int = 10, targetPct: Int = 90): DataFrame =
+    semanticTopKFilteredOn(spark, queries, stateDir,
+      Map("label" -> targetLabel), k, targetPct)
+
+  /** The filtered index at rest, validated: quantizer + current-
+    * generation cell dirs + full occupancy coverage + the predicate
+    * columns checked against the DECLARED set ([[declaredPredCols]]) —
+    * shared by the raw and ADC filtered serving paths. Refuses loudly
+    * on every missing piece (an undeclared predicate column would
+    * silently budget over a sidecar that never counted it). */
+  private case class FilteredIndex(
+      snap: graft.sources.Manifest.Snapshot, qTag: String,
+      cellDirs: Seq[String], occDirs: Seq[String],
+      cents: Array[(Long, Array[Float], Double)], predCols: Seq[String])
+
+  private def filteredIndexAtRest(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, predicates: Map[String, Int]): FilteredIndex = {
     import graft.sources.Manifest
-    graft.functions.GraftFunctions.register(spark)
     val snap = Manifest.snapshot(spark, stateDir)
     val qTag = snap.live.find(_.startsWith("quantizer/")).getOrElse(
       throw new java.io.IOException(
@@ -1067,14 +1209,37 @@ object Corpus {
       throw new java.io.IOException(
         s"only ${occDirs.size} of ${cellDirs.size} batches at $stateDir carry " +
           "labels — filtered serving needs every ingested batch labeled")
-    val cents = readQuantizer(spark, stateDir, qTag)
-    val index = spark.read.parquet(cellDirs.map(d => s"$stateDir/$d"): _*)
-    // merged target-label occupancy: ≤K rows of index metadata
-    val occRows = spark.read.parquet(occDirs.map(d => s"$stateDir/$d"): _*)
-      .filter(col("label") === targetLabel)
+    val declared = declaredPredCols(snap.meta)
+    val undeclared = predicates.keySet -- declared.toSet
+    if (undeclared.nonEmpty)
+      throw new java.io.IOException(
+        s"predicate column(s) ${undeclared.toSeq.sorted.mkString(", ")} are not " +
+          s"declared on the index at $stateDir (declared: " +
+          s"${declared.mkString(", ")}) — re-declare via refreshEmbeddingIndex's " +
+          "predicateCols at the next retrain")
+    require(predicates.nonEmpty, "filtered serving needs at least one predicate")
+    FilteredIndex(snap, qTag, cellDirs, occDirs,
+      readQuantizer(spark, stateDir, qTag),
+      declared.filter(predicates.contains))
+  }
+
+  /** The occupancy-budgeted probe frame (query_id, chosen_nprobe, qe,
+    * q_nrm, cell): merged predicate-sliced occupancy — bounded index
+    * metadata, collected as literals — prices each query's ranked
+    * cells, and the budget is the smallest prefix whose covered mass
+    * clears `targetPct` percent (exact integer comparison; all K cells
+    * when none does). Shared by both filtered serving paths. */
+  private def budgetedProbes(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, idx: FilteredIndex, queries: DataFrame,
+      predicates: Map[String, Int], targetPct: Int): DataFrame = {
+    val predFilter = idx.predCols
+      .map(c => col(c) === lit(predicates(c))).reduce(_ && _)
+    // merged predicate-slice occupancy: ≤K rows of index metadata
+    val occRows = spark.read.parquet(idx.occDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(predFilter)
       .groupBy("cell").agg(sum("n").as("o"))
       .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("o")))
-    val nLabel = occRows.map(_._2).sum
+    val nMatch = occRows.map(_._2).sum
     val occL = typedlit(occRows.toMap)
     val featQ = queries.select(
       col("query_id"), col("embedding"),
@@ -1082,7 +1247,7 @@ object Corpus {
     val ranked = featQ.select(
       col("query_id"), col("embedding").as("qe"), col("nrm").as("q_nrm"),
       posexplode(transform(
-        Similarity.cellRank(cents, col("embedding"), col("nrm")),
+        Similarity.cellRank(idx.cents, col("embedding"), col("nrm")),
         s => s.getField("cid"))).as(Seq("p0", "cell")))
       .withColumn("p", (col("p0") + 1).cast("int"))
     val cw = Window.partitionBy("query_id").orderBy("p")
@@ -1092,14 +1257,37 @@ object Corpus {
     val chosen = cum.groupBy("query_id").agg(
       coalesce(
         min(when(lit(100L) * col("cum_o") >=
-          lit(targetPct.toLong) * lit(nLabel), col("p"))),
-        lit(cents.length)).cast("int").as("chosen_nprobe"))
-    val probes = cum.join(chosen, "query_id")
+          lit(targetPct.toLong) * lit(nMatch), col("p"))),
+        lit(idx.cents.length)).cast("int").as("chosen_nprobe"))
+    cum.join(chosen, "query_id")
       .filter(col("p") <= col("chosen_nprobe"))
       .select("query_id", "chosen_nprobe", "qe", "q_nrm", "cell")
-    val cand = index.filter(col("label") === targetLabel)
-      .select(col("cell"), col("doc_id"), col("label"),
-        col("embedding").as("ce"), col("nrm").as("c_nrm"))
+  }
+
+  /** [[semanticTopKFiltered]] generalized to a CONJUNCTION of declared
+    * predicate columns — real corpora filter on (lang, source, license)
+    * tuples, not one int. `predicates` maps declared column names
+    * ([[refreshEmbeddingIndex]]'s `predicateCols`) to required values;
+    * a subset of the declared columns is fine (the occupancy sidecar
+    * sums over the unconstrained ones — exact, since the sidecar is
+    * keyed by the full declared tuple), an UNDECLARED column refuses
+    * loudly. Budget math and serving shape are [[semanticTopKFiltered]]
+    * verbatim; the output carries the queried predicate columns in
+    * declared order.
+    *
+    * @return (query_id, chosen_nprobe, doc_id, predCols…, cosine, rank) */
+  def semanticTopKFilteredOn(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, stateDir: String, predicates: Map[String, Int],
+      k: Int = 10, targetPct: Int = 90): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = filteredIndexAtRest(spark, stateDir, predicates)
+    val probes = budgetedProbes(spark, stateDir, idx, queries, predicates, targetPct)
+    val index = spark.read.parquet(idx.cellDirs.map(d => s"$stateDir/$d"): _*)
+    val predFilter = idx.predCols
+      .map(c => col(c) === lit(predicates(c))).reduce(_ && _)
+    val cand = index.filter(predFilter)
+      .select(Seq(col("cell"), col("doc_id")) ++ idx.predCols.map(col) ++
+        Seq(col("embedding").as("ce"), col("nrm").as("c_nrm")): _*)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
     broadcast(probes).join(cand, "cell")
       .withColumn("cosine",
@@ -1107,8 +1295,84 @@ object Corpus {
           (col("c_nrm") * col("q_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("chosen_nprobe"), col("doc_id"),
-        col("label"), col("cosine"), col("rank").cast("int").as("rank"))
+      .select(Seq(col("query_id"), col("chosen_nprobe"), col("doc_id")) ++
+        idx.predCols.map(col) ++
+        Seq(col("cosine"), col("rank").cast("int").as("rank")): _*)
+      .orderBy("query_id", "rank")
+  }
+
+  /** FILTERED + ENCODED serving in ONE path — the production query at
+    * 100 TB is both predicate-filtered AND code-served, and neither
+    * [[semanticTopKFilteredOn]] (raw floats) nor [[semanticTopKAdc]]
+    * (unfiltered) alone is that query. Composition: the occupancy-
+    * budgeted probe prices each query's cells on the predicate slice
+    * ([[budgetedProbes]]), candidates inside the budgeted cells come
+    * from the PQ CODES ([[atRestCodes]] — encoded dirs from their
+    * `embcodes` twin, fresh dirs encoded on the fly), the predicate
+    * applies through a COLUMN-PRUNED (cell, doc_id, predCols…) read of
+    * the cells dirs joined on (cell, doc_id) — the 64-float embedding
+    * column is never read for candidate scoring — ADC ranks the per-
+    * query top `rerank` survivors, and ONLY that |Q|·rerank shortlist
+    * loads raw vectors (In-pushed parquet read) for the exact re-rank.
+    *
+    * At `targetPct = 100` with `rerank` ≥ the candidate count, the
+    * result EQUALS [[semanticTopKFilteredOn]]'s exact filtered search
+    * (spec-pinned): the budget covers every cell holding the predicate
+    * slice and the exact re-rank sees every candidate.
+    *
+    * @return (query_id, chosen_nprobe, doc_id, predCols…, adc_cosine,
+    *         cosine, rank) */
+  def semanticTopKFilteredAdc(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, stateDir: String,
+      predicates: Map[String, Int] = Map("label" -> 0),
+      k: Int = 10, targetPct: Int = 90, rerank: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val idx = filteredIndexAtRest(spark, stateDir, predicates)
+    val pqTag = idx.snap.live.find(_.startsWith("embpq/")).getOrElse(
+      throw new java.io.IOException(
+        s"no embedding codebooks at $stateDir — run initEmbeddingCodebooks first"))
+    val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
+    val residCents = if (embResidual(idx.snap.meta)) Some(idx.cents) else None
+    val probes = budgetedProbes(spark, stateDir, idx, queries, predicates, targetPct)
+    val codes = atRestCodes(spark, stateDir, idx.snap.live, idx.cellDirs,
+      cb, cbSumsq, residCents)
+    val cand = withEmbRecon(codes, cb, residCents)
+      .select("cell", "doc_id", "recon", "recon_nrm")
+    // predicate metadata: a column-pruned slice of the cells dirs —
+    // ints only, the embedding floats stay unread
+    val predFilter = idx.predCols
+      .map(c => col(c) === lit(predicates(c))).reduce(_ && _)
+    val metaSlice = spark.read.parquet(idx.cellDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(predFilter)
+      .select(Seq(col("cell"), col("doc_id")) ++ idx.predCols.map(col): _*)
+    val aw = Window.partitionBy("query_id")
+      .orderBy(col("adc_cosine").desc, col("doc_id"))
+    val short = Materialize(broadcast(probes).join(cand, "cell")
+      .join(metaSlice, Seq("cell", "doc_id"))
+      .withColumn("adc_cosine",
+        graft.functions.VectorFunctions.dotExact(col("recon"), col("qe")) /
+          (col("recon_nrm") * col("q_nrm")))
+      .withColumn("arn", row_number().over(aw))
+      .filter(col("arn") <= rerank)
+      .select(Seq(col("query_id"), col("chosen_nprobe"), col("doc_id")) ++
+        idx.predCols.map(col) ++
+        Seq(col("qe"), col("q_nrm"), col("adc_cosine")): _*))
+    // bounded |Q|·rerank shortlist → In-pushed raw read for the re-rank
+    val ids = short.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val raw = spark.read.parquet(idx.cellDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(col("doc_id").isInCollection(ids))
+      .select("doc_id", "embedding", "nrm")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
+    broadcast(short).join(raw, "doc_id")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotFold(col("embedding"), col("qe")) /
+          (col("nrm") * col("q_nrm")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(Seq(col("query_id"), col("chosen_nprobe"), col("doc_id")) ++
+        idx.predCols.map(col) ++
+        Seq(col("adc_cosine"), col("cosine"), col("rank").cast("int").as("rank")): _*)
       .orderBy("query_id", "rank")
   }
 
@@ -1282,13 +1546,60 @@ object Corpus {
             }
           val nDeleted = deleted.count()
           val tag = s"d${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
+          // EMBEDDING-INDEX PURGE IN THE SAME PUBLISH: a touched batch's
+          // cells/codes/occupancy dirs still carry the deleted docs'
+          // vectors — left live, semanticTopK/Adc/Filtered and the
+          // streaming gate would serve a taken-down doc until the next
+          // refresh heals the orphans. Mirror [[VectorStore
+          // .deleteVectors]]: drop every index dir keyed by a touched
+          // docTag (any generation) here, and re-index the survivor
+          // batch below once it's written, so takedown is atomic on the
+          // WHOLE serving surface and survivors stay searchable.
+          val touchedTags = touchedDocs.map(_.stripPrefix("documents/")).toSet
+          def idxTouched(e: String): Boolean =
+            Seq("embcells/", "embocc/", "embcodes/").exists(p =>
+              e.startsWith(p) &&
+                touchedTags.contains(e.stripPrefix(p).split("__", 2)(0)))
           var newLive = snap.live.filterNot(touchedDocs.toSet)
             .filterNot(touchedFps.toSet)
-          if (survivors.limit(1).count() > 0) {
+            .filterNot(idxTouched)
+          val anySurvivors = survivors.limit(1).count() > 0
+          if (anySurvivors) {
             Layout.writeClustered(survivors, s"$stateDir/documents/$tag",
               Seq("doc_id"), nFiles)
             staged = staged :+ s"documents/$tag"
             newLive = newLive :+ s"documents/$tag"
+          }
+          snap.live.find(_.startsWith("quantizer/")).foreach { qTag =>
+            val suffix = "__" + qTag.stripPrefix("quantizer/")
+            if (anySurvivors && survivors.columns.contains("embedding")) {
+              // survivors re-index against the LIVE quantizer (same
+              // deterministic assignment their old cells had), read back
+              // from the clustered write so one frame serves both dirs
+              val cents = readQuantizer(spark, stateDir, qTag)
+              val declared = declaredPredCols(snap.meta)
+              val written = spark.read.parquet(s"$stateDir/documents/$tag")
+              val cellRel = s"embcells/$tag$suffix"
+              val occRel = s"embocc/$tag$suffix"
+              val gotOcc = writeCellsAndOcc(spark, written, cents,
+                s"$stateDir/$cellRel", s"$stateDir/$occRel", declared)
+              staged = staged :+ cellRel
+              newLive = newLive :+ cellRel
+              if (gotOcc) { staged = staged :+ occRel; newLive = newLive :+ occRel }
+              // codes twin, when the store encodes at rest — so the ADC
+              // path's cold/hot split stays where it was before the delete
+              snap.live.find(_.startsWith("embpq/")).foreach { pqTag =>
+                val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
+                val residCents =
+                  if (embResidual(snap.meta)) Some(cents) else None
+                val codeRel = s"embcodes/$tag$suffix"
+                encodeCellCodes(spark.read.parquet(s"$stateDir/$cellRel"),
+                  cb, cbSumsq, residCents)
+                  .write.mode("overwrite").parquet(s"$stateDir/$codeRel")
+                staged = staged :+ codeRel
+                newLive = newLive :+ codeRel
+              }
+            }
           }
           if (touchedFps.nonEmpty) {
             val fpSurvivors = spark.read

@@ -1009,4 +1009,255 @@ class LayoutSpec extends SparkSpec {
     // (3,5): a=0011 -> bits 0,2 ; b=0101 -> bits 1,5 => 1+4+2+32 = 39
     assert(out === Seq(0L, 1L, 2L, 39L))
   }
+
+  // dense direction vectors (0.05 floor — see the encode-at-rest spec)
+  // shared by the takedown / filtered-ADC / residual suites below
+  private def denseHot(d: Int, extra: (Int, Float)*) =
+    Array.tabulate(64)(i =>
+      extra.toMap.getOrElse(i, if (i == d) 1f else 0f) + 0.05f).toSeq
+  private val labeledCols =
+    Seq("doc_id", "text", "lang", "source", "n_chars", "embedding", "label")
+  private def labeledDoc(id: Long) =
+    (id, s"text $id", "en", "t", 7L, denseHot(id.toInt), (id % 2).toInt)
+
+  test("takedown purge: deleteDocs removes the doc from every at-rest " +
+    "serving path and the streaming gate IN THE SAME PUBLISH, no refresh " +
+    "needed, and survivors stay searchable") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-takedown").toString
+    // two batches, labels declared, codebooks + codes at rest
+    assert(Corpus.ingestIncremental(spark,
+      (0L to 15L).map(labeledDoc).toDF(labeledCols: _*), state) === 16L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    Corpus.initEmbeddingCodebooks(spark, state)
+    assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+    assert(Corpus.ingestIncremental(spark,
+      (20L to 27L).map(labeledDoc).toDF(labeledCols: _*), state) === 8L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+    val q = Seq((500L, denseHot(22))).toDF("query_id", "embedding")
+    // sanity: doc 22 is the top hit on every serving path before delete
+    assert(Corpus.semanticTopK(spark, q, state, k = 3).collect()
+      .minBy(_.getAs[Int]("rank")).getAs[Long]("doc_id") === 22L)
+    assert(Corpus.semanticTopKAdc(spark, q, state, k = 3).collect()
+      .minBy(_.getAs[Int]("rank")).getAs[Long]("doc_id") === 22L)
+
+    assert(Corpus.deleteDocs(spark, state, Seq(22L)) === 1L)
+    // NO refresh, no encode between here and the assertions — the
+    // takedown window the same-publish purge closes
+    val topk = Corpus.semanticTopK(spark, q, state, k = 5).collect()
+    assert(topk.nonEmpty && !topk.exists(_.getAs[Long]("doc_id") == 22L),
+      "raw probe must not serve the deleted doc")
+    val adc = Corpus.semanticTopKAdc(spark, q, state, k = 5).collect()
+    assert(adc.nonEmpty && !adc.exists(_.getAs[Long]("doc_id") == 22L),
+      "ADC serving must not serve the deleted doc")
+    val filt = Corpus.semanticTopKFiltered(
+      spark, q, state, targetLabel = 0, k = 5, targetPct = 100).collect()
+    assert(filt.nonEmpty && !filt.exists(_.getAs[Long]("doc_id") == 22L),
+      "filtered serving must not serve the deleted doc")
+    val filtAdc = Corpus.semanticTopKFilteredAdc(
+      spark, q, state, Map("label" -> 0), k = 5, targetPct = 100).collect()
+    assert(filtAdc.nonEmpty && !filtAdc.exists(_.getAs[Long]("doc_id") == 22L),
+      "filtered-ADC serving must not serve the deleted doc")
+    // the D31 streaming gate reads the same snapshot: a twin of the
+    // deleted vector re-admits immediately (its only match is gone)
+    val gate = graft.streaming.Streaming.semanticNearMarksFromState(
+      Seq((600L, 1000000L, denseHot(22))).toDF("vec_id", "ts_us", "embedding"),
+      state, threshold = 0.9).collect()
+    assert(gate.length === 1 && gate.head.getAs[Boolean]("admit"),
+      "the streaming gate must not match the deleted doc")
+    // survivors of the touched batch stay searchable without a refresh
+    val q23 = Seq((501L, denseHot(23))).toDF("query_id", "embedding")
+    assert(Corpus.semanticTopKAdc(spark, q23, state, k = 1).collect()
+      .head.getAs[Long]("doc_id") === 23L)
+    // index invariants hold: one cells dir (+occ twin +codes twin) per
+    // documents dir, all on the live generation
+    val live = Manifest.live(spark, state)
+    val nDocs = live.count(_.startsWith("documents/"))
+    assert(live.count(_.startsWith("embcells/")) === nDocs)
+    assert(live.count(_.startsWith("embocc/")) === nDocs)
+    assert(live.count(_.startsWith("embcodes/")) === nDocs)
+    // and the existing heal path still applies on the next refresh
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 0L,
+      "the same-publish purge leaves nothing for the refresh to heal")
+  }
+
+  test("filtered+ADC serving: full budget and wide rerank equal the exact " +
+    "filtered search; the default budget honors the predicate") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-filtadc").toString
+    assert(Corpus.ingestIncremental(spark,
+      (0L to 25L).map(labeledDoc).toDF(labeledCols: _*), state) === 26L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    Corpus.initEmbeddingCodebooks(spark, state)
+    assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+    val queries = Seq(
+      (100L, denseHot(7, 50 -> 0.1f)), (101L, denseHot(22))).toDF("query_id", "embedding")
+    def shape(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("chosen_nprobe"),
+        r.getAs[Long]("doc_id"), r.getAs[Int]("label"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSeq
+    val exact = shape(Corpus.semanticTopKFilteredOn(
+      spark, queries, state, Map("label" -> 1), k = 5, targetPct = 100).collect())
+    val adc = shape(Corpus.semanticTopKFilteredAdc(
+      spark, queries, state, Map("label" -> 1), k = 5, targetPct = 100,
+      rerank = 1000).collect())
+    assert(adc.nonEmpty && adc === exact,
+      "targetPct=100 + rerank >= candidates must equal the exact filtered search")
+    // default budget: every served row honors the predicate and ranks
+    // are contiguous per query
+    val deft = Corpus.semanticTopKFilteredAdc(
+      spark, queries, state, Map("label" -> 1), k = 5).collect()
+    assert(deft.nonEmpty && deft.forall(_.getAs[Int]("label") === 1))
+    deft.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length),
+        s"query $qid ranks contiguous")
+    }
+    // ADC codes-path plumbing is real: adc_cosine present and bounded
+    assert(deft.forall(r => math.abs(r.getAs[Double]("adc_cosine")) <= 1.0001))
+  }
+
+  test("multi-column predicates: two-column conjunction serves exactly, a " +
+    "single declared column still works, an undeclared column refuses loudly") {
+    import graft.operators.Corpus
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-twocol").toString
+    val cols = labeledCols :+ "src"
+    def doc2(id: Long) = (id, s"text $id", "en", "t", 7L, denseHot(id.toInt),
+      (id % 2).toInt, (id % 3).toInt)
+    assert(Corpus.ingestIncremental(spark,
+      (0L to 23L).map(doc2).toDF(cols: _*), state) === 24L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state,
+      predicateCols = Seq("label", "src")) === 1L)
+    assert(graft.sources.Manifest.meta(spark, state)("embocc_cols") === "label,src")
+    val queries = Seq((100L, denseHot(5))).toDF("query_id", "embedding")
+    val got = Corpus.semanticTopKFilteredOn(
+      spark, queries, state, Map("label" -> 1, "src" -> 2), k = 5,
+      targetPct = 100).collect()
+    assert(got.nonEmpty &&
+      got.forall(r => r.getAs[Int]("label") == 1 && r.getAs[Int]("src") == 2))
+    // exact truth: brute-force filtered top-k over the committed corpus
+    val want = Corpus.documents(spark, state)
+      .filter(col("label") === 1 && col("src") === 2)
+      .crossJoin(queries.select(col("embedding").as("qe")))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.dotFold(col("embedding"), col("qe")) /
+          (graft.functions.VectorFunctions.normExact(col("embedding")) *
+            graft.functions.VectorFunctions.normExact(col("qe"))))
+      .orderBy(col("cosine").desc, col("doc_id")).limit(5)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("doc_id")).toSeq
+      === want, "two-column conjunction must equal the exact filtered search")
+    // a SUBSET of the declared columns works (occupancy sums over src)
+    val single = Corpus.semanticTopKFilteredOn(
+      spark, queries, state, Map("label" -> 0), k = 5, targetPct = 100).collect()
+    assert(single.nonEmpty && single.forall(_.getAs[Int]("label") === 0))
+    // an undeclared predicate column refuses loudly, naming the declared set
+    val ex = intercept[java.io.IOException] {
+      Corpus.semanticTopKFilteredOn(
+        spark, queries, state, Map("lang" -> 1)).collect()
+    }
+    assert(ex.getMessage.contains("lang") && ex.getMessage.contains("label,src")
+      || ex.getMessage.contains("label, src"))
+  }
+
+  test("residual corpus codes: residual ADC with wide rerank equals the exact " +
+    "probe, codes differ from the plain twin, and a quantizer retrain " +
+    "re-encodes against the new generation") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    def build(residual: Boolean): String = {
+      val state = Files.createTempDirectory(
+        if (residual) "graft-rescorp" else "graft-plaincorp").toString
+      assert(Corpus.ingestIncremental(spark,
+        (0L to 19L).map(labeledDoc).toDF(labeledCols: _*), state) === 20L)
+      assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+      Corpus.initEmbeddingCodebooks(spark, state, byResidual = residual)
+      assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+      state
+    }
+    val res = build(residual = true)
+    val plain = build(residual = false)
+    assert(Manifest.meta(spark, res)("embpq_residual") === "1")
+    assert(Manifest.meta(spark, plain)("embpq_residual") === "0")
+    // the persisted code words actually differ (residual vs raw target)
+    def codesOf(state: String): Map[Long, Seq[Int]] = {
+      val dirs = Manifest.live(spark, state).filter(_.startsWith("embcodes/"))
+      spark.read.parquet(dirs.map(d => s"$state/$d"): _*).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getSeq[Int](r.fieldIndex("codes")).toSeq).toMap
+    }
+    assert(codesOf(res) !== codesOf(plain),
+      "residual encoding must produce different code words")
+    // wide rerank: BOTH states equal the exact probe (the re-rank
+    // guarantee is encoding-independent)
+    val queries = Seq(
+      (100L, denseHot(7, 50 -> 0.1f)), (101L, denseHot(13))).toDF("query_id", "embedding")
+    def served(state: String) = Corpus.semanticTopKAdc(
+      spark, queries, state, rerank = 1000).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSeq
+    def exact(state: String) = Corpus.semanticTopK(spark, queries, state).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSeq
+    assert(served(res) === exact(res))
+    assert(served(plain) === exact(plain))
+    // growth past the retrain factor swaps the quantizer generation; the
+    // residual codes twins go missing and the next encode pass
+    // RE-ENCODES them against the new generation's centroids
+    val q1 = Manifest.live(spark, res).find(_.startsWith("quantizer/")).get
+    assert(Corpus.ingestIncremental(spark,
+      (30L to 59L).map(labeledDoc).toDF(labeledCols: _*), res) === 30L)
+    assert(Corpus.refreshEmbeddingIndex(spark, res) === 2L, "retrain re-assigns both batches")
+    assert(Manifest.live(spark, res).find(_.startsWith("quantizer/")).get !== q1)
+    assert(Corpus.encodeEmbeddingIndex(spark, res) === 2L,
+      "the new generation's cells re-encode in the standard cadence")
+    assert(served(res) === exact(res),
+      "post-retrain residual serving must still equal the exact probe")
+  }
+
+  test("occupancy backfill: a labeled index whose sidecars are lost is " +
+    "backfilled by the next refresh without re-assignment") {
+    import graft.operators.Corpus
+    import graft.sources.Manifest
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-occback").toString
+    assert(Corpus.ingestIncremental(spark,
+      (0L to 15L).map(labeledDoc).toDF(labeledCols: _*), state) === 16L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    // simulate an index built before occupancy sidecars existed (or a
+    // lost sidecar): drop every embocc entry from the manifest
+    Manifest.publishMerge(spark, state) { cur =>
+      (cur.live.filterNot(_.startsWith("embocc/")), cur.meta)
+    }
+    val queries = Seq((100L, denseHot(5))).toDF("query_id", "embedding")
+    intercept[java.io.IOException] {
+      Corpus.semanticTopKFiltered(spark, queries, state).collect()
+    }
+    // the refresh treats the missing twin as work: occ aggregates from
+    // the EXISTING cells dir (no re-assignment of the batch)
+    val cellsBefore = Manifest.live(spark, state).filter(_.startsWith("embcells/"))
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    assert(Manifest.live(spark, state).filter(_.startsWith("embcells/"))
+      === cellsBefore, "backfill must not rewrite the cells")
+    val occDirs = Manifest.live(spark, state).filter(_.startsWith("embocc/"))
+    assert(occDirs.size === 1)
+    // sidecar counts equal the cells-dir truth, and filtered serving works
+    val occ = spark.read.parquet(occDirs.map(d => s"$state/$d"): _*)
+      .groupBy("label", "cell").agg(sum("n").as("n")).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("cell")) -> r.getAs[Long]("n"))
+      .toMap
+    val truth = spark.read.parquet(cellsBefore.map(d => s"$state/$d"): _*)
+      .groupBy("label", "cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("cell")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(occ === truth)
+    assert(Corpus.semanticTopKFiltered(
+      spark, queries, state, targetLabel = 1, targetPct = 100).collect().nonEmpty)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 0L, "backfill is idempotent")
+  }
 }

@@ -16,11 +16,22 @@ def main():
     out_path, ins = sys.argv[1], sys.argv[2:]
     runs = [json.load(open(p)) for p in ins]
     queries = {}
+    seen = set()
     for r in runs:
         for k, v in r["queries"].items():
+            seen.add(k)
             if v < 0:
                 continue  # failed rep: never merge a failure marker as a min
             queries[k] = min(queries.get(k, float("inf")), v)
+    # A key that failed in EVERY run must not vanish silently (the merged
+    # file would read as "covered" with a deflated total) — keep it with the
+    # -1 failure sentinel so readers see the hole.
+    dropped = sorted(seen - set(queries))
+    for k in dropped:
+        queries[k] = -1
+    if dropped:
+        print(f"WARNING: {len(dropped)} queries failed in every run: "
+              + ", ".join(dropped), file=sys.stderr)
     detail = {}
     for r in runs:
         for k, v in r.get("detail", {}).items():
@@ -31,11 +42,17 @@ def main():
                 d["median"] = min(d["median"], v["median"])
             d["reps"] += v.get("reps", 0)
             d["load_avg"].append(v.get("load_avg"))
+    # A detail entry whose reps all failed still holds float('inf'), which
+    # json.dump emits as bare Infinity (invalid JSON) — serialize as null.
+    for d in detail.values():
+        for f in ("min", "median"):
+            if d[f] == float("inf"):
+                d[f] = None
     pipe = next((r["pipeline_daily"] for r in runs
                  if isinstance(r.get("pipeline_daily"), dict)), None)
     merged = {
         "metric": "total",
-        "value": sum(queries.values()),
+        "value": sum(v for v in queries.values() if v >= 0),
         "unit": "sec",
         "queries": queries,
         "detail": detail,

@@ -12,6 +12,7 @@ import glob
 import json
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -36,6 +37,12 @@ def main():
     errors_path = f"{out_dir}/errors.json"
     errors = json.load(open(errors_path)) if os.path.exists(errors_path) else {}
     failures = []
+    # Per-oracle DuckDB wall cost — the oracle suite's total DuckDB time is
+    # what can kill the driver gate (r15's CORRECTNESS artifact arrived empty;
+    # a timeout-killed gate is the plausible mechanism). Written to
+    # ORACLE_COST.json next to this script's repo so the heavy oracles are
+    # visible and budgeted per round.
+    cost = {}
     for name, sql in sorted(oracles.items()):
         spark_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
@@ -52,12 +59,15 @@ def main():
             failures.append(name)
             print(f"[READ-FAIL] {name}: {e}")
             continue
+        t0 = time.monotonic()
         try:
             want = con.execute(sql).fetchdf()
         except Exception as e:
             failures.append(name)
             print(f"[ORACLE-FAIL] {name}: {e}")
             continue
+        finally:
+            cost[name] = round(time.monotonic() - t0, 3)
 
         ok = True
         if sorted(got.columns) != sorted(want.columns):
@@ -86,6 +96,16 @@ def main():
         if not ok:
             failures.append(name)
 
+    cost_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "ORACLE_COST.json")
+    with open(cost_path, "w") as f:
+        json.dump({"total_sec": round(sum(cost.values()), 1),
+                   "oracles": dict(sorted(cost.items(),
+                                          key=lambda kv: -kv[1]))}, f, indent=0)
+    top = sorted(cost.items(), key=lambda kv: -kv[1])[:10]
+    print("\nDuckDB oracle cost: total "
+          f"{sum(cost.values()):.1f}s; top: "
+          + ", ".join(f"{k}={v:.1f}s" for k, v in top))
     print(f"\n{len(oracles) - len(failures)}/{len(oracles)} queries match")
     sys.exit(1 if failures else 0)
 
