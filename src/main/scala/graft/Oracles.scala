@@ -5495,16 +5495,10 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS "rank" FROM (
 WHERE rnk <= 10
 ORDER BY query_id, rnk"""
 
-  /** Every (query, node) the beam navigation ever SCORED — e3 is the
-    * visited set after the three hops, so its cardinality is the graph
-    * family's candidates-scanned, lockstep with the count of
-    * `Similarity.beamEval`'s rows inside `indexCompare`. */
-  private def graphVisitedCountSql(beam: Int): String =
-    graphChainSql(beam) + """
-SELECT CAST(COUNT(*) AS BIGINT) FROM e3"""
-
   /** The quantizer + kNN-graph + beam-navigation chain through e3 (the
-    * full visited set), shared by the top-k and visited-count finals. */
+    * full visited set), shared by the top-k final and — as the OPENING
+    * of the index-compare dashboard's WITH — by its graph recall and
+    * visited-count CTEs. */
   private def graphChainSql(beam: Int): String = {
     // every hop CTE is MATERIALIZED: e_t is referenced twice (directly
     // and through f_t), so plain CTEs would inline the whole chain
@@ -7337,24 +7331,58 @@ FROM q JOIN c ON q.bucket = c.bucket AND query_id <> neighbor_id"""
     // driver artifact is plausibly a timeout-killed gate, so its cost
     // is a correctness-process concern, not vanity (ORACLE_COST.json
     // tracks it per round).
-    val families = Seq(
-      "graph" -> annRecallGraph,
-      "lsh" -> annRecallLsh, "ivf" -> annRecallIvfTrained,
-      "pq" -> annRecallPq, "sq" -> annRecallSq, "ivf_pq" -> annRecallIvfPq,
-      "ivf_pq_res" -> annRecallIvfpqResidual)
-    val recallCtes = families.map { case (n, s) =>
-      s"""r_$n AS MATERIALIZED (
+    // Shared-chain form: the graph chain (quantizer→kNN graph→beam
+    // navigation→e3) opens the dashboard's WITH and serves BOTH the
+    // graph recall and the graph candidates count (formerly two full
+    // instantiations), and the brute-force truth `bf` materializes once
+    // for all seven families (formerly once per family). The six
+    // non-graph families keep their standalone top-k chains, nested —
+    // their quantizer variants differ (k=16 vs autoK), so deeper
+    // sharing would mean renaming every inner CTE for marginal gain.
+    val topks = Seq(
+      "lsh" -> annLshTopK, "ivf" -> annIvfTrainedTopK,
+      "pq" -> annPqTopK, "sq" -> annSqTopK, "ivf_pq" -> annIvfPqTopK,
+      "ivf_pq_res" -> annIvfPqResidualTopK)
+    def recallCte(n: String, topRef: String) = s"""r_$n AS MATERIALIZED (
 SELECT '$n' AS "index", CAST(COUNT(*) AS BIGINT) AS n_queries,
        CAST(SUM(n_hits) AS BIGINT) AS n_hits,
        CAST(SUM(n_hits) AS DOUBLE) / CAST(COUNT(*) * 10 AS DOUBLE) AS recall_at_k
-FROM ($s))"""
-    }.mkString(",\n")
-    val recalls = families.map { case (n, _) => s"SELECT * FROM r_$n" }
+FROM (
+  SELECT b.query_id, CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits
+  FROM bf b LEFT JOIN $topRef l
+    ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+  GROUP BY b.query_id))"""
+    val topkCtes = topks.map { case (n, s) => s"t_$n AS MATERIALIZED ($s)" }
+      .mkString(",\n")
+    val recallCtes = (recallCte("graph", "g_top") +:
+      topks.map { case (n, _) => recallCte(n, s"t_$n") }).mkString(",\n")
+    val recalls = ("graph" +: topks.map(_._1)).map(n => s"SELECT * FROM r_$n")
       .mkString("(", " UNION ALL ", ")")
-    s"""WITH ivf_cand AS MATERIALIZED (SELECT ($ivfCandCountSql) AS c),
+    // The graph chain lives INSIDE one CTE (its inner WITH is scoped):
+    // DuckDB's binder rejects a nested CTE alias that collides with the
+    // ENCLOSING WITH list, so the chain's feat/train/… names must not
+    // sit at the dashboard's top level where every nested family chain
+    // redefines them. g_scored = the navigation's full visited set with
+    // query cosines — one evaluation serving both the recall row and
+    // the candidates count.
+    s"""WITH g_scored AS MATERIALIZED (
+${graphChainSql(4)}
+SELECT e.query_id, e.node, q.cosine
+FROM e3 e JOIN qd q ON q.query_id = e.query_id AND q.node = e.node
+), g_top AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, node AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, node) AS rnk
+    FROM g_scored
+    WHERE node <> query_id) t
+  WHERE rnk <= 10
+), bf AS MATERIALIZED ($annBruteforceTopK),
+graph_cand AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM g_scored),
+ivf_cand AS MATERIALIZED (SELECT ($ivfCandCountSql) AS c),
 lsh_cand AS MATERIALIZED (SELECT ($lshCandCountSql) AS c),
-graph_cand AS MATERIALIZED (SELECT (${graphVisitedCountSql(4)}) AS c),
 full_cand AS MATERIALIZED (SELECT ($fullScanCountSql) AS c),
+$topkCtes,
 $recallCtes,
 cands AS (
   SELECT 'graph' AS idx, c FROM graph_cand UNION ALL

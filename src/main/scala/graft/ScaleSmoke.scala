@@ -531,6 +531,72 @@ object ScaleSmoke {
         graft.operators.Multimodal.imageNearDup(frames).count()))
     }
 
+    // r16 stages: the corpus embedding index AT REST — the encode-at-rest
+    // cadence and the code-served/filtered serving paths at 20k → 200k
+    // docs. Contracts measured (not just asserted by spec):
+    //  - full refresh+encode scales ~linearly in the corpus (cell
+    //    assignment and code encoding are one map pass each; quantizer
+    //    and codebook training read a BOUNDED sample — flat);
+    //  - after a small delta ingest, the incremental refresh+encode
+    //    passes cost O(batch): they touch only the new batch's dirs, so
+    //    the delta (m/10 docs) must cost well under the full pass at m;
+    //  - batched serving (ADC + occupancy-filtered) is one scan of the
+    //    codes/cells dirs filtered by the probe join — linear in corpus,
+    //    amortized over the query batch, codes not floats.
+    {
+      def corpusDocs(m: Long, off: Long): org.apache.spark.sql.DataFrame =
+        spark.range(m).selectExpr(
+          s"id + $off AS doc_id",
+          s"concat('scale doc ', id + $off) AS text",
+          "'en' AS lang", "'s' AS source", "CAST(12 AS BIGINT) AS n_chars",
+          s"""transform(sequence(1, 64),
+               i -> CAST(CAST(pmod(hash((id + $off) * 67 + i), 1000) AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""",
+          s"CAST(pmod(id + $off, 4) AS INT) AS label")
+      val queries = spark.range(8).selectExpr(
+        "id AS query_id",
+        """transform(sequence(1, 64),
+             i -> CAST(CAST(pmod(hash(id * 71 + i), 1000) AS DOUBLE) / 1000.0 AS FLOAT)) AS embedding""")
+      val costs = Seq(20000L, 200000L).map { m =>
+        val state = java.nio.file.Files
+          .createTempDirectory(s"graft_scale_embidx_$m").toString
+        graft.operators.Corpus.ingestIncremental(spark, corpusDocs(m, 0L), state)
+        // full pass: quantizer train + assign + occ for every batch,
+        // codebook train, encode every cells dir — the from-scratch cost
+        val t0 = System.nanoTime()
+        graft.operators.Corpus.refreshEmbeddingIndex(spark, state)
+        graft.operators.Corpus.initEmbeddingCodebooks(spark, state)
+        graft.operators.Corpus.encodeEmbeddingIndex(spark, state)
+        val fullT = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] embidx_build_full m=$m t=$fullT%.1f s")
+        // delta: a m/10 batch; refresh+encode must touch ONLY its dirs
+        // (assign/occ/encode of the batch + a corpus count for the
+        // retrain trigger + fixed publish overhead — never a corpus
+        // re-assignment or re-encode)
+        graft.operators.Corpus.ingestIncremental(spark, corpusDocs(m / 10, m), state)
+        val t1 = System.nanoTime()
+        graft.operators.Corpus.refreshEmbeddingIndex(spark, state)
+        graft.operators.Corpus.encodeEmbeddingIndex(spark, state)
+        val encDelta = (System.nanoTime() - t1) / 1e9
+        println(f"[scale] embidx_delta m=${m / 10} on corpus=$m t=$encDelta%.1f s")
+        require(encDelta < math.max(3.0, 0.8 * fullT),
+          f"delta refresh+encode ($encDelta%.1f s for ${m / 10} docs) must stay " +
+            f"well under the full build at m=$m ($fullT%.1f s) - the cadence is O(batch)")
+        time(s"embidx_adc_serve m=$m")(println(s"[scale] adc rows = " +
+          graft.operators.Corpus.semanticTopKAdc(spark, queries, state).count()))
+        time(s"embidx_filtered_serve m=$m")(println(s"[scale] filtered rows = " +
+          graft.operators.Corpus.semanticTopKFiltered(
+            spark, queries, state, targetLabel = 1).count()))
+        fullT
+      }
+      val slopeEnc = {
+        // the 20k build can be seconds-noisy; guard the ratio floor
+        costs.last / math.max(costs.head, 2.0)
+      }
+      println(f"[scale] SLOPE embidx_build: 10x docs -> $slopeEnc%.1f x time")
+      require(slopeEnc < 30.0,
+        f"index build+encode is superlinear: $slopeEnc%.1f x time for 10x docs")
+    }
+
     // r13: SECOND-DECADE slope ASSERTIONS (not just printed timings) for
     // the flagship and one dedup family. The 10× stages above can hide a
     // Σ-occupancy²/bucket effect that only bites at the next decade (a

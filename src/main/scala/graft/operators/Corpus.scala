@@ -571,11 +571,26 @@ object Corpus {
       cents: Array[(Long, Array[Float], Double)],
       cellPath: String, occPath: String,
       predCols: Seq[String]): Boolean = {
-    assignCells(docs, cents, predCols).write.mode("overwrite").parquet(cellPath)
+    // CLUSTERED BY CELL: serving pushes the probed cells into the scan
+    // as an In filter ([[probedCells]]), so row-group min/max stats on a
+    // cell-clustered dir skip everything outside the probed cells — at
+    // 100 TB the scan reads the probed slice, not the corpus
+    graft.sources.Layout.writeClustered(
+      assignCells(docs, cents, predCols), cellPath, Seq("cell"), nFiles = 4)
     val covered = predCols.forall(docs.columns.contains)
     if (covered) writeOccFromCells(spark, cellPath, occPath, predCols)
     covered
   }
+
+  /** The DISTINCT probed cells of a probe frame — bounded by the
+    * quantizer size K (index metadata), collected so every cells/codes
+    * parquet read takes `cell IN (…)` PUSHED to the scan: on the
+    * cell-clustered dirs [[writeCellsAndOcc]] writes, row-group stats
+    * prune the read to the probed cells. The probes JOIN still does the
+    * per-query pairing; the pushed filter is what keeps a 100 TB index
+    * from being fully scanned per query batch. */
+  private def probedCells(probes: DataFrame): Seq[Long] =
+    probes.select("cell").distinct().collect().map(_.getLong(0)).toSeq
 
   /** Bring the persisted EMBEDDING index (coarse quantizer + per-batch
     * cell assignments) up to date with the committed corpus — the
@@ -803,7 +818,8 @@ object Corpus {
         slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
         s => s.getField("cid"))).as("cell"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("doc_id"))
-    broadcast(probes).join(index, "cell")
+    broadcast(probes)
+      .join(index.filter(col("cell").isInCollection(probedCells(probes))), "cell")
       .withColumn("cosine",
         graft.functions.VectorFunctions.dotFold(col("embedding"), col("qe")) /
           (col("nrm") * col("q_nrm")))
@@ -1011,8 +1027,12 @@ object Corpus {
         else None
       missing.foreach { c =>
         lease = Manifest.renewLease(spark, stateDir, lease, ttlMs)
-        encodeCellCodes(spark.read.parquet(s"$stateDir/$c"), cb, cbSumsq, residCents)
-          .write.mode("overwrite").parquet(s"$stateDir/${codeTag(c)}")
+        // clustered by cell like the cells dirs — the ADC serve path's
+        // probed-cells In filter row-group-prunes the codes scan too
+        graft.sources.Layout.writeClustered(
+          encodeCellCodes(spark.read.parquet(s"$stateDir/$c"), cb, cbSumsq,
+            residCents),
+          s"$stateDir/${codeTag(c)}", Seq("cell"), nFiles = 4)
       }
       if (!Manifest.holdsLease(spark, stateDir, lease))
         throw new java.io.IOException(
@@ -1108,8 +1128,6 @@ object Corpus {
     val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
     val residCents = if (embResidual(snap.meta)) Some(cents) else None
     val codes = atRestCodes(spark, stateDir, snap.live, cellDirs, cb, cbSumsq, residCents)
-    val cand = withEmbRecon(codes, cb, residCents)
-      .select("cell", "doc_id", "recon", "recon_nrm")
     val featQ = queries.select(
       col("query_id"), col("embedding"),
       graft.functions.VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -1118,6 +1136,12 @@ object Corpus {
       explode(transform(
         slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
         s => s.getField("cid"))).as("cell"))
+    // probed-cells pushdown BEFORE the reconstruction map: fewer rows
+    // reconstructed AND the clustered codes scan row-group-prunes
+    val cand = withEmbRecon(
+      codes.filter(col("cell").isInCollection(probedCells(probes))),
+      cb, residCents)
+      .select("cell", "doc_id", "recon", "recon_nrm")
     val aw = Window.partitionBy("query_id")
       .orderBy(col("adc_cosine").desc, col("doc_id"))
     val short = Materialize(broadcast(probes).join(cand, "cell")
@@ -1283,6 +1307,7 @@ object Corpus {
     val idx = filteredIndexAtRest(spark, stateDir, predicates)
     val probes = budgetedProbes(spark, stateDir, idx, queries, predicates, targetPct)
     val index = spark.read.parquet(idx.cellDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(col("cell").isInCollection(probedCells(probes)))
     val predFilter = idx.predCols
       .map(c => col(c) === lit(predicates(c))).reduce(_ && _)
     val cand = index.filter(predFilter)
@@ -1334,15 +1359,20 @@ object Corpus {
     val (cb, cbSumsq) = readEmbCodebooks(spark, stateDir, pqTag)
     val residCents = if (embResidual(idx.snap.meta)) Some(idx.cents) else None
     val probes = budgetedProbes(spark, stateDir, idx, queries, predicates, targetPct)
+    val cells = probedCells(probes)
     val codes = atRestCodes(spark, stateDir, idx.snap.live, idx.cellDirs,
       cb, cbSumsq, residCents)
-    val cand = withEmbRecon(codes, cb, residCents)
+    // probed-cells pushdown before the reconstruction map (see
+    // semanticTopKAdc) — row-group pruning on the clustered codes dirs
+    val cand = withEmbRecon(
+      codes.filter(col("cell").isInCollection(cells)), cb, residCents)
       .select("cell", "doc_id", "recon", "recon_nrm")
     // predicate metadata: a column-pruned slice of the cells dirs —
     // ints only, the embedding floats stay unread
     val predFilter = idx.predCols
       .map(c => col(c) === lit(predicates(c))).reduce(_ && _)
     val metaSlice = spark.read.parquet(idx.cellDirs.map(d => s"$stateDir/$d"): _*)
+      .filter(col("cell").isInCollection(cells))
       .filter(predFilter)
       .select(Seq(col("cell"), col("doc_id")) ++ idx.predCols.map(col): _*)
     val aw = Window.partitionBy("query_id")
@@ -1426,7 +1456,9 @@ object Corpus {
             explode(transform(
               slice(Similarity.cellRank(cents, col("embedding"), col("nrm")), 1, nProbe),
               s => s.getField("cid"))).as("cell"))
-          val rejects = broadcast(probes).join(index, "cell")
+          val rejects = broadcast(probes)
+            .join(index.filter(col("cell").isInCollection(probedCells(probes))),
+              "cell")
             .filter(
               graft.functions.VectorFunctions.dotFold(col("embedding"), col("be")) /
                 (col("nrm") * col("b_nrm")) >= threshold)
@@ -1593,9 +1625,10 @@ object Corpus {
                 val residCents =
                   if (embResidual(snap.meta)) Some(cents) else None
                 val codeRel = s"embcodes/$tag$suffix"
-                encodeCellCodes(spark.read.parquet(s"$stateDir/$cellRel"),
-                  cb, cbSumsq, residCents)
-                  .write.mode("overwrite").parquet(s"$stateDir/$codeRel")
+                Layout.writeClustered(
+                  encodeCellCodes(spark.read.parquet(s"$stateDir/$cellRel"),
+                    cb, cbSumsq, residCents),
+                  s"$stateDir/$codeRel", Seq("cell"), nFiles)
                 staged = staged :+ codeRel
                 newLive = newLive :+ codeRel
               }

@@ -154,6 +154,7 @@ object Twins {
       "ann_ivfpq_residual_topk", "ann_recall_ivfpq_residual",
       "ann_filtered_graph", "ann_recall_filtered_graph",
       "corpus_semantic_adc", "corpus_filtered_topk",
+      "corpus_filtered_adc", "corpus_filtered_two_col", "corpus_adc_residual",
       "search_rrf_fusion", "search_mmr_rerank", "search_ndcg_rrf",
       "knn_classify", "label_centroids", "topic_assign", "contrastive_pairs",
       "embed_rp_project", "embed_center_norm", "embed_dim_stats",

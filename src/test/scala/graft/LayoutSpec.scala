@@ -1220,6 +1220,34 @@ class LayoutSpec extends SparkSpec {
       "post-retrain residual serving must still equal the exact probe")
   }
 
+  test("serving pushes the probed cells into the cells/codes parquet scans " +
+    "as an In filter (row-group pruning on the clustered dirs)") {
+    import graft.operators.Corpus
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import spark.implicits._
+    val state = Files.createTempDirectory("graft-cellpush").toString
+    assert(Corpus.ingestIncremental(spark,
+      (0L to 19L).map(labeledDoc).toDF(labeledCols: _*), state) === 20L)
+    assert(Corpus.refreshEmbeddingIndex(spark, state) === 1L)
+    Corpus.initEmbeddingCodebooks(spark, state)
+    assert(Corpus.encodeEmbeddingIndex(spark, state) === 1L)
+    val queries = Seq((100L, denseHot(7))).toDF("query_id", "embedding")
+    def pushed(df: org.apache.spark.sql.DataFrame, expect: String): Unit = {
+      val got = df.queryExecution.sparkPlan
+        .collect { case s: FileSourceScanExec => s.metadata("PushedFilters") }
+      assert(got.exists(p => p.contains(expect)),
+        s"no $expect… pushdown in any scan: $got")
+    }
+    // raw serving paths: the probed-cells In filter reaches the cells scan
+    pushed(Corpus.semanticTopK(spark, queries, state), "In(cell")
+    pushed(Corpus.semanticTopKFiltered(spark, queries, state), "In(cell")
+    // ADC paths MATERIALIZE the shortlist stage (the probed-cells-pushed
+    // codes scan executes there, invisible in the final plan); the final
+    // plan's visible scan is the exact re-rank's In-pushed raw read
+    pushed(Corpus.semanticTopKAdc(spark, queries, state), "In(doc_id")
+    pushed(Corpus.semanticTopKFilteredAdc(spark, queries, state), "In(doc_id")
+  }
+
   test("occupancy backfill: a labeled index whose sidecars are lost is " +
     "backfilled by the next refresh without re-assignment") {
     import graft.operators.Corpus
