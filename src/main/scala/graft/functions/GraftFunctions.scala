@@ -32,6 +32,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "graft_shingles", exprs => ShingleSet(exprs.head), "scala_udf")
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_shingle_sids"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_shingle_sids", exprs => ShingleSids(exprs.head), "scala_udf")
+    }
     if (!reg.functionExists(FunctionIdentifier("graft_minhash"))) {
       reg.createOrReplaceTempFunction(
         "graft_minhash", exprs => MinHashSig(exprs.head), "scala_udf")
@@ -47,6 +51,10 @@ object GraftFunctions {
     if (!reg.functionExists(FunctionIdentifier("graft_dhash64"))) {
       reg.createOrReplaceTempFunction(
         "graft_dhash64", exprs => DHash64(exprs.head), "scala_udf")
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_gram_ids"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_gram_ids", exprs => GramIdPairs(exprs(0), exprs(1)), "scala_udf")
     }
     if (!reg.functionExists(FunctionIdentifier("graft_lni"))) {
       reg.createOrReplaceTempFunction(

@@ -96,6 +96,31 @@ object ShingleImpl {
     new GenericArrayData(mins)
   }
 
+  /** Distinct-shingle 60-bit md5-prefix ids, first-occurrence order —
+    * one id per DISTINCT shingle STRING (a 2^-60 prefix collision
+    * between two distinct shingles yields a duplicate id, exactly as
+    * the compositional `shingles → conv(substring(md5(shingle),1,15))`
+    * chain emits one row per distinct string). NO `mod p` — this is the
+    * raw 60-bit prefix the sid-keyed dedup operators group and join on,
+    * not the minhash lane input. */
+  def shingleSids(text: UTF8String): ArrayData = {
+    val set = distinctShingles(text)
+    val md = digest.get()
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      val h = md.digest(it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      var w = 0L
+      var j = 0
+      while (j < 7) { w = (w << 8) | (h(j) & 0xffL); j += 1 }
+      out(i) = (w << 4) | ((h(7) >> 4) & 0xfL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing (MOSS-style) fingerprint set: positioned 3-gram shingle
     * hashes `w = (60-bit md5 prefix) mod p`, sliding windows of
     * `WinnowW` consecutive positions, fingerprint = min hash per window,
@@ -158,6 +183,30 @@ case class ShingleSet(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.shingles($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** Native distinct-3-gram-shingle 60-bit md5-prefix ids
+  * (→ `ARRAY<BIGINT>`, first-occurrence order) — the id projection the
+  * sid-keyed dedup operators shuffle on, computed without materializing
+  * shingle strings into rows or running the interpreted
+  * conv(substring(md5(...))) chain per row. See [[ShingleImpl.shingleSids]]
+  * for the exact multiset contract. */
+case class ShingleSids(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_shingle_sids requires STRING input, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleImpl.shingleSids(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleImpl.shingleSids($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSids =
     copy(child = newChild)
 }
 

@@ -1079,10 +1079,13 @@ object Analytics {
     * machinery — no single-task sort, no Percentile buffer. Mean =
     * exact decimal sum / count, one IEEE division. */
   def timeToConvertQuantiles(assigned: DataFrame): DataFrame = {
-    val gaps = assigned
+    // checkpointed once for the same reason as [[touchGapQuantiles]]:
+    // the journey-assignment chain under `assigned` must not re-run per
+    // rank-machinery pass
+    val gaps = Materialize(assigned
       .groupBy("conv_id")
       .agg((min(col("conv_ts_us")) - min(col("ts_us"))).cast("double").as("__v"))
-      .select(col("__v"), col("conv_id").as("__k"))
+      .select(col("__v"), col("conv_id").as("__k")))
     val summary = gaps.agg(
       count(lit(1)).as("n_journeys"),
       (dsum(col("__v")) / count(lit(1)).cast("double")).as("avg_us"))
@@ -1466,11 +1469,16 @@ object Analytics {
     * no single-task sort, no Percentile buffer. */
   def touchGapQuantiles(assigned: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("ts_us", "session_id")
-    val gaps = assigned
+    // checkpoint the 2-column gap series ONCE: its input is the full
+    // journey-assignment window chain, and the rank machinery (sample,
+    // counts, ranked output) plus the summary agg would otherwise
+    // recompute that chain four times (interpolatedQuartiles's
+    // materialize=false is tuned for bare pruned scans, not chains)
+    val gaps = Materialize(assigned
       .withColumn("nxt", lead("ts_us", 1).over(w))
       .filter(col("nxt").isNotNull)
       .select((col("nxt") - col("ts_us")).cast("double").as("__v"),
-        col("session_id").as("__k"))
+        col("session_id").as("__k")))
     val summary = gaps.agg(
       count(lit(1)).as("n_gaps"),
       (dsum(col("__v")) / count(lit(1)).cast("double")).as("avg_us"))

@@ -655,7 +655,8 @@ object Corpus {
       if (retrain) {
         val k = Similarity.autoCellCount(n)
         val cents = Similarity.trainCentroids(
-          corpus.select(col("doc_id").as("vec_id"), col("embedding")), k)
+          corpus.select(col("doc_id").as("vec_id"), col("embedding")), k,
+          nPre = Some(n)) // `n` already counted for the retrain decision
         val qTag =
           s"quantizer/q${snap.alloc + 1}_${java.util.UUID.randomUUID().toString.take(8)}"
         import spark.implicits._
@@ -2483,17 +2484,18 @@ object Corpus {
       targetLang: String = "en",
       buckets: Int = 256,
       k: Int = 100): DataFrame = {
+    // bigram hash buckets via the native positioned gram-id expression:
+    // a word bigram joined with ' ' IS the k=2 gram of graft_gram_ids,
+    // and the DSIR bucket is its 60-bit md5 prefix (gid_hi) mod buckets —
+    // the former interpreted transform/concat_ws/md5/conv chain per
+    // position, twice per query (count pass + scoring pass), now one
+    // codegen'd map each
+    graft.functions.GraftFunctions.register(documents.sparkSession)
     val grams = documents
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), col("lang"),
-        explode(
-          when(size(col("ws")) >= 2,
-            transform(sequence(lit(0), size(col("ws")) - 2),
-              i => concat_ws(" ",
-                element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
-            .otherwise(array().cast("array<string>"))).as("gram"))
-      .withColumn("bucket",
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long") % buckets)
+        explode(call_function("graft_gram_ids", col("text"), lit(2))).as("g"))
+      .withColumn("bucket", col("g.gid_hi") % buckets)
+      .drop("g")
     // ONE partial-agg pass produces both count tables (raw + target) as a
     // `buckets`-row frame, and the corpus totals fold from THAT frame —
     // not from a rescan; the exploded gram frame is evaluated exactly
@@ -2979,11 +2981,11 @@ object Corpus {
       iters: Int = 3,
       sampleCap: Int = 2048): DataFrame = {
     val scored = qualityClassifier(documents, positiveSources, buckets, iters, sampleCap)
-    val ranked = Quantiles.withExactRank(
-      scored, Nil, Seq(("score", false), ("doc_id", true)), "__rk", "__nn")
-    val pre = Quantiles.withExactPrefixSum(
-      ranked, Nil, Seq(("score", false), ("doc_id", true)),
-      "is_positive", "__cp", "__tp")
+    // rank and label-prefix share ONE pass of the range-bucket machinery
+    // (same ordering key) — formerly two full three-pass invocations
+    val pre = Quantiles.withExactRankAndPrefixSum(
+      scored, Nil, Seq(("score", false), ("doc_id", true)),
+      "is_positive", "__rk", "__nn", "__cp", "__tp")
     val cand = pre
       .select(
         col("score").as("threshold_score"),

@@ -140,6 +140,19 @@ object Dedup {
     shingleArrays(documents)
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** Exploded (doc_id, sid) rows — the 60-bit md5-prefix id per distinct
+    * shingle, via the native one-pass [[graft.functions.ShingleSids]]
+    * expression: no shingle-string rows, no interpreted
+    * conv(substring(md5(...))) chain per row. Bit-identical multiset to
+    * `shingles(documents).select(doc_id, conv(substring(md5(shingle),
+    * 1, 15), 16, 10))` (spec-pinned); the oracles keep the relational
+    * chain. */
+  private[graft] def shingleSidRows(documents: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"),
+      explode(call_function("graft_shingle_sids", col("text"))).as("sid"))
+  }
+
   /** The compositional shingle formulation [[ShingleSet]] replaces —
     * interpreted CodegenFallback HOFs; kept as the spec-tested semantic
     * reference (the oracle's SQL is the lead()-window form). */
@@ -332,8 +345,11 @@ object Dedup {
     * on sid + a per-doc agg — all linear, no pairs anywhere; ids ride the
     * 60-bit md5-prefix projection. */
   def ngramNovelty(documents: DataFrame): DataFrame = {
-    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
-    val sh = shingles(documents).select(col("doc_id"), sid)
+    // native sid projection, checkpointed once: the frame feeds both the
+    // first-occurrence agg and the join-back (differently-shaped
+    // subplans — no exchange reuse), so an unmaterialized sh would run
+    // the shingle pass twice (the ngramJaccard discipline)
+    val sh = Materialize(shingleSidRows(documents))
     val first = sh.groupBy("sid").agg(min("doc_id").as("first_doc"))
     sh.join(first, "sid")
       .groupBy("doc_id")
@@ -390,16 +406,38 @@ object Dedup {
     conv(substring(md5(gram), 1, hexLen), 16, 10).cast("long").as("gid_hi"),
     conv(substring(md5(gram), 1 + hexLen, hexLen), 16, 10).cast("long").as("gid_lo"))
 
-  private[graft] def exactSubstringSpansAt(documents: DataFrame, k: Int,
-      hexLen: Int, dualKey: Boolean): DataFrame = {
-    val gramKey = if (dualKey) Seq("gid_hi", "gid_lo") else Seq("gid_hi")
-    val grams = documents
+  /** Positioned 120-bit k-gram id rows (doc_id, pos, gid_hi, gid_lo) via
+    * the native one-pass [[graft.functions.GramIdPairs]] expression —
+    * bit-identical to the compositional transform/array_join/md5/conv
+    * chain (spec-pinned), without materializing a gram string, a hex
+    * string, or two conv parses per token position. */
+  private[graft] def gramRows(documents: DataFrame, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"),
+        posexplode(call_function("graft_gram_ids", col("text"), lit(k))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.gid_hi").as("gid_hi"), col("col.gid_lo").as("gid_lo"))
+  }
+
+  /** The compositional gram-id chain — kept for the collision spec
+    * (`hexLen` < 15 forces clashes the 120-bit production ids cannot
+    * produce) and as the semantic reference for [[gramRows]]. */
+  private[graft] def gramRowsCompositional(documents: DataFrame, k: Int, hexLen: Int): DataFrame =
+    documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")))
       .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
         gramIds(col("col"), hexLen): _*)
+
+  private[graft] def exactSubstringSpansAt(documents: DataFrame, k: Int,
+      hexLen: Int, dualKey: Boolean): DataFrame = {
+    val gramKey = if (dualKey) Seq("gid_hi", "gid_lo") else Seq("gid_hi")
+    val grams =
+      if (hexLen == 15) gramRows(documents, k)
+      else gramRowsCompositional(documents, k, hexLen)
     val firstDoc = grams.groupBy(gramKey.map(col): _*).agg(min("doc_id").as("first_doc"))
     val flagged = grams.join(firstDoc, gramKey)
       .filter(col("doc_id") > col("first_doc"))
@@ -445,13 +483,7 @@ object Dedup {
     * exposed to id collisions than C82's (each row names a specific
     * src_doc alignment), so the same widening applies. */
   def exactSubstringRuns(documents: DataFrame, k: Int = 20): DataFrame = {
-    val grams = documents
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(ts) - ${k - 1}), i -> array_join(slice(ts, i, $k), ' '))")))
-      .select(col("doc_id") +: (col("pos") + 1).cast("long").as("pos") +:
-        gramIds(col("col"), 15): _*)
+    val grams = gramRows(documents, k)
     val first = grams
       .groupBy("gid_hi", "gid_lo")
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
@@ -550,9 +582,8 @@ object Dedup {
     * number. One shingle pass + a df partial agg + a ≤~20-row bucket
     * rollup. */
   def shingleDfHistogram(documents: DataFrame): DataFrame = {
-    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
-    shingles(documents)
-      .select(sid)
+    shingleSidRows(documents)
+      .select("sid")
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .withColumn("bucket", (length(conv(col("df"), 10, 2)) - 1).cast("long"))
       .groupBy("bucket")
@@ -723,10 +754,7 @@ object Dedup {
       minCommon: Long = 3L,
       maxDf: Long = 1000L,
       minContainment: Double = 0.5): DataFrame = {
-    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
-    val shAll = shingles(documents)
-      .select(col("doc_id"), sid)
-      .transform(Materialize(_)) // releasable materialize, not a CacheManager pin
+    val shAll = Materialize(shingleSidRows(documents)) // releasable, not a CacheManager pin
     val keep = shAll
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -763,10 +791,7 @@ object Dedup {
     // operator). md5 is the one hash both engines share, so the oracle
     // derives the IDENTICAL id — even a collision (2^-60 per pair) would
     // merge the same rows on both sides and stay hash-equal.
-    val sid = conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid")
-    val shAll = shingles(documents)
-      .select(col("doc_id"), sid)
-      .transform(Materialize(_)) // one tokenize/window pass feeds both uses, releasable
+    val shAll = Materialize(shingleSidRows(documents)) // one pass feeds both uses, releasable
     val keep = shAll
       .groupBy("sid").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -1070,10 +1095,13 @@ object Dedup {
     // with the corpus (Similarity.autoCellCount), so the per-cell pair
     // bound Σ cell² stays near-linear as n grows — a fixed k would turn
     // quadratic. The count is one metadata-cheap job at plan-build time.
-    val k =
-      if (nCentroids > 0) nCentroids
-      else Similarity.autoCellCount(embeddings.count())
-    val cents = Similarity.trainCentroids(embeddings, k, iters)
+    val cents =
+      if (nCentroids > 0) Similarity.trainCentroids(embeddings, nCentroids, iters)
+      else { // one count shared between the cell-count decision and training
+        val n = embeddings.count()
+        Similarity.trainCentroids(embeddings, Similarity.autoCellCount(n), iters,
+          nPre = Some(n))
+      }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -1127,10 +1155,13 @@ object Dedup {
       embeddings: DataFrame, holdoutMod: Long = 97, nCentroids: Int = 0,
       iters: Int = 2, nProbe: Int = 2, threshold: Double = 0.3): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val k =
-      if (nCentroids > 0) nCentroids
-      else Similarity.autoCellCount(embeddings.count())
-    val cents = Similarity.trainCentroids(embeddings, k, iters)
+    val cents =
+      if (nCentroids > 0) Similarity.trainCentroids(embeddings, nCentroids, iters)
+      else { // one count shared between the cell-count decision and training
+        val n = embeddings.count()
+        Similarity.trainCentroids(embeddings, Similarity.autoCellCount(n), iters,
+          nPre = Some(n))
+      }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -1208,10 +1239,9 @@ object Dedup {
           lit(true).as("admit"))
         .orderBy("new_vec")
     val cents = centsPre.getOrElse {
-      val k =
-        if (nCentroids > 0) nCentroids
-        else Similarity.autoCellCount(idxN)
-      Similarity.trainCentroids(idx, k, iters)
+      if (nCentroids > 0) Similarity.trainCentroids(idx, nCentroids, iters)
+      else Similarity.trainCentroids(idx, Similarity.autoCellCount(idxN), iters,
+        nPre = Some(idxN)) // idxN already counted above
     }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
@@ -1319,10 +1349,13 @@ object Dedup {
       threshold: Double = 0.3): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val idx = embeddings.filter(col("vec_id") % batchMod =!= 0)
-    val k =
-      if (nCentroids > 0) nCentroids
-      else Similarity.autoCellCount(idx.count())
-    val cents = Similarity.trainCentroids(idx, k, iters)
+    val cents =
+      if (nCentroids > 0) Similarity.trainCentroids(idx, nCentroids, iters)
+      else {
+        val n = idx.count()
+        Similarity.trainCentroids(idx, Similarity.autoCellCount(n), iters,
+          nPre = Some(n))
+      }
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))

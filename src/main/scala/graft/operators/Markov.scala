@@ -62,16 +62,28 @@ object Markov {
       .select(col("user_id"), col("ts_us"), col("session_id"), col("channel_name"))
       .withColumn("nxt", lead("channel_name", 1).over(wu))
       .withColumn("rn", row_number().over(wu))
-    def f(c: org.apache.spark.sql.Column) = c.as("f")
-    def t(c: org.apache.spark.sql.Column) = c.as("t")
-    j.filter(col("nxt").isNotNull).select(f(col("channel_name")), t(col("nxt")))
-      .union(j.filter(col("rn") === 1).select(f(lit(Start)), t(col("channel_name"))))
-      .union(j.filter(col("nxt").isNull).select(f(col("channel_name")), t(lit(Conv))))
-      .union(r.filter(col("nxt").isNotNull).select(f(col("channel_name")), t(col("nxt"))))
-      .union(r.filter(col("rn") === 1).select(f(lit(Start)), t(col("channel_name"))))
-      .union(r.filter(col("nxt").isNull).select(f(col("channel_name")), t(lit(Absorb))))
+    // Each row emits its transitions in ONE pass — (state, next-or-
+    // absorber) always, plus the START edge on the path opener — instead
+    // of six filtered union branches that each re-evaluated the window
+    // subtree (the union multiset is identical: branch "nxt IS NOT NULL"
+    // + branch "nxt IS NULL → absorber" ≡ coalesce(nxt, absorber)).
+    emitTransitions(j, col("channel_name"), Conv)
+      .unionByName(emitTransitions(r, col("channel_name"), Absorb))
       .groupBy(col("f").as("from_state"), col("t").as("to_state"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** One-pass transition emission over a windowed path frame carrying
+    * (state column, `nxt`, `rn`): every row yields (state, coalesce(nxt,
+    * absorber)); the opener (rn = 1) additionally yields (START, state). */
+  private def emitTransitions(
+      paths: DataFrame, state: org.apache.spark.sql.Column, absorber: String): DataFrame = {
+    val step = struct(state.as("f"), coalesce(col("nxt"), lit(absorber)).as("t"))
+    val open = struct(lit(Start).as("f"), state.as("t"))
+    paths
+      .select(explode(when(col("rn") === 1, array(open, step))
+        .otherwise(array(step))).as("e"))
+      .select(col("e.f").as("f"), col("e.t").as("t"))
   }
 
 
@@ -165,14 +177,9 @@ object Markov {
         coalesce(lag("channel_name", 1).over(wu), lit(Start)), col("channel_name")))
       .withColumn("nxt", lead("st", 1).over(wu))
       .withColumn("rn", row_number().over(wu))
-    def f(c: org.apache.spark.sql.Column) = c.as("f")
-    def t(c: org.apache.spark.sql.Column) = c.as("t")
-    j.filter(col("nxt").isNotNull).select(f(col("st")), t(col("nxt")))
-      .union(j.filter(col("rn") === 1).select(f(lit(Start)), t(col("st"))))
-      .union(j.filter(col("nxt").isNull).select(f(col("st")), t(lit(Conv))))
-      .union(r.filter(col("nxt").isNotNull).select(f(col("st")), t(col("nxt"))))
-      .union(r.filter(col("rn") === 1).select(f(lit(Start)), t(col("st"))))
-      .union(r.filter(col("nxt").isNull).select(f(col("st")), t(lit(Absorb))))
+    // same one-pass emission as [[transitionCounts]], over composite states
+    emitTransitions(j, col("st"), Conv)
+      .unionByName(emitTransitions(r, col("st"), Absorb))
       .groupBy(col("f").as("from_state"), col("t").as("to_state"))
       .agg(count(lit(1)).as("n"))
   }

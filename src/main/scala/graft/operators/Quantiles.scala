@@ -260,6 +260,116 @@ object Quantiles {
       .drop("__bkt", "__voff", "__vtot")
   }
 
+  /** [[withExactRank]] AND [[withExactPrefixSum]] over the SAME
+    * (group, order) key in one pass: one input checkpoint, one boundary
+    * sample, one combined (count, subtotal) metadata collect, and one
+    * window operator evaluating both frames over a single sort —
+    * consumers that need rank and prefix together (threshold selection)
+    * previously paid the full three-pass machinery twice. Values are
+    * bit-identical to the two separate calls: the rank is exact whatever
+    * the boundaries, and the decimal prefix is order-independent by
+    * fixed-scale exactness. */
+  def withExactRankAndPrefixSum(
+      df: DataFrame,
+      group: Seq[String],
+      order: Seq[(String, Boolean)],
+      valueCol: String,
+      rankCol: String,
+      nCol: String,
+      prefixCol: String,
+      totalCol: String,
+      buckets: Int = 0,
+      materialize: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    val nb = if (buckets > 0) buckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val dec = DecimalType(27, 6)
+    val decW = DecimalType(38, 6)
+    val fullKey: Seq[(String, Boolean)] = group.map((_, true)) ++ order
+    val keyCols = fullKey.map { case (n, _) => col(n) }
+    val input = if (materialize) Materialize(df) else df
+
+    val sampleN = nb * 64
+    val sampled: Array[Row] = input
+      .select(keyCols: _*)
+      .orderBy(xxhash64(keyCols: _*) +: keyCols: _*)
+      .limit(sampleN)
+      .collect()
+    val ord: Ordering[Row] = (a: Row, b: Row) => {
+      var i = 0
+      var c = 0
+      while (c == 0 && i < fullKey.length) {
+        c = compareAny(a.get(i), b.get(i))
+        if (!fullKey(i)._2) c = -c
+        i += 1
+      }
+      c
+    }
+    val sorted = sampled.sorted(ord)
+    val boundaries: Seq[Row] =
+      if (sorted.isEmpty) Nil
+      else (1 until nb).map(i => sorted(math.min(i * sorted.length / nb, sorted.length - 1)))
+        .distinct
+    val bkt = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(strictlyAfter(fullKey, b), 1).otherwise(0)
+    }
+    val withB = input.withColumn("__bkt", bkt.cast("int"))
+
+    val grpB = group :+ "__bkt"
+    val perBucket = withB
+      .groupBy(grpB.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col(valueCol).cast(dec)).as("__vsum"))
+      .collect()
+    val byGroup = perBucket.groupBy(r => group.indices.map(r.get).toList)
+    val offRows: Seq[Row] = byGroup.toSeq.flatMap { case (_, rows) =>
+      def bktOf(r: Row): Int = r.getAs[Number]("__bkt").intValue()
+      def cntOf(r: Row): Long = r.getAs[Number]("__cnt").longValue()
+      def sumOf(r: Row): java.math.BigDecimal = {
+        val d = r.getAs[java.math.BigDecimal]("__vsum")
+        if (d == null) java.math.BigDecimal.ZERO.setScale(6) else d
+      }
+      val inOrder = rows.sortBy(bktOf)
+      val total = inOrder.map(cntOf).sum
+      val vTotal = inOrder.map(sumOf)
+        .foldLeft(java.math.BigDecimal.ZERO.setScale(6))(_.add(_))
+      var off = 0L
+      var vOff = java.math.BigDecimal.ZERO.setScale(6)
+      inOrder.map { r =>
+        val o = off
+        val vo = vOff
+        off += cntOf(r)
+        vOff = vOff.add(sumOf(r))
+        Row.fromSeq(group.indices.map(r.get) ++ Seq[Any](bktOf(r), o, total, vo, vTotal))
+      }
+    }
+    val offSchema = StructType(
+      group.map(g => df.schema(g)) ++ Seq(
+        StructField("__bkt", org.apache.spark.sql.types.IntegerType, nullable = false),
+        StructField("__off", LongType, nullable = false),
+        StructField("__n", LongType, nullable = false),
+        StructField("__voff", decW, nullable = false),
+        StructField("__vtot", decW, nullable = false)))
+    val offs = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema)
+
+    // rank's whole-partition row_number and the prefix's running frame
+    // share one sort: same partition + order spec, two frames, ONE
+    // WindowExec.
+    val w = Window
+      .partitionBy(grpB.map(col): _*)
+      .orderBy(order.map { case (n, asc) => if (asc) col(n).asc else col(n).desc }: _*)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB
+      .join(broadcast(offs), grpB)
+      .withColumn(rankCol, col("__off") + row_number().over(w).cast("long"))
+      .withColumn(nCol, col("__n"))
+      .withColumn(prefixCol,
+        (col("__voff") + sum(col(valueCol).cast(dec)).over(wRun)).cast(decW))
+      .withColumn(totalCol, col("__vtot"))
+      .drop("__bkt", "__off", "__n", "__voff", "__vtot")
+  }
+
   /** `ntile(k)` as a pure expression of the exact 1-based rank and the
     * group size — Spark/DuckDB semantics: the first `n % k` tiles take
     * `n div k + 1` rows, the rest `n div k`. */

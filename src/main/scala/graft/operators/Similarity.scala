@@ -152,11 +152,11 @@ object Similarity {
     // and ivf_pq (both train at nSub=8, cbSize=16, iters=2). Training
     // is deterministic, so sharing changes cost, never values.
     val n = embeddings.count()
-    val cents16 = trainCentroids(embeddings, 16, 2)
+    val cents16 = trainCentroids(embeddings, 16, 2, nPre = Some(n))
     val kcGraph = autoCellCount(n)
     val centsGraph =
-      if (kcGraph == 16) cents16 else trainCentroids(embeddings, kcGraph, 2)
-    val cb = trainPqCodebooks(embeddings, 8, 16, 2)
+      if (kcGraph == 16) cents16 else trainCentroids(embeddings, kcGraph, 2, nPre = Some(n))
+    val cb = trainPqCodebooks(embeddings, 8, 16, 2, nPre = Some(n))
     // ---- CANDIDATES SCANNED per family: the work column that prices
     // recall (a 0.06-recall index that scans 40 vectors/query and a
     // 0.95-recall one that scans 600 are different deploy decisions).
@@ -170,12 +170,22 @@ object Similarity {
     //    the SAME navigation that serves the top-k (beamEval is built
     //    once, ranked AND counted).
     val fullScan = nQueries.toLong * (n - 1)
-    val candIvf = probeCandidates(embeddings, cents16, nQueries, 2).count()
-    val candLsh = lshCandidates(embeddings, nQueries).count()
     val (gq, gEdges, gEntries, gNodes) =
       graphSearchParts(embeddings, 5, 0, 2, nQueries, Some(centsGraph))
-    val gEval = Materialize(beamEval(gq, gEdges, gEntries, gNodes, 4, 3))
-    val candGraph = gEval.count()
+    // beamEval's last hop already returns a materialized frame — no
+    // second checkpoint copy; the three candidate counts (probe join,
+    // LSH buckets, graph eval set) run as ONE job with three parallel
+    // aggregate subtrees instead of three sequential driver actions.
+    val gEval = beamEval(gq, gEdges, gEntries, gNodes, 4, 3)
+    def counted(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("c")).select(lit(name).as("f"), col("c"))
+    val candBy = counted("ivf", probeCandidates(embeddings, cents16, nQueries, 2))
+      .unionByName(counted("lsh", lshCandidates(embeddings, nQueries)))
+      .unionByName(counted("graph", gEval))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val candIvf = candBy("ivf")
+    val candLsh = candBy("lsh")
+    val candGraph = candBy("graph")
     val frames: Seq[(String, DataFrame, Long)] = Seq(
       ("graph",  recallAtK(truth, rankBeamEval(gEval, k)), candGraph),
       ("lsh",    recallAtK(truth, lshTopK(embeddings, nQueries, k)), candLsh),
@@ -192,7 +202,7 @@ object Similarity {
       // set, so its scan cost equals ivf_pq's (same cells, better codes)
       ("ivf_pq_res", recallAtK(truth,
         ivfPqResidualTopK(embeddings, nQueries = nQueries, k = k,
-          centsPre = Some(cents16))), candIvf))
+          centsPre = Some(cents16), nPre = Some(n))), candIvf))
     frames.map { case (name, df, cand) =>
       df.agg(
         lit(name).as("index"),
@@ -372,6 +382,18 @@ object Similarity {
   private[graft] def autoCellCount(n: Long): Int =
     math.min(256L, math.max(16L, (n + TargetCellSize - 1) / TargetCellSize)).toInt
 
+  /** Train the coarse quantizer at `nCentroids` when given, else at the
+    * corpus-derived [[autoCellCount]] — sharing ONE count job between the
+    * cell-count decision and [[trainCentroids]]'s sample threshold (the
+    * auto-sized call previously paid two identical counts). */
+  private def trainAtAutoCellCount(
+      embeddings: DataFrame, nCentroids: Int, iters: Int): Array[(Long, Array[Float], Double)] =
+    if (nCentroids > 0) trainCentroids(embeddings, nCentroids, iters)
+    else {
+      val n = embeddings.count()
+      trainCentroids(embeddings, autoCellCount(n), iters, nPre = Some(n))
+    }
+
   /** The untrained quantizer: the first `nCentroids` vectors, with
     * decimal-exact norms evaluated driver-side on the same float values
     * (same arithmetic as normExact). */
@@ -428,26 +450,38 @@ object Similarity {
     * both engines round identically (see [[labelCentroids]]). */
   private[graft] def trainCentroids(
       embeddings: DataFrame, nCentroids: Int = 16,
-      iters: Int = 2, sampleTarget: Long = 4096): Array[(Long, Array[Float], Double)] = {
+      iters: Int = 2, sampleTarget: Long = 4096,
+      nPre: Option[Long] = None): Array[(Long, Array[Float], Double)] = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val n = embeddings.count()
+    val n = nPre.getOrElse(embeddings.count())
     val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
-    // ONE distributed pass collects the ≈sampleTarget-row training sample
-    // (bounded whatever the corpus size — index-training metadata); the
-    // Lloyd iterations then run in the driver with the IDENTICAL
-    // arithmetic the Spark expressions evaluate — DotDecimalImpl dots,
+    // ONE distributed pass collects BOTH the ≈sampleTarget-row training
+    // sample (bounded whatever the corpus size — index-training metadata)
+    // and the first-K init rows — formerly two separate collect jobs over
+    // the same scan; callers that already know the corpus count pass it
+    // via `nPre` so a training call costs ONE job, not three. The Lloyd
+    // iterations then run in the driver with the IDENTICAL arithmetic the
+    // Spark expressions evaluate — DotDecimalImpl dots,
     // Float.toString-string decimal(12) term rounding, exact decimal
     // sums, one double division, float narrowing — so the trained
     // centroids are bit-equal to the former per-iteration-job form (and
-    // to the unrolled oracle), without 2·iters driver-scheduled
-    // map+agg+collect rounds per index build.
-    val sample: Array[Array[Float]] = embeddings
-      .filter(
-        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-          % 10000 < threshold)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
-    var cents = initialCentroids(embeddings, nCentroids)
+    // to the unrolled oracle). Sample order is irrelevant: the per-cell
+    // sums are same-scale exact decimal adds (associative and
+    // commutative), counts are counts.
+    val isInit = col("vec_id") < nCentroids
+    val isSamp =
+      conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+        .%(10000).<(threshold)
+    val rows = embeddings
+      .filter(isInit || isSamp)
+      .select(col("vec_id"), col("embedding"), isInit.as("is_init"), isSamp.as("is_samp"))
+      .collect()
+    val sample: Array[Array[Float]] =
+      rows.filter(_.getBoolean(3)).map(_.getSeq[Float](1).toArray)
+    var cents = rows.filter(_.getBoolean(2))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+      .map { case (cid, v) => withNorm(cid, v) }
     (1 to iters).foreach { _ =>
       val sums = scala.collection.mutable.HashMap
         .empty[(Long, Int), java.math.BigDecimal]
@@ -637,15 +671,34 @@ object Similarity {
     * IVF one. Returns (codebooks, decimal-exact |entry|² per entry). */
   private[graft] def trainPqCodebooks(
       embeddings: DataFrame, nSub: Int, codebookSize: Int,
-      iters: Int, sampleTarget: Long = 4096)
+      iters: Int, sampleTarget: Long = 4096, nPre: Option[Long] = None)
       : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cbVecs = embeddings.filter(col("vec_id") < codebookSize)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    val sample: Array[Array[Float]] =
-      if (iters > 0) pqSample(embeddings, sampleTarget) else Array.empty
-    pqLloyd(cbVecs.map(_._2), sample, nSub, codebookSize, iters)
+    if (iters > 0) {
+      // one combined collect for init slices + Lloyd sample (the
+      // trainCentroids job-fusion pattern); nPre skips the count job when
+      // the caller already holds the corpus count
+      val n = nPre.getOrElse(embeddings.count())
+      val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
+      val isInit = col("vec_id") < codebookSize
+      val isSamp =
+        conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
+          .%(10000).<(threshold)
+      val rows = embeddings
+        .filter(isInit || isSamp)
+        .select(col("vec_id"), col("embedding"), isInit.as("is_init"), isSamp.as("is_samp"))
+        .collect()
+      val cbVecs = rows.filter(_.getBoolean(2))
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val sample: Array[Array[Float]] =
+        rows.filter(_.getBoolean(3)).map(_.getSeq[Float](1).toArray)
+      pqLloyd(cbVecs.map(_._2), sample, nSub, codebookSize, iters)
+    } else {
+      val cbVecs = embeddings.filter(col("vec_id") < codebookSize)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      pqLloyd(cbVecs.map(_._2), Array.empty, nSub, codebookSize, iters)
+    }
   }
 
   /** RESIDUAL-space PQ codebooks (the FAISS `by_residual=true` training):
@@ -659,7 +712,8 @@ object Similarity {
     * code budget. */
   private[graft] def trainPqCodebooksResidual(
       embeddings: DataFrame, cents: Array[(Long, Array[Float], Double)],
-      nSub: Int, codebookSize: Int, iters: Int, sampleTarget: Long = 4096)
+      nSub: Int, codebookSize: Int, iters: Int, sampleTarget: Long = 4096,
+      nPre: Option[Long] = None)
       : (Array[Array[Array[Float]]], Array[Array[Double]]) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val centOf = cents.map { case (cid, v, _) => cid -> v }.toMap
@@ -677,33 +731,30 @@ object Similarity {
       val cv = centOf(r.getAs[Long]("cell"))
       Array.tabulate(v.length)(i => v(i) - cv(i))
     }
-    val init = withCell.filter(col("vec_id") < codebookSize)
-      .select("vec_id", "embedding", "cell").collect()
-      .sortBy(_.getAs[Long]("vec_id")).map(residualOf)
-    val sample: Array[Array[Float]] =
-      if (iters > 0) {
-        val n = embeddings.count()
-        val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
-        withCell
-          .filter(
-            conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-              % 10000 < threshold)
-          .select("embedding", "cell").collect().map(residualOf)
-      } else Array.empty
-    pqLloyd(init, sample, nSub, codebookSize, iters)
-  }
-
-  /** The deterministic md5-bucket PQ training sample (lockstep with the
-    * quantizer's). */
-  private def pqSample(embeddings: DataFrame, sampleTarget: Long): Array[Array[Float]] = {
-    val n = embeddings.count()
-    val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
-    embeddings
-      .filter(
+    // init slices + Lloyd sample in ONE collect job (the trainCentroids
+    // fusion pattern); nPre skips the count job when the caller holds it
+    if (iters > 0) {
+      val n = nPre.getOrElse(embeddings.count())
+      val threshold = math.min(10000L, math.ceil(10000.0 * sampleTarget / n).toLong)
+      val isInit = col("vec_id") < codebookSize
+      val isSamp =
         conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10).cast("long")
-          % 10000 < threshold)
-      .select("embedding").collect()
-      .map(_.getSeq[Float](0).toArray)
+          .%(10000).<(threshold)
+      val rows = withCell
+        .filter(isInit || isSamp)
+        .select(col("vec_id"), col("embedding"), col("cell"),
+          isInit.as("is_init"), isSamp.as("is_samp"))
+        .collect()
+      val init = rows.filter(_.getAs[Boolean]("is_init"))
+        .sortBy(_.getAs[Long]("vec_id")).map(residualOf)
+      val sample = rows.filter(_.getAs[Boolean]("is_samp")).map(residualOf)
+      pqLloyd(init, sample, nSub, codebookSize, iters)
+    } else {
+      val init = withCell.filter(col("vec_id") < codebookSize)
+        .select("vec_id", "embedding", "cell").collect()
+        .sortBy(_.getAs[Long]("vec_id")).map(residualOf)
+      pqLloyd(init, Array.empty, nSub, codebookSize, iters)
+    }
   }
 
   /** The per-subspace Lloyd core shared by raw and residual codebook
@@ -912,11 +963,12 @@ object Similarity {
       embeddings: DataFrame,
       nCentroids: Int = 16, nQueries: Int = 8, nProbe: Int = 2, k: Int = 10,
       nSub: Int = 8, codebookSize: Int = 16, iters: Int = 2,
-      centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
+      centsPre: Option[Array[(Long, Array[Float], Double)]] = None,
+      nPre: Option[Long] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cents = centsPre.getOrElse(trainCentroids(embeddings, nCentroids, iters))
     val (cb, cbSumsq) =
-      trainPqCodebooksResidual(embeddings, cents, nSub, codebookSize, iters)
+      trainPqCodebooksResidual(embeddings, cents, nSub, codebookSize, iters, nPre = nPre)
     val dims = cb.length * cb.head.head.length
     val sub = dims / nSub
     val centMap = typedlit(cents.map { case (cid, v, _) => cid -> v.toSeq }.toMap)
@@ -1242,15 +1294,59 @@ object Similarity {
     * |Q|·k bounded evaluation shape as [[recallAtK]]. */
   def ivfNprobeSweep(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
       probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
-    val cent = trainCentroids(embeddings)
-    val truth = bruteForceTopK(embeddings, nQueries, k)
-    probes.map { np =>
-      recallAtK(truth, probeTopK(embeddings, cent, nQueries, np, k))
-        .withColumn("nprobe", lit(np))
-    }.reduce(_ unionByName _)
-      .select("nprobe", "query_id", "n_hits", "recall")
-      .orderBy("nprobe", "query_id")
+    // ALL probe budgets scan in ONE frame keyed (query_id, nprobe): a
+    // budget's probe set is a PREFIX of the query's cell ranking, so the
+    // (budget × cell) probe side comes from one posexplode of the full
+    // ranking filtered to p ≤ nprobe — each budget's candidate set and
+    // rank are exactly the per-budget scan's (spec-pinned), while the
+    // sweep pays one corpus assignment, one probe join, one rank window
+    // and ONE brute-force truth instead of |probes| of each.
+    val cents = trainCentroids(embeddings)
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val assigned = feat
+      .withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("nrm").as("c_nrm"), col("cell"))
+    val qprobes = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"),
+        posexplode(transform(cellRank(cents, col("embedding"), col("nrm")),
+          s => s.getField("cid"))).as(Seq("p0", "cell")))
+      .withColumn("nprobe", explode(typedlit(probes)))
+      .filter(col("p0") + 1 <= col("nprobe"))
+      .drop("p0")
+    val rk = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    val approx = broadcast(qprobes)
+      .join(assigned, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.dotExact(col("qe"), col("ce")) / (col("q_nrm") * col("c_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    sweepRecall(bruteForceTopK(embeddings, nQueries, k), approx, "nprobe", probes)
   }
+
+  /** recallAtK per sweep setting, one job: dense truth × settings on the
+    * left (the denominator stays the truth list), approx keyed by the
+    * sweep column — the multi-setting generalization every sweep shares. */
+  private def sweepRecall(
+      truth: DataFrame, approx: DataFrame, sweepCol: String,
+      settings: Seq[Int]): DataFrame =
+    truth.select("query_id", "neighbor_id")
+      .withColumn(sweepCol, explode(typedlit(settings)))
+      .join(approx.withColumn("__hit", lit(1)),
+        Seq("query_id", sweepCol, "neighbor_id"), "left")
+      .groupBy(sweepCol, "query_id")
+      .agg(
+        count(col("__hit")).as("n_hits"),
+        (count(col("__hit")).cast("double") / count(lit(1)).cast("double")).as("recall"))
+      .select(col(sweepCol), col("query_id"), col("n_hits"), col("recall"))
+      .orderBy(sweepCol, "query_id")
 
   /** Recall@k of the TRAINED-quantizer IVF index ([[ivfTopKTrained]]) vs
     * exact brute force — the quality gate for the index family that
@@ -1420,10 +1516,7 @@ object Similarity {
       nQueries: Int, centsPre: Option[Array[(Long, Array[Float], Double)]])
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = centsPre.getOrElse {
-      val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
-      trainCentroids(embeddings, kc, iters)
-    }
+    val cents = centsPre.getOrElse(trainAtAutoCellCount(embeddings, nCentroids, iters))
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -1512,13 +1605,42 @@ object Similarity {
       beams: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
     val (q, edges, entries, nodes) =
       graphSearchParts(embeddings, 5, 0, 2, nQueries, None)
-    val truth = bruteForceTopK(embeddings, nQueries, k)
-    beams.map { b =>
-      recallAtK(truth, beamSearchFrom(q, edges, entries, nodes, b, 3, k))
-        .withColumn("beam", lit(b))
-    }.reduce(_ unionByName _)
-      .select("beam", "query_id", "n_hits", "recall")
-      .orderBy("beam", "query_id")
+    // ALL beam widths navigate in ONE frame keyed (query_id, beam): each
+    // hop's frontier rank, neighbor expansion, seen-set anti-join and
+    // scoring carry `beam` as part of the key, so every width's eval set
+    // is exactly what its standalone navigation computes (spec-pinned),
+    // while the sweep pays ONE set of hop jobs instead of |beams| — and
+    // the brute-force truth appears once in the final plan instead of
+    // being recomputed per beam width.
+    val wBeam = Window.partitionBy("query_id", "beam")
+      .orderBy(col("cosine").desc, col("node"))
+    def scored(ids: DataFrame): DataFrame =
+      ids.join(broadcast(q), Seq("query_id"))
+        .join(nodes, Seq("node"))
+        .select(col("query_id"), col("beam"), col("node"),
+          (VectorFunctions.dotFold(col("qe"), col("ne")) /
+            (col("q_nrm") * col("n_nrm"))).as("cosine"))
+    var eval = scored(q.select(col("query_id"))
+        .withColumn("beam", explode(typedlit(beams)))
+        .crossJoin(broadcast(entries)))
+      .transform(Materialize(_))
+    var frontier = eval.withColumn("__rn", row_number().over(wBeam))
+      .filter(col("__rn") <= col("beam")).drop("__rn")
+    (1 to 3).foreach { _ =>
+      val nbrs = frontier.select("query_id", "beam", "node")
+        .join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("beam"), col("dst").as("node")).distinct()
+      val fresh = nbrs.join(eval.select("query_id", "beam", "node"),
+        Seq("query_id", "beam", "node"), "left_anti")
+      eval = eval.unionByName(scored(fresh)).transform(Materialize(_))
+      frontier = eval.withColumn("__rn", row_number().over(wBeam))
+        .filter(col("__rn") <= col("beam")).drop("__rn")
+    }
+    val approx = eval.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("beam"), col("node").as("neighbor_id"))
+    sweepRecall(bruteForceTopK(embeddings, nQueries, k), approx, "beam", beams)
   }
 
   /** Recall@k of [[graphSearch]] against brute force — the honest number
@@ -1573,8 +1695,7 @@ object Similarity {
       k: Int = 10, targetLabel: Int = 0, entriesPerCell: Int = 2,
       broadcastCap: Long = Broadcasts.DefaultCap): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
-    val cents = trainCentroids(embeddings, kc, iters)
+    val cents = trainAtAutoCellCount(embeddings, nCentroids, iters)
     val feat = embeddings.select(
       col("vec_id"), col("embedding"), col("label"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -1660,10 +1781,7 @@ object Similarity {
       embeddings: DataFrame, nCentroids: Int, iters: Int,
       centsPre: Option[Array[(Long, Array[Float], Double)]] = None): DataFrame = {
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
-    val cents = centsPre.getOrElse {
-      val kc = if (nCentroids > 0) nCentroids else autoCellCount(embeddings.count())
-      trainCentroids(embeddings, kc, iters)
-    }
+    val cents = centsPre.getOrElse(trainAtAutoCellCount(embeddings, nCentroids, iters))
     val feat = embeddings.select(
       col("vec_id"), col("embedding"),
       VectorFunctions.normExact(col("embedding")).as("nrm"))
@@ -2018,16 +2136,48 @@ object Similarity {
     * [[recallAtK]]. */
   def ivfPqNprobeSweep(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10,
       probes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    // the ivfNprobeSweep single-frame fusion over the COMPOSED index:
+    // one PQ-encode of the corpus and one probe join serve every budget
+    // (the per-budget plan previously re-instantiated the whole encode
+    // subtree — the most expensive map stage of this operator — once per
+    // probe setting, and the truth three times)
     graft.functions.GraftFunctions.register(embeddings.sparkSession)
     val cents = trainCentroids(embeddings)
     val (cb, cbSumsq) = trainPqCodebooks(embeddings, nSub = 8, codebookSize = 16, iters = 2)
-    val truth = bruteForceTopK(embeddings, nQueries, k)
-    probes.map { np =>
-      recallAtK(truth, ivfPqTopKWith(embeddings, cents, cb, cbSumsq, nQueries, np, k))
-        .withColumn("nprobe", lit(np))
-    }.reduce(_ unionByName _)
-      .select("nprobe", "query_id", "n_hits", "recall")
-      .orderBy("nprobe", "query_id")
+    val nSub = cb.length
+    val sub = cb.head.head.length
+    val feat = embeddings.select(
+      col("vec_id"), col("embedding"),
+      VectorFunctions.normExact(col("embedding")).as("nrm"))
+    val codeCols = (0 until nSub).map(j => pqCode(j, sub, cb, cbSumsq).as(s"code_$j"))
+    val encoded = feat
+      .withColumn("cell",
+        element_at(cellRank(cents, col("embedding"), col("nrm")), 1).getField("cid"))
+      .select(Seq(col("vec_id").as("neighbor_id"), col("cell")) ++ codeCols: _*)
+      .withColumn("recon", concat((0 until nSub).map { j =>
+        element_at(typedlit(cb(j)), col(s"code_$j") + 1)
+      }: _*))
+      .withColumn("recon_nrm",
+        sqrt(VectorFunctions.dotExact(col("recon"), col("recon"))))
+    val qprobes = feat.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"),
+        posexplode(transform(cellRank(cents, col("embedding"), col("nrm")),
+          s => s.getField("cid"))).as(Seq("p0", "cell")))
+      .withColumn("nprobe", explode(typedlit(probes)))
+      .filter(col("p0") + 1 <= col("nprobe"))
+      .drop("p0")
+    val rk = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("adc_cosine").desc, col("neighbor_id"))
+    val approx = broadcast(qprobes)
+      .join(encoded, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_cosine",
+        VectorFunctions.dotExact(col("qe"), col("recon")) / (col("q_nrm") * col("recon_nrm")))
+      .withColumn("rank", row_number().over(rk))
+      .filter(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    sweepRecall(bruteForceTopK(embeddings, nQueries, k), approx, "nprobe", probes)
   }
 
   def ivfPqRecall(embeddings: DataFrame, nQueries: Int = 8, k: Int = 10): DataFrame =

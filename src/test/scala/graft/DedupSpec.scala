@@ -9,6 +9,41 @@ class DedupSpec extends SparkSpec {
   private def docs(rows: (Long, String)*) =
     rows.toDF("doc_id", "text")
 
+  test("native gram ids equal the compositional md5 chain on real documents " +
+    "(values, positions, and edge shapes: empty tokens, multi-byte UTF-8)") {
+    // the corpus the gated queries actually run over
+    val real = graft.sources.Tables.documents(spark, sfDir).limit(200)
+    val edge = docs(
+      100001L -> "a  b c   d e f g h i j k l m n o p q r s t u v", // empty tokens
+      100002L -> ("é世界 tok " * 12).trim,            // multi-byte UTF-8
+      100003L -> (1 to 19).map(i => s"w$i").mkString(" "),         // < k tokens: no gram
+      100004L -> "")                                               // degenerate empty text
+      .withColumn("lang", lit("en"))
+    for (d <- Seq(real, edge.select("doc_id", "text")); k <- Seq(3, 20)) {
+      val native = Dedup.gramRows(d, k)
+        .select("doc_id", "pos", "gid_hi", "gid_lo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      val comp = Dedup.gramRowsCompositional(d, k, hexLen = 15)
+        .select("doc_id", "pos", "gid_hi", "gid_lo").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+      assert(native.length === comp.length, s"k=$k row counts")
+      assert(native.toSeq === comp.toSeq, s"k=$k gram ids diverge")
+    }
+  }
+
+  test("native shingle sids equal the compositional md5-prefix chain " +
+    "on real documents (multiset per doc)") {
+    val real = graft.sources.Tables.documents(spark, sfDir).limit(300)
+    val native = Dedup.shingleSidRows(real).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val comp = Dedup.shingles(real)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("sid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(native.length === comp.length)
+    assert(native.toSeq === comp.toSeq)
+  }
+
   test("exact dedup groups identical texts and keeps the min doc_id") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val out = Dedup.exact(d).collect()
